@@ -1,0 +1,155 @@
+"""Single-page OCR: the per-page portion of the reference's main loop.
+
+Mirrors ``main/main.c:237-296``: decode → (shear) → per column (RTL columns
+iterate right-to-left) → findLines → buildTuples → splitWideGlyphs →
+narrowGlyphs → displayText.  Pure function of (payload bytes, config, font
+index) — the unit of work executed inside the Ray ``map_batches`` stages and,
+identically, by the single-process oracle in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tensorflow_ocr_ray.config import OcrConfig, TUPLELENGTH
+from tensorflow_ocr_ray.core.assemble import assemble_page_text
+from tensorflow_ocr_ray.core.knn import FontIndex
+from tensorflow_ocr_ray.core.raster import decode_payload, deskew
+from tensorflow_ocr_ray.core.segment import PageSegmenter
+
+
+@dataclass
+class GlyphRecord:
+    """One classified glyph — the engine's intermediate IR row."""
+
+    column: int
+    line_idx: int
+    glyph_idx: int
+    left: int
+    right: int
+    top: int
+    bottom: int
+    features: np.ndarray  # (27,) float32, normalized
+    label: str
+    dist2: float
+
+
+@dataclass
+class PageResult:
+    text: str
+    glyphs: list[GlyphRecord] = field(default_factory=list)
+
+
+def ocr_page_image(
+    image: np.ndarray,
+    cfg: OcrConfig,
+    index: FontIndex,
+    collect_glyphs: bool = True,
+    predictions: list[str] | None = None,
+) -> PageResult:
+    """OCR one decoded bitonal page (uint8 0/1).
+
+    ``predictions``, when given, replaces classifier labels positionally in
+    glyph order — the reference's ``-P tensorOutput.txt`` mode
+    (main/kd.c:210-223), realigned here by explicit ordinals instead of a
+    shared file cursor.
+    """
+    if not cfg.no_shear:
+        image = deskew(image, cfg.max_shear, cfg.shear_scale, cfg.light_sum)
+    seg = PageSegmenter(image.copy(), cfg, index)
+    rtl = index.rtl
+    col_order = (
+        range(cfg.columns - 1, -1, -1) if rtl else range(cfg.columns)
+    )
+    texts: list[str] = []
+    glyph_records: list[GlyphRecord] = []
+    pred_cursor = 0
+    for col in col_order:
+        if not seg.find_lines(col):
+            continue
+        seg.build_tuples()
+        if cfg.may_combine:
+            seg.split_wide_glyphs()
+            seg.narrow_glyphs()
+        # classify all glyphs in reading order, batched
+        feats = []
+        for line in seg.lines:
+            for g in line.glyphs:
+                feats.append(
+                    g.tuple
+                    if g.tuple is not None and np.all(np.isfinite(g.tuple))
+                    else np.zeros(TUPLELENGTH, dtype=np.float32)
+                )
+        if feats:
+            values, d2 = index.ocr_values(
+                np.stack(feats), cfg.min_match, cfg.ignore_vertical
+            )
+        else:
+            values, d2 = [], np.empty(0, dtype=np.float32)
+        if predictions is not None:
+            n = len(values)
+            values = predictions[pred_cursor : pred_cursor + n]
+            pred_cursor += n
+        # build assembly input + glyph records
+        lines_payload = []
+        k = 0
+        for li, line in enumerate(seg.lines):
+            vals, lefts, rights = [], [], []
+            for gi, g in enumerate(line.glyphs):
+                vals.append(values[k])
+                lefts.append(g.left)
+                rights.append(g.right)
+                if collect_glyphs:
+                    glyph_records.append(
+                        GlyphRecord(
+                            column=col,
+                            line_idx=li,
+                            glyph_idx=gi,
+                            left=g.left,
+                            right=g.right,
+                            top=g.top,
+                            bottom=g.bottom,
+                            features=np.asarray(feats[k], dtype=np.float32),
+                            label=values[k],
+                            dist2=float(d2[k]) if k < len(d2) else -1.0,
+                        )
+                    )
+                k += 1
+            lines_payload.append(
+                {
+                    "top": line.top,
+                    "bottom": line.bottom,
+                    "left_border": line.left_border,
+                    "right_border": line.right_border,
+                    "values": vals,
+                    "lefts": lefts,
+                    "rights": rights,
+                }
+            )
+        texts.append(
+            assemble_page_text(
+                lines_payload,
+                seg.glyph_width,
+                seg.left_margin,
+                seg.right_margin,
+                rtl,
+                cfg.space_fraction,
+            )
+        )
+    return PageResult(text="".join(texts), glyphs=glyph_records)
+
+
+def ocr_payload(
+    payload: bytes,
+    cfg: OcrConfig,
+    index: FontIndex,
+    collect_glyphs: bool = True,
+    predictions: list[str] | None = None,
+) -> PageResult:
+    """Decode a media payload and OCR it (readPicture + the page loop)."""
+    image = decode_payload(payload, cfg.cutoff)
+    return ocr_page_image(
+        image, cfg, index, collect_glyphs=collect_glyphs, predictions=predictions
+    )

@@ -1,0 +1,164 @@
+"""Page raster handling: payload codec, binarization, deskew shear.
+
+The reference decodes TIFF → RGBA raster → bitonal char image
+(``main/readPicture.c:36-117``) and deskews with an integer shear search
+(``main/readPicture.c:119-221``).  Media payloads in this engine are opaque
+``binary`` columns; the container has no image codecs, so we define a tiny
+deterministic bitonal format (``OCR1``: magic + height + width + packbits)
+that stands in for TIFF.  The decode stage is the single place a real
+deployment would swap in ``tifffile``/``PIL`` — the Ray-side plumbing
+(schema, batch sizes, actor signature) is identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"OCR1"
+MAGIC_GRAY = b"OCR8"  # 8-bit grayscale variant (exercises the binarizer)
+
+
+def encode_bitonal(image: np.ndarray) -> bytes:
+    """Pack a 0/1 uint8 array into the OCR1 payload format."""
+    image = np.ascontiguousarray(image.astype(np.uint8))
+    h, w = image.shape
+    return MAGIC + struct.pack("<II", h, w) + np.packbits(image, axis=None).tobytes()
+
+
+def encode_gray(image: np.ndarray) -> bytes:
+    """An 8-bit grayscale payload (0=black ink, 255=white paper)."""
+    image = np.ascontiguousarray(image.astype(np.uint8))
+    h, w = image.shape
+    return MAGIC_GRAY + struct.pack("<II", h, w) + image.tobytes()
+
+
+def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
+    """Decode a media payload to the bitonal char image (uint8 0/1).
+
+    Grayscale payloads are binarized with the reference's threshold rule
+    (``main/readPicture.c:100-107``): a pixel is ink (1) iff the summed RGB
+    value is <= lround(3*256*cutoff); for grayscale we use 3*gray.
+    """
+    magic, rest = payload[:4], payload[4:]
+    h, w = struct.unpack("<II", rest[:8])
+    body = rest[8:]
+    if magic == MAGIC:
+        bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8), count=h * w)
+        return bits.reshape(h, w).astype(np.uint8)
+    if magic == MAGIC_GRAY:
+        gray = np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+        cutoff_total = int(np.floor(3 * 256 * cutoff + 0.5))  # lroundf
+        return (3 * gray.astype(np.int32) <= cutoff_total).astype(np.uint8)
+    raise ValueError(f"unknown media payload magic {magic!r}")
+
+
+def binarize_rgb(rgb: np.ndarray, cutoff: float = 0.50) -> np.ndarray:
+    """readPicture's RGB threshold (main/readPicture.c:100-115)."""
+    total = rgb.astype(np.int32).sum(axis=-1)
+    cutoff_total = int(np.floor(3 * 256 * cutoff + 0.5))
+    return (total <= cutoff_total).astype(np.uint8)
+
+
+def count_light(image: np.ndarray, shear: int, shear_scale: int, light_sum: int) -> int:
+    """countLight (main/readPicture.c:122-143), vectorized.
+
+    For each output row, sum image[row + col*shear/SHEARSCALE, col] over
+    cols (off-edge cells contribute 0) and count rows whose sum never
+    exceeds LIGHTSUM.  The reference short-circuits per row once the sum
+    passes LIGHTSUM; the count of light rows is identical without it.
+    """
+    h, w = image.shape
+    cols = np.arange(w)
+    # C integer division truncates toward zero
+    corr = (cols * shear) // shear_scale if shear >= 0 else -((cols * -shear) // shear_scale)
+    rows = np.arange(h)[:, None] + corr[None, :]
+    valid = (rows >= 0) & (rows < h)
+    safe_rows = np.clip(rows, 0, h - 1)
+    vals = image[safe_rows, cols[None, :]] * valid
+    row_sums = vals.sum(axis=1)
+    return int((row_sums <= light_sum).sum())
+
+
+def find_best_shear(
+    image: np.ndarray, max_shear: int, shear_scale: int, light_sum: int
+) -> int:
+    """The hill-climbing shear search of shearPicture (readPicture.c:145-181)."""
+    best_lights = count_light(image, 0, shear_scale, light_sum)
+    best_shear = 0
+    shear = 1
+    new_lights = count_light(image, shear, shear_scale, light_sum)
+    if new_lights > best_lights:
+        while new_lights > best_lights and shear <= max_shear:
+            best_shear = shear
+            best_lights = new_lights
+            shear += 1
+            new_lights = count_light(image, shear, shear_scale, light_sum)
+        if shear > max_shear:
+            best_shear = 0
+    else:
+        shear = -1
+        new_lights = count_light(image, shear, shear_scale, light_sum)
+        while new_lights > best_lights and shear >= -max_shear:
+            best_shear = shear
+            best_lights = new_lights
+            shear -= 1
+            new_lights = count_light(image, shear, shear_scale, light_sum)
+        if shear < -max_shear:
+            best_shear = 0
+    return best_shear
+
+
+def apply_shear(image: np.ndarray, shear: int, shear_scale: int) -> np.ndarray:
+    """The physical column-then-row shear of shearPicture (readPicture.c:183-220).
+
+    Columns move vertically by -(col*shear)/SHEARSCALE, then rows move
+    horizontally by (row*shear)/SHEARSCALE.  Vacated cells are zeroed
+    (column pass) / left as-is at the edges (row pass uses memmove, which
+    leaves stale trailing cells — we reproduce the observable effect of
+    moving the row contents; stale edge bytes only ever contain data that
+    was already off-text).
+    """
+    if shear == 0:
+        return image
+    out = image.copy()
+    h, w = out.shape
+    cols = np.arange(w)
+    def cdiv(a: np.ndarray) -> np.ndarray:
+        return np.trunc(a / shear_scale).astype(np.int64)
+
+    corr_per_col = cdiv(cols * shear)
+    for col in range(w):
+        corr = int(corr_per_col[col])
+        if corr == 0:
+            continue
+        colv = out[:, col]
+        if corr < 0:  # move rows down by -corr
+            colv[-corr:] = colv[: h + corr]
+            colv[:-corr] = 0
+        else:  # move rows up by corr
+            colv[: h - corr] = colv[corr:]
+            colv[h - corr :] = 0
+        out[:, col] = colv
+    rows_corr = cdiv(np.arange(h) * shear)
+    for row in range(h):
+        corr = int(rows_corr[row])
+        if corr == 0:
+            continue
+        eff = w - abs(corr)
+        rowv = out[row]
+        if corr < 0:
+            rowv[:eff] = rowv[-corr : -corr + eff]
+            rowv[eff:] = 0
+        else:
+            rowv[corr : corr + eff] = rowv[:eff].copy()
+            rowv[:corr] = 0
+        out[row] = rowv
+    return out
+
+
+def deskew(image: np.ndarray, max_shear: int = 4, shear_scale: int = 100, light_sum: int = 20) -> np.ndarray:
+    return apply_shear(
+        image, find_best_shear(image, max_shear, shear_scale, light_sum), shear_scale
+    )
