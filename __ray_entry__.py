@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship media-span OCR pipeline on a deterministic fixture
+corpus (the engine's real workload; /root/testdata has no media payloads).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` — one callable per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline extensions (dedup, similarity
+search, text analysis); ``oracle_sql()`` carries the DuckDB equivalent for
+every SQL-expressible entry.  Column names match between both sides.
+
+Ray is initialised by the driver BEFORE importing this module; nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -19,26 +18,226 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _fixture_docs(sf_dir: str, seed: int = 42):
+    """Deterministic interleaved-documents corpus sized by the sf tier."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import generate_documents
+
+    n = {"sf0.001": 24, "sf0.01": 64, "sf0.1": 160}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 64
+    )
+    return rd.from_arrow(generate_documents(n, seed=seed)), n
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: read interleaved docs → OCR media spans via actor pool →
+    groupby-reassemble span sequences.  Returns the output Dataset."""
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
+
+    ds, n = _fixture_docs("/root/testdata/sf0.001")
+    out = ocr_documents(
+        ds, mode="exploded", concurrency=(1, 4), batch_size=16, num_blocks=8
+    )
+    return out
+
+
+# ---------------- OCR pipeline probes (rows-only: not SQL-expressible) ----
+
+def _ocr_exploded(sf_dir: str):
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import (
+        explode_documents,
+        ocr_documents,
+    )
+
+    ds, _ = _fixture_docs(sf_dir)
+    out = ocr_documents(
+        ds, mode="exploded", concurrency=(1, 8), batch_size=16, num_blocks=8
+    )
+    return out.map_batches(explode_documents, batch_format="pyarrow")
+
+
+def _ocr_fused(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import (
+        explode_documents,
+        ocr_documents,
+    )
+
+    ds, _ = _fixture_docs(sf_dir)
+    out = ocr_documents(ds, mode="fused", concurrency=(1, 8), batch_size=8)
+    return out.map_batches(explode_documents, batch_format="pyarrow")
+
+
+def _ocr_glyph_stream(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import explode_documents
+    from tensorflow_ocr_ray.stages.ocr_stages import GlyphDumpStage
+
+    ds, _ = _fixture_docs(sf_dir)
+    spans = ds.map_batches(explode_documents, batch_format="pyarrow")
+    return spans.map_batches(
+        GlyphDumpStage,
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 8),
+    ).drop_columns(["features"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tensorflow_ocr_ray.functions.textstats import (
+        doc_stats_batch,
+        fingerprint_batch,
+        langid_batch,
+        quality_batch,
+    )
+    from tensorflow_ocr_ray.pipelines import dedup, relational, similarity
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _doc_map(batch_fn):
+        def run(sf_dir: str):
+            import ray.data as rd
+
+            return rd.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+                batch_fn, batch_format="pandas", batch_size=4096
+            )
+
+        return run
+
+    return {
+        # relational operator coverage (SQL-checked)
+        "q01_pricing_summary": relational.q01_pricing_summary,
+        "q02_filtered_revenue": relational.q02_filtered_revenue,
+        "q03_segment_orders": relational.q03_segment_orders,
+        "q04_top_orders": relational.q04_top_orders,
+        "q05_region_customers": relational.q05_region_customers,
+        "q06_event_type_stats": relational.q06_event_type_stats,
+        "q07_user_activity": relational.q07_user_activity,
+        "q08_events_hourly": relational.q08_events_hourly,
+        "q09_priority_month": relational.q09_priority_month,
+        "q10_supplier_balance": relational.q10_supplier_balance,
+        "q11_minmax_part": relational.q11_minmax_part,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "char_jaccard_pairs": dedup.char_jaccard_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_dedup": dedup.minhash_dedup,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        # similarity search
+        "ann_topk_brute": similarity.ann_topk_brute,
+        "ann_topk_lsh": similarity.ann_topk_lsh,
+        "label_centroids": similarity.label_centroids,
+        # text analysis
+        "doc_tokens": _doc_map(doc_stats_batch),
+        "doc_quality": _doc_map(quality_batch),
+        "doc_langid": _doc_map(langid_batch),
+        "doc_fingerprints": _doc_map(fingerprint_batch),
+        # OCR pipeline (rows-only; correctness gated by pytest span-equality)
+        "ocr_extract_exploded": _ocr_exploded,
+        "ocr_extract_fused": _ocr_fused,
+        "ocr_glyph_stream": _ocr_glyph_stream,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_filtered_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+        """,
+        "q03_segment_orders": """
+            SELECT c_mktsegment, count(*) AS order_count,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q04_top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "q05_region_customers": """
+            SELECT r_name, count(*) AS customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q06_event_type_stats": """
+            SELECT event_type, count(*) AS events,
+                   count(DISTINCT user_id) AS users,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "q07_user_activity": """
+            SELECT user_id, count(*) AS events,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY user_id
+        """,
+        "q08_events_hourly": """
+            SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+                   count(*) AS events
+            FROM events GROUP BY 1
+        """,
+        "q09_priority_month": """
+            SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "q10_supplier_balance": """
+            SELECT n_name, round(sum(s_acctbal), 2) AS total_bal,
+                   count(*) AS suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q11_minmax_part": """
+            SELECT p_brand,
+                   round(min(p_retailprice), 2) AS min_price,
+                   round(max(p_retailprice), 2) AS max_price,
+                   round(avg(p_size), 4) AS avg_size,
+                   count(*) AS parts
+            FROM part GROUP BY p_brand
+        """,
+        "dedup_exact": """
+            SELECT text, min(doc_id) AS keeper_doc_id, count(*) AS copies
+            FROM documents GROUP BY text
+        """,
+        "char_jaccard_pairs": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(jaccard(a.text, b.text), 4) AS sim
+            FROM documents a
+            JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE jaccard(a.text, b.text) >= 0.95
+        """,
+        "doc_tokens": r"""
+            SELECT doc_id, n_chars,
+                   len(string_split_regex(trim(text), '\s+')) AS tokens
+            FROM documents
+        """,
+        "ann_topk_brute": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 4) AS sim
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id
+            LIMIT 10
+        """,
+        "label_centroids": """
+            SELECT label, count(*) AS n,
+                   round(avg(embedding[1]), 4) AS mean_dim0
+            FROM embeddings GROUP BY label
+        """,
+    }

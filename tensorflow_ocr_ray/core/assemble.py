@@ -30,7 +30,8 @@ def _char_class(ch: str) -> str:
     bd = unicodedata.bidirectional(ch)
     if bd in ("R", "AL"):
         return "R"
-    if bd in ("L",):
+    if bd in ("L", "EN", "AN"):
+        # digits (EN/AN) render left-to-right even in an RTL paragraph
         return "L"
     if bd in ("NSM",):
         return "M"  # combining marks travel with their base

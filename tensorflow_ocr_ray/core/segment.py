@@ -141,7 +141,14 @@ class PageSegmenter:
         return self._ps
 
     def _count(self, r0: int, r1: int, c0: int, c1: int) -> int:
-        """# of non-blank pixels in rows [r0,r1) x cols [c0,c1)."""
+        """# of non-blank pixels in rows [r0,r1) x cols [c0,c1).
+
+        Out-of-image ranges count as blank (the reference's computeBorders
+        probes column `width` for the last column, an out-of-bounds read in
+        C — segment.c:797; we define it as white).
+        """
+        r0, r1 = max(r0, 0), min(r1, self.h)
+        c0, c1 = max(c0, 0), min(c1, self.w)
         if r1 <= r0 or c1 <= c0:
             return 0
         ps = self._prefix()

@@ -1,0 +1,258 @@
+"""Text analysis primitives for large-scale training-data pipelines.
+
+All functions are deterministic (no salted hashes — crc32/md5 only) and
+vectorized or per-batch; they run inside ``map_batches`` over the
+``documents`` table.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+_TOKEN = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\sA-Za-z0-9]")
+_PUNCT = re.compile(r"[!-/:-@\[-`{-~]")
+
+STOPWORDS = {
+    "the", "and", "of", "a", "an", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "be", "or", "are", "was", "this",
+}
+
+
+def split_tokens(text: str) -> list[str]:
+    """Whitespace token split matching DuckDB's
+    ``string_split_regex(trim(x), '\\s+')`` (empty text → [''])."""
+    return _WS.split(text.strip())
+
+
+def bpe_ish_tokens(text: str) -> list[str]:
+    """A BPE-ish regex tokenization (word pieces + punctuation singles)."""
+    return _TOKEN.findall(text)
+
+
+def token_count(text: str) -> int:
+    return len(split_tokens(text))
+
+
+def quality_features(text: str) -> dict:
+    """Length/punct/stopword heuristic quality scoring."""
+    n = len(text)
+    toks = [t for t in split_tokens(text) if t]
+    words = [t for t in toks if t.isalpha()]
+    n_tok = len(toks)
+    punct = len(_PUNCT.findall(text))
+    stop = sum(1 for w in words if w.lower() in STOPWORDS)
+    mean_len = float(np.mean([len(t) for t in toks])) if toks else 0.0
+    upper = sum(1 for c in text if c.isupper())
+    feats = {
+        "n_chars": n,
+        "n_tokens": n_tok,
+        "mean_token_len": round(mean_len, 4),
+        "punct_ratio": round(punct / n, 4) if n else 0.0,
+        "stopword_ratio": round(stop / len(words), 4) if words else 0.0,
+        "upper_ratio": round(upper / n, 4) if n else 0.0,
+    }
+    # crude quality score: length sweet spot, sane punctuation, some
+    # stopwords (natural language), tokens of plausible length
+    score = 1.0
+    if n < 20 or n > 100_000:
+        score *= 0.3
+    if feats["punct_ratio"] > 0.2:
+        score *= 0.5
+    if not (0.01 <= feats["stopword_ratio"] <= 0.8):
+        score *= 0.7
+    if not (2.0 <= feats["mean_token_len"] <= 12.0):
+        score *= 0.6
+    feats["quality_score"] = round(score, 4)
+    return feats
+
+
+# ---------------- language id (n-gram heuristic) -------------------------
+
+_LANG_MARKERS: dict[str, dict[str, float]] = {
+    "en": {" the ": 3, " and ": 2, " of ": 2, " is ": 1, " to ": 1, "th": 0.5,
+           " a ": 1, "ing ": 1},
+    "de": {" der ": 3, " und ": 3, " die ": 3, " ist ": 2, "sch": 1, "ei": 0.3,
+           " das ": 2, "ch": 0.5},
+    "fr": {" le ": 3, " la ": 3, " et ": 2, " les ": 2, " est ": 2, "ou": 0.3,
+           " des ": 2, "é": 1},
+    "es": {" el ": 3, " la ": 2, " y ": 2, " los ": 2, " es ": 1, "ción": 2,
+           " de ": 1, "ñ": 2},
+    "yi": {"א": 2, "ײ": 2, "װ": 2, "ש": 1, "ס": 0.5, "ע": 1},
+}
+
+
+def lang_id(text: str) -> str:
+    padded = f" {text.lower()} "
+    best, best_score = "unknown", 0.0
+    for lang, markers in _LANG_MARKERS.items():
+        score = sum(w * padded.count(m) for m, w in markers.items())
+        if score > best_score:
+            best, best_score = lang, score
+    # script-level fallback
+    if best_score == 0.0:
+        if any("֐" <= c <= "׿" for c in text):
+            return "yi"
+        if any(c.isalpha() for c in text):
+            return "en"
+    return best
+
+
+# ---------------- hashing / sketches -------------------------------------
+
+def _crc(data: str) -> int:
+    return zlib.crc32(data.encode("utf-8")) & 0xFFFFFFFF
+
+
+def char_shingles(text: str, k: int = 3) -> set[int]:
+    t = _WS.sub(" ", text.strip().lower())
+    if len(t) < k:
+        return {_crc(t)} if t else set()
+    return {_crc(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """n-permutation MinHash over char shingles; deterministic seed."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 7, k: int = 3):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = char_shingles(text, self.k)
+        if not sh:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        x = np.fromiter(sh, dtype=np.int64, count=len(sh))
+        # (a*x + b) mod p, per permutation; min over shingles
+        vals = (
+            (self.a[:, None].astype(object) * x[None, :] + self.b[:, None])
+            % _MERSENNE
+        )
+        return np.min(vals, axis=1).astype(np.uint64)
+
+    def band_keys(self, sig: np.ndarray, bands: int = 16) -> list[int]:
+        rows = self.num_perm // bands
+        keys = []
+        for band in range(bands):
+            chunk = sig[band * rows : (band + 1) * rows]
+            keys.append(_crc(f"{band}:" + ",".join(map(str, chunk.tolist()))))
+        return keys
+
+
+def jaccard_shingles(a: str, b: str, k: int = 3) -> float:
+    sa, sb = char_shingles(a, k), char_shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    return inter / union if union else 0.0
+
+
+def char_set_jaccard(a: str, b: str) -> float:
+    """Character-set Jaccard — semantics of DuckDB's ``jaccard()``."""
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word 2-grams (crc-derived bit vectors)."""
+    toks = [t for t in split_tokens(text.lower()) if t]
+    grams = (
+        [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if len(toks) > 1
+        else toks
+    )
+    if not grams:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for g in grams:
+        h = int.from_bytes(
+            zlib.crc32(g.encode()).to_bytes(4, "little")
+            + zlib.crc32(("x" + g).encode()).to_bytes(4, "little"),
+            "little",
+        )
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8),
+            bitorder="little",
+        )
+        acc += np.where(bits == 1, 1, -1)
+    out = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+    return out - (1 << 64) if out >= (1 << 63) else out  # signed int64
+
+
+def winnow_fingerprint(text: str, k: int = 5, window: int = 4, keep: int = 8) -> list[int]:
+    """Winnowing document fingerprint: k-gram rolling hashes, per-window
+    minima, first ``keep`` distinct values (document-order)."""
+    t = _WS.sub(" ", text.strip().lower())
+    if len(t) < k:
+        return [_crc(t)] if t else []
+    hashes = [_crc(t[i : i + k]) for i in range(len(t) - k + 1)]
+    picked: list[int] = []
+    seen = set()
+    for i in range(max(1, len(hashes) - window + 1)):
+        m = min(hashes[i : i + window])
+        if m not in seen:
+            seen.add(m)
+            picked.append(m)
+            if len(picked) >= keep:
+                break
+    return picked
+
+
+# ---------------- batch-level wrappers ------------------------------------
+
+def doc_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame()
+    out["doc_id"] = df["doc_id"]
+    out["n_chars"] = df["n_chars"]
+    out["tokens"] = df["text"].map(token_count).astype("int64")
+    return out
+
+
+def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+    feats = df["text"].map(quality_features)
+    out = pd.DataFrame(list(feats))
+    out.insert(0, "doc_id", df["doc_id"].values)
+    return out
+
+
+def langid_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "lang": df["lang"],
+            "pred_lang": df["text"].map(lang_id),
+        }
+    )
+
+
+def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "simhash": df["text"].map(simhash64).astype("int64"),
+        }
+    )
+
+
+def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "fingerprint": df["text"].map(
+                lambda t: ",".join(map(str, winnow_fingerprint(t)))
+            ),
+        }
+    )

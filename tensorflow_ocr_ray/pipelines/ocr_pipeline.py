@@ -1,0 +1,153 @@
+"""The flagship OCR extraction pipeline over interleaved documents.
+
+Input (BASELINE.json input_hint): a table
+``(doc_id: string, spans: list<struct<kind, text, media_ref, offset>>)``.
+Output: same schema, with every media span's ``text`` filled by OCR; the
+per-document span sequence ``(kind, text, media_ref, order)`` is preserved
+exactly (the reference's ordering invariant, carried by explicit ordinal
+columns — never by block order).
+
+Two physical plans, same semantics:
+
+- ``fused`` — ``map_batches(OcrDocumentStage)`` over whole document rows.
+  Zero shuffles; spans never leave their row.  Best when documents are
+  small and uniform.
+
+- ``exploded`` — the scale plan for skew (a 1-span doc next to a 500-span
+  doc, tiny pages next to 600x600 ones):
+    1. ``map_batches`` explode: doc rows → span rows (doc_id, kind, text,
+       media_ref, offset) — pure Arrow ``list_flatten`` +
+       ``list_parent_indices``, zero-copy.
+    2. optional ``repartition`` so span rows spread evenly regardless of
+       per-document span counts.
+    3. ``map_batches(OcrSpanStage, concurrency=N, batch_size=B)`` actor
+       pool — the single heavy stage; media rows OCR'd, text rows pass.
+    4. ``groupby(doc_id).map_groups`` reassembly — the ONE wide shuffle —
+       sorting each group by ``offset`` and rebuilding the spans list.
+
+Both paths are lazy Datasets; callers consume via write_parquet /
+iter_batches.  No ray.init here — sessions belong to the driver.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from tensorflow_ocr_ray.config import OcrConfig
+from tensorflow_ocr_ray.fixtures import DOCUMENTS_SCHEMA, SPAN_SCHEMA
+from tensorflow_ocr_ray.stages.ocr_stages import OcrDocumentStage, OcrSpanStage
+
+EXPLODED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+
+def explode_documents(batch: pa.Table) -> pa.Table:
+    """doc rows → span rows, vectorized (no Python per-row loop)."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent = pc.list_parent_indices(spans)
+    doc_ids = pc.take(batch.column("doc_id"), parent)
+    flat = pc.list_flatten(spans)
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+        }
+    )
+
+
+def reassemble_group(group: pa.Table) -> pa.Table:
+    """One document's span rows → one (doc_id, spans) row, offset-sorted."""
+    order = pc.sort_indices(group.column("offset"))
+    g = group.take(order)
+    spans = [
+        {
+            "kind": k,
+            "text": t,
+            "media_ref": m,
+            "offset": o,
+        }
+        for k, t, m, o in zip(
+            g.column("kind").to_pylist(),
+            g.column("text").to_pylist(),
+            g.column("media_ref").to_pylist(),
+            g.column("offset").to_pylist(),
+        )
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([g.column("doc_id")[0].as_py()], type=pa.string()),
+            "spans": pa.array([spans], type=SPAN_SCHEMA),
+        }
+    )
+
+
+def ocr_documents(
+    ds: "ray.data.Dataset",
+    cfg: OcrConfig | None = None,
+    font_spec: dict | None = None,
+    media_spec: dict | None = None,
+    postprocess: list[str] | None = None,
+    mode: str = "exploded",
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 16,
+    num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Build the lazy OCR Dataset; see module docstring for the two plans."""
+    kwargs = dict(
+        cfg=cfg,
+        font_spec=font_spec,
+        media_spec=media_spec,
+        postprocess=postprocess,
+    )
+    if mode == "fused":
+        return ds.map_batches(
+            OcrDocumentStage,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    if mode != "exploded":
+        raise ValueError(f"unknown mode {mode!r}")
+    spans = ds.map_batches(explode_documents, batch_format="pyarrow")
+    if num_blocks:
+        # spread span rows evenly: per-document span-count skew dies here
+        spans = spans.repartition(num_blocks)
+    scored = spans.map_batches(
+        OcrSpanStage,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return scored.groupby("doc_id").map_groups(
+        reassemble_group, batch_format="pyarrow"
+    )
+
+
+def read_documents(path: str | list[str], **kw) -> "ray.data.Dataset":
+    """Read a documents table: Lance if available/requested, else parquet."""
+    paths = path if isinstance(path, list) else [path]
+    if any(str(p).endswith(".lance") for p in paths):
+        try:
+            return ray.data.read_lance(paths[0], **kw)
+        except (AttributeError, ImportError) as e:  # lance not in container
+            raise RuntimeError(
+                "Lance reader unavailable in this environment"
+            ) from e
+    return ray.data.read_parquet(paths, **kw)

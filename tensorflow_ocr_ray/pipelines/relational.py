@@ -1,0 +1,343 @@
+"""Relational query pipelines over the driver testdata tables.
+
+Demonstrates the engine's general query capabilities Ray-Data-first:
+- column-pruned parquet reads (never load columns a query doesn't touch)
+- map-side partial aggregation before the (one) groupby shuffle
+- broadcast hash joins for small dimension tables (ray.put once, lookup
+  per batch) instead of shuffle joins
+- two-stage distinct-count
+- top-k via sort+limit on a pre-reduced projection
+
+Each ``q*`` function takes ``sf_dir`` and returns a Dataset / DataFrame
+whose column NAMES match the DuckDB oracle in ``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: wide aggregate with map-side pre-aggregation.
+
+    The per-batch combiner collapses ~64k rows to ≤|groups| rows before the
+    shuffle, so the groupby moves kilobytes regardless of input size.
+    """
+    ds = _pq(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(disc_price=df.l_extendedprice * (1 - df.l_discount))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("l_quantity", "sum"),
+            p_base=("l_extendedprice", "sum"),
+            p_disc=("disc_price", "sum"),
+            p_cnt=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="s_qty"),
+        Sum("p_base", alias_name="s_base"),
+        Sum("p_disc", alias_name="s_disc"),
+        Sum("p_cnt", alias_name="s_cnt"),
+    )
+    df = final.to_pandas()
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["s_qty"].round(2),
+            "sum_base_price": df["s_base"].round(2),
+            "sum_disc_price": df["s_disc"].round(2),
+            "avg_qty": (df["s_qty"] / df["s_cnt"]).round(4),
+            "avg_price": (df["s_base"] / df["s_cnt"]).round(4),
+            "count_order": df["s_cnt"].astype("int64"),
+        }
+    )
+    return out
+
+
+def q02_filtered_revenue(sf_dir: str) -> "rd.Dataset":
+    """Filter + project with the predicate applied vectorized per batch."""
+    ds = _pq(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+
+    def fil(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t["l_shipdate"], cutoff), pc.greater(t["l_discount"], 0.05)
+        )
+        t = t.filter(mask)
+        revenue = pc.round(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            4,
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": revenue,
+            }
+        )
+
+    return ds.map_batches(fil, batch_format="pyarrow", batch_size=65536)
+
+
+def q03_segment_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join: customer segment dim shipped once via ray.put."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map_ref = ray.put(
+        dict(
+            zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_mktsegment").to_pylist(),
+            )
+        )
+    )
+
+    class AttachSegment:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            return df.groupby("c_mktsegment", as_index=False).agg(
+                p_cnt=("o_orderkey", "size"), p_total=("o_totalprice", "sum")
+            )
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    partials = orders.map_batches(
+        AttachSegment,
+        fn_constructor_kwargs={"ref": seg_map_ref},
+        batch_format="pandas",
+        batch_size=65536,
+        concurrency=2,
+    )
+    df = (
+        partials.groupby("c_mktsegment")
+        .aggregate(Sum("p_cnt", alias_name="order_count"),
+                   Sum("p_total", alias_name="t"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "c_mktsegment": df["c_mktsegment"],
+            "order_count": df["order_count"].astype("int64"),
+            "total_price": df["t"].round(2),
+        }
+    )
+
+
+def q04_top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    df = ds.sort("o_totalprice", descending=True).limit(10).to_pandas()
+    return df
+
+
+def q05_region_customers(sf_dir: str) -> pd.DataFrame:
+    """Two chained broadcast joins (nation, region are tiny dims)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r_name = dict(
+        zip(region.column("r_regionkey").to_pylist(),
+            region.column("r_name").to_pylist())
+    )
+    nat_to_region = {
+        nk: r_name[rk]
+        for nk, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    }
+    lookup_ref = ray.put(nat_to_region)
+
+    class Attach:
+        def __init__(self, ref):
+            self.m = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["r_name"] = df["c_nationkey"].map(self.m)
+            return df.groupby("r_name", as_index=False).agg(
+                p=("c_custkey", "size")
+            )
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    df = (
+        cust.map_batches(Attach, fn_constructor_kwargs={"ref": lookup_ref},
+                         batch_format="pandas", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Sum("p", alias_name="customers"))
+        .to_pandas()
+    )
+    df["customers"] = df["customers"].astype("int64")
+    return df
+
+
+def q06_event_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct-count via two-stage groupby."""
+    ds = _pq(sf_dir, "events", ["event_type", "user_id", "value"])
+    stage1 = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="p_cnt"), Sum("value", alias_name="p_val")
+    )
+    df = (
+        stage1.groupby("event_type")
+        .aggregate(
+            Count(alias_name="users"),
+            Sum("p_cnt", alias_name="events"),
+            Sum("p_val", alias_name="t"),
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "events": df["events"].astype("int64"),
+            "users": df["users"].astype("int64"),
+            "total_value": df["t"].round(2),
+        }
+    )
+
+
+def q07_user_activity(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "events", ["user_id", "value"])
+    df = (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="events"), Mean("value", alias_name="m"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "user_id": df["user_id"],
+            "events": df["events"].astype("int64"),
+            "avg_value": df["m"].round(4),
+        }
+    )
+
+
+def q08_events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "events", ["ts"])
+
+    def to_hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"hour": df["ts"].dt.strftime("%Y-%m-%d %H:00:00")}
+        )
+
+    df = (
+        ds.map_batches(to_hour, batch_format="pandas")
+        .groupby("hour")
+        .aggregate(Count(alias_name="events"))
+        .to_pandas()
+    )
+    df["events"] = df["events"].astype("int64")
+    return df
+
+
+def q09_priority_month(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "month": df["o_orderdate"].dt.strftime("%Y-%m"),
+            }
+        )
+
+    df = (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby(["o_orderpriority", "month"])
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df
+
+
+def q10_supplier_balance(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_ref = ray.put(
+        dict(
+            zip(
+                nation.column("n_nationkey").to_pylist(),
+                nation.column("n_name").to_pylist(),
+            )
+        )
+    )
+
+    class Attach:
+        def __init__(self, ref):
+            self.m = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["n_name"] = df["s_nationkey"].map(self.m)
+            return df[["n_name", "s_acctbal"]]
+
+    ds = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    df = (
+        ds.map_batches(Attach, fn_constructor_kwargs={"ref": name_ref},
+                       batch_format="pandas", concurrency=1)
+        .groupby("n_name")
+        .aggregate(Sum("s_acctbal", alias_name="t"),
+                   Count(alias_name="suppliers"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_name": df["n_name"],
+            "total_bal": df["t"].round(2),
+            "suppliers": df["suppliers"].astype("int64"),
+        }
+    )
+
+
+def q11_minmax_part(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    df = (
+        ds.groupby("p_brand")
+        .aggregate(
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+            Mean("p_size", alias_name="m"),
+            Count(alias_name="parts"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "p_brand": df["p_brand"],
+            "min_price": df["min_price"].round(2),
+            "max_price": df["max_price"].round(2),
+            "avg_size": df["m"].round(4),
+            "parts": df["parts"].astype("int64"),
+        }
+    )
+    return out

@@ -1,0 +1,120 @@
+"""OCR actor stages for ``map_batches``.
+
+Stateful-stage pattern (the reference's process-global k-d tree + config,
+main/kd.c:28 / main/main.c:26-47, becomes per-actor warm state):
+
+- ``__init__`` runs once per actor: build/fetch the font index, construct
+  the media store, freeze the config.  Nothing heavy per batch.
+- ``__call__`` runs per Arrow batch, zero-copy in, Arrow out.
+
+Two granularities:
+- ``OcrSpanStage``     — rows are exploded spans ``(doc_id, kind, text,
+                         media_ref, offset)``; media rows get OCR'd, text
+                         rows pass through untouched.
+- ``OcrDocumentStage`` — rows are whole documents ``(doc_id, spans)``;
+                         spans are processed in place (the shuffle-free
+                         fused path).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from tensorflow_ocr_ray.config import OcrConfig
+from tensorflow_ocr_ray.core.page import ocr_payload
+from tensorflow_ocr_ray.fixtures import SPAN_SCHEMA
+from tensorflow_ocr_ray.state.fonts_source import make_font_index
+from tensorflow_ocr_ray.state.media import make_media_store
+
+
+class _OcrBase:
+    def __init__(
+        self,
+        cfg: OcrConfig | None = None,
+        font_spec: dict | None = None,
+        media_spec: dict | None = None,
+        postprocess: list[str] | None = None,
+    ):
+        from tensorflow_ocr_ray.config import FIXTURE_CONFIG
+        from tensorflow_ocr_ray.functions.postprocess import build_chain
+
+        self.cfg = cfg or FIXTURE_CONFIG
+        self.index = make_font_index(font_spec or {"kind": "builtin"})
+        self.media = make_media_store(media_spec or {"kind": "synthetic"})
+        self.post = build_chain(postprocess or [])
+
+    def _ocr_ref(self, ref: str) -> str:
+        payload = self.media.get(ref)
+        text = ocr_payload(
+            payload, self.cfg, self.index, collect_glyphs=False
+        ).text
+        return self.post(text)
+
+
+class OcrSpanStage(_OcrBase):
+    """Fill ``text`` for media rows of an exploded span batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = [
+            self._ocr_ref(ref) if kind == "media" else text
+            for kind, ref, text in zip(kinds, refs, texts)
+        ]
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", pa.array(out, type=pa.string()))
+
+
+class OcrDocumentStage(_OcrBase):
+    """Process whole document rows: OCR each media span in place."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_col = batch.column("spans").to_pylist()
+        for spans in spans_col:
+            for span in spans:
+                if span["kind"] == "media":
+                    span["text"] = self._ocr_ref(span["media_ref"])
+        i = batch.schema.get_field_index("spans")
+        return batch.set_column(i, "spans", pa.array(spans_col, type=SPAN_SCHEMA))
+
+
+class GlyphDumpStage(_OcrBase):
+    """The -T TensorFlow feature-dump stage (main/kd.c:225-235), as a
+    Dataset instead of a text file: one output row per glyph with its 27
+    features and the kNN label (``XX`` when beyond minMatch)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tensorflow_ocr_ray.config import OCRFAILS, TF_UNKNOWN
+
+        doc_ids, span_idxs, line_idxs, glyph_idxs = [], [], [], []
+        feats, labels, dists = [], [], []
+        kinds = batch.column("kind").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        offs = batch.column("offset").to_pylist()
+        for doc_id, kind, ref, off in zip(ids, kinds, refs, offs):
+            if kind != "media":
+                continue
+            res = ocr_payload(
+                self.media.get(ref), self.cfg, self.index, collect_glyphs=True
+            )
+            for g in res.glyphs:
+                doc_ids.append(doc_id)
+                span_idxs.append(off)
+                line_idxs.append(g.line_idx)
+                glyph_idxs.append(g.glyph_idx)
+                feats.append(g.features.tolist())
+                labels.append(TF_UNKNOWN if g.label == OCRFAILS else g.label)
+                dists.append(g.dist2)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "span_idx": pa.array(span_idxs, type=pa.int32()),
+                "line_idx": pa.array(line_idxs, type=pa.int32()),
+                "glyph_idx": pa.array(glyph_idxs, type=pa.int32()),
+                "features": pa.array(feats, type=pa.list_(pa.float32(), 27)),
+                "knn_label": pa.array(labels, type=pa.string()),
+                "knn_dist2": pa.array(dists, type=pa.float32()),
+            }
+        )

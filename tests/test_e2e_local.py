@@ -1,0 +1,101 @@
+"""Single-process end-to-end: OCR of rendered fixture pages must equal the
+analytic expected text (computed from construction geometry, independent of
+the pipeline code — SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from tensorflow_ocr_ray.config import FIXTURE_CONFIG, OCRFAILS
+from tensorflow_ocr_ray.core.page import ocr_page_image, ocr_payload
+from tensorflow_ocr_ray.fixtures import (
+    PageSpec,
+    expected_page_text,
+    page_spec_for_ref,
+    payload_for_ref,
+    render_page,
+    truth_for_ref,
+)
+from tensorflow_ocr_ray.fonts import get_font_index
+
+
+@pytest.fixture(scope="module")
+def index():
+    return get_font_index()
+
+
+def test_single_line_exact(index):
+    spec = PageSpec(lines=["Hello World"], indents=[0], para_breaks=[False])
+    res = ocr_page_image(render_page(spec), FIXTURE_CONFIG, index)
+    assert res.text == expected_page_text(spec) == "Hello World\n"
+
+
+def test_digits_and_mixed_case(index):
+    spec = PageSpec(lines=["A42 zero B7"], indents=[0], para_breaks=[False])
+    res = ocr_page_image(render_page(spec), FIXTURE_CONFIG, index)
+    assert res.text == "A42 zero B7\n"
+
+
+def test_multiline_with_indent_and_break(index):
+    spec = PageSpec(
+        lines=["the quick brown", "fox jumps", "over the lazy dog"],
+        indents=[0, 2, 0],
+        para_breaks=[False, False, True],
+    )
+    res = ocr_page_image(render_page(spec), FIXTURE_CONFIG, index)
+    assert res.text == expected_page_text(spec)
+
+
+def test_dotted_letters_combine(index):
+    # i and j segment as two components; the combine path must produce
+    # single glyphs and the truth model must agree on resulting spacing
+    spec = PageSpec(lines=["jig jig"], indents=[0], para_breaks=[False])
+    res = ocr_page_image(render_page(spec), FIXTURE_CONFIG, index)
+    assert res.text == expected_page_text(spec)
+    assert "jig jig" in res.text
+
+
+def test_payload_roundtrip_random_refs(index):
+    for ref in ["page-42-000000-0", "page-42-000007-3", "page-7-000001-2"]:
+        res = ocr_payload(payload_for_ref(ref), FIXTURE_CONFIG, index,
+                          collect_glyphs=False)
+        assert res.text == truth_for_ref(ref), f"mismatch for {ref}"
+
+
+def test_gray_payload_binarized(index):
+    # refs whose spec chose gray encoding exercise the binarizer
+    found = False
+    for d in range(20):
+        ref = f"page-42-{d:06d}-0"
+        if page_spec_for_ref(ref).gray:
+            found = True
+            res = ocr_payload(payload_for_ref(ref), FIXTURE_CONFIG, index,
+                              collect_glyphs=False)
+            assert res.text == truth_for_ref(ref)
+            break
+    assert found
+
+
+def test_unknown_glyph_yields_ocrfails(index):
+    # a solid blob matches nothing in the font within minMatch
+    img = np.zeros((40, 40), dtype=np.uint8)
+    img[5:35, 5:35] = 1
+    res = ocr_page_image(img, FIXTURE_CONFIG, index)
+    assert OCRFAILS in res.text
+
+
+def test_glyph_records_ordered(index):
+    spec = PageSpec(lines=["abc", "def"], indents=[0, 0],
+                    para_breaks=[False, False])
+    res = ocr_page_image(render_page(spec), FIXTURE_CONFIG, index)
+    keys = [(g.column, g.line_idx, g.glyph_idx) for g in res.glyphs]
+    assert keys == sorted(keys)
+    assert [g.label for g in res.glyphs] == list("abcdef")
+    assert all(g.features.shape == (27,) for g in res.glyphs)
+
+
+def test_prediction_substitution_positional(index):
+    # the -P mode: labels replaced positionally in glyph order
+    spec = PageSpec(lines=["ab"], indents=[0], para_breaks=[False])
+    img = render_page(spec)
+    res = ocr_page_image(img, FIXTURE_CONFIG, index, predictions=["X", "Y"])
+    assert res.text == "XY\n"

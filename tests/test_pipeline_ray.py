@@ -1,0 +1,129 @@
+"""Ray Data pipeline tests: span-sequence equality, both physical plans,
+checkpoint/resume, and the glyph-stream stage."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from tensorflow_ocr_ray.fixtures import (
+    expected_documents,
+    generate_documents,
+    write_documents_parquet,
+)
+
+N_DOCS = 16
+SEED = 42
+
+
+def _span_seq(table: pa.Table) -> dict:
+    """doc_id → [(kind, text, media_ref, offset), ...] for equality checks."""
+    out = {}
+    for row in table.to_pylist():
+        out[row["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in row["spans"]
+        ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden():
+    docs = generate_documents(N_DOCS, seed=SEED)
+    return docs, _span_seq(expected_documents(docs))
+
+
+@pytest.mark.parametrize("mode", ["exploded", "fused"])
+def test_span_sequence_equality(ray_session, golden, mode):
+    """THE correctness gate: per-row (kind, text, media_ref, order) equality
+    between the Ray pipeline and the independent analytic golden."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
+
+    docs, want = golden
+    ds = rd.from_arrow(docs)
+    out = ocr_documents(ds, mode=mode, concurrency=(1, 2), batch_size=8,
+                        num_blocks=4 if mode == "exploded" else None)
+    got = _span_seq(pa.Table.from_pandas(out.to_pandas()))
+    assert got == want
+
+
+def test_exploded_roundtrip_schema(ray_session, golden):
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import (
+        EXPLODED_SCHEMA,
+        explode_documents,
+    )
+
+    docs, _ = golden
+    flat = explode_documents(docs)
+    assert flat.schema.equals(EXPLODED_SCHEMA)
+    n_spans = sum(len(r["spans"]) for r in docs.to_pylist())
+    assert flat.num_rows == n_spans
+
+
+def test_glyph_stream_stage(ray_session, golden):
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import explode_documents
+    from tensorflow_ocr_ray.stages.ocr_stages import GlyphDumpStage
+
+    docs, _ = golden
+    spans = rd.from_arrow(explode_documents(docs))
+    glyphs = spans.map_batches(
+        GlyphDumpStage, batch_format="pyarrow", batch_size=8, concurrency=1
+    )
+    t = pa.Table.from_pandas(glyphs.to_pandas())
+    assert t.num_rows > 0
+    cols = set(t.column_names)
+    assert {"doc_id", "span_idx", "line_idx", "glyph_idx", "features",
+            "knn_label", "knn_dist2"} <= cols
+    assert len(t.column("features")[0].as_py()) == 27
+
+
+def test_checkpoint_run_and_resume(ray_session, tmp_path, golden):
+    from tensorflow_ocr_ray.pipelines.checkpoint import (
+        read_manifest,
+        run_checkpointed,
+    )
+
+    docs, want = golden
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    files = write_documents_parquet(in_dir, N_DOCS, seed=SEED, num_files=4)
+    kwargs = dict(mode="exploded", concurrency=(1, 2), batch_size=8)
+
+    reports = run_checkpointed(files, out_dir, pipeline_kwargs=kwargs)
+    assert len(reports) == 4
+    assert all(r.status == "done" and not r.skipped for r in reports)
+
+    # resume: all partitions skip, output unchanged
+    reports2 = run_checkpointed(files, out_dir, pipeline_kwargs=kwargs)
+    assert all(r.skipped for r in reports2)
+
+    manifest = read_manifest(out_dir)
+    assert len(manifest) == 4
+    assert sum(m["docs"] for m in manifest) == N_DOCS
+    assert all(m["input_fingerprint"] for m in manifest)
+
+    # partitioned output reassembles the full golden corpus
+    import ray.data as rd
+
+    written = rd.read_parquet(out_dir)
+    got = _span_seq(pa.Table.from_pandas(written.to_pandas()))
+    assert got == want
+
+
+def test_checkpoint_reruns_on_fingerprint_change(ray_session, tmp_path):
+    from tensorflow_ocr_ray.pipelines.checkpoint import run_checkpointed
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    files = write_documents_parquet(in_dir, 4, seed=SEED, num_files=1)
+    kwargs = dict(mode="fused", concurrency=1, batch_size=8)
+    run_checkpointed(files, out_dir, pipeline_kwargs=kwargs)
+    # grow the input file → fingerprint changes → partition re-runs
+    write_documents_parquet(in_dir, 6, seed=SEED, num_files=1)
+    reports = run_checkpointed(files, out_dir, pipeline_kwargs=kwargs)
+    assert not reports[0].skipped
+    assert reports[0].docs == 6

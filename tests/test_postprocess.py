@@ -1,0 +1,45 @@
+"""Perl post-processor re-expressions (fixutf8, fixSholem, transliterators)."""
+
+from tensorflow_ocr_ray.functions.postprocess import (
+    build_chain,
+    fix_sholem,
+    get_postprocessor,
+)
+
+
+def test_fixutf8_ligatures():
+    fix = get_postprocessor("fixutf8")
+    # Yiddish double-vov / double-yod composition (fixutf8.pl:16-45)
+    assert fix("וו") == "װ"
+    assert fix("יי") == "ײ"
+    assert fix("וי") == "ױ"
+
+
+def test_fixutf8_soft_hyphen_strip():
+    fix = get_postprocessor("fixutf8")
+    assert "­" not in fix("abc­def")
+
+
+def test_fix_sholem_blotch_line_removal():
+    # ▮-only lines are removed (fixSholem.pl:13-22)
+    out = fix_sholem("good line\n▮▮▮\nanother\n")
+    assert "▮▮▮" not in out
+    assert "good line" in out and "another" in out
+
+
+def test_fix_sholem_paren_mirroring():
+    assert "(" + "ab" + ")" in fix_sholem(")ab(") or fix_sholem(")ab(") == "(ab)"
+
+
+def test_chain_composes_in_order():
+    chain = build_chain(["fixutf8", "fixsholem"])
+    out = chain("וו\n▮▮\n")
+    assert "װ" in out
+    assert "▮▮" not in out
+
+
+def test_unknown_postprocessor_raises():
+    import pytest
+
+    with pytest.raises(KeyError):
+        get_postprocessor("nope")

@@ -1,0 +1,63 @@
+"""Payload codec, binarization, deskew shear (reference: main/readPicture.c)."""
+
+import numpy as np
+
+from tensorflow_ocr_ray.core.raster import (
+    apply_shear,
+    binarize_rgb,
+    count_light,
+    decode_payload,
+    deskew,
+    encode_bitonal,
+    encode_gray,
+    find_best_shear,
+)
+
+
+def test_bitonal_roundtrip():
+    rng = np.random.default_rng(0)
+    img = (rng.random((33, 57)) < 0.3).astype(np.uint8)
+    assert np.array_equal(decode_payload(encode_bitonal(img)), img)
+
+
+def test_gray_binarize_threshold():
+    # cutoff 0.5 → ink iff 3*gray <= lround(384) = 384 → gray <= 128
+    img = np.array([[0, 128, 129, 255]], dtype=np.uint8)
+    out = decode_payload(encode_gray(img), cutoff=0.5)
+    assert out.tolist() == [[1, 1, 0, 0]]
+
+
+def test_binarize_rgb_matches_reference_rule():
+    # readPicture.c:100-107: ink iff r+g+b <= 3*256*cutoff (lroundf)
+    rgb = np.array([[[100, 100, 100], [200, 200, 200]]], dtype=np.uint8)
+    out = binarize_rgb(rgb, cutoff=0.5)
+    assert out.tolist() == [[1, 0]]
+
+
+def test_count_light_zero_shear():
+    img = np.zeros((10, 10), dtype=np.uint8)
+    img[5, :] = 1  # one dark row (sum 10 ≤ LIGHTSUM 20 → still light)
+    assert count_light(img, 0, 100, 20) == 10
+    img[5, :] = 0
+    img[6, :5] = 1
+    assert count_light(img, 0, 100, 5) == 10  # row sum 5 <= LIGHTSUM → light
+    img[6, :6] = 1
+    assert count_light(img, 0, 100, 5) == 9  # row sum 6 > LIGHTSUM → dark
+
+
+def test_find_best_shear_recovers_slant():
+    # build a page with horizontal stripes, then shear it; search must undo it
+    img = np.zeros((120, 200), dtype=np.uint8)
+    for r in range(10, 110, 20):
+        img[r : r + 8, 10:190] = 1
+    sheared = apply_shear(img, 3, 100)
+    best = find_best_shear(sheared, 4, 100, 20)
+    assert best == -3
+    level = deskew(sheared)
+    # deskewed image has at least as many light rows as the sheared one
+    assert count_light(level, 0, 100, 20) >= count_light(sheared, 0, 100, 20)
+
+
+def test_apply_shear_zero_is_identity():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4) % 2
+    assert np.array_equal(apply_shear(img, 0, 100), img)
