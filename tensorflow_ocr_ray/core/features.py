@@ -51,6 +51,7 @@ def fill_tuple(
     left_path: np.ndarray | None = None,
     right_path: np.ndarray | None = None,
     out: np.ndarray | None = None,
+    page_prefix: np.ndarray | None = None,
 ) -> np.ndarray:
     """fillTuple (main/categorize.c:47-125) over a page image (uint8 0/1/2).
 
@@ -58,6 +59,11 @@ def fill_tuple(
     ``right_path``, when given, are int arrays of length ``bottom-top``
     indexed by row offset from ``top``.  Flood-marked pixels (value 2) count
     as filled, as in the reference where ISFILLED tests non-zero.
+
+    ``page_prefix``, when given, is the caller's whole-page 2-D prefix sum
+    of ``image != 0`` (shape (H+1, W+1)); it skips the per-glyph prefix
+    rebuild — the dominant feature-extraction cost — and is only consulted
+    when no cut paths restrict the count.
     """
     gheight = np.float32(bottom - top)
     gwidth = np.float32(right - left)
@@ -66,33 +72,49 @@ def fill_tuple(
     first_line, last_line = _grid_edges(top, float(gheight))
     first_pos, last_pos = _grid_edges(left, float(gwidth))
 
-    # Vectorized per-cell fraction with the path-exclusion rule.
-    crop_filled = image[top:bottom, left:right] != 0
-    if left_path is not None or right_path is not None:
-        cols = np.arange(left, right)
-        keep = np.ones((bottom - top, right - left), dtype=bool)
-        if left_path is not None:
-            keep &= cols[None, :] >= np.asarray(left_path)[: bottom - top, None]
-        if right_path is not None:
-            keep &= cols[None, :] < np.asarray(right_path)[: bottom - top, None]
-        counted = crop_filled & keep
+    use_paths = left_path is not None or right_path is not None
+    if use_paths or page_prefix is None:
+        # Vectorized per-cell fraction with the path-exclusion rule.
+        crop_filled = image[top:bottom, left:right] != 0
+        if use_paths:
+            cols = np.arange(left, right)
+            keep = np.ones((bottom - top, right - left), dtype=bool)
+            if left_path is not None:
+                keep &= cols[None, :] >= np.asarray(left_path)[: bottom - top, None]
+            if right_path is not None:
+                keep &= cols[None, :] < np.asarray(right_path)[: bottom - top, None]
+            counted = crop_filled & keep
+        else:
+            counted = crop_filled
+        # prefix sums let each (overlapping) cell be a 4-corner lookup
+        ps = np.zeros((bottom - top + 1, right - left + 1), dtype=np.int64)
+        np.cumsum(np.cumsum(counted, axis=0), axis=1, out=ps[1:, 1:])
+        row_base, col_base = top, left
     else:
-        counted = crop_filled
+        ps = page_prefix
+        row_base, col_base = 0, 0
 
-    # prefix sums let each (overlapping) cell be a 4-corner lookup
-    ps = np.zeros((bottom - top + 1, right - left + 1), dtype=np.int64)
-    np.cumsum(np.cumsum(counted, axis=0), axis=1, out=ps[1:, 1:])
-
-    for r in range(GRID):
-        r0 = min(max(first_line[r] - top, 0), bottom - top)
-        r1 = min(max(last_line[r] - top, 0), bottom - top)
-        for c in range(GRID):
-            c0 = min(max(first_pos[c] - left, 0), right - left)
-            c1 = min(max(last_pos[c] - left, 0), right - left)
-            total = (last_line[r] - first_line[r]) * (last_pos[c] - first_pos[c])
-            filled = int(ps[r1, c1] - ps[r0, c1] - ps[r1, c0] + ps[r0, c0])
-            content = np.float32(filled) / np.float32(total)
-            tup[r * GRID + c] = round3(float(content))
+    # clip cell edges to the glyph bbox (as the reference's min/max does),
+    # then shift into the prefix array's coordinate frame
+    r0s = np.clip(np.asarray(first_line), top, bottom) - row_base
+    r1s = np.clip(np.asarray(last_line), top, bottom) - row_base
+    c0s = np.clip(np.asarray(first_pos), left, right) - col_base
+    c1s = np.clip(np.asarray(last_pos), left, right) - col_base
+    filled = (
+        ps[np.ix_(r1s, c1s)]
+        - ps[np.ix_(r0s, c1s)]
+        - ps[np.ix_(r1s, c0s)]
+        + ps[np.ix_(r0s, c0s)]
+    )
+    totals = np.outer(
+        np.asarray(last_line) - np.asarray(first_line),
+        np.asarray(last_pos) - np.asarray(first_pos),
+    )
+    content = filled.astype(np.float32) / totals.astype(np.float32)
+    # vectorized sprintf("%0.3f")/sscanf round-trip (categorize.c:106-109)
+    tup[: GRID * GRID] = np.char.mod("%.3f", content.astype(np.float64)).astype(
+        np.float32
+    ).ravel()
 
     # aspect ratio (categorize.c:115-116), float32 arithmetic
     if gheight < gwidth:
@@ -104,6 +126,65 @@ def fill_tuple(
     tup[GRID * GRID + 1] = gheight / denom
     normalize_tuple(tup)
     return tup
+
+
+def fill_tuples_vectorized(
+    page_prefix: np.ndarray,
+    boxes: np.ndarray,
+    line_heights: np.ndarray,
+    fallback_glyph_height: int,
+) -> np.ndarray:
+    """fillTuple for N path-free glyphs at once — same arithmetic as
+    ``fill_tuple`` (float32 grid deltas, lroundf edges, %0.3f round-trip,
+    x3 trailing weights), one numpy dispatch per page instead of per glyph.
+
+    ``boxes`` is (N, 4) int64 [left, right, top, bottom] (right/bottom
+    exclusive); ``page_prefix`` is the (H+1, W+1) prefix sum of image != 0.
+    """
+    n = boxes.shape[0]
+    out = np.empty((n, TUPLELENGTH), dtype=np.float32)
+    if n == 0:
+        return out
+    left, right = boxes[:, 0], boxes[:, 1]
+    top, bottom = boxes[:, 2], boxes[:, 3]
+    gh = (bottom - top).astype(np.float32)
+    gw = (right - left).astype(np.float32)
+
+    def edges(lo: np.ndarray, extent32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        delta = (extent32 - np.float32(1)) / np.float32(GRID)
+        k = np.arange(GRID + 1, dtype=np.float32)
+        prod = (delta[:, None] * k[None, :]).astype(np.float64)
+        r = np.floor(prod + 0.5).astype(np.int64)  # lroundf
+        return lo[:, None] + r[:, :GRID], lo[:, None] + r[:, 1:] + 1
+
+    first_line, last_line = edges(top, gh)
+    first_pos, last_pos = edges(left, gw)
+    r0 = np.clip(first_line, top[:, None], bottom[:, None])
+    r1 = np.clip(last_line, top[:, None], bottom[:, None])
+    c0 = np.clip(first_pos, left[:, None], right[:, None])
+    c1 = np.clip(last_pos, left[:, None], right[:, None])
+    R0, R1 = r0[:, :, None], r1[:, :, None]
+    C0, C1 = c0[:, None, :], c1[:, None, :]
+    ps = page_prefix
+    filled = ps[R1, C1] - ps[R0, C1] - ps[R1, C0] + ps[R0, C0]
+    totals = (last_line - first_line)[:, :, None] * (last_pos - first_pos)[:, None, :]
+    content = filled.astype(np.float32) / totals.astype(np.float32)
+    out[:, : GRID * GRID] = (
+        np.char.mod("%.3f", content.astype(np.float64))
+        .astype(np.float32)
+        .reshape(n, GRID * GRID)
+    )
+    aspect = np.where(
+        gh < gw,
+        gh / (np.float32(2.0) * gw),
+        np.float32(1.0) - gw / (np.float32(2.0) * gh),
+    ).astype(np.float32)
+    denom = np.where(
+        line_heights != 0, line_heights, fallback_glyph_height
+    ).astype(np.float32)
+    out[:, GRID * GRID] = aspect * np.float32(3)
+    out[:, GRID * GRID + 1] = (gh / denom) * np.float32(3)
+    return out
 
 
 def refill_tuple(

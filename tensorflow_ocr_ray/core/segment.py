@@ -168,6 +168,7 @@ class PageSegmenter:
             self.image, g.left, g.right, g.top, g.bottom,
             g.line_height, self.glyph_height,
             g.left_path, g.right_path,
+            page_prefix=self._prefix(),
         ) if g.right - g.left >= 1 and g.bottom - g.top >= 1 else np.full(
             27, np.nan, dtype=np.float32
         )
@@ -237,22 +238,58 @@ class PageSegmenter:
         return g
 
     # ---------------- XY-cut ---------------------------------------------
+    def _row_counts(self, top: int, bottom: int, left: int, right: int) -> np.ndarray:
+        """Black-pixel count of each row in [top, bottom], over cols
+        [left, right) — the vectorized form of repeated isBlankRow calls."""
+        ps = self._prefix()
+        lo, hi = max(left, 0), max(min(right, self.w), 0)
+        if hi <= lo or bottom < top:
+            return np.zeros(max(bottom - top + 1, 0), dtype=np.int64)
+        seg = ps[top : bottom + 2, hi] - ps[top : bottom + 2, lo]
+        return seg[1:] - seg[:-1]
+
+    def _col_counts(self, top: int, bottom: int, left: int, right: int) -> np.ndarray:
+        """Black-pixel count of each col in [left, right], over rows
+        [top, bottom) — the vectorized form of repeated isBlankCol calls."""
+        ps = self._prefix()
+        lo, hi = max(top, 0), max(min(bottom, self.h), 0)
+        if hi <= lo or right < left:
+            return np.zeros(max(right - left + 1, 0), dtype=np.int64)
+        seg = ps[hi, left : right + 2] - ps[lo, left : right + 2]
+        return seg[1:] - seg[:-1]
+
     def find_cells(self, top: int, bottom: int, left: int, right: int) -> None:
         """findCells (main/segment.c:278-352), iterative with the exact
-        recursion order (lower/right halves processed first)."""
+        recursion order (lower/right halves processed first).  The blank
+        row/col probes of the C loops are replaced by whole-region count
+        arrays off the page prefix sum — same decisions, O(1) per probe."""
         cfg = self.cfg
         stack = [(top, bottom, left, right)]
         while stack:
             top, bottom, left, right = stack.pop()
-            # trim blank borders (bottom/right are inclusive here)
-            while left <= right and self.is_blank_col(top, bottom, left):
-                left += 1
-            while left <= right and self.is_blank_col(top, bottom, right):
-                right -= 1
-            while top <= bottom and self.is_blank_row(top, left, right):
-                top += 1
-            while top <= bottom and self.is_blank_row(bottom, left, right):
-                bottom -= 1
+            # off-image rows/cols are blank (cf. _count); clamp so the
+            # count-array slices stay in range (multi-column pages pass
+            # right == width for the last column)
+            top, left = max(top, 0), max(left, 0)
+            bottom, right = min(bottom, self.h - 1), min(right, self.w - 1)
+            if bottom < top or right < left:
+                continue
+            # trim blank borders (bottom/right are inclusive here); left and
+            # right trims use the pre-trim top/bottom, as in the reference
+            colc = self._col_counts(top, bottom, left, right)
+            nz = np.nonzero(colc)[0]
+            if len(nz):
+                left, right = left + int(nz[0]), left + int(nz[-1])
+            else:
+                continue  # fully blank region
+            rowc = self._row_counts(top, bottom, left, right)
+            nz = np.nonzero(rowc)[0]
+            if len(nz):
+                new_top, new_bottom = top + int(nz[0]), top + int(nz[-1])
+                rowc = rowc[nz[0] : nz[-1] + 1]
+                top, bottom = new_top, new_bottom
+            else:
+                continue
             height = bottom + 1 - top
             width = right + 1 - left
             if (
@@ -261,44 +298,43 @@ class PageSegmenter:
                 or height * width < cfg.min_glyph_area
             ):
                 continue
-            # blank row nearest the middle, searching down then up
-            mid = (bottom + 1 + top) // 2
-            while mid < bottom and not self.is_blank_row(mid, left, right):
-                mid += 1
-            if mid < bottom:
-                stack.append((top, mid - 1, left, right))
-                stack.append((mid + 1, bottom, left, right))  # lower half first
+            # blank row nearest the middle, searching down then up.
+            # rowc[i] is row top+i over cols [left, right); note the C scan
+            # never tests row `bottom` going down / row `top` going up.
+            mid0 = (bottom + 1 + top) // 2
+            blank_rel = np.nonzero(rowc == 0)[0]
+            down = blank_rel[(blank_rel >= mid0 - top) & (blank_rel < bottom - top)]
+            up = blank_rel[(blank_rel <= mid0 - top) & (blank_rel > 0)]
+            split_row = None
+            if len(down):
+                split_row = top + int(down[0])
+            elif len(up):
+                split_row = top + int(up[-1])
+            if split_row is not None:
+                stack.append((top, split_row - 1, left, right))
+                stack.append((split_row + 1, bottom, left, right))  # lower first
                 continue
-            mid = (bottom + 1 + top) // 2
-            while mid > top and not self.is_blank_row(mid, left, right):
-                mid -= 1
-            if mid > top:
-                stack.append((top, mid - 1, left, right))
-                stack.append((mid + 1, bottom, left, right))
-                continue
-            # blank col nearest the middle
-            mid = (right + left) // 2
-            while mid < right and not self.is_blank_col(top, bottom, mid):
-                mid += 1
-            if mid < right:
-                stack.append((top, bottom, left, mid - 1))
-                stack.append((top, bottom, mid + 1, right))  # right half first
-                continue
-            mid = (right + left) // 2
-            while mid > left and not self.is_blank_col(top, bottom, mid):
-                mid -= 1
-            if mid > left:
-                stack.append((top, bottom, left, mid - 1))
-                stack.append((top, bottom, mid + 1, right))
+            # blank col nearest the middle; colc was trimmed to [left,right]
+            colc = self._col_counts(top, bottom, left, right)
+            mid0 = (right + left) // 2
+            blank_rel = np.nonzero(colc == 0)[0]
+            down = blank_rel[(blank_rel >= mid0 - left) & (blank_rel < right - left)]
+            up = blank_rel[(blank_rel <= mid0 - left) & (blank_rel > 0)]
+            split_col = None
+            if len(down):
+                split_col = left + int(down[0])
+            elif len(up):
+                split_col = left + int(up[-1])
+            if split_col is not None:
+                stack.append((top, bottom, left, split_col - 1))
+                stack.append((top, bottom, split_col + 1, right))  # right first
                 continue
             if (right + 1 - left > cfg.max_glyph_width) or (
                 bottom - top > cfg.max_glyph_height
             ):
-                # findLinesHarder (segment.c:354-382)
-                row_counts = [
-                    self._count(r, r + 1, left, right) for r in range(top, bottom)
-                ]
-                if row_counts:
+                # findLinesHarder (segment.c:354-382): rows [top, bottom)
+                row_counts = self._row_counts(top, bottom - 1, left, right)
+                if len(row_counts):
                     min_black_row = top + int(np.argmin(row_counts))
                     if row_counts[min_black_row - top] < cfg.some_dark:
                         if bottom - (min_black_row + 1) >= cfg.min_glyph_height:
@@ -1011,8 +1047,31 @@ class PageSegmenter:
         return True
 
     def build_tuples(self) -> None:
-        """buildTuples (main/categorize.c:158-168): fresh tuples for all."""
+        """buildTuples (main/categorize.c:158-168): fresh tuples for all.
+
+        Path-free glyphs (the overwhelming majority) are featurized in one
+        vectorized pass over the page prefix sum; glyphs carrying cut paths
+        use the scalar path-aware ``fill_tuple``.  Same arithmetic."""
+        from tensorflow_ocr_ray.core.features import fill_tuples_vectorized
+
+        plain: list[Glyph] = []
         for line in self.lines:
             for g in line.glyphs:
                 g.tuple = None
-                self._fill_tuple(g)
+                if g.left_path is None and g.right_path is None and (
+                    g.right - g.left >= 1 and g.bottom - g.top >= 1
+                ):
+                    plain.append(g)
+                else:
+                    self._fill_tuple(g)
+        if plain:
+            boxes = np.array(
+                [(g.left, g.right, g.top, g.bottom) for g in plain],
+                dtype=np.int64,
+            )
+            lh = np.array([g.line_height for g in plain], dtype=np.int64)
+            tups = fill_tuples_vectorized(
+                self._prefix(), boxes, lh, self.glyph_height
+            )
+            for i, g in enumerate(plain):
+                g.tuple = tups[i]

@@ -87,15 +87,25 @@ DEFAULT_SCALE = 3
 NOMINAL_CELL_ROWS = 7
 
 
+_BITMAP_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
 def glyph_bitmap(label: str, scale: int = DEFAULT_SCALE) -> np.ndarray:
     """Trimmed, scaled bitonal bitmap (uint8 0/1) for one font label."""
+    key = (label, scale)
+    cached = _BITMAP_CACHE.get(key)
+    if cached is not None:
+        return cached
     rows = FONT_5X7[label]
     arr = np.array(
         [[1 if ch == "#" else 0 for ch in row] for row in rows], dtype=np.uint8
     )
     ys, xs = np.nonzero(arr)
     arr = arr[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
-    return np.kron(arr, np.ones((scale, scale), dtype=np.uint8))
+    out = np.kron(arr, np.ones((scale, scale), dtype=np.uint8))
+    out.setflags(write=False)  # shared cache entry; callers must not mutate
+    _BITMAP_CACHE[key] = out
+    return out
 
 
 def glyph_cell_top_offset(label: str, scale: int = DEFAULT_SCALE) -> int:

@@ -123,7 +123,10 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, seed: int = 7, k: int = 3):
         rng = np.random.Generator(np.random.PCG64(seed))
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        # a < 2^30 keeps a*x + b < 2^63 for 32-bit shingle hashes, so the
+        # whole permutation family evaluates in vectorized int64 (an
+        # object-dtype fallback here was ~1000x slower)
+        self.a = rng.integers(1, 1 << 30, size=num_perm, dtype=np.int64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
         self.num_perm = num_perm
         self.k = k
@@ -134,10 +137,7 @@ class MinHasher:
             return np.zeros(self.num_perm, dtype=np.uint64)
         x = np.fromiter(sh, dtype=np.int64, count=len(sh))
         # (a*x + b) mod p, per permutation; min over shingles
-        vals = (
-            (self.a[:, None].astype(object) * x[None, :] + self.b[:, None])
-            % _MERSENNE
-        )
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return np.min(vals, axis=1).astype(np.uint64)
 
     def band_keys(self, sig: np.ndarray, bands: int = 16) -> list[int]:

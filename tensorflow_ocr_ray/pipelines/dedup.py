@@ -26,6 +26,7 @@ from ray.data.aggregate import Count, Min
 from tensorflow_ocr_ray.functions.textstats import (
     MinHasher,
     char_set_jaccard,
+    char_shingles,
     jaccard_shingles,
     simhash_batch,
 )
@@ -49,20 +50,24 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
     return df[["text", "keeper_doc_id", "copies"]]
 
 
-def _pairs_in_bucket(df: pd.DataFrame, sim_fn, threshold: float) -> pd.DataFrame:
+def _pairs_in_bucket(df: pd.DataFrame, set_fn, threshold: float) -> pd.DataFrame:
+    """Quadratic pair scan within one bucket, with the per-doc set computed
+    ONCE (set Jaccard per pair is then two set ops, not two re-parses)."""
+    df = df.sort_values("doc_id")
+    ids = df["doc_id"].tolist()
+    sets = [set_fn(t) for t in df["text"]]
     rows = []
-    recs = df.sort_values("doc_id").to_dict("records")
-    for i in range(len(recs)):
-        for j in range(i + 1, len(recs)):
-            s = sim_fn(recs[i]["text"], recs[j]["text"])
+    for i in range(len(ids)):
+        si = sets[i]
+        for j in range(i + 1, len(ids)):
+            sj = sets[j]
+            if not si and not sj:
+                s = 1.0
+            else:
+                union = len(si | sj)
+                s = len(si & sj) / union if union else 0.0
             if s >= threshold:
-                rows.append(
-                    {
-                        "doc_a": recs[i]["doc_id"],
-                        "doc_b": recs[j]["doc_id"],
-                        "sim": round(s, 4),
-                    }
-                )
+                rows.append((ids[i], ids[j], round(s, 4)))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "sim"]).astype(
         {"doc_a": "int64", "doc_b": "int64", "sim": "float64"}
     )
@@ -77,7 +82,7 @@ def char_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     """
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
     out = ds.groupby("source").map_groups(
-        lambda df: _pairs_in_bucket(df, char_set_jaccard, threshold),
+        lambda df: _pairs_in_bucket(df, set, threshold),
         batch_format="pandas",
     )
     df = out.to_pandas()
@@ -88,7 +93,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """Same-source pairs with 3-gram shingle Jaccard ≥ threshold."""
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
     out = ds.groupby("source").map_groups(
-        lambda df: _pairs_in_bucket(df, jaccard_shingles, threshold),
+        lambda df: _pairs_in_bucket(df, char_shingles, threshold),
         batch_format="pandas",
     )
     return out.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -142,18 +147,30 @@ def minhash_dedup(
         .to_pandas()
         .drop_duplicates()
     )
-    # exact verification on the candidate set
-    texts = {
-        r["doc_id"]: r["text"]
+    # exact verification on the candidate set: shingle sets computed ONCE
+    # per doc (recomputing per pair is quadratic in practice — a 500-doc
+    # corpus here yields ~50k candidate pairs), then set-intersection per
+    # pair.  At 100 TB this dict becomes a ray.put broadcast consumed by a
+    # map_batches over the candidate-pair list.
+    shingle_sets = {
+        r["doc_id"]: char_shingles(r["text"])
         for b in _docs(sf_dir, ["doc_id", "text"]).iter_batches(
             batch_format="pandas"
         )
         for r in b.to_dict("records")
     }
+
+    def _jac(a: int, b: int) -> float:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        if not sa and not sb:
+            return 1.0
+        union = len(sa | sb)
+        return len(sa & sb) / union if union else 0.0
+
     verified = [
         (a, b)
         for a, b in zip(cand.get("doc_a", []), cand.get("doc_b", []))
-        if jaccard_shingles(texts[a], texts[b]) >= verify_threshold
+        if _jac(a, b) >= verify_threshold
     ]
     # union-find clustering
     parent: dict[int, int] = {}

@@ -71,27 +71,43 @@ def explode_documents(batch: pa.Table) -> pa.Table:
 
 
 def reassemble_group(group: pa.Table) -> pa.Table:
-    """One document's span rows → one (doc_id, spans) row, offset-sorted."""
-    order = pc.sort_indices(group.column("offset"))
+    """Span rows (one or MANY documents) → (doc_id, spans) rows.
+
+    Fully vectorized: one Arrow sort by (doc_id, offset), then the spans
+    list column is rebuilt from run-length offsets — no per-document Python.
+    Used per hash bucket so per-group scheduling overhead is O(buckets),
+    not O(documents) (8k one-doc ``map_groups`` calls measured ~10s of pure
+    overhead at sf-bench scale)."""
+    import numpy as np
+
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("doc_id", "ascending"), ("offset", "ascending")],
+    )
     g = group.take(order)
-    spans = [
-        {
-            "kind": k,
-            "text": t,
-            "media_ref": m,
-            "offset": o,
-        }
-        for k, t, m, o in zip(
-            g.column("kind").to_pylist(),
-            g.column("text").to_pylist(),
-            g.column("media_ref").to_pylist(),
-            g.column("offset").to_pylist(),
+    ids = np.asarray(g.column("doc_id").to_pylist(), dtype=object)
+    n = len(ids)
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.string()),
+             "spans": pa.array([], type=SPAN_SCHEMA)}
         )
-    ]
+    change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+    offsets = np.concatenate(([0], change, [n])).astype(np.int32)
+    structs = pa.StructArray.from_arrays(
+        [
+            g.column("kind").combine_chunks(),
+            g.column("text").combine_chunks(),
+            g.column("media_ref").combine_chunks(),
+            g.column("offset").combine_chunks(),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), structs)
     return pa.table(
         {
-            "doc_id": pa.array([g.column("doc_id")[0].as_py()], type=pa.string()),
-            "spans": pa.array([spans], type=SPAN_SCHEMA),
+            "doc_id": pa.array(list(ids[offsets[:-1]]), type=pa.string()),
+            "spans": spans.cast(SPAN_SCHEMA),
         }
     )
 
@@ -106,6 +122,7 @@ def ocr_documents(
     concurrency: int | tuple[int, int] = 4,
     batch_size: int = 16,
     num_blocks: int | None = None,
+    reassemble_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Build the lazy OCR Dataset; see module docstring for the two plans."""
     kwargs = dict(
@@ -135,8 +152,28 @@ def ocr_documents(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    return scored.groupby("doc_id").map_groups(
-        reassemble_group, batch_format="pyarrow"
+
+    # The ONE wide shuffle: co-locate each document's spans.  Key = a
+    # deterministic hash bucket of doc_id (small-int key, ≤
+    # reassemble_buckets groups) instead of the raw doc_id (which would
+    # schedule one Python group call per document); each bucket rebuilds
+    # its documents vectorized.
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        buckets = pa.array(
+            [
+                zlib.crc32(d.encode()) % reassemble_buckets
+                for d in batch.column("doc_id").to_pylist()
+            ],
+            type=pa.int32(),
+        )
+        return batch.append_column("bucket", buckets)
+
+    bucketed = scored.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
+        lambda g: reassemble_group(g.drop_columns(["bucket"])),
+        batch_format="pyarrow",
     )
 
 
