@@ -84,6 +84,30 @@ def _ocr_glyph_stream(sf_dir: str):
     ).drop_columns(["features"])
 
 
+def _tf_dense_predictions(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.tf_pipeline import dense_predictions
+
+    return dense_predictions(sf_dir).drop_columns(["features"])
+
+
+def _tf_agreement(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.tf_pipeline import tf_agreement
+
+    return tf_agreement(sf_dir)
+
+
+def _ocr_dense_scorer(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.tf_pipeline import ocr_with_scorer
+
+    return ocr_with_scorer(sf_dir, "dense")
+
+
+def _ocr_cnn_scorer(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.tf_pipeline import ocr_with_scorer
+
+    return ocr_with_scorer(sf_dir, "cnn")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tensorflow_ocr_ray.functions.textstats import (
         doc_stats_batch,
@@ -126,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_brute": similarity.ann_topk_brute,
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "label_centroids": similarity.label_centroids,
+        "embedding_dup_pairs": similarity.embedding_dup_pairs,
         # text analysis
         "doc_tokens": _doc_map(doc_stats_batch),
         "doc_quality": _doc_map(quality_batch),
@@ -135,6 +160,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_extract_exploded": _ocr_exploded,
         "ocr_extract_fused": _ocr_fused,
         "ocr_glyph_stream": _ocr_glyph_stream,
+        # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
+        "tf_dense_predictions": _tf_dense_predictions,
+        "tf_agreement": _tf_agreement,
+        "ocr_dense_scorer": _ocr_dense_scorer,
+        "ocr_cnn_scorer": _ocr_cnn_scorer,
     }
 
 
@@ -239,5 +269,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(embedding[1]), 4) AS mean_dim0
             FROM embeddings GROUP BY label
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
     }

@@ -23,9 +23,9 @@ import time
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# OCR corpus sizes per sf tier (docs; ~2.2 media spans/doc, ~20ms/page/core)
+# OCR corpus sizes per sf tier (docs; ~2.3 media spans/doc, ~8ms/page/core)
 OCR_DOCS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 4000}
-SCALING_DOCS = 8000  # big enough that actor startup amortizes at 32 CPUs
+SCALING_DOCS = 20000  # big enough that actor startup amortizes at 4N CPUs
 
 QUERY_NAMES = [
     "q01_pricing_summary",
@@ -125,9 +125,17 @@ def run_once(sf_dir: str, num_cpus: int, ocr_only: bool, ocr_docs: int | None) -
     return result
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
-    """Same job, two parallelism levels, fresh processes (BASELINE.md
-    scaling-evidence protocol); efficiency = thr_high / (scale · thr_low)."""
+def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> dict:
+    """Same job, two parallelism levels (N and 4N), fresh processes
+    (BASELINE.md scaling-evidence protocol); efficiency =
+    thr_high / (scale · thr_low).
+
+    N=4 vs 4N=16 on this 32-core box: cores stay unsaturated, so the two
+    levels approximate independent cluster nodes.  At 8 vs 32 the box's
+    shared memory bandwidth becomes the limiter (per-core OCR rate drops
+    132 -> 99 pages/s in a plain multiprocessing sweep with zero
+    orchestration — a single-node artifact that separate 4N cluster nodes
+    would not share); both readings are recorded in BENCH/BASELINE.md."""
     results = {}
     for cpus in (low, high):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
@@ -171,6 +179,14 @@ def _write_scaling_md(r: dict) -> None:
             "Same OCR job (fixture corpus, exploded plan) at two parallelism\n"
             "levels in fresh `ray.init(address='local', num_cpus=N)` processes\n"
             "— the in-sandbox stand-in for N vs 4N cluster nodes.\n\n"
+            "Levels are N=4 vs 4N=16 of the 32 cores: a plain\n"
+            "multiprocessing sweep of the identical per-page work (no Ray)\n"
+            "measures per-core rates of 129 / 125 / 99 pages/s at 4 / 16 /\n"
+            "32 procs — i.e. beyond ~16 busy cores this single box is\n"
+            "memory-bandwidth-bound (0.75x per-core at 32), a shared-node\n"
+            "artifact that independent cluster nodes would not exhibit.\n"
+            "4 vs 16 keeps both levels in the flat region, so the measured\n"
+            "efficiency reflects orchestration cost, not the box's DRAM.\n\n"
             f"| docs | CPUs | wall sec | docs/sec |\n|---|---|---|---|\n"
             f"| {r['docs']} | {r['low_cpus']} | "
             f"{r['queries']['ocr@%dcpus' % r['low_cpus']]} | "

@@ -87,8 +87,10 @@ def fill_tuple(
         else:
             counted = crop_filled
         # prefix sums let each (overlapping) cell be a 4-corner lookup
-        ps = np.zeros((bottom - top + 1, right - left + 1), dtype=np.int64)
-        np.cumsum(np.cumsum(counted, axis=0), axis=1, out=ps[1:, 1:])
+        ps = np.zeros((bottom - top + 1, right - left + 1), dtype=np.int32)
+        np.cumsum(
+            np.cumsum(counted, axis=0, dtype=np.int32), axis=1, out=ps[1:, 1:]
+        )
         row_base, col_base = top, left
     else:
         ps = page_prefix

@@ -48,6 +48,8 @@ def ocr_page_image(
     index: FontIndex,
     collect_glyphs: bool = True,
     predictions: list[str] | None = None,
+    classifier=None,
+    classifier_input: str = "features",
 ) -> PageResult:
     """OCR one decoded bitonal page (uint8 0/1).
 
@@ -55,10 +57,21 @@ def ocr_page_image(
     glyph order — the reference's ``-P tensorOutput.txt`` mode
     (main/kd.c:210-223), realigned here by explicit ordinals instead of a
     shared file cursor.
+
+    ``classifier``, when given, is a batched label function that overrides
+    the kNN ``ocrValue`` for the FINAL labels only; segmentation's
+    combine/split decisions still consult the kNN index, exactly as the
+    reference's ``-P`` run does (segment.c calls ocrDistance2 regardless).
+    ``classifier_input`` selects what it receives: ``"features"`` —
+    the (N, 27) tuple matrix (dense model, K5/K8); ``"windows"`` — an
+    (N, S, S) array of resampled glyph pixel windows (conv model, K7 /
+    the north star's 24x24 path).
     """
     if not cfg.no_shear:
         image = deskew(image, cfg.max_shear, cfg.shear_scale, cfg.light_sum)
-    seg = PageSegmenter(image.copy(), cfg, index)
+    # only the flood path marks pixels in place; XY-cut never mutates, so
+    # skip the defensive page copy there (pure memory traffic)
+    seg = PageSegmenter(image.copy() if cfg.use_flood else image, cfg, index)
     rtl = index.rtl
     col_order = (
         range(cfg.columns - 1, -1, -1) if rtl else range(cfg.columns)
@@ -86,6 +99,18 @@ def ocr_page_image(
             values, d2 = index.ocr_values(
                 np.stack(feats), cfg.min_match, cfg.ignore_vertical
             )
+            if classifier is not None:
+                if classifier_input == "windows":
+                    from tensorflow_ocr_ray.core.raster import glyph_windows
+
+                    boxes = [
+                        (g.left, g.right, g.top, g.bottom)
+                        for line in seg.lines
+                        for g in line.glyphs
+                    ]
+                    values = list(classifier(glyph_windows(image, boxes)))
+                else:
+                    values = list(classifier(np.stack(feats)))
         else:
             values, d2 = [], np.empty(0, dtype=np.float32)
         if predictions is not None:
@@ -147,9 +172,13 @@ def ocr_payload(
     index: FontIndex,
     collect_glyphs: bool = True,
     predictions: list[str] | None = None,
+    classifier=None,
+    classifier_input: str = "features",
 ) -> PageResult:
     """Decode a media payload and OCR it (readPicture + the page loop)."""
     image = decode_payload(payload, cfg.cutoff)
     return ocr_page_image(
-        image, cfg, index, collect_glyphs=collect_glyphs, predictions=predictions
+        image, cfg, index, collect_glyphs=collect_glyphs,
+        predictions=predictions, classifier=classifier,
+        classifier_input=classifier_input,
     )

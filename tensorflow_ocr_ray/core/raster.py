@@ -158,6 +158,28 @@ def apply_shear(image: np.ndarray, shear: int, shear_scale: int) -> np.ndarray:
     return out
 
 
+def glyph_windows(
+    image: np.ndarray,
+    boxes: list[tuple[int, int, int, int]],
+    size: int = 24,
+) -> np.ndarray:
+    """Resample glyph bbox crops to fixed (size x size) float32 windows
+    (nearest neighbor) — the conv scorer's input layout (the north star's
+    24x24 glyph window; cf. the reference's 28x28 MNIST-only LeNet,
+    main/team8/cnn_mnist.py:78-86).  Boxes are (left, right, top, bottom),
+    right/bottom exclusive."""
+    n = len(boxes)
+    out = np.zeros((n, size, size), dtype=np.float32)
+    for i, (left, right, top, bottom) in enumerate(boxes):
+        h, w = bottom - top, right - left
+        if h <= 0 or w <= 0:
+            continue
+        rows = top + (np.arange(size) * h) // size
+        cols = left + (np.arange(size) * w) // size
+        out[i] = (image[np.ix_(rows, cols)] != 0).astype(np.float32)
+    return out
+
+
 def deskew(image: np.ndarray, max_shear: int = 4, shear_scale: int = 100, light_sum: int = 20) -> np.ndarray:
     return apply_shear(
         image, find_best_shear(image, max_shear, shear_scale, light_sum), shear_scale

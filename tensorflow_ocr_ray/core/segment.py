@@ -133,9 +133,12 @@ class PageSegmenter:
     # ---------------- pixel predicates (vectorized) ----------------------
     def _prefix(self) -> np.ndarray:
         if self._ps is None:
-            ps = np.zeros((self.h + 1, self.w + 1), dtype=np.int64)
+            # int32: pages are far below 2^31 pixels; halves the memory
+            # traffic of the hottest array (measured contention at 32-way)
+            ps = np.zeros((self.h + 1, self.w + 1), dtype=np.int32)
             np.cumsum(
-                np.cumsum(self.image != 0, axis=0), axis=1, out=ps[1:, 1:]
+                np.cumsum(self.image != 0, axis=0, dtype=np.int32),
+                axis=1, out=ps[1:, 1:],
             )
             self._ps = ps
         return self._ps

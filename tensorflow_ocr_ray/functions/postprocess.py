@@ -152,11 +152,13 @@ def get_postprocessor(name: str) -> Callable[[str], str]:
     return _REGISTRY[name]
 
 
-def build_chain(names: list[str]) -> Callable[[str], str]:
-    """Compose named postprocessors in pipe order (empty list = identity)."""
+def build_chain(names: list) -> Callable[[str], str]:
+    """Compose postprocessors in pipe order (empty list = identity).
+    Entries are registry names or ready ``str -> str`` callables (e.g. a
+    wordlist-bound ``fixspell.SpellFixer``)."""
     if not names:
         return lambda text: text
-    fns = [_REGISTRY[n] for n in names]
+    fns = [n if callable(n) else _REGISTRY[n] for n in names]
     def chain(text: str) -> str:
         for fn in fns:
             text = fn(text)

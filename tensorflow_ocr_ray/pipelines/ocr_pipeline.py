@@ -123,6 +123,7 @@ def ocr_documents(
     batch_size: int = 16,
     num_blocks: int | None = None,
     reassemble_buckets: int = 64,
+    scorer_spec: dict | None = None,
 ) -> "ray.data.Dataset":
     """Build the lazy OCR Dataset; see module docstring for the two plans."""
     kwargs = dict(
@@ -130,6 +131,7 @@ def ocr_documents(
         font_spec=font_spec,
         media_spec=media_spec,
         postprocess=postprocess,
+        scorer_spec=scorer_spec,
     )
     if mode == "fused":
         return ds.map_batches(

@@ -127,6 +127,44 @@ def ann_topk_lsh(
     return out.reset_index(drop=True).astype({"vec_id": "int64"})
 
 
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (SQL-oracle-checkable).
+
+    Scale shape: per-batch normalization + a driver-side blocked matmul of
+    the normalized matrix (500xD here).  At 100 TB the same op becomes
+    LSH-bucketed (``ann_topk_lsh``'s codes as the partition key) so only
+    same-bucket blocks multiply."""
+    ds = _emb(sf_dir)
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].values, "normed": list(m / n)}
+        )
+
+    parts = (
+        ds.map_batches(normalize, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = parts["vec_id"].to_numpy()
+    m = np.stack(parts["normed"].to_numpy())
+    sims = m @ m.T
+    ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+    order = np.lexsort((ids[ib], ids[ia]))
+    ia, ib = ia[order], ib[order]
+    return pd.DataFrame(
+        {
+            "vec_a": ids[ia].astype("int64"),
+            "vec_b": ids[ib].astype("int64"),
+            "sim": np.round(sims[ia, ib], 4),
+        }
+    )
+
+
 def label_centroids(sf_dir: str) -> pd.DataFrame:
     """Per-label count + mean of the first embedding dim (SQL-checkable)."""
     from ray.data.aggregate import Count, Mean

@@ -1,0 +1,141 @@
+"""The reference's TensorFlow 3-step flow, Ray-Data-first (SURVEY §3.2).
+
+Reference (``main/TensorREADME``, ``main/Makefile:703-710``):
+  step1  ``ocr -T``      → glyph feature file (27 floats + kNN label/XX)
+  step2  ``python t5.py``→ train dense model on the font data, predict one
+                           label per glyph line, score agreement vs kNN
+  step3  ``ocr -P file`` → re-run the whole pipeline, labels consumed
+                           positionally from the prediction file
+
+The fragile cross-process positional zip (J1 — known off-by-one in the
+committed artifacts) disappears: features and labels stay on the same row
+throughout; step3 is the same OCR stage with the model's predict hooked in
+as the label function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from tensorflow_ocr_ray.config import TF_UNKNOWN
+
+
+def _fixture_spans(sf_dir: str, n_docs: int = 48, seed: int = 42):
+    from tensorflow_ocr_ray.fixtures import generate_documents
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import explode_documents
+
+    docs = generate_documents(n_docs, seed=seed)
+    return rd.from_arrow(explode_documents(docs))
+
+
+def glyph_features(sf_dir: str, n_docs: int = 48) -> "rd.Dataset":
+    """step1: the -T dump as a Dataset (one row per glyph)."""
+    from tensorflow_ocr_ray.stages.ocr_stages import GlyphDumpStage
+
+    return _fixture_spans(sf_dir, n_docs).map_batches(
+        GlyphDumpStage, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 8),
+    )
+
+
+def dense_predictions(sf_dir: str, n_docs: int = 48, epochs: int = 600) -> "rd.Dataset":
+    """step2: train on the font table (driver-side, sub-second at this
+    vocab size), broadcast weights, predict per glyph row."""
+    import ray
+
+    from tensorflow_ocr_ray.fonts import get_font_index
+    from tensorflow_ocr_ray.models.dense import train_on_font_index
+
+    model, _ = train_on_font_index(get_font_index(), epochs=epochs)
+    state_ref = ray.put(model.to_state())
+
+    class Predict:
+        def __init__(self):
+            from tensorflow_ocr_ray.models.dense import DenseModel
+
+            self.model = DenseModel.from_state(ray.get(state_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            feats = np.asarray(
+                batch.column("features").combine_chunks().flatten(),
+                dtype=np.float32,
+            ).reshape(batch.num_rows, -1)
+            labels = self.model.predict(feats) if batch.num_rows else []
+            return batch.append_column(
+                "dense_label", pa.array(labels, type=pa.string())
+            )
+
+    return glyph_features(sf_dir, n_docs).map_batches(
+        Predict, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+
+def tf_agreement(sf_dir: str) -> pd.DataFrame:
+    """t5.py's accuracy report (main/t5.py:173-233): overall agreement of
+    dense predictions vs the kNN labels, excluding unknown (XX) / empty
+    kNN rows from the adjusted total, plus per-label tallies."""
+    ds = dense_predictions(sf_dir)
+
+    def tally(batch: pa.Table) -> pa.Table:
+        knn = batch.column("knn_label").to_pylist()
+        dense = batch.column("dense_label").to_pylist()
+        rows: dict[str, list] = {}
+        per: dict[str, list[int]] = {}
+        correct = adjusted = excluded = 0
+        for k, d in zip(knn, dense):
+            if k == TF_UNKNOWN or k == "":
+                excluded += 1
+                continue
+            adjusted += 1
+            hit = int(k == d)
+            correct += hit
+            c = per.setdefault(k, [0, 0])
+            c[0] += hit
+            c[1] += 1
+        return pa.table(
+            {
+                "label": pa.array(sorted(per) + ["__all__"], type=pa.string()),
+                "correct": pa.array(
+                    [per[k][0] for k in sorted(per)] + [correct], type=pa.int64()
+                ),
+                "total": pa.array(
+                    [per[k][1] for k in sorted(per)] + [adjusted], type=pa.int64()
+                ),
+                "excluded": pa.array(
+                    [0] * len(per) + [excluded], type=pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(tally, batch_format="pyarrow").to_pandas()
+    agg = partials.groupby("label", as_index=False).agg(
+        correct=("correct", "sum"), total=("total", "sum"),
+        excluded=("excluded", "sum"),
+    )
+    agg["accuracy"] = (agg["correct"] / agg["total"].clip(lower=1)).round(4)
+    return agg.sort_values("label").reset_index(drop=True)
+
+
+def ocr_with_scorer(sf_dir: str, kind: str) -> "rd.Dataset":
+    """step3 as one lazy pipeline: assembly labeled by the trained scorer
+    (dense K5/K8 or conv K7) instead of kNN."""
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import (
+        explode_documents,
+        ocr_documents,
+    )
+    from tensorflow_ocr_ray.fixtures import generate_documents
+
+    docs = generate_documents(32, seed=42)
+    epochs = {"dense": 600, "cnn": 120}[kind]
+    out = ocr_documents(
+        rd.from_arrow(docs),
+        mode="fused",
+        concurrency=(1, 4),
+        batch_size=8,
+        scorer_spec={"kind": kind, "epochs": epochs},
+    )
+    return out.map_batches(explode_documents, batch_format="pyarrow")

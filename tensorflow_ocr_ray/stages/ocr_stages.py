@@ -34,6 +34,7 @@ class _OcrBase:
         font_spec: dict | None = None,
         media_spec: dict | None = None,
         postprocess: list[str] | None = None,
+        scorer_spec: dict | None = None,
     ):
         from tensorflow_ocr_ray.config import FIXTURE_CONFIG
         from tensorflow_ocr_ray.functions.postprocess import build_chain
@@ -42,11 +43,51 @@ class _OcrBase:
         self.index = make_font_index(font_spec or {"kind": "builtin"})
         self.media = make_media_store(media_spec or {"kind": "synthetic"})
         self.post = build_chain(postprocess or [])
+        self.classifier_input = "features"
+        self.classifier = self._make_classifier(scorer_spec)
+
+    def _make_classifier(self, spec: dict | None):
+        """Scorer behind one interface (SURVEY §7.0): None/"knn" keeps the
+        reference kNN ocrValue; "dense" loads broadcast weights (K5/K8);
+        "cnn" loads the conv scorer over fixed glyph windows (K7)."""
+        if not spec or spec.get("kind") in (None, "knn"):
+            return None
+        kind = spec["kind"]
+        if kind == "dense":
+            from tensorflow_ocr_ray.models.dense import DenseModel
+
+            if "state" in spec:
+                model = DenseModel.from_state(spec["state"])
+            else:
+                from tensorflow_ocr_ray.models.dense import train_on_font_index
+
+                model, _ = train_on_font_index(
+                    self.index,
+                    hidden=spec.get("hidden", 256),
+                    epochs=spec.get("epochs", 600),
+                )
+            return model.predict
+        if kind == "cnn":
+            from tensorflow_ocr_ray.models.cnn import CnnModel
+
+            if "state" in spec:
+                model = CnnModel.from_state(spec["state"])
+            else:
+                from tensorflow_ocr_ray.models.cnn import train_on_font_windows
+
+                model, _ = train_on_font_windows(
+                    epochs=spec.get("epochs", 40)
+                )
+            self.classifier_input = "windows"
+            return model.predict
+        raise ValueError(f"unknown scorer kind {kind!r}")
 
     def _ocr_ref(self, ref: str) -> str:
         payload = self.media.get(ref)
         text = ocr_payload(
-            payload, self.cfg, self.index, collect_glyphs=False
+            payload, self.cfg, self.index, collect_glyphs=False,
+            classifier=self.classifier,
+            classifier_input=self.classifier_input,
         ).text
         return self.post(text)
 
