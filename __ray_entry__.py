@@ -115,7 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         langid_batch,
         quality_batch,
     )
-    from tensorflow_ocr_ray.pipelines import dedup, relational, similarity
+    from tensorflow_ocr_ray.pipelines import (
+        dedup,
+        relational,
+        similarity,
+        windows,
+    )
 
     def _doc_map(batch_fn):
         def run(sf_dir: str):
@@ -140,6 +145,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q09_priority_month": relational.q09_priority_month,
         "q10_supplier_balance": relational.q10_supplier_balance,
         "q11_minmax_part": relational.q11_minmax_part,
+        # windowed / ordered custom operators
+        "events_sessionize": windows.sessionize,
+        "events_tumbling": windows.tumbling_windows,
+        "asof_event_order": windows.asof_event_order,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
@@ -237,6 +246,42 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(p_size), 4) AS avg_size,
                    count(*) AS parts
             FROM part GROUP BY p_brand
+        """,
+        "events_sessionize": """
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS events, round(sum(value), 2) AS total_value
+            FROM (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            ) GROUP BY user_id, session_seq
+        """,
+        "events_tumbling": """
+            SELECT user_id,
+                   time_bucket(INTERVAL 60 MINUTE, ts) AS window_start,
+                   count(*) AS events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_event_order": """
+            SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+              SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
         """,
         "dedup_exact": """
             SELECT text, min(doc_id) AS keeper_doc_id, count(*) AS copies

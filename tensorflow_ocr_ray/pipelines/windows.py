@@ -1,0 +1,161 @@
+"""Windowed / ordered operators over the ``events`` stream table.
+
+Operators Ray Data lacks natively, built per SURVEY §2's custom-operator
+rule as groupby + in-group vectorized compute (partitioning assumption:
+one user's events fit one group — they do, by construction of the key):
+
+- ``sessionize``       — gap-based session windows per user (30-min gap)
+- ``tumbling_windows`` — fixed-width per-user time buckets
+- ``asof_event_order`` — as-of backward join: each event matched to the
+  user's latest order at-or-before the event time (broadcast small side
+  + ``np.searchsorted`` per batch; no shuffle of the big side)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+GAP_MIN = 30
+
+
+def _events(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = GAP_MIN) -> pd.DataFrame:
+    """Session windows: a new session starts when the gap from the user's
+    previous event exceeds ``gap_minutes``.  Returns one row per session
+    with its bounds and event count."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        ts = df["ts"].to_numpy()
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new)
+        out = (
+            df.assign(session_seq=sid)
+            .groupby("session_seq", as_index=False)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                events=("ts", "size"),
+                total_value=("value", "sum"),
+            )
+        )
+        out["total_value"] = out["total_value"].round(2)
+        out["events"] = out["events"].astype("int64")
+        return out[["user_id", "session_seq", "session_start",
+                    "session_end", "events", "total_value"]]
+
+    df = (
+        _events(sf_dir, ["user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        df.sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+    )
+
+
+def tumbling_windows(sf_dir: str, width_minutes: int = 60) -> pd.DataFrame:
+    """Per-user fixed (tumbling) windows: floor(ts / width) buckets with
+    count + sum, pre-aggregated map-side before the one groupby."""
+    width = np.timedelta64(width_minutes * 60, "s")
+    epoch = np.datetime64("1970-01-01T00:00:00")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy()
+        win = epoch + ((ts - epoch) // width) * width
+        g = (
+            df.assign(window_start=win)
+            .groupby(["user_id", "window_start"], as_index=False)
+            .agg(p_events=("value", "size"), p_value=("value", "sum"))
+        )
+        return g
+
+    ds = _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+        bucket, batch_format="pandas", batch_size=65536
+    )
+    # final combine of the map-side partials: ≤ |users|x|windows| rows by
+    # construction, so a driver-side pandas groupby beats a distributed
+    # sort-shuffle (Ray's timestamp-keyed groupby measured 45s for 10k
+    # partial rows); at genuinely large key cardinality switch this to
+    # ds.groupby([...]).aggregate(Sum(...))
+    parts = ds.to_pandas()
+    df = parts.groupby(["user_id", "window_start"], as_index=False).agg(
+        events=("p_events", "sum"), v=("p_value", "sum")
+    )
+    df["events"] = df["events"].astype("int64")
+    df["total_value"] = df["v"].round(2)
+    return df.drop(columns=["v"]).sort_values(
+        ["user_id", "window_start"]
+    ).reset_index(drop=True)
+
+
+def asof_event_order(sf_dir: str) -> pd.DataFrame:
+    """As-of backward join: each event gets the user's most recent order
+    (o_custkey == user_id, o_orderdate <= ts).
+
+    Plan: the orders side is small per key — broadcast a dict of per-key
+    SORTED order-date/key arrays via ray.put once; each event batch does a
+    vectorized ``searchsorted`` per key.  The big events side never
+    shuffles.  At 100 TB with a big build side this becomes a bucketed
+    sort-merge on the shared key."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).to_pandas()
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    per_key: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for k, grp in orders.groupby("o_custkey"):
+        per_key[int(k)] = (
+            grp["o_orderdate"].to_numpy(),
+            grp["o_orderkey"].to_numpy(),
+        )
+    side = ray.put(per_key)
+
+    class Asof:
+        def __init__(self):
+            self.side = ray.get(side)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out_key = np.full(len(df), -1, dtype=np.int64)
+            out_date = np.full(len(df), np.datetime64("NaT"), dtype="datetime64[us]")
+            ts = df["ts"].to_numpy()
+            uid = df["user_id"].to_numpy()
+            for k in np.unique(uid):
+                rows = np.nonzero(uid == k)[0]
+                entry = self.side.get(int(k))
+                if entry is None:
+                    continue
+                dates, keys = entry
+                pos = np.searchsorted(dates, ts[rows], side="right") - 1
+                ok = pos >= 0
+                out_key[rows[ok]] = keys[pos[ok]]
+                out_date[rows[ok]] = dates[pos[ok]]
+            return pd.DataFrame(
+                {
+                    "event_id": df["event_id"].values,
+                    "user_id": uid,
+                    "o_orderkey": out_key,
+                    "o_orderdate": out_date,
+                }
+            )
+
+    df = (
+        _events(sf_dir, ["event_id", "user_id", "ts"])
+        .map_batches(Asof, batch_format="pandas", batch_size=65536,
+                     concurrency=2)
+        .to_pandas()
+    )
+    df = df[df["o_orderkey"] >= 0]
+    return df.sort_values("event_id").reset_index(drop=True)

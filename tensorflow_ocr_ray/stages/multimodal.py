@@ -1,0 +1,217 @@
+"""Multimodal media stages — opaque ``binary`` columns + typed metadata.
+
+Pattern (per the engine's 100 TB charter): every modality is an opaque
+payload column plus typed metadata columns; decode / resize /
+feature-extract / frame-sample run as actor-pool ``map_batches`` stages
+with small batch sizes (large payloads x concurrency must fit worker
+heaps).
+
+The container ships no image/audio/video codecs, so:
+- IMAGE ops are REAL against the repo's own OCR1/OCR8 bitonal codec
+  (``core/raster.py``).
+- AUDIO/VIDEO decode is STUBBED: ``try: import soundfile/av`` and raise
+  ``NotImplementedError`` on real payloads, with a deterministic fake
+  accepted for plumbing tests (payload magic ``FAKEAUD``/``FAKEVID``).
+  The Ray-side contract — schema in/out, actor signature, batch sizing —
+  is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from tensorflow_ocr_ray.core.raster import (
+    decode_payload,
+    encode_bitonal,
+    glyph_windows,
+)
+
+FAKE_AUDIO_MAGIC = b"FAKEAUD"
+FAKE_VIDEO_MAGIC = b"FAKEVID"
+
+
+# ---------------- image ---------------------------------------------------
+
+class ImageStatsStage:
+    """Decode + per-image feature extraction (real): dimensions, ink
+    ratio, row/col ink profiles' centroids — the cheap featurization a
+    curation pipeline runs corpus-wide."""
+
+    def __init__(self, cutoff: float = 0.5):
+        self.cutoff = cutoff
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        heights, widths, ink, cy, cx = [], [], [], [], []
+        for payload in batch.column("image").to_pylist():
+            img = decode_payload(payload, self.cutoff)
+            h, w = img.shape
+            heights.append(h)
+            widths.append(w)
+            total = int(img.sum())
+            ink.append(total / (h * w) if h * w else 0.0)
+            if total:
+                ys, xs = np.nonzero(img)
+                cy.append(float(ys.mean() / h))
+                cx.append(float(xs.mean() / w))
+            else:
+                cy.append(0.0)
+                cx.append(0.0)
+        out = batch.drop_columns(["image"])
+        for name, vals, typ in [
+            ("height", heights, pa.int32()), ("width", widths, pa.int32()),
+            ("ink_ratio", ink, pa.float32()),
+            ("centroid_y", cy, pa.float32()), ("centroid_x", cx, pa.float32()),
+        ]:
+            out = out.append_column(name, pa.array(vals, type=typ))
+        return out
+
+
+class ImageResizeStage:
+    """Decode → nearest-neighbor resize to a fixed thumbnail → re-encode.
+    Real end-to-end on the OCR1/OCR8 codec."""
+
+    def __init__(self, size: int = 64, cutoff: float = 0.5):
+        self.size = size
+        self.cutoff = cutoff
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs = []
+        for payload in batch.column("image").to_pylist():
+            img = decode_payload(payload, self.cutoff)
+            h, w = img.shape
+            win = glyph_windows(img, [(0, w, 0, h)], size=self.size)[0]
+            thumbs.append(encode_bitonal(win.astype(np.uint8)))
+        i = batch.schema.get_field_index("image")
+        return batch.set_column(
+            i, "image", pa.array(thumbs, type=pa.binary())
+        )
+
+
+# ---------------- audio ----------------------------------------------------
+
+def make_fake_audio(ref: str, n_samples: int = 16000) -> bytes:
+    """Deterministic stand-in payload: FAKEAUD + n + int16 samples."""
+    seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    samples = (rng.normal(0, 3000, n_samples)).astype(np.int16)
+    return FAKE_AUDIO_MAGIC + struct.pack("<I", n_samples) + samples.tobytes()
+
+
+class AudioFeatureStage:
+    """Audio decode + frame-energy features.
+
+    Real codecs are absent in this container: genuine payloads raise
+    ``NotImplementedError`` unless ``soundfile`` is importable (the
+    deployment path); ``FAKEAUD`` payloads decode deterministically so
+    the batch plumbing (frame windowing, feature schema) is fully
+    exercised."""
+
+    def __init__(self, frame: int = 1024):
+        self.frame = frame
+        try:
+            import soundfile  # noqa: F401
+
+            self._sf = soundfile
+        except ImportError:
+            self._sf = None
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:7] == FAKE_AUDIO_MAGIC:
+            (n,) = struct.unpack("<I", payload[7:11])
+            return np.frombuffer(payload[11:], dtype=np.int16, count=n).astype(
+                np.float32
+            ) / 32768.0
+        if self._sf is None:
+            raise NotImplementedError(
+                "real audio decode requires `soundfile`, not present in "
+                "this container — payloads must use the FAKEAUD test codec"
+            )
+        import io
+
+        data, _ = self._sf.read(io.BytesIO(payload))
+        return np.asarray(data, dtype=np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, rms, peak = [], [], []
+        for payload in batch.column("audio").to_pylist():
+            samples = self._decode(payload)
+            k = len(samples) // self.frame
+            frames = samples[: k * self.frame].reshape(k, self.frame)
+            energy = np.sqrt((frames**2).mean(axis=1)) if k else np.zeros(0)
+            n_frames.append(k)
+            rms.append(float(energy.mean()) if k else 0.0)
+            peak.append(float(np.abs(samples).max()) if len(samples) else 0.0)
+        out = batch.drop_columns(["audio"])
+        for name, vals, typ in [
+            ("n_frames", n_frames, pa.int32()),
+            ("rms", rms, pa.float32()), ("peak", peak, pa.float32()),
+        ]:
+            out = out.append_column(name, pa.array(vals, type=typ))
+        return out
+
+
+# ---------------- video ----------------------------------------------------
+
+def make_fake_video(ref: str, n_frames: int = 12, h: int = 8, w: int = 8) -> bytes:
+    seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[4:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    frames = (rng.random((n_frames, h, w)) < 0.5).astype(np.uint8)
+    return (
+        FAKE_VIDEO_MAGIC
+        + struct.pack("<III", n_frames, h, w)
+        + np.packbits(frames, axis=None).tobytes()
+    )
+
+
+class VideoFrameSampleStage:
+    """Frame sampling: every k-th frame re-emitted as an image payload row
+    (one output row per sampled frame — a flat-map-shaped stage).
+
+    Real video decode (``av``) is absent: genuine payloads raise
+    ``NotImplementedError``; ``FAKEVID`` payloads exercise the fan-out."""
+
+    def __init__(self, every: int = 4):
+        self.every = every
+        try:
+            import av  # noqa: F401
+
+            self._av = av
+        except ImportError:
+            self._av = None
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:7] == FAKE_VIDEO_MAGIC:
+            n, h, w = struct.unpack("<III", payload[7:19])
+            bits = np.unpackbits(
+                np.frombuffer(payload[19:], dtype=np.uint8), count=n * h * w
+            )
+            return bits.reshape(n, h, w).astype(np.uint8)
+        if self._av is None:
+            raise NotImplementedError(
+                "real video decode requires `av`, not present in this "
+                "container — payloads must use the FAKEVID test codec"
+            )
+        raise NotImplementedError("deployment path: av frame iteration")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, frame_idx, frames = [], [], []
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(),
+            batch.column("video").to_pylist(),
+        ):
+            vid = self._decode(payload)
+            for i in range(0, vid.shape[0], self.every):
+                refs.append(ref)
+                frame_idx.append(i)
+                frames.append(encode_bitonal(vid[i]))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
