@@ -301,36 +301,29 @@ class PageSegmenter:
                 or height * width < cfg.min_glyph_area
             ):
                 continue
-            # blank row nearest the middle, searching down then up.
-            # rowc[i] is row top+i over cols [left, right); note the C scan
-            # never tests row `bottom` going down / row `top` going up.
-            mid0 = (bottom + 1 + top) // 2
-            blank_rel = np.nonzero(rowc == 0)[0]
-            down = blank_rel[(blank_rel >= mid0 - top) & (blank_rel < bottom - top)]
-            up = blank_rel[(blank_rel <= mid0 - top) & (blank_rel > 0)]
-            split_row = None
-            if len(down):
-                split_row = top + int(down[0])
-            elif len(up):
-                split_row = top + int(up[-1])
-            if split_row is not None:
-                stack.append((top, split_row - 1, left, right))
-                stack.append((split_row + 1, bottom, left, right))  # lower first
+            # Blank-row/col splitting.  The C recursion splits at ONE blank
+            # line nearest the middle and recurses on the halves; since
+            # blank-row structure is invariant under blank-column trimming
+            # (and vice versa — trimmed rows/cols are blank across the whole
+            # region, so they contribute ink nowhere), the recursion's leaf
+            # set equals the maximal non-blank RUN decomposition, computed
+            # here in one pass per region instead of O(log) re-scans.
+            nzr = np.nonzero(rowc)[0]
+            breaks = np.nonzero(np.diff(nzr) > 1)[0]
+            if len(breaks):
+                starts = np.concatenate(([nzr[0]], nzr[breaks + 1]))
+                ends = np.concatenate((nzr[breaks], [nzr[-1]]))
+                for s, e in zip(starts, ends):
+                    stack.append((top + int(s), top + int(e), left, right))
                 continue
-            # blank col nearest the middle; colc was trimmed to [left,right]
             colc = self._col_counts(top, bottom, left, right)
-            mid0 = (right + left) // 2
-            blank_rel = np.nonzero(colc == 0)[0]
-            down = blank_rel[(blank_rel >= mid0 - left) & (blank_rel < right - left)]
-            up = blank_rel[(blank_rel <= mid0 - left) & (blank_rel > 0)]
-            split_col = None
-            if len(down):
-                split_col = left + int(down[0])
-            elif len(up):
-                split_col = left + int(up[-1])
-            if split_col is not None:
-                stack.append((top, bottom, left, split_col - 1))
-                stack.append((top, bottom, split_col + 1, right))  # right first
+            nzc = np.nonzero(colc)[0]
+            breaks = np.nonzero(np.diff(nzc) > 1)[0]
+            if len(breaks):
+                starts = np.concatenate(([nzc[0]], nzc[breaks + 1]))
+                ends = np.concatenate((nzc[breaks], [nzc[-1]]))
+                for s, e in zip(starts, ends):
+                    stack.append((top, bottom, left + int(s), left + int(e)))
                 continue
             if (right + 1 - left > cfg.max_glyph_width) or (
                 bottom - top > cfg.max_glyph_height

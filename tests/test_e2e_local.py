@@ -99,3 +99,33 @@ def test_prediction_substitution_positional(index):
     img = render_page(spec)
     res = ocr_page_image(img, FIXTURE_CONFIG, index, predictions=["X", "Y"])
     assert res.text == "XY\n"
+
+
+def test_flood_fill_e2e_matches_xycut(index):
+    # -x (flood) and the default XY-cut agree on fixture pages
+    spec = PageSpec(
+        lines=["the quick brown", "fox jumps over"],
+        indents=[0, 1], para_breaks=[False, False],
+    )
+    img = render_page(spec)
+    cfg = FIXTURE_CONFIG.with_(use_flood=True)
+    res = ocr_page_image(img.copy(), cfg, index)
+    assert res.text == expected_page_text(spec)
+
+
+def test_two_column_page(index):
+    # -c 2: left column read first (LTR), then right (main/main.c:250-295)
+    left = render_page(
+        PageSpec(lines=["ab", "cd"], indents=[0, 0],
+                 para_breaks=[False, False]))
+    right = render_page(
+        PageSpec(lines=["xy", "zw"], indents=[0, 0],
+                 para_breaks=[False, False]))
+    h = max(left.shape[0], right.shape[0])
+    page = np.zeros((h, left.shape[1] + right.shape[1] + 40), dtype=np.uint8)
+    page[: left.shape[0], : left.shape[1]] = left
+    page[: right.shape[0], left.shape[1] + 40 :] = right
+    cfg = FIXTURE_CONFIG.with_(columns=2)
+    res = ocr_page_image(page, cfg, index)
+    flat = res.text.replace("\n", " ").split()
+    assert flat == ["ab", "cd", "xy", "zw"]
