@@ -88,20 +88,39 @@ def fix_sholem(text: str) -> str:
     return _FIX_SHOLEM_QUOTES(_mirror_parens(_FIX_SHOLEM(text)))
 
 
-# armenian.transcribe.pl:17-75 — Armenian -> IPA-ish romanization
+# armenian.transcribe.pl:17-92 — WESTERN Armenian -> IPA romanization:
+# digraph/context rules first (each applied ONCE per line, as the
+# reference's un-/g/ substitutions), then the per-letter /g/ map.
+_ARMENIAN_DIGRAPHS: list[tuple[str, str, bool]] = [
+    # (pattern, replacement, global?)
+    (r"ու", "u", False),
+    (r"ոյ\b", "o", False),
+    (r"\bե", "jɛ", False),
+    (r"\bո", "vo", False),
+    (r"այ", "ɑj", False),
+    (r"յա|իա|եա|եայ", "jɑ", False),
+    (r"եյ|էյ", "ɛj", False),
+    (r"ույ|ոյ", "uj", False),
+    (r"յու|իւ", "ju", False),
+]
 _ARMENIAN = {
-    "ա": "a", "բ": "b", "գ": "g", "դ": "d", "ե": "e", "զ": "z", "է": "e",
-    "ը": "ə", "թ": "tʰ", "ժ": "ž", "ի": "i", "լ": "l", "խ": "x", "ծ": "c",
-    "կ": "k", "հ": "h", "ձ": "j", "ղ": "ġ", "ճ": "č̣", "մ": "m", "յ": "y",
-    "ն": "n", "շ": "š", "ո": "o", "չ": "č", "պ": "p", "ջ": "ǰ", "ռ": "ṙ",
-    "ս": "s", "վ": "v", "տ": "t", "ր": "r", "ց": "cʰ", "ւ": "w", "փ": "pʰ",
-    "ք": "kʰ", "օ": "o", "ֆ": "f",
+    "ա": "ɑ", "բ": "p", "գ": "kʰ", "դ": "tʰ", "ե": "ɛ", "զ": "z", "է": "ɛ",
+    "ը": "ə", "թ": "tʰ", "ժ": "ʒ", "ի": "i", "լ": "l", "Լ": "L", "խ": "χ",
+    "ծ": "dz", "կ": "g", "հ": "h", "ձ": "tsʰ", "ղ": "ʁ", "ճ": "dʒ",
+    "մ": "m", "յ": "j", "ն": "n", "շ": "ʃ", "ո": "o", "չ": "tʃʰ",
+    "պ": "b", "ջ": "tʃʰ", "ռ": "ɾ", "ս": "s", "վ": "v", "տ": "d",
+    "ր": "ɾ", "ց": "tsʰ", "ւ": "v", "փ": "pʰ", "ք": "kʰ", "օ": "o",
+    "ֆ": "f", "՚": "'", "՜": "!", "՞": "?",
 }
-_ARMENIAN.update({k.upper(): v.capitalize() for k, v in list(_ARMENIAN.items())})
 
 
 def armenian_transcribe(text: str) -> str:
-    return "".join(_ARMENIAN.get(ch, ch) for ch in text)
+    out_lines = []
+    for line in text.split("\n"):
+        for pat, rep, _ in _ARMENIAN_DIGRAPHS:
+            line = re.sub(pat, rep, line, count=1)
+        out_lines.append("".join(_ARMENIAN.get(ch, ch) for ch in line))
+    return "\n".join(out_lines)
 
 
 _ETHIOPIC_PUNCT = "፡።፣፤፥፦፧፨"

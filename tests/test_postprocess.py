@@ -43,3 +43,30 @@ def test_unknown_postprocessor_raises():
 
     with pytest.raises(KeyError):
         get_postprocessor("nope")
+
+
+def test_armenian_transcription():
+    """Western Armenian rules (armenian.transcribe.pl:22-92): voiced and
+    voiceless stops swap vs Eastern (բ→p, պ→b), word-initial ո→vo."""
+    from tensorflow_ocr_ray.functions.postprocess import armenian_transcribe
+
+    assert armenian_transcribe("բարեւ") == "pɑɾɛv"
+    assert armenian_transcribe("ով") == "vov"
+    assert armenian_transcribe("ամպ") == "ɑmb"
+    assert armenian_transcribe("abc") == "abc"  # non-Armenian untouched
+
+
+def test_geez_postprocess():
+    from tensorflow_ocr_ray.functions.postprocess import geez_post
+
+    # internal spaces inside Ethiopic words removed; punctuation padded
+    out = geez_post("ሰላ ም፡ነው")
+    assert "ሰላም" in out
+    assert " ፡ " in out
+
+
+def test_raismann_orthography():
+    from tensorflow_ocr_ray.functions.postprocess import raismann_post
+
+    assert raismann_post("יאהר") == "יאָר"
+    assert raismann_post("איהם") == "אים"

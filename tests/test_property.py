@@ -1,0 +1,42 @@
+"""Property-based tests: for ANY fixture page/corpus the pipeline output
+equals the analytic truth (computed from construction geometry)."""
+
+from hypothesis import given, settings, strategies as st
+
+from tensorflow_ocr_ray.config import FIXTURE_CONFIG
+from tensorflow_ocr_ray.core.page import ocr_payload
+from tensorflow_ocr_ray.fixtures import (
+    page_spec_for_ref,
+    payload_for_ref,
+    truth_for_ref,
+)
+from tensorflow_ocr_ray.fonts import get_font_index
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_any_ref_ocr_matches_truth(ref_seed):
+    """Every deterministically-generated page (random lines, indents,
+    paragraph breaks, gray/bitonal encoding) OCRs to its analytic text."""
+    ref = f"page-prop-{ref_seed}"
+    idx = get_font_index()
+    res = ocr_payload(payload_for_ref(ref), FIXTURE_CONFIG, idx,
+                      collect_glyphs=False)
+    assert res.text == truth_for_ref(ref), (
+        f"ref {ref}: spec {page_spec_for_ref(ref)}"
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_flood_and_xycut_agree(ref_seed):
+    """The two segmentation strategies agree on every fixture page."""
+    ref = f"page-prop2-{ref_seed}"
+    idx = get_font_index()
+    payload = payload_for_ref(ref)
+    a = ocr_payload(payload, FIXTURE_CONFIG, idx, collect_glyphs=False)
+    b = ocr_payload(
+        payload, FIXTURE_CONFIG.with_(use_flood=True), idx,
+        collect_glyphs=False,
+    )
+    assert a.text == b.text
