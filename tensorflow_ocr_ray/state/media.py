@@ -10,8 +10,6 @@ Implementations:
                    "fetch" is a pure function, zero I/O)
 - ``dir``        — one file per ref under a directory (stands in for an
                    object store; exercises the real I/O path)
-- ``inline``     — payloads carried in a column of the batch itself (the
-                   caller passes bytes directly; store is a passthrough)
 """
 
 from __future__ import annotations

@@ -127,3 +127,45 @@ def test_checkpoint_reruns_on_fingerprint_change(ray_session, tmp_path):
     reports = run_checkpointed(files, out_dir, pipeline_kwargs=kwargs)
     assert not reports[0].skipped
     assert reports[0].docs == 6
+
+
+def test_skewed_span_counts(ray_session):
+    """Skew plan: a 40-span document among 1-span documents — the explode +
+    repartition spreads span rows evenly and reassembly restores every
+    sequence (the exploded plan's reason to exist)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import (
+        DOCUMENTS_SCHEMA,
+        expected_documents,
+        truth_for_ref,
+    )
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
+
+    rows = []
+    heavy_spans = [
+        {"kind": "media", "text": "", "media_ref": f"page-skew-{s}",
+         "offset": s}
+        for s in range(40)
+    ]
+    rows.append({"doc_id": "doc-heavy", "spans": heavy_spans})
+    for d in range(12):
+        rows.append(
+            {
+                "doc_id": f"doc-small-{d:03d}",
+                "spans": [
+                    {"kind": "media", "text": "",
+                     "media_ref": f"page-sk2-{d}", "offset": 0}
+                ],
+            }
+        )
+    docs = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+    out = ocr_documents(
+        rd.from_arrow(docs), mode="exploded", concurrency=2, batch_size=8,
+        num_blocks=8,
+    )
+    got = _span_seq(pa.Table.from_pandas(out.to_pandas()))
+    want = _span_seq(expected_documents(docs))
+    assert got == want
+    assert len(got["doc-heavy"]) == 40

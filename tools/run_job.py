@@ -1,0 +1,92 @@
+"""Cluster job entry point — the `ray job submit` driver.
+
+Runs the checkpointed OCR pipeline over a partitioned parquet corpus:
+
+    python tools/run_job.py --input /data/docs --output /data/ocr_out \
+        [--generate N] [--mode exploded] [--concurrency 31]
+
+Partition granularity = one input parquet file; a killed job re-submitted
+with the same arguments skips partitions whose manifest says done (and
+whose input fingerprint still matches) — see
+tensorflow_ocr_ray/pipelines/checkpoint.py.
+
+Owns its Ray session (unlike __ray_entry__): init is guarded so it also
+runs under `ray job submit` where the cluster is already up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir of documents parquet files")
+    ap.add_argument("--output", required=True, help="output dir (partitioned)")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate a fixture corpus of N docs into --input first")
+    ap.add_argument("--num-files", type=int, default=8)
+    ap.add_argument("--mode", default="exploded", choices=["exploded", "fused"])
+    ap.add_argument("--concurrency", type=int, default=0,
+                    help="OCR actor pool size (default: CPUs-1)")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--scorer", default="knn", choices=["knn", "dense", "cnn"])
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    if args.generate:
+        from tensorflow_ocr_ray.fixtures import write_documents_parquet
+
+        write_documents_parquet(args.input, args.generate,
+                                num_files=args.num_files)
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"no parquet files under {args.input}", file=sys.stderr)
+        return 2
+
+    cpus = int(ray.cluster_resources().get("CPU", 2))
+    concurrency = args.concurrency or max(1, cpus - 1)
+    from tensorflow_ocr_ray.pipelines.checkpoint import run_checkpointed
+
+    scorer_spec = None if args.scorer == "knn" else {"kind": args.scorer}
+    reports = run_checkpointed(
+        files,
+        args.output,
+        pipeline_kwargs=dict(
+            mode=args.mode,
+            concurrency=concurrency,
+            batch_size=args.batch_size,
+            num_blocks=4 * cpus,
+            scorer_spec=scorer_spec,
+        ),
+    )
+    done = sum(1 for r in reports if r.status == "done")
+    skipped = sum(1 for r in reports if r.skipped)
+    docs = sum(r.docs for r in reports)
+    thr = [r.docs_per_sec for r in reports if not r.skipped]
+    print(json.dumps({
+        "partitions": len(reports), "done": done, "skipped": skipped,
+        "docs": docs,
+        "docs_per_sec_mean": round(sum(thr) / len(thr), 2) if thr else None,
+    }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
