@@ -23,8 +23,10 @@ import time
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# OCR corpus sizes per sf tier (docs; ~2.3 media spans/doc, ~8ms/page/core)
-OCR_DOCS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 4000}
+# OCR corpus sizes per sf tier (docs; ~2.3 media spans/doc, ~4.5ms/page/
+# core — sized so actor-pool startup amortizes and the headline reflects
+# steady-state throughput)
+OCR_DOCS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 16000}
 SCALING_DOCS = 20000  # big enough that actor startup amortizes at 4N CPUs
 
 QUERY_NAMES = [

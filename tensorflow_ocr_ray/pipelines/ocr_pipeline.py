@@ -51,15 +51,22 @@ EXPLODED_SCHEMA = pa.schema(
 )
 
 
+EMPTY_DOC_KIND = "__empty__"  # sentinel: a document with zero spans
+
+
 def explode_documents(batch: pa.Table) -> pa.Table:
-    """doc rows → span rows, vectorized (no Python per-row loop)."""
+    """doc rows → span rows, vectorized (no Python per-row loop).
+
+    Zero-span documents emit one sentinel row (kind=__empty__) so they
+    survive the explode→reassemble round trip instead of silently
+    disappearing from the output."""
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
     parent = pc.list_parent_indices(spans)
     doc_ids = pc.take(batch.column("doc_id"), parent)
     flat = pc.list_flatten(spans)
-    return pa.table(
+    out = pa.table(
         {
             "doc_id": doc_ids,
             "kind": flat.field("kind"),
@@ -68,6 +75,22 @@ def explode_documents(batch: pa.Table) -> pa.Table:
             "offset": flat.field("offset"),
         }
     )
+    lengths = pc.list_value_length(spans)
+    empty_mask = pc.equal(pc.fill_null(lengths, 0), 0)
+    if pc.any(empty_mask).as_py():
+        empty_ids = pc.filter(batch.column("doc_id"), empty_mask)
+        n = len(empty_ids)
+        sentinel = pa.table(
+            {
+                "doc_id": empty_ids,
+                "kind": pa.array([EMPTY_DOC_KIND] * n, type=pa.string()),
+                "text": pa.array([""] * n, type=pa.string()),
+                "media_ref": pa.array([""] * n, type=pa.string()),
+                "offset": pa.array([0] * n, type=pa.int32()),
+            }
+        )
+        out = pa.concat_tables([out, sentinel])
+    return out
 
 
 def reassemble_group(group: pa.Table) -> pa.Table:
@@ -80,6 +103,10 @@ def reassemble_group(group: pa.Table) -> pa.Table:
     overhead at sf-bench scale)."""
     import numpy as np
 
+    # drop zero-span sentinels; their doc_ids re-emerge as empty lists
+    sentinel_mask = pc.equal(group.column("kind"), EMPTY_DOC_KIND)
+    empties = pc.filter(group.column("doc_id"), sentinel_mask).to_pylist()
+    group = group.filter(pc.invert(sentinel_mask))
     order = pc.sort_indices(
         group,
         sort_keys=[("doc_id", "ascending"), ("offset", "ascending")],
@@ -88,26 +115,33 @@ def reassemble_group(group: pa.Table) -> pa.Table:
     ids = np.asarray(g.column("doc_id").to_pylist(), dtype=object)
     n = len(ids)
     if n == 0:
-        return pa.table(
-            {"doc_id": pa.array([], type=pa.string()),
-             "spans": pa.array([], type=SPAN_SCHEMA)}
+        out_ids: list = []
+        spans = pa.array([], type=SPAN_SCHEMA)
+    else:
+        change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+        offsets = np.concatenate(([0], change, [n])).astype(np.int32)
+        structs = pa.StructArray.from_arrays(
+            [
+                g.column("kind").combine_chunks(),
+                g.column("text").combine_chunks(),
+                g.column("media_ref").combine_chunks(),
+                g.column("offset").combine_chunks(),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
         )
-    change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
-    offsets = np.concatenate(([0], change, [n])).astype(np.int32)
-    structs = pa.StructArray.from_arrays(
-        [
-            g.column("kind").combine_chunks(),
-            g.column("text").combine_chunks(),
-            g.column("media_ref").combine_chunks(),
-            g.column("offset").combine_chunks(),
-        ],
-        names=["kind", "text", "media_ref", "offset"],
-    )
-    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), structs)
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), structs
+        ).cast(SPAN_SCHEMA)
+        out_ids = list(ids[offsets[:-1]])
+    if empties:
+        spans = pa.concat_arrays(
+            [spans, pa.array([[]] * len(empties), type=SPAN_SCHEMA)]
+        )
+        out_ids = out_ids + empties
     return pa.table(
         {
-            "doc_id": pa.array(list(ids[offsets[:-1]]), type=pa.string()),
-            "spans": spans.cast(SPAN_SCHEMA),
+            "doc_id": pa.array(out_ids, type=pa.string()),
+            "spans": spans,
         }
     )
 

@@ -35,6 +35,7 @@ class _OcrBase:
         media_spec: dict | None = None,
         postprocess: list[str] | None = None,
         scorer_spec: dict | None = None,
+        on_media_error: str = "raise",
     ):
         from tensorflow_ocr_ray.config import FIXTURE_CONFIG
         from tensorflow_ocr_ray.functions.postprocess import build_chain
@@ -45,6 +46,12 @@ class _OcrBase:
         self.post = build_chain(postprocess or [])
         self.classifier_input = "features"
         self.classifier = self._make_classifier(scorer_spec)
+        if on_media_error not in ("raise", "empty"):
+            raise ValueError(f"on_media_error: {on_media_error!r}")
+        # "empty": a missing/corrupt payload yields text "" instead of
+        # failing the task — at 100 TB a few bad objects must not kill a
+        # partition (the reference, single-process, simply crashed)
+        self.on_media_error = on_media_error
 
     def _make_classifier(self, spec: dict | None):
         """Scorer behind one interface (SURVEY §7.0): None/"knn" keeps the
@@ -83,12 +90,17 @@ class _OcrBase:
         raise ValueError(f"unknown scorer kind {kind!r}")
 
     def _ocr_ref(self, ref: str) -> str:
-        payload = self.media.get(ref)
-        text = ocr_payload(
-            payload, self.cfg, self.index, collect_glyphs=False,
-            classifier=self.classifier,
-            classifier_input=self.classifier_input,
-        ).text
+        try:
+            payload = self.media.get(ref)
+            text = ocr_payload(
+                payload, self.cfg, self.index, collect_glyphs=False,
+                classifier=self.classifier,
+                classifier_input=self.classifier_input,
+            ).text
+        except Exception:
+            if self.on_media_error == "empty":
+                return ""
+            raise
         return self.post(text)
 
 

@@ -169,3 +169,55 @@ def test_skewed_span_counts(ray_session):
     want = _span_seq(expected_documents(docs))
     assert got == want
     assert len(got["doc-heavy"]) == 40
+
+
+def test_zero_span_documents_survive(ray_session):
+    """A document with an empty spans list must round-trip the exploded
+    plan (sentinel row), not silently disappear."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import DOCUMENTS_SCHEMA
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
+
+    docs = pa.Table.from_pylist(
+        [
+            {"doc_id": "doc-empty", "spans": []},
+            {"doc_id": "doc-one", "spans": [
+                {"kind": "text", "text": "hi", "media_ref": "", "offset": 0}
+            ]},
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    out = ocr_documents(rd.from_arrow(docs), mode="exploded", concurrency=1,
+                        batch_size=4)
+    got = _span_seq(pa.Table.from_pandas(out.to_pandas()))
+    assert got == {
+        "doc-empty": [],
+        "doc-one": [("text", "hi", "", 0)],
+    }
+
+
+def test_media_error_empty_mode(ray_session, tmp_path):
+    """on_media_error='empty': a missing payload yields '' instead of
+    failing the partition; 'raise' (default) propagates."""
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.stages.ocr_stages import OcrSpanStage
+
+    batch = pa.table(
+        {
+            "doc_id": ["d"], "kind": ["media"], "text": [""],
+            "media_ref": ["nope"], "offset": [0],
+        }
+    )
+    stage = OcrSpanStage(
+        media_spec={"kind": "dir", "path": str(tmp_path)},
+        on_media_error="empty",
+    )
+    out = stage(batch)
+    assert out.column("text").to_pylist() == [""]
+
+    strict = OcrSpanStage(media_spec={"kind": "dir", "path": str(tmp_path)})
+    with pytest.raises(FileNotFoundError):
+        strict(batch)
