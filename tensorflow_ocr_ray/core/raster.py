@@ -2,12 +2,16 @@
 
 The reference decodes TIFF → RGBA raster → bitonal char image
 (``main/readPicture.c:36-117``) and deskews with an integer shear search
-(``main/readPicture.c:119-221``).  Media payloads in this engine are opaque
-``binary`` columns; the container has no image codecs, so we define a tiny
-deterministic bitonal format (``OCR1``: magic + height + width + packbits)
-that stands in for TIFF.  The decode stage is the single place a real
-deployment would swap in ``tifffile``/``PIL`` — the Ray-side plumbing
-(schema, batch sizes, actor signature) is identical either way.
+(``main/readPicture.c:119-221``).  Media payloads in this engine are
+opaque ``binary`` columns; ``decode_payload`` sniffs the format:
+
+- real baseline **TIFF** (II/MM): bilevel (1-bit) and 8-bit grayscale,
+  uncompressed or PackBits, decoded by the pure-numpy reader below — no
+  external image libs needed for the formats the fixtures and the
+  reference's bilevel scans use.  (G4-compressed scans would need
+  ``tifffile`` in a full deployment; the decode stage is the single swap
+  point.)
+- ``OCR1``/``OCR8``: the repo's compact bitonal/gray test codec.
 """
 
 from __future__ import annotations
@@ -18,6 +22,8 @@ import numpy as np
 
 MAGIC = b"OCR1"
 MAGIC_GRAY = b"OCR8"  # 8-bit grayscale variant (exercises the binarizer)
+TIFF_LE = b"II*\x00"
+TIFF_BE = b"MM\x00*"
 
 
 def encode_bitonal(image: np.ndarray) -> bytes:
@@ -34,6 +40,117 @@ def encode_gray(image: np.ndarray) -> bytes:
     return MAGIC_GRAY + struct.pack("<II", h, w) + image.tobytes()
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (Apple RLE) decompression."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:  # literal run of b+1 bytes
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:  # repeat next byte 257-b times
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # b == 128: no-op
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """Minimal baseline-TIFF reader: first IFD, bilevel or 8-bit gray,
+    uncompressed (1) or PackBits (32773), strip-organized.
+
+    Returns (image, bits_per_sample) where a bilevel image is already
+    photometric-normalized to 1 = ink.
+    """
+    bo = "<" if payload[:4] == TIFF_LE else ">"
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    (n_tags,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+    for t in range(n_tags):
+        off = ifd_off + 2 + t * 12
+        tag, typ, count = struct.unpack(bo + "HHI", payload[off : off + 8])
+        if typ not in TYPE_SIZE:
+            continue
+        size = TYPE_SIZE[typ] * count
+        if size <= 4:
+            raw = payload[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
+            raw = payload[voff : voff + size]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(bo + fmt * count, raw))
+    width, height = tags[256][0], tags[257][0]
+    bits = tags.get(258, [1])[0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    offsets = tags[273]
+    rows_per_strip = tags.get(278, [height])[0]
+    counts = tags.get(279, [len(payload) - offsets[0]])
+    if bits not in (1, 8):
+        raise ValueError(f"unsupported TIFF BitsPerSample {bits}")
+    if compression not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    row_bytes = (width * bits + 7) // 8
+    data = bytearray()
+    for i, (soff, scount) in enumerate(zip(offsets, counts)):
+        strip = payload[soff : soff + scount]
+        nrows = min(rows_per_strip, height - i * rows_per_strip)
+        if compression == 32773:
+            strip = _packbits_decode(strip, nrows * row_bytes)
+        data += strip
+    buf = np.frombuffer(bytes(data), dtype=np.uint8, count=height * row_bytes)
+    if bits == 1:
+        rows = buf.reshape(height, row_bytes)
+        img = np.unpackbits(rows, axis=1)[:, :width]
+        # photometric 0 = WhiteIsZero → set bit means ink already
+        return (img if photometric == 0 else 1 - img).astype(np.uint8), 1
+    img = buf.reshape(height, width)
+    if photometric == 0:  # WhiteIsZero gray: invert to BlackIsZero scale
+        img = 255 - img
+    return img, 8
+
+
+def encode_tiff(image: np.ndarray, bilevel: bool, packbits: bool = False) -> bytes:
+    """Minimal single-IFD TIFF writer (fixtures/tests): bilevel (1 = ink,
+    photometric WhiteIsZero) or 8-bit gray, single strip."""
+    image = np.ascontiguousarray(image.astype(np.uint8))
+    h, w = image.shape
+    if bilevel:
+        body = np.packbits(image, axis=1).tobytes()
+        bits, photometric = 1, 0
+    else:
+        body = image.tobytes()
+        bits, photometric = 8, 1
+    if packbits:
+        out = bytearray()
+        # naive literal-only PackBits (always decodable)
+        for i in range(0, len(body), 128):
+            chunk = body[i : i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+        body = bytes(out)
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, 32773 if packbits else 1), (262, 3, 1, photometric),
+        (273, 4, 1, None),  # strip offset, patched below
+        (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(body)),
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + len(tags) * 12 + 4
+    out = bytearray(struct.pack("<4sI", TIFF_LE, ifd_off))
+    out += struct.pack("<H", len(tags))
+    for tag, typ, count, value in tags:
+        if value is None:
+            value = data_off
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)  # next IFD
+    out += body
+    return bytes(out)
+
+
 def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
     """Decode a media payload to the bitonal char image (uint8 0/1).
 
@@ -41,6 +158,12 @@ def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
     (``main/readPicture.c:100-107``): a pixel is ink (1) iff the summed RGB
     value is <= lround(3*256*cutoff); for grayscale we use 3*gray.
     """
+    if payload[:4] in (TIFF_LE, TIFF_BE):
+        img, bits = decode_tiff(payload)
+        if bits == 1:
+            return img
+        cutoff_total = int(np.floor(3 * 256 * cutoff + 0.5))
+        return (3 * img.astype(np.int32) <= cutoff_total).astype(np.uint8)
     magic, rest = payload[:4], payload[4:]
     h, w = struct.unpack("<II", rest[:8])
     body = rest[8:]

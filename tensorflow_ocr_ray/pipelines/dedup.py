@@ -116,6 +116,8 @@ def minhash_dedup(
     """
     ds = _docs(sf_dir, ["doc_id", "text"])
 
+    n_shards = 64  # coarse shuffle key: O(shards) group calls, not O(bands)
+
     class Signatures:
         def __init__(self):
             self.mh = MinHasher(num_perm=num_perm)
@@ -125,25 +127,34 @@ def minhash_dedup(
             for doc_id, text in zip(df["doc_id"], df["text"]):
                 sig = self.mh.signature(text)
                 for key in self.mh.band_keys(sig, bands=bands):
-                    rows.append({"band_key": key, "doc_id": doc_id})
-            return pd.DataFrame(rows, columns=["band_key", "doc_id"])
+                    rows.append(
+                        {"band_key": key, "band_shard": key % n_shards,
+                         "doc_id": doc_id}
+                    )
+            return pd.DataFrame(
+                rows, columns=["band_key", "band_shard", "doc_id"]
+            )
 
     banded = ds.map_batches(
         Signatures, batch_format="pandas", batch_size=4096, concurrency=2
     )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].unique().tolist())
-        rows = [
-            {"doc_a": ids[i], "doc_b": ids[j]}
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        ]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype("int64")
+    def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """All same-band pairs within one shard (many bands per call —
+        per-group scheduling overhead amortizes across the shard)."""
+        rows_a: list[int] = []
+        rows_b: list[int] = []
+        for _, grp in df.groupby("band_key"):
+            ids = sorted(grp["doc_id"].unique().tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[j])
+        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b}).astype("int64")
 
     cand = (
-        banded.groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        banded.groupby("band_shard")
+        .map_groups(shard_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )

@@ -61,3 +61,50 @@ def test_find_best_shear_recovers_slant():
 def test_apply_shear_zero_is_identity():
     img = np.arange(12, dtype=np.uint8).reshape(3, 4) % 2
     assert np.array_equal(apply_shear(img, 0, 100), img)
+
+
+def test_tiff_bilevel_roundtrip():
+    from tensorflow_ocr_ray.core.raster import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(1)
+    img = (rng.random((37, 61)) < 0.4).astype(np.uint8)
+    for packbits in (False, True):
+        payload = encode_tiff(img, bilevel=True, packbits=packbits)
+        assert payload[:4] == b"II*\x00"
+        out, bits = decode_tiff(payload)
+        assert bits == 1
+        assert np.array_equal(out, img)
+        # decode_payload routes TIFF transparently
+        assert np.array_equal(decode_payload(payload), img)
+
+
+def test_tiff_gray_binarized():
+    from tensorflow_ocr_ray.core.raster import encode_tiff
+
+    gray = np.array([[0, 128, 129, 255]], dtype=np.uint8)
+    payload = encode_tiff(gray, bilevel=False)
+    assert decode_payload(payload, cutoff=0.5).tolist() == [[1, 1, 0, 0]]
+
+
+def test_tiff_unsupported_compression_raises():
+    from tensorflow_ocr_ray.core.raster import decode_tiff, encode_tiff
+
+    payload = bytearray(encode_tiff(np.zeros((2, 2), np.uint8), bilevel=True))
+    # patch the Compression tag value to 4 (G4)
+    idx = payload.find((259).to_bytes(2, "little"))
+    payload[idx + 8] = 4
+    import pytest
+
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(payload))
+
+
+def test_fixture_corpus_exercises_tiff_containers():
+    from tensorflow_ocr_ray.fixtures import payload_for_ref
+
+    kinds = set()
+    for d in range(24):
+        p = payload_for_ref(f"page-42-{d:06d}-0")
+        kinds.add(p[:4])
+    assert b"II*\x00" in kinds  # TIFF pages present
+    assert (b"OCR1" in kinds) or (b"OCR8" in kinds)
