@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q09_priority_month": relational.q09_priority_month,
         "q10_supplier_balance": relational.q10_supplier_balance,
         "q11_minmax_part": relational.q11_minmax_part,
+        "q12_distinct_types": relational.q12_distinct_types,
+        "q13_union_priority": relational.q13_union_priority,
         # windowed / ordered custom operators
         "events_sessionize": windows.sessionize,
         "events_tumbling": windows.tumbling_windows,
@@ -158,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         "label_centroids": similarity.label_centroids,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         # text analysis
@@ -246,6 +249,18 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(p_size), 4) AS avg_size,
                    count(*) AS parts
             FROM part GROUP BY p_brand
+        """,
+        "q12_distinct_types": """
+            SELECT DISTINCT p_type FROM part ORDER BY p_type
+        """,
+        "q13_union_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders FROM (
+              SELECT o_orderpriority FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+              UNION ALL
+              SELECT o_orderpriority FROM orders
+              WHERE o_orderpriority = '2-HIGH'
+            ) GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "events_sessionize": """
             SELECT user_id, session_seq,

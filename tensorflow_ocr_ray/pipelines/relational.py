@@ -341,3 +341,39 @@ def q11_minmax_part(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out
+
+
+def q12_distinct_types(sf_dir: str) -> pd.DataFrame:
+    """Two-stage distinct: per-batch dedup collapses before the one small
+    unique pass (never ship duplicate values to the driver)."""
+    ds = _pq(sf_dir, "part", ["p_type"])
+    partials = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas",
+        batch_size=65536,
+    )
+    df = partials.to_pandas().drop_duplicates().sort_values("p_type")
+    return df.reset_index(drop=True)
+
+
+def q13_union_priority(sf_dir: str) -> pd.DataFrame:
+    """Dataset.union of two filtered branches (urgent + high priority)
+    feeding one pre-aggregated count."""
+    a = _pq(sf_dir, "orders", ["o_orderpriority"]).filter(
+        lambda r: r["o_orderpriority"] == "1-URGENT"
+    )
+    b = _pq(sf_dir, "orders", ["o_orderpriority"]).filter(
+        lambda r: r["o_orderpriority"] == "2-HIGH"
+    )
+    u = a.union(b)
+    partials = u.map_batches(
+        lambda df: df.groupby("o_orderpriority", as_index=False).agg(
+            p=("o_orderpriority", "size")
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    df = partials.to_pandas().groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("p", "sum")
+    )
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)

@@ -191,3 +191,71 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
             "mean_dim0": df["m"].round(4),
         }
     )
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 23,
+    kmeans_iters: int = 10,
+) -> pd.DataFrame:
+    """IVF ANN: k-means coarse cells trained on a driver-side sample,
+    centroids broadcast; each batch assigns its vectors and scores only
+    those in the query's n_probe nearest cells (cell id = partition key
+    at 100 TB)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    sample = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in
+         t.column("embedding").to_pylist()[: 4096]]
+    )
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(kmeans_iters):  # deterministic Lloyd iterations
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(0)
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    probe_cells = set(
+        np.argsort(((cents - q) ** 2).sum(1))[:n_probe].tolist()
+    )
+    cents_ref = ray.put(cents)
+    q_ref = ray.put(qn)
+    cells_ref = ray.put(probe_cells)
+
+    class CellScore:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+            self.q = ray.get(q_ref)
+            self.cells = ray.get(cells_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            d = ((m[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
+            keep = np.isin(d.argmin(1), list(self.cells))
+            keep &= df["vec_id"].to_numpy() != query_vec_id
+            if not keep.any():
+                return pd.DataFrame({"vec_id": [], "sim": []})
+            m = m[keep]
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m @ self.q) / norms
+            return pd.DataFrame(
+                {"vec_id": df["vec_id"].to_numpy()[keep],
+                 "sim": np.round(sims, 4)}
+            )
+
+    scored = _emb(sf_dir).map_batches(
+        CellScore, batch_format="pandas", batch_size=4096, concurrency=2
+    ).to_pandas()
+    out = scored.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"vec_id": "int64"})
