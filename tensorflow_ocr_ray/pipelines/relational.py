@@ -358,11 +358,19 @@ def q12_distinct_types(sf_dir: str) -> pd.DataFrame:
 def q13_union_priority(sf_dir: str) -> pd.DataFrame:
     """Dataset.union of two filtered branches (urgent + high priority)
     feeding one pre-aggregated count."""
-    a = _pq(sf_dir, "orders", ["o_orderpriority"]).filter(
-        lambda r: r["o_orderpriority"] == "1-URGENT"
+    def keep(value):
+        # vectorized per-batch predicate (row-wise ds.filter(fn) calls
+        # Python once per row — a hot-stage antipattern)
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["o_orderpriority"], value))
+
+        return f
+
+    a = _pq(sf_dir, "orders", ["o_orderpriority"]).map_batches(
+        keep("1-URGENT"), batch_format="pyarrow", batch_size=65536
     )
-    b = _pq(sf_dir, "orders", ["o_orderpriority"]).filter(
-        lambda r: r["o_orderpriority"] == "2-HIGH"
+    b = _pq(sf_dir, "orders", ["o_orderpriority"]).map_batches(
+        keep("2-HIGH"), batch_format="pyarrow", batch_size=65536
     )
     u = a.union(b)
     partials = u.map_batches(
