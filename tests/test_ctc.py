@@ -1,0 +1,75 @@
+"""Sliding-window + CTC-style decoding (the north star's conv path).
+
+This is the ALTERNATIVE segmentation-free recognizer; the explicit
+segmentation engine remains the correctness oracle.  Greedy CTC without a
+language model makes occasional one-char insertions at letter boundaries,
+so the contract is: high exact-word rate, and errors only ever INSERT
+(the true letter sequence survives as a subsequence)."""
+
+import numpy as np
+import pytest
+
+from tensorflow_ocr_ray.fonts import (
+    DEFAULT_SCALE,
+    NOMINAL_CELL_ROWS,
+    glyph_bitmap,
+    glyph_cell_top_offset,
+)
+from tensorflow_ocr_ray.models.ctc import (
+    BLANK,
+    SlidingWindowDecoder,
+    train_window_model,
+)
+
+WORDS = ["HIHT", "HELLO", "abc", "Kafka", "A42", "quick", "dog",
+         "jumps", "lazy", "Xyz", "B7", "fox"]
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    return SlidingWindowDecoder(train_window_model(epochs=60))
+
+
+def _strip(word: str, gap: int = 12) -> np.ndarray:
+    h = NOMINAL_CELL_ROWS * DEFAULT_SCALE
+    bmps = [(glyph_bitmap(c), glyph_cell_top_offset(c)) for c in word]
+    w = sum(b.shape[1] for b, _ in bmps) + gap * (len(bmps) + 1)
+    strip = np.zeros((h, w), dtype=np.uint8)
+    x = gap
+    for b, t in bmps:
+        strip[t : t + b.shape[0], x : x + b.shape[1]] = b
+        x += b.shape[1] + gap
+    return strip
+
+
+def _is_subsequence(needle: str, hay: str) -> bool:
+    it = iter(hay)
+    return all(ch in it for ch in needle)
+
+
+def test_blank_class_trained(decoder):
+    assert BLANK in decoder.model.vocab
+
+
+def test_empty_line_decodes_empty(decoder):
+    assert decoder.decode_line(np.zeros((21, 80), dtype=np.uint8)) == ""
+
+
+def test_ctc_word_accuracy(decoder):
+    exact = 0
+    for word in WORDS:
+        got = decoder.decode_line(_strip(word))
+        if got == word:
+            exact += 1
+        else:
+            # errors are boundary insertions only — never substitutions
+            # or deletions of true letters
+            assert _is_subsequence(word, got), (word, got)
+    assert exact >= int(0.75 * len(WORDS)), f"{exact}/{len(WORDS)}"
+
+
+def test_ctc_robust_to_gap_width(decoder):
+    word = "HELLO"
+    for gap in (8, 12, 16):
+        got = decoder.decode_line(_strip(word, gap=gap))
+        assert _is_subsequence(word, got)
