@@ -84,6 +84,37 @@ def _ocr_glyph_stream(sf_dir: str):
     ).drop_columns(["features"])
 
 
+def _glyph_stats(sf_dir: str):
+    """Corpus glyph telemetry off the -T stream: per-document glyph count,
+    mean NN distance, unknown-rate (segmentation density a la the
+    reference's 1,649-glyphs-per-page artifact)."""
+    import pandas as pd
+
+    from tensorflow_ocr_ray.config import TF_UNKNOWN
+
+    glyphs = _ocr_glyph_stream(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side partial sums (a doc's glyphs may span batches, so the
+        # final combine below is global)
+        return df.groupby("doc_id", as_index=False).agg(
+            p_n=("glyph_idx", "size"),
+            p_sum=("knn_dist2", "sum"),
+            p_unk=("knn_label", lambda s: int((s == TF_UNKNOWN).sum())),
+        )
+
+    parts = glyphs.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    g = parts.groupby("doc_id", as_index=False).agg(
+        glyphs=("p_n", "sum"), s=("p_sum", "sum"), unknown=("p_unk", "sum")
+    )
+    g["mean_dist2"] = (g["s"] / g["glyphs"]).round(4)
+    g["glyphs"] = g["glyphs"].astype("int64")
+    g["unknown"] = g["unknown"].astype("int64")
+    return g.drop(columns=["s"]).sort_values("doc_id").reset_index(drop=True)
+
+
 def _tf_dense_predictions(sf_dir: str):
     from tensorflow_ocr_ray.pipelines.tf_pipeline import dense_predictions
 
@@ -172,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_extract_exploded": _ocr_exploded,
         "ocr_extract_fused": _ocr_fused,
         "ocr_glyph_stream": _ocr_glyph_stream,
+        "ocr_glyph_stats": _glyph_stats,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,
