@@ -141,6 +141,7 @@ class GlyphDumpStage(_OcrBase):
         from tensorflow_ocr_ray.config import OCRFAILS, TF_UNKNOWN
 
         doc_ids, span_idxs, line_idxs, glyph_idxs = [], [], [], []
+        lefts, rights, tops, bottoms = [], [], [], []
         feats, labels, dists = [], [], []
         kinds = batch.column("kind").to_pylist()
         refs = batch.column("media_ref").to_pylist()
@@ -157,6 +158,10 @@ class GlyphDumpStage(_OcrBase):
                 span_idxs.append(off)
                 line_idxs.append(g.line_idx)
                 glyph_idxs.append(g.glyph_idx)
+                lefts.append(g.left)
+                rights.append(g.right)
+                tops.append(g.top)
+                bottoms.append(g.bottom)
                 feats.append(g.features.tolist())
                 labels.append(TF_UNKNOWN if g.label == OCRFAILS else g.label)
                 dists.append(g.dist2)
@@ -166,6 +171,10 @@ class GlyphDumpStage(_OcrBase):
                 "span_idx": pa.array(span_idxs, type=pa.int32()),
                 "line_idx": pa.array(line_idxs, type=pa.int32()),
                 "glyph_idx": pa.array(glyph_idxs, type=pa.int32()),
+                "left": pa.array(lefts, type=pa.int32()),
+                "right": pa.array(rights, type=pa.int32()),
+                "top": pa.array(tops, type=pa.int32()),
+                "bottom": pa.array(bottoms, type=pa.int32()),
                 "features": pa.array(feats, type=pa.list_(pa.float32(), 27)),
                 "knn_label": pa.array(labels, type=pa.string()),
                 "knn_dist2": pa.array(dists, type=pa.float32()),

@@ -79,3 +79,25 @@ def test_records_parquet_roundtrip(tmp_path):
     path = str(tmp_path / "recs.parquet")
     records_to_parquet(path, recs)
     assert parquet_to_records(path) == recs
+
+
+def test_glyph_stream_bbox_feeds_training_records(ray_session):
+    """The -T glyph stream carries bboxes so training-record generation
+    can run distributed over the Dataset instead of per-page objects."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import generate_documents
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import explode_documents
+    from tensorflow_ocr_ray.stages.ocr_stages import GlyphDumpStage
+
+    docs = generate_documents(4, seed=5)
+    spans = rd.from_arrow(explode_documents(docs))
+    glyphs = spans.map_batches(
+        GlyphDumpStage, batch_format="pyarrow", batch_size=8, concurrency=1
+    )
+    t = pa.Table.from_pandas(glyphs.to_pandas())
+    assert {"left", "right", "top", "bottom"} <= set(t.column_names)
+    lefts = t.column("left").to_pylist()
+    rights = t.column("right").to_pylist()
+    assert all(r > l >= 0 for l, r in zip(lefts, rights))
