@@ -129,3 +129,31 @@ def test_two_column_page(index):
     res = ocr_page_image(page, cfg, index)
     flat = res.text.replace("\n", " ").split()
     assert flat == ["ab", "cd", "xy", "zw"]
+
+
+def test_kafka_preset_large_scale():
+    """The reference's tuned Kafka flag set (-H600 -W600 -x -i -p1.8
+    -s0.4 -A -m1.1) on a large-scale rendered page."""
+    from tensorflow_ocr_ray.config import KAFKA_CONFIG
+    from tensorflow_ocr_ray.fonts import get_font_index
+
+    spec = PageSpec(lines=["Hello World", "fox jumps"], indents=[0, 1],
+                    para_breaks=[False, False], scale=8, letter_gap=10,
+                    word_gap=50, line_gap=36, margin=30)
+    res = ocr_page_image(
+        render_page(spec), KAFKA_CONFIG.with_(no_shear=True),
+        get_font_index(scale=8),
+    )
+    assert res.text == expected_page_text(spec)
+
+
+def test_deskew_in_the_loop(index):
+    """A physically sheared page is recovered by the shear search before
+    segmentation (readPicture.c:145-221)."""
+    from tensorflow_ocr_ray.core.raster import apply_shear
+
+    spec = PageSpec(lines=["the quick brown fox"], indents=[0],
+                    para_breaks=[False], margin=24)
+    sheared = apply_shear(render_page(spec).copy(), 3, 100)
+    res = ocr_page_image(sheared, FIXTURE_CONFIG.with_(no_shear=False), index)
+    assert res.text == expected_page_text(spec)
