@@ -50,16 +50,38 @@ def _manifest_path(out_dir: str, pid: int) -> str:
     return os.path.join(out_dir, "_manifest", f"part-{pid:05d}.json")
 
 
+def span_equal_rate_vs_truth(written: "ray.data.Dataset") -> float:
+    """Fraction of documents whose output span sequence equals the
+    analytic fixture truth — only meaningful for synthetic-store corpora
+    (fixture refs); real corpora have no oracle and skip this."""
+    from tensorflow_ocr_ray.fixtures import truth_for_ref
+
+    equal = total = 0
+    for b in written.iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            total += 1
+            ok = all(
+                s["kind"] != "media" or s["text"] == truth_for_ref(s["media_ref"])
+                for s in row["spans"]
+            )
+            equal += int(ok)
+    return equal / total if total else 1.0
+
+
 def run_checkpointed(
     input_files: list[str],
     out_dir: str,
     pipeline_kwargs: dict | None = None,
+    verify_against_truth: bool = False,
 ) -> list[PartitionReport]:
     """Run (or resume) the OCR pipeline partition by partition.
 
     Within a partition, Ray Data parallelizes across the cluster; across
     partitions we get restartability.  Each partition's output is its own
-    parquet directory — never one giant file.
+    parquet directory — never one giant file.  With
+    ``verify_against_truth`` each manifest also records the partition's
+    span-equality rate against the analytic fixture truth (per-partition
+    accuracy metric; synthetic corpora only).
     """
     pipeline_kwargs = pipeline_kwargs or {}
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
@@ -113,6 +135,10 @@ def run_checkpointed(
             "elapsed_sec": round(elapsed, 3),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
+        if verify_against_truth:
+            record["span_equal_rate"] = round(
+                span_equal_rate_vs_truth(written), 6
+            )
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(record, f)

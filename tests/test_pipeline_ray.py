@@ -221,3 +221,21 @@ def test_media_error_empty_mode(ray_session, tmp_path):
     strict = OcrSpanStage(media_spec={"kind": "dir", "path": str(tmp_path)})
     with pytest.raises(FileNotFoundError):
         strict(batch)
+
+
+def test_manifest_span_equal_rate(ray_session, tmp_path):
+    from tensorflow_ocr_ray.pipelines.checkpoint import (
+        read_manifest,
+        run_checkpointed,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    files = write_documents_parquet(in_dir, 6, seed=SEED, num_files=2)
+    run_checkpointed(
+        files, out_dir,
+        pipeline_kwargs=dict(mode="fused", concurrency=1, batch_size=8),
+        verify_against_truth=True,
+    )
+    manifest = read_manifest(out_dir)
+    assert len(manifest) == 2
+    assert all(m["span_equal_rate"] == 1.0 for m in manifest)

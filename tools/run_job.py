@@ -37,6 +37,9 @@ def main() -> int:
                     help="OCR actor pool size (default: CPUs-1)")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--scorer", default="knn", choices=["knn", "dense", "cnn"])
+    ap.add_argument("--verify-truth", action="store_true",
+                    help="record per-partition span-equality vs the "
+                         "analytic fixture truth in each manifest")
     args = ap.parse_args()
 
     import ray
@@ -74,6 +77,7 @@ def main() -> int:
             num_blocks=4 * cpus,
             scorer_spec=scorer_spec,
         ),
+        verify_against_truth=args.verify_truth,
     )
     done = sum(1 for r in reports if r.status == "done")
     skipped = sum(1 for r in reports if r.skipped)
