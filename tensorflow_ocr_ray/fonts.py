@@ -83,10 +83,27 @@ FONT_5X7: dict[str, list[str]] = {
     "z": [".....", ".....", "#####", "...#.", "..#..", ".#...", "#####"],
 }
 
+# A small Hebrew letter set (square forms, 5x7) — a SEPARATE alphabet,
+# mirroring the reference's per-book font databases: loading it flips the
+# index's RTL sniff (kd.c:700-711) exactly as the Yiddish .data files do.
+HEBREW_5X7: dict[str, list[str]] = {
+    "א": ["#...#", "#..#.", ".#.#.", "..#..", ".#.#.", ".#..#", "#...#"],
+    "ב": [".....", "####.", "....#", "....#", "....#", "....#", "#####"],
+    "ג": [".....", ".###.", "...#.", "...#.", "..##.", ".#.#.", "#..#."],
+    "ד": [".....", "#####", "...#.", "...#.", "...#.", "...#.", "...#."],
+    "ה": [".....", "#####", "....#", "....#", "#...#", "#...#", "#...#"],
+    "ו": [".....", "..##.", "...#.", "...#.", "...#.", "...#.", "...#."],
+    "ל": ["#....", ".#...", ".###.", "...#.", "...#.", "..#..", ".#..."],
+    "ם": [".....", "####.", "#...#", "#...#", "#...#", "#...#", "####."],
+    "ש": [".....", "#.#.#", "#.#.#", "#.#.#", "#.#.#", "#....", "#####"],
+    "ת": [".....", ".####", "..#.#", "..#.#", "..#.#", ".##.#", "#..##"],
+}
+
 DEFAULT_SCALE = 3
 NOMINAL_CELL_ROWS = 7
 
 
+_ALL_GLYPHS: dict[str, list[str]] = {**FONT_5X7, **HEBREW_5X7}
 _BITMAP_CACHE: dict[tuple[str, int], np.ndarray] = {}
 
 
@@ -96,7 +113,7 @@ def glyph_bitmap(label: str, scale: int = DEFAULT_SCALE) -> np.ndarray:
     cached = _BITMAP_CACHE.get(key)
     if cached is not None:
         return cached
-    rows = FONT_5X7[label]
+    rows = _ALL_GLYPHS[label]
     arr = np.array(
         [[1 if ch == "#" else 0 for ch in row] for row in rows], dtype=np.uint8
     )
@@ -110,30 +127,35 @@ def glyph_bitmap(label: str, scale: int = DEFAULT_SCALE) -> np.ndarray:
 
 def glyph_cell_top_offset(label: str, scale: int = DEFAULT_SCALE) -> int:
     """Rows of leading blank cell space (baseline alignment when rendering)."""
-    rows = FONT_5X7[label]
+    rows = _ALL_GLYPHS[label]
     arr = np.array(
         [[1 if ch == "#" else 0 for ch in row] for row in rows], dtype=np.uint8
     )
     return int(np.nonzero(arr.any(axis=1))[0][0]) * scale
 
 
-def font_labels() -> list[str]:
-    return list(FONT_5X7.keys())
+def font_labels(alphabet: str = "latin") -> list[str]:
+    if alphabet == "latin":
+        return list(FONT_5X7.keys())
+    if alphabet == "hebrew":
+        return list(HEBREW_5X7.keys())
+    raise ValueError(f"unknown alphabet {alphabet!r}")
 
 
-def build_font_index(scale: int = DEFAULT_SCALE) -> FontIndex:
-    """Build the exact-NN index from the built-in font.
+def build_font_index(scale: int = DEFAULT_SCALE, alphabet: str = "latin") -> FontIndex:
+    """Build the exact-NN index from a built-in font alphabet.
 
     For each label we extract the 27-dim tuple with the pipeline's feature
     code over an isolated rendering, once per line-height context that can
     occur on a fixture page: the glyph's own height and the full nominal
     line height (7*scale).  Mirrors readTuples loading multiple variants per
-    label (main/kd.c:645-724).
+    label (main/kd.c:645-724); loading the hebrew alphabet flips the
+    index's RTL sniff exactly as the reference's Yiddish .data files do.
     """
     tuples: list[np.ndarray] = []
     labels: list[str] = []
     full_line = NOMINAL_CELL_ROWS * scale
-    for label in font_labels():
+    for label in font_labels(alphabet):
         bmp = glyph_bitmap(label, scale)
         h, w = bmp.shape
         page = np.zeros((h + 2, w + 2), dtype=np.uint8)
@@ -152,10 +174,11 @@ def build_font_index(scale: int = DEFAULT_SCALE) -> FontIndex:
     return FontIndex(np.stack(tuples), labels)
 
 
-_INDEX_CACHE: dict[int, FontIndex] = {}
+_INDEX_CACHE: dict[tuple[int, str], FontIndex] = {}
 
 
-def get_font_index(scale: int = DEFAULT_SCALE) -> FontIndex:
-    if scale not in _INDEX_CACHE:
-        _INDEX_CACHE[scale] = build_font_index(scale)
-    return _INDEX_CACHE[scale]
+def get_font_index(scale: int = DEFAULT_SCALE, alphabet: str = "latin") -> FontIndex:
+    key = (scale, alphabet)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_font_index(scale, alphabet)
+    return _INDEX_CACHE[key]

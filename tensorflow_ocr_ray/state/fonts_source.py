@@ -23,7 +23,9 @@ def make_font_index(spec: dict) -> FontIndex:
     if kind == "builtin":
         from tensorflow_ocr_ray.fonts import get_font_index
 
-        return get_font_index(spec.get("scale", 3))
+        return get_font_index(
+            spec.get("scale", 3), spec.get("alphabet", "latin")
+        )
     if kind == "ref":
         import ray
 
