@@ -125,14 +125,19 @@ class SlidingWindowDecoder:
         """Greedy CTC collapse over the window label sequence: the model's
         BLANK class separates letters; consecutive repeats merge; a
         low-ink window is blank regardless (pure white never votes)."""
-        wins, _ = self.line_windows(strip)
+        return "".join(label for label, _ in self.decode_line_emits(strip))
+
+    def decode_line_emits(self, strip: np.ndarray) -> list[tuple[str, int]]:
+        """Greedy collapse returning (label, emit_left_px) pairs — the
+        positional info assembly needs for space insertion."""
+        wins, lefts = self.line_windows(strip)
         if not len(wins):
-            return ""
+            return []
         ink = wins.mean(axis=(1, 2))
         probs = self.model.predict_proba(wins)
         best = probs.argmax(axis=1)
         conf = probs[np.arange(len(best)), best]
-        out: list[str] = []
+        out: list[tuple[str, int]] = []
         prev_emit: str | None = None
         for i in range(len(wins)):
             label = self.model.vocab[best[i]]
@@ -145,6 +150,43 @@ class SlidingWindowDecoder:
                 prev_emit = None
                 continue
             if label != prev_emit:
-                out.append(label)
+                out.append((label, int(lefts[i])))
             prev_emit = label
-        return "".join(out)
+        return out
+
+    def decode_page(
+        self, image: np.ndarray, space_gap_frac: float = 1.2
+    ) -> str:
+        """Whole-page decode: line strips = maximal non-blank row runs
+        (the segmentation-free line finder), one decoded line each."""
+        nz = np.nonzero(image.any(axis=1))[0]
+        if not len(nz):
+            return ""
+        breaks = np.nonzero(np.diff(nz) > 1)[0]
+        starts = np.concatenate(([nz[0]], nz[breaks + 1]))
+        ends = np.concatenate((nz[breaks], [nz[-1]]))
+        lines = []
+        for r0, r1 in zip(starts, ends):
+            strip = image[r0 : r1 + 1]
+            cols = np.nonzero(strip.any(axis=0))[0]
+            strip = strip[:, max(cols[0] - 2, 0) : cols[-1] + 3]
+            lines.append(self.decode_line_text(strip, space_gap_frac))
+        return "\n".join(lines) + "\n"
+
+    def decode_line_text(
+        self, strip: np.ndarray, space_gap_frac: float = 1.2
+    ) -> str:
+        """decode_line + space insertion: emit positions more than
+        ``space_gap_frac x line_height`` apart get a space between them
+        (window emissions happen at letter centers, so adjacent letters
+        sit ~one window apart and word gaps farther)."""
+        emits = self.decode_line_emits(strip)
+        if not emits:
+            return ""
+        h = strip.shape[0]
+        parts = [emits[0][0]]
+        for (label, left), (_, prev_left) in zip(emits[1:], emits):
+            if left - prev_left > space_gap_frac * h:
+                parts.append(" ")
+            parts.append(label)
+        return "".join(parts)

@@ -73,3 +73,21 @@ def test_ctc_robust_to_gap_width(decoder):
     for gap in (8, 12, 16):
         got = decoder.decode_line(_strip(word, gap=gap))
         assert _is_subsequence(word, got)
+
+
+def test_ctc_page_decode_with_spaces(decoder):
+    """Page-level decode: blank-run line finding + positional space
+    insertion.  Generous inter-letter gaps (the regime greedy CTC handles
+    exactly); tight fixture gaps remain a known limitation
+    (BUILD_NOTES.md)."""
+    from tensorflow_ocr_ray.fixtures import PageSpec, render_page
+
+    spec = PageSpec(
+        lines=["HELLO dog", "abc HIHT"],
+        indents=[0, 0], para_breaks=[False, False],
+        letter_gap=12, word_gap=44,
+    )
+    # space threshold scales with line height; the generous letter gaps
+    # here need a wider setting than the fixture-default-gap 1.2
+    got = decoder.decode_page(render_page(spec), space_gap_frac=1.7)
+    assert got == "HELLO dog\nabc HIHT\n"
