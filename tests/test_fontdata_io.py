@@ -60,3 +60,20 @@ def test_parquet_roundtrip(tmp_path):
     back = parquet_to_font_index(path)
     assert back.labels == idx.labels
     assert np.array_equal(back.tuples, idx.tuples)
+
+
+def test_reference_data_write_read_stable(tmp_path):
+    """read -> write -> read of the reference's own kafka.data is a fixed
+    point: labels identical, tuples stable to the %0.3f quantization."""
+    import numpy as np
+
+    ref = read_data_file("/root/reference/main/fontData/kafka.data")
+    path = str(tmp_path / "rt.data")
+    write_data_file(path, ref)
+    back = read_data_file(path)
+    assert back.labels == ref.labels
+    assert np.allclose(back.tuples, ref.tuples, atol=2e-3)
+    # second round trip is bit-stable
+    write_data_file(path, back)
+    again = read_data_file(path)
+    assert np.array_equal(again.tuples, back.tuples)
