@@ -589,9 +589,12 @@ class PageSegmenter:
             self.copy_glyph(g, new_lines)
         self.lines[i : i + 1] = new_lines
         # the reference refills only the replaced line and its successor
-        # (segment.c:769-770)
+        # (segment.c:769-770), and refillLine's loop bound skips the LAST
+        # glyph of each line (segment.c:434-441).  In batch flow tuples
+        # are still None here (buildTuples runs later) so this is a no-op
+        # either way; reproduced for the interactive redo flow's sake.
         for line in self.lines[i : i + 2]:
-            for g in line.glyphs:
+            for g in line.glyphs[:-1]:
                 if g.tuple is not None:
                     refill_tuple(
                         g.tuple, g.left, g.right, g.top, g.bottom,
