@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_minmax_part": relational.q11_minmax_part,
         "q12_distinct_types": relational.q12_distinct_types,
         "q13_union_priority": relational.q13_union_priority,
+        "q14_top_customer_per_nation": relational.q14_top_customer_per_nation,
+        "q15_active_users": relational.q15_active_users,
         # windowed / ordered custom operators
         "events_sessionize": windows.sessionize,
         "events_tumbling": windows.tumbling_windows,
@@ -293,6 +295,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderpriority FROM orders
               WHERE o_orderpriority = '2-HIGH'
             ) GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q14_top_customer_per_nation": """
+            SELECT c_nationkey, c_custkey, c_acctbal FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer
+            ) WHERE rn = 1 ORDER BY c_nationkey
+        """,
+        "q15_active_users": """
+            SELECT user_id, count(*) AS events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+            HAVING count(*) >= 60
+            ORDER BY user_id
         """,
         "events_sessionize": """
             SELECT user_id, session_seq,

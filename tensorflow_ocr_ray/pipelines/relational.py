@@ -385,3 +385,53 @@ def q13_union_priority(sf_dir: str) -> pd.DataFrame:
     )
     df["n_orders"] = df["n_orders"].astype("int64")
     return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q14_top_customer_per_nation(sf_dir: str, k: int = 1) -> pd.DataFrame:
+    """Grouped top-k (argmax per group): highest-balance customer per
+    nation.  Map-side per-batch top-k, then a small driver-side final
+    top-k per key — the two-stage pattern that avoids a full sort."""
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["c_acctbal", "c_custkey"],
+                           ascending=[False, True])
+            .groupby("c_nationkey", as_index=False)
+            .head(k)
+        )
+
+    parts = ds.map_batches(
+        local_top, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    out = (
+        parts.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        .groupby("c_nationkey", as_index=False)
+        .head(k)
+    )
+    return (
+        out[["c_nationkey", "c_custkey", "c_acctbal"]]
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+
+
+def q15_active_users(sf_dir: str, min_events: int = 60) -> pd.DataFrame:
+    """Aggregate + HAVING: users with at least ``min_events`` events."""
+    ds = _pq(sf_dir, "events", ["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            p_n=("value", "size"), p_v=("value", "sum")
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    g = parts.groupby("user_id", as_index=False).agg(
+        events=("p_n", "sum"), v=("p_v", "sum")
+    )
+    g = g[g["events"] >= min_events]
+    g["events"] = g["events"].astype("int64")
+    g["total_value"] = g["v"].round(2)
+    return g.drop(columns=["v"]).sort_values("user_id").reset_index(drop=True)
