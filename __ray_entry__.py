@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_union_priority": relational.q13_union_priority,
         "q14_top_customer_per_nation": relational.q14_top_customer_per_nation,
         "q15_active_users": relational.q15_active_users,
+        "q16_event_quantiles": relational.q16_event_quantiles,
+        "q17_order_lineitem_join": relational.q17_order_lineitem_join,
         # windowed / ordered custom operators
         "events_sessionize": windows.sessionize,
         "events_tumbling": windows.tumbling_windows,
@@ -311,6 +313,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
             HAVING count(*) >= 60
             ORDER BY user_id
+        """,
+        "q16_event_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q17_order_lineitem_join": """
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   count(*) AS items,
+                   round(sum(l.l_quantity), 2) AS sum_qty
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority
+            ORDER BY o.o_orderkey
         """,
         "events_sessionize": """
             SELECT user_id, session_seq,

@@ -435,3 +435,65 @@ def q15_active_users(sf_dir: str, min_events: int = 60) -> pd.DataFrame:
     g["events"] = g["events"].astype("int64")
     g["total_value"] = g["v"].round(2)
     return g.drop(columns=["v"]).sort_values("user_id").reset_index(drop=True)
+
+
+def q16_event_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group discrete quantiles (p50/p90) — DuckDB's
+    quantile_disc picks the sorted value at index ceil(q*n)-1."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy())
+        n = len(v)
+
+        def disc(q: float) -> float:
+            return float(v[max(int(np.ceil(q * n)) - 1, 0)])
+
+        return pd.DataFrame(
+            {"event_type": [df["event_type"].iloc[0]],
+             "p50": [disc(0.5)], "p90": [disc(0.9)]}
+        )
+
+    df = (
+        ds.groupby("event_type")
+        .map_groups(quantiles, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q17_order_lineitem_join(sf_dir: str) -> pd.DataFrame:
+    """Fact-to-fact join via Ray Data's native hash join: per-order
+    lineitem aggregates joined back to the orders table (both sides
+    hash-partitioned on the key; neither is broadcast)."""
+    line = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            p_items=("l_quantity", "size"), p_qty=("l_quantity", "sum")
+        )
+
+    per_order = line.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).groupby("l_orderkey").aggregate(
+        Sum("p_items", alias_name="items"), Sum("p_qty", alias_name="qty")
+    )
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # NOTE: Ray 2.49's hash-join aggregator actors carry ~30s fixed cost
+    # at this scale regardless of num_partitions; kept because it exercises
+    # the NATIVE join operator — the broadcast pattern (q03/q05) is the
+    # fast path for small-side joins
+    joined = orders.join(
+        per_order, "inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    df = joined.to_pandas()
+    out = pd.DataFrame(
+        {
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderpriority": df["o_orderpriority"],
+            "items": df["items"].astype("int64"),
+            "sum_qty": df["qty"].round(2),
+        }
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
