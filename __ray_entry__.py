@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed / ordered custom operators
         "events_sessionize": windows.sessionize,
         "events_tumbling": windows.tumbling_windows,
+        "events_hopping": windows.hopping_windows,
         "asof_event_order": windows.asof_event_order,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -352,6 +353,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            SELECT user_id, window_start, count(*) AS events,
+                   round(sum(value), 2) AS total_value
+            FROM (
+              SELECT user_id, value,
+                     time_bucket(INTERVAL 30 MINUTE, ts)
+                       - (j * INTERVAL 30 MINUTE) AS window_start
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)
+            ) GROUP BY user_id, window_start
         """,
         "asof_event_order": """
             SELECT event_id, user_id, o_orderkey, o_orderdate FROM (

@@ -159,3 +159,51 @@ def asof_event_order(sf_dir: str) -> pd.DataFrame:
     )
     df = df[df["o_orderkey"] >= 0]
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+def hopping_windows(
+    sf_dir: str, width_minutes: int = 60, hop_minutes: int = 30
+) -> pd.DataFrame:
+    """Per-user HOPPING (overlapping) windows: width 60min, hop 30min —
+    each event contributes to width/hop windows.  Map-side expansion to
+    (user, window_start) partials keeps the shuffle small."""
+    width = np.timedelta64(width_minutes * 60, "s")
+    hop = np.timedelta64(hop_minutes * 60, "s")
+    epoch = np.datetime64("1970-01-01T00:00:00")
+    k = width_minutes // hop_minutes  # windows per event
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy()
+        # last hop-aligned window start covering ts, then k-1 earlier ones
+        last = epoch + ((ts - epoch) // hop) * hop
+        frames = []
+        for j in range(k):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": df["user_id"].to_numpy(),
+                        "window_start": last - j * hop,
+                        "value": df["value"].to_numpy(),
+                    }
+                )
+            )
+        g = (
+            pd.concat(frames)
+            .groupby(["user_id", "window_start"], as_index=False)
+            .agg(p_events=("value", "size"), p_value=("value", "sum"))
+        )
+        return g
+
+    parts = (
+        _events(sf_dir, ["user_id", "ts", "value"])
+        .map_batches(expand, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    df = parts.groupby(["user_id", "window_start"], as_index=False).agg(
+        events=("p_events", "sum"), v=("p_value", "sum")
+    )
+    df["events"] = df["events"].astype("int64")
+    df["total_value"] = df["v"].round(2)
+    return df.drop(columns=["v"]).sort_values(
+        ["user_id", "window_start"]
+    ).reset_index(drop=True)
