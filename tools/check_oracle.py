@@ -56,7 +56,7 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
             ok = x.astype(str).equals(y.astype(str))
         if not ok:
             mism = (x.astype(str) != y.astype(str)).idxmax()
-            return False, f"col {col}差 at row {mism}: {x[mism]!r} vs {y[mism]!r}"
+            return False, f"col {col} differs at row {mism}: {x[mism]!r} vs {y[mism]!r}"
     return True, "ok"
 
 
