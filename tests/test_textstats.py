@@ -82,3 +82,28 @@ def test_winnow_fingerprint_deterministic_and_shift_robust():
     f2 = winnow_fingerprint("the quick brown fox jumps over the lazy dog")
     assert f1 == f2 and len(f1) > 0
     assert winnow_fingerprint("") == []
+
+
+def test_bpe_ish_tokens():
+    from tensorflow_ocr_ray.functions.textstats import bpe_ish_tokens
+
+    assert bpe_ish_tokens("don't stop, now!") == [
+        "don't", "stop", ",", "now", "!",
+    ]
+    assert bpe_ish_tokens("") == []
+
+
+def test_lang_id_yiddish_script():
+    from tensorflow_ocr_ray.functions.textstats import lang_id
+
+    assert lang_id("דער מאן האט ליב א שיין מיידל") == "yi"
+
+
+def test_quality_score_penalizes_junk():
+    from tensorflow_ocr_ray.functions.textstats import quality_features
+
+    clean = quality_features(
+        "The quick brown fox jumps over the lazy dog near the river bank."
+    )
+    junk = quality_features("@@@@ ---- !!!! #### $$$$ %%%%")
+    assert clean["quality_score"] > junk["quality_score"]
