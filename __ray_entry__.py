@@ -70,6 +70,37 @@ def _ocr_fused(sf_dir: str):
     return out.map_batches(explode_documents, batch_format="pyarrow")
 
 
+def _ocr_flood(sf_dir: str):
+    """The -x flood-fill segmentation config through the full pipeline."""
+    from tensorflow_ocr_ray.config import FIXTURE_CONFIG
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import (
+        explode_documents,
+        ocr_documents,
+    )
+
+    ds, _ = _fixture_docs(sf_dir)
+    out = ocr_documents(
+        ds, mode="fused", concurrency=(1, 8), batch_size=8,
+        cfg=FIXTURE_CONFIG.with_(use_flood=True),
+    )
+    return out.map_batches(explode_documents, batch_format="pyarrow")
+
+
+def _ocr_postprocessed(sf_dir: str):
+    """The Perl postprocess chain (fixutf8 | fixSholem) applied per span."""
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import (
+        explode_documents,
+        ocr_documents,
+    )
+
+    ds, _ = _fixture_docs(sf_dir)
+    out = ocr_documents(
+        ds, mode="fused", concurrency=(1, 8), batch_size=8,
+        postprocess=["fixutf8", "fixsholem"],
+    )
+    return out.map_batches(explode_documents, batch_format="pyarrow")
+
+
 def _ocr_glyph_stream(sf_dir: str):
     from tensorflow_ocr_ray.pipelines.ocr_pipeline import explode_documents
     from tensorflow_ocr_ray.stages.ocr_stages import GlyphDumpStage
@@ -207,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OCR pipeline (rows-only; correctness gated by pytest span-equality)
         "ocr_extract_exploded": _ocr_exploded,
         "ocr_extract_fused": _ocr_fused,
+        "ocr_extract_flood": _ocr_flood,
+        "ocr_extract_postprocessed": _ocr_postprocessed,
         "ocr_glyph_stream": _ocr_glyph_stream,
         "ocr_glyph_stats": _glyph_stats,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
