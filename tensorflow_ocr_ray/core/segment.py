@@ -277,22 +277,24 @@ class PageSegmenter:
             bottom, right = min(bottom, self.h - 1), min(right, self.w - 1)
             if bottom < top or right < left:
                 continue
-            # trim blank borders (bottom/right are inclusive here); left and
-            # right trims use the pre-trim top/bottom, as in the reference
+            # Trim + split from ONE scan per axis.  The C recursion trims
+            # blank borders then splits at one blank line nearest the middle
+            # and recurses; blank structure along one axis is invariant
+            # under trimming/splitting along the other (removed rows/cols
+            # are blank across the whole region), so the leaf set equals
+            # the maximal non-blank RUN decomposition, and the runs of the
+            # pre-row-trim column scan remain valid afterwards.
             colc = self._col_counts(top, bottom, left, right)
-            nz = np.nonzero(colc)[0]
-            if len(nz):
-                left, right = left + int(nz[0]), left + int(nz[-1])
-            else:
+            nzc = np.nonzero(colc)[0]
+            if not len(nzc):
                 continue  # fully blank region
+            base_left = left
+            left, right = left + int(nzc[0]), left + int(nzc[-1])
             rowc = self._row_counts(top, bottom, left, right)
-            nz = np.nonzero(rowc)[0]
-            if len(nz):
-                new_top, new_bottom = top + int(nz[0]), top + int(nz[-1])
-                rowc = rowc[nz[0] : nz[-1] + 1]
-                top, bottom = new_top, new_bottom
-            else:
+            nzr = np.nonzero(rowc)[0]
+            if not len(nzr):
                 continue
+            top, bottom = top + int(nzr[0]), top + int(nzr[-1])
             height = bottom + 1 - top
             width = right + 1 - left
             if (
@@ -301,29 +303,26 @@ class PageSegmenter:
                 or height * width < cfg.min_glyph_area
             ):
                 continue
-            # Blank-row/col splitting.  The C recursion splits at ONE blank
-            # line nearest the middle and recurses on the halves; since
-            # blank-row structure is invariant under blank-column trimming
-            # (and vice versa — trimmed rows/cols are blank across the whole
-            # region, so they contribute ink nowhere), the recursion's leaf
-            # set equals the maximal non-blank RUN decomposition, computed
-            # here in one pass per region instead of O(log) re-scans.
-            nzr = np.nonzero(rowc)[0]
-            breaks = np.nonzero(np.diff(nzr) > 1)[0]
-            if len(breaks):
-                starts = np.concatenate(([nzr[0]], nzr[breaks + 1]))
-                ends = np.concatenate((nzr[breaks], [nzr[-1]]))
+            rbreaks = np.nonzero(np.diff(nzr) > 1)[0]
+            if len(rbreaks):
+                starts = np.concatenate(([nzr[0]], nzr[rbreaks + 1]))
+                ends = np.concatenate((nzr[rbreaks], [nzr[-1]]))
+                # nzr is relative to the PRE-trim top (trim shifted top by
+                # nzr[0], so rebase against the original offset)
+                base_top = top - int(nzr[0])
                 for s, e in zip(starts, ends):
-                    stack.append((top + int(s), top + int(e), left, right))
+                    stack.append(
+                        (base_top + int(s), base_top + int(e), left, right)
+                    )
                 continue
-            colc = self._col_counts(top, bottom, left, right)
-            nzc = np.nonzero(colc)[0]
-            breaks = np.nonzero(np.diff(nzc) > 1)[0]
-            if len(breaks):
-                starts = np.concatenate(([nzc[0]], nzc[breaks + 1]))
-                ends = np.concatenate((nzc[breaks], [nzc[-1]]))
+            cbreaks = np.nonzero(np.diff(nzc) > 1)[0]
+            if len(cbreaks):
+                starts = np.concatenate(([nzc[0]], nzc[cbreaks + 1]))
+                ends = np.concatenate((nzc[cbreaks], [nzc[-1]]))
                 for s, e in zip(starts, ends):
-                    stack.append((top, bottom, left + int(s), left + int(e)))
+                    stack.append(
+                        (top, bottom, base_left + int(s), base_left + int(e))
+                    )
                 continue
             if (right + 1 - left > cfg.max_glyph_width) or (
                 bottom - top > cfg.max_glyph_height
