@@ -303,7 +303,7 @@ class PageSegmenter:
                 or height * width < cfg.min_glyph_area
             ):
                 continue
-            rbreaks = np.nonzero(np.diff(nzr) > 1)[0]
+            rbreaks = np.nonzero(nzr[1:] - nzr[:-1] > 1)[0]
             if len(rbreaks):
                 starts = np.concatenate(([nzr[0]], nzr[rbreaks + 1]))
                 ends = np.concatenate((nzr[rbreaks], [nzr[-1]]))
@@ -315,7 +315,7 @@ class PageSegmenter:
                         (base_top + int(s), base_top + int(e), left, right)
                     )
                 continue
-            cbreaks = np.nonzero(np.diff(nzc) > 1)[0]
+            cbreaks = np.nonzero(nzc[1:] - nzc[:-1] > 1)[0]
             if len(cbreaks):
                 starts = np.concatenate(([nzc[0]], nzc[cbreaks + 1]))
                 ends = np.concatenate((nzc[cbreaks], [nzc[-1]]))
