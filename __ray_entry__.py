@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         doc_stats_batch,
         fingerprint_batch,
         langid_batch,
+        normalize_batch,
         quality_batch,
     )
     from tensorflow_ocr_ray.pipelines import (
@@ -235,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _doc_map(quality_batch),
         "doc_langid": _doc_map(langid_batch),
         "doc_fingerprints": _doc_map(fingerprint_batch),
+        "doc_normalize": _doc_map(normalize_batch),
         # OCR pipeline (rows-only; correctness gated by pytest span-equality)
         "ocr_extract_exploded": _ocr_exploded,
         "ocr_extract_fused": _ocr_fused,
@@ -422,6 +424,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": r"""
             SELECT doc_id, n_chars,
                    len(string_split_regex(trim(text), '\s+')) AS tokens
+            FROM documents
+        """,
+        "doc_normalize": """
+            SELECT doc_id, nfc_normalize(text) AS text_nfc,
+                   length(nfc_normalize(text)) AS n_chars_nfc
             FROM documents
         """,
         "ann_topk_brute": """

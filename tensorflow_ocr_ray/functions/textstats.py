@@ -256,3 +256,21 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
             ),
         }
     )
+
+
+def normalize_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Text canonicalization for training corpora: NFC unicode
+    normalization (SQL-checkable vs DuckDB nfc_normalize) + NFC length."""
+    import unicodedata
+
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "text_nfc": df["text"].map(
+                lambda t: unicodedata.normalize("NFC", t)
+            ),
+            "n_chars_nfc": df["text"].map(
+                lambda t: len(unicodedata.normalize("NFC", t))
+            ).astype("int64"),
+        }
+    )
