@@ -158,8 +158,12 @@ def ocr_documents(
     num_blocks: int | None = None,
     reassemble_buckets: int = 64,
     scorer_spec: dict | None = None,
+    ray_remote_args: dict | None = None,
 ) -> "ray.data.Dataset":
-    """Build the lazy OCR Dataset; see module docstring for the two plans."""
+    """Build the lazy OCR Dataset; see module docstring for the two plans.
+
+    ``ray_remote_args`` reaches the OCR actor pool (e.g. ``num_gpus`` for
+    GPU scorer deployments, ``num_cpus`` to change per-actor sizing)."""
     kwargs = dict(
         cfg=cfg,
         font_spec=font_spec,
@@ -167,6 +171,7 @@ def ocr_documents(
         postprocess=postprocess,
         scorer_spec=scorer_spec,
     )
+    remote = ray_remote_args or {}
     if mode == "fused":
         return ds.map_batches(
             OcrDocumentStage,
@@ -174,6 +179,7 @@ def ocr_documents(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
+            **remote,
         )
     if mode != "exploded":
         raise ValueError(f"unknown mode {mode!r}")
@@ -187,6 +193,7 @@ def ocr_documents(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        **remote,
     )
 
     # The ONE wide shuffle: co-locate each document's spans.  Key = a

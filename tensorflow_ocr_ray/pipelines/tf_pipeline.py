@@ -120,9 +120,16 @@ def tf_agreement(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("label").reset_index(drop=True)
 
 
-def ocr_with_scorer(sf_dir: str, kind: str) -> "rd.Dataset":
+def ocr_with_scorer(
+    sf_dir: str, kind: str, num_gpus: float = 0
+) -> "rd.Dataset":
     """step3 as one lazy pipeline: assembly labeled by the trained scorer
-    (dense K5/K8 or conv K7) instead of kNN."""
+    (dense K5/K8 or conv K7) instead of kNN.
+
+    ``num_gpus`` is forwarded to the actor pool (the north star's GPU
+    scorer shape: weights loaded once per GPU actor, batched inference);
+    this sandbox has no GPUs, so the default keeps the pure-numpy CPU
+    path."""
     from tensorflow_ocr_ray.pipelines.ocr_pipeline import (
         explode_documents,
         ocr_documents,
@@ -131,11 +138,13 @@ def ocr_with_scorer(sf_dir: str, kind: str) -> "rd.Dataset":
 
     docs = generate_documents(32, seed=42)
     epochs = {"dense": 600, "cnn": 120}[kind]
+    remote = {"ray_remote_args": {"num_gpus": num_gpus}} if num_gpus else {}
     out = ocr_documents(
         rd.from_arrow(docs),
         mode="fused",
         concurrency=(1, 4),
         batch_size=8,
         scorer_spec={"kind": kind, "epochs": epochs},
+        **remote,
     )
     return out.map_batches(explode_documents, batch_format="pyarrow")
