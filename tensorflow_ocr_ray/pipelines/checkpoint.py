@@ -30,9 +30,11 @@ from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
 
 
 def _fingerprint(path: str) -> str:
+    # name + size + mtime: a same-size content rewrite still invalidates
+    # the partition (hashing 100 TB of input per resume is not an option)
     st = os.stat(path)
     return hashlib.md5(
-        f"{os.path.basename(path)}:{st.st_size}".encode()
+        f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
 
 
