@@ -18,7 +18,6 @@ from tensorflow_ocr_ray.fixtures import expected_documents, generate_documents
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.timeout(300)
 def test_kill_and_resume(tmp_path, ray_session):
     from tensorflow_ocr_ray.fixtures import write_documents_parquet
 
