@@ -723,10 +723,17 @@ class PageSegmenter:
         positions = np.empty(height, dtype=np.int64)
         img = self.image
         top = g.top
+        # the C's "bad starting place" probe reads (yIndex, xStart) where
+        # yIndex is STALE — the final row of the previous failed walk, only
+        # reset to top AFTER the check (segment.c:1577-1585).  Deterministic,
+        # so mirrored: state carried across start columns AND between the
+        # forward and backward passes.
+        stale_y = top
 
         def walk(prefer_left: bool) -> np.ndarray | None:
+            nonlocal stale_y
             for x_start in range(g.left, g.right):
-                if img[top, x_start] != 0:
+                if img[stale_y, x_start] != 0:
                     continue
                 positions[0] = x_start
                 y = top
@@ -792,6 +799,7 @@ class PageSegmenter:
                             break
                     if not moved:
                         break
+                stale_y = y  # next start column's probe row (C quirk)
                 if y == g.bottom - 1:
                     return positions.copy()
             return None
