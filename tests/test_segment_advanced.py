@@ -112,3 +112,30 @@ def test_rtl_page_end_to_end():
     # log2vis with an RTL base reverses the glyph sequence visually:
     # physically-left א renders last
     assert res.text.strip() == "בא"
+
+
+def test_split_of_top_bridged_pair():
+    """Two 'l' bars joined by a 1-px top bridge: the path walk correctly
+    FAILS (every start pixel on the glyph's top row is ink —
+    tryPathSeparation needs a blank start, segment.c:1577) and the
+    straight sweep (tolerant of the bridge remnant) splits instead."""
+    idx = get_font_index()
+    l = glyph_bitmap("l")
+    h, w = l.shape
+    page = np.zeros((h + 20, 4 * w + 80), dtype=np.uint8)
+    page[10 : 10 + h, 10 : 10 + w] |= l            # page-average anchors
+    page[10 : 10 + h, 20 + w : 20 + 2 * w] |= l
+    x = 40 + 2 * w
+    page[10 : 10 + h, x : x + w] |= l
+    page[10 : 10 + h, x + w + 2 : x + 2 * w + 2] |= l
+    page[10, x : x + 2 * w + 2] = 1                # the bridge
+    seg = PageSegmenter(page, FIXTURE_CONFIG, idx)
+    assert seg.find_lines(0)
+    glyphs = [g for li in seg.lines for g in li.glyphs]
+    assert len(glyphs) == 3
+    seg.build_tuples()
+    # the path walk refuses: every start pixel on the top row is ink
+    bridged = max(glyphs, key=lambda g: g.width)
+    assert seg.try_path_separation(bridged) is None
+    seg.split_wide_glyphs()
+    assert len([g for li in seg.lines for g in li.glyphs]) == 4
