@@ -370,9 +370,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS events, round(sum(value), 2) AS total_value
             FROM (
               SELECT user_id, ts, value,
-                     sum(new_sess) OVER (
+                     CAST(sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) AS session_seq
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
               FROM (
                 SELECT user_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL
