@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_dedup": dedup.minhash_dedup,
+        "minhash_verified_pairs": dedup.minhash_verified_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
@@ -420,6 +421,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a
             JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE jaccard(a.text, b.text) >= 0.95
+        """,
+        # 3-gram shingle Jaccard rebuilt from string shingles (the
+        # pipeline's crc32 shingle hashing is injective on these corpora);
+        # sim is the raw DOUBLE ratio on both sides -> bit-identical hash
+        "ngram_jaccard_pairs": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, source, t,
+                     unnest(generate_series(1, greatest(length(t)-2, 1))) AS i
+              FROM t WHERE length(t) > 0
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, source,
+                     CASE WHEN length(t) < 3 THEN t
+                          ELSE substring(t, CAST(i AS INT), 3) END AS s
+              FROM pos
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+              FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s
+                                  AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   CAST(i.isz AS DOUBLE)/(ca.n+cb.n-i.isz) AS sim
+            FROM inter i
+            JOIN cnt ca ON ca.doc_id = i.doc_a
+            JOIN cnt cb ON cb.doc_id = i.doc_b
+            WHERE CAST(i.isz AS DOUBLE)/(ca.n+cb.n-i.isz) >= 0.5
         """,
         "doc_tokens": r"""
             SELECT doc_id, n_chars,

@@ -17,6 +17,7 @@ All hashing is deterministic (crc/md5); no salted ``hash()`` anywhere.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -50,9 +51,15 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
     return df[["text", "keeper_doc_id", "copies"]]
 
 
-def _pairs_in_bucket(df: pd.DataFrame, set_fn, threshold: float) -> pd.DataFrame:
+def _pairs_in_bucket(
+    df: pd.DataFrame, set_fn, threshold: float, digits: int | None = 4
+) -> pd.DataFrame:
     """Quadratic pair scan within one bucket, with the per-doc set computed
-    ONCE (set Jaccard per pair is then two set ops, not two re-parses)."""
+    ONCE (set Jaccard per pair is then two set ops, not two re-parses).
+
+    ``digits=None`` emits the raw IEEE double ratio — bit-identical to a
+    SQL ``CAST(isz AS DOUBLE)/union`` on the same integers, so the oracle
+    hash-compares exactly without rounding-mode hazards."""
     df = df.sort_values("doc_id")
     ids = df["doc_id"].tolist()
     sets = [set_fn(t) for t in df["text"]]
@@ -67,7 +74,8 @@ def _pairs_in_bucket(df: pd.DataFrame, set_fn, threshold: float) -> pd.DataFrame
                 union = len(si | sj)
                 s = len(si & sj) / union if union else 0.0
             if s >= threshold:
-                rows.append((ids[i], ids[j], round(s, 4)))
+                rows.append((ids[i], ids[j],
+                             round(s, digits) if digits is not None else s))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "sim"]).astype(
         {"doc_a": "int64", "doc_b": "int64", "sim": "float64"}
     )
@@ -90,32 +98,26 @@ def char_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
-    """Same-source pairs with 3-gram shingle Jaccard ≥ threshold."""
+    """Same-source pairs with 3-gram shingle Jaccard ≥ threshold.
+
+    ``sim`` is the unrounded double ratio so the DuckDB shingle-join
+    oracle (string 3-grams, same ws-collapse + lowercase normalization)
+    hash-matches bit-for-bit; crc32 shingle hashing is collision-free on
+    these corpora (asserted in tests)."""
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
     out = ds.groupby("source").map_groups(
-        lambda df: _pairs_in_bucket(df, char_shingles, threshold),
+        lambda df: _pairs_in_bucket(df, char_shingles, threshold, digits=None),
         batch_format="pandas",
     )
     return out.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def minhash_dedup(
-    sf_dir: str,
-    num_perm: int = 64,
-    bands: int = 16,
-    verify_threshold: float = 0.6,
-) -> pd.DataFrame:
-    """MinHash+LSH near-dup detection.
-
-    Plan: signature per doc (actor stage, hasher built once) → flat_map to
-    (band_key, doc_id, signature) → groupby(band_key) emits candidate
-    pairs → exact-verify candidates with true shingle Jaccard → cluster by
-    union-find → (doc_id, cluster_rep).  Verification re-reads texts via a
-    broadcast map at this scale; at 100 TB it becomes a hash-join of the
-    candidate-pair list against the corpus.
-    """
-    ds = _docs(sf_dir, ["doc_id", "text"])
-
+def _minhash_candidates(
+    ds: "rd.Dataset", num_perm: int, bands: int
+) -> "rd.Dataset":
+    """LSH candidate pairs: signature per doc (actor stage, hasher built
+    once) → (band_key, doc_id) rows → groupby(band_shard) emits same-band
+    pairs.  May contain duplicates (a pair agreeing in several bands)."""
     n_shards = 64  # coarse shuffle key: O(shards) group calls, not O(bands)
 
     class Signatures:
@@ -152,38 +154,152 @@ def minhash_dedup(
                     rows_b.append(ids[j])
         return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b}).astype("int64")
 
-    cand = (
-        banded.groupby("band_shard")
-        .map_groups(shard_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    return banded.groupby("band_shard").map_groups(
+        shard_pairs, batch_format="pandas"
     )
-    # exact verification on the candidate set: shingle sets computed ONCE
-    # per doc (recomputing per pair is quadratic in practice — a 500-doc
-    # corpus here yields ~50k candidate pairs), then set-intersection per
-    # pair.  At 100 TB this dict becomes a ray.put broadcast consumed by a
-    # map_batches over the candidate-pair list.
-    shingle_sets = {
-        r["doc_id"]: char_shingles(r["text"])
-        for b in _docs(sf_dir, ["doc_id", "text"]).iter_batches(
-            batch_format="pandas"
+
+
+def minhash_verified_pairs(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    verify_threshold: float = 0.6,
+) -> pd.DataFrame:
+    """LSH candidate pairs exact-verified with true shingle Jaccard, fully
+    distributed (no whole-corpus driver state):
+
+    1. candidates via banded MinHash (``_minhash_candidates``);
+    2. the distinct candidate doc_ids become a broadcast semi-join filter
+       (``ray.put`` once — at extreme scale this set becomes a bloom
+       filter) so shingle extraction touches only colliding docs;
+    3. each pair is exploded into two half-rows keyed by doc id, unioned
+       with the (filtered) per-doc shingle-hash rows, and a
+       ``groupby(doc).map_groups`` attaches the shingle array to each
+       half — a shuffle hash-join over candidate-sized data only;
+    4. ``groupby(pair).map_groups`` reunites halves and computes exact
+       Jaccard on the two int32-hash arrays (``np.intersect1d``).
+
+    Only the verified edge list (tiny) ever reaches the driver.
+    """
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cand = _minhash_candidates(ds, num_perm, bands)
+
+    # distinct candidate ids -> broadcast filter (semi-join small side)
+    cand_ids = set()
+    for b in cand.iter_batches(batch_format="pandas"):
+        cand_ids.update(b["doc_a"].tolist())
+        cand_ids.update(b["doc_b"].tolist())
+    if not cand_ids:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "sim"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "sim": "float64"}
         )
-        for r in b.to_dict("records")
-    }
+    ids_ref = ray.put(cand_ids)
 
-    def _jac(a: int, b: int) -> float:
-        sa, sb = shingle_sets[a], shingle_sets[b]
-        if not sa and not sb:
-            return 1.0
-        union = len(sa | sb)
-        return len(sa & sb) / union if union else 0.0
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        df = df[df["doc_id"].isin(ids)]
+        sh = [
+            np.sort(np.fromiter(char_shingles(t), dtype=np.int64, count=-1))
+            for t in df["text"]
+        ]
+        key = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {"join_key": key,
+             "doc_a": np.int64(-1), "doc_b": np.int64(-1),
+             "side": np.int64(-1), "sh": sh,
+             "join_shard": key % 64}
+        )
 
-    verified = [
-        (a, b)
-        for a, b in zip(cand.get("doc_a", []), cand.get("doc_b", []))
-        if _jac(a, b) >= verify_threshold
-    ]
-    # union-find clustering
+    shingles = ds.map_batches(
+        shingle_rows, batch_format="pandas", batch_size=4096
+    )
+
+    n_join_shards = 64  # coarse shuffle keys: one vectorized merge per
+    # shard, not one python call per doc/pair group
+
+    def halves(df: pd.DataFrame) -> pd.DataFrame:
+        empty = [np.empty(0, dtype=np.int64)] * len(df)
+        a = pd.DataFrame(
+            {"join_key": df["doc_a"], "doc_a": df["doc_a"],
+             "doc_b": df["doc_b"], "side": np.int64(0), "sh": empty}
+        )
+        b = pd.DataFrame(
+            {"join_key": df["doc_b"], "doc_a": df["doc_a"],
+             "doc_b": df["doc_b"], "side": np.int64(1), "sh": empty}
+        )
+        out = pd.concat([a, b], ignore_index=True)
+        out["join_shard"] = out["join_key"] % n_join_shards
+        return out
+
+    half = cand.map_batches(halves, batch_format="pandas")
+
+    def attach_shard(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized hash-join inside one shard: sh rows merged onto the
+        pair half-rows on join_key."""
+        sh_rows = df[df["side"] == -1][["join_key", "sh"]]
+        pairs = df[df["side"] >= 0].drop_duplicates(
+            ["doc_a", "doc_b", "side"]
+        )[["join_key", "doc_a", "doc_b", "side"]]
+        out = pairs.merge(sh_rows, on="join_key", how="inner")
+        out = out[["doc_a", "doc_b", "side", "sh"]].copy()
+        out["pair_shard"] = (
+            (out["doc_a"] * np.int64(1_000_003) + out["doc_b"])
+            % n_join_shards
+        )
+        return out
+
+    attached = half.union(shingles).groupby("join_shard").map_groups(
+        attach_shard, batch_format="pandas"
+    )
+
+    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
+        """Reunite pair halves within a shard; exact Jaccard per pair on
+        the two sorted hash arrays."""
+        s0 = df[df["side"] == 0][["doc_a", "doc_b", "sh"]]
+        s1 = df[df["side"] == 1][["doc_a", "doc_b", "sh"]]
+        m = s0.merge(s1, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
+        rows_a, rows_b, sims = [], [], []
+        for da, db, sa, sb in zip(m["doc_a"], m["doc_b"],
+                                  m["sh_a"], m["sh_b"]):
+            sa = np.asarray(sa, dtype=np.int64)
+            sb = np.asarray(sb, dtype=np.int64)
+            if len(sa) == 0 and len(sb) == 0:
+                sim = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                sim = inter / union if union else 0.0
+            if sim >= verify_threshold:
+                rows_a.append(int(da))
+                rows_b.append(int(db))
+                sims.append(round(float(sim), 4))
+        return pd.DataFrame(
+            {"doc_a": rows_a, "doc_b": rows_b, "sim": sims}
+        ).astype({"doc_a": "int64", "doc_b": "int64", "sim": "float64"})
+
+    verified = attached.groupby("pair_shard").map_groups(
+        verify_shard, batch_format="pandas"
+    )
+    df = verified.to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "sim"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "sim": "float64"}
+        )
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def minhash_dedup(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    verify_threshold: float = 0.6,
+) -> pd.DataFrame:
+    """MinHash+LSH near-dup clustering: verified edges (distributed, see
+    ``minhash_verified_pairs``) → union-find on the tiny edge list →
+    (doc_id, cluster_rep)."""
+    pairs = minhash_verified_pairs(sf_dir, num_perm, bands, verify_threshold)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -193,8 +309,8 @@ def minhash_dedup(
             x = parent[x]
         return x
 
-    for a, b in verified:
-        ra, rbb = find(a), find(b)
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rbb = find(int(a)), find(int(b))
         if ra != rbb:
             parent[max(ra, rbb)] = min(ra, rbb)
     rows = [

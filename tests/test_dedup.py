@@ -1,0 +1,112 @@
+"""Distributed dedup pipelines vs single-process reference semantics.
+
+The MinHash+LSH pipeline has no SQL oracle (LSH candidate generation is
+probabilistic-by-construction, recall < 1 near the threshold), so parity
+against a straightforward single-process implementation of the identical
+algorithm is the correctness gate here.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_minhash(sf_dir: str, num_perm=64, bands=16, threshold=0.6):
+    """Single-process re-derivation of candidates -> verified -> clusters."""
+    from tensorflow_ocr_ray.functions.textstats import MinHasher, char_shingles
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    mh = MinHasher(num_perm=num_perm)
+    buckets: dict[int, list[int]] = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        sig = mh.signature(text)
+        for key in mh.band_keys(sig, bands=bands):
+            buckets.setdefault(key, []).append(int(did))
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    sh = {int(d): char_shingles(t) for d, t in zip(docs.doc_id, docs.text)}
+    verified = []
+    for a, b in sorted(pairs):
+        sa, sb = sh[a], sh[b]
+        union = len(sa | sb)
+        s = (len(sa & sb) / union) if union else 1.0
+        if s >= threshold:
+            verified.append((a, b))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = pd.DataFrame(
+        [{"doc_id": d, "cluster_rep": find(d)} for d in sorted(parent)],
+        columns=["doc_id", "cluster_rep"],
+    ).astype("int64")
+    return verified, clusters
+
+
+def test_minhash_verified_pairs_matches_reference(ray_session):
+    from tensorflow_ocr_ray.pipelines import dedup
+
+    verified, _ = _reference_minhash(SF)
+    got = dedup.minhash_verified_pairs(SF)
+    assert set(zip(got.doc_a, got.doc_b)) == set(verified)
+
+
+def test_minhash_dedup_clusters_match_reference(ray_session):
+    from tensorflow_ocr_ray.pipelines import dedup
+
+    _, clusters = _reference_minhash(SF)
+    got = dedup.minhash_dedup(SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), clusters.reset_index(drop=True)
+    )
+
+
+def test_char_shingle_crc_injective_on_corpus():
+    """The ngram oracle rebuilds shingles as strings; the pipeline hashes
+    them with crc32.  Equality of the two requires crc injectivity over
+    the corpus shingle vocabulary — asserted here."""
+    import re
+    import zlib
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    ws = re.compile(r"\s+")
+    seen: dict[int, str] = {}
+    for t in docs.text:
+        t = ws.sub(" ", t.strip().lower())
+        for i in range(max(1, len(t) - 2)):
+            s = t[i : i + 3] if len(t) >= 3 else t
+            h = zlib.crc32(s.encode()) & 0xFFFFFFFF
+            assert seen.setdefault(h, s) == s, f"crc collision: {s!r}"
+
+
+def test_exact_dedup_keeps_min_doc_id(ray_session):
+    from tensorflow_ocr_ray.pipelines import dedup
+
+    df = dedup.dedup_exact(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ref = (
+        docs.groupby("text")
+        .agg(keeper_doc_id=("doc_id", "min"), copies=("doc_id", "size"))
+        .reset_index()
+    ).astype({"keeper_doc_id": "int64", "copies": "int64"})
+    merged = df.sort_values("text").reset_index(drop=True)
+    ref = ref.sort_values("text").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, ref[merged.columns.tolist()])
