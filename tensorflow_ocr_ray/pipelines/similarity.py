@@ -69,6 +69,24 @@ def ann_topk_brute(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataFr
     return tops.reset_index(drop=True).astype({"vec_id": "int64"})
 
 
+def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.normal(size=(n_planes, dim))
+
+
+def _probe_codes(q: np.ndarray, planes: np.ndarray, probes: int) -> set[int]:
+    """Multiprobe code ring: the query's exact code plus the ``probes``
+    Hamming-1 neighbors whose plane margin |q·p| is smallest (the planes
+    the query sits closest to — the classic multiprobe ordering)."""
+    n_planes = planes.shape[0]
+    proj = planes @ q
+    q_code = int((proj > 0).astype(np.uint32) @ (1 << np.arange(n_planes)))
+    cand_codes = {q_code}
+    for flip in np.argsort(np.abs(proj))[: max(0, probes)]:
+        cand_codes.add(q_code ^ (1 << int(flip)))
+    return cand_codes
+
+
 def ann_topk_lsh(
     sf_dir: str,
     k: int = 10,
@@ -78,17 +96,13 @@ def ann_topk_lsh(
     seed: int = 11,
 ) -> pd.DataFrame:
     """LSH-bucketed ANN: sign-of-projection bucket codes; search the query
-    bucket plus its ``probes`` nearest Hamming-neighbor buckets."""
+    bucket plus its ``probes`` nearest Hamming-neighbor buckets (multiprobe
+    by smallest plane margin).  This variant scans-and-filters each batch;
+    ``build_lsh_index`` + ``ann_topk_lsh_indexed`` is the scale path that
+    prunes unprobed buckets at the READ (bucket = partition key)."""
     q = _query_vector(sf_dir, query_vec_id)
-    dim = q.shape[0]
-    rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.normal(size=(n_planes, dim))
-    q_code = int(((planes @ q) > 0).astype(np.uint32) @ (1 << np.arange(n_planes)))
-    # candidate buckets: exact code, then codes at hamming distance 1..,
-    # until `probes` bucket-flips are allowed
-    cand_codes = {q_code}
-    for flip in range(n_planes):
-        cand_codes.add(q_code ^ (1 << flip))
+    planes = _lsh_planes(q.shape[0], n_planes, seed)
+    cand_codes = _probe_codes(q, planes, probes)
     planes_ref = ray.put(planes)
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
@@ -127,41 +141,155 @@ def ann_topk_lsh(
     return out.reset_index(drop=True).astype({"vec_id": "int64"})
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (SQL-oracle-checkable).
+def build_lsh_index(
+    sf_dir: str, index_dir: str, n_planes: int = 8, seed: int = 11
+) -> int:
+    """Write the embeddings table re-partitioned by LSH bucket code
+    (one ``code=N`` hive directory per bucket).  A probed query then READS
+    only its probe-ring partitions — the pruning happens at the source,
+    not as a post-read filter.  Returns the number of distinct buckets."""
+    import pyarrow.parquet as pq
 
-    Scale shape: per-batch normalization + a driver-side blocked matmul of
-    the normalized matrix (500xD here).  At 100 TB the same op becomes
-    LSH-bucketed (``ann_topk_lsh``'s codes as the partition key) so only
-    same-bucket blocks multiply."""
+    dim = len(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0]
+    )
+    planes = _lsh_planes(dim, n_planes, seed)
+    planes_ref = ray.put(planes)
+
+    def code_batch(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(planes_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = ((m @ p.T) > 0).astype(np.uint32) @ (
+            1 << np.arange(p.shape[0])
+        )
+        out = df.copy()
+        out["code"] = codes.astype(np.int64)
+        return out
+
+    ds = _emb(sf_dir).map_batches(code_batch, batch_format="pandas")
+    ds.write_parquet(index_dir, partition_cols=["code"])
+    import os
+
+    return sum(1 for d in os.listdir(index_dir) if d.startswith("code="))
+
+
+def ann_topk_lsh_indexed(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    query_vec_id: int | None = None,
+    n_planes: int = 8,
+    probes: int = 3,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """ANN over a ``build_lsh_index`` table: only the probe-ring bucket
+    partitions are read (missing buckets are skipped); brute-force cosine
+    inside them."""
+    import os
+
+    q = np.asarray(query, dtype=np.float64)
+    planes = _lsh_planes(q.shape[0], n_planes, seed)
+    codes = _probe_codes(q, planes, probes)
+    paths = [
+        os.path.join(bucket_dir, f)
+        for c in sorted(codes)
+        if os.path.isdir(bucket_dir := os.path.join(index_dir, f"code={c}"))
+        for f in sorted(os.listdir(bucket_dir))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return pd.DataFrame({"vec_id": [], "sim": []}).astype(
+            {"vec_id": "int64", "sim": "float64"}
+        )
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m @ self.q) / norms
+            out = pd.DataFrame(
+                {"vec_id": df["vec_id"].values, "sim": np.round(sims, 4)}
+            )
+            if query_vec_id is not None:
+                out = out[out["vec_id"] != query_vec_id]
+            return out
+
+    scored = rd.read_parquet(paths).map_batches(
+        Score, batch_format="pandas", batch_size=4096, concurrency=2
+    ).to_pandas()
+    out = scored.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"vec_id": "int64"})
+
+
+def embedding_dup_pairs(
+    sf_dir: str, threshold: float = 0.4, block_size: int = 2048
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT (SQL-oracle-checkable).
+
+    Distributed blocked matmul: the corpus is normalized into B blocks
+    held in the object store (block refs, never on the driver); one Ray
+    task per block pair (i ≤ j) multiplies the two blocks and emits only
+    the qualifying pairs.  Driver memory = O(result), compute = O(N²/B)
+    spread over the cluster — the exact-answer scale shape.  (The
+    approximate path for corpora where O(N²) is off the table is LSH
+    bucketing via ``build_lsh_index``.)"""
+    import pyarrow as pa
+
     ds = _emb(sf_dir)
 
-    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    def normalize(batch: "pa.Table") -> "pa.Table":
+        df = batch.to_pandas()
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
-        return pd.DataFrame(
-            {"vec_id": df["vec_id"].values, "normed": list(m / n)}
+        return pa.table(
+            {"vec_id": pa.array(df["vec_id"], type=pa.int64()),
+             "normed": pa.array(list(m / n))}
         )
 
-    parts = (
-        ds.map_batches(normalize, batch_format="pandas")
-        .to_pandas()
-        .sort_values("vec_id")
-        .reset_index(drop=True)
-    )
-    ids = parts["vec_id"].to_numpy()
-    m = np.stack(parts["normed"].to_numpy())
-    sims = m @ m.T
-    ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-    order = np.lexsort((ids[ib], ids[ia]))
-    ia, ib = ia[order], ib[order]
-    return pd.DataFrame(
-        {
-            "vec_a": ids[ia].astype("int64"),
-            "vec_b": ids[ib].astype("int64"),
-            "sim": np.round(sims[ia, ib], 4),
-        }
+    blocks = ds.map_batches(
+        normalize, batch_format="pyarrow", batch_size=block_size
+    ).to_arrow_refs()
+
+    @ray.remote
+    def block_pair(ta: "pa.Table", tb: "pa.Table", same: bool) -> pd.DataFrame:
+        ids_a = ta.column("vec_id").to_numpy()
+        ids_b = tb.column("vec_id").to_numpy()
+        ma = np.stack(ta.column("normed").to_pylist())
+        mb = np.stack(tb.column("normed").to_pylist())
+        sims = ma @ mb.T
+        if same:
+            mask = np.triu(sims >= threshold, k=1)
+        else:
+            mask = sims >= threshold
+        ia, ib = np.nonzero(mask)
+        a, b = ids_a[ia], ids_b[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"vec_a": lo.astype("int64"), "vec_b": hi.astype("int64"),
+             "sim": np.round(sims[ia, ib], 4)}
+        )
+
+    futs = [
+        block_pair.remote(blocks[i], blocks[j], i == j)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    parts = [p for p in ray.get(futs) if len(p)]
+    if not parts:
+        return pd.DataFrame(columns=["vec_a", "vec_b", "sim"]).astype(
+            {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+        )
+    out = pd.concat(parts, ignore_index=True)
+    return (
+        out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     )
 
 

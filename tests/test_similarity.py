@@ -69,3 +69,70 @@ def test_brute_real_table_shape(ray_session):
     df = ann_topk_brute(SF, k=10)
     assert len(df) == 10
     assert df["sim"].tolist() == sorted(df["sim"].tolist(), reverse=True)
+
+
+def test_lsh_probes_limits_bucket_ring(ray_session):
+    """probes=P must allow exactly the exact-code bucket + P flips."""
+    import numpy as np
+    from tensorflow_ocr_ray.pipelines.similarity import (
+        _lsh_planes, _probe_codes,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    q = rng.normal(size=32)
+    planes = _lsh_planes(32, 8, seed=11)
+    for probes in (0, 1, 3, 8):
+        codes = _probe_codes(q, planes, probes)
+        assert len(codes) == probes + 1
+    # the multiprobe ordering flips the smallest-margin planes first
+    proj = planes @ q
+    base = int((proj > 0).astype(np.uint32) @ (1 << np.arange(8)))
+    codes1 = _probe_codes(q, planes, 1)
+    flipped = (codes1 - {base}).pop() ^ base
+    assert flipped == 1 << int(np.argmin(np.abs(proj)))
+
+
+def test_lsh_index_prunes_partitions(ray_session, planted_dir, tmp_path):
+    """Indexed ANN reads only the probe-ring bucket dirs and still finds
+    every planted near-duplicate."""
+    import os
+
+    import numpy as np
+    from tensorflow_ocr_ray.pipelines.similarity import (
+        _lsh_planes, _probe_codes, _query_vector,
+        ann_topk_lsh_indexed, build_lsh_index,
+    )
+
+    idx = str(tmp_path / "lsh_idx")
+    n_buckets = build_lsh_index(planted_dir, idx)
+    assert n_buckets >= 2  # pruning is real: >1 partition exists
+    q = _query_vector(planted_dir, 0)
+    df = ann_topk_lsh_indexed(idx, q, k=10, query_vec_id=0)
+    assert _planted_recall(df) == 1.0
+    # the probe ring is a strict subset of all buckets when sparse enough
+    codes = _probe_codes(q, _lsh_planes(q.shape[0], 8, 11), probes=3)
+    on_disk = {int(d.split("=")[1]) for d in os.listdir(idx)
+               if d.startswith("code=")}
+    assert len(codes & on_disk) < len(on_disk)
+
+
+def test_embedding_dup_pairs_blocked_matches_single_matmul(ray_session):
+    """Blocked block-pair matmul == one global matmul (exactness)."""
+    import numpy as np
+    import pandas as pd
+    from tensorflow_ocr_ray.pipelines.similarity import embedding_dup_pairs
+
+    got = embedding_dup_pairs(SF, threshold=0.4, block_size=64)  # many blocks
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ia, ib = np.nonzero(np.triu(sims >= 0.4, k=1))
+    ref = pd.DataFrame(
+        {"vec_a": np.minimum(ids[ia], ids[ib]).astype("int64"),
+         "vec_b": np.maximum(ids[ia], ids[ib]).astype("int64"),
+         "sim": np.round(sims[ia, ib], 4)}
+    ).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
