@@ -75,8 +75,8 @@ def tumbling_windows(sf_dir: str, width_minutes: int = 60) -> pd.DataFrame:
         ts = df["ts"].to_numpy()
         win = epoch + ((ts - epoch) // width) * width
         g = (
-            df.assign(window_start=win)
-            .groupby(["user_id", "window_start"], as_index=False)
+            df.assign(win_us=win.astype("datetime64[us]").astype("int64"))
+            .groupby(["user_id", "win_us"], as_index=False)
             .agg(p_events=("value", "size"), p_value=("value", "sum"))
         )
         return g
@@ -84,20 +84,44 @@ def tumbling_windows(sf_dir: str, width_minutes: int = 60) -> pd.DataFrame:
     ds = _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
         bucket, batch_format="pandas", batch_size=65536
     )
-    # final combine of the map-side partials: ≤ |users|x|windows| rows by
-    # construction, so a driver-side pandas groupby beats a distributed
-    # sort-shuffle (Ray's timestamp-keyed groupby measured 45s for 10k
-    # partial rows); at genuinely large key cardinality switch this to
-    # ds.groupby([...]).aggregate(Sum(...))
-    parts = ds.to_pandas()
-    df = parts.groupby(["user_id", "window_start"], as_index=False).agg(
-        events=("p_events", "sum"), v=("p_value", "sum")
+    return _combine_window_partials(ds)
+
+
+def _combine_window_partials(ds: "rd.Dataset", n_shards: int = 64) -> pd.DataFrame:
+    """Distributed finalize of map-side window partials: one shuffle keyed
+    by a coarse user-hash shard, then a VECTORIZED pandas groupby-sum per
+    shard (Ray's per-(user,timestamp)-key aggregate was measured ~45s for
+    10k partial rows; the sharded combine is sub-second and stays off the
+    driver — each shard sees only its users' partials)."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = df["user_id"] % n_shards
+        return df
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "win_us"], as_index=False).agg(
+            events=("p_events", "sum"), v=("p_value", "sum")
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "window_start": g["win_us"].astype("datetime64[us]"),
+                "events": g["events"].astype("int64"),
+                "total_value": g["v"].round(2),
+            }
+        )
+        return out
+
+    agg = (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
     )
-    df["events"] = df["events"].astype("int64")
-    df["total_value"] = df["v"].round(2)
-    return df.drop(columns=["v"]).sort_values(
-        ["user_id", "window_start"]
-    ).reset_index(drop=True)
+    return (
+        agg.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    )
 
 
 def asof_event_order(sf_dir: str) -> pd.DataFrame:
@@ -182,28 +206,20 @@ def hopping_windows(
                 pd.DataFrame(
                     {
                         "user_id": df["user_id"].to_numpy(),
-                        "window_start": last - j * hop,
+                        "win_us": (last - j * hop)
+                        .astype("datetime64[us]").astype("int64"),
                         "value": df["value"].to_numpy(),
                     }
                 )
             )
         g = (
             pd.concat(frames)
-            .groupby(["user_id", "window_start"], as_index=False)
+            .groupby(["user_id", "win_us"], as_index=False)
             .agg(p_events=("value", "size"), p_value=("value", "sum"))
         )
         return g
 
-    parts = (
-        _events(sf_dir, ["user_id", "ts", "value"])
-        .map_batches(expand, batch_format="pandas", batch_size=65536)
-        .to_pandas()
+    ds = _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+        expand, batch_format="pandas", batch_size=65536
     )
-    df = parts.groupby(["user_id", "window_start"], as_index=False).agg(
-        events=("p_events", "sum"), v=("p_value", "sum")
-    )
-    df["events"] = df["events"].astype("int64")
-    df["total_value"] = df["v"].round(2)
-    return df.drop(columns=["v"]).sort_values(
-        ["user_id", "window_start"]
-    ).reset_index(drop=True)
+    return _combine_window_partials(ds)
