@@ -24,15 +24,28 @@ import ray.data as rd
 from tensorflow_ocr_ray.config import TF_UNKNOWN
 
 
-def _fixture_spans(sf_dir: str, n_docs: int = 48, seed: int = 42):
+_TIER_DOCS = {"sf0.001": 16, "sf0.01": 48, "sf0.1": 128}
+_TIER_SCORER_DOCS = {"sf0.001": 12, "sf0.01": 32, "sf0.1": 96}
+
+
+def _tier(sf_dir: str, table: dict, default: int) -> int:
+    return table.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], default)
+
+
+def _fixture_spans(sf_dir: str, n_docs: int | None = None, seed: int = 42):
+    """Deterministic interleaved corpus sized by the sf tier (the media
+    payloads are synthetic — /root/testdata carries none — but the corpus
+    SIZE tracks the tier so bench/correctness signal scales)."""
     from tensorflow_ocr_ray.fixtures import generate_documents
     from tensorflow_ocr_ray.pipelines.ocr_pipeline import explode_documents
 
+    if n_docs is None:
+        n_docs = _tier(sf_dir, _TIER_DOCS, 48)
     docs = generate_documents(n_docs, seed=seed)
     return rd.from_arrow(explode_documents(docs))
 
 
-def glyph_features(sf_dir: str, n_docs: int = 48) -> "rd.Dataset":
+def glyph_features(sf_dir: str, n_docs: int | None = None) -> "rd.Dataset":
     """step1: the -T dump as a Dataset (one row per glyph)."""
     from tensorflow_ocr_ray.stages.ocr_stages import GlyphDumpStage
 
@@ -42,7 +55,7 @@ def glyph_features(sf_dir: str, n_docs: int = 48) -> "rd.Dataset":
     )
 
 
-def dense_predictions(sf_dir: str, n_docs: int = 48, epochs: int = 600) -> "rd.Dataset":
+def dense_predictions(sf_dir: str, n_docs: int | None = None, epochs: int = 600) -> "rd.Dataset":
     """step2: train on the font table (driver-side, sub-second at this
     vocab size), broadcast weights, predict per glyph row."""
     import ray
@@ -126,25 +139,44 @@ def ocr_with_scorer(
     """step3 as one lazy pipeline: assembly labeled by the trained scorer
     (dense K5/K8 or conv K7) instead of kNN.
 
+    Training happens exactly ONCE, driver-side; the weights go to the
+    object store via ``ray.put`` and every pool actor loads the same
+    broadcast state in ``__init__`` (never retrains — enforced by
+    ``_OcrBase._make_classifier``).
+
     ``num_gpus`` is forwarded to the actor pool (the north star's GPU
     scorer shape: weights loaded once per GPU actor, batched inference);
     this sandbox has no GPUs, so the default keeps the pure-numpy CPU
     path."""
+    import ray
+
     from tensorflow_ocr_ray.pipelines.ocr_pipeline import (
         explode_documents,
         ocr_documents,
     )
     from tensorflow_ocr_ray.fixtures import generate_documents
 
-    docs = generate_documents(32, seed=42)
-    epochs = {"dense": 600, "cnn": 120}[kind]
+    n_docs = _tier(sf_dir, _TIER_SCORER_DOCS, 32)
+    docs = generate_documents(n_docs, seed=42)
+    if kind == "dense":
+        from tensorflow_ocr_ray.fonts import get_font_index
+        from tensorflow_ocr_ray.models.dense import train_on_font_index
+
+        model, _ = train_on_font_index(get_font_index(), epochs=600)
+    elif kind == "cnn":
+        from tensorflow_ocr_ray.models.cnn import train_on_font_windows
+
+        model, _ = train_on_font_windows(epochs=120)
+    else:
+        raise ValueError(f"unknown scorer kind {kind!r}")
+    state_ref = ray.put(model.to_state())
     remote = {"ray_remote_args": {"num_gpus": num_gpus}} if num_gpus else {}
     out = ocr_documents(
         rd.from_arrow(docs),
         mode="fused",
         concurrency=(1, 4),
         batch_size=8,
-        scorer_spec={"kind": kind, "epochs": epochs},
+        scorer_spec={"kind": kind, "state_ref": state_ref},
         **remote,
     )
     return out.map_batches(explode_documents, batch_format="pyarrow")

@@ -56,37 +56,36 @@ class _OcrBase:
     def _make_classifier(self, spec: dict | None):
         """Scorer behind one interface (SURVEY §7.0): None/"knn" keeps the
         reference kNN ocrValue; "dense" loads broadcast weights (K5/K8);
-        "cnn" loads the conv scorer over fixed glyph windows (K7)."""
+        "cnn" loads the conv scorer over fixed glyph windows (K7).
+
+        Actors NEVER train: weights are trained once on the driver and
+        shipped as ``state`` (inline) or ``state_ref`` (``ray.put``
+        broadcast — the actor-pool path; N actors fetch one copy from the
+        object store instead of running N redundant trainings)."""
         if not spec or spec.get("kind") in (None, "knn"):
             return None
         kind = spec["kind"]
+        state = spec.get("state")
+        if state is None and "state_ref" in spec:
+            import ray
+
+            state = ray.get(spec["state_ref"])
+        if state is None:
+            raise ValueError(
+                f"scorer spec for {kind!r} must carry 'state' or "
+                "'state_ref' — train driver-side (models.dense."
+                "train_on_font_index / models.cnn.train_on_font_windows) "
+                "and broadcast; actors never train"
+            )
         if kind == "dense":
             from tensorflow_ocr_ray.models.dense import DenseModel
 
-            if "state" in spec:
-                model = DenseModel.from_state(spec["state"])
-            else:
-                from tensorflow_ocr_ray.models.dense import train_on_font_index
-
-                model, _ = train_on_font_index(
-                    self.index,
-                    hidden=spec.get("hidden", 256),
-                    epochs=spec.get("epochs", 600),
-                )
-            return model.predict
+            return DenseModel.from_state(state).predict
         if kind == "cnn":
             from tensorflow_ocr_ray.models.cnn import CnnModel
 
-            if "state" in spec:
-                model = CnnModel.from_state(spec["state"])
-            else:
-                from tensorflow_ocr_ray.models.cnn import train_on_font_windows
-
-                model, _ = train_on_font_windows(
-                    epochs=spec.get("epochs", 40)
-                )
             self.classifier_input = "windows"
-            return model.predict
+            return CnnModel.from_state(state).predict
         raise ValueError(f"unknown scorer kind {kind!r}")
 
     def _ocr_ref(self, ref: str) -> str:

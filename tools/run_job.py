@@ -66,7 +66,20 @@ def main() -> int:
     concurrency = args.concurrency or max(1, cpus - 1)
     from tensorflow_ocr_ray.pipelines.checkpoint import run_checkpointed
 
-    scorer_spec = None if args.scorer == "knn" else {"kind": args.scorer}
+    # scorers train exactly once, here on the driver; actors load the
+    # broadcast weights (never retrain)
+    scorer_spec = None
+    if args.scorer == "dense":
+        from tensorflow_ocr_ray.fonts import get_font_index
+        from tensorflow_ocr_ray.models.dense import train_on_font_index
+
+        model, _ = train_on_font_index(get_font_index(), epochs=600)
+        scorer_spec = {"kind": "dense", "state_ref": ray.put(model.to_state())}
+    elif args.scorer == "cnn":
+        from tensorflow_ocr_ray.models.cnn import train_on_font_windows
+
+        model, _ = train_on_font_windows(epochs=120)
+        scorer_spec = {"kind": "cnn", "state_ref": ray.put(model.to_state())}
     reports = run_checkpointed(
         files,
         args.output,
