@@ -16,7 +16,7 @@ import numpy as np
 from tensorflow_ocr_ray.config import OcrConfig, TUPLELENGTH
 from tensorflow_ocr_ray.core.assemble import assemble_page_text
 from tensorflow_ocr_ray.core.knn import FontIndex
-from tensorflow_ocr_ray.core.raster import decode_payload, deskew
+from tensorflow_ocr_ray.core.raster import decode_payload_pages, deskew
 from tensorflow_ocr_ray.core.segment import PageSegmenter
 
 
@@ -34,12 +34,14 @@ class GlyphRecord:
     features: np.ndarray  # (27,) float32, normalized
     label: str
     dist2: float
+    page_idx: int = 0
 
 
 @dataclass
 class PageResult:
     text: str
     glyphs: list[GlyphRecord] = field(default_factory=list)
+    n_glyphs: int = 0  # set even when glyph records aren't collected
 
 
 def ocr_page_image(
@@ -79,6 +81,7 @@ def ocr_page_image(
     texts: list[str] = []
     glyph_records: list[GlyphRecord] = []
     pred_cursor = 0
+    total_glyphs = 0
     for col in col_order:
         if not seg.find_lines(col):
             continue
@@ -117,6 +120,7 @@ def ocr_page_image(
             n = len(values)
             values = predictions[pred_cursor : pred_cursor + n]
             pred_cursor += n
+        total_glyphs += len(values)
         # build assembly input + glyph records
         lines_payload = []
         k = 0
@@ -163,7 +167,9 @@ def ocr_page_image(
                 cfg.space_fraction,
             )
         )
-    return PageResult(text="".join(texts), glyphs=glyph_records)
+    return PageResult(
+        text="".join(texts), glyphs=glyph_records, n_glyphs=total_glyphs
+    )
 
 
 def ocr_payload(
@@ -175,10 +181,34 @@ def ocr_payload(
     classifier=None,
     classifier_input: str = "features",
 ) -> PageResult:
-    """Decode a media payload and OCR it (readPicture + the page loop)."""
-    image = decode_payload(payload, cfg.cutoff)
-    return ocr_page_image(
-        image, cfg, index, collect_glyphs=collect_glyphs,
-        predictions=predictions, classifier=classifier,
-        classifier_input=classifier_input,
-    )
+    """Decode a media payload and OCR it (readPicture + the page loop).
+
+    Multi-page payloads (chained TIFF IFDs — the reference iterates page
+    directories, ``main/readPicture.c:223-233``) OCR every page in
+    directory order; page texts concatenate in order and glyph records
+    carry ``page_idx``.  Positional ``predictions`` consume across pages
+    continuously, exactly like the reference's shared file cursor."""
+    pages = decode_payload_pages(payload, cfg.cutoff)
+    if len(pages) == 1:
+        return ocr_page_image(
+            pages[0], cfg, index, collect_glyphs=collect_glyphs,
+            predictions=predictions, classifier=classifier,
+            classifier_input=classifier_input,
+        )
+    texts: list[str] = []
+    glyphs: list[GlyphRecord] = []
+    total = 0
+    cursor = 0
+    for page_idx, image in enumerate(pages):
+        res = ocr_page_image(
+            image, cfg, index, collect_glyphs=collect_glyphs,
+            predictions=predictions[cursor:] if predictions is not None else None,
+            classifier=classifier, classifier_input=classifier_input,
+        )
+        cursor += res.n_glyphs
+        texts.append(res.text)
+        for g in res.glyphs:
+            g.page_idx = page_idx
+        glyphs.extend(res.glyphs)
+        total += res.n_glyphs
+    return PageResult(text="".join(texts), glyphs=glyphs, n_glyphs=total)

@@ -57,49 +57,79 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def decode_tiff(payload: bytes) -> tuple[np.ndarray, int]:
-    """Minimal baseline-TIFF reader: first IFD, bilevel or 8-bit gray,
-    uncompressed (1) or PackBits (32773), strip-organized.
-
-    Returns (image, bits_per_sample) where a bilevel image is already
-    photometric-normalized to 1 = ink.
-    """
+def _parse_ifds(payload: bytes) -> list[dict[int, list[int]]]:
+    """All IFDs of a (possibly multi-page) TIFF, in page order."""
     bo = "<" if payload[:4] == TIFF_LE else ">"
     (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
-    (n_tags,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
-    tags: dict[int, list[int]] = {}
     TYPE_SIZE = {1: 1, 3: 2, 4: 4}
-    for t in range(n_tags):
-        off = ifd_off + 2 + t * 12
-        tag, typ, count = struct.unpack(bo + "HHI", payload[off : off + 8])
-        if typ not in TYPE_SIZE:
-            continue
-        size = TYPE_SIZE[typ] * count
-        if size <= 4:
-            raw = payload[off + 8 : off + 8 + size]
-        else:
-            (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
-            raw = payload[voff : voff + size]
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
-        tags[tag] = list(struct.unpack(bo + fmt * count, raw))
+    ifds: list[dict[int, list[int]]] = []
+    while ifd_off:
+        (n_tags,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+        tags: dict[int, list[int]] = {}
+        for t in range(n_tags):
+            off = ifd_off + 2 + t * 12
+            tag, typ, count = struct.unpack(bo + "HHI", payload[off : off + 8])
+            if typ not in TYPE_SIZE:
+                continue
+            size = TYPE_SIZE[typ] * count
+            if size <= 4:
+                raw = payload[off + 8 : off + 8 + size]
+            else:
+                (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
+                raw = payload[voff : voff + size]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack(bo + fmt * count, raw))
+        ifds.append(tags)
+        next_off = ifd_off + 2 + n_tags * 12
+        (ifd_off,) = struct.unpack(bo + "I", payload[next_off : next_off + 4])
+    return ifds
+
+
+def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray, int]:
+    """One IFD → (image, bits).  Bilevel output is photometric-normalized
+    to 1 = ink.  Compressions: none (1), CCITT Group 4 (4), LZW (5,
+    with horizontal-differencing predictor), PackBits (32773) — the
+    formats libtiff-backed scanned corpora actually use
+    (``main/readPicture.c:36-117`` reads via TIFFReadRGBAImage)."""
     width, height = tags[256][0], tags[257][0]
     bits = tags.get(258, [1])[0]
     compression = tags.get(259, [1])[0]
     photometric = tags.get(262, [1])[0]
+    predictor = tags.get(317, [1])[0]
     offsets = tags[273]
     rows_per_strip = tags.get(278, [height])[0]
     counts = tags.get(279, [len(payload) - offsets[0]])
     if bits not in (1, 8):
         raise ValueError(f"unsupported TIFF BitsPerSample {bits}")
-    if compression not in (1, 32773):
+    if compression not in (1, 4, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     row_bytes = (width * bits + 7) // 8
+
+    if compression == 4:  # CCITT T.6 — decodes straight to pixels
+        from tensorflow_ocr_ray.core.ccitt import decode_g4
+
+        if bits != 1:
+            raise ValueError("G4 compression requires bilevel data")
+        rows = []
+        for i, (soff, scount) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, height - i * rows_per_strip)
+            rows.append(
+                decode_g4(payload[soff : soff + scount], width, nrows)
+            )
+        img = np.concatenate(rows, axis=0)
+        # G4 1 = black ink; photometric 0 (WhiteIsZero) is the fax norm
+        return (img if photometric == 0 else 1 - img).astype(np.uint8), 1
+
     data = bytearray()
     for i, (soff, scount) in enumerate(zip(offsets, counts)):
         strip = payload[soff : soff + scount]
         nrows = min(rows_per_strip, height - i * rows_per_strip)
         if compression == 32773:
             strip = _packbits_decode(strip, nrows * row_bytes)
+        elif compression == 5:
+            from tensorflow_ocr_ray.core.tiff_lzw import lzw_decode
+
+            strip = lzw_decode(strip, nrows * row_bytes)
         data += strip
     buf = np.frombuffer(bytes(data), dtype=np.uint8, count=height * row_bytes)
     if bits == 1:
@@ -108,23 +138,46 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, int]:
         # photometric 0 = WhiteIsZero → set bit means ink already
         return (img if photometric == 0 else 1 - img).astype(np.uint8), 1
     img = buf.reshape(height, width)
+    if compression == 5 and predictor == 2:  # horizontal differencing
+        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
     if photometric == 0:  # WhiteIsZero gray: invert to BlackIsZero scale
         img = 255 - img
     return img, 8
 
 
-def encode_tiff(image: np.ndarray, bilevel: bool, packbits: bool = False) -> bytes:
-    """Minimal single-IFD TIFF writer (fixtures/tests): bilevel (1 = ink,
-    photometric WhiteIsZero) or 8-bit gray, single strip."""
+def decode_tiff_pages(payload: bytes) -> list[tuple[np.ndarray, int]]:
+    """Every page of a multi-page TIFF, in directory order (the reference
+    iterates page directories, ``main/readPicture.c:223-233``)."""
+    return [_decode_ifd(payload, tags) for tags in _parse_ifds(payload)]
+
+
+def decode_tiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """First page only (back-compat single-page reader)."""
+    return _decode_ifd(payload, _parse_ifds(payload)[0])
+
+
+_COMPRESSION_IDS = {None: 1, "none": 1, "packbits": 32773, "g4": 4, "lzw": 5}
+
+
+def _encode_page_body(
+    image: np.ndarray, bilevel: bool, compression: str | None
+) -> tuple[bytes, int, int, int]:
+    """(strip bytes, bits, photometric, compression id) for one page."""
     image = np.ascontiguousarray(image.astype(np.uint8))
-    h, w = image.shape
+    comp_id = _COMPRESSION_IDS[compression]
     if bilevel:
-        body = np.packbits(image, axis=1).tobytes()
         bits, photometric = 1, 0
+        if comp_id == 4:
+            from tensorflow_ocr_ray.core.ccitt import encode_g4
+
+            return encode_g4(image), bits, photometric, comp_id
+        body = np.packbits(image, axis=1).tobytes()
     else:
-        body = image.tobytes()
+        if comp_id == 4:
+            raise ValueError("G4 compression requires bilevel data")
         bits, photometric = 8, 1
-    if packbits:
+        body = image.tobytes()
+    if comp_id == 32773:
         out = bytearray()
         # naive literal-only PackBits (always decodable)
         for i in range(0, len(body), 128):
@@ -132,27 +185,84 @@ def encode_tiff(image: np.ndarray, bilevel: bool, packbits: bool = False) -> byt
             out.append(len(chunk) - 1)
             out += chunk
         body = bytes(out)
-    tags = [
-        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
-        (259, 3, 1, 32773 if packbits else 1), (262, 3, 1, photometric),
-        (273, 4, 1, None),  # strip offset, patched below
-        (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(body)),
-    ]
-    ifd_off = 8
-    data_off = ifd_off + 2 + len(tags) * 12 + 4
-    out = bytearray(struct.pack("<4sI", TIFF_LE, ifd_off))
-    out += struct.pack("<H", len(tags))
-    for tag, typ, count, value in tags:
-        if value is None:
-            value = data_off
-        out += struct.pack("<HHII", tag, typ, count, value)
-    out += struct.pack("<I", 0)  # next IFD
-    out += body
+    elif comp_id == 5:
+        from tensorflow_ocr_ray.core.tiff_lzw import lzw_encode
+
+        body = lzw_encode(body)
+    return body, bits, photometric, comp_id
+
+
+def encode_tiff_multi(
+    images: list[np.ndarray],
+    bilevel: bool,
+    compression: str | None = None,
+) -> bytes:
+    """Multi-page little-endian TIFF writer (fixtures/tests): chained
+    IFDs, one strip per page; compressions none/"packbits"/"g4"/"lzw"."""
+    if not images:
+        raise ValueError("need at least one page")
+    N_TAGS = 9
+    header = 8
+    out = bytearray(struct.pack("<4sI", TIFF_LE, header))
+    ifd_size = 2 + N_TAGS * 12 + 4
+    pos = header
+    for p, image in enumerate(images):
+        body, bits, photometric, comp_id = _encode_page_body(
+            image, bilevel, compression
+        )
+        h, w = image.shape
+        data_off = pos + ifd_size
+        next_ifd = data_off + len(body) if p + 1 < len(images) else 0
+        tags = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+            (259, 3, 1, comp_id), (262, 3, 1, photometric),
+            (273, 4, 1, data_off),
+            (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(body)),
+        ]
+        out += struct.pack("<H", len(tags))
+        for tag, typ, count, value in tags:
+            out += struct.pack("<HHII", tag, typ, count, value)
+        out += struct.pack("<I", next_ifd)
+        out += body
+        pos = next_ifd
     return bytes(out)
 
 
+def encode_tiff(
+    image: np.ndarray,
+    bilevel: bool,
+    packbits: bool = False,
+    compression: str | None = None,
+) -> bytes:
+    """Single-page TIFF writer; ``packbits=True`` is legacy shorthand for
+    ``compression="packbits"``."""
+    if packbits and compression is None:
+        compression = "packbits"
+    return encode_tiff_multi([image], bilevel, compression)
+
+
+def _binarize_page(img: np.ndarray, bits: int, cutoff: float) -> np.ndarray:
+    if bits == 1:
+        return img
+    cutoff_total = int(np.floor(3 * 256 * cutoff + 0.5))
+    return (3 * img.astype(np.int32) <= cutoff_total).astype(np.uint8)
+
+
+def decode_payload_pages(payload: bytes, cutoff: float = 0.50) -> list[np.ndarray]:
+    """All pages of a media payload as bitonal char images (uint8 0/1).
+    Single-page formats (OCR1/OCR8) yield one page; multi-page TIFFs one
+    per directory, in order."""
+    if payload[:4] in (TIFF_LE, TIFF_BE):
+        return [
+            _binarize_page(img, bits, cutoff)
+            for img, bits in decode_tiff_pages(payload)
+        ]
+    return [decode_payload(payload, cutoff)]
+
+
 def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
-    """Decode a media payload to the bitonal char image (uint8 0/1).
+    """Decode a media payload to the bitonal char image (uint8 0/1) —
+    first page for multi-page payloads.
 
     Grayscale payloads are binarized with the reference's threshold rule
     (``main/readPicture.c:100-107``): a pixel is ink (1) iff the summed RGB
@@ -160,10 +270,7 @@ def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
     """
     if payload[:4] in (TIFF_LE, TIFF_BE):
         img, bits = decode_tiff(payload)
-        if bits == 1:
-            return img
-        cutoff_total = int(np.floor(3 * 256 * cutoff + 0.5))
-        return (3 * img.astype(np.int32) <= cutoff_total).astype(np.uint8)
+        return _binarize_page(img, bits, cutoff)
     magic, rest = payload[:4], payload[4:]
     h, w = struct.unpack("<II", rest[:8])
     body = rest[8:]

@@ -141,7 +141,7 @@ class GlyphDumpStage(_OcrBase):
 
         doc_ids, span_idxs, line_idxs, glyph_idxs = [], [], [], []
         lefts, rights, tops, bottoms = [], [], [], []
-        feats, labels, dists = [], [], []
+        feats, labels, dists, page_idxs = [], [], [], []
         kinds = batch.column("kind").to_pylist()
         refs = batch.column("media_ref").to_pylist()
         ids = batch.column("doc_id").to_pylist()
@@ -155,6 +155,7 @@ class GlyphDumpStage(_OcrBase):
             for g in res.glyphs:
                 doc_ids.append(doc_id)
                 span_idxs.append(off)
+                page_idxs.append(g.page_idx)
                 line_idxs.append(g.line_idx)
                 glyph_idxs.append(g.glyph_idx)
                 lefts.append(g.left)
@@ -168,6 +169,7 @@ class GlyphDumpStage(_OcrBase):
             {
                 "doc_id": pa.array(doc_ids, type=pa.string()),
                 "span_idx": pa.array(span_idxs, type=pa.int32()),
+                "page_idx": pa.array(page_idxs, type=pa.int32()),
                 "line_idx": pa.array(line_idxs, type=pa.int32()),
                 "glyph_idx": pa.array(glyph_idxs, type=pa.int32()),
                 "left": pa.array(lefts, type=pa.int32()),

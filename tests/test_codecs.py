@@ -1,0 +1,83 @@
+"""CCITT G4 (T.6) and TIFF-LZW codec properties.
+
+No image libraries exist in this environment to cross-validate against,
+so the gate is: (a) deterministic roundtrips across densities, widths and
+degenerate shapes, (b) long-run makeup-code paths (> 2560), (c) the
+T.6 coding-mode edge cases (checkerboards force horizontal mode, diagonal
+lines force vertical modes, nested boxes force pass mode), (d) LZW table
+resets and the early-change width schedule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tensorflow_ocr_ray.core.ccitt import decode_g4, encode_g4
+from tensorflow_ocr_ray.core.tiff_lzw import lzw_decode, lzw_encode
+
+
+def _roundtrip(img: np.ndarray) -> None:
+    enc = encode_g4(img)
+    dec = decode_g4(enc, img.shape[1], img.shape[0])
+    assert (dec == img).all()
+
+
+def test_g4_degenerate_shapes():
+    _roundtrip(np.zeros((1, 1), np.uint8))
+    _roundtrip(np.ones((1, 1), np.uint8))
+    _roundtrip(np.zeros((5, 8), np.uint8))
+    _roundtrip(np.ones((5, 8), np.uint8))
+    _roundtrip(np.zeros((1, 4000), np.uint8))
+    _roundtrip(np.ones((4000, 1), np.uint8))
+
+
+def test_g4_long_runs_use_extended_makeups():
+    rng = np.random.Generator(np.random.PCG64(7))
+    img = (rng.random((4, 6000)) < 0.005).astype(np.uint8)  # runs >> 2560
+    _roundtrip(img)
+    img[:] = 1
+    img[:, 3000] = 0
+    _roundtrip(img)
+
+
+def test_g4_mode_edge_cases():
+    # checkerboard: every pixel is a changing element (horizontal mode)
+    cb = np.indices((9, 33)).sum(axis=0) % 2
+    _roundtrip(cb.astype(np.uint8))
+    # diagonal: vertical modes with offsets ±1
+    _roundtrip(np.eye(50, dtype=np.uint8))
+    # nested boxes: pass mode (reference-line runs end before current)
+    box = np.zeros((20, 30), np.uint8)
+    box[2:18, 2:28] = 1
+    box[5:15, 8:22] = 0
+    box[8:12, 12:18] = 1
+    _roundtrip(box)
+
+
+def test_g4_randomized_sweep():
+    rng = np.random.Generator(np.random.PCG64(11))
+    for _ in range(150):
+        h = int(rng.integers(1, 16))
+        w = int(rng.integers(1, 100))
+        img = (rng.random((h, w)) < rng.random()).astype(np.uint8)
+        _roundtrip(img)
+
+
+def test_lzw_roundtrips():
+    rng = np.random.Generator(np.random.PCG64(13))
+    cases = [
+        b"",
+        b"x",
+        b"ab" * 5000,
+        bytes(rng.integers(0, 256, 30000, dtype=np.uint8)),  # incompressible
+        b"\x00" * 100000,                                    # deep table
+        bytes(rng.integers(0, 3, 80000, dtype=np.uint8)),    # forces reset
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_lzw_max_out_truncates():
+    data = b"hello world " * 100
+    enc = lzw_encode(data)
+    assert lzw_decode(enc, max_out=5)[:5] == data[:5]

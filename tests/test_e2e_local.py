@@ -157,3 +157,24 @@ def test_deskew_in_the_loop(index):
     sheared = apply_shear(render_page(spec).copy(), 3, 100)
     res = ocr_page_image(sheared, FIXTURE_CONFIG.with_(no_shear=False), index)
     assert res.text == expected_page_text(spec)
+
+
+def test_multipage_payload_preserves_page_order(ray_session):
+    """A 3-page TIFF payload OCRs to the concatenation of its pages'
+    texts in directory order, and glyph records carry page_idx
+    (ref main/readPicture.c:223-233)."""
+    from tensorflow_ocr_ray.config import FIXTURE_CONFIG
+    from tensorflow_ocr_ray.core.page import ocr_page_image, ocr_payload
+    from tensorflow_ocr_ray.core.raster import encode_tiff_multi
+    from tensorflow_ocr_ray.fixtures import page_spec_for_ref, render_page
+    from tensorflow_ocr_ray.fonts import get_font_index
+
+    idx = get_font_index()
+    specs = [page_spec_for_ref(f"page-42-{d:06d}-0") for d in range(3)]
+    images = [render_page(s) for s in specs]
+    payload = encode_tiff_multi(images, bilevel=True, compression="g4")
+    res = ocr_payload(payload, FIXTURE_CONFIG, idx)
+    singles = [ocr_page_image(img, FIXTURE_CONFIG, idx) for img in images]
+    assert res.text == "".join(s.text for s in singles)
+    assert sorted(set(g.page_idx for g in res.glyphs)) == [0, 1, 2]
+    assert res.n_glyphs == sum(s.n_glyphs for s in singles)

