@@ -113,6 +113,29 @@ class FontIndex:
                 out.append(OCRFAILS)
         return out, d2
 
+    def with_inserts(
+        self, tuples: np.ndarray, labels: list[str]
+    ) -> "FontIndex":
+        """K4 incremental insert as an immutable rebuild (the reference
+        inserts into its live kd-tree, main/kd.c:328-380; an exact-NN
+        matrix rebuilds instead).  An inserted tuple exactly equal to an
+        existing one REPLACES it — relabeling a glyph (the GUI loop's
+        click→label, main/gtkDisplay.c:442-649) must win the tie, and
+        argmin would otherwise keep the older entry."""
+        new = np.asarray(tuples, dtype=np.float32).reshape(-1, TUPLELENGTH)
+        if len(self.labels) == 0:
+            return FontIndex(new, list(labels))
+        new_keys = {t.tobytes() for t in new}
+        keep = [
+            i for i, t in enumerate(self.tuples)
+            if t.tobytes() not in new_keys
+        ]
+        base_t = self.tuples[keep]
+        base_l = [self.labels[i] for i in keep]
+        return FontIndex(
+            np.concatenate([base_t, new], axis=0), base_l + list(labels)
+        )
+
     # -- (de)serialization for ray.put broadcast ---------------------------
     def to_state(self) -> dict:
         return {"tuples": self.tuples, "labels": self.labels}

@@ -75,6 +75,7 @@ def run_checkpointed(
     out_dir: str,
     pipeline_kwargs: dict | None = None,
     verify_against_truth: bool = False,
+    force_partitions: set[int] | None = None,
 ) -> list[PartitionReport]:
     """Run (or resume) the OCR pipeline partition by partition.
 
@@ -84,14 +85,18 @@ def run_checkpointed(
     ``verify_against_truth`` each manifest also records the partition's
     span-equality rate against the analytic fixture truth (per-partition
     accuracy metric; synthetic corpora only).
-    """
+
+    ``force_partitions`` re-runs those partition ids even when their
+    manifest says done (the "redo column" path of interactive training —
+    the index changed, not the input)."""
     pipeline_kwargs = pipeline_kwargs or {}
+    force = force_partitions or set()
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     reports: list[PartitionReport] = []
     for pid, path in enumerate(sorted(input_files)):
         mpath = _manifest_path(out_dir, pid)
         fp = _fingerprint(path)
-        if os.path.exists(mpath):
+        if os.path.exists(mpath) and pid not in force:
             with open(mpath) as f:
                 prev = json.load(f)
             if prev.get("status") == "done" and prev.get("input_fingerprint") == fp:
