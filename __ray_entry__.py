@@ -253,8 +253,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_sql() -> str:
+    """DuckDB re-derivation of textstats.lang_id, generated from the SAME
+    marker table (one count term per marker, summed in dict order so the
+    float accumulation is bit-identical to Python's sum())."""
+    from tensorflow_ocr_ray.functions.textstats import _LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = [
+            f"{w} * ((length(p) - length(replace(p, '{m}', '')))"
+            f" / {len(m)})"
+            for m, w in markers.items()
+        ]
+        score_cols.append(f"({' + '.join(terms)}) AS s_{lang}")
+    langs = list(_LANG_MARKERS)
+    first_max = " ".join(
+        f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p
+          FROM documents
+        ),
+        s AS (SELECT doc_id, lang, text, {', '.join(score_cols)} FROM t),
+        m AS (SELECT *, greatest({', '.join('s_' + lg for lg in langs)}) AS m
+              FROM s)
+        SELECT doc_id, lang,
+               CASE WHEN m > 0 THEN CASE {first_max} END
+                    WHEN regexp_matches(text, '[\\x{{0590}}-\\x{{05FF}}]')
+                      THEN 'yi'
+                    WHEN regexp_matches(text, '\\p{{L}}') THEN 'en'
+                    ELSE 'unknown' END AS pred_lang
+        FROM m
+    """
+
+
+def _quality_sql() -> str:
+    """DuckDB re-derivation of textstats.quality_features: identical
+    int/int double divisions, identical threshold cascade."""
+    from tensorflow_ocr_ray.functions.textstats import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in sorted(STOPWORDS))
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, text, toks,
+                 list_filter(toks,
+                             x -> regexp_full_match(x, '\p{{L}}+')) AS words
+          FROM t
+        ),
+        c AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(toks) AS n_tokens,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE list_sum(list_transform(toks, x -> length(x)))
+                           / len(toks) END AS mean_token_len,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE len(regexp_extract_all(text, '[!-/:-@\[-`{{-~]'))
+                           / length(text) END AS punct_ratio,
+                 CASE WHEN len(words) = 0 THEN 0.0
+                      ELSE len(list_filter(words,
+                               w -> list_contains([{stops}], lower(w))))
+                           / len(words) END AS stopword_ratio,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE len(regexp_extract_all(text, '\p{{Lu}}'))
+                           / length(text) END AS upper_ratio
+          FROM f
+        )
+        SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+               stopword_ratio, upper_ratio,
+               (CASE WHEN n_chars < 20 OR n_chars > 100000
+                     THEN 0.3 ELSE 1.0 END)
+             * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
+             * (CASE WHEN NOT (stopword_ratio >= 0.01
+                               AND stopword_ratio <= 0.8)
+                     THEN 0.7 ELSE 1.0 END)
+             * (CASE WHEN NOT (mean_token_len >= 2.0
+                               AND mean_token_len <= 12.0)
+                     THEN 0.6 ELSE 1.0 END) AS quality_score
+        FROM c
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_langid": _langid_sql(),
+        "doc_quality": _quality_sql(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -39,22 +39,25 @@ def token_count(text: str) -> int:
 
 
 def quality_features(text: str) -> dict:
-    """Length/punct/stopword heuristic quality scoring."""
+    """Length/punct/stopword heuristic quality scoring.
+
+    Ratios are raw IEEE doubles (int/int divisions) so the DuckDB oracle
+    computes bit-identical values — no rounding-mode hazards."""
     n = len(text)
     toks = [t for t in split_tokens(text) if t]
     words = [t for t in toks if t.isalpha()]
     n_tok = len(toks)
     punct = len(_PUNCT.findall(text))
     stop = sum(1 for w in words if w.lower() in STOPWORDS)
-    mean_len = float(np.mean([len(t) for t in toks])) if toks else 0.0
+    mean_len = (sum(len(t) for t in toks) / n_tok) if toks else 0.0
     upper = sum(1 for c in text if c.isupper())
     feats = {
         "n_chars": n,
         "n_tokens": n_tok,
-        "mean_token_len": round(mean_len, 4),
-        "punct_ratio": round(punct / n, 4) if n else 0.0,
-        "stopword_ratio": round(stop / len(words), 4) if words else 0.0,
-        "upper_ratio": round(upper / n, 4) if n else 0.0,
+        "mean_token_len": mean_len,
+        "punct_ratio": punct / n if n else 0.0,
+        "stopword_ratio": stop / len(words) if words else 0.0,
+        "upper_ratio": upper / n if n else 0.0,
     }
     # crude quality score: length sweet spot, sane punctuation, some
     # stopwords (natural language), tokens of plausible length
@@ -67,7 +70,7 @@ def quality_features(text: str) -> dict:
         score *= 0.7
     if not (2.0 <= feats["mean_token_len"] <= 12.0):
         score *= 0.6
-    feats["quality_score"] = round(score, 4)
+    feats["quality_score"] = score
     return feats
 
 
