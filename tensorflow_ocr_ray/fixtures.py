@@ -165,23 +165,27 @@ def render_page(spec: PageSpec) -> np.ndarray:
 def payload_for_ref(ref: str) -> bytes:
     """Render + encode one page.  The CONTENT (and hence the truth) is
     fixed by the spec; the CONTAINER rotates deterministically between the
-    compact OCR codec and real baseline TIFF (uncompressed / PackBits) so
-    every decode path is exercised corpus-wide."""
+    compact OCR codec and real TIFF — uncompressed, PackBits, LZW and
+    (bilevel) CCITT Group 4 — so every decode path is exercised
+    corpus-wide.  Compression is lossless, so container choice never
+    changes the truth."""
     from tensorflow_ocr_ray.core.raster import encode_tiff
 
     spec = page_spec_for_ref(ref)
     img = render_page(spec)
     digest = hashlib.md5(ref.encode()).digest()
     use_tiff = digest[8] % 2 == 1
-    packbits = digest[9] % 2 == 1
+    compression = [None, "packbits", "lzw", "g4"][digest[9] % 4]
     if spec.gray:
         # ink -> dark gray, paper -> white; binarizer must restore 0/1
         gray = np.where(img > 0, 40, 250).astype(np.uint8)
         if use_tiff:
-            return encode_tiff(gray, bilevel=False, packbits=packbits)
+            if compression == "g4":  # G4 is bilevel-only
+                compression = "lzw"
+            return encode_tiff(gray, bilevel=False, compression=compression)
         return encode_gray(gray)
     if use_tiff:
-        return encode_tiff(img, bilevel=True, packbits=packbits)
+        return encode_tiff(img, bilevel=True, compression=compression)
     return encode_bitonal(img)
 
 

@@ -242,3 +242,19 @@ def read_documents(path: str | list[str], **kw) -> "ray.data.Dataset":
                 "Lance reader unavailable in this environment"
             ) from e
     return ray.data.read_parquet(paths, **kw)
+
+
+def write_documents(ds: "ray.data.Dataset", path: str, **kw) -> None:
+    """Write a documents table — the symmetric sink adapter: a ``.lance``
+    path uses Ray's Lance sink (north-star storage; the lance lib is not
+    in this container, so the seam raises with a clear message there),
+    anything else writes partitioned parquet."""
+    if str(path).endswith(".lance"):
+        try:
+            ds.write_lance(path, **kw)
+            return
+        except (AttributeError, ImportError) as e:  # lance not in container
+            raise RuntimeError(
+                "Lance writer unavailable in this environment"
+            ) from e
+    ds.write_parquet(path, **kw)
