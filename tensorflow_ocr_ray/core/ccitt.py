@@ -117,6 +117,76 @@ _BLACK_DEC = {**_invert(_BLACK_TERM),
 _BLACK_IS_TERM = {c for r, c in _BLACK_TERM.items()}
 _MAX_CODE_LEN = 14
 
+# ---------------- table-driven decoder fast path --------------------------
+# window-indexed lookup tables: table[next-W-bits] = (value, code_len, ...)
+# — one array index per code instead of a try-each-length string loop.
+
+_RUN_W = 13  # longest run code (black makeup) is 13 bits
+_MODE_W = 7  # longest mode code is 7 bits
+
+
+def _build_run_table(dec: dict[str, int], term: set[str]):
+    table: list[tuple[int, int, bool] | None] = [None] * (1 << _RUN_W)
+    for code, run in dec.items():
+        ln = len(code)
+        base = int(code, 2) << (_RUN_W - ln)
+        entry = (run, ln, code in term)
+        for i in range(1 << (_RUN_W - ln)):
+            table[base + i] = entry
+    return table
+
+
+def _build_mode_table():
+    codes = [("v", 0, "1"), ("v", 1, "011"), ("v", -1, "010"),
+             ("h", None, "001"), ("p", None, "0001"),
+             ("v", 2, "000011"), ("v", -2, "000010"),
+             ("v", 3, "0000011"), ("v", -3, "0000010")]
+    table: list[tuple[str, int | None, int] | None] = [None] * (1 << _MODE_W)
+    for kind, arg, code in codes:
+        ln = len(code)
+        base = int(code, 2) << (_MODE_W - ln)
+        for i in range(1 << (_MODE_W - ln)):
+            table[base + i] = (kind, arg, ln)
+    return table
+
+
+_WHITE_TABLE = _build_run_table(_WHITE_DEC, _WHITE_IS_TERM)
+_BLACK_TABLE = _build_run_table(_BLACK_DEC, _BLACK_IS_TERM)
+_MODE_TABLE = _build_mode_table()
+
+
+class _FastBits:
+    """MSB-first streaming bit cursor: O(1) memory (an int accumulator
+    refilled bytewise — a precomputed per-position window array was pure
+    memory traffic and measurably hurt scaling on a DRAM-bound box)."""
+
+    __slots__ = ("data", "nbytes", "buf", "nbits", "ipos", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.nbytes = len(data)
+        self.buf = 0
+        self.nbits = 0
+        self.ipos = 0
+        self.pos = 0  # consumed-bit counter (for error reporting)
+
+    def peek(self, width: int) -> int:
+        while self.nbits < width:
+            if self.ipos < self.nbytes:
+                self.buf = (self.buf << 8) | self.data[self.ipos]
+            elif self.ipos > self.nbytes + 8:
+                raise ValueError("truncated CCITT stream")
+            else:
+                self.buf <<= 8  # zero-fill past the end (final EOFB pad)
+            self.ipos += 1
+            self.nbits += 8
+        return self.buf >> (self.nbits - width)
+
+    def consume(self, width: int) -> None:
+        self.nbits -= width
+        self.buf &= (1 << self.nbits) - 1
+        self.pos += width
+
 
 class _BitWriter:
     def __init__(self):
@@ -130,25 +200,6 @@ class _BitWriter:
         pad = (-len(s)) % 8
         s += "0" * pad
         return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
-
-
-class _BitReader:
-    """MSB-first bit cursor over a byte string."""
-
-    def __init__(self, data: bytes):
-        self.arr = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
-
-    def peek_str(self, n: int) -> str:
-        chunk = self.arr[self.pos : self.pos + n]
-        return "".join("1" if b else "0" for b in chunk)
-
-    def skip(self, n: int) -> None:
-        self.pos += n
-
-    @property
-    def remaining(self) -> int:
-        return len(self.arr) - self.pos
 
 
 def _encode_run(w: _BitWriter, run: int, white: bool) -> None:
@@ -167,24 +218,13 @@ def _encode_run(w: _BitWriter, run: int, white: bool) -> None:
     w.write((_WHITE_TERM if white else _BLACK_TERM)[run])
 
 
-def _decode_run(r: _BitReader, white: bool) -> int:
-    """One full run (makeup chain + terminating code)."""
-    dec = _WHITE_DEC if white else _BLACK_DEC
-    term = _WHITE_IS_TERM if white else _BLACK_IS_TERM
-    total = 0
-    while True:
-        for ln in range(2, _MAX_CODE_LEN):
-            code = r.peek_str(ln)
-            if len(code) < ln:
-                raise ValueError("truncated CCITT run code")
-            if code in dec:
-                r.skip(ln)
-                total += dec[code]
-                if code in term:
-                    return total
-                break  # makeup: continue with the next code
-        else:
-            raise ValueError(f"bad CCITT run code near bit {r.pos}")
+def _changes_list(row: np.ndarray) -> list[int]:
+    """Change positions as a plain int list (no width sentinels)."""
+    diff = np.nonzero(row[1:] != row[:-1])[0] + 1
+    out = diff.tolist()
+    if len(row) and row[0] != 0:
+        out.insert(0, 0)
+    return out
 
 
 def _changes(row: np.ndarray) -> np.ndarray:
@@ -199,35 +239,36 @@ def _changes(row: np.ndarray) -> np.ndarray:
 
 
 def encode_g4(image: np.ndarray) -> bytes:
-    """T.6 encode a 0/1 uint8 bitmap (1 = black ink)."""
+    """T.6 encode a 0/1 uint8 bitmap (1 = black ink).
+
+    Run-list based: both lines live as change-position lists (change
+    index parity IS the new color — lines start imaginarily white), so
+    a1/a2/b1/b2 come from bisects on small int lists, no per-op pixel
+    scans (the searchsorted-per-mode version measured 36 ms/page)."""
+    from bisect import bisect_right
+
     img = np.ascontiguousarray((image != 0).astype(np.uint8))
     h, w = img.shape
     writer = _BitWriter()
-    ref = np.zeros(w, dtype=np.uint8)  # imaginary all-white reference line
+    ref_chg: list[int] = []  # imaginary all-white reference line
     for y in range(h):
-        cur = img[y]
-        cur_chg = _changes(cur)
-        ref_chg = _changes(ref)
+        cur_chg = _changes_list(img[y])
+        ncur = len(cur_chg)
+        nref = len(ref_chg)
         a0 = -1
         color = 0  # current color at/after a0 (0 = white)
         while a0 < w:
-            # a1: first change right of a0 with color != color
-            idx = np.searchsorted(cur_chg, a0 + 1)
-            a1 = int(cur_chg[idx]) if idx < len(cur_chg) else w
-            # changes alternate; ensure a1 is a change TO the opposite color:
-            # a change at p flips to color of cur[p]; we need cur[a1]!=color
-            while a1 < w and cur[a1] == color:
+            # a1: first cur change > a0 to !color (parity == color)
+            idx = bisect_right(cur_chg, a0)
+            if (idx & 1) != color:
                 idx += 1
-                a1 = int(cur_chg[idx]) if idx < len(cur_chg) else w
-            # b1: first change on ref right of a0 with opposite color of color
-            j = np.searchsorted(ref_chg, a0 + 1)
-            b1 = int(ref_chg[j]) if j < len(ref_chg) else w
-            while b1 < w and ref[b1] == color:
+            a1 = cur_chg[idx] if idx < ncur else w
+            # b1/b2 on the reference line, same parity rule
+            j = bisect_right(ref_chg, a0)
+            if (j & 1) != color:
                 j += 1
-                b1 = int(ref_chg[j]) if j < len(ref_chg) else w
-            # b2: next change after b1
-            jj = np.searchsorted(ref_chg, b1 + 1)
-            b2 = int(ref_chg[jj]) if jj < len(ref_chg) else w
+            b1 = ref_chg[j] if j < nref else w
+            b2 = ref_chg[j + 1] if j + 1 < nref else w
             if b2 < a1:
                 writer.write(_MODE_P)
                 a0 = b2
@@ -239,90 +280,90 @@ def encode_g4(image: np.ndarray) -> bytes:
                 color ^= 1
                 continue
             # horizontal mode: runs a0a1 (current color), a1a2 (opposite)
-            idx2 = np.searchsorted(cur_chg, a1 + 1)
-            a2 = int(cur_chg[idx2]) if idx2 < len(cur_chg) else w
-            while a2 < w and cur[a2] != color:
-                idx2 += 1
-                a2 = int(cur_chg[idx2]) if idx2 < len(cur_chg) else w
+            a2 = cur_chg[idx + 1] if idx + 1 < ncur else w
             start = 0 if a0 < 0 else a0
             writer.write(_MODE_H)
             _encode_run(writer, a1 - start, white=(color == 0))
             _encode_run(writer, a2 - a1, white=(color == 1))
             a0 = a2
-        ref = cur
+        ref_chg = cur_chg
     writer.write(_EOFB)
     return writer.tobytes()
 
 
+def _read_run(r: "_FastBits", table) -> int:
+    """One full run (makeup chain + terminating code), table-driven."""
+    total = 0
+    while True:
+        entry = table[r.peek(_RUN_W)]
+        if entry is None:
+            raise ValueError(f"bad CCITT run code near bit {r.pos}")
+        run, ln, is_term = entry
+        r.consume(ln)
+        total += run
+        if is_term:
+            return total
+
+
 def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
-    """T.6 decode to a 0/1 uint8 bitmap (1 = black ink)."""
-    r = _BitReader(data)
+    """T.6 decode to a 0/1 uint8 bitmap (1 = black ink).
+
+    Table-driven and run-list based: mode and run codes resolve with one
+    window peek + one array index each, and every line lives as its
+    change-position list (white-start convention; change index parity IS
+    the new color) until one vectorized paint per row.  The original
+    try-each-length string matcher measured 40 ms/page -- 10x the cost of
+    OCRing the page."""
+    from bisect import bisect_right
+
+    r = _FastBits(data)
     out = np.zeros((height, width), dtype=np.uint8)
-    ref = np.zeros(width, dtype=np.uint8)
+    ref_chg: list[int] = []  # imaginary all-white first reference line
     for y in range(height):
-        cur = np.zeros(width, dtype=np.uint8)
-        ref_chg = _changes(ref)
+        nref = len(ref_chg)
+        cur_chg: list[int] = []
         a0 = -1
         color = 0
         while a0 < width:
-            # b1/b2 relative to current a0 and color
-            j = np.searchsorted(ref_chg, a0 + 1)
-            b1 = int(ref_chg[j]) if j < len(ref_chg) else width
-            while b1 < width and ref[b1] == color:
+            # b1: first ref change > a0 transitioning to !color.  Changes
+            # alternate white->black (even index) / black->white (odd), so
+            # the target parity equals the current color.
+            j = bisect_right(ref_chg, a0)
+            if (j & 1) != color:
                 j += 1
-                b1 = int(ref_chg[j]) if j < len(ref_chg) else width
-            jj = np.searchsorted(ref_chg, b1 + 1)
-            b2 = int(ref_chg[jj]) if jj < len(ref_chg) else width
-            # decode mode code
-            matched = None
-            for ln in (1, 3, 4, 6, 7):
-                code = r.peek_str(ln)
-                if len(code) < ln:
-                    raise ValueError("truncated CCITT stream")
-                if ln == 1 and code == "1":
-                    matched = ("v", 0)
-                elif ln == 3 and code == "011":
-                    matched = ("v", 1)
-                elif ln == 3 and code == "010":
-                    matched = ("v", -1)
-                elif ln == 3 and code == "001":
-                    matched = ("h", None)
-                elif ln == 4 and code == "0001":
-                    matched = ("p", None)
-                elif ln == 6 and code == "000011":
-                    matched = ("v", 2)
-                elif ln == 6 and code == "000010":
-                    matched = ("v", -2)
-                elif ln == 7 and code == "0000011":
-                    matched = ("v", 3)
-                elif ln == 7 and code == "0000010":
-                    matched = ("v", -3)
-                if matched:
-                    r.skip(ln)
-                    break
-            if not matched:
+            b1 = ref_chg[j] if j < nref else width
+            b2 = ref_chg[j + 1] if j + 1 < nref else width
+            mode = _MODE_TABLE[r.peek(_MODE_W)]
+            if mode is None:
                 raise ValueError(f"bad CCITT mode code near bit {r.pos}")
-            kind, arg = matched
+            kind, arg, ln = mode
+            r.consume(ln)
             if kind == "p":
-                if color:
-                    cur[max(a0, 0) : b2] = 1
-                a0 = b2
+                a0 = b2  # color run extends through b2, no new change
             elif kind == "v":
                 a1 = b1 + arg
-                if color:
-                    cur[max(a0, 0) : a1] = 1
+                if a1 < width:
+                    cur_chg.append(a1)
                 a0 = a1
                 color ^= 1
             else:  # horizontal: two explicit runs
-                run1 = _decode_run(r, white=(color == 0))
-                run2 = _decode_run(r, white=(color == 1))
+                run1 = _read_run(r, _BLACK_TABLE if color else _WHITE_TABLE)
+                run2 = _read_run(r, _WHITE_TABLE if color else _BLACK_TABLE)
                 start = 0 if a0 < 0 else a0
-                if color:
-                    cur[start : start + run1] = 1
-                    a0 = start + run1 + run2
-                else:
-                    cur[start + run1 : start + run1 + run2] = 1
-                    a0 = start + run1 + run2
-        out[y] = cur
-        ref = cur
+                if start + run1 < width:
+                    cur_chg.append(start + run1)
+                if start + run1 + run2 < width:
+                    cur_chg.append(start + run1 + run2)
+                a0 = start + run1 + run2
+        # paint the row from its change list: black spans are
+        # [chg[0],chg[1]), [chg[2],chg[3]), ...; odd count -> runs to width
+        if cur_chg:
+            row = out[y]
+            starts = cur_chg[0::2]
+            ends = cur_chg[1::2]
+            if len(ends) < len(starts):
+                ends = ends + [width]
+            for s_, e_ in zip(starts, ends):
+                row[s_:e_] = 1
+        ref_chg = cur_chg
     return out
