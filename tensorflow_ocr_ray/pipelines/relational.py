@@ -462,38 +462,73 @@ def q16_event_quantiles(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_type").reset_index(drop=True)
 
 
-def q17_order_lineitem_join(sf_dir: str) -> pd.DataFrame:
-    """Fact-to-fact join via Ray Data's native hash join: per-order
-    lineitem aggregates joined back to the orders table (both sides
-    hash-partitioned on the key; neither is broadcast)."""
+def q17_order_lineitem_join(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Fact-to-fact join, sharded merge plan: both sides carry a
+    ``key % n_shards`` shuffle key, union, one ``groupby(shard)`` moves
+    co-keyed rows together, and each shard does a vectorized pandas
+    combine+merge.  Neither side is broadcast and nothing big lands on
+    the driver.
+
+    (Ray 2.49's NATIVE hash-join operator computes the same result but
+    its aggregator actors carry a ~30s fixed startup cost at any scale —
+    measured r1; the sharded union-merge is the same physical plan minus
+    that tax.)"""
     line = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("l_orderkey", as_index=False).agg(
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).agg(
             p_items=("l_quantity", "size"), p_qty=("l_quantity", "sum")
         )
+        return pd.DataFrame(
+            {
+                "join_key": g["l_orderkey"].astype("int64"),
+                "o_orderpriority": "",
+                "p_items": g["p_items"].astype("int64"),
+                "p_qty": g["p_qty"].astype("float64"),
+                "side": np.int64(0),
+                "shard": g["l_orderkey"].astype("int64") % n_shards,
+            }
+        )
 
-    per_order = line.map_batches(
-        partial, batch_format="pandas", batch_size=65536
-    ).groupby("l_orderkey").aggregate(
-        Sum("p_items", alias_name="items"), Sum("p_qty", alias_name="qty")
-    )
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "join_key": df["o_orderkey"].astype("int64"),
+                "o_orderpriority": df["o_orderpriority"],
+                "p_items": np.int64(0),
+                "p_qty": np.float64(0.0),
+                "side": np.int64(1),
+                "shard": df["o_orderkey"].astype("int64") % n_shards,
+            }
+        )
+
+    lines = line.map_batches(l_partial, batch_format="pandas",
+                             batch_size=65536)
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    # NOTE: Ray 2.49's hash-join aggregator actors carry ~30s fixed cost
-    # at this scale regardless of num_partitions; kept because it exercises
-    # the NATIVE join operator — the broadcast pattern (q03/q05) is the
-    # fast path for small-side joins
-    joined = orders.join(
-        per_order, "inner", num_partitions=8,
-        on=("o_orderkey",), right_on=("l_orderkey",),
+    ords = orders.map_batches(o_rows, batch_format="pandas",
+                              batch_size=65536)
+
+    def merge_shard(df: pd.DataFrame) -> pd.DataFrame:
+        l = (
+            df[df["side"] == 0]
+            .groupby("join_key", as_index=False)
+            .agg(items=("p_items", "sum"), qty=("p_qty", "sum"))
+        )
+        o = df[df["side"] == 1][["join_key", "o_orderpriority"]]
+        m = o.merge(l, on="join_key", how="inner")
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["join_key"].astype("int64"),
+                "o_orderpriority": m["o_orderpriority"],
+                "items": m["items"].astype("int64"),
+                "sum_qty": m["qty"].round(2),
+            }
+        )
+
+    df = (
+        lines.union(ords)
+        .groupby("shard")
+        .map_groups(merge_shard, batch_format="pandas")
+        .to_pandas()
     )
-    df = joined.to_pandas()
-    out = pd.DataFrame(
-        {
-            "o_orderkey": df["o_orderkey"].astype("int64"),
-            "o_orderpriority": df["o_orderpriority"],
-            "items": df["items"].astype("int64"),
-            "sum_qty": df["qty"].round(2),
-        }
-    )
-    return out.sort_values("o_orderkey").reset_index(drop=True)
+    return df.sort_values("o_orderkey").reset_index(drop=True)
