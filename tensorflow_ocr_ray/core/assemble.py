@@ -26,65 +26,135 @@ _MIRROR = {"(": ")", ")": "(", "[": "]", "]": "[", "{": "}", "}": "{",
 
 
 def _char_class(ch: str) -> str:
-    """Coarse bidi class: R (strong RTL), L (strong LTR), N (neutral)."""
+    """Bidi class, reduced to the UBA categories this engine resolves:
+    R/AL (strong RTL, AL kept distinct for W2), L, EN, AN, ES/CS/ET
+    (number separators/terminators), NSM (marks), N (all other
+    neutrals, incl. whitespace)."""
     bd = unicodedata.bidirectional(ch)
-    if bd in ("R", "AL"):
+    if bd in ("R",):
         return "R"
-    if bd in ("L", "EN", "AN"):
-        # digits (EN/AN) render left-to-right even in an RTL paragraph
+    if bd in ("AL",):
+        return "AL"
+    if bd in ("L",):
         return "L"
-    if bd in ("NSM",):
-        return "M"  # combining marks travel with their base
+    if bd in ("EN", "AN", "ES", "CS", "ET", "NSM"):
+        return bd
     return "N"
 
 
 def log2vis(line: str, rtl_base: bool) -> str:
-    """Logical→visual reorder of one line (subset of UBA; identity for pure
-    LTR text with an LTR base direction)."""
-    if not rtl_base:
-        # LTR base: reverse any maximal RTL runs in place
-        out: list[str] = []
-        run: list[str] = []
-        for ch in line:
-            cls = _char_class(ch)
-            if cls == "R" or (run and cls in ("M",)):
-                run.append(ch)
-            else:
-                if run:
-                    out.extend(reversed(run))
-                    run = []
-                out.append(ch)
-        if run:
-            out.extend(reversed(run))
-        return "".join(out)
-    # RTL base: resolve each char into runs; neutrals join the RTL flow.
-    # Cluster combining marks with their base char, then reverse the
-    # sequence of clusters, keeping maximal LTR (L/EN) stretches intact.
-    clusters: list[tuple[str, str]] = []  # (cluster_text, class)
+    """Logical→visual reorder of one line: an implementation of the
+    Unicode BiDi algorithm's implicit part — weak rules W2/W4/W5/W7,
+    neutral rules N1/N2 (EN/AN count as R context), implicit levels
+    I1/I2 and the L2 level-run reversal — without explicit
+    embedding/override/isolate controls (the reference never feeds
+    fribidi control characters; gtkDisplay.c:311-332)."""
+    if not line:
+        return line
+    # cluster combining marks with their base character (they travel
+    # with it through reordering)
+    clusters: list[list] = []  # [text, class]
     for ch in line:
         cls = _char_class(ch)
-        if cls == "M" and clusters:
-            text, base_cls = clusters[-1]
-            clusters[-1] = (text + ch, base_cls)
+        if cls == "NSM" and clusters:
+            clusters[-1][0] += ch
         else:
-            clusters.append((ch, cls))
-    # group LTR stretches
-    groups: list[tuple[str, str]] = []
-    for text, cls in clusters:
-        tag = "L" if cls == "L" else "R"
-        if groups and groups[-1][1] == "L" and tag == "L":
-            groups[-1] = (groups[-1][0] + text, "L")
-        else:
-            groups.append((text, tag))
-    out_parts: list[str] = []
-    for text, tag in reversed(groups):
-        if tag == "L":
-            out_parts.append(text)
-        else:
-            out_parts.append(
-                "".join(_MIRROR.get(c, c) for c in reversed(text))
-            )
-    return "".join(out_parts)
+            clusters.append([ch, cls if cls != "NSM" else "N"])
+    n = len(clusters)
+    cl = [c[1] for c in clusters]
+
+    # W2: EN -> AN when the last strong type is AL
+    strong = "L" if not rtl_base else "R"  # sos
+    for i in range(n):
+        if cl[i] in ("R", "AL", "L"):
+            strong = cl[i]
+        elif cl[i] == "EN" and strong == "AL":
+            cl[i] = "AN"
+    # W4: ES between two ENs -> EN; CS between two same-type numbers
+    for i in range(1, n - 1):
+        if cl[i] == "ES" and cl[i - 1] == "EN" and cl[i + 1] == "EN":
+            cl[i] = "EN"
+        elif cl[i] == "CS" and cl[i - 1] == cl[i + 1] and cl[i - 1] in ("EN", "AN"):
+            cl[i] = cl[i - 1]
+    # W5: ET sequences adjacent to EN -> EN
+    for i in range(n):
+        if cl[i] == "ET":
+            j = i
+            while j < n and cl[j] == "ET":
+                j += 1
+            prev_en = i > 0 and cl[i - 1] == "EN"
+            next_en = j < n and cl[j] == "EN"
+            if prev_en or next_en:
+                for k in range(i, j):
+                    cl[k] = "EN"
+    # W6: remaining separators/terminators become neutral
+    for i in range(n):
+        if cl[i] in ("ES", "CS", "ET"):
+            cl[i] = "N"
+    # W7: EN -> L when the last strong type is L
+    strong = "L" if not rtl_base else "R"
+    for i in range(n):
+        if cl[i] in ("R", "AL", "L"):
+            strong = cl[i]
+        elif cl[i] == "EN" and strong == "L":
+            cl[i] = "L"
+
+    # N1/N2: neutral runs take the surrounding direction when both sides
+    # agree (EN/AN count as R), else the base direction
+    def _dir(c: str) -> str:
+        return "R" if c in ("R", "AL", "EN", "AN") else "L"
+
+    base_dir = "R" if rtl_base else "L"
+    i = 0
+    while i < n:
+        if cl[i] != "N":
+            i += 1
+            continue
+        j = i
+        while j < n and cl[j] == "N":
+            j += 1
+        before = _dir(cl[i - 1]) if i > 0 else base_dir
+        after = _dir(cl[j]) if j < n else base_dir
+        resolved = before if before == after else base_dir
+        for k in range(i, j):
+            cl[k] = resolved
+        i = j
+
+    # I1/I2: implicit levels
+    levels = []
+    for c in cl:
+        if c in ("R", "AL"):
+            levels.append(1)
+        elif c in ("EN", "AN"):
+            levels.append(2)
+        elif c == "L":
+            levels.append(2 if rtl_base else 0)
+        else:  # resolved neutral carrying a direction
+            levels.append(1 if c == "R" else (2 if rtl_base else 0))
+
+    # mirroring happens on characters laid out RTL (odd level)
+    texts = [c[0] for c in clusters]
+    for i in range(n):
+        if levels[i] % 2 == 1:
+            texts[i] = "".join(_MIRROR.get(ch, ch) for ch in texts[i])
+
+    # L2: from the highest level down to the lowest odd level (always 1
+    # with implicit-only levels 0..2), reverse every maximal run at that
+    # level or higher
+    order = list(range(n))
+    max_level = max(levels) if levels else 0
+    for lev in range(max_level, 0, -1):
+        i = 0
+        while i < n:
+            if levels[order[i]] >= lev:
+                j = i
+                while j < n and levels[order[j]] >= lev:
+                    j += 1
+                order[i:j] = order[i:j][::-1]
+                i = j
+            else:
+                i += 1
+    return "".join(texts[k] for k in order)
 
 
 def collect_line_text(

@@ -90,3 +90,19 @@ def test_log2vis_rtl_base_keeps_ltr_stretch():
     out = log2vis("אב 12ab גד", rtl_base=True)
     assert "12ab"[0:4] in out  # stretch not reversed
     assert out.index("דג") < out.index("12ab")
+
+
+def test_log2vis_uba_weak_and_neutral_rules():
+    """Hand-checked against fribidi semantics: W2/W4/W5/W7 number rules,
+    N1/N2 neutral resolution (EN/AN count as R context), implicit
+    levels + L2 reversal."""
+    cases = [
+        ("abc 123 אבג", False, "abc 123 גבא"),   # EN after L stays L (W7)
+        ("אבג 123", False, "123 גבא"),            # EN after R embeds at level 2
+        ("א 12.34 ב", True, "ב 12.34 א"),         # CS between ENs joins (W4)
+        ("א 12 34 ב", True, "ב 34 12 א"),         # space between numbers is R (N1)
+        ("abc def", True, "abc def"),              # L-space-L joins L (N1)
+        ("אב 12ab גד", True, "דג 12ab בא"),       # mixed number+latin stretch
+    ]
+    for line, rtl, want in cases:
+        assert log2vis(line, rtl) == want, (line, rtl)
