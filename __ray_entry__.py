@@ -346,6 +346,105 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),
+        # simhash64 re-derived in SQL: identical md5-low-64 gram hashes,
+        # per-bit majority vote, unsigned->signed int64 reinterpretation
+        "simhash_fingerprints": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) > 1
+                          THEN toks[CAST(i AS INT)] || ' '
+                               || toks[CAST(i AS INT) + 1]
+                          ELSE toks[1] END AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(
+                               1, greatest(len(toks) - 1, 1))) AS i
+                    FROM t WHERE len(toks) > 0)
+            ),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS h
+              FROM g
+            ),
+            bits AS (
+              SELECT doc_id, b.i AS bit,
+                     sum(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS acc
+              FROM h, (SELECT unnest(generate_series(0, 63)) AS i) b
+              GROUP BY doc_id, b.i
+            ),
+            sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN acc > 0
+                          THEN CAST(1::UBIGINT << CAST(bit AS INT)
+                                    AS HUGEINT)
+                          ELSE 0 END) AS u
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808
+                        THEN coalesce(s.u, 0) - 18446744073709551616
+                        ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
+        """,
+        # winnowing fingerprint re-derived in SQL: md5-low-32 5-gram
+        # hashes, 4-window minima, first 8 distinct in document order
+        "doc_fingerprints": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, t, length(t) AS lt,
+                     unnest(generate_series(
+                         1, greatest(length(t) - 4, 1))) AS i
+              FROM t WHERE length(t) > 0
+            ),
+            h AS (
+              SELECT doc_id, i, lt,
+                     ('0x' || substr(md5(
+                         CASE WHEN lt < 5 THEN t
+                              ELSE substring(t, CAST(i AS INT), 5) END),
+                         1, 8))::UBIGINT AS h
+              FROM pos
+            ),
+            mins AS (
+              SELECT doc_id, i, lt,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS m
+              FROM h
+            ),
+            lim AS (
+              SELECT doc_id, i, m FROM mins
+              WHERE i <= greatest(lt - 7, 1)
+            ),
+            firsts AS (
+              SELECT doc_id, m, min(i) AS fi FROM lim GROUP BY doc_id, m
+            ),
+            ranked AS (
+              SELECT doc_id, m, fi,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY fi) AS rn
+              FROM firsts
+            )
+            SELECT d.doc_id,
+                   coalesce(f.fingerprint, '') AS fingerprint
+            FROM documents d
+            LEFT JOIN (
+              SELECT doc_id,
+                     string_agg(CAST(m AS VARCHAR), ',' ORDER BY fi)
+                         AS fingerprint
+              FROM ranked WHERE rn <= 8 GROUP BY doc_id
+            ) f ON f.doc_id = d.doc_id
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

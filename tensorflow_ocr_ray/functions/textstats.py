@@ -169,8 +169,24 @@ def char_set_jaccard(a: str, b: str) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _md5_64(s: str) -> int:
+    """First 8 md5 bytes, big-endian — SQL-reproducible:
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` in DuckDB."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def _md5_32(s: str) -> int:
+    """First 4 md5 bytes, big-endian (SQL: ``substr(md5(s), 1, 8)``)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word 2-grams (crc-derived bit vectors)."""
+    """64-bit SimHash over word 2-grams.  Gram hashes are md5-derived so
+    the DuckDB oracle recomputes the identical fingerprint."""
     toks = [t for t in split_tokens(text.lower()) if t]
     grams = (
         [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
@@ -181,27 +197,24 @@ def simhash64(text: str) -> int:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for g in grams:
-        h = int.from_bytes(
-            zlib.crc32(g.encode()).to_bytes(4, "little")
-            + zlib.crc32(("x" + g).encode()).to_bytes(4, "little"),
-            "little",
-        )
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8),
-            bitorder="little",
-        )
-        acc += np.where(bits == 1, 1, -1)
-    out = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+        h = _md5_64(g)
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
     return out - (1 << 64) if out >= (1 << 63) else out  # signed int64
 
 
 def winnow_fingerprint(text: str, k: int = 5, window: int = 4, keep: int = 8) -> list[int]:
-    """Winnowing document fingerprint: k-gram rolling hashes, per-window
-    minima, first ``keep`` distinct values (document-order)."""
+    """Winnowing document fingerprint: k-gram md5 hashes, per-window
+    minima, first ``keep`` distinct values (document-order).  md5-based
+    so the DuckDB oracle recomputes it exactly."""
     t = _WS.sub(" ", text.strip().lower())
     if len(t) < k:
-        return [_crc(t)] if t else []
-    hashes = [_crc(t[i : i + k]) for i in range(len(t) - k + 1)]
+        return [_md5_32(t)] if t else []
+    hashes = [_md5_32(t[i : i + k]) for i in range(len(t) - k + 1)]
     picked: list[int] = []
     seen = set()
     for i in range(max(1, len(hashes) - window + 1)):
