@@ -37,18 +37,26 @@ def _docs(sf_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def dedup_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: keep the smallest doc_id per identical text."""
+def dedup_exact(sf_dir: str) -> "rd.Dataset":
+    """Exact dedup: keep the smallest doc_id per identical text.
+
+    Returns the LAZY Dataset — the result is corpus-cardinality (one row
+    per distinct text), so it must stream to a sink at scale, never
+    collect on the driver."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    df = (
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["text", "keeper_doc_id", "copies"]].copy()
+        out["keeper_doc_id"] = out["keeper_doc_id"].astype("int64")
+        out["copies"] = out["copies"].astype("int64")
+        return out
+
+    return (
         ds.groupby("text")
         .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
                    Count(alias_name="copies"))
-        .to_pandas()
+        .map_batches(finalize, batch_format="pandas")
     )
-    df["keeper_doc_id"] = df["keeper_doc_id"].astype("int64")
-    df["copies"] = df["copies"].astype("int64")
-    return df[["text", "keeper_doc_id", "copies"]]
 
 
 def _pairs_in_bucket(

@@ -124,64 +124,93 @@ def _combine_window_partials(ds: "rd.Dataset", n_shards: int = 64) -> pd.DataFra
     )
 
 
-def asof_event_order(sf_dir: str) -> pd.DataFrame:
+def asof_event_order(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
     """As-of backward join: each event gets the user's most recent order
     (o_custkey == user_id, o_orderdate <= ts).
 
-    Plan: the orders side is small per key — broadcast a dict of per-key
-    SORTED order-date/key arrays via ray.put once; each event batch does a
-    vectorized ``searchsorted`` per key.  The big events side never
-    shuffles.  At 100 TB with a big build side this becomes a bucketed
-    sort-merge on the shared key."""
-    import pyarrow.parquet as pq
+    Sharded sort-merge plan: both sides carry ``key % n_shards``, union,
+    one ``groupby(shard)`` co-locates each user's events with that
+    user's orders, and the in-shard kernel does one vectorized
+    ``searchsorted`` per user.  NEITHER side is broadcast or collected —
+    the r1 version built a driver dict of ALL orders, which dies when
+    the build side is 100 TB-class."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
 
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
-    ).to_pandas()
-    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-    per_key: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for k, grp in orders.groupby("o_custkey"):
-        per_key[int(k)] = (
-            grp["o_orderdate"].to_numpy(),
-            grp["o_orderkey"].to_numpy(),
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": key,
+                "event_id": np.int64(-1),
+                "ts": df["o_orderdate"].astype("datetime64[us]"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "side": np.int64(0),
+                "shard": key % n_shards,
+            }
         )
-    side = ray.put(per_key)
 
-    class Asof:
-        def __init__(self):
-            self.side = ray.get(side)
+    def e_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": key,
+                "event_id": df["event_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]"),
+                "o_orderkey": np.int64(-1),
+                "side": np.int64(1),
+                "shard": key % n_shards,
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out_key = np.full(len(df), -1, dtype=np.int64)
-            out_date = np.full(len(df), np.datetime64("NaT"), dtype="datetime64[us]")
-            ts = df["ts"].to_numpy()
-            uid = df["user_id"].to_numpy()
-            for k in np.unique(uid):
-                rows = np.nonzero(uid == k)[0]
-                entry = self.side.get(int(k))
-                if entry is None:
-                    continue
-                dates, keys = entry
-                pos = np.searchsorted(dates, ts[rows], side="right") - 1
-                ok = pos >= 0
-                out_key[rows[ok]] = keys[pos[ok]]
-                out_date[rows[ok]] = dates[pos[ok]]
-            return pd.DataFrame(
-                {
-                    "event_id": df["event_id"].values,
-                    "user_id": uid,
-                    "o_orderkey": out_key,
-                    "o_orderdate": out_date,
-                }
-            )
+    o = orders.map_batches(o_rows, batch_format="pandas", batch_size=65536)
+    e = _events(sf_dir, ["event_id", "user_id", "ts"]).map_batches(
+        e_rows, batch_format="pandas", batch_size=65536
+    )
+
+    def asof_shard(df: pd.DataFrame) -> pd.DataFrame:
+        ob = df[df["side"] == 0].sort_values(
+            ["user_id", "ts", "o_orderkey"]
+        )
+        ev = df[df["side"] == 1]
+        out_key = np.full(len(ev), -1, dtype=np.int64)
+        out_date = np.full(len(ev), np.datetime64("NaT"),
+                           dtype="datetime64[us]")
+        ev_uid = ev["user_id"].to_numpy()
+        ev_ts = ev["ts"].to_numpy()
+        o_uid = ob["user_id"].to_numpy()
+        o_ts = ob["ts"].to_numpy()
+        o_key = ob["o_orderkey"].to_numpy()
+        # per-user slices of the sorted orders block
+        for k in np.unique(ev_uid):
+            lo = np.searchsorted(o_uid, k, side="left")
+            hi = np.searchsorted(o_uid, k, side="right")
+            rows = np.nonzero(ev_uid == k)[0]
+            if lo == hi:
+                continue
+            pos = np.searchsorted(o_ts[lo:hi], ev_ts[rows],
+                                  side="right") - 1
+            ok = pos >= 0
+            out_key[rows[ok]] = o_key[lo:hi][pos[ok]]
+            out_date[rows[ok]] = o_ts[lo:hi][pos[ok]]
+        res = pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy(),
+                "user_id": ev_uid,
+                "o_orderkey": out_key,
+                "o_orderdate": out_date,
+            }
+        )
+        return res[res["o_orderkey"] >= 0]
 
     df = (
-        _events(sf_dir, ["event_id", "user_id", "ts"])
-        .map_batches(Asof, batch_format="pandas", batch_size=65536,
-                     concurrency=2)
+        o.union(e)
+        .groupby("shard")
+        .map_groups(asof_shard, batch_format="pandas")
         .to_pandas()
     )
-    df = df[df["o_orderkey"] >= 0]
     return df.sort_values("event_id").reset_index(drop=True)
 
 

@@ -100,7 +100,7 @@ def test_char_shingle_crc_injective_on_corpus():
 def test_exact_dedup_keeps_min_doc_id(ray_session):
     from tensorflow_ocr_ray.pipelines import dedup
 
-    df = dedup.dedup_exact(SF)
+    df = dedup.dedup_exact(SF).to_pandas()
     docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     ref = (
         docs.groupby("text")
