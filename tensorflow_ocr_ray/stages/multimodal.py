@@ -125,10 +125,32 @@ class AudioFeatureStage:
             return np.frombuffer(payload[11:], dtype=np.int16, count=n).astype(
                 np.float32
             ) / 32768.0
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            # REAL decode for uncompressed PCM WAV via stdlib `wave` —
+            # no external codec needed; channels are mean-mixed to mono
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                width = w.getsampwidth()
+                nch = w.getnchannels()
+                raw = w.readframes(w.getnframes())
+            if width == 2:
+                s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+            elif width == 1:  # unsigned 8-bit PCM
+                s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                     - 128.0) / 128.0
+            else:
+                raise NotImplementedError(
+                    f"{8 * width}-bit PCM needs `soundfile`"
+                )
+            if nch > 1:
+                s = s.reshape(-1, nch).mean(axis=1)
+            return s
         if self._sf is None:
             raise NotImplementedError(
-                "real audio decode requires `soundfile`, not present in "
-                "this container — payloads must use the FAKEAUD test codec"
+                "compressed audio decode requires `soundfile`, not present "
+                "in this container — use PCM WAV or the FAKEAUD test codec"
             )
         import io
 

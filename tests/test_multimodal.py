@@ -65,14 +65,16 @@ def test_audio_fake_codec_features():
     assert out.equals(again)
 
 
-def test_audio_real_decode_stubbed():
+def test_audio_compressed_decode_stubbed():
+    """Non-WAV, non-FAKEAUD payloads (compressed formats) still need the
+    external soundfile deployment path."""
     stage = AudioFeatureStage()
     if stage._sf is not None:
         pytest.skip("soundfile present; stub path not reachable")
     batch = pa.table(
         {
             "media_ref": pa.array(["x"]),
-            "audio": pa.array([b"RIFFxxxxWAVE"], type=pa.binary()),
+            "audio": pa.array([b"OggS....compressed"], type=pa.binary()),
         }
     )
     with pytest.raises(NotImplementedError):
@@ -104,3 +106,38 @@ def test_multimodal_in_ray_pipeline(ray_session):
     df = ds.to_pandas()
     assert len(df) == 8
     assert (df["ink_ratio"] > 0).all()
+
+
+def test_audio_real_wav_pcm_decode(ray_session):
+    """Uncompressed PCM WAV decodes for REAL via stdlib `wave` — only
+    compressed formats need the external-soundfile deployment path."""
+    import io
+    import struct as _struct
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.stages.multimodal import AudioFeatureStage
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    samples = (rng.normal(0, 3000, 4096)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        stereo = np.repeat(samples, 2).astype("<i2")
+        w.writeframes(stereo.tobytes())
+    payload = buf.getvalue()
+
+    stage = AudioFeatureStage(frame=512)
+    out = stage(pa.table({"media_ref": ["a"], "audio": [payload]}))
+    assert out.column("n_frames")[0].as_py() == 8
+    want_rms = float(
+        np.sqrt(
+            ((samples.astype(np.float32) / 32768.0)[: 8 * 512]
+             .reshape(8, 512) ** 2).mean(axis=1)
+        ).mean()
+    )
+    assert abs(out.column("rms")[0].as_py() - want_rms) < 1e-6
