@@ -321,19 +321,12 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def ann_topk_ivf(
-    sf_dir: str,
-    k: int = 10,
-    query_vec_id: int = 0,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    seed: int = 23,
-    kmeans_iters: int = 10,
-) -> pd.DataFrame:
-    """IVF ANN: k-means coarse cells trained on a driver-side sample,
-    centroids broadcast; each batch assigns its vectors and scores only
-    those in the query's n_probe nearest cells (cell id = partition key
-    at 100 TB)."""
+def _ivf_centroids(
+    sf_dir: str, n_cells: int, seed: int, kmeans_iters: int
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (coarse
+    quantizer training is sample-based by design — 4k vectors train 16
+    cells regardless of corpus size)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -344,13 +337,110 @@ def ann_topk_ivf(
     )
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
-    for _ in range(kmeans_iters):  # deterministic Lloyd iterations
+    for _ in range(kmeans_iters):
         d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
         for c in range(n_cells):
             members = sample[assign == c]
             if len(members):
                 cents[c] = members.mean(0)
+    return cents
+
+
+def build_ivf_index(
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = 16,
+    seed: int = 23,
+    kmeans_iters: int = 10,
+) -> int:
+    """Write the embeddings re-partitioned by IVF cell (hive ``cell=N``
+    dirs) plus the trained centroids (``centroids.npy``) — probed
+    queries then READ only their n_probe cell partitions."""
+    import os
+
+    cents = _ivf_centroids(sf_dir, n_cells, seed, kmeans_iters)
+    cents_ref = ray.put(cents)
+
+    def assign_batch(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        out = df.copy()
+        out["cell"] = d.argmin(1).astype(np.int64)
+        return out
+
+    ds = _emb(sf_dir).map_batches(assign_batch, batch_format="pandas")
+    ds.write_parquet(index_dir, partition_cols=["cell"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return sum(1 for d in os.listdir(index_dir) if d.startswith("cell="))
+
+
+def ann_topk_ivf_indexed(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    query_vec_id: int | None = None,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """ANN over a ``build_ivf_index`` table: only the query's n_probe
+    nearest cell partitions are read; brute-force cosine inside them."""
+    import os
+
+    q = np.asarray(query, dtype=np.float64)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    probe = np.argsort(((cents - q) ** 2).sum(1))[:n_probe].tolist()
+    paths = [
+        os.path.join(cell_dir, f)
+        for c in sorted(probe)
+        if os.path.isdir(cell_dir := os.path.join(index_dir, f"cell={c}"))
+        for f in sorted(os.listdir(cell_dir))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return pd.DataFrame({"vec_id": [], "sim": []}).astype(
+            {"vec_id": "int64", "sim": "float64"}
+        )
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m @ self.q) / norms
+            out = pd.DataFrame(
+                {"vec_id": df["vec_id"].values, "sim": np.round(sims, 4)}
+            )
+            if query_vec_id is not None:
+                out = out[out["vec_id"] != query_vec_id]
+            return out
+
+    scored = rd.read_parquet(paths).map_batches(
+        Score, batch_format="pandas", batch_size=4096, concurrency=2
+    ).to_pandas()
+    out = scored.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"vec_id": "int64"})
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 23,
+    kmeans_iters: int = 10,
+) -> pd.DataFrame:
+    """IVF ANN, scan-and-filter variant: centroids broadcast; each batch
+    assigns its vectors and scores only those in the query's n_probe
+    nearest cells.  ``build_ivf_index`` + ``ann_topk_ivf_indexed`` is the
+    scale path that prunes unprobed cells at the READ."""
+    cents = _ivf_centroids(sf_dir, n_cells, seed, kmeans_iters)
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
     probe_cells = set(

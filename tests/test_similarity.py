@@ -136,3 +136,26 @@ def test_embedding_dup_pairs_blocked_matches_single_matmul(ray_session):
          "sim": np.round(sims[ia, ib], 4)}
     ).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_ivf_index_prunes_cells(ray_session, planted_dir, tmp_path):
+    """Indexed IVF reads only the n_probe nearest cell partitions and
+    still finds every planted near-duplicate (same cell as the query)."""
+    import os
+
+    from tensorflow_ocr_ray.pipelines.similarity import (
+        _query_vector,
+        ann_topk_ivf,
+        ann_topk_ivf_indexed,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_idx")
+    n_cells = build_ivf_index(planted_dir, idx, n_cells=8)
+    assert n_cells >= 2
+    q = _query_vector(planted_dir, 0)
+    df = ann_topk_ivf_indexed(idx, q, k=10, query_vec_id=0, n_probe=2)
+    assert _planted_recall(df) == 1.0
+    # indexed == scan-and-filter variant on the same parameters
+    scan = ann_topk_ivf(planted_dir, k=10, n_cells=8, n_probe=2)
+    assert set(df["vec_id"]) == set(scan["vec_id"])
