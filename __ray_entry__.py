@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_top_customer_per_nation": relational.q14_top_customer_per_nation,
         "q15_active_users": relational.q15_active_users,
         "q16_event_quantiles": relational.q16_event_quantiles,
+        "q18_customers_without_orders": relational.q18_customers_without_orders,
+        "q19_top2_orders_per_customer": relational.q19_top2_orders_per_customer,
+        "q20_user_event_window": relational.q20_user_event_window,
         "q17_order_lineitem_join": relational.q17_order_lineitem_join,
         # windowed / ordered custom operators
         "events_sessionize": windows.sessionize,
@@ -554,6 +557,35 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderkey, o.o_orderpriority
             ORDER BY o.o_orderkey
+        """,
+        "q18_customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)
+        """,
+        "q19_top2_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 2
+        """,
+        "q20_user_event_window": """
+            SELECT event_id, user_id,
+                   max(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS rolling3_max,
+                   CAST(coalesce(date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts),
+                       -1) AS BIGINT) AS gap_us
+            FROM events
         """,
         "events_sessionize": """
             SELECT user_id, session_seq,

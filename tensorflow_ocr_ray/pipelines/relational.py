@@ -532,3 +532,129 @@ def q17_order_lineitem_join(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         .to_pandas()
     )
     return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q18_customers_without_orders(
+    sf_dir: str, min_total: float = 400_000.0, n_shards: int = 64
+) -> pd.DataFrame:
+    """Anti-join (customers with no order above ``min_total``), sharded:
+    both sides carry ``custkey % n_shards``; each shard drops customers
+    present in its (filtered, deduped) order-key set.  No broadcast of
+    either side."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {"key": key, "c_name": df["c_name"],
+             "c_acctbal": df["c_acctbal"].astype("float64"),
+             "side": np.int64(0), "shard": key % n_shards}
+        )
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            df.loc[df["o_totalprice"] > min_total, "o_custkey"]
+            .drop_duplicates()
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {"key": key, "c_name": "", "c_acctbal": np.float64(0.0),
+             "side": np.int64(1), "shard": key % n_shards}
+        )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        have = set(df.loc[df["side"] == 1, "key"])
+        c = df[df["side"] == 0]
+        c = c[~c["key"].isin(have)]
+        return pd.DataFrame(
+            {"c_custkey": c["key"].to_numpy(dtype="int64"),
+             "c_name": c["c_name"].astype(str),
+             "c_acctbal": c["c_acctbal"].astype("float64")}
+        )
+
+    df = (
+        cust.map_batches(c_rows, batch_format="pandas", batch_size=65536)
+        .union(orders.map_batches(o_rows, batch_format="pandas",
+                                  batch_size=65536))
+        .groupby("shard")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q19_top2_orders_per_customer(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Window rank: each customer's top-2 orders by totalprice.  One
+    shuffle keyed by a customer-hash shard; the rank is computed
+    vectorized inside each shard (per-customer sort + cumcount)."""
+    orders = _pq(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = df["o_custkey"].astype("int64") % n_shards
+        return df
+
+    def rank_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        rn = df.groupby("o_custkey").cumcount() + 1
+        out = df[rn <= 2].copy()
+        out["rn"] = rn[rn <= 2].astype("int64")
+        return pd.DataFrame(
+            {"o_custkey": out["o_custkey"].astype("int64"),
+             "o_orderkey": out["o_orderkey"].astype("int64"),
+             "o_totalprice": out["o_totalprice"].astype("float64"),
+             "rn": out["rn"]}
+        )
+
+    df = (
+        orders.map_batches(add_shard, batch_format="pandas",
+                           batch_size=65536)
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+
+
+def q20_user_event_window(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Row-window functions per user (ordered by ts, event_id): 3-row
+    rolling max of value (max is order-independent → bit-exact vs the
+    SQL window) and the gap to the previous event in exact microseconds
+    (lag; first event → -1).  Sharded by user hash, vectorized inside."""
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = df["user_id"].astype("int64") % n_shards
+        return df
+
+    def window_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id")
+        roll = g["value"].rolling(3, min_periods=1).max().reset_index(
+            level=0, drop=True
+        )
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        prev_us = us.groupby(df["user_id"]).shift(1)
+        # epoch-us values (~1.7e15) are < 2^53, so the float64 round-trip
+        # of the shifted series keeps the difference integer-exact
+        gap = (us - prev_us).fillna(-1)
+        return pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "user_id": df["user_id"].astype("int64"),
+             "rolling3_max": roll.astype("float64"),
+             "gap_us": gap.astype("int64")}
+        )
+
+    df = (
+        ev.map_batches(add_shard, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(window_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("event_id").reset_index(drop=True)
