@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_customers_without_orders": relational.q18_customers_without_orders,
         "q19_top2_orders_per_customer": relational.q19_top2_orders_per_customer,
         "q20_user_event_window": relational.q20_user_event_window,
+        "q21_event_props_stats": relational.q21_event_props_stats,
         "q17_order_lineitem_join": relational.q17_order_lineitem_join,
         # windowed / ordered custom operators
         "events_sessionize": windows.sessionize,
@@ -586,6 +587,17 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY ts, event_id), ts),
                        -1) AS BIGINT) AS gap_us
             FROM events
+        """,
+        "q21_event_props_stats": r"""
+            SELECT event_type,
+                   count(*) AS events,
+                   CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                        AS BIGINT)) AS BIGINT) AS sum_k,
+                   max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                        AS BIGINT)) AS max_k
+            FROM events
+            WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
+            GROUP BY event_type
         """,
         "events_sessionize": """
             SELECT user_id, session_seq,

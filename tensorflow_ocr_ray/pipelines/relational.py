@@ -658,3 +658,38 @@ def q20_user_event_window(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         .to_pandas()
     )
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q21_event_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: the ``props`` JSON string column's
+    ``k`` field, parsed VECTORIZED (one regex pass per batch, no per-row
+    json.loads), then map-side partials + one small groupby.  Integer
+    sums/maxes → exact oracle hash."""
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("float64")  # NaN-able for malformed rows
+        )
+        d = pd.DataFrame({"event_type": df["event_type"], "k": k}).dropna()
+        g = d.groupby("event_type", as_index=False).agg(
+            p_n=("k", "size"), p_sum=("k", "sum"), p_max=("k", "max")
+        )
+        return g
+
+    df = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("p_n", alias_name="events"),
+                   Sum("p_sum", alias_name="sum_k"),
+                   Max("p_max", alias_name="max_k"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {"event_type": df["event_type"],
+         "events": df["events"].astype("int64"),
+         "sum_k": df["sum_k"].astype("int64"),
+         "max_k": df["max_k"].astype("int64")}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
