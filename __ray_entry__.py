@@ -118,32 +118,51 @@ def _ocr_glyph_stream(sf_dir: str):
 def _glyph_stats(sf_dir: str):
     """Corpus glyph telemetry off the -T stream: per-document glyph count,
     mean NN distance, unknown-rate (segmentation density a la the
-    reference's 1,649-glyphs-per-page artifact)."""
+    reference's 1,649-glyphs-per-page artifact).
+
+    Output is corpus-cardinality (one row per document), so the combine
+    is a sharded shuffle and the result stays a LAZY Dataset."""
     import pandas as pd
+    import zlib
 
     from tensorflow_ocr_ray.config import TF_UNKNOWN
 
     glyphs = _ocr_glyph_stream(sf_dir)
+    n_shards = 64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # map-side partial sums (a doc's glyphs may span batches, so the
-        # final combine below is global)
-        return df.groupby("doc_id", as_index=False).agg(
+        # sharded combine below is global per doc)
+        g = df.groupby("doc_id", as_index=False).agg(
             p_n=("glyph_idx", "size"),
             p_sum=("knn_dist2", "sum"),
             p_unk=("knn_label", lambda s: int((s == TF_UNKNOWN).sum())),
         )
+        g["shard"] = [
+            zlib.crc32(d.encode()) % n_shards for d in g["doc_id"]
+        ]
+        return g
 
-    parts = glyphs.map_batches(
-        partial, batch_format="pandas", batch_size=65536
-    ).to_pandas()
-    g = parts.groupby("doc_id", as_index=False).agg(
-        glyphs=("p_n", "sum"), s=("p_sum", "sum"), unknown=("p_unk", "sum")
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            glyphs=("p_n", "sum"), s=("p_sum", "sum"),
+            unknown=("p_unk", "sum"),
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "glyphs": g["glyphs"].astype("int64"),
+                "unknown": g["unknown"].astype("int64"),
+                "mean_dist2": (g["s"] / g["glyphs"]).round(4),
+            }
+        )
+        return out
+
+    return (
+        glyphs.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(combine, batch_format="pandas")
     )
-    g["mean_dist2"] = (g["s"] / g["glyphs"]).round(4)
-    g["glyphs"] = g["glyphs"].astype("int64")
-    g["unknown"] = g["unknown"].astype("int64")
-    return g.drop(columns=["s"]).sort_values("doc_id").reset_index(drop=True)
 
 
 def _tf_dense_predictions(sf_dir: str):

@@ -57,6 +57,12 @@ def lzw_encode(data: bytes) -> bytes:
                 table = {}
             prev = ch
         emit(prev)
+        # the decoder appends one more table entry after the final data
+        # code, which can trigger its early width change — EOI must be
+        # written at the bumped width (found by hypothesis at the exact
+        # input length where the final append lands on the boundary)
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
     emit(EOI)
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)
