@@ -155,7 +155,7 @@ def ocr_documents(
     concurrency: int | tuple[int, int] = 4,
     batch_size: int = 16,
     num_blocks: int | None = None,
-    reassemble_buckets: int = 64,
+    reassemble_buckets: int | None = None,
     scorer_spec: dict | None = None,
     ray_remote_args: dict | None = None,
 ) -> "ray.data.Dataset":
@@ -163,6 +163,16 @@ def ocr_documents(
 
     ``ray_remote_args`` reaches the OCR actor pool (e.g. ``num_gpus`` for
     GPU scorer deployments, ``num_cpus`` to change per-actor sizing)."""
+    if reassemble_buckets is None:
+        # group-count scales with the cluster so per-bucket work stays
+        # bounded as nodes are added (fixed 64 was an r1 nit)
+        try:
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 16))
+        except Exception:
+            cpus = 16
+        reassemble_buckets = max(64, 4 * cpus)
     kwargs = dict(
         cfg=cfg,
         font_spec=font_spec,
