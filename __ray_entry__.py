@@ -480,7 +480,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q02_filtered_revenue": """
             SELECT l_orderkey, l_linenumber,
-                   round(l_extendedprice * (1 - l_discount), 4) AS revenue
+                   l_extendedprice * (1 - l_discount) AS revenue
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
         """,

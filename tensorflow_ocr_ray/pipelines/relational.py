@@ -87,9 +87,11 @@ def q02_filtered_revenue(sf_dir: str) -> "rd.Dataset":
             pc.less(t["l_shipdate"], cutoff), pc.greater(t["l_discount"], 0.05)
         )
         t = t.filter(mask)
-        revenue = pc.round(
-            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
-            4,
+        # raw double product — bit-identical to the oracle's
+        # l_extendedprice * (1 - l_discount) (rounding modes differ
+        # between Arrow round and DuckDB round at the last ulp)
+        revenue = pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
         )
         return pa.table(
             {

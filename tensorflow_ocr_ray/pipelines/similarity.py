@@ -305,6 +305,14 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    import pyarrow.parquet as pq
+
+    # keep the source column's physical dtype (int32 in the testdata)
+    # through the groupby round-trip — pandas silently widens to int64
+    src_label_dtype = (
+        pq.read_schema(f"{sf_dir}/embeddings.parquet")
+        .field("label").type.to_pandas_dtype()
+    )
     df = (
         _emb(sf_dir)
         .map_batches(first_dim, batch_format="pandas")
@@ -314,7 +322,7 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     )
     return pd.DataFrame(
         {
-            "label": df["label"],
+            "label": df["label"].astype(src_label_dtype),
             "n": df["n"].astype("int64"),
             "mean_dim0": df["m"].round(4),
         }
