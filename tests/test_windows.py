@@ -82,3 +82,56 @@ def test_asof_no_order_before_event(ray_session, tiny_events_dir, tmp_path):
     # event 0 (00:00) precedes every order -> dropped; events 1,2 match 100
     assert df["event_id"].tolist() == [1, 2]
     assert set(df["o_orderkey"]) == {100}
+
+
+def test_windows_survive_hot_key_skew(ray_session, tmp_path):
+    """One user owning 90% of all events (pathological key skew): the
+    map-side partial pattern keeps every operator correct — the hot
+    user's partials collapse per batch before any shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    n = 20000
+    hot = int(0.9 * n)
+    users = np.concatenate([
+        np.zeros(hot, dtype=np.int64),
+        rng.integers(1, 50, n - hot),
+    ])
+    ts = (np.datetime64("2024-01-01") +
+          np.sort(rng.integers(0, 86_400_000, n)).astype("timedelta64[ms]"))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": users,
+        "ts": ts.astype("datetime64[us]"),
+        "value": rng.random(n).round(3),
+    })
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+
+    from tensorflow_ocr_ray.pipelines.windows import (
+        sessionize, tumbling_windows,
+    )
+
+    tw = tumbling_windows(str(d))
+    # reference combine in pandas
+    epoch = np.datetime64("1970-01-01T00:00:00")
+    width = np.timedelta64(3600, "s")
+    win = epoch + ((df["ts"].to_numpy() - epoch) // width) * width
+    ref = (
+        df.assign(window_start=win.astype("datetime64[us]"))
+        .groupby(["user_id", "window_start"], as_index=False)
+        .agg(events=("value", "size"), total_value=("value", "sum"))
+    )
+    ref["events"] = ref["events"].astype("int64")
+    ref["total_value"] = ref["total_value"].round(2)
+    ref = ref.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(tw, ref)
+
+    sz = sessionize(str(d))
+    assert (sz.groupby("user_id")["events"].sum()
+            == df.groupby("user_id").size()).all()
