@@ -40,6 +40,14 @@ def main() -> int:
     ap.add_argument("--verify-truth", action="store_true",
                     help="record per-partition span-equality vs the "
                          "analytic fixture truth in each manifest")
+    ap.add_argument("--media-dir", default=None,
+                    help="read media payloads from this dir store (one "
+                         "file per ref — the deployment shape; default "
+                         "renders the synthetic fixture payloads in-line)")
+    ap.add_argument("--materialize-media", action="store_true",
+                    help="with --media-dir: pre-encode every referenced "
+                         "payload into the dir store before the run "
+                         "(parallel, outside the per-partition timings)")
     args = ap.parse_args()
 
     import ray
@@ -61,6 +69,36 @@ def main() -> int:
     if not files:
         print(f"no parquet files under {args.input}", file=sys.stderr)
         return 2
+
+    media_spec = None
+    if args.media_dir:
+        if args.materialize_media:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            refs = set()
+            for f in files:
+                flat = pc.list_flatten(
+                    pq.read_table(f, columns=["spans"])
+                    .column("spans").combine_chunks()
+                )
+                kinds = flat.field("kind").to_pylist()
+                rs = flat.field("media_ref").to_pylist()
+                refs.update(r for k, r in zip(kinds, rs) if k == "media")
+
+            @ray.remote
+            def _write(chunk):
+                from tensorflow_ocr_ray.fixtures import payload_for_ref
+                from tensorflow_ocr_ray.state.media import DirMediaStore
+
+                for ref in chunk:
+                    DirMediaStore.put(args.media_dir, ref,
+                                      payload_for_ref(ref))
+                return len(chunk)
+
+            chunks = [sorted(refs)[i::64] for i in range(64)]
+            ray.get([_write.remote(c) for c in chunks if c])
+        media_spec = {"kind": "dir", "path": args.media_dir}
 
     cpus = int(ray.cluster_resources().get("CPU", 2))
     concurrency = args.concurrency or max(1, cpus - 1)
@@ -89,6 +127,7 @@ def main() -> int:
             batch_size=args.batch_size,
             num_blocks=4 * cpus,
             scorer_spec=scorer_spec,
+            media_spec=media_spec,
         ),
         verify_against_truth=args.verify_truth,
     )
