@@ -189,6 +189,27 @@ def _ocr_cnn_scorer(sf_dir: str):
     return ocr_with_scorer(sf_dir, "cnn")
 
 
+def _html_main_content(sf_dir: str):
+    """Boilerplate-strip pipeline: documents.text → deterministic HTML
+    chrome (nav/header/aside/footer + script/style/comment noise) →
+    DOM-block-heuristic extraction.  SQL-oracle-checkable because the
+    wrap/extract pair is exact-inverse on these corpora."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.functions.html_extract import (
+        main_content_batch,
+        wrap_batch,
+    )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(wrap_batch, batch_format="pandas", batch_size=4096)
+        .map_batches(main_content_batch, batch_format="pandas",
+                     batch_size=4096)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tensorflow_ocr_ray.functions.textstats import (
         doc_stats_batch,
@@ -261,6 +282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _doc_map(langid_batch),
         "doc_fingerprints": _doc_map(fingerprint_batch),
         "doc_normalize": _doc_map(normalize_batch),
+        # html main-content extraction: deterministic boilerplate chrome
+        # wrapped around each document's text; the extractor must recover
+        # the text EXACTLY (hard oracle: extracted == documents.text)
+        "html_main_content": _html_main_content,
         # OCR pipeline (rows-only; correctness gated by pytest span-equality)
         "ocr_extract_exploded": _ocr_exploded,
         "ocr_extract_fused": _ocr_fused,
@@ -712,6 +737,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": r"""
             SELECT doc_id, n_chars,
                    len(string_split_regex(trim(text), '\s+')) AS tokens
+            FROM documents
+        """,
+        "html_main_content": """
+            SELECT doc_id, text AS extracted, CAST(1 AS BIGINT) AS n_blocks
             FROM documents
         """,
         "doc_normalize": """

@@ -1,0 +1,122 @@
+"""HTML main-content extraction — boilerplate strip via DOM-block
+heuristics (the extraction tier's other modality next to OCR).
+
+Readability-lite, pure regex/str (no HTML lib in this container):
+
+1. drop <script>/<style>/<template>/<noscript> subtrees and comments;
+2. split the remaining markup into text blocks at block-element
+   boundaries (p, div, article, section, li, td, h1-h6, blockquote);
+3. score each block: text length vs LINK DENSITY (fraction of the
+   block's text that sits inside <a> tags) — the classic boilerplate
+   signal (navs/footers are short and link-dense);
+4. keep blocks with enough text and low link density; entity-unescape
+   and whitespace-collapse the survivors.
+
+Runs as a vectorized-enough ``map_batches`` stage (compiled regexes,
+per-row pure-python scoring; no per-row object construction beyond
+strings).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+
+_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_DROP_SUBTREE = re.compile(
+    r"<(script|style|template|noscript)\b.*?</\1\s*>", re.S | re.I
+)
+_BLOCK_SPLIT = re.compile(
+    r"</?(?:p|div|article|section|li|td|h[1-6]|blockquote|nav|header|"
+    r"footer|aside|ul|ol|table|tr|body|html)\b[^>]*>",
+    re.I,
+)
+_A_TEXT = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
+_TAG = re.compile(r"<[^>]+>")
+_WS = re.compile(r"\s+")
+
+
+def _block_text(chunk: str) -> tuple[str, float]:
+    """(clean text, link density) for one raw block chunk."""
+    link_chars = sum(
+        len(_WS.sub(" ", _TAG.sub("", m)).strip())
+        for m in _A_TEXT.findall(chunk)
+    )
+    text = _WS.sub(" ", _TAG.sub(" ", chunk)).strip()
+    text = _html.unescape(text)
+    density = link_chars / len(text) if text else 1.0
+    return text, density
+
+
+def extract_main_content(
+    html: str, min_len: int = 25, max_link_density: float = 0.33
+) -> str:
+    """Boilerplate-stripped main text of one HTML document."""
+    s = _COMMENT.sub(" ", html)
+    s = _DROP_SUBTREE.sub(" ", s)
+    kept: list[str] = []
+    for chunk in _BLOCK_SPLIT.split(s):
+        if not chunk or not chunk.strip():
+            continue
+        text, density = _block_text(chunk)
+        if len(text) >= min_len and density <= max_link_density:
+            kept.append(text)
+    return "\n".join(kept)
+
+
+def main_content_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """map_batches stage: ``html`` column → extracted text + block
+    telemetry."""
+    texts, blocks = [], []
+    for h in df["html"]:
+        t = extract_main_content(h)
+        texts.append(t)
+        blocks.append(t.count("\n") + 1 if t else 0)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "extracted": texts,
+            "n_blocks": pd.array(blocks, dtype="int64"),
+        }
+    )
+
+
+# ---------------- deterministic page synthesis (fixtures/queries) --------
+
+_PAGE_TEMPLATE = """<!DOCTYPE html><html><head>
+<title>doc {doc_id}</title>
+<style>body {{ margin: 0; }}</style>
+<script>var tracker = "{doc_id}"; load();</script>
+</head><body>
+<nav><a href="/">Home</a> <a href="/browse">Browse</a>
+<a href="/about">About</a> <a href="/contact">Contact us</a></nav>
+<header><h1>Example Library</h1></header>
+<!-- boilerplate chrome above -->
+<article><p>{body}</p></article>
+<aside><a href="/related/1">Related one</a>
+<a href="/related/2">Related two</a></aside>
+<footer><a href="/tos">Terms</a> &copy; 2024 Example
+<a href="/privacy">Privacy</a></footer>
+</body></html>"""
+
+
+def wrap_in_boilerplate(doc_id, text: str) -> str:
+    """Deterministic chrome around a document's text: nav/header/aside/
+    footer boilerplate, script/style/comment noise.  Entity-escaping is
+    exact-inverse of the extractor's unescape, so extraction recovers
+    ``text`` byte-for-byte (the oracle relies on this)."""
+    return _PAGE_TEMPLATE.format(doc_id=doc_id, body=_html.escape(text))
+
+
+def wrap_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "html": [
+                wrap_in_boilerplate(d, t)
+                for d, t in zip(df["doc_id"], df["text"])
+            ],
+        }
+    )
