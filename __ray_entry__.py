@@ -189,6 +189,12 @@ def _ocr_cnn_scorer(sf_dir: str):
     return ocr_with_scorer(sf_dir, "cnn")
 
 
+def _approx_distinct_users(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.sketches import approx_distinct_users
+
+    return approx_distinct_users(sf_dir)
+
+
 def _html_main_content(sf_dir: str):
     """Boilerplate-strip pipeline: documents.text → deterministic HTML
     chrome (nav/header/aside/footer + script/style/comment noise) →
@@ -286,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wrapped around each document's text; the extractor must recover
         # the text EXACTLY (hard oracle: extracted == documents.text)
         "html_main_content": _html_main_content,
+        "approx_distinct_users": _approx_distinct_users,
         # OCR pipeline (rows-only; correctness gated by pytest span-equality)
         "ocr_extract_exploded": _ocr_exploded,
         "ocr_extract_fused": _ocr_fused,
@@ -738,6 +745,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    len(string_split_regex(trim(text), '\s+')) AS tokens
             FROM documents
+        """,
+        # KMV bottom-k sketch recomputed exactly: same md5-low-64 hashes,
+        # same (k-1)/h_k estimate -> bit-identical double
+        "approx_distinct_users": """
+            WITH d AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1, 16))::UBIGINT AS h
+              FROM events
+            ),
+            da AS (
+              SELECT DISTINCT CAST('__all__' AS VARCHAR) AS event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1, 16))::UBIGINT AS h
+              FROM events
+            ),
+            u AS (SELECT * FROM d UNION ALL SELECT * FROM da),
+            rk AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM u
+            )
+            SELECT event_type,
+                   CASE WHEN max(n) < 256 THEN CAST(max(n) AS DOUBLE)
+                        ELSE 255.0 /
+                             (CAST(max(CASE WHEN rn = 256 THEN h END)
+                                   AS DOUBLE)
+                              / 18446744073709551616.0)
+                   END AS approx_users
+            FROM rk GROUP BY event_type
         """,
         "html_main_content": """
             SELECT doc_id, text AS extracted, CAST(1 AS BIGINT) AS n_blocks
