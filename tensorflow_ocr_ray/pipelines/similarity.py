@@ -94,15 +94,27 @@ def ann_topk_lsh(
     n_planes: int = 8,
     probes: int = 3,
     seed: int = 11,
+    auto_widen: bool = True,
 ) -> pd.DataFrame:
     """LSH-bucketed ANN: sign-of-projection bucket codes; search the query
     bucket plus its ``probes`` nearest Hamming-neighbor buckets (multiprobe
-    by smallest plane margin).  This variant scans-and-filters each batch;
+    by smallest plane margin).  When the probe ring holds fewer than ``k``
+    candidates and ``auto_widen`` is on, the ring grows one flip at a time
+    (the standard under-full ANN fallback — deterministic, widest ring =
+    all Hamming-1 neighbors).  This variant scans-and-filters each batch;
     ``build_lsh_index`` + ``ann_topk_lsh_indexed`` is the scale path that
     prunes unprobed buckets at the READ (bucket = partition key)."""
     q = _query_vector(sf_dir, query_vec_id)
     planes = _lsh_planes(q.shape[0], n_planes, seed)
-    cand_codes = _probe_codes(q, planes, probes)
+    for p in range(probes, n_planes + 1):
+        out = _lsh_scan(sf_dir, q, planes, _probe_codes(q, planes, p),
+                        k, query_vec_id)
+        if len(out) >= k or not auto_widen or p == n_planes:
+            return out
+    return out
+
+
+def _lsh_scan(sf_dir, q, planes, cand_codes, k, query_vec_id):
     planes_ref = ray.put(planes)
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)

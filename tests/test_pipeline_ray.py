@@ -239,3 +239,44 @@ def test_manifest_span_equal_rate(ray_session, tmp_path):
     manifest = read_manifest(out_dir)
     assert len(manifest) == 2
     assert all(m["span_equal_rate"] == 1.0 for m in manifest)
+
+
+def test_corrupt_compressed_payload_yields_empty_not_crash(ray_session):
+    """A truncated/garbage G4 stream must not kill the partition when
+    on_media_error='empty' (the 100 TB few-bad-objects rule) — and must
+    raise cleanly when strict."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from tensorflow_ocr_ray.core.raster import encode_tiff
+    from tensorflow_ocr_ray.fixtures import page_spec_for_ref, render_page
+    from tensorflow_ocr_ray.stages.ocr_stages import OcrSpanStage
+    from tensorflow_ocr_ray.state.media import DirMediaStore
+    import tempfile
+
+    img = render_page(page_spec_for_ref("page-42-000000-0"))
+    good = encode_tiff(img, bilevel=True, compression="g4")
+    corrupt = good[:60] + b"\xff" * 40  # valid header, garbage G4 body
+
+    with tempfile.TemporaryDirectory() as d:
+        DirMediaStore.put(d, "ok", good)
+        DirMediaStore.put(d, "bad", corrupt)
+        batch = pa.table(
+            {
+                "doc_id": ["d", "d"],
+                "kind": ["media", "media"],
+                "text": ["", ""],
+                "media_ref": ["ok", "bad"],
+                "offset": [0, 1],
+            }
+        )
+        lenient = OcrSpanStage(media_spec={"kind": "dir", "path": d},
+                               on_media_error="empty")
+        out = lenient(batch)
+        texts = out.column("text").to_pylist()
+        assert len(texts[0]) > 0 and texts[1] == ""
+
+        strict = OcrSpanStage(media_spec={"kind": "dir", "path": d})
+        with _pytest.raises(Exception):
+            strict(batch)
