@@ -280,3 +280,43 @@ def test_corrupt_compressed_payload_yields_empty_not_crash(ray_session):
         strict = OcrSpanStage(media_spec={"kind": "dir", "path": d})
         with _pytest.raises(Exception):
             strict(batch)
+
+
+def test_exploded_plan_handles_span_count_skew(ray_session):
+    """One 120-span document among 1-span documents (pathological span
+    skew): the explode→repartition→reassemble round trip preserves every
+    document's exact span sequence."""
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.fixtures import SPAN_SCHEMA
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
+
+    def doc(doc_id, n):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "text", "text": f"{doc_id}:{i}",
+                 "media_ref": "", "offset": i}
+                for i in range(n)
+            ],
+        }
+
+    rows = [doc("hot", 120)] + [doc(f"d{i:03d}", 1) for i in range(40)]
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("doc_id", pa.string()), ("spans", SPAN_SCHEMA)]),
+    )
+    import ray.data as rd
+
+    out = ocr_documents(
+        rd.from_arrow(table), mode="exploded", concurrency=2,
+        batch_size=8, num_blocks=16,
+    ).take_all()
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["offset"])
+                      for s in r["spans"]]
+        for r in out
+    }
+    for r in rows:
+        want = [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
+        assert got[r["doc_id"]] == want, r["doc_id"]
