@@ -48,8 +48,18 @@ class PartitionReport:
     docs_per_sec: float
 
 
-def _manifest_path(out_dir: str, pid: int) -> str:
-    return os.path.join(out_dir, "_manifest", f"part-{pid:05d}.json")
+def _part_name(path: str) -> str:
+    """Stable partition identity = sanitized input file basename, NOT the
+    ordinal — new files appearing between runs (streaming ingest) must
+    not shift existing partitions' manifests."""
+    base = os.path.basename(path)
+    if base.endswith(".parquet"):
+        base = base[: -len(".parquet")]
+    return "".join(c if c.isalnum() or c in "-_." else "_" for c in base)
+
+
+def _manifest_path(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, "_manifest", f"part-{name}.json")
 
 
 def span_equal_rate_vs_truth(written: "ray.data.Dataset") -> float:
@@ -94,7 +104,8 @@ def run_checkpointed(
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     reports: list[PartitionReport] = []
     for pid, path in enumerate(sorted(input_files)):
-        mpath = _manifest_path(out_dir, pid)
+        name = _part_name(path)
+        mpath = _manifest_path(out_dir, name)
         fp = _fingerprint(path)
         if os.path.exists(mpath) and pid not in force:
             with open(mpath) as f:
@@ -110,7 +121,7 @@ def run_checkpointed(
         t0 = time.time()
         ds = ray.data.read_parquet(path)
         out = ocr_documents(ds, **pipeline_kwargs)
-        part_dir = os.path.join(out_dir, f"part={pid:05d}")
+        part_dir = os.path.join(out_dir, f"part={name}")
         # a partial/stale run must not leave output files behind: the
         # partition dir is rebuilt atomically w.r.t. the manifest (manifest
         # only flips to "done" after a full successful write)
@@ -133,6 +144,7 @@ def run_checkpointed(
         elapsed = time.time() - t0
         record = {
             "partition_id": pid,
+            "partition_name": name,
             "status": "done",
             "input_file": path,
             "input_fingerprint": fp,

@@ -58,7 +58,7 @@ def test_retrain_reruns_only_affected_partitions(tmp_path, ray_session):
     affected = affected_partitions(files, {ref})
     assert affected == {0}
 
-    part1_manifest = os.path.join(out_dir, "_manifest", "part-00001.json")
+    part1_manifest = os.path.join(out_dir, "_manifest", "part-part-00001.json")
     mtime_before = os.path.getmtime(part1_manifest)
 
     font_ref = ray.put(augmented.to_state())
@@ -74,7 +74,7 @@ def test_retrain_reruns_only_affected_partitions(tmp_path, ray_session):
     # the corrected glyph's label shows up in the re-segmented output
     import ray.data as rd
 
-    out0 = rd.read_parquet(os.path.join(out_dir, "part=00000")).to_pandas()
+    out0 = rd.read_parquet(os.path.join(out_dir, "part=part-00000")).to_pandas()
     texts = [
         s["text"]
         for spans in out0["spans"]

@@ -48,6 +48,14 @@ def main() -> int:
                     help="with --media-dir: pre-encode every referenced "
                          "payload into the dir store before the run "
                          "(parallel, outside the per-partition timings)")
+    ap.add_argument("--follow", type=int, default=0, metavar="IDLE_SCANS",
+                    help="streaming ingest: keep rescanning --input and "
+                         "processing new files; exit after this many "
+                         "consecutive scans with nothing new (partition "
+                         "identity is the file basename, so late arrivals "
+                         "never invalidate finished partitions)")
+    ap.add_argument("--follow-interval", type=float, default=5.0,
+                    help="seconds between --follow rescans")
     args = ap.parse_args()
 
     import ray
@@ -118,19 +126,33 @@ def main() -> int:
 
         model, _ = train_on_font_windows(epochs=120)
         scorer_spec = {"kind": "cnn", "state_ref": ray.put(model.to_state())}
-    reports = run_checkpointed(
-        files,
-        args.output,
-        pipeline_kwargs=dict(
-            mode=args.mode,
-            concurrency=concurrency,
-            batch_size=args.batch_size,
-            num_blocks=4 * cpus,
-            scorer_spec=scorer_spec,
-            media_spec=media_spec,
-        ),
-        verify_against_truth=args.verify_truth,
+    pipeline_kwargs = dict(
+        mode=args.mode,
+        concurrency=concurrency,
+        batch_size=args.batch_size,
+        num_blocks=4 * cpus,
+        scorer_spec=scorer_spec,
+        media_spec=media_spec,
     )
+
+    def _run(fs):
+        return run_checkpointed(
+            fs, args.output, pipeline_kwargs=pipeline_kwargs,
+            verify_against_truth=args.verify_truth,
+        )
+
+    reports = _run(files)
+    if args.follow:
+        import time as _time
+
+        idle = 0
+        while idle < args.follow:
+            _time.sleep(args.follow_interval)
+            fs = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+            rs = _run(fs)
+            fresh = sum(1 for r in rs if not r.skipped)
+            idle = 0 if fresh else idle + 1
+            reports = rs
     done = sum(1 for r in reports if r.status == "done")
     skipped = sum(1 for r in reports if r.skipped)
     docs = sum(r.docs for r in reports)
