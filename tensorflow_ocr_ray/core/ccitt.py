@@ -325,6 +325,7 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
         a0 = -1
         color = 0
         while a0 < width:
+            prev_a0 = a0
             # b1: first ref change > a0 transitioning to !color.  Changes
             # alternate white->black (even index) / black->white (odd), so
             # the target parity equals the current color.
@@ -355,6 +356,13 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
                 if start + run1 + run2 < width:
                     cur_chg.append(start + run1 + run2)
                 a0 = start + run1 + run2
+            if a0 <= prev_a0:
+                # a corrupt stream whose V/P code moves a0 backward (or a
+                # zero-length H pair) would otherwise spin forever
+                raise ValueError(
+                    f"corrupt CCITT stream: a0 failed to advance at row {y}"
+                    f" (a0={a0}, prev={prev_a0})"
+                )
         # paint the row from its change list: black spans are
         # [chg[0],chg[1]), [chg[2],chg[3]), ...; odd count -> runs to width
         if cur_chg:

@@ -118,6 +118,12 @@ def ocr_page_image(
             values, d2 = [], np.empty(0, dtype=np.float32)
         if predictions is not None:
             n = len(values)
+            if pred_cursor + n > len(predictions):
+                raise ValueError(
+                    f"prediction list exhausted: page needs glyphs "
+                    f"[{pred_cursor}, {pred_cursor + n}) but only "
+                    f"{len(predictions)} predictions were supplied"
+                )
             values = predictions[pred_cursor : pred_cursor + n]
             pred_cursor += n
         total_glyphs += len(values)

@@ -5,12 +5,11 @@ The reference decodes TIFF → RGBA raster → bitonal char image
 (``main/readPicture.c:119-221``).  Media payloads in this engine are
 opaque ``binary`` columns; ``decode_payload`` sniffs the format:
 
-- real baseline **TIFF** (II/MM): bilevel (1-bit) and 8-bit grayscale,
-  uncompressed or PackBits, decoded by the pure-numpy reader below — no
-  external image libs needed for the formats the fixtures and the
-  reference's bilevel scans use.  (G4-compressed scans would need
-  ``tifffile`` in a full deployment; the decode stage is the single swap
-  point.)
+- real **TIFF** (II/MM): bilevel (1-bit) and 8-bit grayscale; compressions
+  none, PackBits, CCITT Group 4 (``core/ccitt.py``) and LZW with the
+  horizontal-differencing predictor (``core/tiff_lzw.py``) — all decoded
+  by the pure-numpy/pure-Python readers below, no external image libs.
+  FillOrder=2 (LSB-first fax) strips are bit-reversed before decode.
 - ``OCR1``/``OCR8``: the repo's compact bitonal/gray test codec.
 """
 
@@ -19,6 +18,11 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+# byte → bit-reversed byte, for TIFF FillOrder=2 (LSB-first) strips
+_BITREV = np.packbits(
+    np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)[:, ::-1], axis=1
+).ravel()
 
 MAGIC = b"OCR1"
 MAGIC_GRAY = b"OCR8"  # 8-bit grayscale variant (exercises the binarizer)
@@ -63,7 +67,13 @@ def _parse_ifds(payload: bytes) -> list[dict[int, list[int]]]:
     (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
     TYPE_SIZE = {1: 1, 3: 2, 4: 4}
     ifds: list[dict[int, list[int]]] = []
+    seen_offsets: set[int] = set()
     while ifd_off:
+        if ifd_off in seen_offsets or ifd_off >= len(payload):
+            raise ValueError(
+                f"malformed TIFF: cyclic or out-of-range IFD offset {ifd_off}"
+            )
+        seen_offsets.add(ifd_off)
         (n_tags,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
         tags: dict[int, list[int]] = {}
         for t in range(n_tags):
@@ -95,6 +105,7 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
     bits = tags.get(258, [1])[0]
     compression = tags.get(259, [1])[0]
     photometric = tags.get(262, [1])[0]
+    fill_order = tags.get(266, [1])[0]
     predictor = tags.get(317, [1])[0]
     offsets = tags[273]
     rows_per_strip = tags.get(278, [height])[0]
@@ -103,7 +114,16 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
         raise ValueError(f"unsupported TIFF BitsPerSample {bits}")
     if compression not in (1, 4, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
+    if fill_order not in (1, 2):
+        raise ValueError(f"unsupported TIFF FillOrder {fill_order}")
     row_bytes = (width * bits + 7) // 8
+
+    def _fix_order(strip: bytes) -> bytes:
+        # FillOrder=2 (LSB-first, common in fax G4) → bit-reverse each byte
+        if fill_order == 1:
+            return strip
+        arr = np.frombuffer(strip, dtype=np.uint8)
+        return _BITREV[arr].tobytes()
 
     if compression == 4:  # CCITT T.6 — decodes straight to pixels
         from tensorflow_ocr_ray.core.ccitt import decode_g4
@@ -114,7 +134,7 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
         for i, (soff, scount) in enumerate(zip(offsets, counts)):
             nrows = min(rows_per_strip, height - i * rows_per_strip)
             rows.append(
-                decode_g4(payload[soff : soff + scount], width, nrows)
+                decode_g4(_fix_order(payload[soff : soff + scount]), width, nrows)
             )
         img = np.concatenate(rows, axis=0)
         # G4 1 = black ink; photometric 0 (WhiteIsZero) is the fax norm
@@ -130,6 +150,8 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
             from tensorflow_ocr_ray.core.tiff_lzw import lzw_decode
 
             strip = lzw_decode(strip, nrows * row_bytes)
+        if bits == 1:
+            strip = _fix_order(strip)
         data += strip
     buf = np.frombuffer(bytes(data), dtype=np.uint8, count=height * row_bytes)
     if bits == 1:

@@ -101,6 +101,17 @@ def run_checkpointed(
     the index changed, not the input)."""
     pipeline_kwargs = pipeline_kwargs or {}
     force = force_partitions or set()
+    # partition identity is the sanitized basename; two inputs mapping to
+    # the same name would silently share one manifest + output dir
+    by_name: dict[str, str] = {}
+    for path in input_files:
+        name = _part_name(path)
+        if by_name.setdefault(name, path) != path:
+            raise ValueError(
+                f"partition name collision: {by_name[name]!r} and {path!r} "
+                f"both map to part={name!r}; rename the inputs or pass "
+                f"files with unique basenames"
+            )
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     reports: list[PartitionReport] = []
     for pid, path in enumerate(sorted(input_files)):

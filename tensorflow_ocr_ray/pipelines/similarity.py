@@ -106,7 +106,8 @@ def ann_topk_lsh(
     prunes unprobed buckets at the READ (bucket = partition key)."""
     q = _query_vector(sf_dir, query_vec_id)
     planes = _lsh_planes(q.shape[0], n_planes, seed)
-    for p in range(probes, n_planes + 1):
+    # clamp: probes > n_planes would skip the loop body entirely
+    for p in range(min(probes, n_planes), n_planes + 1):
         out = _lsh_scan(sf_dir, q, planes, _probe_codes(q, planes, p),
                         k, query_vec_id)
         if len(out) >= k or not auto_widen or p == n_planes:

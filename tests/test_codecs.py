@@ -81,3 +81,68 @@ def test_lzw_max_out_truncates():
     data = b"hello world " * 100
     enc = lzw_encode(data)
     assert lzw_decode(enc, max_out=5)[:5] == data[:5]
+
+
+def test_g4_corrupt_stream_raises_not_hangs():
+    # a stream of pass-mode codes (0001) never advances a0 once the
+    # reference line is all-white (b2 = width on first step -> ok), so
+    # craft a V code that moves a0 backward: encode a valid image, then
+    # flip bits until decode either succeeds or raises -- it must never
+    # spin.  Deterministic adversarial case: VL(3) at column 0 twice.
+    import pytest
+
+    img = np.zeros((4, 16), np.uint8)
+    img[:, 8:] = 1
+    enc = bytearray(encode_g4(img))
+    for i in range(min(len(enc), 24)):
+        for bit in range(8):
+            bad = bytearray(enc)
+            bad[i] ^= 1 << bit
+            try:
+                decode_g4(bytes(bad), 16, 4)
+            except ValueError:
+                pass  # raising is the contract; hanging is the bug
+
+
+def test_tiff_fillorder2_bit_reversed_strips():
+    from tensorflow_ocr_ray.core.raster import decode_tiff, encode_tiff, _BITREV
+
+    rng = np.random.default_rng(7)
+    img = (rng.random((20, 31)) < 0.3).astype(np.uint8)
+    payload = bytearray(encode_tiff(img, bilevel=True))
+    # locate the single strip: tag 273 (offset) / 279 (count) in the IFD
+    import struct
+
+    n_tags = struct.unpack("<H", payload[8:10])[0]
+    tags = {}
+    for t in range(n_tags):
+        off = 10 + t * 12
+        tag, typ, cnt, val = struct.unpack("<HHII", payload[off : off + 12])
+        tags[tag] = (off, val)
+    soff, scount = tags[273][1], tags[279][1]
+    # bit-reverse the strip bytes and declare FillOrder=2
+    payload[soff : soff + scount] = _BITREV[
+        np.frombuffer(bytes(payload[soff : soff + scount]), np.uint8)
+    ].tobytes()
+    payload += struct.pack("<HHII", 266, 3, 1, 2)  # can't append mid-IFD...
+    # instead rebuild: easiest is to patch an existing unused tag slot; use
+    # the writer's tag 277 (SamplesPerPixel=1, same as default) slot
+    off = tags[277][0]
+    payload[off : off + 12] = struct.pack("<HHII", 266, 3, 1, 2)
+    out, bits = decode_tiff(bytes(payload[:-12]))
+    assert bits == 1
+    assert (out == img).all()
+
+
+def test_tiff_cyclic_ifd_raises():
+    import pytest
+    import struct
+    from tensorflow_ocr_ray.core.raster import decode_tiff_pages, encode_tiff
+
+    payload = bytearray(encode_tiff(np.zeros((2, 2), np.uint8), bilevel=True))
+    n_tags = struct.unpack("<H", payload[8:10])[0]
+    next_ifd_off = 10 + n_tags * 12
+    # point next-IFD back at the first IFD -> cycle
+    payload[next_ifd_off : next_ifd_off + 4] = struct.pack("<I", 8)
+    with pytest.raises(ValueError, match="cyclic"):
+        decode_tiff_pages(bytes(payload))

@@ -178,3 +178,12 @@ def test_multipage_payload_preserves_page_order(ray_session):
     assert res.text == "".join(s.text for s in singles)
     assert sorted(set(g.page_idx for g in res.glyphs)) == [0, 1, 2]
     assert res.n_glyphs == sum(s.n_glyphs for s in singles)
+
+
+def test_prediction_shortfall_raises(index):
+    import pytest
+
+    spec = PageSpec(lines=["ab"], indents=[0], para_breaks=[False])
+    img = render_page(spec)
+    with pytest.raises(ValueError, match="prediction list exhausted"):
+        ocr_page_image(img, FIXTURE_CONFIG, index, predictions=["X"])

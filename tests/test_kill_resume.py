@@ -88,3 +88,15 @@ def test_kill_and_resume(tmp_path, ray_session):
         ).to_pylist()
     }
     assert got == want
+
+
+def test_basename_collision_rejected(tmp_path):
+    from tensorflow_ocr_ray.pipelines.checkpoint import run_checkpointed
+
+    a = tmp_path / "a" / "docs.parquet"
+    b = tmp_path / "b" / "docs.parquet"
+    for p in (a, b):
+        p.parent.mkdir()
+        p.write_bytes(b"")
+    with pytest.raises(ValueError, match="collision"):
+        run_checkpointed([str(a), str(b)], str(tmp_path / "out"))

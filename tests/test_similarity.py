@@ -159,3 +159,11 @@ def test_ivf_index_prunes_cells(ray_session, planted_dir, tmp_path):
     # indexed == scan-and-filter variant on the same parameters
     scan = ann_topk_ivf(planted_dir, k=10, n_cells=8, n_probe=2)
     assert set(df["vec_id"]) == set(scan["vec_id"])
+
+
+def test_lsh_probes_over_n_planes_clamped(ray_session, planted_dir):
+    # probes > n_planes must clamp, not raise UnboundLocalError
+    from tensorflow_ocr_ray.pipelines.similarity import ann_topk_lsh
+
+    out = ann_topk_lsh(planted_dir, k=3, n_planes=4, probes=99)
+    assert len(out) <= 3 and {"vec_id", "sim"} <= set(out.columns)
