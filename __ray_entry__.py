@@ -308,6 +308,115 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _minhash_sql(num_perm: int = 64, bands: int = 16,
+                 verify_threshold: float = 0.6) -> str:
+    """DuckDB re-derivation of dedup.minhash_verified_pairs, end to end:
+
+    1. the SAME crc32 shingle hashes (crc32 folded in SQL via the public
+       256-entry reflected-polynomial table, injected as literals; ASCII
+       corpora => unicode(char) == utf-8 byte);
+    2. the SAME (a*x+b) mod 2^61-1 permutation family (the seeded
+       constants injected as a VALUES literal — parameters, not results);
+    3. candidates = pairs sharing one band's 4-value signature slice
+       (exactly the pipeline's band-key collision under crc injectivity);
+    4. exact shingle-hash Jaccard >= threshold, raw DOUBLE ratio on both
+       sides -> bit-identical hash compare.
+    """
+    import numpy as np
+
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+    rng = np.random.Generator(np.random.PCG64(7))  # MinHasher(seed=7)
+    pa_ = rng.integers(1, 1 << 30, size=num_perm, dtype=np.int64)
+    pb_ = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.int64)
+    crc_values = ",".join(f"({i},{v})" for i, v in enumerate(tbl))
+    perm_values = ",".join(
+        f"({i},{int(pa_[i])},{int(pb_[i])})" for i in range(num_perm)
+    )
+    rows_per_band = num_perm // bands
+    return f"""
+        WITH crc_tbl(idx, v) AS (VALUES {crc_values}),
+        perms(pi, pa, pb) AS (VALUES {perm_values}),
+        t AS (
+          SELECT doc_id,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(length(t)-2, 1))) AS i
+          FROM t WHERE length(t) > 0
+        ),
+        shs AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN length(t) < 3 THEN t
+                      ELSE substring(t, CAST(i AS INT), 3) END AS s
+          FROM pos
+        ),
+        c0 AS (SELECT doc_id, s, 4294967295 AS crc FROM shs),
+        c1 AS (
+          SELECT doc_id, s,
+                 CASE WHEN length(s) >= 1
+                      THEN xor(crc >> 8, (SELECT v FROM crc_tbl WHERE
+                           idx = xor(crc, unicode(substring(s,1,1))) & 255))
+                      ELSE crc END AS crc
+          FROM c0
+        ),
+        c2 AS (
+          SELECT doc_id, s,
+                 CASE WHEN length(s) >= 2
+                      THEN xor(crc >> 8, (SELECT v FROM crc_tbl WHERE
+                           idx = xor(crc, unicode(substring(s,2,1))) & 255))
+                      ELSE crc END AS crc
+          FROM c1
+        ),
+        c3 AS (
+          SELECT doc_id, s,
+                 CASE WHEN length(s) >= 3
+                      THEN xor(crc >> 8, (SELECT v FROM crc_tbl WHERE
+                           idx = xor(crc, unicode(substring(s,3,1))) & 255))
+                      ELSE crc END AS crc
+          FROM c2
+        ),
+        sh AS (SELECT DISTINCT doc_id, xor(crc, 4294967295) AS x FROM c3),
+        sig AS (
+          SELECT doc_id, pi,
+                 min((pa * x + pb) % 2305843009213693951) AS mv
+          FROM sh CROSS JOIN perms
+          GROUP BY doc_id, pi
+        ),
+        bandsig AS (
+          SELECT doc_id, pi // {rows_per_band} AS band,
+                 string_agg(CAST(mv AS VARCHAR), ',' ORDER BY pi) AS sigstr
+          FROM sig GROUP BY doc_id, pi // {rows_per_band}
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bandsig x JOIN bandsig y
+            ON x.band = y.band AND x.sigstr = y.sigstr
+               AND x.doc_id < y.doc_id
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS isz
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.isz AS DOUBLE)/(ca.n+cb.n-i.isz) AS sim
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.doc_a
+        JOIN cnt cb ON cb.doc_id = i.doc_b
+        WHERE CAST(i.isz AS DOUBLE)/(ca.n+cb.n-i.isz) >= {verify_threshold}
+    """
+
+
 def _langid_sql() -> str:
     """DuckDB re-derivation of textstats.lang_id, generated from the SAME
     marker table (one count term per marker, summed in dict order so the
@@ -401,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),
+        "minhash_verified_pairs": _minhash_sql(),
         # simhash64 re-derived in SQL: identical md5-low-64 gram hashes,
         # per-bit majority vote, unsigned->signed int64 reinterpretation
         "simhash_fingerprints": r"""

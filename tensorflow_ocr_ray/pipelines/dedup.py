@@ -282,7 +282,10 @@ def minhash_verified_pairs(
             if sim >= verify_threshold:
                 rows_a.append(int(da))
                 rows_b.append(int(db))
-                sims.append(round(float(sim), 4))
+                # raw IEEE double (no rounding): bit-identical to the
+                # DuckDB oracle's CAST(isz AS DOUBLE)/union on the same
+                # integers (cf. ngram_jaccard_pairs)
+                sims.append(float(sim))
         return pd.DataFrame(
             {"doc_a": rows_a, "doc_b": rows_b, "sim": sims}
         ).astype({"doc_a": "int64", "doc_b": "int64", "sim": "float64"})
