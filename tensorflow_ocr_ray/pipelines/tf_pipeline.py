@@ -27,6 +27,45 @@ from tensorflow_ocr_ray.config import TF_UNKNOWN
 _TIER_DOCS = {"sf0.001": 16, "sf0.01": 48, "sf0.1": 128}
 _TIER_SCORER_DOCS = {"sf0.001": 12, "sf0.01": 32, "sf0.1": 96}
 
+# trained-scorer memo: the TF query family (tf_dense_predictions,
+# tf_agreement, ocr_dense_scorer, ocr_cnn_scorer) shares one driver
+# session, and training is deterministic given (font index, epochs) —
+# retraining per query call just re-derives the same weights
+_SCORER_MEMO: dict[tuple, dict] = {}
+
+
+def _font_fingerprint() -> str:
+    import hashlib
+
+    from tensorflow_ocr_ray.fonts import get_font_index
+
+    idx = get_font_index()
+    h = hashlib.md5(idx.tuples.tobytes())
+    h.update("\x00".join(idx.labels).encode("utf-8"))
+    return h.hexdigest()[:16]
+
+
+def trained_scorer_state(kind: str, epochs: int) -> dict:
+    """Train the dense/cnn scorer ONCE per (kind, epochs, font
+    fingerprint) per driver process and return its weight state.  The
+    fingerprint keys the memo so interactive retraining (tools/retrain.py
+    mutates the index) still invalidates correctly."""
+    key = (kind, epochs, _font_fingerprint())
+    if key not in _SCORER_MEMO:
+        if kind == "dense":
+            from tensorflow_ocr_ray.fonts import get_font_index
+            from tensorflow_ocr_ray.models.dense import train_on_font_index
+
+            model, _ = train_on_font_index(get_font_index(), epochs=epochs)
+        elif kind == "cnn":
+            from tensorflow_ocr_ray.models.cnn import train_on_font_windows
+
+            model, _ = train_on_font_windows(epochs=epochs)
+        else:
+            raise ValueError(f"unknown scorer kind {kind!r}")
+        _SCORER_MEMO[key] = model.to_state()
+    return _SCORER_MEMO[key]
+
 
 def _tier(sf_dir: str, table: dict, default: int) -> int:
     return table.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], default)
@@ -60,11 +99,7 @@ def dense_predictions(sf_dir: str, n_docs: int | None = None, epochs: int = 600)
     vocab size), broadcast weights, predict per glyph row."""
     import ray
 
-    from tensorflow_ocr_ray.fonts import get_font_index
-    from tensorflow_ocr_ray.models.dense import train_on_font_index
-
-    model, _ = train_on_font_index(get_font_index(), epochs=epochs)
-    state_ref = ray.put(model.to_state())
+    state_ref = ray.put(trained_scorer_state("dense", epochs))
 
     class Predict:
         def __init__(self):
@@ -158,18 +193,10 @@ def ocr_with_scorer(
 
     n_docs = _tier(sf_dir, _TIER_SCORER_DOCS, 32)
     docs = generate_documents(n_docs, seed=42)
-    if kind == "dense":
-        from tensorflow_ocr_ray.fonts import get_font_index
-        from tensorflow_ocr_ray.models.dense import train_on_font_index
-
-        model, _ = train_on_font_index(get_font_index(), epochs=600)
-    elif kind == "cnn":
-        from tensorflow_ocr_ray.models.cnn import train_on_font_windows
-
-        model, _ = train_on_font_windows(epochs=120)
-    else:
+    epochs = {"dense": 600, "cnn": 120}.get(kind)
+    if epochs is None:
         raise ValueError(f"unknown scorer kind {kind!r}")
-    state_ref = ray.put(model.to_state())
+    state_ref = ray.put(trained_scorer_state(kind, epochs))
     remote = {"ray_remote_args": {"num_gpus": num_gpus}} if num_gpus else {}
     out = ocr_documents(
         rd.from_arrow(docs),
