@@ -418,48 +418,214 @@ def q14_top_customer_per_nation(sf_dir: str, k: int = 1) -> pd.DataFrame:
     )
 
 
-def q15_active_users(sf_dir: str, min_events: int = 60) -> pd.DataFrame:
-    """Aggregate + HAVING: users with at least ``min_events`` events."""
+def q15_active_users(
+    sf_dir: str, min_events: int = 60, n_shards: int = 64
+) -> pd.DataFrame:
+    """Aggregate + HAVING: users with at least ``min_events`` events.
+
+    Map-side partials per user, then a sharded distributed combine (the
+    ``_combine_window_partials`` pattern) — the driver never sees the
+    users×batches partial table, only the final HAVING-filtered result."""
     ds = _pq(sf_dir, "events", ["user_id", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("user_id", as_index=False).agg(
+        g = df.groupby("user_id", as_index=False).agg(
             p_n=("value", "size"), p_v=("value", "sum")
         )
+        g["shard"] = g["user_id"] % n_shards
+        return g
 
-    parts = ds.map_batches(
-        partial, batch_format="pandas", batch_size=65536
-    ).to_pandas()
-    g = parts.groupby("user_id", as_index=False).agg(
-        events=("p_n", "sum"), v=("p_v", "sum")
-    )
-    g = g[g["events"] >= min_events]
-    g["events"] = g["events"].astype("int64")
-    g["total_value"] = g["v"].round(2)
-    return g.drop(columns=["v"]).sort_values("user_id").reset_index(drop=True)
-
-
-def q16_event_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Exact per-group discrete quantiles (p50/p90) — DuckDB's
-    quantile_disc picks the sorted value at index ceil(q*n)-1."""
-    ds = _pq(sf_dir, "events", ["event_type", "value"])
-
-    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(df["value"].to_numpy())
-        n = len(v)
-
-        def disc(q: float) -> float:
-            return float(v[max(int(np.ceil(q * n)) - 1, 0)])
-
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            events=("p_n", "sum"), v=("p_v", "sum")
+        )
+        g = g[g["events"] >= min_events]
         return pd.DataFrame(
-            {"event_type": [df["event_type"].iloc[0]],
-             "p50": [disc(0.5)], "p90": [disc(0.9)]}
+            {
+                "user_id": g["user_id"],
+                "events": g["events"].astype("int64"),
+                "total_value": g["v"].round(2),
+            }
         )
 
     df = (
-        ds.groupby("event_type")
-        .map_groups(quantiles, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(combine, batch_format="pandas")
         .to_pandas()
+    )
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q16_event_quantiles(
+    sf_dir: str,
+    n_bins: int = 1024,
+    collect_limit: int = 65536,
+    max_rounds: int = 6,
+) -> pd.DataFrame:
+    """Exact per-group discrete quantiles (p50/p90) — DuckDB's
+    quantile_disc picks the sorted value at index ceil(q*n)-1 — computed
+    by distributed histogram refinement, NOT whole-group materialization:
+
+    1. per-type counts + min/max (one streaming aggregate);
+    2. each (type, q) target holds an interval known to contain its
+       order statistic; every round, one ``map_batches`` pass computes
+       per-target bin counts (tiny: targets × n_bins reaches the driver)
+       and the interval narrows to the bin containing the k-th value —
+       the in-interval count shrinks ~n_bins× per round;
+    3. when every target's interval holds ≤ ``collect_limit`` values,
+       one filtered pass collects just those values and the exact rank
+       is read off locally.
+
+    No task ever holds more than a batch (pass 2) or ``collect_limit``
+    floats (pass 3), regardless of group skew."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    import ray
+
+    stats = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="lo"),
+            Max("value", alias_name="hi"),
+        )
+        .to_pandas()
+    )
+    # target = (event_type, k) with k the 0-based GLOBAL rank of the order
+    # statistic; state: a closed interval [lo, hi] known to contain it.
+    # Rank bookkeeping is always comparison-exact (count of v < lo is
+    # re-measured each pass), so histogram float rounding can never shift
+    # the selected index — the histogram only CHOOSES the next interval,
+    # padded one bin each side (bin index is monotone in v, so the true
+    # order stat lives within one bin of the nominal one even under
+    # worst-case rounding of the bin-index multiply).
+    targets: list[dict] = []
+    for _, row in stats.iterrows():
+        n = int(row["n"])
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            targets.append(
+                {
+                    "event_type": row["event_type"],
+                    "col": col,
+                    "k": max(int(np.ceil(q * n)) - 1, 0),
+                    "lo": float(row["lo"]),
+                    "hi": float(row["hi"]),
+                    "in_count": n,
+                    "value": None,
+                }
+            )
+
+    def hist_pass(tgt_list: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+        """One distributed pass → per-target (bin counts, n_below) where
+        ``n_below`` is the exact count of values < lo (comparison-based)
+        and bins cover [lo, hi] half-open with an overflow slot for
+        v == hi."""
+        tref = ray.put(
+            [(t["event_type"], t["lo"], t["hi"]) for t in tgt_list]
+        )
+
+        def counts(df: pd.DataFrame) -> pd.DataFrame:
+            tl = ray.get(tref)
+            out = np.zeros((len(tl), n_bins + 1), dtype=np.int64)
+            below = np.zeros(len(tl), dtype=np.int64)
+            for i, (etype, lo, hi) in enumerate(tl):
+                v = df.loc[df["event_type"] == etype, "value"].to_numpy()
+                if len(v) == 0:
+                    continue
+                below[i] = int((v < lo).sum())
+                if hi <= lo:
+                    continue
+                v = v[(v >= lo) & (v <= hi)]
+                idx = np.clip(
+                    ((v - lo) * (n_bins / (hi - lo))).astype(np.int64),
+                    0, n_bins,
+                )
+                np.add.at(out[i], idx, 1)
+            return pd.DataFrame(
+                {"tgt": np.arange(len(tl)),
+                 "below": below,
+                 "bins": [out[i] for i in range(len(tl))]}
+            )
+
+        parts = ds.map_batches(
+            counts, batch_format="pandas", batch_size=65536
+        ).to_pandas()
+        total = np.zeros((len(tgt_list), n_bins + 1), dtype=np.int64)
+        below = np.zeros(len(tgt_list), dtype=np.int64)
+        for tgt, nb, b in zip(parts["tgt"], parts["below"], parts["bins"]):
+            total[int(tgt)] += np.asarray(b, dtype=np.int64)
+            below[int(tgt)] += int(nb)
+        return total, below
+
+    for _ in range(max_rounds):
+        live = [t for t in targets if t["value"] is None
+                and t["in_count"] > collect_limit and t["hi"] > t["lo"]]
+        if not live:
+            break
+        hists, belows = hist_pass(live)
+        for t, h, nb in zip(live, hists, belows):
+            want = t["k"] - int(nb)  # rank within [lo, hi]
+            cum = np.cumsum(h)
+            b = int(np.searchsorted(cum, want + 1))
+            width = (t["hi"] - t["lo"]) / n_bins
+            if b >= n_bins:  # overflow slot: the value IS hi exactly
+                t["value"] = t["hi"]
+                continue
+            # pad one bin each side against bin-index rounding
+            new_lo = max(t["lo"], t["lo"] + (b - 1) * width)
+            new_hi = min(t["hi"], t["lo"] + (b + 2) * width)
+            t["lo"], t["hi"] = new_lo, new_hi
+            t["in_count"] = int(
+                h[max(b - 1, 0) : min(b + 2, n_bins)].sum()
+            ) + int(h[n_bins] if b + 2 > n_bins else 0)
+
+    # final exact selection: collect only in-interval values per target,
+    # with the exact below-count measured in the same pass
+    live = [t for t in targets if t["value"] is None]
+    if live:
+        tref = ray.put(
+            [(t["event_type"], t["lo"], t["hi"]) for t in live]
+        )
+
+        def residual(df: pd.DataFrame) -> pd.DataFrame:
+            tl = ray.get(tref)
+            frames = []
+            for i, (etype, lo, hi) in enumerate(tl):
+                v = df.loc[df["event_type"] == etype, "value"].to_numpy()
+                if len(v) == 0:
+                    continue
+                nb = int((v < lo).sum())
+                keep = v[(v >= lo) & (v <= hi)]
+                frames.append(pd.DataFrame(
+                    {"tgt": i,
+                     "below": [nb] + [0] * len(keep),
+                     "value": np.concatenate(([np.nan], keep))}
+                ))
+            if not frames:
+                return pd.DataFrame(
+                    {"tgt": pd.Series([], dtype="int64"),
+                     "below": pd.Series([], dtype="int64"),
+                     "value": pd.Series([], dtype="float64")}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        vals = ds.map_batches(
+            residual, batch_format="pandas", batch_size=65536
+        ).to_pandas()
+        for i, t in enumerate(live):
+            sel = vals[vals["tgt"] == i]
+            nb = int(sel["below"].sum())
+            v = np.sort(sel["value"].dropna().to_numpy())
+            t["value"] = float(v[t["k"] - nb])
+
+    rows: dict[str, dict] = {}
+    for t in targets:
+        rows.setdefault(t["event_type"], {})[t["col"]] = t["value"]
+    df = pd.DataFrame(
+        [
+            {"event_type": k, "p50": v["p50"], "p90": v["p90"]}
+            for k, v in rows.items()
+        ]
     )
     return df.sort_values("event_type").reset_index(drop=True)
 

@@ -34,3 +34,43 @@ def test_minhash_verified_pairs_oracle(ray_session):
     assert (got["doc_b"].to_numpy() == orc["doc_b"].to_numpy()).all()
     # raw IEEE doubles on both sides -> bit-identical
     assert (got["sim"].to_numpy() == orc["sim"].to_numpy()).all()
+
+
+def _events_con():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    return con
+
+
+def test_q16_histogram_refinement_exact(ray_session):
+    """collect_limit small enough to force multiple histogram rounds;
+    result must still equal DuckDB quantile_disc exactly."""
+    from tensorflow_ocr_ray.pipelines.relational import q16_event_quantiles
+
+    orc = _events_con().execute(
+        "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
+        "quantile_disc(value, 0.9) AS p90 "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ).fetchdf()
+    got = q16_event_quantiles(SF, n_bins=16, collect_limit=8, max_rounds=8)
+    assert got["event_type"].tolist() == orc["event_type"].tolist()
+    assert (got["p50"].to_numpy() == orc["p50"].to_numpy()).all()
+    assert (got["p90"].to_numpy() == orc["p90"].to_numpy()).all()
+
+
+def test_q15_sharded_finalize(ray_session):
+    from tensorflow_ocr_ray.pipelines.relational import q15_active_users
+
+    orc = _events_con().execute(
+        "SELECT user_id, count(*) AS events, round(sum(value),2) AS "
+        "total_value FROM events GROUP BY user_id "
+        "HAVING count(*) >= 5 ORDER BY user_id"
+    ).fetchdf()
+    got = q15_active_users(SF, min_events=5)
+    assert len(got) == len(orc) > 0
+    assert (got["user_id"].to_numpy() == orc["user_id"].to_numpy()).all()
+    assert (got["events"].to_numpy() == orc["events"].to_numpy()).all()
+    assert (got["total_value"].to_numpy() == orc["total_value"].to_numpy()).all()
