@@ -278,8 +278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
-        "ann_topk_lsh": similarity.ann_topk_lsh,
-        "ann_topk_ivf": similarity.ann_topk_ivf,
+        # the read-pruned indexed paths (build-once bucket/cell
+        # partitions; only the probe ring is READ) — at 100 TB the index
+        # IS the operator; the scan-and-filter variants remain as
+        # similarity.ann_topk_lsh / ann_topk_ivf for index-free corpora
+        "ann_topk_lsh": similarity.ann_topk_lsh_pruned,
+        "ann_topk_ivf": similarity.ann_topk_ivf_pruned,
         "label_centroids": similarity.label_centroids,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         # text analysis

@@ -167,3 +167,34 @@ def test_lsh_probes_over_n_planes_clamped(ray_session, planted_dir):
 
     out = ann_topk_lsh(planted_dir, k=3, n_planes=4, probes=99)
     assert len(out) <= 3 and {"vec_id", "sim"} <= set(out.columns)
+
+
+def test_pruned_entries_match_scan_variants(ray_session, planted_dir):
+    """queries() now exercises the indexed paths; they must return the
+    same top-k as the scan variants (same planes/cells, pruned I/O)."""
+    from tensorflow_ocr_ray.pipelines.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_pruned,
+        ann_topk_lsh,
+        ann_topk_lsh_pruned,
+    )
+
+    scan = ann_topk_lsh(planted_dir, k=10)
+    pruned = ann_topk_lsh_pruned(planted_dir, k=10)
+    assert scan["vec_id"].tolist() == pruned["vec_id"].tolist()
+    assert scan["sim"].tolist() == pruned["sim"].tolist()
+
+    scan = ann_topk_ivf(planted_dir, k=10)
+    pruned = ann_topk_ivf_pruned(planted_dir, k=10)
+    assert scan["vec_id"].tolist() == pruned["vec_id"].tolist()
+    assert scan["sim"].tolist() == pruned["sim"].tolist()
+
+    # second call must reuse the cached index (fingerprint-keyed)
+    import os
+    from tensorflow_ocr_ray.pipelines import similarity as sim
+
+    fp = sim._emb_fingerprint(planted_dir)
+    d = os.path.join(sim._INDEX_CACHE_ROOT, f"lsh-p8-s11-{fp}")
+    mtime = os.path.getmtime(os.path.join(d, "_SUCCESS"))
+    ann_topk_lsh_pruned(planted_dir, k=10)
+    assert os.path.getmtime(os.path.join(d, "_SUCCESS")) == mtime
