@@ -167,6 +167,37 @@ def _minhash_candidates(
     )
 
 
+_BLOOM_BITS = 1 << 24  # 16 Mbit = 2 MiB bitmap, fixed regardless of corpus
+_BLOOM_HASHES = 4
+
+
+def _bloom_positions(ids: np.ndarray, i: int) -> np.ndarray:
+    """i-th bloom hash of int64 ids, vectorized (splitmix64 finalizer)."""
+    x = ids.astype(np.uint64) + np.uint64(
+        (0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF
+    )
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def _bloom_from_ids(ids: np.ndarray) -> np.ndarray:
+    bm = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for i in range(_BLOOM_HASHES):
+        pos = _bloom_positions(ids, i)
+        np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bm
+
+
+def _bloom_contains(bm: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    mask = np.ones(len(ids), dtype=bool)
+    for i in range(_BLOOM_HASHES):
+        pos = _bloom_positions(ids, i)
+        mask &= (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return mask
+
+
 def minhash_verified_pairs(
     sf_dir: str,
     num_perm: int = 64,
@@ -177,9 +208,12 @@ def minhash_verified_pairs(
     distributed (no whole-corpus driver state):
 
     1. candidates via banded MinHash (``_minhash_candidates``);
-    2. the distinct candidate doc_ids become a broadcast semi-join filter
-       (``ray.put`` once — at extreme scale this set becomes a bloom
-       filter) so shingle extraction touches only colliding docs;
+    2. the candidate doc_ids fold into a FIXED-SIZE bloom filter (2 MiB
+       bitmap; per-batch partial bitmaps OR-combined streaming, so the
+       driver never holds a structure proportional to candidate count)
+       broadcast once as the semi-join filter — shingle extraction
+       touches only (probably-)colliding docs; false positives cost one
+       wasted shingle row, never correctness;
     3. each pair is exploded into two half-rows keyed by doc id, unioned
        with the (filtered) per-doc shingle-hash rows, and a
        ``groupby(doc).map_groups`` attaches the shingle array to each
@@ -194,20 +228,32 @@ def minhash_verified_pairs(
     ds = _docs(sf_dir, ["doc_id", "text"])
     cand = _minhash_candidates(ds, num_perm, bands)
 
-    # distinct candidate ids -> broadcast filter (semi-join small side)
-    cand_ids = set()
-    for b in cand.iter_batches(batch_format="pandas"):
-        cand_ids.update(b["doc_a"].tolist())
-        cand_ids.update(b["doc_b"].tolist())
-    if not cand_ids:
+    # candidate ids -> bloom filter, built distributed: each batch emits a
+    # partial bitmap, OR-combined streaming on the driver (constant 2 MiB
+    # driver state, not O(candidates))
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate(
+            [df["doc_a"].to_numpy(np.int64), df["doc_b"].to_numpy(np.int64)]
+        )
+        return pd.DataFrame({"bm": [_bloom_from_ids(ids)]})
+
+    bloom = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    any_cand = False
+    for b in cand.map_batches(
+        bloom_partial, batch_format="pandas", batch_size=65536
+    ).iter_batches(batch_format="pandas"):
+        for bm in b["bm"]:
+            any_cand = True
+            np.bitwise_or(bloom, np.asarray(bm, dtype=np.uint8), out=bloom)
+    if not any_cand:
         return pd.DataFrame(columns=["doc_a", "doc_b", "sim"]).astype(
             {"doc_a": "int64", "doc_b": "int64", "sim": "float64"}
         )
-    ids_ref = ray.put(cand_ids)
+    ids_ref = ray.put(bloom)
 
     def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(ids_ref)
-        df = df[df["doc_id"].isin(ids)]
+        bm = ray.get(ids_ref)
+        df = df[_bloom_contains(bm, df["doc_id"].to_numpy(np.int64))]
         sh = [
             np.sort(np.fromiter(char_shingles(t), dtype=np.int64, count=-1))
             for t in df["text"]
