@@ -184,9 +184,24 @@ def _md5_32(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
 
 
+def _md5_prefix_batch(grams: list[str], nbytes: int) -> np.ndarray:
+    """First ``nbytes`` md5 bytes of every gram as one big-endian uint
+    array: per-gram digests concatenated once, ONE ``np.frombuffer`` for
+    the int conversion (the per-gram ``int.from_bytes`` loop was the
+    second-largest cost after the digests themselves)."""
+    import hashlib
+
+    dig = b"".join(
+        hashlib.md5(g.encode("utf-8")).digest()[:nbytes] for g in grams
+    )
+    return np.frombuffer(dig, dtype={4: ">u4", 8: ">u8"}[nbytes])
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word 2-grams.  Gram hashes are md5-derived so
-    the DuckDB oracle recomputes the identical fingerprint."""
+    the DuckDB oracle recomputes the identical fingerprint.  The per-bit
+    majority vote is one vectorized (grams x 64) reduction, not a Python
+    loop per gram."""
     toks = [t for t in split_tokens(text.lower()) if t]
     grams = (
         [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
@@ -195,36 +210,32 @@ def simhash64(text: str) -> int:
     )
     if not grams:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for g in grams:
-        h = _md5_64(g)
-        for i in range(64):
-            acc[i] += 1 if (h >> i) & 1 else -1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    hs = _md5_prefix_batch(grams, 8).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    ones = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+    # majority: bit set iff ones > grams/2 (acc = 2*ones - n > 0)
+    outbits = (2 * ones.astype(np.int64) - len(grams) > 0).astype(np.uint64)
+    out = int((outbits << shifts).sum(dtype=np.uint64))
     return out - (1 << 64) if out >= (1 << 63) else out  # signed int64
 
 
 def winnow_fingerprint(text: str, k: int = 5, window: int = 4, keep: int = 8) -> list[int]:
     """Winnowing document fingerprint: k-gram md5 hashes, per-window
     minima, first ``keep`` distinct values (document-order).  md5-based
-    so the DuckDB oracle recomputes it exactly."""
+    so the DuckDB oracle recomputes it exactly.  Window minima via one
+    sliding-window reduction; order-preserving dedup via ``pd.unique``."""
     t = _WS.sub(" ", text.strip().lower())
     if len(t) < k:
         return [_md5_32(t)] if t else []
-    hashes = [_md5_32(t[i : i + k]) for i in range(len(t) - k + 1)]
-    picked: list[int] = []
-    seen = set()
-    for i in range(max(1, len(hashes) - window + 1)):
-        m = min(hashes[i : i + window])
-        if m not in seen:
-            seen.add(m)
-            picked.append(m)
-            if len(picked) >= keep:
-                break
-    return picked
+    grams = [t[i : i + k] for i in range(len(t) - k + 1)]
+    hashes = _md5_prefix_batch(grams, 4)
+    if len(hashes) >= window:
+        mins = np.lib.stride_tricks.sliding_window_view(
+            hashes, window
+        ).min(axis=1)
+    else:
+        mins = hashes.min(keepdims=True)
+    return [int(v) for v in pd.unique(mins)[:keep]]
 
 
 # ---------------- batch-level wrappers ------------------------------------
