@@ -89,35 +89,34 @@ def _pairs_in_bucket(
     )
 
 
-def char_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+def char_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> "rd.Dataset":
     """All same-source pairs with character-set Jaccard ≥ threshold.
 
     Bucketing by ``source`` bounds the quadratic comparison to per-bucket
     sizes (the classic blocked-pairs pattern); the per-bucket work runs in
-    ``map_groups`` across the cluster.
-    """
+    ``map_groups`` across the cluster.  Returns the LAZY Dataset — pair
+    cardinality grows with the corpus, so the result streams to a sink
+    like ``dedup_exact`` does (the driver compare sorts rows itself)."""
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
-    out = ds.groupby("source").map_groups(
+    return ds.groupby("source").map_groups(
         lambda df: _pairs_in_bucket(df, set, threshold),
         batch_format="pandas",
     )
-    df = out.to_pandas()
-    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> "rd.Dataset":
     """Same-source pairs with 3-gram shingle Jaccard ≥ threshold.
 
     ``sim`` is the unrounded double ratio so the DuckDB shingle-join
     oracle (string 3-grams, same ws-collapse + lowercase normalization)
     hash-matches bit-for-bit; crc32 shingle hashing is collision-free on
-    these corpora (asserted in tests)."""
+    these corpora (asserted in tests).  Lazy Dataset result (see
+    ``char_jaccard_pairs``)."""
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
-    out = ds.groupby("source").map_groups(
+    return ds.groupby("source").map_groups(
         lambda df: _pairs_in_bucket(df, char_shingles, threshold, digits=None),
         batch_format="pandas",
     )
-    return out.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _minhash_candidates(
