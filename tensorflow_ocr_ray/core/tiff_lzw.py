@@ -70,9 +70,14 @@ def lzw_encode(data: bytes) -> bytes:
 
 
 def lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
+    """Inlined hot loop: bulk 3-byte bit refills, table length tracked in
+    an int (no len() per code), next width-change threshold precomputed."""
     width = 9
     out = bytearray()
-    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    base_table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base_table)
+    nt = 258  # == len(table), tracked
+    bump = (1 << 9) - 2  # table length that triggers the early change
     prev: bytes | None = None
     buf = 0
     nbits = 0
@@ -80,30 +85,45 @@ def lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
     n = len(data)
 
     while True:
-        while nbits < width:
-            if ipos >= n:
-                return bytes(out)
-            buf = (buf << 8) | data[ipos]
-            ipos += 1
-            nbits += 8
+        if nbits < width:
+            if ipos + 3 <= n:
+                buf = (
+                    (buf << 24)
+                    | (data[ipos] << 16)
+                    | (data[ipos + 1] << 8)
+                    | data[ipos + 2]
+                )
+                ipos += 3
+                nbits += 24
+            else:
+                while nbits < width:
+                    if ipos >= n:
+                        return bytes(out)
+                    buf = (buf << 8) | data[ipos]
+                    ipos += 1
+                    nbits += 8
         nbits -= width
         code = buf >> nbits
         buf &= (1 << nbits) - 1
         if code == EOI:
             break
         if code == CLEAR:
-            table = table[:258]
+            table = list(base_table)
+            nt = 258
             width = 9
+            bump = (1 << 9) - 2
             prev = None
             continue
         if prev is None:
             entry = table[code]
-        elif code < len(table):
+        elif code < nt:
             entry = table[code]
             table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
+            nt += 1
+        elif code == nt:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
+            nt += 1
         else:
             raise ValueError(f"bad LZW code {code}")
         out += entry
@@ -111,11 +131,9 @@ def lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
         # early change: the decoder's table assignment trails the
         # encoder's by one code, so it switches at 510/1022/2046 where
         # the encoder switches at 511/1023/2047
-        if len(table) == (1 << width) - 2 and width < 12:
+        if nt == bump and width < 12:
             width += 1
-        if len(table) >= 4094:
-            # encoder resets after this point; expect a CLEAR next
-            pass
+            bump = (1 << width) - 2
         if max_out is not None and len(out) >= max_out:
             break
     return bytes(out)
