@@ -421,6 +421,33 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16,
     """
 
 
+def _minhash_dedup_sql() -> str:
+    """Connected components over the verified MinHash pair set (the full
+    ``_minhash_sql`` as a MATERIALIZED CTE) via recursive min-label
+    propagation: rep = min doc_id reachable in the undirected pair graph
+    — exactly the pipeline's union-find with min-rep merging."""
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({_minhash_sql()}) t
+        ),
+        nodes AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs)
+        ),
+        edges AS MATERIALIZED (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM nodes
+          UNION
+          SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.doc_id
+        )
+        SELECT doc_id, min(r) AS cluster_rep FROM walk GROUP BY doc_id
+    """
+
+
 def _langid_sql() -> str:
     """DuckDB re-derivation of textstats.lang_id, generated from the SAME
     marker table (one count term per marker, summed in dict order so the
@@ -515,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),
+        "minhash_dedup": _minhash_dedup_sql(),
         # simhash64 re-derived in SQL: identical md5-low-64 gram hashes,
         # per-bit majority vote, unsigned->signed int64 reinterpretation
         "simhash_fingerprints": r"""

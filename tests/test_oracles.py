@@ -74,3 +74,18 @@ def test_q15_sharded_finalize(ray_session):
     assert (got["user_id"].to_numpy() == orc["user_id"].to_numpy()).all()
     assert (got["events"].to_numpy() == orc["events"].to_numpy()).all()
     assert (got["total_value"].to_numpy() == orc["total_value"].to_numpy()).all()
+
+
+def test_minhash_dedup_oracle(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["minhash_dedup"](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    orc = _run_oracle(e.oracle_sql()["minhash_dedup"])
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    orc = orc.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0 and len(got) == len(orc)
+    assert (got["doc_id"].to_numpy() == orc["doc_id"].to_numpy()).all()
+    assert (got["cluster_rep"].to_numpy()
+            == orc["cluster_rep"].to_numpy()).all()
