@@ -40,6 +40,27 @@ def round3(x: float) -> np.float32:
     return np.float32(f"{x:.3f}")
 
 
+def _round3_vec(content64: np.ndarray) -> np.ndarray:
+    """Vectorized %0.3f/sscanf round-trip, bit-identical to per-element
+    string formatting: floor(x*1000 + 0.5)/1000 as float32 everywhere
+    except values whose *1000 lands within 1e-9 of a decimal half —
+    those (the only places scaled rounding and round-half-even decimal
+    formatting can disagree) fall back to the string path.  The fl64
+    multiply's error (< 6e-14 at y<=1000) cannot move a value across the
+    1e-9 borderline band, and n/1000 -> float32 has no double-rounding
+    hazard (decimal thousandths are never float32 midpoints)."""
+    y = content64 * 1000.0
+    frac = y - np.floor(y)
+    vals = (np.floor(y + 0.5) / 1000.0).astype(np.float32)
+    border = np.abs(frac - 0.5) < 1e-9
+    if border.any():
+        flat_c = content64.ravel()
+        flat_v = vals.reshape(-1)
+        for i in np.nonzero(border.ravel())[0]:
+            flat_v[i] = np.float32(f"{flat_c[i]:.3f}")
+    return vals
+
+
 def fill_tuple(
     image: np.ndarray,
     left: int,
@@ -113,10 +134,8 @@ def fill_tuple(
         np.asarray(last_pos) - np.asarray(first_pos),
     )
     content = filled.astype(np.float32) / totals.astype(np.float32)
-    # vectorized sprintf("%0.3f")/sscanf round-trip (categorize.c:106-109)
-    tup[: GRID * GRID] = np.char.mod("%.3f", content.astype(np.float64)).astype(
-        np.float32
-    ).ravel()
+    # sprintf("%0.3f")/sscanf round-trip (categorize.c:106-109)
+    tup[: GRID * GRID] = _round3_vec(content.astype(np.float64)).ravel()
 
     # aspect ratio (categorize.c:115-116), float32 arithmetic
     if gheight < gwidth:
@@ -171,11 +190,9 @@ def fill_tuples_vectorized(
     filled = ps[R1, C1] - ps[R0, C1] - ps[R1, C0] + ps[R0, C0]
     totals = (last_line - first_line)[:, :, None] * (last_pos - first_pos)[:, None, :]
     content = filled.astype(np.float32) / totals.astype(np.float32)
-    out[:, : GRID * GRID] = (
-        np.char.mod("%.3f", content.astype(np.float64))
-        .astype(np.float32)
-        .reshape(n, GRID * GRID)
-    )
+    out[:, : GRID * GRID] = _round3_vec(
+        content.astype(np.float64)
+    ).reshape(n, GRID * GRID)
     aspect = np.where(
         gh < gw,
         gh / (np.float32(2.0) * gw),
