@@ -421,6 +421,69 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16,
     """
 
 
+def _ann_lsh_sql(k: int = 10, n_planes: int = 8, probes: int = 3,
+                 seed: int = 11, dim: int = 64) -> str:
+    """DuckDB re-derivation of similarity.ann_topk_lsh_pruned end to end:
+    the SAME seeded hyperplanes (parameters, injected as literals; the
+    testdata embeddings are {dim}-dim at every sf tier), sign-projection
+    bucket codes, the multiprobe ring ordered by |q·p| margin, the
+    auto-widen rule (smallest p in [probes, n_planes] with >= k
+    candidates), cosine top-k.  Verifies the read-pruned indexed path
+    byte-for-byte — bucket pruning must not change the answer."""
+    from tensorflow_ocr_ray.pipelines.similarity import _lsh_planes
+
+    planes = _lsh_planes(dim, n_planes, seed)
+    rows = []
+    for i in range(n_planes):
+        vals = ", ".join(repr(float(v)) for v in planes[i])
+        rows.append(f"({i}, [{vals}]::DOUBLE[])")
+    planes_values = ", ".join(rows)
+    return f"""
+        WITH planes(pi, pv) AS (VALUES {planes_values}),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+              WHERE vec_id = 0),
+        qproj AS (SELECT pi, list_dot_product(pv, (SELECT e FROM q)) AS d
+                  FROM planes),
+        qcode_t AS (SELECT CAST(SUM(CASE WHEN d > 0 THEN 1<<pi ELSE 0 END)
+                                AS BIGINT) AS qcode FROM qproj),
+        flips AS (SELECT pi, row_number() OVER (ORDER BY abs(d), pi) AS rk
+                  FROM qproj),
+        codes AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(
+                                   p.pv, CAST(e.embedding AS DOUBLE[])) > 0
+                          THEN 1<<p.pi ELSE 0 END) AS BIGINT) AS code
+          FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+        ),
+        ring AS (
+          SELECT c.vec_id,
+                 CASE WHEN c.code = (SELECT qcode FROM qcode_t) THEN 0
+                      ELSE (SELECT min(f.rk) FROM flips f
+                            WHERE xor(c.code, (SELECT qcode FROM qcode_t))
+                                  = (1<<f.pi))
+                 END AS lvl
+          FROM codes c
+        ),
+        counts AS (
+          SELECT ps.p, count(r.vec_id) AS n
+          FROM (SELECT unnest(generate_series({probes}, {n_planes})) AS p) ps
+          LEFT JOIN ring r ON r.lvl IS NOT NULL AND r.lvl <= ps.p
+                           AND r.vec_id <> 0
+          GROUP BY ps.p
+        ),
+        pstar_t AS (SELECT coalesce(min(p), {n_planes}) AS pstar
+                    FROM counts WHERE n >= {k})
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                     (SELECT e FROM q)), 4) AS sim
+        FROM ring r JOIN embeddings e ON e.vec_id = r.vec_id
+        WHERE r.vec_id <> 0 AND r.lvl IS NOT NULL
+          AND r.lvl <= (SELECT pstar FROM pstar_t)
+        ORDER BY sim DESC, e.vec_id
+        LIMIT {k}
+    """
+
+
 def _minhash_dedup_sql() -> str:
     """Connected components over the verified MinHash pair set (the full
     ``_minhash_sql`` as a MATERIALIZED CTE) via recursive min-label
@@ -543,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
+        "ann_topk_lsh": _ann_lsh_sql(),
         # simhash64 re-derived in SQL: identical md5-low-64 gram hashes,
         # per-bit majority vote, unsigned->signed int64 reinterpretation
         "simhash_fingerprints": r"""

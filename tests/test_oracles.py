@@ -89,3 +89,19 @@ def test_minhash_dedup_oracle(ray_session):
     assert (got["doc_id"].to_numpy() == orc["doc_id"].to_numpy()).all()
     assert (got["cluster_rep"].to_numpy()
             == orc["cluster_rep"].to_numpy()).all()
+
+
+def test_ann_topk_lsh_oracle(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["ann_topk_lsh"](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    orc = con.execute(e.oracle_sql()["ann_topk_lsh"]).fetchdf()
+    assert got["vec_id"].tolist() == orc["vec_id"].tolist()
+    assert got["sim"].tolist() == orc["sim"].tolist()
