@@ -484,6 +484,71 @@ def _ann_lsh_sql(k: int = 10, n_planes: int = 8, probes: int = 3,
     """
 
 
+def _ann_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", k: int = 10,
+                 n_cells: int = 16, n_probe: int = 4, seed: int = 23,
+                 kmeans_iters: int = 10) -> str:
+    """DuckDB re-derivation of similarity.ann_topk_ivf_pruned.  The
+    trained coarse quantizer (deterministic seeded k-means over the
+    corpus sample) is injected as literals — it is a model artifact,
+    i.e. a PARAMETER of the operator like the LSH planes, but unlike
+    them it is corpus-dependent, so this oracle is generated for the
+    driver's correctness tier (sf0.01).  Given the quantizer, the SQL
+    independently re-derives cell assignment (argmin centroid
+    distance), probe order (centroid distance to q), the auto-widen
+    rule, and cosine top-k — exactly what the hive-partitioned read
+    prunes."""
+    from tensorflow_ocr_ray.pipelines.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(sf_dir, n_cells, seed, kmeans_iters)
+    rows = []
+    for i in range(n_cells):
+        vals = ", ".join(repr(float(v)) for v in cents[i])
+        rows.append(f"({i}, [{vals}]::DOUBLE[])")
+    cents_values = ", ".join(rows)
+    return f"""
+        WITH cents(ci, cv) AS (VALUES {cents_values}),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+              WHERE vec_id = 0),
+        qdist AS (
+          SELECT ci, list_distance(cv, (SELECT e FROM q)) AS d FROM cents
+        ),
+        probe_order AS (
+          SELECT ci, row_number() OVER (ORDER BY d, ci) AS rk FROM qdist
+        ),
+        assign AS (
+          SELECT vec_id, ci AS cell FROM (
+            SELECT e.vec_id, c.ci,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_distance(
+                       c.cv, CAST(e.embedding AS DOUBLE[])), c.ci
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        ranked AS (
+          SELECT a.vec_id, p.rk FROM assign a
+          JOIN probe_order p ON p.ci = a.cell
+        ),
+        counts AS (
+          SELECT ps.p, count(r.vec_id) AS n
+          FROM (SELECT unnest(generate_series({n_probe}, {n_cells})) AS p)
+               ps
+          LEFT JOIN ranked r ON r.rk <= ps.p AND r.vec_id <> 0
+          GROUP BY ps.p
+        ),
+        pstar_t AS (SELECT coalesce(min(p), {n_cells}) AS pstar
+                    FROM counts WHERE n >= {k})
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                     (SELECT e FROM q)), 4) AS sim
+        FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+        WHERE r.vec_id <> 0 AND r.rk <= (SELECT pstar FROM pstar_t)
+        ORDER BY sim DESC, e.vec_id
+        LIMIT {k}
+    """
+
+
 def _minhash_dedup_sql() -> str:
     """Connected components over the verified MinHash pair set (the full
     ``_minhash_sql`` as a MATERIALIZED CTE) via recursive min-label
@@ -607,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": _minhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
+        "ann_topk_ivf": _ann_ivf_sql(),
         # simhash64 re-derived in SQL: identical md5-low-64 gram hashes,
         # per-bit majority vote, unsigned->signed int64 reinterpretation
         "simhash_fingerprints": r"""
