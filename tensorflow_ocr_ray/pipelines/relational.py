@@ -306,7 +306,7 @@ def q10_supplier_balance(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     df = (
         ds.map_batches(Attach, fn_constructor_kwargs={"ref": name_ref},
-                       batch_format="pandas", concurrency=1)
+                       batch_format="pandas", concurrency=(1, 8))
         .groupby("n_name")
         .aggregate(Sum("s_acctbal", alias_name="t"),
                    Count(alias_name="suppliers"))
@@ -346,15 +346,21 @@ def q11_minmax_part(sf_dir: str) -> pd.DataFrame:
 
 
 def q12_distinct_types(sf_dir: str) -> pd.DataFrame:
-    """Two-stage distinct: per-batch dedup collapses before the one small
-    unique pass (never ship duplicate values to the driver)."""
+    """Two-stage distinct: per-batch dedup collapses duplicates map-side,
+    then a distributed groupby finishes — the driver receives exactly
+    |distinct| rows, never the per-batch partials (which grow with batch
+    count at scale)."""
     ds = _pq(sf_dir, "part", ["p_type"])
-    partials = ds.map_batches(
-        lambda df: df.drop_duplicates(), batch_format="pandas",
-        batch_size=65536,
+    df = (
+        ds.map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas",
+            batch_size=65536,
+        )
+        .groupby("p_type")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
     )
-    df = partials.to_pandas().drop_duplicates().sort_values("p_type")
-    return df.reset_index(drop=True)
+    return df[["p_type"]].sort_values("p_type").reset_index(drop=True)
 
 
 def q13_union_priority(sf_dir: str) -> pd.DataFrame:
@@ -375,24 +381,30 @@ def q13_union_priority(sf_dir: str) -> pd.DataFrame:
         keep("2-HIGH"), batch_format="pyarrow", batch_size=65536
     )
     u = a.union(b)
-    partials = u.map_batches(
-        lambda df: df.groupby("o_orderpriority", as_index=False).agg(
-            p=("o_orderpriority", "size")
-        ),
-        batch_format="pandas",
-        batch_size=65536,
-    )
-    df = partials.to_pandas().groupby("o_orderpriority", as_index=False).agg(
-        n_orders=("p", "sum")
+    df = (
+        u.map_batches(
+            lambda df: df.groupby("o_orderpriority", as_index=False).agg(
+                p=("o_orderpriority", "size")
+            ),
+            batch_format="pandas",
+            batch_size=65536,
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Sum("p", alias_name="n_orders"))
+        .to_pandas()
     )
     df["n_orders"] = df["n_orders"].astype("int64")
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
-def q14_top_customer_per_nation(sf_dir: str, k: int = 1) -> pd.DataFrame:
+def q14_top_customer_per_nation(
+    sf_dir: str, k: int = 1, combine_blocks: int = 32
+) -> pd.DataFrame:
     """Grouped top-k (argmax per group): highest-balance customer per
-    nation.  Map-side per-batch top-k, then a small driver-side final
-    top-k per key — the two-stage pattern that avoids a full sort."""
+    nation.  THREE-level combine: per-batch top-k map-side, a
+    repartitioned second-level top-k (bounds the driver's input to
+    combine_blocks x nations x k rows regardless of batch count), then
+    the trivial driver finish."""
     ds = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
@@ -403,9 +415,12 @@ def q14_top_customer_per_nation(sf_dir: str, k: int = 1) -> pd.DataFrame:
             .head(k)
         )
 
-    parts = ds.map_batches(
-        local_top, batch_format="pandas", batch_size=65536
-    ).to_pandas()
+    parts = (
+        ds.map_batches(local_top, batch_format="pandas", batch_size=65536)
+        .repartition(combine_blocks)
+        .map_batches(local_top, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
     out = (
         parts.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
         .groupby("c_nationkey", as_index=False)

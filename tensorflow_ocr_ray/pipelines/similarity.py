@@ -280,6 +280,24 @@ def _ensure_index(tag: str, sf_dir: str, build) -> str:
     return d
 
 
+def _bucket_row_count(index_dir: str, prefix: str, code: int) -> int:
+    """Rows in one hive bucket partition from parquet FOOTERS only (no
+    data read) — lets the widen rule pick its probe level before the
+    single data-reading query."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(index_dir, f"{prefix}={code}")
+    if not os.path.isdir(d):
+        return 0
+    return sum(
+        pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
 def ann_topk_lsh_pruned(
     sf_dir: str,
     k: int = 10,
@@ -294,20 +312,32 @@ def ann_topk_lsh_pruned(
     fingerprint, then answer from only the probe-ring partitions.  Same
     results as the scan variant (identical planes/codes); only the I/O
     shape differs — at 100 TB this touches probes+1 buckets, not the
-    corpus."""
+    corpus.  The auto-widen level is chosen UP FRONT from the buckets'
+    parquet-footer row counts (cheap metadata reads), so exactly one
+    data-reading query runs regardless of how far the ring widens."""
     q = _query_vector(sf_dir, query_vec_id)
     index_dir = _ensure_index(
         f"lsh-p{n_planes}-s{seed}", sf_dir,
         lambda d: build_lsh_index(sf_dir, d, n_planes, seed),
     )
-    out = None
-    for p in range(min(probes, n_planes), n_planes + 1):
-        out = ann_topk_lsh_indexed(
-            index_dir, q, k, query_vec_id, n_planes, p, seed
-        )
-        if len(out) >= k or not auto_widen:
-            return out
-    return out
+    p0 = min(probes, n_planes)
+    p_star = n_planes
+    if auto_widen:
+        planes = _lsh_planes(q.shape[0], n_planes, seed)
+        for p in range(p0, n_planes + 1):
+            codes = _probe_codes(q, planes, p)
+            # candidates exclude the query row (it sits in its own bucket)
+            n_cand = sum(
+                _bucket_row_count(index_dir, "code", c) for c in codes
+            ) - 1
+            if n_cand >= k:
+                p_star = p
+                break
+    else:
+        p_star = p0
+    return ann_topk_lsh_indexed(
+        index_dir, q, k, query_vec_id, n_planes, p_star, seed
+    )
 
 
 def ann_topk_ivf_pruned(
@@ -323,17 +353,24 @@ def ann_topk_ivf_pruned(
     reuse) the ``cell=N``-partitioned index + centroids once per corpus
     fingerprint, answer from only the n_probe nearest cell partitions,
     widening the probe set when under-full."""
+    import os
+
     q = _query_vector(sf_dir, query_vec_id)
     index_dir = _ensure_index(
         f"ivf-c{n_cells}-s{seed}-i{kmeans_iters}", sf_dir,
         lambda d: build_ivf_index(sf_dir, d, n_cells, seed, kmeans_iters),
     )
-    out = None
-    for p in range(min(n_probe, n_cells), n_cells + 1):
-        out = ann_topk_ivf_indexed(index_dir, q, k, query_vec_id, p)
-        if len(out) >= k:
-            return out
-    return out
+    # widen level from cell footer row counts (cf. ann_topk_lsh_pruned)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    order = np.argsort(((cents - q) ** 2).sum(1)).tolist()
+    p_star = n_cells
+    n_cand = 0
+    for rank, cell in enumerate(order, start=1):
+        n_cand += _bucket_row_count(index_dir, "cell", int(cell))
+        if rank >= min(n_probe, n_cells) and n_cand - 1 >= k:
+            p_star = rank
+            break
+    return ann_topk_ivf_indexed(index_dir, q, k, query_vec_id, p_star)
 
 
 def embedding_dup_pairs(
