@@ -594,6 +594,13 @@ def q16_event_quantiles(
                 h[max(b - 1, 0) : min(b + 2, n_bins)].sum()
             ) + int(h[n_bins] if b + 2 > n_bins else 0)
 
+    # a collapsed interval IS the answer (e.g. an all-duplicates group:
+    # the histogram can never shrink it, but min == max pins the value) —
+    # no need to collect the duplicates
+    for t in targets:
+        if t["value"] is None and t["hi"] <= t["lo"]:
+            t["value"] = t["lo"]
+
     # final exact selection: collect only in-interval values per target,
     # with the exact below-count measured in the same pass
     live = [t for t in targets if t["value"] is None]

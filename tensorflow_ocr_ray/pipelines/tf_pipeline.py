@@ -159,11 +159,22 @@ def tf_agreement(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    partials = ds.map_batches(tally, batch_format="pyarrow").to_pandas()
-    agg = partials.groupby("label", as_index=False).agg(
-        correct=("correct", "sum"), total=("total", "sum"),
-        excluded=("excluded", "sum"),
+    from ray.data.aggregate import Sum
+
+    # distributed finalize: per-batch tallies combine in a groupby, so
+    # the driver receives |vocab|+1 rows, not vocab x batches partials
+    agg = (
+        ds.map_batches(tally, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("correct", alias_name="correct"),
+            Sum("total", alias_name="total"),
+            Sum("excluded", alias_name="excluded"),
+        )
+        .to_pandas()
     )
+    for c in ("correct", "total", "excluded"):
+        agg[c] = agg[c].astype("int64")
     agg["accuracy"] = (agg["correct"] / agg["total"].clip(lower=1)).round(4)
     return agg.sort_values("label").reset_index(drop=True)
 

@@ -124,3 +124,24 @@ def test_ann_topk_ivf_oracle(ray_session):
     orc = con.execute(e.oracle_sql()["ann_topk_ivf"]).fetchdf()
     assert got["vec_id"].tolist() == orc["vec_id"].tolist()
     assert got["sim"].tolist() == orc["sim"].tolist()
+
+
+def test_q16_degenerate_all_equal(ray_session, tmp_path):
+    """All-equal values: the histogram interval cannot shrink; the
+    final collect must still return the exact quantile (the whole group
+    is duplicates of one value)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tensorflow_ocr_ray.pipelines.relational import q16_event_quantiles
+
+    n = 5000
+    t = pa.table(
+        {"event_type": ["click"] * n + ["view"] * n,
+         "value": [7.25] * n + [1.5] * n}
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = q16_event_quantiles(str(tmp_path), n_bins=8, collect_limit=100,
+                              max_rounds=3)
+    assert got["event_type"].tolist() == ["click", "view"]
+    assert got["p50"].tolist() == [7.25, 1.5]
+    assert got["p90"].tolist() == [7.25, 1.5]
