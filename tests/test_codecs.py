@@ -146,3 +146,29 @@ def test_tiff_cyclic_ifd_raises():
     payload[next_ifd_off : next_ifd_off + 4] = struct.pack("<I", 8)
     with pytest.raises(ValueError, match="cyclic"):
         decode_tiff_pages(bytes(payload))
+
+
+def test_tiff_g4_fillorder2():
+    """The real fax-TIFF combination: G4 compression with LSB-first
+    (FillOrder=2) strip bytes."""
+    import struct
+    from tensorflow_ocr_ray.core.raster import _BITREV, decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(11)
+    img = (rng.random((30, 41)) < 0.25).astype(np.uint8)
+    payload = bytearray(encode_tiff(img, bilevel=True, compression="g4"))
+    n_tags = struct.unpack("<H", payload[8:10])[0]
+    tags = {}
+    for t in range(n_tags):
+        off = 10 + t * 12
+        tag, typ, cnt, val = struct.unpack("<HHII", payload[off : off + 12])
+        tags[tag] = (off, val)
+    soff, scount = tags[273][1], tags[279][1]
+    payload[soff : soff + scount] = _BITREV[
+        np.frombuffer(bytes(payload[soff : soff + scount]), np.uint8)
+    ].tobytes()
+    off = tags[277][0]  # repurpose the redundant SamplesPerPixel=1 slot
+    payload[off : off + 12] = struct.pack("<HHII", 266, 3, 1, 2)
+    out, bits = decode_tiff(bytes(payload))
+    assert bits == 1
+    assert (out == img).all()
