@@ -68,3 +68,54 @@ def test_query_matches_documents_text(ray_session):
     m = df.merge(docs, on="doc_id")
     assert (m["extracted"] == m["text"]).all()
     assert (m["n_blocks"] == 1).all()
+
+
+def test_realistic_page_shapes():
+    """Hand-written page skeletons in the wild shapes (nav + sidebar +
+    article + footer; nested divs; table layout) — main prose recovered,
+    chrome dropped.  Guards against the oracle's wrap-fixture closed
+    loop: these inputs were never produced by the repo's boilerplate
+    generator."""
+    from tensorflow_ocr_ray.functions.html_extract import extract_main_content
+
+    article = (
+        "The migration of the monarch butterfly spans four generations "
+        "and thousands of kilometres across North America every year."
+    )
+    second = (
+        "Researchers tracked the insects with miniature radio tags and "
+        "found unexpected stopover sites along the gulf coastline."
+    )
+    page = f"""
+    <html><head><title>x</title><style>.a{{color:red}}</style></head>
+    <body>
+      <nav><ul><li><a href="/">Home</a></li><li><a href="/news">News</a></li>
+        <li><a href="/about">About us</a></li></ul></nav>
+      <div class="wrap">
+        <aside><h3>Trending</h3>
+          <a href="/1">Ten shocking facts</a> <a href="/2">You won't believe</a>
+        </aside>
+        <article>
+          <h1>Monarch migration mapped</h1>
+          <p>{article}</p>
+          <p>{second}</p>
+        </article>
+      </div>
+      <footer><a href="/tos">Terms</a> | <a href="/priv">Privacy</a>
+        &copy; 2026 Example Corp</footer>
+    </body></html>
+    """
+    out = extract_main_content(page)
+    assert article in out
+    assert second in out
+    assert "Home" not in out and "Privacy" not in out
+    assert "shocking" not in out  # link-dense sidebar dropped
+
+    # table-layout page (1990s shape)
+    table_page = f"""
+    <table><tr><td><a href="/m1">Menu one</a> <a href="/m2">Menu two</a></td>
+    <td>{article}</td></tr></table>
+    """
+    out2 = extract_main_content(table_page)
+    assert article in out2
+    assert "Menu one" not in out2
