@@ -265,11 +265,21 @@ class PageSegmenter:
         """findCells (main/segment.c:278-352), iterative with the exact
         recursion order (lower/right halves processed first).  The blank
         row/col probes of the C loops are replaced by whole-region count
-        arrays off the page prefix sum — same decisions, O(1) per probe."""
+        arrays off the page prefix sum — same decisions, O(1) per probe.
+
+        Each stack entry carries a ``clean`` axis flag: a child produced
+        by a row split consists of one maximal run of non-blank rows, and
+        (by the same invariant the trims rely on — removing blank
+        columns cannot blank a row, and vice versa) those rows STAY
+        non-blank after the child's column trim, so the child's row scan
+        is provably a no-op (no trim, no row breaks) and is skipped; the
+        symmetric holds for column-split children.  Same leaf set,
+        roughly half the scans."""
         cfg = self.cfg
-        stack = [(top, bottom, left, right)]
+        ROWS_CLEAN, COLS_CLEAN = 1, 2
+        stack = [(top, bottom, left, right, 0)]
         while stack:
-            top, bottom, left, right = stack.pop()
+            top, bottom, left, right, clean = stack.pop()
             # off-image rows/cols are blank (cf. _count); clamp so the
             # count-array slices stay in range (multi-column pages pass
             # right == width for the last column)
@@ -284,17 +294,23 @@ class PageSegmenter:
             # are blank across the whole region), so the leaf set equals
             # the maximal non-blank RUN decomposition, and the runs of the
             # pre-row-trim column scan remain valid afterwards.
-            colc = self._col_counts(top, bottom, left, right)
-            nzc = np.nonzero(colc)[0]
-            if not len(nzc):
-                continue  # fully blank region
-            base_left = left
-            left, right = left + int(nzc[0]), left + int(nzc[-1])
-            rowc = self._row_counts(top, bottom, left, right)
-            nzr = np.nonzero(rowc)[0]
-            if not len(nzr):
-                continue
-            top, bottom = top + int(nzr[0]), top + int(nzr[-1])
+            if clean == COLS_CLEAN:
+                nzc = None  # single gapless run, already col-trimmed
+            else:
+                colc = self._col_counts(top, bottom, left, right)
+                nzc = np.nonzero(colc)[0]
+                if not len(nzc):
+                    continue  # fully blank region
+                base_left = left
+                left, right = left + int(nzc[0]), left + int(nzc[-1])
+            if clean == ROWS_CLEAN:
+                nzr = None  # single gapless run, already row-trimmed
+            else:
+                rowc = self._row_counts(top, bottom, left, right)
+                nzr = np.nonzero(rowc)[0]
+                if not len(nzr):
+                    continue
+                top, bottom = top + int(nzr[0]), top + int(nzr[-1])
             height = bottom + 1 - top
             width = right + 1 - left
             if (
@@ -303,27 +319,31 @@ class PageSegmenter:
                 or height * width < cfg.min_glyph_area
             ):
                 continue
-            rbreaks = np.nonzero(nzr[1:] - nzr[:-1] > 1)[0]
-            if len(rbreaks):
-                starts = np.concatenate(([nzr[0]], nzr[rbreaks + 1]))
-                ends = np.concatenate((nzr[rbreaks], [nzr[-1]]))
-                # nzr is relative to the PRE-trim top (trim shifted top by
-                # nzr[0], so rebase against the original offset)
-                base_top = top - int(nzr[0])
-                for s, e in zip(starts, ends):
-                    stack.append(
-                        (base_top + int(s), base_top + int(e), left, right)
-                    )
-                continue
-            cbreaks = np.nonzero(nzc[1:] - nzc[:-1] > 1)[0]
-            if len(cbreaks):
-                starts = np.concatenate(([nzc[0]], nzc[cbreaks + 1]))
-                ends = np.concatenate((nzc[cbreaks], [nzc[-1]]))
-                for s, e in zip(starts, ends):
-                    stack.append(
-                        (top, bottom, base_left + int(s), base_left + int(e))
-                    )
-                continue
+            if nzr is not None:
+                rbreaks = np.nonzero(nzr[1:] - nzr[:-1] > 1)[0]
+                if len(rbreaks):
+                    starts = np.concatenate(([nzr[0]], nzr[rbreaks + 1]))
+                    ends = np.concatenate((nzr[rbreaks], [nzr[-1]]))
+                    # nzr is relative to the PRE-trim top (trim shifted top
+                    # by nzr[0], so rebase against the original offset)
+                    base_top = top - int(nzr[0])
+                    for s, e in zip(starts, ends):
+                        stack.append(
+                            (base_top + int(s), base_top + int(e),
+                             left, right, ROWS_CLEAN)
+                        )
+                    continue
+            if nzc is not None:
+                cbreaks = np.nonzero(nzc[1:] - nzc[:-1] > 1)[0]
+                if len(cbreaks):
+                    starts = np.concatenate(([nzc[0]], nzc[cbreaks + 1]))
+                    ends = np.concatenate((nzc[cbreaks], [nzc[-1]]))
+                    for s, e in zip(starts, ends):
+                        stack.append(
+                            (top, bottom, base_left + int(s),
+                             base_left + int(e), COLS_CLEAN)
+                        )
+                    continue
             if (right + 1 - left > cfg.max_glyph_width) or (
                 bottom - top > cfg.max_glyph_height
             ):
@@ -333,11 +353,11 @@ class PageSegmenter:
                     min_black_row = top + int(np.argmin(row_counts))
                     if row_counts[min_black_row - top] < cfg.some_dark:
                         if bottom - (min_black_row + 1) >= cfg.min_glyph_height:
-                            stack.append((min_black_row + 1, bottom, left, right))
+                            stack.append((min_black_row + 1, bottom, left, right, 0))
                         if min_black_row - 1 - top >= cfg.min_glyph_height:
                             # pushed second so the upper half runs first,
                             # matching the C call order
-                            stack.append((top, min_black_row - 1, left, right))
+                            stack.append((top, min_black_row - 1, left, right, 0))
                 continue
             self.insert_glyph(left, right + 1, top, bottom + 1)
 
