@@ -27,7 +27,11 @@ DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # core — sized so actor-pool startup amortizes and the headline reflects
 # steady-state throughput)
 OCR_DOCS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 16000}
-SCALING_DOCS = 20000  # big enough that actor startup amortizes at 4N CPUs
+# big enough that actor-pool ramp + the reassembly shuffle's fixed cost
+# amortize at 4N CPUs: after the r3 per-span speedups (4.9 -> 2.5 ms),
+# 20k docs ran only ~16 s at 16 CPUs, so fixed overhead ate ~40% of the
+# wall and the 4-vs-16 ratio measured ramp, not throughput
+SCALING_DOCS = 60000
 
 QUERY_NAMES = [
     "q01_pricing_summary",
