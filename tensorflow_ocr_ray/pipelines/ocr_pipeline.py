@@ -158,6 +158,7 @@ def ocr_documents(
     reassemble_buckets: int | None = None,
     scorer_spec: dict | None = None,
     ray_remote_args: dict | None = None,
+    on_media_error: str = "raise",
 ) -> "ray.data.Dataset":
     """Build the lazy OCR Dataset; see module docstring for the two plans.
 
@@ -179,6 +180,10 @@ def ocr_documents(
         media_spec=media_spec,
         postprocess=postprocess,
         scorer_spec=scorer_spec,
+        # "empty": a missing/corrupt payload yields text "" instead of
+        # failing the task — at 100 TB a few bad objects must not kill a
+        # partition
+        on_media_error=on_media_error,
     )
     remote = ray_remote_args or {}
     if mode == "fused":

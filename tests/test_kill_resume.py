@@ -100,3 +100,47 @@ def test_basename_collision_rejected(tmp_path):
         p.write_bytes(b"")
     with pytest.raises(ValueError, match="collision"):
         run_checkpointed([str(a), str(b)], str(tmp_path / "out"))
+
+
+def test_on_media_error_empty_flag(tmp_path, ray_session):
+    """run_checkpointed with on_media_error='empty': a corrupt payload
+    yields text '' for that span; the partition still completes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import generate_documents
+    from tensorflow_ocr_ray.pipelines.checkpoint import run_checkpointed
+    from tensorflow_ocr_ray.state.media import DirMediaStore
+
+    docs = generate_documents(6, seed=3)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pq.write_table(docs, str(indir / "docs.parquet"))
+    media = tmp_path / "media"
+    refs = sorted(
+        {s["media_ref"] for r in docs.to_pylist() for s in r["spans"]
+         if s["kind"] == "media"}
+    )
+    from tensorflow_ocr_ray.fixtures import payload_for_ref
+
+    for i, ref in enumerate(refs):
+        payload = payload_for_ref(ref)
+        if i == 0:
+            payload = b"\x00garbage"  # corrupt the first object
+        DirMediaStore.put(str(media), ref, payload)
+
+    reports = run_checkpointed(
+        [str(indir / "docs.parquet")], str(tmp_path / "out"),
+        pipeline_kwargs={
+            "media_spec": {"kind": "dir", "path": str(media)},
+            "concurrency": 1, "batch_size": 4, "num_blocks": 2,
+            "on_media_error": "empty",
+        },
+    )
+    assert reports[0].status == "done" and reports[0].docs == 6
+    out = rd.read_parquet(str(tmp_path / "out/part=docs")).to_pandas()
+    texts = [s["text"] for r in out["spans"] for s in r
+             if s["kind"] == "media"]
+    assert "" in texts          # the corrupt object became empty text
+    assert any(t for t in texts)  # the rest OCR'd normally

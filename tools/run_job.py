@@ -37,6 +37,11 @@ def main() -> int:
                     help="OCR actor pool size (default: CPUs-1)")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--scorer", default="knn", choices=["knn", "dense", "cnn"])
+    ap.add_argument("--on-media-error", default="raise",
+                    choices=["raise", "empty"],
+                    help="'empty': bad/missing payloads yield '' instead "
+                         "of failing the partition (the 100 TB "
+                         "few-bad-objects posture)")
     ap.add_argument("--verify-truth", action="store_true",
                     help="record per-partition span-equality vs the "
                          "analytic fixture truth in each manifest")
@@ -133,6 +138,7 @@ def main() -> int:
         num_blocks=4 * cpus,
         scorer_spec=scorer_spec,
         media_spec=media_spec,
+        on_media_error=args.on_media_error,
     )
 
     def _run(fs):
