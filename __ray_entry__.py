@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": similarity.ann_topk_ivf_pruned,
         "label_centroids": similarity.label_centroids,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
+        "embedding_dup_clusters": similarity.embedding_dup_clusters,
         # text analysis
         "doc_tokens": _doc_map(doc_stats_batch),
         "doc_quality": _doc_map(quality_batch),
@@ -1084,5 +1085,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]),
                        CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        # connected components over the exact cosine pair graph via
+        # recursive min-label propagation (cf. minhash_dedup's oracle)
+        "embedding_dup_clusters": """
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ),
+            nodes AS (
+              SELECT DISTINCT vec_id FROM (
+                SELECT vec_a AS vec_id FROM pairs
+                UNION ALL SELECT vec_b FROM pairs)
+            ),
+            edges AS MATERIALIZED (
+              SELECT vec_a AS a, vec_b AS b FROM pairs
+              UNION ALL SELECT vec_b, vec_a FROM pairs
+            ),
+            walk(vec_id, r) AS (
+              SELECT vec_id, vec_id FROM nodes
+              UNION
+              SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.vec_id
+            )
+            SELECT vec_id, min(r) AS cluster_rep FROM walk GROUP BY vec_id
         """,
     }

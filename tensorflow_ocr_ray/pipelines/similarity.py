@@ -438,6 +438,34 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_clusters(
+    sf_dir: str, threshold: float = 0.4, block_size: int = 2048
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS: the exact pair list
+    (``embedding_dup_pairs`` — distributed blocked matmul) collapsed by
+    union-find with min-id representatives.  Only the edge list (result
+    cardinality) reaches the driver; the union-find runs over edges, not
+    the corpus."""
+    pairs = embedding_dup_pairs(sf_dir, threshold, block_size)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [{"vec_id": v, "cluster_rep": find(v)} for v in sorted(parent)]
+    return pd.DataFrame(
+        rows, columns=["vec_id", "cluster_rep"]
+    ).astype("int64")
+
+
 def label_centroids(sf_dir: str) -> pd.DataFrame:
     """Per-label count + mean of the first embedding dim (SQL-checkable)."""
     from ray.data.aggregate import Count, Mean

@@ -145,3 +145,22 @@ def test_q16_degenerate_all_equal(ray_session, tmp_path):
     assert got["event_type"].tolist() == ["click", "view"]
     assert got["p50"].tolist() == [7.25, 1.5]
     assert got["p90"].tolist() == [7.25, 1.5]
+
+
+def test_embedding_dup_clusters_oracle(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["embedding_dup_clusters"](SF)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    orc = con.execute(
+        e.oracle_sql()["embedding_dup_clusters"]
+    ).fetchdf().sort_values("vec_id").reset_index(drop=True)
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(orc) > 0
+    assert (got["vec_id"].to_numpy() == orc["vec_id"].to_numpy()).all()
+    assert (got["cluster_rep"].to_numpy()
+            == orc["cluster_rep"].to_numpy()).all()
