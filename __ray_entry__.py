@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "embedding_dup_clusters": similarity.embedding_dup_clusters,
+        "ann_topk_multi": similarity.ann_topk_multi,
         # text analysis
         "doc_tokens": _doc_map(doc_stats_batch),
         "doc_quality": _doc_map(quality_batch),
@@ -1059,6 +1060,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, nfc_normalize(text) AS text_nfc,
                    length(nfc_normalize(text)) AS n_chars_nfc
             FROM documents
+        """,
+        # batched multi-query exact top-k: same rank rule per query
+        "ann_topk_multi": """
+            SELECT query_id, vec_id, sim FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 4) AS sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 4) DESC,
+                           e.vec_id
+                     ) AS rn
+              FROM embeddings e
+              JOIN embeddings q ON q.vec_id IN (0, 1, 2, 3)
+                               AND e.vec_id <> q.vec_id
+            ) WHERE rn <= 5
         """,
         "ann_topk_brute": """
             SELECT vec_id,

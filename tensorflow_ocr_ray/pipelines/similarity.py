@@ -69,6 +69,67 @@ def ann_topk_brute(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataFr
     return tops.reset_index(drop=True).astype({"vec_id": "int64"})
 
 
+def ann_topk_multi(
+    sf_dir: str, k: int = 5, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3)
+) -> pd.DataFrame:
+    """Batched exact cosine top-k for a SET of queries — the realistic
+    serving shape at scale: the normalized query matrix is broadcast
+    once (``ray.put``) and every batch does ONE (batch x dim) @ (dim x Q)
+    matmul; per-(batch, query) local top-k bounds what reaches the
+    driver at k x Q x num_batches rows."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    order = {int(v): i for i, v in enumerate(ids)}
+    qm = np.stack(
+        [np.asarray(t.column("embedding")[order[q]].as_py(),
+                    dtype=np.float64)
+         for q in query_vec_ids]
+    )
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((np.asarray(query_vec_ids, dtype=np.int64), qm))
+
+    class MultiScore:
+        def __init__(self):
+            self.qids, self.qm = ray.get(q_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m / norms[:, None]) @ self.qm.T  # (batch, Q)
+            vids = df["vec_id"].to_numpy()
+            frames = []
+            for j, qid in enumerate(self.qids):
+                s = pd.DataFrame(
+                    {"query_id": qid, "vec_id": vids,
+                     "sim": np.round(sims[:, j], 4)}
+                )
+                s = s[s["vec_id"] != qid]
+                frames.append(
+                    s.sort_values(["sim", "vec_id"],
+                                  ascending=[False, True]).head(k)
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    scored = _emb(sf_dir).map_batches(
+        MultiScore, batch_format="pandas", batch_size=4096, concurrency=2
+    ).to_pandas()
+    out = (
+        scored.sort_values(["sim", "vec_id"], ascending=[False, True])
+        .groupby("query_id", as_index=False, sort=True)
+        .head(k)
+    )
+    return (
+        out.sort_values(["query_id", "sim", "vec_id"],
+                        ascending=[True, False, True])
+        .reset_index(drop=True)
+        .astype({"query_id": "int64", "vec_id": "int64"})
+    )
+
+
 def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.normal(size=(n_planes, dim))

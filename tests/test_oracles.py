@@ -164,3 +164,21 @@ def test_embedding_dup_clusters_oracle(ray_session):
     assert (got["vec_id"].to_numpy() == orc["vec_id"].to_numpy()).all()
     assert (got["cluster_rep"].to_numpy()
             == orc["cluster_rep"].to_numpy()).all()
+
+
+def test_ann_topk_multi_oracle(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["ann_topk_multi"](SF)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    orc = con.execute(e.oracle_sql()["ann_topk_multi"]).fetchdf()
+    key = ["query_id", "vec_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    orc = orc.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(orc) == 20  # 4 queries x k=5
+    for c in ("query_id", "vec_id", "sim"):
+        assert (got[c].to_numpy() == orc[c].to_numpy()).all()
