@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quality_batch,
     )
     from tensorflow_ocr_ray.pipelines import (
+        curation,
         dedup,
         relational,
         similarity,
@@ -294,6 +295,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _doc_map(langid_batch),
         "doc_fingerprints": _doc_map(fingerprint_batch),
         "doc_normalize": _doc_map(normalize_batch),
+        # corpus curation: the training-data build steps beyond dedup
+        "decontaminate": curation.decontaminate,
+        "repetition_stats": curation.repetition_stats,
+        "hash_split": curation.hash_split,
+        "pii_scrub": curation.pii_scrub,
+        "pack_sequences": curation.pack_sequences,
+        "tfidf_top_terms": curation.tfidf_top_terms,
         # html main-content extraction: deterministic boilerplate chrome
         # wrapped around each document's text; the extractor must recover
         # the text EXACTLY (hard oracle: extracted == documents.text)
@@ -667,8 +675,233 @@ def _quality_sql() -> str:
     """
 
 
+def _decontaminate_sql() -> str:
+    """DuckDB re-derivation of curation.decontaminate: identical char
+    k-gram construction (ws-collapse + lowercase, the dedup-family
+    normalization), benchmark = doc_id % mod == 0, per-doc count of
+    DISTINCT benchmark shingles present.  The SQL joins on shingle
+    STRINGS; the pipeline's md5-64 hashes are collision-free at any
+    realistic corpus (~n^2/2^65), so counts agree exactly."""
+    from tensorflow_ocr_ray.pipelines.curation import (
+        DECON_BENCH_MOD,
+        DECON_K,
+    )
+
+    k, mod = DECON_K, DECON_BENCH_MOD
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN length(t) < {k} THEN t
+                      ELSE substring(t, CAST(i AS INT), {k}) END AS s
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(
+                           1, greatest(length(t) - {k - 1}, 1))) AS i
+                FROM t WHERE length(t) > 0)
+        ),
+        bench AS (SELECT DISTINCT s FROM g WHERE doc_id % {mod} = 0),
+        hits AS (
+          SELECT g.doc_id, count(*) AS n_hits
+          FROM g JOIN bench b ON b.s = g.s
+          WHERE g.doc_id % {mod} <> 0
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % {mod} <> 0
+    """
+
+
+def _hash_split_sql() -> str:
+    """Generated from the SAME rate table / thresholds as
+    curation.hash_split (parameters, not results)."""
+    from tensorflow_ocr_ray.pipelines.curation import (
+        DEFAULT_RATE,
+        SPLIT_RATES,
+        TRAIN_PCT,
+        VALID_PCT,
+    )
+
+    rate_case = " ".join(
+        f"WHEN '{lg}' THEN {r}" for lg, r in SPLIT_RATES.items()
+    )
+    return f"""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                      ::UBIGINT % 100 AS BIGINT) AS bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, bucket,
+               CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {VALID_PCT} THEN 'valid'
+                    ELSE 'test' END AS split,
+               bucket < (CASE lang {rate_case} ELSE {DEFAULT_RATE} END)
+                   AS sampled
+        FROM b
+    """
+
+
+def _pii_sql() -> str:
+    """Generated from the SAME compiled patterns and injection template
+    as curation.pii_scrub; replacement order email -> IP -> phone on
+    both sides."""
+    from tensorflow_ocr_ray.pipelines.curation import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+    )
+
+    em, ip, ph = PII_EMAIL.pattern, PII_IP.pattern, PII_PHONE.pattern
+    inj = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com or 555-'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')"
+        " || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {inj} AS t FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{em}', '<EMAIL>', 'g'),
+                   '{ip}', '<IP>', 'g'),
+                   '{ph}', '<PHONE>', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT)
+                   AS n_phones
+        FROM t
+    """
+
+
+def _pack_sql() -> str:
+    from tensorflow_ocr_ray.pipelines.curation import PACK_CAPACITY
+
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\s+')) AS tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, tokens,
+                 CAST(sum(tokens) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                      - tokens AS BIGINT) AS cume
+          FROM t
+        )
+        SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+               cume // {PACK_CAPACITY} AS chunk_id,
+               cume % {PACK_CAPACITY} AS chunk_offset
+        FROM c
+    """
+
+
+def _tfidf_sql() -> str:
+    from tensorflow_ocr_ray.pipelines.curation import TFIDF_TOPN
+
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        u AS (SELECT doc_id, unnest(toks) AS token FROM t
+              WHERE len(toks) > 0),
+        c AS (SELECT doc_id, token, count(*) AS cnt FROM u GROUP BY 1, 2),
+        d AS (SELECT token, count(*) AS df FROM c GROUP BY 1),
+        s AS (
+          SELECT c.doc_id, c.token,
+                 (c.cnt * (SELECT count(*) FROM documents)) / d.df AS score
+          FROM c JOIN d USING (token)
+        )
+        SELECT doc_id, token, score, rank FROM (
+          SELECT doc_id, token, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token) AS rank
+          FROM s
+        ) WHERE rank <= {TFIDF_TOPN}
+    """
+
+
+def _repetition_sql() -> str:
+    """DuckDB re-derivation of curation.repetition_stats: identical
+    tokenization, word n-gram construction, and raw int/int double
+    divisions."""
+    return r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        c1 AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS g FROM t
+                WHERE len(toks) > 0)
+          GROUP BY doc_id, g
+        ),
+        f1 AS (SELECT doc_id, max(c) AS m, sum(c) AS n FROM c1
+               GROUP BY doc_id),
+        c2 AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id,
+                       toks[CAST(i AS INT)] || ' '
+                           || toks[CAST(i AS INT) + 1] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM t WHERE len(toks) >= 2))
+          GROUP BY doc_id, g
+        ),
+        f2 AS (SELECT doc_id, max(c) AS m, sum(c) AS n FROM c2
+               GROUP BY doc_id),
+        c3 AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id,
+                       toks[CAST(i AS INT)] || ' '
+                           || toks[CAST(i AS INT) + 1] || ' '
+                           || toks[CAST(i AS INT) + 2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS i
+                      FROM t WHERE len(toks) >= 3))
+          GROUP BY doc_id, g
+        ),
+        f3 AS (SELECT doc_id,
+                      sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS d,
+                      sum(c) AS n
+               FROM c3 GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(CAST(f1.m AS DOUBLE) / f1.n, 0.0)
+                   AS top_unigram_frac,
+               coalesce(CAST(f2.m AS DOUBLE) / f2.n, 0.0)
+                   AS top_bigram_frac,
+               coalesce(CAST(f3.d AS DOUBLE) / f3.n, 0.0)
+                   AS dup_trigram_frac
+        FROM t
+        LEFT JOIN f1 USING (doc_id)
+        LEFT JOIN f2 USING (doc_id)
+        LEFT JOIN f3 USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "decontaminate": _decontaminate_sql(),
+        "repetition_stats": _repetition_sql(),
+        "hash_split": _hash_split_sql(),
+        "pii_scrub": _pii_sql(),
+        "pack_sequences": _pack_sql(),
+        "tfidf_top_terms": _tfidf_sql(),
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),

@@ -1,0 +1,421 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Six operators a 100 TB pretraining-data pipeline needs beyond dedup /
+similarity (each is a ``queries()`` entry with a hard DuckDB oracle):
+
+- decontaminate:    benchmark n-gram decontamination — the benchmark
+                    side is SMALL by nature, so its shingle-hash set is
+                    broadcast (``ray.put``) and the corpus pass is a
+                    map-only vectorized membership filter; no shuffle.
+- repetition_stats: Gopher-style word-repetition quality signals
+                    (top-unigram / top-bigram / duplicate-trigram
+                    fractions), map-only.
+- hash_split:       deterministic md5 train/valid/test split plus
+                    per-language stratified downsampling (data-mixing
+                    rates), map-only — reproducible across runs and
+                    engines, no RNG state.
+- pii_scrub:        regex PII redaction (emails, IPv4, phone numbers)
+                    with per-doc match counts, map-only compiled
+                    regexes.
+- pack_sequences:   fixed-token-budget sequence packing via a
+                    DISTRIBUTED ordered prefix-sum (per-shard subtotals
+                    -> exclusive shard offsets broadcast -> per-shard
+                    vectorized cumsum); the classic "pack documents
+                    into context windows" step.
+- tfidf_top_terms:  per-document top-k salient terms by a
+                    division-exact tf-idf score (cnt * N / df — no
+                    libm, bit-identical to SQL), built from a sharded
+                    union-merge token join + a per-doc top-k shuffle.
+
+All hashing is md5-derived (SQL-reproducible, no salted ``hash()``);
+all ratios are raw IEEE int/int double divisions so the oracles
+hash-compare bit-identically.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from tensorflow_ocr_ray.functions.textstats import (
+    _WS,
+    _md5_64,
+    _md5_prefix_batch,
+    split_tokens,
+    token_count,
+)
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------- benchmark decontamination -------------------------------
+
+DECON_K = 20          # char k-gram length (~4 tokens on this corpus)
+DECON_BENCH_MOD = 41  # doc_id % 41 == 0 plays the held-out benchmark
+
+
+def _char_kgrams(text: str, k: int) -> list[str]:
+    """Distinct char k-grams of the ws-collapsed lowercased text (the
+    same normalization the shingle dedup family uses)."""
+    t = _WS.sub(" ", text.strip().lower())
+    if not t:
+        return []
+    if len(t) < k:
+        return [t]
+    return list({t[i : i + k] for i in range(len(t) - k + 1)})
+
+
+def decontaminate(
+    sf_dir: str, k: int = DECON_K, bench_mod: int = DECON_BENCH_MOD
+) -> "rd.Dataset":
+    """Mark corpus documents that share any char ``k``-gram with the
+    benchmark set (``doc_id % bench_mod == 0``).
+
+    Scale shape: a benchmark suite is tiny next to a 100 TB corpus, so
+    its distinct shingle hashes are collected once (per-batch
+    ``np.unique`` partials -> one sorted uint64 array) and broadcast
+    with ``ray.put``; the corpus pass is map-only — per batch, one
+    ``np.searchsorted`` over the concatenated per-doc gram hashes and a
+    segment-sum.  No shuffle anywhere.  Hashes are md5-64 (collision
+    probability ~n^2/2^65 — negligible), so the DuckDB string-join
+    oracle matches exactly."""
+    def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % bench_mod == 0]
+        parts = [
+            _md5_prefix_batch(_char_kgrams(t, k), 8) for t in df["text"]
+        ] or [np.array([], dtype=">u8")]
+        return pd.DataFrame(
+            {"h": np.unique(np.concatenate(parts)).astype(np.uint64)}
+        )
+
+    bench_parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_hashes, batch_format="pandas", batch_size=1024)
+        .to_pandas()  # NOT take_all: per-row dict conversion is ~10x
+    )
+    bench = np.unique(bench_parts["h"].values.astype(np.uint64))
+    bench_ref = ray.put(bench)
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        df = df[df["doc_id"] % bench_mod != 0]
+        grams = [_char_kgrams(t, k) for t in df["text"]]
+        lens = np.array([len(g) for g in grams], dtype=np.int64)
+        flat = [g for gs in grams for g in gs]
+        if flat:
+            hs = _md5_prefix_batch(flat, 8).astype(np.uint64)
+            idx = np.searchsorted(b, hs)
+            idx[idx == len(b)] = 0
+            hit = (b[idx] == hs) if len(b) else np.zeros(len(hs), bool)
+            n_hits = np.add.reduceat(
+                np.concatenate([hit.astype(np.int64), [0]]),
+                np.concatenate([[0], np.cumsum(lens)[:-1]]),
+            )[: len(lens)]
+            n_hits[lens == 0] = 0
+        else:
+            n_hits = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "n_hits": n_hits.astype("int64"),
+                "contaminated": n_hits > 0,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hits, batch_format="pandas", batch_size=256
+    )
+
+
+# ---------------- Gopher-style repetition signals -------------------------
+
+def _word_grams(toks: list[str], n: int) -> list[str]:
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def repetition_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc word-repetition quality signals (cf. the Gopher rules):
+
+    - top_unigram_frac:  count of the most frequent token / n tokens
+    - top_bigram_frac:   count of the most frequent word 2-gram / n 2-grams
+    - dup_trigram_frac:  occurrences of 3-grams appearing >1 time / n 3-grams
+
+    Raw int/int double divisions — bit-identical to the SQL oracle."""
+    rows = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        toks = [t for t in split_tokens(text.lower()) if t]
+        c1 = Counter(toks)
+        f1 = max(c1.values()) / len(toks) if toks else 0.0
+        g2 = _word_grams(toks, 2)
+        f2 = max(Counter(g2).values()) / len(g2) if g2 else 0.0
+        g3 = _word_grams(toks, 3)
+        if g3:
+            c3 = Counter(g3)
+            f3 = sum(c for c in c3.values() if c > 1) / len(g3)
+        else:
+            f3 = 0.0
+        rows.append((doc_id, f1, f2, f3))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "top_unigram_frac", "top_bigram_frac",
+            "dup_trigram_frac",
+        ],
+    ).astype({"doc_id": "int64"})
+
+
+def repetition_stats(sf_dir: str) -> "rd.Dataset":
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pandas", batch_size=4096
+    )
+
+
+# ---------------- deterministic split + stratified sampling ---------------
+
+# per-language keep rates in integer percent (data-mixing weights);
+# languages absent from the table fall back to DEFAULT_RATE
+SPLIT_RATES = {"en": 100, "de": 80, "fr": 60, "es": 40, "zh": 20}
+DEFAULT_RATE = 50
+TRAIN_PCT, VALID_PCT = 80, 90  # <80 train, <90 valid, else test
+
+
+def hash_split_batch(df: pd.DataFrame) -> pd.DataFrame:
+    bucket = np.array(
+        [_md5_64(str(int(d))) % 100 for d in df["doc_id"]], dtype=np.int64
+    )
+    split = np.where(
+        bucket < TRAIN_PCT, "train", np.where(bucket < VALID_PCT, "valid",
+                                              "test")
+    )
+    rates = np.array(
+        [SPLIT_RATES.get(lg, DEFAULT_RATE) for lg in df["lang"]],
+        dtype=np.int64,
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].values,
+            "lang": df["lang"].values,
+            "bucket": bucket,
+            "split": split,
+            "sampled": bucket < rates,
+        }
+    )
+
+
+def hash_split(sf_dir: str) -> "rd.Dataset":
+    """Deterministic md5 train/valid/test split + per-language stratified
+    downsampling.  Pure map — identical assignment on any engine, any
+    run, any partitioning (the property that matters for reproducible
+    100 TB corpus builds: membership is a function of the row, never of
+    RNG state or scan order)."""
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        hash_split_batch, batch_format="pandas", batch_size=8192
+    )
+
+
+# ---------------- PII scrubbing -------------------------------------------
+
+PII_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+PII_IP = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+PII_PHONE = re.compile(r"\b\d{3}-\d{3}-\d{4}\b")
+
+
+def inject_pii(doc_id: int, text: str) -> str:
+    """Deterministic synthetic PII appended per doc (the corpus itself is
+    PII-free, so the oracle exercises real matches; cf. the HTML
+    wrap/extract pair)."""
+    return (
+        f"{text} Contact user{doc_id}@mail.example.com or "
+        f"555-{doc_id % 1000:03d}-{(doc_id * 7) % 10000:04d} at "
+        f"10.{doc_id % 256}.0.{(doc_id * 3) % 256}."
+    )
+
+
+def pii_scrub_batch(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        t = inject_pii(int(doc_id), text)
+        n_em = len(PII_EMAIL.findall(t))
+        n_ip = len(PII_IP.findall(t))
+        n_ph = len(PII_PHONE.findall(t))
+        s = PII_EMAIL.sub("<EMAIL>", t)
+        s = PII_IP.sub("<IP>", s)
+        s = PII_PHONE.sub("<PHONE>", s)
+        rows.append((doc_id, s, n_em, n_ip, n_ph))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "scrubbed", "n_emails", "n_ips", "n_phones"]
+    ).astype(
+        {"doc_id": "int64", "n_emails": "int64", "n_ips": "int64",
+         "n_phones": "int64"}
+    )
+
+
+def pii_scrub(sf_dir: str) -> "rd.Dataset":
+    """Regex PII redaction (emails -> <EMAIL>, IPv4 -> <IP>, phones ->
+    <PHONE>) with per-doc match counts.  Map-only, module-level compiled
+    patterns (compiled once per worker process, not per batch); count
+    and replacement semantics match DuckDB's RE2 on these patterns."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pii_scrub_batch, batch_format="pandas", batch_size=4096
+    )
+
+
+# ---------------- fixed-budget sequence packing ---------------------------
+
+PACK_CAPACITY = 2048   # tokens per training context window
+PACK_SHARD = 1024      # docs per prefix-sum shard (scale knob: pick so
+                       # corpus_docs / PACK_SHARD stays ~1e5-1e6 rows)
+
+
+def pack_sequences(
+    sf_dir: str, capacity: int = PACK_CAPACITY, shard_size: int = PACK_SHARD
+) -> "rd.Dataset":
+    """Assign documents (in doc_id order) to fixed ``capacity``-token
+    context windows: chunk_id = floor(exclusive_prefix_tokens / capacity).
+
+    The global ordered prefix-sum is distributed in two passes:
+    1. a skinny (doc_id, shard, tokens) table — materialized once (ints
+       only, ~24 B/row, so the object store holds it even at corpus
+       scale) — yields per-shard token subtotals via one bounded
+       ``groupby``; the driver turns those into exclusive shard offsets
+       (one number per shard) and broadcasts them;
+    2. each shard group sorts locally by doc_id and adds its offset to a
+       vectorized cumsum.  No task ever sees more than one shard."""
+    stats = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].values,
+                    "shard": (df["doc_id"].values // shard_size).astype(
+                        "int64"
+                    ),
+                    "tokens": df["text"].map(token_count).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=4096,
+        )
+        .materialize()
+    )
+    totals = stats.groupby("shard").aggregate(
+        Sum("tokens", alias_name="tot")
+    ).take_all()
+    totals.sort(key=lambda r: r["shard"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        offsets[int(r["shard"])] = acc
+        acc += int(r["tot"])
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        df = df.sort_values("doc_id")
+        base = offs[int(df["shard"].iloc[0])]
+        cume = base + np.cumsum(df["tokens"].values) - df["tokens"].values
+        chunk_id = cume // capacity
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "tokens": df["tokens"].values,
+                "chunk_id": chunk_id.astype("int64"),
+                "chunk_offset": (cume - chunk_id * capacity).astype("int64"),
+            }
+        )
+
+    return stats.groupby("shard").map_groups(assign, batch_format="pandas")
+
+
+# ---------------- tf-idf salient terms ------------------------------------
+
+TFIDF_TOPN = 3
+_N_SHARDS = 64
+
+
+def tfidf_top_terms(sf_dir: str, topn: int = TFIDF_TOPN) -> "rd.Dataset":
+    """Per-document top-``topn`` terms by tf-idf, scored division-exact
+    (score = cnt * N / df — integer products under 2^53, one IEEE
+    division; no log, so the SQL oracle is bit-identical).
+
+    Physical plan (both shuffles on bounded shard keys — Ray's per-key
+    hash aggregate costs ~ms per distinct key, so ALL per-token work
+    happens vectorized inside crc32(token)-shard groups, the repo's
+    standard sharded-combine pattern):
+    1. map: per-doc token counts (docs never span batches — one row per
+       doc), rows (doc_id, token, cnt);
+    2. one shuffle on crc32(token) % 64: every row of a token lands in
+       one shard, so df (distinct docs per token) AND the score join
+       are a single vectorized pandas groupby/map per shard;
+    3. per-doc top-k via a doc-hash-sharded sort + head (never a
+       per-doc Python group)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_tok, out_cnt = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = [t for t in split_tokens(text.lower()) if t]
+            for tok, c in Counter(toks).items():
+                out_doc.append(doc_id)
+                out_tok.append(tok)
+                out_cnt.append(c)
+        out = pd.DataFrame(
+            {"doc_id": out_doc, "token": out_tok, "cnt": out_cnt}
+        ).astype({"doc_id": "int64", "cnt": "int64"})
+        out["tshard"] = np.fromiter(
+            (zlib.crc32(t.encode()) % _N_SHARDS for t in out["token"]),
+            dtype=np.int64,
+            count=len(out),
+        )
+        return out
+
+    def score_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, token) -> df = rows per token in this shard
+        df_tbl = g.groupby("token")["doc_id"].size()
+        g = g[["doc_id", "token", "cnt"]].copy()
+        g["df"] = g["token"].map(df_tbl).astype("int64")
+        return g
+
+    joined = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(counts, batch_format="pandas", batch_size=512)
+        .groupby("tshard")
+        .map_groups(score_shard, batch_format="pandas")
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = (
+            g["cnt"].values.astype(np.int64) * n_docs
+        ) / g["df"].values.astype(np.int64)
+        g = g.sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True]
+        )
+        g["rank"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rank"] <= topn]
+        return g[["doc_id", "token", "score", "rank"]].astype(
+            {"doc_id": "int64", "rank": "int64"}
+        )
+
+    return (
+        joined.map_batches(
+            lambda df: df.assign(dshard=(df["doc_id"] % _N_SHARDS)),
+            batch_format="pandas",
+        )
+        .groupby("dshard")
+        .map_groups(topk, batch_format="pandas")
+    )

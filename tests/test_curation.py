@@ -1,0 +1,234 @@
+"""Corpus-curation operators: decontamination, repetition stats,
+hash split/sampling, PII scrub, sequence packing, tf-idf top terms.
+
+Each operator also has a DuckDB oracle in ``__ray_entry__.oracle_sql()``
+(checked by tools/check_oracle.py and the driver); these tests cover
+semantics against hand-built corpora and single-process re-derivations,
+plus the partitioning-invariance properties the distributed plans rely
+on.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tensorflow_ocr_ray.functions.textstats import _md5_64, split_tokens
+from tensorflow_ocr_ray.pipelines.curation import (
+    DEFAULT_RATE,
+    SPLIT_RATES,
+    _char_kgrams,
+    hash_split_batch,
+    inject_pii,
+    pii_scrub_batch,
+    repetition_stats_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    """doc 0 is the benchmark (doc_id % 41 == 0); doc 1 shares a >=20-char
+    span with it; doc 2 is unrelated."""
+    d = tmp_path_factory.mktemp("curation")
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"benchmark prompt: {shared} end of benchmark",
+                f"training doc copies {shared} plus extra words",
+                "completely different content with no overlap at all here",
+            ],
+            "lang": ["en", "en", "de"],
+            "source": ["s0", "s1", "s2"],
+            "n_chars": [0, 0, 0],
+        }
+    )
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_decontaminate_flags_overlap(ray_session, tiny_corpus):
+    from tensorflow_ocr_ray.pipelines.curation import decontaminate
+
+    out = decontaminate(tiny_corpus).to_pandas().set_index("doc_id")
+    assert 0 not in out.index  # benchmark docs are excluded
+    assert bool(out.loc[1, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
+    # hit count == distinct shared 20-grams, computed directly
+    g0 = set(_char_kgrams(
+        "benchmark prompt: the quick brown fox jumps over the lazy dog"
+        " tonight end of benchmark", 20))
+    g1 = set(_char_kgrams(
+        "training doc copies the quick brown fox jumps over the lazy dog"
+        " tonight plus extra words", 20))
+    assert out.loc[1, "n_hits"] == len(g0 & g1) > 0
+
+
+def test_decontaminate_real_corpus(ray_session):
+    from tensorflow_ocr_ray.pipelines.curation import decontaminate
+
+    out = decontaminate(SF).to_pandas()
+    assert (out["doc_id"] % 41 != 0).all()
+    assert (out["contaminated"] == (out["n_hits"] > 0)).all()
+    # the corpus has real near-dups, so decontamination must fire
+    assert out["contaminated"].any()
+
+
+def test_repetition_stats_known_text():
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2],
+         "text": ["a a a b", "x y", ""]}
+    )
+    out = repetition_stats_batch(df).set_index("doc_id")
+    # doc 0: toks [a,a,a,b] -> top uni 3/4; 2-grams [a a, a a, a b] ->
+    # top 2/3; 3-grams [a a a, a a b] -> none repeated -> 0
+    assert out.loc[0, "top_unigram_frac"] == 3 / 4
+    assert out.loc[0, "top_bigram_frac"] == 2 / 3
+    assert out.loc[0, "dup_trigram_frac"] == 0.0
+    # doc 1: no 3-grams, one 2-gram
+    assert out.loc[1, "top_unigram_frac"] == 1 / 2
+    assert out.loc[1, "top_bigram_frac"] == 1.0
+    # doc 2: empty -> all zeros
+    assert (out.loc[2] == 0.0).all()
+
+
+def test_repetition_dup_trigram_fires():
+    text = "p q r p q r p q r"  # 3-gram 'p q r' occurs 3x of 7 grams
+    out = repetition_stats_batch(
+        pd.DataFrame({"doc_id": [0], "text": [text]})
+    )
+    toks = text.split()
+    g3 = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    c = Counter(g3)
+    want = sum(v for v in c.values() if v > 1) / len(g3)
+    assert out.loc[0, "dup_trigram_frac"] == want > 0
+
+
+def test_hash_split_deterministic_and_stratified():
+    df = pd.DataFrame(
+        {"doc_id": np.arange(2000), "lang": ["en", "de", "fr", "zh"] * 500}
+    )
+    a = hash_split_batch(df)
+    b = hash_split_batch(df.sample(frac=1, random_state=0))  # any order
+    merged = a.merge(b, on="doc_id", suffixes=("", "_b"))
+    assert (merged["bucket"] == merged["bucket_b"]).all()
+    assert (merged["split"] == merged["split_b"]).all()
+    # bucket is the documented md5 function of doc_id alone
+    assert (
+        a["bucket"] == a["doc_id"].map(lambda d: _md5_64(str(d)) % 100)
+    ).all()
+    # split thresholds
+    assert (a.loc[a["bucket"] < 80, "split"] == "train").all()
+    assert (a.loc[a["bucket"] >= 90, "split"] == "test").all()
+    # stratified rates: en keeps everything, zh keeps ~20%
+    en = a[a["lang"] == "en"]
+    zh = a[a["lang"] == "zh"]
+    assert en["sampled"].all()
+    assert 0.05 < zh["sampled"].mean() < 0.4
+    # sampling is a pure function of (bucket, lang)
+    for lg, grp in a.groupby("lang"):
+        rate = SPLIT_RATES.get(lg, DEFAULT_RATE)
+        assert (grp["sampled"] == (grp["bucket"] < rate)).all()
+
+
+def test_pii_scrub_removes_everything():
+    df = pd.DataFrame(
+        {"doc_id": [7, 123], "text": ["hello world", "plain text"]}
+    )
+    out = pii_scrub_batch(df)
+    for _, row in out.iterrows():
+        assert "<EMAIL>" in row["scrubbed"]
+        assert "<IP>" in row["scrubbed"]
+        assert "<PHONE>" in row["scrubbed"]
+        assert "@" not in row["scrubbed"]
+        assert row["n_emails"] == 1
+        assert row["n_ips"] == 1
+        assert row["n_phones"] == 1
+    # the injected text round-trips: original words survive scrubbing
+    assert out.loc[0, "scrubbed"].startswith("hello world ")
+
+
+def test_pii_patterns_in_running_text():
+    t = "write to a.b+c@x-corp.co.uk; server 192.168.0.1, call 212-555-0199."
+    df = pd.DataFrame({"doc_id": [0], "text": [t]})
+    row = pii_scrub_batch(df).iloc[0]
+    assert "a.b+c@x-corp.co.uk" not in row["scrubbed"]
+    assert "192.168.0.1" not in row["scrubbed"]
+    assert "212-555-0199" not in row["scrubbed"]
+    assert row["n_emails"] == 2  # injected + in-text
+    assert row["n_ips"] == 2
+    assert row["n_phones"] == 2
+
+
+def test_inject_pii_is_deterministic():
+    assert inject_pii(3, "x") == inject_pii(3, "x")
+    assert inject_pii(3, "x") != inject_pii(4, "x")
+
+
+def test_pack_sequences_matches_single_process(ray_session):
+    from tensorflow_ocr_ray.pipelines.curation import pack_sequences
+
+    out = (
+        pack_sequences(SF, capacity=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).sort_values("doc_id")
+    toks = docs["text"].map(lambda t: len(split_tokens(t))).values
+    cume = np.cumsum(toks) - toks
+    assert (out["tokens"].values == toks).all()
+    assert (out["chunk_id"].values == cume // 512).all()
+    assert (out["chunk_offset"].values == cume % 512).all()
+    assert (out["chunk_offset"] < 512).all()
+
+
+def test_pack_sequences_shard_invariant(ray_session):
+    """The distributed prefix-sum must not depend on the shard size."""
+    from tensorflow_ocr_ray.pipelines.curation import pack_sequences
+
+    a = (pack_sequences(SF, capacity=777, shard_size=64)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (pack_sequences(SF, capacity=777, shard_size=100000)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_tfidf_matches_single_process(ray_session):
+    from tensorflow_ocr_ray.pipelines.curation import tfidf_top_terms
+
+    out = (
+        tfidf_top_terms(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = len(docs)
+    cnt_rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in split_tokens(text.lower()) if t]
+        for tok, c in Counter(toks).items():
+            cnt_rows.append((doc_id, tok, c))
+    cnts = pd.DataFrame(cnt_rows, columns=["doc_id", "token", "cnt"])
+    df_tbl = cnts.groupby("token")["doc_id"].size()
+    cnts["score"] = (cnts["cnt"].values.astype(np.int64) * n) / cnts[
+        "token"
+    ].map(df_tbl).values.astype(np.int64)
+    cnts = cnts.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True])
+    cnts["rank"] = cnts.groupby("doc_id").cumcount() + 1
+    want = (cnts[cnts["rank"] <= 3][["doc_id", "token", "score", "rank"]]
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out, want.astype({"doc_id": "int64", "rank": "int64"})
+    )
