@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": curation.pii_scrub,
         "pack_sequences": curation.pack_sequences,
         "tfidf_top_terms": curation.tfidf_top_terms,
+        "source_gate": curation.source_gate,
+        "dup_span_coverage": curation.dup_span_coverage,
         # html main-content extraction: deterministic boilerplate chrome
         # wrapped around each document's text; the extractor must recover
         # the text EXACTLY (hard oracle: extracted == documents.text)
@@ -834,6 +836,84 @@ def _tfidf_sql() -> str:
     """
 
 
+def _source_gate_sql() -> str:
+    from tensorflow_ocr_ray.pipelines.curation import SOURCE_GATE_MIN_TOKENS
+
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\s+')) AS tokens
+          FROM documents
+        ),
+        m AS (
+          SELECT source,
+                 CAST(sum(tokens) AS DOUBLE) / count(*)
+                     AS source_mean_tokens
+          FROM t GROUP BY source
+        )
+        SELECT t.doc_id, t.source, CAST(t.tokens AS BIGINT) AS tokens,
+               m.source_mean_tokens
+        FROM t JOIN m USING (source)
+        WHERE m.source_mean_tokens >= {SOURCE_GATE_MIN_TOKENS}
+    """
+
+
+def _dup_span_sql() -> str:
+    """DuckDB re-derivation of curation.dup_span_coverage: identical
+    normalization and k-gram positions, global occurrence counts by
+    gram STRING (the pipeline's md5-64 is collision-free), fixed-width
+    interval union via gaps-and-islands window functions."""
+    from tensorflow_ocr_ray.pipelines.curation import DUP_SPAN_K
+
+    k = DUP_SPAN_K
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, i, substring(t, CAST(i AS INT), {k}) AS s,
+                 length(t) AS lt
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - {k - 1}))
+                           AS i
+                FROM t WHERE length(t) >= {k})
+        ),
+        dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),
+        p AS (SELECT g.doc_id, g.i, g.lt FROM g JOIN dup USING (s)),
+        isl AS (
+          SELECT doc_id, i, lt,
+                 CASE WHEN lag(i) OVER w IS NULL
+                        OR i - lag(i) OVER w >= {k}
+                      THEN 1 ELSE 0 END AS brk
+          FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        grp AS (
+          SELECT doc_id, i, lt,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        ),
+        ci AS (
+          SELECT doc_id, island, max(i) - min(i) + {k} AS clen,
+                 max(lt) AS lt, count(*) AS npos
+          FROM grp GROUP BY doc_id, island
+        ),
+        agg AS (
+          SELECT doc_id, sum(npos) AS dup_positions,
+                 sum(clen) AS covered, max(lt) AS lt
+          FROM ci GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.dup_positions, 0) AS BIGINT)
+                   AS dup_positions,
+               CAST(coalesce(a.covered, 0) AS BIGINT) AS covered_chars,
+               coalesce(CAST(a.covered AS DOUBLE) / a.lt, 0.0) AS coverage
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+
 def _repetition_sql() -> str:
     """DuckDB re-derivation of curation.repetition_stats: identical
     tokenization, word n-gram construction, and raw int/int double
@@ -902,6 +982,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_sql(),
         "pack_sequences": _pack_sql(),
         "tfidf_top_terms": _tfidf_sql(),
+        "source_gate": _source_gate_sql(),
+        "dup_span_coverage": _dup_span_sql(),
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),

@@ -419,3 +419,186 @@ def tfidf_top_terms(sf_dir: str, topn: int = TFIDF_TOPN) -> "rd.Dataset":
         .groupby("dshard")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+# ---------------- per-source quality gating -------------------------------
+
+SOURCE_GATE_MIN_TOKENS = 50  # keep sources whose mean tokens/doc >= this
+
+
+def source_gate(
+    sf_dir: str, min_mean_tokens: float = SOURCE_GATE_MIN_TOKENS
+) -> "rd.Dataset":
+    """Domain-level quality gating: keep documents whose SOURCE passes a
+    corpus-level aggregate bar (here: mean tokens per document — the
+    per-domain spam/quality gates of web-corpus curation).
+
+    The pattern is aggregate -> broadcast -> filter: the per-source
+    aggregate is |sources|-bounded (small side), so it is combined from
+    per-batch partial (sum, count) rows and broadcast via ``ray.put``;
+    the corpus pass is map-only.  The mean is sum(int)/count(int) — one
+    exact int64 sum and one IEEE division, so the oracle is
+    bit-identical regardless of partitioning or combine order (a
+    float-mean would be order-dependent)."""
+    stats = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].map(token_count).astype("int64")
+        g = pd.DataFrame({"source": df["source"], "t": toks}).groupby(
+            "source", as_index=False
+        ).agg(s=("t", "sum"), n=("t", "size"))
+        return g.astype({"s": "int64", "n": "int64"})
+
+    parts = stats.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    per_src = parts.groupby("source").agg(s=("s", "sum"), n=("n", "sum"))
+    means = {
+        src: int(r.s) / int(r.n) for src, r in per_src.iterrows()
+    }
+    means_ref = ray.put(means)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(means_ref)
+        mean_col = df["source"].map(m)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "source": df["source"].values,
+                "tokens": df["text"].map(token_count).astype("int64"),
+                "source_mean_tokens": mean_col.values,
+            }
+        )
+        return out[mean_col.values >= min_mean_tokens]
+
+    return stats.map_batches(keep, batch_format="pandas", batch_size=4096)
+
+
+# ---------------- exact substring duplication coverage --------------------
+
+DUP_SPAN_K = 50  # duplicated-substring length (chars, normalized text)
+
+
+def dup_span_coverage(sf_dir: str, k: int = DUP_SPAN_K) -> "rd.Dataset":
+    """Exact substring duplication (the Lee-et-al "deduplicating
+    training data" signal): for every position whose char ``k``-gram
+    occurs >= 2 times in the WHOLE corpus, mark the span [i, i+k); per
+    document report the number of duplicated positions, the union
+    length of the marked spans, and the covered fraction of the text.
+
+    Physical plan (two shuffles, both on 64-way shard keys):
+    1. map: every doc emits (gram-hash-shard, gram md5-64, doc_id, pos,
+       text-length) rows — positions of ALL k-grams;
+    2. groupby(gram shard): every occurrence of a gram lands in one
+       shard, so global occurrence counts are a vectorized value_counts;
+       only rows of duplicated grams survive (the stream usually shrinks
+       sharply here);
+    3. groupby(doc shard): per doc, sorted positions -> interval union
+       with fixed-width spans (vectorized islands: a new island starts
+       where pos - prev_pos >= k), coverage = union/len.
+    Gram hashing is md5-64 so the DuckDB string-join oracle matches
+    exactly."""
+    n_shards = _N_SHARDS
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, poss, hss, lts = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            t = _WS.sub(" ", text.strip().lower())
+            if len(t) < k:
+                continue
+            gs = [t[i : i + k] for i in range(len(t) - k + 1)]
+            hs = _md5_prefix_batch(gs, 8).astype(np.uint64)
+            doc_ids.append(np.full(len(gs), doc_id, dtype=np.int64))
+            poss.append(np.arange(1, len(gs) + 1, dtype=np.int64))
+            hss.append(hs)
+            lts.append(np.full(len(gs), len(t), dtype=np.int64))
+        if not doc_ids:
+            return pd.DataFrame(
+                {"gshard": pd.Series([], dtype="int64"),
+                 "h": pd.Series([], dtype="uint64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "pos": pd.Series([], dtype="int64"),
+                 "lt": pd.Series([], dtype="int64")}
+            )
+        h = np.concatenate(hss)
+        return pd.DataFrame(
+            {
+                "gshard": (h % np.uint64(n_shards)).astype("int64"),
+                "h": h,
+                "doc_id": np.concatenate(doc_ids),
+                "pos": np.concatenate(poss),
+                "lt": np.concatenate(lts),
+            }
+        )
+
+    def dup_rows(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g["h"].value_counts()
+        keep = g["h"].map(counts) >= 2
+        out = g.loc[keep, ["doc_id", "pos", "lt"]].copy()
+        out["dshard"] = out["doc_id"] % n_shards
+        return out
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        doc = g["doc_id"].values
+        pos = g["pos"].values
+        new_doc = np.concatenate([[True], doc[1:] != doc[:-1]])
+        brk = new_doc | np.concatenate(
+            [[True], (pos[1:] - pos[:-1]) >= k]
+        )
+        island = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(pos)]]) - 1
+        clen = pos[ends] - pos[starts] + k
+        doc_of_island = doc[starts]
+        isl_df = pd.DataFrame({"doc_id": doc_of_island, "clen": clen})
+        cov = isl_df.groupby("doc_id", as_index=False)["clen"].sum()
+        npos = pd.DataFrame({"doc_id": doc}).groupby(
+            "doc_id", as_index=False
+        ).size()
+        lt = pd.DataFrame({"doc_id": doc, "lt": g["lt"].values}).groupby(
+            "doc_id", as_index=False
+        )["lt"].max()
+        out = cov.merge(npos, on="doc_id").merge(lt, on="doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "dup_positions": out["size"].astype("int64"),
+                "covered_chars": out["clen"].astype("int64"),
+                "coverage": out["clen"].values / out["lt"].values,
+            }
+        )
+
+    hit_docs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(grams, batch_format="pandas", batch_size=512)
+        .groupby("gshard")
+        .map_groups(dup_rows, batch_format="pandas")
+        .groupby("dshard")
+        .map_groups(coverage, batch_format="pandas")
+    )
+
+    # docs with no duplicated span (or shorter than k) -> zero rows;
+    # the union keeps the result corpus-complete without a wide join:
+    # hit doc_ids are collected as a bounded semi-join filter only to
+    # BUILD the zero rows (ids + three constants, not corpus text)
+    hits = hit_docs.materialize()
+    hit_ids = set(hits.to_pandas()["doc_id"])
+    hit_ref = ray.put(hit_ids)
+
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(hit_ref)
+        rest = df[~df["doc_id"].isin(ids)]
+        return pd.DataFrame(
+            {
+                "doc_id": rest["doc_id"].astype("int64"),
+                "dup_positions": np.zeros(len(rest), dtype="int64"),
+                "covered_chars": np.zeros(len(rest), dtype="int64"),
+                "coverage": np.zeros(len(rest)),
+            }
+        )
+
+    zero_rows = _docs(sf_dir, ["doc_id"]).map_batches(
+        zeros, batch_format="pandas", batch_size=8192
+    )
+    return hits.union(zero_rows)
