@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": curation.tfidf_top_terms,
         "source_gate": curation.source_gate,
         "dup_span_coverage": curation.dup_span_coverage,
+        "vocab_topk": curation.vocab_topk,
+        "dedup_keep_list": dedup.dedup_keep_list,
         # html main-content extraction: deterministic boilerplate chrome
         # wrapped around each document's text; the extractor must recover
         # the text EXACTLY (hard oracle: extracted == documents.text)
@@ -914,6 +916,64 @@ def _dup_span_sql() -> str:
     """
 
 
+def _vocab_topk_sql() -> str:
+    """DuckDB re-derivation of curation.vocab_topk: identical whitespace
+    tokenization (lower -> trim -> \\s+ split, empties dropped), exact
+    global counts, deterministic (cnt DESC, token ASC) row_number rank."""
+    from tensorflow_ocr_ray.pipelines.curation import VOCAB_TOPK
+
+    return rf"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                     AS token
+          FROM documents
+        ),
+        c AS (
+          SELECT token, count(*) AS cnt FROM tok
+          WHERE token <> '' GROUP BY token
+        )
+        SELECT token, CAST(cnt AS BIGINT) AS cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                    AS BIGINT) AS rank
+        FROM c ORDER BY cnt DESC, token LIMIT {VOCAB_TOPK}
+    """
+
+
+def _keep_list_sql() -> str:
+    """DuckDB re-derivation of dedup.dedup_keep_list: exact-group min
+    per identical text, the pipeline's own minhash cluster SQL
+    (``_minhash_dedup_sql``) as the near-dup side, identical precedence
+    (exact_dup -> near_dup -> kept)."""
+    return f"""
+        WITH clusters AS MATERIALIZED (
+          SELECT * FROM ({_minhash_dedup_sql()}) t
+        ),
+        ex AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY text) AS keeper
+          FROM documents
+        ),
+        j AS (
+          SELECT ex.doc_id, ex.keeper, c.cluster_rep
+          FROM ex LEFT JOIN clusters c ON c.doc_id = ex.doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id = keeper
+                           AND (cluster_rep IS NULL
+                                OR cluster_rep = doc_id)
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept,
+               CASE WHEN doc_id != keeper THEN 'exact_dup'
+                    WHEN cluster_rep IS NOT NULL
+                         AND cluster_rep != doc_id THEN 'near_dup'
+                    ELSE 'kept' END AS reason,
+               CAST(CASE WHEN doc_id != keeper THEN keeper
+                         WHEN cluster_rep IS NOT NULL
+                              AND cluster_rep != doc_id THEN cluster_rep
+                         ELSE doc_id END AS BIGINT) AS canonical
+        FROM j
+    """
+
+
 def _repetition_sql() -> str:
     """DuckDB re-derivation of curation.repetition_stats: identical
     tokenization, word n-gram construction, and raw int/int double
@@ -984,6 +1044,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _tfidf_sql(),
         "source_gate": _source_gate_sql(),
         "dup_span_coverage": _dup_span_sql(),
+        "vocab_topk": _vocab_topk_sql(),
+        "dedup_keep_list": _keep_list_sql(),
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),

@@ -602,3 +602,65 @@ def dup_span_coverage(sf_dir: str, k: int = DUP_SPAN_K) -> "rd.Dataset":
         zeros, batch_format="pandas", batch_size=8192
     )
     return hits.union(zero_rows)
+
+
+# ---------------- corpus vocabulary top-K ----------------------------------
+
+VOCAB_TOPK = 100
+
+
+def vocab_topk(sf_dir: str, topn: int = VOCAB_TOPK) -> pd.DataFrame:
+    """Corpus-wide top-``topn`` vocabulary by exact global token count
+    (deterministic tie-break: count desc, token asc) — the vocab-build
+    step of a tokenizer-training pipeline.
+
+    Physical plan: per-batch ``Counter`` partials keyed by
+    crc32(token) % 64 shards -> ONE shuffle on the bounded shard key ->
+    per-shard global counts (every occurrence of a token lands in one
+    shard) -> per-shard top-``topn``.  Any global top-N token is by
+    definition top-N inside its own shard, so the per-shard heads are a
+    provable superset; only ``64 * topn`` bounded rows reach the driver
+    for the final sort+head.  At 100 TB nothing driver-side grows with
+    corpus size — only with N_SHARDS * topn."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(t for t in split_tokens(text.lower()) if t)
+        toks = list(c.keys())
+        out = pd.DataFrame(
+            {
+                "token": toks,
+                "cnt": np.fromiter(
+                    (c[t] for t in toks), dtype=np.int64, count=len(toks)
+                ),
+            }
+        )
+        out["tshard"] = np.fromiter(
+            (zlib.crc32(t.encode()) % _N_SHARDS for t in toks),
+            dtype=np.int64,
+            count=len(toks),
+        )
+        return out
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("token", as_index=False)["cnt"].sum()
+        tot = tot.sort_values(
+            ["cnt", "token"], ascending=[False, True]
+        ).head(topn)
+        return tot.astype({"cnt": "int64"})
+
+    heads = (
+        _docs(sf_dir, ["text"])
+        .map_batches(counts, batch_format="pandas", batch_size=1024)
+        .groupby("tshard")
+        .map_groups(shard_top, batch_format="pandas")
+        .to_pandas()
+    )
+    final = heads.sort_values(
+        ["cnt", "token"], ascending=[False, True]
+    ).head(topn).reset_index(drop=True)
+    final["rank"] = np.arange(1, len(final) + 1, dtype=np.int64)
+    return final[["token", "cnt", "rank"]].astype(
+        {"cnt": "int64", "rank": "int64"}
+    )

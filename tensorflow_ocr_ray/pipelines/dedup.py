@@ -404,3 +404,80 @@ def minhash_dedup(
 def simhash_fingerprints(sf_dir: str) -> "rd.Dataset":
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_format="pandas", batch_size=4096)
+
+
+def dedup_keep_list(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    verify_threshold: float = 0.6,
+) -> "rd.Dataset":
+    """The end-to-end dedup deliverable: one keep/drop decision per
+    document, composing exact dedup with MinHash near-dup clustering.
+
+    Per-doc rule (deterministic, precedence order):
+      1. ``exact_dup`` — not the min doc_id of its identical-text group
+         (canonical = that min);
+      2. ``near_dup``  — in a verified MinHash cluster and not its
+         min-rep (canonical = the rep);
+      3. ``kept``      — canonical = itself.
+
+    Physical plan: the exact side is ONE skinny shuffle of
+    (md5(text)-shard, text-hash, doc_id) rows — per shard the group min
+    is a vectorized transform, emitting exactly one row per doc.  The
+    near-dup side reuses ``minhash_dedup`` whose (doc_id, cluster_rep)
+    output is clustered-docs-bounded (collision count, not corpus
+    count) and is broadcast once via ``ray.put``; the verdict pass is
+    map-only.  Nothing on the driver grows with corpus size."""
+    import ray
+
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+
+    clusters = minhash_dedup(sf_dir, num_perm, bands, verify_threshold)
+    rep_ref = ray.put(
+        dict(zip(clusters["doc_id"].astype(int), clusters["cluster_rep"].astype(int)))
+    )
+    n_shards = 64
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_prefix_batch(list(df["text"]), 8).astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "hshard": (h % np.uint64(n_shards)).astype("int64"),
+                "h": h,
+                "doc_id": df["doc_id"].astype("int64"),
+            }
+        )
+
+    def verdict(g: pd.DataFrame) -> pd.DataFrame:
+        reps = ray.get(rep_ref)
+        keeper = g.groupby("h")["doc_id"].transform("min")
+        doc = g["doc_id"].values
+        exact_dup = (doc != keeper.values)
+        rep = np.fromiter(
+            (reps.get(int(d), int(d)) for d in doc),
+            dtype=np.int64,
+            count=len(doc),
+        )
+        near_dup = ~exact_dup & (rep != doc)
+        reason = np.where(
+            exact_dup, "exact_dup", np.where(near_dup, "near_dup", "kept")
+        )
+        canonical = np.where(
+            exact_dup, keeper.values, np.where(near_dup, rep, doc)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "kept": (~exact_dup & ~near_dup).astype("int64"),
+                "reason": reason,
+                "canonical": canonical.astype("int64"),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(hash_rows, batch_format="pandas", batch_size=2048)
+        .groupby("hshard")
+        .map_groups(verdict, batch_format="pandas")
+    )

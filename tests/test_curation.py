@@ -232,3 +232,80 @@ def test_tfidf_matches_single_process(ray_session):
     pd.testing.assert_frame_equal(
         out, want.astype({"doc_id": "int64", "rank": "int64"})
     )
+
+
+def test_source_gate_filters_low_mean_sources(ray_session, tmp_path):
+    from tensorflow_ocr_ray.pipelines.curation import source_gate
+
+    long = " ".join(["w"] * 80)
+    short = "just a few words"
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [long, long, short, short],
+            "lang": ["en"] * 4,
+            "source": ["good", "good", "spam", "spam"],
+            "n_chars": [len(long), len(long), len(short), len(short)],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = source_gate(str(tmp_path)).to_pandas()
+    assert set(out["source"]) == {"good"}
+    assert sorted(out["doc_id"]) == [0, 1]
+    assert (out["source_mean_tokens"] == 80.0).all()
+
+
+def test_dup_span_coverage_marks_shared_spans(ray_session, tmp_path):
+    from tensorflow_ocr_ray.pipelines.curation import dup_span_coverage
+
+    shared = "x" * 30 + " shared duplicated span content " + "y" * 30
+    assert len(shared) >= 50
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"prefix alpha {shared} suffix one",
+                f"different beta {shared} other tail",
+                "totally unique text with nothing repeated anywhere at "
+                "all in this document body",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        dup_span_coverage(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 3
+    # docs 0/1 share a >=50-char span -> nonzero coverage; doc 2 clean
+    assert out.loc[0, "covered_chars"] >= len(shared)
+    assert out.loc[1, "covered_chars"] >= len(shared)
+    assert out.loc[2, "dup_positions"] == 0
+    assert out.loc[2, "coverage"] == 0.0
+    assert (out["coverage"] <= 1.0).all()
+
+
+def test_vocab_topk_matches_single_process(ray_session):
+    from tensorflow_ocr_ray.pipelines.curation import vocab_topk
+
+    out = vocab_topk(SF).reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    c: Counter = Counter()
+    for text in docs["text"]:
+        c.update(t for t in split_tokens(text.lower()) if t)
+    want = (
+        pd.DataFrame(sorted(c.items()), columns=["token", "cnt"])
+        .sort_values(["cnt", "token"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    want["rank"] = np.arange(1, len(want) + 1)
+    pd.testing.assert_frame_equal(
+        out, want.astype({"cnt": "int64", "rank": "int64"})
+    )

@@ -110,3 +110,34 @@ def test_exact_dedup_keeps_min_doc_id(ray_session):
     merged = df.sort_values("text").reset_index(drop=True)
     ref = ref.sort_values("text").reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, ref[merged.columns.tolist()])
+
+
+def test_dedup_keep_list_composition(ray_session):
+    from tensorflow_ocr_ray.pipelines import dedup
+
+    out = (
+        dedup.dedup_keep_list(SF)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    assert len(out) == len(docs)
+    keeper = docs.groupby("text")["doc_id"].transform("min")
+    exact_dup = set(docs.loc[keeper.values != docs["doc_id"].values,
+                             "doc_id"])
+    clusters = dedup.minhash_dedup(SF)
+    reps = dict(zip(clusters["doc_id"], clusters["cluster_rep"]))
+    for doc_id, row in out.iterrows():
+        if doc_id in exact_dup:
+            assert row["reason"] == "exact_dup" and row["kept"] == 0
+        elif reps.get(doc_id, doc_id) != doc_id:
+            assert row["reason"] == "near_dup" and row["kept"] == 0
+            assert row["canonical"] == reps[doc_id]
+        else:
+            assert row["reason"] == "kept" and row["kept"] == 1
+            assert row["canonical"] == doc_id
+    # every canonical doc must itself be kept
+    canon = set(out["canonical"])
+    assert all(out.loc[c, "kept"] == 1 for c in canon)
