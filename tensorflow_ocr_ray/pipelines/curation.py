@@ -497,7 +497,12 @@ def dup_span_coverage(sf_dir: str, k: int = DUP_SPAN_K) -> "rd.Dataset":
        with fixed-width spans (vectorized islands: a new island starts
        where pos - prev_pos >= k), coverage = union/len.
     Gram hashing is md5-64 so the DuckDB string-join oracle matches
-    exactly."""
+    exactly.
+
+    Corpus-completeness (docs with NO duplicated span, including docs
+    shorter than ``k``) comes from one skinny sentinel row (pos=0) per
+    doc unioned into the doc-shard groupby — never a driver-side id
+    set, so no driver structure grows with corpus size."""
     n_shards = _N_SHARDS
 
     def grams(df: pd.DataFrame) -> pd.DataFrame:
@@ -539,69 +544,78 @@ def dup_span_coverage(sf_dir: str, k: int = DUP_SPAN_K) -> "rd.Dataset":
         return out
 
     def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        # sentinel rows (pos == 0, one per doc) make every doc present;
+        # only real dup-position rows (pos >= 1) enter the island math
         g = g.sort_values(["doc_id", "pos"])
-        doc = g["doc_id"].values
-        pos = g["pos"].values
-        new_doc = np.concatenate([[True], doc[1:] != doc[:-1]])
-        brk = new_doc | np.concatenate(
-            [[True], (pos[1:] - pos[:-1]) >= k]
-        )
-        island = np.cumsum(brk) - 1
-        starts = np.flatnonzero(brk)
-        ends = np.concatenate([starts[1:], [len(pos)]]) - 1
-        clen = pos[ends] - pos[starts] + k
-        doc_of_island = doc[starts]
-        isl_df = pd.DataFrame({"doc_id": doc_of_island, "clen": clen})
-        cov = isl_df.groupby("doc_id", as_index=False)["clen"].sum()
-        npos = pd.DataFrame({"doc_id": doc}).groupby(
-            "doc_id", as_index=False
-        ).size()
-        lt = pd.DataFrame({"doc_id": doc, "lt": g["lt"].values}).groupby(
-            "doc_id", as_index=False
-        )["lt"].max()
-        out = cov.merge(npos, on="doc_id").merge(lt, on="doc_id")
+        real = g[g["pos"].values > 0]
+        doc = real["doc_id"].values
+        pos = real["pos"].values
+        out = pd.DataFrame(
+            {"doc_id": pd.unique(g["doc_id"].values)}
+        ).set_index("doc_id")
+        out["dup_positions"] = 0
+        out["covered_chars"] = 0
+        if len(real):
+            new_doc = np.concatenate([[True], doc[1:] != doc[:-1]])
+            brk = new_doc | np.concatenate(
+                [[True], (pos[1:] - pos[:-1]) >= k]
+            )
+            starts = np.flatnonzero(brk)
+            ends = np.concatenate([starts[1:], [len(pos)]]) - 1
+            clen = pos[ends] - pos[starts] + k
+            isl_df = pd.DataFrame(
+                {"doc_id": doc[starts], "clen": clen}
+            )
+            cov = isl_df.groupby("doc_id")["clen"].sum()
+            npos = pd.Series(doc).value_counts()
+            out.loc[cov.index, "covered_chars"] = cov
+            out.loc[npos.index, "dup_positions"] = npos
+        lt = g.groupby("doc_id")["lt"].max()
+        covered = out["covered_chars"].values.astype("int64")
+        lt_v = lt.loc[out.index].values.astype("int64")
         return pd.DataFrame(
             {
-                "doc_id": out["doc_id"].astype("int64"),
-                "dup_positions": out["size"].astype("int64"),
-                "covered_chars": out["clen"].astype("int64"),
-                "coverage": out["clen"].values / out["lt"].values,
+                "doc_id": out.index.values.astype("int64"),
+                "dup_positions": out["dup_positions"].values.astype(
+                    "int64"
+                ),
+                "covered_chars": covered,
+                "coverage": np.where(
+                    covered > 0, covered / np.maximum(lt_v, 1), 0.0
+                ),
             }
         )
 
-    hit_docs = (
+    def sentinels(df: pd.DataFrame) -> pd.DataFrame:
+        lts = np.fromiter(
+            (len(_WS.sub(" ", t.strip().lower())) for t in df["text"]),
+            dtype=np.int64,
+            count=len(df),
+        )
+        doc = df["doc_id"].values.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "pos": np.zeros(len(df), dtype=np.int64),
+                "lt": lts,
+                "dshard": doc % n_shards,
+            }
+        )
+
+    dup_pos = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(grams, batch_format="pandas", batch_size=512)
         .groupby("gshard")
         .map_groups(dup_rows, batch_format="pandas")
+    )
+    sent = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sentinels, batch_format="pandas", batch_size=2048
+    )
+    return (
+        dup_pos.union(sent)
         .groupby("dshard")
         .map_groups(coverage, batch_format="pandas")
     )
-
-    # docs with no duplicated span (or shorter than k) -> zero rows;
-    # the union keeps the result corpus-complete without a wide join:
-    # hit doc_ids are collected as a bounded semi-join filter only to
-    # BUILD the zero rows (ids + three constants, not corpus text)
-    hits = hit_docs.materialize()
-    hit_ids = set(hits.to_pandas()["doc_id"])
-    hit_ref = ray.put(hit_ids)
-
-    def zeros(df: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(hit_ref)
-        rest = df[~df["doc_id"].isin(ids)]
-        return pd.DataFrame(
-            {
-                "doc_id": rest["doc_id"].astype("int64"),
-                "dup_positions": np.zeros(len(rest), dtype="int64"),
-                "covered_chars": np.zeros(len(rest), dtype="int64"),
-                "coverage": np.zeros(len(rest)),
-            }
-        )
-
-    zero_rows = _docs(sf_dir, ["doc_id"]).map_batches(
-        zeros, batch_format="pandas", batch_size=8192
-    )
-    return hits.union(zero_rows)
 
 
 # ---------------- corpus vocabulary top-K ----------------------------------
