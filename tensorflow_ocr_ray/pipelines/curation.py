@@ -449,12 +449,18 @@ def source_gate(
         ).agg(s=("t", "sum"), n=("t", "size"))
         return g.astype({"s": "int64", "n": "int64"})
 
-    parts = stats.map_batches(
-        partial, batch_format="pandas", batch_size=4096
-    ).to_pandas()
-    per_src = parts.groupby("source").agg(s=("s", "sum"), n=("n", "sum"))
+    # per-batch partials are |sources|-bounded rows; the cross-batch
+    # combine is a DISTRIBUTED groupby-sum (the driver receives exactly
+    # |sources| rows, never sources x batches)
+    per_src = (
+        stats.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby("source")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
     means = {
-        src: int(r.s) / int(r.n) for src, r in per_src.iterrows()
+        src: int(s) / int(n)
+        for src, s, n in zip(per_src["source"], per_src["s"], per_src["n"])
     }
     means_ref = ray.put(means)
 
