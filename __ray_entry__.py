@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gate": curation.source_gate,
         "dup_span_coverage": curation.dup_span_coverage,
         "vocab_topk": curation.vocab_topk,
+        "length_percentile_gate": curation.length_percentile_gate,
         "dedup_keep_list": dedup.dedup_keep_list,
         # html main-content extraction: deterministic boilerplate chrome
         # wrapped around each document's text; the extractor must recover
@@ -939,6 +940,30 @@ def _vocab_topk_sql() -> str:
     """
 
 
+def _length_gate_sql() -> str:
+    """DuckDB re-derivation of curation.length_percentile_gate:
+    quantile_disc implements the same sorted-value-at-ceil(q*n)-1 rule
+    the pipeline reads off its cumulative count table."""
+    from tensorflow_ocr_ray.pipelines.curation import (
+        LENGTH_GATE_HI_Q,
+        LENGTH_GATE_LO_Q,
+    )
+
+    return f"""
+        WITH q AS (
+          SELECT lang,
+                 quantile_disc(n_chars, {LENGTH_GATE_LO_Q}) AS lo,
+                 quantile_disc(n_chars, {LENGTH_GATE_HI_Q}) AS hi
+          FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+               CAST(q.lo AS BIGINT) AS lang_lo,
+               CAST(q.hi AS BIGINT) AS lang_hi
+        FROM documents d JOIN q USING (lang)
+        WHERE d.n_chars BETWEEN q.lo AND q.hi
+    """
+
+
 def _keep_list_sql() -> str:
     """DuckDB re-derivation of dedup.dedup_keep_list: exact-group min
     per identical text, the pipeline's own minhash cluster SQL
@@ -1045,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "source_gate": _source_gate_sql(),
         "dup_span_coverage": _dup_span_sql(),
         "vocab_topk": _vocab_topk_sql(),
+        "length_percentile_gate": _length_gate_sql(),
         "dedup_keep_list": _keep_list_sql(),
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),

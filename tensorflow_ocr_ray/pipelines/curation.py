@@ -684,3 +684,81 @@ def vocab_topk(sf_dir: str, topn: int = VOCAB_TOPK) -> pd.DataFrame:
     return final[["token", "cnt", "rank"]].astype(
         {"cnt": "int64", "rank": "int64"}
     )
+
+
+# ---------------- per-language length-percentile gating --------------------
+
+LENGTH_GATE_LO_Q = 0.05
+LENGTH_GATE_HI_Q = 0.95
+
+
+def length_percentile_gate(
+    sf_dir: str,
+    lo_q: float = LENGTH_GATE_LO_Q,
+    hi_q: float = LENGTH_GATE_HI_Q,
+) -> "rd.Dataset":
+    """Outlier-length filtering: keep documents whose ``n_chars`` lies
+    between their language's exact discrete ``lo_q``/``hi_q`` quantiles
+    (DuckDB's quantile_disc rule — the sorted value at 0-based index
+    ceil(q*n)-1).
+
+    Distributed-exact without any sort: ``n_chars`` has a bounded
+    integer domain, so per-(lang, length) counts are a tiny aggregate —
+    per-batch partial count frames combine in a distributed
+    groupby-sum, and the driver receives |langs x distinct lengths|
+    rows (data-scale-free).  Quantiles are read off each language's
+    cumulative count table; the corpus pass is a map-only filter with
+    the |langs|-bounded threshold dict broadcast once.  The read is
+    pruned to three columns — text never leaves storage."""
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "n_chars": g["n_chars"].astype("int64"),
+                "c": g["size"].astype("int64"),
+            }
+        )
+
+    hist = (
+        docs.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("lang")
+        .map_groups(
+            lambda g: g.groupby(["lang", "n_chars"], as_index=False)["c"]
+            .sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    bounds: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].values
+        cum = g["c"].values.cumsum()
+        n = int(cum[-1])
+        lo_k = max(int(np.ceil(lo_q * n)) - 1, 0)
+        hi_k = max(int(np.ceil(hi_q * n)) - 1, 0)
+        lo_v = int(vals[np.searchsorted(cum, lo_k + 1)])
+        hi_v = int(vals[np.searchsorted(cum, hi_k + 1)])
+        bounds[lang] = (lo_v, hi_v)
+    bounds_ref = ray.put(bounds)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bounds_ref)
+        lo = df["lang"].map(lambda l: b[l][0]).values
+        hi = df["lang"].map(lambda l: b[l][1]).values
+        nc = df["n_chars"].values
+        m = (nc >= lo) & (nc <= hi)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values[m].astype("int64"),
+                "lang": df["lang"].values[m],
+                "n_chars": nc[m].astype("int64"),
+                "lang_lo": lo[m].astype("int64"),
+                "lang_hi": hi[m].astype("int64"),
+            }
+        )
+
+    return docs.map_batches(keep, batch_format="pandas", batch_size=8192)

@@ -309,3 +309,33 @@ def test_vocab_topk_matches_single_process(ray_session):
     pd.testing.assert_frame_equal(
         out, want.astype({"cnt": "int64", "rank": "int64"})
     )
+
+
+def test_length_percentile_gate_matches_quantile_disc(ray_session):
+    import duckdb
+
+    from tensorflow_ocr_ray.pipelines.curation import (
+        length_percentile_gate,
+    )
+
+    out = (
+        length_percentile_gate(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH q AS (
+          SELECT lang, quantile_disc(n_chars, 0.05) AS lo,
+                 quantile_disc(n_chars, 0.95) AS hi
+          FROM '{SF}/documents.parquet' GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars,
+               q.lo AS lang_lo, q.hi AS lang_hi
+        FROM '{SF}/documents.parquet' d JOIN q USING (lang)
+        WHERE d.n_chars BETWEEN q.lo AND q.hi
+        ORDER BY d.doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
