@@ -608,9 +608,12 @@ def dup_span_coverage(sf_dir: str, k: int = DUP_SPAN_K) -> "rd.Dataset":
             }
         )
 
+    # the gram explode amplifies ~40x per input char (40-byte row per
+    # position), so the batch is sized to keep one task's output under
+    # ~64 MiB even for multi-KB documents
     dup_pos = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(grams, batch_format="pandas", batch_size=512)
+        .map_batches(grams, batch_format="pandas", batch_size=128)
         .groupby("gshard")
         .map_groups(dup_rows, batch_format="pandas")
     )
