@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_coverage": curation.dup_span_coverage,
         "vocab_topk": curation.vocab_topk,
         "length_percentile_gate": curation.length_percentile_gate,
+        "gopher_gate": curation.gopher_gate,
         "dedup_keep_list": dedup.dedup_keep_list,
         # html main-content extraction: deterministic boilerplate chrome
         # wrapped around each document's text; the extractor must recover
@@ -964,6 +965,50 @@ def _length_gate_sql() -> str:
     """
 
 
+def _gopher_gate_sql() -> str:
+    """DuckDB re-derivation of curation.gopher_gate: the repetition
+    signals come from the SAME ``_repetition_sql`` CTE, the token count
+    from the token_count-parity split expression, compared against the
+    module's literal thresholds in identical precedence order."""
+    from tensorflow_ocr_ray.pipelines.curation import (
+        GOPHER_MAX_DUP_TRIGRAM,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_TOP_UNIGRAM,
+        GOPHER_MIN_TOKENS,
+    )
+
+    return rf"""
+        WITH rep AS ({_repetition_sql()}),
+        tok AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\s+')) AS tokens
+          FROM documents
+        ),
+        j AS (
+          SELECT rep.doc_id, tok.tokens, rep.top_unigram_frac,
+                 rep.dup_trigram_frac
+          FROM rep JOIN tok USING (doc_id)
+        ),
+        r AS (
+          SELECT *,
+                 CASE WHEN tokens < {GOPHER_MIN_TOKENS} THEN 'too_short'
+                      WHEN tokens > {GOPHER_MAX_TOKENS} THEN 'too_long'
+                      WHEN top_unigram_frac > {GOPHER_MAX_TOP_UNIGRAM!r}
+                          THEN 'repetitive_unigram'
+                      WHEN dup_trigram_frac > {GOPHER_MAX_DUP_TRIGRAM!r}
+                          THEN 'repetitive_trigram'
+                      ELSE 'kept' END AS fail_reason
+          FROM j
+        )
+        SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+               top_unigram_frac, dup_trigram_frac,
+               CAST(CASE WHEN fail_reason = 'kept' THEN 1 ELSE 0 END
+                    AS BIGINT) AS passed,
+               fail_reason
+        FROM r
+    """
+
+
 def _keep_list_sql() -> str:
     """DuckDB re-derivation of dedup.dedup_keep_list: exact-group min
     per identical text, the pipeline's own minhash cluster SQL
@@ -1071,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_coverage": _dup_span_sql(),
         "vocab_topk": _vocab_topk_sql(),
         "length_percentile_gate": _length_gate_sql(),
+        "gopher_gate": _gopher_gate_sql(),
         "dedup_keep_list": _keep_list_sql(),
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),

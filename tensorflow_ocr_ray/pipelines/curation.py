@@ -765,3 +765,55 @@ def length_percentile_gate(
         )
 
     return docs.map_batches(keep, batch_format="pandas", batch_size=8192)
+
+
+# ---------------- Gopher-style composite quality gate ----------------------
+
+GOPHER_MIN_TOKENS = 25
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MAX_TOP_UNIGRAM = 0.15
+GOPHER_MAX_DUP_TRIGRAM = 0.02
+
+
+def gopher_gate_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Composite document-quality verdict chaining the Gopher-style
+    rules in deterministic precedence order: token-count window ->
+    top-unigram repetition -> duplicate-trigram repetition.  All
+    signals are the exact int/int doubles of ``repetition_stats_batch``
+    compared against literal thresholds, so the SQL oracle agrees
+    bit-for-bit."""
+    rep = repetition_stats_batch(df)
+    toks = df["text"].map(token_count).astype("int64").values
+    uni = rep["top_unigram_frac"].values
+    tri = rep["dup_trigram_frac"].values
+    reason = np.where(
+        toks < GOPHER_MIN_TOKENS, "too_short",
+        np.where(
+            toks > GOPHER_MAX_TOKENS, "too_long",
+            np.where(
+                uni > GOPHER_MAX_TOP_UNIGRAM, "repetitive_unigram",
+                np.where(
+                    tri > GOPHER_MAX_DUP_TRIGRAM, "repetitive_trigram",
+                    "kept",
+                ),
+            ),
+        ),
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": rep["doc_id"].values,
+            "tokens": toks,
+            "top_unigram_frac": uni,
+            "dup_trigram_frac": tri,
+            "passed": (reason == "kept").astype("int64"),
+            "fail_reason": reason,
+        }
+    )
+
+
+def gopher_gate(sf_dir: str) -> "rd.Dataset":
+    """Map-only filter chain — the classic pre-training quality gate,
+    streaming with zero shuffles."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_gate_batch, batch_format="pandas", batch_size=4096
+    )

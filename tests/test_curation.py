@@ -339,3 +339,32 @@ def test_length_percentile_gate_matches_quantile_disc(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
+
+
+def test_gopher_gate_rules_fire():
+    from tensorflow_ocr_ray.pipelines.curation import gopher_gate_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "too short",
+                " ".join(["spam"] * 30),             # unigram-repetitive
+                " ".join(f"w{i}" for i in range(40)),  # clean
+            ],
+        }
+    )
+    out = gopher_gate_batch(df).set_index("doc_id")
+    assert out.loc[0, "fail_reason"] == "too_short"
+    assert out.loc[1, "fail_reason"] == "repetitive_unigram"
+    assert out.loc[2, "fail_reason"] == "kept"
+    assert out["passed"].tolist() == [0, 0, 1]
+
+
+def test_gopher_gate_discriminates_on_corpus(ray_session):
+    from tensorflow_ocr_ray.pipelines.curation import gopher_gate
+
+    out = gopher_gate(SF).to_pandas()
+    counts = out["fail_reason"].value_counts()
+    assert counts.get("kept", 0) > 0
+    assert (out["passed"] == 0).sum() > 0  # some docs rejected
