@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": windows.tumbling_windows,
         "events_hopping": windows.hopping_windows,
         "asof_event_order": windows.asof_event_order,
+        "event_funnel": windows.event_funnel,
+        "cohort_retention": windows.cohort_retention,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
@@ -289,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "embedding_dup_clusters": similarity.embedding_dup_clusters,
         "ann_topk_multi": similarity.ann_topk_multi,
+        "knn_label_predict": similarity.knn_label_predict,
         # text analysis
         "doc_tokens": _doc_map(doc_stats_batch),
         "doc_quality": _doc_map(quality_batch),
@@ -307,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": curation.vocab_topk,
         "length_percentile_gate": curation.length_percentile_gate,
         "gopher_gate": curation.gopher_gate,
+        "doc_rarity": curation.doc_rarity,
         "dedup_keep_list": dedup.dedup_keep_list,
         # html main-content extraction: deterministic boilerplate chrome
         # wrapped around each document's text; the extractor must recover
@@ -1117,6 +1121,28 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _vocab_topk_sql(),
         "length_percentile_gate": _length_gate_sql(),
         "gopher_gate": _gopher_gate_sql(),
+        # doc rarity: mean corpus document-frequency over the doc's
+        # DISTINCT tokens (vocab_topk's tokenization); the one double is
+        # a single int/int IEEE division on both sides
+        "doc_rarity": r"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\s+')) AS token
+                FROM documents)
+              WHERE token <> ''
+            ),
+            dfreq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tok GROUP BY token
+            ),
+            j AS (SELECT t.doc_id, f.df FROM tok t JOIN dfreq f USING (token))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(df) AS BIGINT) AS sum_df,
+                   CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+            FROM j GROUP BY doc_id
+        """,
         "dedup_keep_list": _keep_list_sql(),
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),
@@ -1419,6 +1445,53 @@ def oracle_sql() -> dict[str, str]:
                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
         """,
+        # ordered conversion funnel: each stage strictly after the
+        # previous stage's first completion; times as BIGINT epoch-us
+        # (-1 = unreached) so the hash compares exact integers
+        "event_funnel": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            v AS (SELECT user_id, min(ts) AS t1 FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage,
+                   COALESCE(epoch_us(t1), -1) AS t_view_us,
+                   COALESCE(epoch_us(t2), -1) AS t_click_us,
+                   COALESCE(epoch_us(t3), -1) AS t_purchase_us
+            FROM u LEFT JOIN v USING (user_id)
+                   LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id)
+        """,
+        # cohort = a user's first active day (epoch days); count of
+        # distinct users active at each day offset from their cohort
+        "cohort_retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                          AS BIGINT) AS day
+              FROM events
+            ),
+            coh AS (SELECT user_id, min(day) AS cohort_day
+                    FROM ud GROUP BY user_id)
+            SELECT c.cohort_day, ud.day - c.cohort_day AS offset_day,
+                   CAST(count(*) AS BIGINT) AS active_users
+            FROM ud JOIN coh c USING (user_id)
+            GROUP BY 1, 2
+        """,
         "dedup_exact": """
             SELECT text, min(doc_id) AS keeper_doc_id, count(*) AS copies
             FROM documents GROUP BY text
@@ -1528,6 +1601,41 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings q ON q.vec_id IN (0, 1, 2, 3)
                                AND e.vec_id <> q.vec_id
             ) WHERE rn <= 5
+        """,
+        # exact kNN label vote: same rounded-sim rank rule as
+        # ann_topk_multi; vote ties break to the smallest label
+        "knn_label_predict": """
+            WITH sims AS (
+              SELECT q.vec_id AS query_id,
+                     CAST(q.label AS BIGINT) AS query_label,
+                     e.vec_id AS nbr_id,
+                     CAST(e.label AS BIGINT) AS nbr_label,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 4) AS sim
+              FROM embeddings e JOIN embeddings q ON e.vec_id <> q.vec_id
+            ),
+            topk AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
+                FROM sims) WHERE rn <= 5
+            ),
+            votes AS (
+              SELECT query_id, query_label, nbr_label,
+                     CAST(count(*) AS BIGINT) AS votes
+              FROM topk GROUP BY 1, 2, 3
+            ),
+            pred AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY votes DESC, nbr_label) AS rn
+              FROM votes
+            )
+            SELECT query_id AS vec_id, nbr_label AS pred_label, votes,
+                   query_label AS true_label,
+                   CAST(nbr_label = query_label AS BIGINT) AS correct
+            FROM pred WHERE rn = 1
         """,
         "ann_topk_brute": """
             SELECT vec_id,

@@ -817,3 +817,71 @@ def gopher_gate(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         gopher_gate_batch, batch_format="pandas", batch_size=4096
     )
+
+
+# ---------------- document rarity (mean token document-frequency) ----------
+
+
+def doc_rarity(sf_dir: str) -> "rd.Dataset":
+    """Per-document rarity signal: over the doc's DISTINCT tokens, the
+    sum and mean of each token's corpus-wide document frequency.  Low
+    mean df = rare vocabulary (specialist / noisy doc), high = stock
+    phrasing — the cheap importance-sampling feature.
+
+    Exactness: counts are ints; the single mean is one IEEE division
+    (CAST(sum AS DOUBLE)/n in the oracle), so SQL parity is
+    bit-for-bit.  Physical plan is ``tfidf_top_terms``'s sharded shape:
+    (doc, token) rows shuffle once on crc32(token) % 64 so df and the
+    df-attach are vectorized per shard, then a doc-hash-sharded combine
+    sums per doc.  Both shuffle keys are bounded (64); the driver never
+    sees token- or doc-cardinality rows."""
+
+    def distinct_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_tok = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            for tok in set(split_tokens(text.lower())):
+                if tok:
+                    out_doc.append(doc_id)
+                    out_tok.append(tok)
+        out = pd.DataFrame({"doc_id": out_doc, "token": out_tok}).astype(
+            {"doc_id": "int64"}
+        )
+        out["tshard"] = np.fromiter(
+            (zlib.crc32(t.encode()) % _N_SHARDS for t in out["token"]),
+            dtype=np.int64,
+            count=len(out),
+        )
+        return out
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, token); all rows of a token are in this
+        # shard, so df = rows per token here
+        df_tbl = g.groupby("token")["doc_id"].size()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].values,
+                "df": g["token"].map(df_tbl).values,
+                "dshard": g["doc_id"].values % _N_SHARDS,
+            }
+        ).astype("int64")
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False)["df"].agg(["sum", "size"])
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].astype("int64"),
+                "n_tokens": agg["size"].astype("int64"),
+                "sum_df": agg["sum"].astype("int64"),
+                "mean_df": agg["sum"].values.astype(np.int64)
+                / agg["size"].values.astype(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(distinct_tokens, batch_format="pandas", batch_size=512)
+        .groupby("tshard")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("dshard")
+        .map_groups(per_doc, batch_format="pandas")
+    )

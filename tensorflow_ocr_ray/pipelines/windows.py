@@ -252,3 +252,99 @@ def hopping_windows(
         expand, batch_format="pandas", batch_size=65536
     )
     return _combine_window_partials(ds)
+
+
+# ---------------- event funnel ---------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(sf_dir: str) -> "rd.Dataset":
+    """Ordered conversion funnel view -> click -> purchase, one row per
+    user (cf. the reference's per-stream tally loops, generalized to the
+    classic event-analytics shape).
+
+    Each stage must occur STRICTLY after the previous stage's first
+    completion: t1 = min ts(view); t2 = min ts(click) with ts > t1;
+    t3 = min ts(purchase) with ts > t2.  Times travel as BIGINT epoch
+    microseconds (-1 = stage unreached) so the DuckDB oracle compares
+    exact integers, never floats or NULL-vs-NaT hashes.
+
+    Physical plan: one shuffle (groupby user_id), vectorized chained
+    mins inside each user group; the result is one bounded row per
+    user and stays a lazy Dataset end-to-end."""
+    s1, s2, s3 = FUNNEL_STAGES
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+
+        def first_after(stage: str, lo: int) -> int:
+            m = ts[(et == stage) & (ts > lo)]
+            return int(m.min()) if len(m) else -1
+
+        t1 = first_after(s1, -1)
+        t2 = first_after(s2, t1) if t1 >= 0 else -1
+        t3 = first_after(s3, t2) if t2 >= 0 else -1
+        stage = 3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "stage": [stage],
+                "t_view_us": [t1],
+                "t_click_us": [t2],
+                "t_purchase_us": [t3],
+            }
+        ).astype("int64")
+
+    return (
+        _events(sf_dir, ["user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+# ---------------- cohort retention -----------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def cohort_retention(sf_dir: str) -> "rd.Dataset":
+    """Cohort-retention matrix: users grouped by their first active day
+    (the cohort), counted as active at each day offset from it.
+
+    Physical plan: one shuffle on user_id; inside each user group the
+    (cohort_day, offset_day) pairs are a tiny distinct set; a second
+    skinny groupby over the bounded (cohort x offset) key space sums
+    per-user flags into active_users.  Nothing user-cardinality-sized
+    ever lands on the driver."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        days = np.unique(us // _US_PER_DAY)
+        cohort = int(days[0])
+        return pd.DataFrame(
+            {
+                "cohort_day": cohort,
+                "offset_day": days - cohort,
+                "one": 1,
+            }
+        ).astype("int64")
+
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        _events(sf_dir, ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+    agg = pairs.groupby(["cohort_day", "offset_day"]).aggregate(
+        Sum("one", alias_name="active_users")
+    )
+    return agg.map_batches(
+        lambda df: df.astype(
+            {"cohort_day": "int64", "offset_day": "int64",
+             "active_users": "int64"}
+        ),
+        batch_format="pandas",
+    )

@@ -368,3 +368,28 @@ def test_gopher_gate_discriminates_on_corpus(ray_session):
     counts = out["fail_reason"].value_counts()
     assert counts.get("kept", 0) > 0
     assert (out["passed"] == 0).sum() > 0  # some docs rejected
+
+
+def test_doc_rarity_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.curation import doc_rarity
+
+    # df: a->3 docs, b->2, c->1 over distinct tokens per doc
+    docs = pa.Table.from_pylist(
+        [
+            {"doc_id": 0, "text": "a b", "lang": "en", "source": "s",
+             "n_chars": 3},
+            {"doc_id": 1, "text": "a a b", "lang": "en", "source": "s",
+             "n_chars": 5},
+            {"doc_id": 2, "text": "a c", "lang": "en", "source": "s",
+             "n_chars": 3},
+        ]
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = doc_rarity(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "sum_df"] == 5 and out.loc[0, "n_tokens"] == 2
+    assert out.loc[1, "sum_df"] == 5 and out.loc[1, "n_tokens"] == 2
+    assert out.loc[2, "sum_df"] == 4
+    assert out.loc[2, "mean_df"] == 2.0

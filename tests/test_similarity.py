@@ -198,3 +198,36 @@ def test_pruned_entries_match_scan_variants(ray_session, planted_dir):
     mtime = os.path.getmtime(os.path.join(d, "_SUCCESS"))
     ann_topk_lsh_pruned(planted_dir, k=10)
     assert os.path.getmtime(os.path.join(d, "_SUCCESS")) == mtime
+
+
+def test_knn_label_predict_matches_naive(ray_session):
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.similarity import knn_label_predict
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    labels = t.column("label").to_numpy().astype(np.int64)
+    m = np.stack([np.asarray(e, np.float64) for e in
+                  t.column("embedding").to_pylist()])
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    mn = m / n
+    sims = np.round(mn @ mn.T, 4)
+    np.fill_diagonal(sims, -np.inf)
+    want = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:5]
+        votes = {}
+        for j in order:
+            votes[labels[j]] = votes.get(labels[j], 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[int(ids[i])] = (int(pred[0]), int(pred[1]))
+
+    # small blocks force the multi-block merge path
+    out = knn_label_predict(SF, block_size=64).to_pandas()
+    assert len(out) == len(ids)
+    for _, r in out.iterrows():
+        p, v = want[int(r["vec_id"])]
+        assert (int(r["pred_label"]), int(r["votes"])) == (p, v)
+        assert int(r["correct"]) == int(int(r["true_label"]) == p)

@@ -135,3 +135,85 @@ def test_windows_survive_hot_key_skew(ray_session, tmp_path):
     sz = sessionize(str(d))
     assert (sz.groupby("user_id")["events"].sum()
             == df.groupby("user_id").size()).all()
+
+
+@pytest.fixture(scope="module")
+def funnel_events_dir(tmp_path_factory):
+    """Crafted funnel corpus: user 1 completes view->click->purchase in
+    order; user 2's click precedes its only view (stage stops at 1);
+    user 3 views only; user 4 never enters the funnel (stage 0)."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: full ordered funnel (plus an early purchase that must
+        # NOT count — it precedes the click)
+        (0, base + 0 * m, 1, "purchase"),
+        (1, base + 1 * m, 1, "view"),
+        (2, base + 2 * m, 1, "click"),
+        (3, base + 3 * m, 1, "purchase"),
+        # user 2: click strictly BEFORE the first view -> unconverted
+        (4, base + 0 * m, 2, "click"),
+        (5, base + 1 * m, 2, "view"),
+        # user 3: view only
+        (6, base + 0 * m, 3, "view"),
+        # user 4: no funnel event types at all
+        (7, base + 0 * m, 4, "error"),
+    ]
+    tbl = pa.Table.from_pylist(
+        [
+            {"event_id": e, "ts": ts, "user_id": u, "event_type": t,
+             "value": 1.0, "props": ""}
+            for e, ts, u, t in rows
+        ]
+    )
+    d = tmp_path_factory.mktemp("funnelevents")
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_event_funnel_strict_ordering(ray_session, funnel_events_dir):
+    from tensorflow_ocr_ray.pipelines.windows import event_funnel
+
+    out = (
+        event_funnel(funnel_events_dir)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    base_us = pd.Timestamp("2024-01-01 00:00:00").value // 1000
+    assert out.loc[1, "stage"] == 3
+    assert out.loc[1, "t_view_us"] == base_us + 60_000_000
+    assert out.loc[1, "t_click_us"] == base_us + 120_000_000
+    # the minute-0 purchase is ignored; minute-3 one converts
+    assert out.loc[1, "t_purchase_us"] == base_us + 180_000_000
+    assert out.loc[2, "stage"] == 1          # click before view: no credit
+    assert out.loc[2, "t_click_us"] == -1
+    assert out.loc[3, "stage"] == 1
+    assert out.loc[4, "stage"] == 0
+    assert out.loc[4, "t_view_us"] == -1
+
+
+def test_cohort_retention_offsets(ray_session, funnel_events_dir):
+    from tensorflow_ocr_ray.pipelines.windows import cohort_retention
+
+    # every crafted event is on 2024-01-01 -> one cohort, offset 0,
+    # all four users active
+    out = cohort_retention(funnel_events_dir).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    day = pd.Timestamp("2024-01-01").value // 1000 // 86_400_000_000
+    assert row["cohort_day"] == day
+    assert row["offset_day"] == 0
+    assert row["active_users"] == 4
+
+
+def test_cohort_retention_corpus_shape(ray_session):
+    from tensorflow_ocr_ray.pipelines.windows import cohort_retention
+
+    out = cohort_retention("/root/testdata/sf0.001").to_pandas()
+    # offsets are non-negative and each (cohort, offset) appears once
+    assert (out["offset_day"] >= 0).all()
+    assert not out.duplicated(["cohort_day", "offset_day"]).any()
+    # day-0 retention: every user is active on their own cohort day
+    d0 = out[out["offset_day"] == 0]["active_users"].sum()
+    assert d0 == out.groupby("cohort_day")["active_users"].max().sum()
