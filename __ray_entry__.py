@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentile_gate": curation.length_percentile_gate,
         "gopher_gate": curation.gopher_gate,
         "doc_rarity": curation.doc_rarity,
+        "mixture_rebalance": curation.mixture_rebalance,
+        "source_topk_docs": curation.source_topk_docs,
         "dedup_keep_list": dedup.dedup_keep_list,
         # html main-content extraction: deterministic boilerplate chrome
         # wrapped around each document's text; the extractor must recover
@@ -1013,6 +1015,44 @@ def _gopher_gate_sql() -> str:
     """
 
 
+def _mixture_sql() -> str:
+    """Same md5-bucket rule as ``_hash_split_sql`` at MIX_BUCKETS
+    resolution; quota and counts re-derived from the table itself, keep
+    test is the identical integer inequality."""
+    from tensorflow_ocr_ray.pipelines.curation import MIX_BUCKETS
+
+    return f"""
+        WITH c AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS lang_count
+          FROM documents GROUP BY lang
+        ),
+        m AS (SELECT min(lang_count) AS quota FROM c),
+        b AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                      ::UBIGINT % {MIX_BUCKETS} AS BIGINT) AS bucket
+          FROM documents
+        )
+        SELECT b.doc_id, b.lang, b.bucket, c.lang_count,
+               CAST(b.bucket * c.lang_count < m.quota * {MIX_BUCKETS}
+                    AS BIGINT) AS kept
+        FROM b JOIN c USING (lang) CROSS JOIN m
+    """
+
+
+def _source_topk_sql() -> str:
+    from tensorflow_ocr_ray.pipelines.curation import SOURCE_TOPK
+
+    return f"""
+        SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rank FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) WHERE rn <= {SOURCE_TOPK}
+    """
+
+
 def _keep_list_sql() -> str:
     """DuckDB re-derivation of dedup.dedup_keep_list: exact-group min
     per identical text, the pipeline's own minhash cluster SQL
@@ -1143,6 +1183,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
             FROM j GROUP BY doc_id
         """,
+        "mixture_rebalance": _mixture_sql(),
+        "source_topk_docs": _source_topk_sql(),
         "dedup_keep_list": _keep_list_sql(),
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),

@@ -885,3 +885,95 @@ def doc_rarity(sf_dir: str) -> "rd.Dataset":
         .groupby("dshard")
         .map_groups(per_doc, batch_format="pandas")
     )
+
+
+# ---------------- domain-mixture rebalancing -------------------------------
+
+MIX_BUCKETS = 1_000_000  # md5 bucket resolution for keep-rate thresholds
+
+
+def mixture_rebalance(sf_dir: str) -> "rd.Dataset":
+    """Rebalance the corpus toward a UNIFORM language mixture by
+    deterministic hash downsampling: every language keeps
+    quota/lang_count of its docs, quota = the smallest language's count.
+
+    Membership is integer math on the doc's own md5 bucket
+    (bucket * lang_count < quota * MIX_BUCKETS) — a function of the row
+    and two corpus constants, never RNG or scan order, so any engine,
+    any partitioning, any retry produces the same corpus.  Physical
+    plan: one distributed groupby-sum (driver receives |langs| rows),
+    counts broadcast once via ray.put, then a pure map pass."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs(sf_dir, ["lang"])
+        .map_batches(
+            lambda df: df.groupby("lang", as_index=False).size()
+            .rename(columns={"size": "n"}),
+            batch_format="pandas",
+            batch_size=65536,
+        )
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="lang_count"))
+        .to_pandas()
+    )
+    lang_count = dict(zip(counts["lang"], counts["lang_count"].astype(int)))
+    quota = min(lang_count.values())
+    counts_ref = ray.put((lang_count, quota))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        lc, q = ray.get(counts_ref)
+        bucket = np.array(
+            [_md5_64(str(int(d))) % MIX_BUCKETS for d in df["doc_id"]],
+            dtype=np.int64,
+        )
+        n = np.array([lc[lg] for lg in df["lang"]], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "lang": df["lang"].values,
+                "bucket": bucket,
+                "lang_count": n,
+                "kept": (bucket * n < q * MIX_BUCKETS).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pandas", batch_size=8192
+    )
+
+
+# ---------------- per-group top-k without a global sort --------------------
+
+SOURCE_TOPK = 3
+
+
+def source_topk_docs(sf_dir: str, topn: int = SOURCE_TOPK) -> "rd.Dataset":
+    """Longest ``topn`` docs per source (n_chars DESC, doc_id ASC) —
+    the distributed per-group top-k pattern: each batch emits its local
+    per-source head (≤ topn rows per source per batch, a provable
+    superset of the global winners), then one skinny shuffle on source
+    merges heads.  No global sort, nothing doc-cardinality-sized moves."""
+
+    def local_head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        return df[df.groupby("source").cumcount() < topn]
+
+    def merge_head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        g = g[g.groupby("source").cumcount() < topn].copy()
+        g["rank"] = g.groupby("source").cumcount() + 1
+        return g[["source", "doc_id", "n_chars", "rank"]].astype(
+            {"doc_id": "int64", "n_chars": "int64", "rank": "int64"}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(local_head, batch_format="pandas", batch_size=8192)
+        .groupby("source")
+        .map_groups(merge_head, batch_format="pandas")
+    )

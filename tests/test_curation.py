@@ -393,3 +393,50 @@ def test_doc_rarity_hand_computed(ray_session, tmp_path):
     assert out.loc[1, "sum_df"] == 5 and out.loc[1, "n_tokens"] == 2
     assert out.loc[2, "sum_df"] == 4
     assert out.loc[2, "mean_df"] == 2.0
+
+
+def test_mixture_rebalance_uniform_quota(ray_session):
+    from tensorflow_ocr_ray.pipelines.curation import mixture_rebalance
+
+    out = mixture_rebalance(SF).to_pandas()
+    by_lang = out.groupby("lang").agg(
+        n=("doc_id", "size"), kept=("kept", "sum")
+    )
+    quota = by_lang["n"].min()
+    # the smallest language is kept in full (rate == 1)
+    smallest = by_lang["n"].idxmin()
+    assert by_lang.loc[smallest, "kept"] == by_lang.loc[smallest, "n"]
+    # every language's kept count lands near the quota (md5 buckets are
+    # uniform; tolerance covers small-sample noise)
+    assert (abs(by_lang["kept"] - quota) <= 0.5 * quota + 3).all()
+    # membership is a pure function of the row: rerun agrees exactly
+    again = mixture_rebalance(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_source_topk_docs_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.curation import source_topk_docs
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).to_pandas()
+    want = docs.sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    want = want[want.groupby("source").cumcount() < 3].copy()
+    want["rank"] = want.groupby("source").cumcount() + 1
+
+    out = source_topk_docs(SF).to_pandas().sort_values(
+        ["source", "rank"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out,
+        want[["source", "doc_id", "n_chars", "rank"]]
+        .reset_index(drop=True)
+        .astype(out.dtypes.to_dict()),
+    )
