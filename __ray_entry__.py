@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": curation.doc_rarity,
         "mixture_rebalance": curation.mixture_rebalance,
         "source_topk_docs": curation.source_topk_docs,
+        "curation_pipeline": curation.curation_pipeline,
         "dedup_keep_list": dedup.dedup_keep_list,
         # html main-content extraction: deterministic boilerplate chrome
         # wrapped around each document's text; the extractor must recover
@@ -1015,6 +1016,38 @@ def _gopher_gate_sql() -> str:
     """
 
 
+def _curation_pipeline_sql() -> str:
+    """The composite oracle is literally the composition of the piece
+    oracles: keep-list ∘ gopher gate ∘ the pack prefix-sum, re-run over
+    only the surviving docs."""
+    from tensorflow_ocr_ray.pipelines.curation import PACK_CAPACITY
+
+    return f"""
+        WITH keepv AS MATERIALIZED (
+          SELECT * FROM ({_keep_list_sql()}) t
+        ),
+        gop AS (
+          SELECT * FROM ({_gopher_gate_sql()}) t
+        ),
+        kept AS (
+          SELECT g.doc_id, g.tokens
+          FROM gop g JOIN keepv k USING (doc_id)
+          WHERE g.passed = 1 AND k.kept = 1
+        ),
+        c AS (
+          SELECT doc_id, tokens,
+                 CAST(sum(tokens) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                      - tokens AS BIGINT) AS cume
+          FROM kept
+        )
+        SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+               cume // {PACK_CAPACITY} AS chunk_id,
+               cume % {PACK_CAPACITY} AS chunk_offset
+        FROM c
+    """
+
+
 def _mixture_sql() -> str:
     """Same md5-bucket rule as ``_hash_split_sql`` at MIX_BUCKETS
     resolution; quota and counts re-derived from the table itself, keep
@@ -1183,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
             FROM j GROUP BY doc_id
         """,
+        "curation_pipeline": _curation_pipeline_sql(),
         "mixture_rebalance": _mixture_sql(),
         "source_topk_docs": _source_topk_sql(),
         "dedup_keep_list": _keep_list_sql(),

@@ -310,6 +310,12 @@ def pack_sequences(
         )
         .materialize()
     )
+    return _pack_assign(stats, capacity)
+
+
+def _pack_assign(stats: "rd.Dataset", capacity: int) -> "rd.Dataset":
+    """Distributed ordered prefix-sum packing over a materialized skinny
+    (doc_id, shard, tokens) table (see ``pack_sequences`` for the plan)."""
     totals = stats.groupby("shard").aggregate(
         Sum("tokens", alias_name="tot")
     ).take_all()
@@ -977,3 +983,64 @@ def source_topk_docs(sf_dir: str, topn: int = SOURCE_TOPK) -> "rd.Dataset":
         .groupby("source")
         .map_groups(merge_head, batch_format="pandas")
     )
+
+
+# ---------------- end-to-end curation pipeline -----------------------------
+
+
+def curation_pipeline(
+    sf_dir: str,
+    capacity: int = PACK_CAPACITY,
+    shard_size: int = PACK_SHARD,
+) -> "rd.Dataset":
+    """The full training-data build in one pipeline: exact + MinHash
+    dedup keep-list ∘ Gopher-style quality gate ∘ fixed-token-budget
+    sequence packing — a document reaches a context window only if it
+    is BOTH the canonical copy of its duplicate group AND passes every
+    quality rule; survivors pack in doc_id order.
+
+    Physical plan: both verdict streams are skinny one-row-per-doc
+    Datasets; they union and merge on the SAME doc_id//shard_size key
+    the packer groups on, so the join and the pack share one shuffle.
+    The prefix-sum offsets stay one number per shard on the driver."""
+    from tensorflow_ocr_ray.pipelines.dedup import dedup_keep_list
+
+    def k_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "shard": (df["doc_id"].values // shard_size),
+                "tokens": 0,
+                "flag": df["kept"].astype("int64"),
+            }
+        ).astype("int64")
+
+    def g_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "shard": (df["doc_id"].values // shard_size),
+                "tokens": df["tokens"].astype("int64"),
+                "flag": df["passed"].astype("int64"),
+            }
+        ).astype("int64")
+
+    k = dedup_keep_list(sf_dir).map_batches(k_rows, batch_format="pandas")
+    g = gopher_gate(sf_dir).map_batches(g_rows, batch_format="pandas")
+
+    def merge(gdf: pd.DataFrame) -> pd.DataFrame:
+        a = gdf.groupby("doc_id", as_index=False).agg(
+            shard=("shard", "first"),
+            tokens=("tokens", "max"),
+            flags=("flag", "sum"),
+        )
+        a = a[a["flags"] == 2]
+        return a[["doc_id", "shard", "tokens"]].astype("int64")
+
+    stats = (
+        k.union(g)
+        .groupby("shard")
+        .map_groups(merge, batch_format="pandas")
+        .materialize()
+    )
+    return _pack_assign(stats, capacity)

@@ -440,3 +440,30 @@ def test_source_topk_docs_matches_pandas(ray_session):
         .reset_index(drop=True)
         .astype(out.dtypes.to_dict()),
     )
+
+
+def test_curation_pipeline_composes_the_pieces(ray_session):
+    from tensorflow_ocr_ray.pipelines.curation import (
+        PACK_CAPACITY,
+        curation_pipeline,
+        gopher_gate,
+    )
+    from tensorflow_ocr_ray.pipelines.dedup import dedup_keep_list
+
+    out = (
+        curation_pipeline(SF).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    kept = dedup_keep_list(SF).to_pandas()
+    gate = gopher_gate(SF).to_pandas()
+    want_ids = sorted(
+        set(kept[kept["kept"] == 1]["doc_id"])
+        & set(gate[gate["passed"] == 1]["doc_id"])
+    )
+    assert out["doc_id"].tolist() == want_ids
+
+    # chunk assignment is the exclusive prefix-sum of the survivors
+    toks = gate.set_index("doc_id").loc[want_ids, "tokens"].to_numpy()
+    cume = np.cumsum(toks) - toks
+    assert (out["chunk_id"].to_numpy() == cume // PACK_CAPACITY).all()
+    assert (out["chunk_offset"].to_numpy() == cume % PACK_CAPACITY).all()
