@@ -272,6 +272,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_event_order": windows.asof_event_order,
         "event_funnel": windows.event_funnel,
         "cohort_retention": windows.cohort_retention,
+        "user_journey": windows.user_journey,
+        "event_transitions": windows.event_transitions,
+        "event_pivot": relational.event_pivot,
+        "rollup_lineitem": relational.rollup_lineitem,
+        "price_histogram": relational.price_histogram,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
@@ -279,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_verified_pairs": dedup.minhash_verified_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "winnow_dup_pairs": dedup.winnow_dup_pairs,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         # the read-pruned indexed paths (build-once bucket/cell
@@ -1181,6 +1187,52 @@ def _repetition_sql() -> str:
     """
 
 
+# The winnowing-fingerprint derivation (md5-low-32 5-gram hashes,
+# 4-window minima, first-occurrence rank per doc), shared bit-for-bit by
+# the doc_fingerprints oracle and the winnow_dup_pairs self-join oracle.
+_WINNOW_RANKED_CTE = r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, t, length(t) AS lt,
+                     unnest(generate_series(
+                         1, greatest(length(t) - 4, 1))) AS i
+              FROM t WHERE length(t) > 0
+            ),
+            h AS (
+              SELECT doc_id, i, lt,
+                     ('0x' || substr(md5(
+                         CASE WHEN lt < 5 THEN t
+                              ELSE substring(t, CAST(i AS INT), 5) END),
+                         1, 8))::UBIGINT AS h
+              FROM pos
+            ),
+            mins AS (
+              SELECT doc_id, i, lt,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS m
+              FROM h
+            ),
+            lim AS (
+              SELECT doc_id, i, m FROM mins
+              WHERE i <= greatest(lt - 7, 1)
+            ),
+            firsts AS (
+              SELECT doc_id, m, min(i) AS fi FROM lim GROUP BY doc_id, m
+            ),
+            ranked AS (
+              SELECT doc_id, m, fi,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY fi) AS rn
+              FROM firsts
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "decontaminate": _decontaminate_sql(),
@@ -1275,46 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # winnowing fingerprint re-derived in SQL: md5-low-32 5-gram
         # hashes, 4-window minima, first 8 distinct in document order
-        "doc_fingerprints": r"""
-            WITH t AS (
-              SELECT doc_id,
-                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
-              FROM documents
-            ),
-            pos AS (
-              SELECT doc_id, t, length(t) AS lt,
-                     unnest(generate_series(
-                         1, greatest(length(t) - 4, 1))) AS i
-              FROM t WHERE length(t) > 0
-            ),
-            h AS (
-              SELECT doc_id, i, lt,
-                     ('0x' || substr(md5(
-                         CASE WHEN lt < 5 THEN t
-                              ELSE substring(t, CAST(i AS INT), 5) END),
-                         1, 8))::UBIGINT AS h
-              FROM pos
-            ),
-            mins AS (
-              SELECT doc_id, i, lt,
-                     min(h) OVER (PARTITION BY doc_id ORDER BY i
-                                  ROWS BETWEEN CURRENT ROW
-                                  AND 3 FOLLOWING) AS m
-              FROM h
-            ),
-            lim AS (
-              SELECT doc_id, i, m FROM mins
-              WHERE i <= greatest(lt - 7, 1)
-            ),
-            firsts AS (
-              SELECT doc_id, m, min(i) AS fi FROM lim GROUP BY doc_id, m
-            ),
-            ranked AS (
-              SELECT doc_id, m, fi,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY fi) AS rn
-              FROM firsts
-            )
+        "doc_fingerprints": _WINNOW_RANKED_CTE + r"""
             SELECT d.doc_id,
                    coalesce(f.fingerprint, '') AS fingerprint
             FROM documents d
@@ -1567,6 +1580,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS active_users
             FROM ud JOIN coh c USING (user_id)
             GROUP BY 1, 2
+        """,
+        # ordered group-concat: event_id is the unique tiebreak on equal ts
+        "user_journey": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS journey,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        # Markov transition counts between consecutive per-user events
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*) AS transitions
+            FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')
+                       AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')
+                       AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')
+                       AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')
+                       AS n_view
+            FROM events GROUP BY user_id
+        """,
+        # ROLLUP totals with 'ALL' sentinels; quantities as exact BIGINTs
+        # (l_quantity is integral) so re-summation is associative
+        "rollup_lineitem": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # global fixed-width histogram; bin math is the SAME IEEE double
+        # expression the pipeline evaluates, so lo/hi hash bit-identically
+        "price_histogram": """
+            WITH s AS (
+              SELECT min(l_extendedprice) AS mn,
+                     (max(l_extendedprice) - min(l_extendedprice)) / 20.0
+                         AS w
+              FROM lineitem
+            ),
+            b AS (
+              SELECT LEAST(CAST(floor((l.l_extendedprice - s.mn) / s.w)
+                                AS BIGINT), 19) AS bin
+              FROM lineitem l, s
+            )
+            SELECT b.bin, s.mn + b.bin * s.w AS lo,
+                   s.mn + (b.bin + 1) * s.w AS hi,
+                   count(*) AS n
+            FROM b, s GROUP BY b.bin, s.mn, s.w
+        """,
+        # winnowing near-dup pairs: the doc_fingerprints CTE chain
+        # (shared verbatim) self-joined on fingerprint values
+        "winnow_dup_pairs": _WINNOW_RANKED_CTE + """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS shared
+            FROM ranked a
+            JOIN ranked b ON a.m = b.m AND a.doc_id < b.doc_id
+            WHERE a.rn <= 8 AND b.rn <= 8
+            GROUP BY 1, 2 HAVING count(*) >= 4
         """,
         "dedup_exact": """
             SELECT text, min(doc_id) AS keeper_doc_id, count(*) AS copies

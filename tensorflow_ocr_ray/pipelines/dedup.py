@@ -495,3 +495,90 @@ def dedup_keep_list(
         .groupby("hshard")
         .map_groups(verdict, batch_format="pandas")
     )
+
+
+def winnow_dup_pairs(
+    sf_dir: str, min_shared: int = 4, n_shards: int = 64
+) -> "rd.Dataset":
+    """MOSS-style near-dup detection: document pairs sharing at least
+    ``min_shared`` winnowing fingerprints (the same k-gram/window/keep
+    fingerprint the ``doc_fingerprints`` query derives — so the oracle
+    reuses that green CTE chain verbatim and self-joins it).
+
+    Physical plan (cf. the gram-sharded plans in curation.py):
+      1. map-side: per-doc fingerprint set (≤ keep values) exploded to
+         (fp, doc_id) rows, sharded by fp % n_shards — a SKINNY int
+         stream, never the texts;
+      2. groupby(fp-shard): within a shard, docs sharing a fingerprint
+         emit pair partials (doc_a < doc_b), pre-summed per shard;
+      3. groupby(pair-shard): sums shared-counts, filters >= min_shared.
+    Nothing lands on the driver; output is a lazy Dataset of
+    (doc_a, doc_b, shared).  Skew note: a fingerprint common to F docs
+    emits O(F^2) pair partials — boilerplate-heavy corpora should raise
+    the winnow window or pre-cap bucket size (same caveat as the
+    reference-free gram plans)."""
+    from tensorflow_ocr_ray.functions.textstats import winnow_fingerprint
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        fps: list[int] = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            for m in winnow_fingerprint(text):
+                ids.append(int(did))
+                fps.append(int(m))
+        fp = np.asarray(fps, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "fp": fp,
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "shard": fp % n_shards,
+            }
+        )
+
+    def pairs_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        a_l: list[np.ndarray] = []
+        b_l: list[np.ndarray] = []
+        for _, g in df.groupby("fp"):
+            d = np.sort(g["doc_id"].to_numpy())
+            if len(d) < 2:
+                continue
+            iu = np.triu_indices(len(d), k=1)
+            a_l.append(d[iu[0]])
+            b_l.append(d[iu[1]])
+        if not a_l:
+            return pd.DataFrame(
+                {"doc_a": np.empty(0, np.int64),
+                 "doc_b": np.empty(0, np.int64),
+                 "p_shared": np.empty(0, np.int64),
+                 "pshard": np.empty(0, np.int64)}
+            )
+        a = np.concatenate(a_l)
+        b = np.concatenate(b_l)
+        out = (
+            pd.DataFrame({"doc_a": a, "doc_b": b})
+            .groupby(["doc_a", "doc_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "p_shared"})
+        )
+        out["p_shared"] = out["p_shared"].astype("int64")
+        out["pshard"] = (out["doc_a"] * 1_000_003 + out["doc_b"]) % n_shards
+        return out
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            shared=("p_shared", "sum")
+        )
+        g = g[g["shared"] >= min_shared]
+        return g.astype(
+            {"doc_a": "int64", "doc_b": "int64", "shared": "int64"}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode, batch_format="pandas", batch_size=4096)
+        .groupby("shard")
+        .map_groups(pairs_in_shard, batch_format="pandas")
+        .groupby("pshard")
+        .map_groups(finalize, batch_format="pandas")
+        .select_columns(["doc_a", "doc_b", "shared"])
+    )

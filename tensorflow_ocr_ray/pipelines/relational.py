@@ -883,3 +883,135 @@ def q21_event_props_stats(sf_dir: str) -> pd.DataFrame:
          "max_k": df["max_k"].astype("int64")}
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def rollup_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Multi-level ROLLUP aggregate: (returnflag, linestatus) totals at
+    all three grouping levels, 'ALL' sentinels instead of NULLs so the
+    oracle hash never compares NULL semantics.
+
+    Physical plan: ONE distributed aggregate at the finest level (map-side
+    partials collapse each batch to ≤|flag×status| rows before the
+    shuffle); the coarser rollup levels are derived from that BOUNDED
+    table (≤ a few dozen rows regardless of input size) — quantities
+    travel as exact BIGINTs (l_quantity is integral by schema) so the
+    re-summation is associative and bit-exact vs the oracle."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "q": df["l_quantity"].astype("int64"),
+            }
+        )
+        return d.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).agg(p_qty=("q", "sum"), p_n=("q", "size"))
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_qty", alias_name="sum_qty"),
+                   Sum("p_n", alias_name="count_order"))
+        .to_pandas()
+    )
+    fine = fine.astype({"sum_qty": "int64", "count_order": "int64"})
+    mid = fine.groupby("l_returnflag", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum")
+    )
+    mid["l_linestatus"] = "ALL"
+    top = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [fine["sum_qty"].sum()],
+            "count_order": [fine["count_order"].sum()],
+        }
+    )
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
+    out = pd.concat([fine[cols], mid[cols], top[cols]], ignore_index=True)
+    out = out.astype({"sum_qty": "int64", "count_order": "int64"})
+    return out.sort_values(cols[:2]).reset_index(drop=True)
+
+
+def price_histogram(sf_dir: str, n_bins: int = 20) -> pd.DataFrame:
+    """Fixed-width global histogram over l_extendedprice: two streaming
+    passes — (1) distributed min/max aggregate (two scalars to the
+    driver), (2) map-side per-batch bin counts (vectorized floor
+    division, clipped to the last bin) combined by one bounded
+    groupby-sum.  Bin edges are derived from (mn, mx) with the SAME IEEE
+    double expression the oracle uses, so lo/hi hash bit-identically."""
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"])
+    mm = ds.aggregate(Min("l_extendedprice"), Max("l_extendedprice"))
+    mn = float(mm["min(l_extendedprice)"])
+    mx = float(mm["max(l_extendedprice)"])
+    w = (mx - mn) / float(n_bins)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy()
+        if w > 0:
+            b = np.minimum(
+                np.floor((x - mn) / w).astype(np.int64), n_bins - 1
+            )
+        else:
+            b = np.zeros(len(x), dtype=np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": u, "p_n": c.astype(np.int64)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("bin")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    b = agg["bin"].to_numpy().astype(np.float64)
+    out = pd.DataFrame(
+        {
+            "bin": agg["bin"].astype("int64"),
+            "lo": mn + b * w,
+            "hi": mn + (b + 1.0) * w,
+            "n": agg["n"].astype("int64"),
+        }
+    )
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_pivot(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Pivot-wide per-user event-type counts (one column per type).
+
+    Physical plan: map-side crosstab partials (each batch collapses to
+    ≤|users-in-batch| rows with |types| int columns), then the sharded
+    user-hash combine — the driver only receives the final |users|-row
+    pivot, never per-batch partials."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for t in _EVENT_TYPES:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[list(_EVENT_TYPES)].astype("int64")
+        ct.columns = cols
+        ct = ct.reset_index()
+        ct["user_id"] = ct["user_id"].astype("int64")
+        ct["shard"] = ct["user_id"] % n_shards
+        return ct
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)[cols].sum()
+        return g.astype("int64")
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -304,6 +304,79 @@ def event_funnel(sf_dir: str) -> "rd.Dataset":
     )
 
 
+# ---------------- user journeys (ordered group concat) ---------------------
+
+
+def user_journey(sf_dir: str) -> "rd.Dataset":
+    """Per-user ordered event-type sequence ("view>click>purchase>..."),
+    the order-preserving group-concat shape (cf. the reference's ordered
+    per-page glyph streams, main/tf.c-style sequence assembly generalized
+    to event analytics).
+
+    Physical plan: ONE shuffle (groupby user_id); inside each user group a
+    vectorized sort on (ts, event_id) — event_id is the unique tiebreak so
+    the sequence is deterministic — then a single ''.join.  Output is one
+    bounded row per user; the partitioning assumption (one user's events
+    fit one group) is the same as sessionize's."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "journey": [">".join(df["event_type"].tolist())],
+                "n_events": [len(df)],
+            }
+        ).astype({"user_id": "int64", "n_events": "int64"})
+
+    return (
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+# ---------------- event transition matrix (Markov bigrams) -----------------
+
+
+def event_transitions(sf_dir: str) -> "rd.Dataset":
+    """Corpus-wide Markov transition counts between consecutive event
+    types per user (ordered by ts, event_id).
+
+    Physical plan: one shuffle on user_id; each user group emits its
+    (from_type, to_type) partial counts — a tiny frame bounded by
+    |types|^2 — then a second skinny groupby-sum over the bounded key
+    space.  Nothing user- or event-cardinality-sized leaves the shards."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        et = df["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame(
+                {"from_type": [], "to_type": [], "one": []}
+            ).astype({"from_type": "str", "to_type": "str", "one": "int64"})
+        out = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+        out["one"] = np.int64(1)
+        return out.groupby(["from_type", "to_type"], as_index=False).agg(
+            one=("one", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+    agg = pairs.groupby(["from_type", "to_type"]).aggregate(
+        Sum("one", alias_name="transitions")
+    )
+    return agg.map_batches(
+        lambda df: df.astype({"transitions": "int64"}),
+        batch_format="pandas",
+    )
+
+
 # ---------------- cohort retention -----------------------------------------
 
 _US_PER_DAY = 86_400_000_000

@@ -182,3 +182,44 @@ def test_ann_topk_multi_oracle(ray_session):
     assert len(got) == len(orc) == 20  # 4 queries x k=5
     for c in ("query_id", "vec_id", "sim"):
         assert (got[c].to_numpy() == orc[c].to_numpy()).all()
+
+
+@pytest.mark.parametrize(
+    "name,tables",
+    [
+        ("user_journey", ["events"]),
+        ("event_transitions", ["events"]),
+        ("event_pivot", ["events"]),
+        ("rollup_lineitem", ["lineitem"]),
+        ("price_histogram", ["lineitem"]),
+        ("winnow_dup_pairs", ["documents"]),
+    ],
+)
+def test_new_operator_oracles(ray_session, name, tables):
+    """Ordered group-concat / transition-matrix / pivot / rollup /
+    histogram / winnowing-pair operators: Ray result == DuckDB oracle
+    (rows, schema, exact values — doubles bit-identical by shared IEEE
+    expressions, counts as int64)."""
+    import __ray_entry__ as e
+
+    got = e.queries()[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    orc = con.execute(e.oracle_sql()[name]).fetchdf()
+    cols = sorted(got.columns)
+    assert cols == sorted(orc.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    o = orc[cols].sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(o) > 0
+    for c in cols:
+        gv, ov = g[c], o[c]
+        if gv.dtype == object:
+            assert (gv.astype(str) == ov.astype(str)).all(), c
+        else:
+            assert (gv.to_numpy() == ov.to_numpy()).all(), c
