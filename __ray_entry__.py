@@ -277,6 +277,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot": relational.event_pivot,
         "rollup_lineitem": relational.rollup_lineitem,
         "price_histogram": relational.price_histogram,
+        "running_total": windows.running_total,
+        "range_join_orders": windows.range_join_orders,
+        "top_order_lineitems": relational.top_order_lineitems,
+        "region_flag_revenue": relational.region_flag_revenue,
+        "user_order_event_ratio": relational.user_order_event_ratio,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
@@ -1580,6 +1585,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS active_users
             FROM ud JOIN coh c USING (user_id)
             GROUP BY 1, 2
+        """,
+        # global ordered prefix sums as exact integer cents (value is
+        # 2-decimal by construction; round(v*100) is integral both sides)
+        "running_total": """
+            WITH c AS (
+              SELECT event_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(sum(cents) OVER w AS BIGINT) AS running_cents
+            FROM c WINDOW w AS (ORDER BY ts, event_id)
+        """,
+        # symmetric temporal range join (LEFT semantics: 0 when no order
+        # falls in the ±7-day window)
+        "range_join_orders": """
+            SELECT e.event_id,
+                   CAST(count(o.o_custkey) AS BIGINT) AS n_orders_7d
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY
+                                   AND e.ts + INTERVAL 7 DAY
+            GROUP BY e.event_id
+        """,
+        # semi-join against the computed global top-100 orders
+        "top_order_lineitems": """
+            WITH top AS (
+              SELECT o_orderkey FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+            )
+            SELECT l.l_orderkey, count(*) AS n_items,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+            FROM lineitem l JOIN top t ON l.l_orderkey = t.o_orderkey
+            GROUP BY 1
+        """,
+        # chained star join lineitem -> supplier -> nation -> region
+        "region_flag_revenue": """
+            SELECT r.r_name, l.l_returnflag,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2
+        """,
+        # FULL OUTER JOIN of two aggregates, expressed join-free
+        "user_order_event_ratio": """
+            WITH e AS (SELECT user_id, count(*) AS n_events
+                       FROM events GROUP BY user_id),
+                 o AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+                       FROM orders GROUP BY o_custkey)
+            SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+                   COALESCE(e.n_events, 0) AS n_events,
+                   COALESCE(o.n_orders, 0) AS n_orders
+            FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
         """,
         # ordered group-concat: event_id is the unique tiebreak on equal ts
         "user_journey": """

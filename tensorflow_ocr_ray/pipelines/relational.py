@@ -1015,3 +1015,148 @@ def event_pivot(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def top_order_lineitems(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Broadcast SEMI-join with a COMPUTED build side: lineitems of the
+    global top-``k`` orders by total price (ties broken by orderkey).
+
+    Build side: per-batch local heads (each batch's own top-k is a
+    provable superset member set of the global top-k) merged on the
+    driver — bounded at batches x k skinny rows; the winning key set is
+    ``ray.put`` once.  Probe side: pure map filter + per-key partials,
+    then one bounded groupby (≤ k keys).  The fact table is never
+    shuffled."""
+    heads = (
+        _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(
+            lambda df: df.sort_values(
+                ["o_totalprice", "o_orderkey"], ascending=[False, True]
+            ).head(k),
+            batch_format="pandas",
+            batch_size=65536,
+        )
+        .to_pandas()
+    )
+    top = heads.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+    keys_ref = ray.put(frozenset(top["o_orderkey"].astype("int64")))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        d = df[df["l_orderkey"].isin(keys)]
+        if d.empty:
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series([], dtype="int64"),
+                 "p_n": pd.Series([], dtype="int64"),
+                 "p_qty": pd.Series([], dtype="int64")}
+            )
+        q = d["l_quantity"].astype("int64")
+        return (
+            pd.DataFrame({"l_orderkey": d["l_orderkey"], "q": q})
+            .groupby("l_orderkey", as_index=False)
+            .agg(p_n=("q", "size"), p_qty=("q", "sum"))
+        )
+
+    df = (
+        _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("p_n", alias_name="n_items"),
+                   Sum("p_qty", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    df = df.astype({"l_orderkey": "int64", "n_items": "int64",
+                    "sum_qty": "int64"})
+    return df.sort_values("l_orderkey").reset_index(drop=True)
+
+
+def region_flag_revenue(sf_dir: str) -> pd.DataFrame:
+    """Chained star join: lineitem → supplier → nation → region, revenue
+    per (region, returnflag).
+
+    The three dimension tables collapse into ONE suppkey→region_name
+    lookup built driver-side (supplier is the largest dim here; when it
+    outgrows one broadcast, swap the probe to q17's sharded union-merge
+    — the fact-side plan below is unchanged).  The fact table does a
+    pure map partial-aggregate per (region, flag) — a bounded key space
+    — so the only shuffle moves ≤ |regions×flags| rows per batch."""
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    s2r = sup.merge(n2r, left_on="s_nationkey", right_on="n_nationkey")
+    lut_ref = ray.put(
+        dict(zip(s2r["s_suppkey"].astype("int64"), s2r["r_name"]))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        r_name = df["l_suppkey"].astype("int64").map(lut)
+        rev = (df["l_extendedprice"] * (1.0 - df["l_discount"])).to_numpy()
+        d = pd.DataFrame(
+            {"r_name": r_name, "l_returnflag": df["l_returnflag"],
+             "rev": rev}
+        )
+        return d.groupby(["r_name", "l_returnflag"], as_index=False).agg(
+            p_rev=("rev", "sum"), p_n=("rev", "size")
+        )
+
+    df = (
+        _pq(sf_dir, "lineitem",
+            ["l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["r_name", "l_returnflag"])
+        .aggregate(Sum("p_rev", alias_name="rev"),
+                   Sum("p_n", alias_name="n_items"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {"r_name": df["r_name"], "l_returnflag": df["l_returnflag"],
+         "revenue": df["rev"].round(2),
+         "n_items": df["n_items"].astype("int64")}
+    )
+    return out.sort_values(["r_name", "l_returnflag"]).reset_index(drop=True)
+
+
+def user_order_event_ratio(sf_dir: str) -> "rd.Dataset":
+    """Two-fact-table aggregate merge WITHOUT a join: per-user event and
+    order counts combined by tagging each side's map-side partials with
+    zero columns for the other, unioning the two skinny streams, and
+    running ONE bounded groupby-sum — the union-merge replacement for a
+    FULL OUTER JOIN of two aggregates (neither fact table is shuffled
+    whole; only per-batch partial rows move)."""
+
+    def e_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size()
+        return pd.DataFrame(
+            {"user_id": g["user_id"].astype("int64"),
+             "p_events": g["size"].astype("int64"),
+             "p_orders": np.int64(0)}
+        )
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame(
+            {"user_id": g["o_custkey"].astype("int64"),
+             "p_events": np.int64(0),
+             "p_orders": g["size"].astype("int64")}
+        )
+
+    e = _pq(sf_dir, "events", ["user_id"]).map_batches(
+        e_part, batch_format="pandas", batch_size=65536
+    )
+    o = _pq(sf_dir, "orders", ["o_custkey"]).map_batches(
+        o_part, batch_format="pandas", batch_size=65536
+    )
+    agg = e.union(o).groupby("user_id").aggregate(
+        Sum("p_events", alias_name="n_events"),
+        Sum("p_orders", alias_name="n_orders"),
+    )
+    return agg.map_batches(
+        lambda df: df.astype(
+            {"user_id": "int64", "n_events": "int64", "n_orders": "int64"}
+        ),
+        batch_format="pandas",
+    )

@@ -421,3 +421,152 @@ def cohort_retention(sf_dir: str) -> "rd.Dataset":
         ),
         batch_format="pandas",
     )
+
+
+# ---------------- global ordered running totals -----------------------------
+
+
+def running_total(sf_dir: str) -> "rd.Dataset":
+    """Global running totals over the WHOLE event stream in (ts, event_id)
+    order — the distributed ordered prefix-sum shape (same two-pass plan
+    as curation.pack_sequences, time-sharded instead of id-sharded).
+
+    Values travel as exact integer cents (the column is 2-decimal by
+    construction; round(v*100) is integral) so partial re-association is
+    exact — a float cumsum would drift vs the oracle's sequential window
+    sum.  Plan: (1) skinny (event_id, ts, day, cents) table, one bounded
+    per-day aggregate → driver computes exclusive day offsets (one pair
+    of ints per day) and broadcasts them; (2) each day group sorts
+    locally and adds its offset to a vectorized cumsum.  No task ever
+    sees more than one day's events; the driver holds |days| ints."""
+    from ray.data.aggregate import Count, Sum
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        us = ts.astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": us,
+                "day": us // _US_PER_DAY,
+                "cents": np.round(df["value"].to_numpy() * 100.0)
+                .astype("int64"),
+            }
+        )
+
+    stats = (
+        _events(sf_dir, ["event_id", "ts", "value"])
+        .map_batches(skinny, batch_format="pandas", batch_size=65536)
+        .materialize()
+    )
+    totals = (
+        stats.groupby("day")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    offs: dict[int, tuple[int, int]] = {}
+    rank_acc = 0
+    cents_acc = 0
+    for _, r in totals.iterrows():
+        offs[int(r["day"])] = (rank_acc, cents_acc)
+        rank_acc += int(r["n"])
+        cents_acc += int(r["c"])
+    off_ref = ray.put(offs)
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        rank0, cents0 = ray.get(off_ref)[int(df["day"].iloc[0])]
+        df = df.sort_values(["ts_us", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "rn": rank0 + np.arange(1, len(df) + 1, dtype=np.int64),
+                "running_cents": cents0
+                + np.cumsum(df["cents"].to_numpy()),
+            }
+        )
+
+    return stats.groupby("day").map_groups(per_day, batch_format="pandas")
+
+
+# ---------------- temporal range join ---------------------------------------
+
+
+def range_join_orders(sf_dir: str, days: int = 7,
+                      n_shards: int = 64) -> "rd.Dataset":
+    """Temporal RANGE join: for each event, the count of the same user's
+    orders within ±``days`` of the event time (asof's sharded sort-merge
+    plan generalized from backward-nearest to a symmetric interval).
+
+    Both sides travel as skinny key/time rows through ONE co-locating
+    shuffle on user-hash; inside a shard the per-user sorted order times
+    answer every event with two vectorized ``searchsorted``s (count =
+    upper_idx - lower_idx).  LEFT-join semantics: events with no order in
+    range emit 0.  Neither side is broadcast or collected."""
+    delta = np.int64(days * _US_PER_DAY)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": key,
+                "event_id": np.int64(-1),
+                "t_us": df["o_orderdate"].to_numpy()
+                .astype("datetime64[us]").astype("int64"),
+                "side": np.int64(0),
+                "shard": key % n_shards,
+            }
+        )
+
+    def e_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": key,
+                "event_id": df["event_id"].astype("int64"),
+                "t_us": df["ts"].to_numpy()
+                .astype("datetime64[us]").astype("int64"),
+                "side": np.int64(1),
+                "shard": key % n_shards,
+            }
+        )
+
+    o = orders.map_batches(o_rows, batch_format="pandas", batch_size=65536)
+    e = _events(sf_dir, ["event_id", "user_id", "ts"]).map_batches(
+        e_rows, batch_format="pandas", batch_size=65536
+    )
+
+    def count_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        ob = df[df["side"] == 0].sort_values(["user_id", "t_us"])
+        ev = df[df["side"] == 1]
+        o_uid = ob["user_id"].to_numpy()
+        o_t = ob["t_us"].to_numpy()
+        ev_uid = ev["user_id"].to_numpy()
+        ev_t = ev["t_us"].to_numpy()
+        n = np.zeros(len(ev), dtype=np.int64)
+        for k in np.unique(ev_uid):
+            lo = np.searchsorted(o_uid, k, side="left")
+            hi = np.searchsorted(o_uid, k, side="right")
+            rows = np.nonzero(ev_uid == k)[0]
+            if lo == hi:
+                continue
+            t = ev_t[rows]
+            n[rows] = (
+                np.searchsorted(o_t[lo:hi], t + delta, side="right")
+                - np.searchsorted(o_t[lo:hi], t - delta, side="left")
+            )
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy(),
+                "n_orders_7d": n,
+            }
+        )
+
+    return (
+        o.union(e)
+        .groupby("shard")
+        .map_groups(count_in_shard, batch_format="pandas")
+    )

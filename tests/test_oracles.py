@@ -193,6 +193,12 @@ def test_ann_topk_multi_oracle(ray_session):
         ("rollup_lineitem", ["lineitem"]),
         ("price_histogram", ["lineitem"]),
         ("winnow_dup_pairs", ["documents"]),
+        ("running_total", ["events"]),
+        ("range_join_orders", ["events", "orders"]),
+        ("top_order_lineitems", ["orders", "lineitem"]),
+        ("region_flag_revenue",
+         ["lineitem", "supplier", "nation", "region"]),
+        ("user_order_event_ratio", ["events", "orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
