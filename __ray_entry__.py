@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": relational.price_histogram,
         "running_total": windows.running_total,
         "range_join_orders": windows.range_join_orders,
+        "first_touch_attribution": windows.first_touch_attribution,
+        "distinct_trigram_count": curation.distinct_trigram_count,
+        "embedding_quantize": similarity.embedding_quantize,
         "top_order_lineitems": relational.top_order_lineitems,
         "region_flag_revenue": relational.region_flag_revenue,
         "user_order_event_ratio": relational.user_order_event_ratio,
@@ -1645,6 +1648,70 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(e.n_events, 0) AS n_events,
                    COALESCE(o.n_orders, 0) AS n_orders
             FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+        """,
+        # first-touch attribution: earliest view in [purchase-30d,
+        # purchase), ties by event_id; -1 (BIGINT) = unattributed
+        "first_touch_attribution": """
+            WITH v AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 p AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 j AS (
+                   SELECT p.event_id AS pid, v.event_id AS tid,
+                          v.ts AS tts,
+                          row_number() OVER (
+                            PARTITION BY p.event_id
+                            ORDER BY v.ts, v.event_id) AS rn
+                   FROM p JOIN v
+                     ON v.user_id = p.user_id
+                    AND v.ts >= p.ts - INTERVAL 30 DAY AND v.ts < p.ts
+                 )
+            SELECT p.event_id,
+                   COALESCE(j.tid, -1) AS touch_event_id,
+                   COALESCE(epoch_us(j.tts), -1) AS touch_ts_us
+            FROM p LEFT JOIN j ON j.pid = p.event_id AND j.rn = 1
+        """,
+        # exact corpus-wide distinct word trigrams (companion to the KMV
+        # approximate sketch); tokenization shared with repetition_stats
+        "distinct_trigram_count": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT toks[CAST(i AS INT)] || ' '
+                     || toks[CAST(i AS INT) + 1] || ' '
+                     || toks[CAST(i AS INT) + 2] AS g
+              FROM (SELECT toks,
+                           unnest(generate_series(1, len(toks) - 2)) AS i
+                    FROM t WHERE len(toks) >= 3)
+            )
+            SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM g
+        """,
+        # int8 scalar quantization: per-dim global max-|x| scales,
+        # half-up rounding in both engines, integer checksums per vector
+        "embedding_quantize": """
+            WITH u AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            ),
+            s AS (SELECT dim, max(abs(x)) AS s FROM u GROUP BY dim),
+            c AS (
+              SELECT u.vec_id,
+                     CASE WHEN s.s = 0 THEN 0
+                          ELSE CAST(floor(u.x * 127 / s.s + 0.5)
+                                    AS BIGINT) END AS code
+              FROM u JOIN s USING (dim)
+            )
+            SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+                   CAST(sum(abs(code)) AS BIGINT) AS code_l1
+            FROM c GROUP BY vec_id
         """,
         # ordered group-concat: event_id is the unique tiebreak on equal ts
         "user_journey": """

@@ -1044,3 +1044,59 @@ def curation_pipeline(
         .materialize()
     )
     return _pack_assign(stats, capacity)
+
+
+def distinct_trigram_count(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """EXACT corpus-wide distinct word-trigram count (the hard-oracle
+    companion to the KMV *approximate* distinct sketch): the keyspace is
+    far too large to collect, so distinctness is resolved per
+    crc32(gram)-shard — a gram lives in exactly one shard, so the global
+    distinct count is the SUM of per-shard distinct counts (one bounded
+    row per shard reaches the driver).  Batches pre-dedupe locally to
+    shrink the one skinny shuffle; totals ride the same partials."""
+    import zlib
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        grams: set[str] = set()
+        total = 0
+        for text in df["text"]:
+            toks = [t for t in split_tokens(text.lower()) if t]
+            g3 = _word_grams(toks, 3)
+            total += len(g3)
+            grams.update(g3)
+        gl = list(grams)
+        return pd.DataFrame(
+            {
+                "gram": gl,
+                "shard": np.asarray(
+                    [zlib.crc32(g.encode()) % n_shards for g in gl],
+                    dtype=np.int64,
+                ),
+                "p_total": np.asarray(
+                    [total] + [0] * (len(gl) - 1) if gl else [],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    def shard_count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_distinct": [np.int64(df["gram"].nunique())],
+                "p_total": [np.int64(df["p_total"].sum())],
+            }
+        )
+
+    parts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(explode, batch_format="pandas", batch_size=4096)
+        .groupby("shard")
+        .map_groups(shard_count, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_distinct": [np.int64(parts["p_distinct"].sum())],
+            "n_total": [np.int64(parts["p_total"].sum())],
+        }
+    )

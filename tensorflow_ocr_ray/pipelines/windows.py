@@ -570,3 +570,83 @@ def range_join_orders(sf_dir: str, days: int = 7,
         .groupby("shard")
         .map_groups(count_in_shard, batch_format="pandas")
     )
+
+
+# ---------------- first-touch attribution ----------------------------------
+
+
+def first_touch_attribution(sf_dir: str, days: int = 30,
+                            n_shards: int = 64) -> "rd.Dataset":
+    """Marketing-style first-touch attribution: each *purchase* event is
+    attributed to the same user's EARLIEST *view* event inside the
+    preceding ``days`` window (ts in [purchase - days, purchase)), ties
+    on ts broken by event_id.
+
+    The typed variant of the range-join plan: both filtered streams are
+    skinny (user, ts, id) rows through one co-locating user-hash
+    shuffle; in-shard, views sorted by (user, ts, id) answer each
+    purchase with two ``searchsorted``s — the window's FIRST element is
+    the attribution (sort order makes it the (min ts, min id) winner).
+    Unattributed purchases emit -1 (BIGINT, never NULL)."""
+    delta = np.int64(days * _US_PER_DAY)
+
+    def rows(side_type: str, side_tag: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["event_type"] == side_type]
+            key = d["user_id"].astype("int64")
+            return pd.DataFrame(
+                {
+                    "user_id": key,
+                    "event_id": d["event_id"].astype("int64"),
+                    "t_us": d["ts"].to_numpy()
+                    .astype("datetime64[us]").astype("int64"),
+                    "side": np.int64(side_tag),
+                    "shard": key % n_shards,
+                }
+            )
+
+        return fn
+
+    src = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    v = src.map_batches(rows("view", 0), batch_format="pandas",
+                        batch_size=65536)
+    p = src.map_batches(rows("purchase", 1), batch_format="pandas",
+                        batch_size=65536)
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        vb = df[df["side"] == 0].sort_values(
+            ["user_id", "t_us", "event_id"]
+        )
+        pb = df[df["side"] == 1]
+        v_uid = vb["user_id"].to_numpy()
+        v_t = vb["t_us"].to_numpy()
+        v_id = vb["event_id"].to_numpy()
+        p_uid = pb["user_id"].to_numpy()
+        p_t = pb["t_us"].to_numpy()
+        touch_id = np.full(len(pb), -1, dtype=np.int64)
+        touch_ts = np.full(len(pb), -1, dtype=np.int64)
+        for k in np.unique(p_uid):
+            lo = np.searchsorted(v_uid, k, side="left")
+            hi = np.searchsorted(v_uid, k, side="right")
+            rows_ = np.nonzero(p_uid == k)[0]
+            if lo == hi:
+                continue
+            t = p_t[rows_]
+            a = np.searchsorted(v_t[lo:hi], t - delta, side="left")
+            b = np.searchsorted(v_t[lo:hi], t, side="left")
+            ok = b > a
+            touch_id[rows_[ok]] = v_id[lo:hi][a[ok]]
+            touch_ts[rows_[ok]] = v_t[lo:hi][a[ok]]
+        return pd.DataFrame(
+            {
+                "event_id": pb["event_id"].to_numpy(),
+                "touch_event_id": touch_id,
+                "touch_ts_us": touch_ts,
+            }
+        )
+
+    return (
+        v.union(p)
+        .groupby("shard")
+        .map_groups(attribute, batch_format="pandas")
+    )

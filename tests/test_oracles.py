@@ -199,6 +199,9 @@ def test_ann_topk_multi_oracle(ray_session):
         ("region_flag_revenue",
          ["lineitem", "supplier", "nation", "region"]),
         ("user_order_event_ratio", ["events", "orders"]),
+        ("first_touch_attribution", ["events"]),
+        ("distinct_trigram_count", ["documents"]),
+        ("embedding_quantize", ["embeddings"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
