@@ -307,74 +307,89 @@ def event_funnel(sf_dir: str) -> "rd.Dataset":
 # ---------------- user journeys (ordered group concat) ---------------------
 
 
-def user_journey(sf_dir: str) -> "rd.Dataset":
+def user_journey(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     """Per-user ordered event-type sequence ("view>click>purchase>..."),
     the order-preserving group-concat shape (cf. the reference's ordered
     per-page glyph streams, main/tf.c-style sequence assembly generalized
     to event analytics).
 
-    Physical plan: ONE shuffle (groupby user_id); inside each user group a
-    vectorized sort on (ts, event_id) — event_id is the unique tiebreak so
-    the sequence is deterministic — then a single ''.join.  Output is one
+    Physical plan: ONE shuffle on a coarse user-hash shard (NOT per-user
+    groups — Ray's map_groups costs a Python call per group, ~6 s for
+    15k users at sf0.1; 64 shard groups amortize it away); inside a
+    shard, one vectorized sort on (user, ts, event_id) — event_id is the
+    unique tiebreak — then a single pandas groupby-join per shard.  One
     bounded row per user; the partitioning assumption (one user's events
-    fit one group) is the same as sessionize's."""
+    fit one shard) matches sessionize's."""
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
-            {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "journey": [">".join(df["event_type"].tolist())],
-                "n_events": [len(df)],
-            }
-        ).astype({"user_id": "int64", "n_events": "int64"})
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(shard=df["user_id"].astype("int64") % n_shards)
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id")["event_type"]
+        out = g.agg(">".join).reset_index(name="journey")
+        out["n_events"] = g.size().to_numpy()
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "journey", "n_events"]]
 
     return (
         _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
     )
 
 
 # ---------------- event transition matrix (Markov bigrams) -----------------
 
 
-def event_transitions(sf_dir: str) -> "rd.Dataset":
+def event_transitions(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
     """Corpus-wide Markov transition counts between consecutive event
     types per user (ordered by ts, event_id).
 
-    Physical plan: one shuffle on user_id; each user group emits its
-    (from_type, to_type) partial counts — a tiny frame bounded by
-    |types|^2 — then a second skinny groupby-sum over the bounded key
-    space.  Nothing user- or event-cardinality-sized leaves the shards."""
+    Physical plan: one shuffle on a coarse user-hash shard; inside a
+    shard ONE vectorized sort on (user, ts, event_id) and a boolean
+    same-user mask give every consecutive pair (no per-user Python
+    call), pre-combined to ≤|types|^2 rows per shard; the driver
+    finishes over shards × |types|^2 skinny int rows (the bounded-key
+    driver finish the q12-q14 family uses — Ray's per-key aggregate
+    operator costs more than this stream's entire payload)."""
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(shard=df["user_id"].astype("int64") % n_shards)
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
         et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy()
         if len(et) < 2:
             return pd.DataFrame(
-                {"from_type": [], "to_type": [], "one": []}
-            ).astype({"from_type": "str", "to_type": "str", "one": "int64"})
-        out = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+                {"from_type": pd.Series([], dtype="str"),
+                 "to_type": pd.Series([], dtype="str"),
+                 "one": pd.Series([], dtype="int64")}
+            )
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        )
         out["one"] = np.int64(1)
         return out.groupby(["from_type", "to_type"], as_index=False).agg(
             one=("one", "sum")
         )
 
-    from ray.data.aggregate import Sum
-
-    pairs = (
+    parts = (
         _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
     )
-    agg = pairs.groupby(["from_type", "to_type"]).aggregate(
-        Sum("one", alias_name="transitions")
+    out = parts.groupby(["from_type", "to_type"], as_index=False).agg(
+        transitions=("one", "sum")
     )
-    return agg.map_batches(
-        lambda df: df.astype({"transitions": "int64"}),
-        batch_format="pandas",
-    )
+    out["transitions"] = out["transitions"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
 
 
 # ---------------- cohort retention -----------------------------------------
@@ -434,12 +449,13 @@ def running_total(sf_dir: str) -> "rd.Dataset":
     Values travel as exact integer cents (the column is 2-decimal by
     construction; round(v*100) is integral) so partial re-association is
     exact — a float cumsum would drift vs the oracle's sequential window
-    sum.  Plan: (1) skinny (event_id, ts, day, cents) table, one bounded
-    per-day aggregate → driver computes exclusive day offsets (one pair
-    of ints per day) and broadcasts them; (2) each day group sorts
-    locally and adds its offset to a vectorized cumsum.  No task ever
-    sees more than one day's events; the driver holds |days| ints."""
-    from ray.data.aggregate import Count, Sum
+    sum.  Plan: (1) skinny (event_id, ts, day, cents) table; per-batch
+    day partials combined per day group (map_groups, NOT Ray's per-key
+    aggregate — that operator costs ~18 s flat at this block count) →
+    driver computes exclusive day offsets (one pair of ints per day)
+    and broadcasts them; (2) each day group sorts locally and adds its
+    offset to a vectorized cumsum.  No task ever sees more than one
+    day's events; the driver holds |days| ints."""
 
     def skinny(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].to_numpy().astype("datetime64[us]")
@@ -459,9 +475,25 @@ def running_total(sf_dir: str) -> "rd.Dataset":
         .map_batches(skinny, batch_format="pandas", batch_size=65536)
         .materialize()
     )
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False).agg(
+            n=("cents", "size"), c=("cents", "sum")
+        )
+        return g.astype({"day": "int64", "n": "int64", "c": "int64"})
+
+    def day_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": [int(df["day"].iloc[0])],
+             "n": [int(df["n"].sum())],
+             "c": [int(df["c"].sum())]}
+        )
+
     totals = (
-        stats.groupby("day")
-        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="c"))
+        stats.map_batches(day_partial, batch_format="pandas",
+                          batch_size=65536)
+        .groupby("day")
+        .map_groups(day_combine, batch_format="pandas")
         .to_pandas()
         .sort_values("day")
     )
