@@ -217,3 +217,131 @@ def test_cohort_retention_corpus_shape(ray_session):
     # day-0 retention: every user is active on their own cohort day
     d0 = out[out["offset_day"] == 0]["active_users"].sum()
     assert d0 == out.groupby("cohort_day")["active_users"].max().sum()
+
+
+def _write_events(tmp_path, n=4000, n_users=12, seed=7):
+    """Synthetic events with a hot user owning ~half the stream and
+    duplicate timestamps (ordering ties resolved by event_id only)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    uid = np.where(rng.random(n) < 0.5, 0,
+                   rng.integers(1, n_users, n)).astype("int64")
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    # coarse seconds -> plenty of exact ts collisions
+    ts = base + rng.integers(0, 30 * 86_400, n).astype(
+        "timedelta64[s]"
+    ).astype("timedelta64[us]")
+    value = np.round(rng.uniform(-50, 50, n), 2)
+    etype = rng.choice(["view", "click", "purchase"], n)
+    t = pa.table(
+        {"event_id": np.arange(n, dtype="int64"),
+         "ts": ts, "user_id": uid,
+         "event_type": etype, "value": value}
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    import pandas as pd
+
+    return t.to_pandas()
+
+
+def test_running_total_brute_equivalence(ray_session, tmp_path):
+    """Distributed day-sharded prefix sum == sequential brute force on a
+    skewed stream with timestamp ties (event_id is the only tiebreak)."""
+    from tensorflow_ocr_ray.pipelines.windows import running_total
+
+    df = _write_events(tmp_path)
+    got = running_total(str(tmp_path)).to_pandas().sort_values(
+        "rn"
+    ).reset_index(drop=True)
+    ref = df.copy()
+    ref["cents"] = np.round(ref["value"] * 100).astype("int64")
+    ref = ref.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    assert got["event_id"].tolist() == ref["event_id"].tolist()
+    assert (got["running_cents"].to_numpy()
+            == ref["cents"].cumsum().to_numpy()).all()
+    assert got["rn"].tolist() == list(range(1, len(ref) + 1))
+
+
+def test_range_join_brute_equivalence(ray_session, tmp_path):
+    """Sharded interval join == brute nested loop, including users with
+    zero orders (LEFT semantics) and the hot user."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tensorflow_ocr_ray.pipelines.windows import range_join_orders
+
+    ev = _write_events(tmp_path, n=1500)
+    rng = np.random.default_rng(11)
+    n_o = 300
+    # users 0..5 only -> users 6+ have no orders at all
+    ok = rng.integers(0, 6, n_o).astype("int64")
+    od = (np.datetime64("2024-03-01T00:00:00", "us")
+          + rng.integers(0, 30 * 86_400, n_o).astype(
+              "timedelta64[s]").astype("timedelta64[us]"))
+    pq.write_table(
+        pa.table({"o_orderkey": np.arange(n_o, dtype="int64"),
+                  "o_custkey": ok, "o_orderdate": od}),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = range_join_orders(str(tmp_path)).to_pandas().sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    delta = np.timedelta64(7 * 86_400_000_000, "us")
+    want = []
+    for _, e in ev.sort_values("event_id").iterrows():
+        m = (ok == e["user_id"]) & (od >= e["ts"] - delta) & (
+            od <= e["ts"] + delta
+        )
+        want.append(int(m.sum()))
+    assert got["n_orders_7d"].tolist() == want
+
+
+def test_first_touch_tie_break(ray_session, tmp_path):
+    """Two views at the SAME earliest in-window timestamp: attribution
+    must pick the smaller event_id; purchases with no prior view get -1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tensorflow_ocr_ray.pipelines.windows import (
+        first_touch_attribution,
+    )
+
+    t0 = np.datetime64("2024-05-10T12:00:00", "us")
+    rows = [
+        # user 1: two views at identical ts, then a purchase
+        (10, t0, 1, "view"), (11, t0, 1, "view"),
+        (12, t0 + np.timedelta64(3600, "s"), 1, "purchase"),
+        # user 2: view AFTER the purchase -> unattributed
+        (20, t0 + np.timedelta64(7200, "s"), 2, "purchase"),
+        (21, t0 + np.timedelta64(9000, "s"), 2, "view"),
+        # user 3: view 31 days before -> outside the window
+        (30, t0 - np.timedelta64(31 * 86_400, "s"), 3, "view"),
+        (31, t0, 3, "purchase"),
+    ]
+    t = pa.table(
+        {"event_id": np.array([r[0] for r in rows], dtype="int64"),
+         "ts": np.array([r[1] for r in rows], dtype="datetime64[us]"),
+         "user_id": np.array([r[2] for r in rows], dtype="int64"),
+         "event_type": [r[3] for r in rows],
+         "value": np.zeros(len(rows))}
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = first_touch_attribution(str(tmp_path)).to_pandas()
+    out = out.set_index("event_id")
+    assert out.loc[12, "touch_event_id"] == 10  # smaller id wins the tie
+    assert out.loc[20, "touch_event_id"] == -1
+    assert out.loc[31, "touch_event_id"] == -1
+
+
+def test_user_journey_order(ray_session, tmp_path):
+    """Journeys follow (ts, event_id) order exactly on a tie-heavy
+    skewed stream."""
+    from tensorflow_ocr_ray.pipelines.windows import user_journey
+
+    df = _write_events(tmp_path, n=800)
+    got = user_journey(str(tmp_path)).to_pandas().set_index("user_id")
+    ref = df.sort_values(["ts", "event_id"]).groupby("user_id")
+    for uid, g in ref:
+        assert got.loc[uid, "journey"] == ">".join(g["event_type"])
+        assert got.loc[uid, "n_events"] == len(g)
