@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_verified_pairs": dedup.minhash_verified_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "winnow_dup_pairs": dedup.winnow_dup_pairs,
+        "winnow_dup_clusters": dedup.winnow_dup_clusters,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         # the read-pruned indexed paths (build-once bucket/cell
@@ -1785,6 +1786,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN ranked b ON a.m = b.m AND a.doc_id < b.doc_id
             WHERE a.rn <= 8 AND b.rn <= 8
             GROUP BY 1, 2 HAVING count(*) >= 4
+        """,
+        # connected components over the winnowing pair graph (same
+        # recursive-walk oracle shape as embedding_dup_clusters)
+        "winnow_dup_clusters": _WINNOW_RANKED_CTE.replace(
+            "WITH t AS", "WITH RECURSIVE t AS") + """
+            , pairs AS MATERIALIZED (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM ranked a
+              JOIN ranked b ON a.m = b.m AND a.doc_id < b.doc_id
+              WHERE a.rn <= 8 AND b.rn <= 8
+              GROUP BY 1, 2 HAVING count(*) >= 4
+            ),
+            nodes AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs)
+            ),
+            edges AS MATERIALIZED (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            walk(doc_id, r) AS (
+              SELECT doc_id, doc_id FROM nodes
+              UNION
+              SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.doc_id
+            )
+            SELECT doc_id, min(r) AS cluster_rep FROM walk GROUP BY doc_id
         """,
         "dedup_exact": """
             SELECT text, min(doc_id) AS keeper_doc_id, count(*) AS copies

@@ -582,3 +582,30 @@ def winnow_dup_pairs(
         .map_groups(finalize, batch_format="pandas")
         .select_columns(["doc_a", "doc_b", "shared"])
     )
+
+
+def winnow_dup_clusters(
+    sf_dir: str, min_shared: int = 4, n_shards: int = 64
+) -> pd.DataFrame:
+    """Winnowing near-dup CLUSTERS: the distributed ``winnow_dup_pairs``
+    edge list collapsed by union-find with min-id representatives (the
+    same edges-only driver plan as embedding_dup_clusters — only result-
+    cardinality pairs ever reach the driver, never the corpus)."""
+    pairs = winnow_dup_pairs(sf_dir, min_shared, n_shards).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [{"doc_id": d, "cluster_rep": find(d)} for d in sorted(parent)]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "cluster_rep"]
+    ).astype("int64")

@@ -202,6 +202,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("first_touch_attribution", ["events"]),
         ("distinct_trigram_count", ["documents"]),
         ("embedding_quantize", ["embeddings"]),
+        ("winnow_dup_clusters", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
