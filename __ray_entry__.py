@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_lineitems": relational.top_order_lineitems,
         "region_flag_revenue": relational.region_flag_revenue,
         "user_order_event_ratio": relational.user_order_event_ratio,
+        "bloom_semi_join": relational.bloom_semi_join,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
@@ -1713,6 +1714,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
                    CAST(sum(abs(code)) AS BIGINT) AS code_l1
             FROM c GROUP BY vec_id
+        """,
+        # bloom-prefiltered semi-join (exact: in-shard merge discards
+        # bloom false positives)
+        "bloom_semi_join": """
+            SELECT l.l_orderkey, count(*) AS n_items,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+            FROM lineitem l
+            WHERE l.l_orderkey IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_orderpriority = '1-URGENT')
+            GROUP BY 1
         """,
         # ordered group-concat: event_id is the unique tiebreak on equal ts
         "user_journey": """

@@ -1186,3 +1186,88 @@ def user_order_event_ratio(sf_dir: str) -> "rd.Dataset":
         .map_groups(combine, batch_format="pandas")
         .select_columns(["user_id", "n_events", "n_orders"])
     )
+
+
+def bloom_semi_join(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Bloom-prefiltered fact-fact SEMI join: per-urgent-order lineitem
+    tallies, where probe rows that cannot match never enter the shuffle.
+
+    Plan: (1) build side (urgent orderkeys) streams into per-batch bloom
+    bitmaps (the dedup module's fixed 2 MiB splitmix64 bloom) OR-merged
+    on the driver — constant memory regardless of build cardinality
+    (tree-reduce the OR once batch count × 2 MiB outgrows one node);
+    (2) the probe side tests the broadcast bloom per batch and only
+    SURVIVORS (true matches + bounded false positives) carry partial
+    aggregates into the one key-hash shuffle; (3) the in-shard merge
+    joins survivors against the exact build keys, discarding bloom false
+    positives, so the result is EXACT while the shuffle moved ~|matches|
+    rows instead of the whole probe table."""
+    from tensorflow_ocr_ray.pipelines.dedup import (
+        _bloom_contains,
+        _bloom_from_ids,
+    )
+
+    build = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def build_bloom(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[
+            df["o_orderpriority"] == "1-URGENT", "o_orderkey"
+        ].to_numpy("int64")
+        return pd.DataFrame({"bm": [_bloom_from_ids(keys).tobytes()]})
+
+    bms = build.map_batches(
+        build_bloom, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    bm = np.zeros(len(bms["bm"].iloc[0]), dtype=np.uint8)
+    for b in bms["bm"]:
+        bm |= np.frombuffer(b, dtype=np.uint8)
+    bm_ref = ray.put(bm)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["l_orderkey"].to_numpy("int64")
+        keep = _bloom_contains(ray.get(bm_ref), keys)
+        d = df[keep]
+        g = (
+            pd.DataFrame(
+                {"l_orderkey": d["l_orderkey"].astype("int64"),
+                 "q": d["l_quantity"].astype("int64")}
+            )
+            .groupby("l_orderkey", as_index=False)
+            .agg(p_n=("q", "size"), p_qty=("q", "sum"))
+        )
+        g["side"] = np.int64(1)
+        g["shard"] = g["l_orderkey"] % n_shards
+        return g
+
+    def build_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[
+            df["o_orderpriority"] == "1-URGENT", "o_orderkey"
+        ].astype("int64")
+        return pd.DataFrame(
+            {"l_orderkey": k, "p_n": np.int64(0), "p_qty": np.int64(0),
+             "side": np.int64(0), "shard": k % n_shards}
+        )
+
+    p = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        probe, batch_format="pandas", batch_size=65536
+    )
+    b = build.map_batches(build_rows, batch_format="pandas",
+                          batch_size=65536)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        real = set(df.loc[df["side"] == 0, "l_orderkey"].tolist())
+        d = df[(df["side"] == 1)
+               & df["l_orderkey"].isin(real)]
+        g = d.groupby("l_orderkey", as_index=False).agg(
+            n_items=("p_n", "sum"), sum_qty=("p_qty", "sum")
+        )
+        return g.astype(
+            {"l_orderkey": "int64", "n_items": "int64", "sum_qty": "int64"}
+        )
+
+    return (
+        p.union(b)
+        .groupby("shard")
+        .map_groups(merge, batch_format="pandas")
+        .select_columns(["l_orderkey", "n_items", "sum_qty"])
+    )

@@ -203,6 +203,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("distinct_trigram_count", ["documents"]),
         ("embedding_quantize", ["embeddings"]),
         ("winnow_dup_clusters", ["documents"]),
+        ("bloom_semi_join", ["orders", "lineitem"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
