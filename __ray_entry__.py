@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": windows.running_total,
         "range_join_orders": windows.range_join_orders,
         "first_touch_attribution": windows.first_touch_attribution,
+        "first_event_per_user_day": windows.first_event_per_user_day,
+        "user_active_streak": windows.user_active_streak,
         "distinct_trigram_count": curation.distinct_trigram_count,
         "embedding_quantize": similarity.embedding_quantize,
         "top_order_lineitems": relational.top_order_lineitems,
@@ -1726,6 +1728,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey FROM orders
               WHERE o_orderpriority = '1-URGENT')
             GROUP BY 1
+        """,
+        # DISTINCT ON (user, day): the user-day's argmin-(ts, event_id)
+        # event; integers + the raw type string, no floats
+        "first_event_per_user_day": """
+            SELECT user_id, day, first_event_id, first_ts_us, first_type
+            FROM (
+              SELECT user_id,
+                     epoch_us(ts) // 86400000000 AS day,
+                     event_id AS first_event_id,
+                     epoch_us(ts) AS first_ts_us,
+                     event_type AS first_type,
+                     row_number() OVER (
+                       PARTITION BY user_id,
+                                    epoch_us(ts) // 86400000000
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        # gaps-and-islands: longest consecutive-active-day streak
+        "user_active_streak": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            isl AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS grp
+              FROM ud
+            ),
+            s AS (SELECT user_id, count(*) AS streak
+                  FROM isl GROUP BY user_id, grp)
+            SELECT u.user_id,
+                   CAST(u.n_active_days AS BIGINT) AS n_active_days,
+                   CAST(s.longest_streak AS BIGINT) AS longest_streak
+            FROM (SELECT user_id, count(*) AS n_active_days
+                  FROM ud GROUP BY user_id) u
+            JOIN (SELECT user_id, max(streak) AS longest_streak
+                  FROM s GROUP BY user_id) s ON s.user_id = u.user_id
         """,
         # ordered group-concat: event_id is the unique tiebreak on equal ts
         "user_journey": """

@@ -682,3 +682,100 @@ def first_touch_attribution(sf_dir: str, days: int = 30,
         .groupby("shard")
         .map_groups(attribute, batch_format="pandas")
     )
+
+
+# ---------------- distinct-on / argmin ---------------------------------------
+
+
+def first_event_per_user_day(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """DISTINCT ON (user, day): each user-day's FIRST event (argmin over
+    (ts, event_id)) with its type — the dedup-to-representative shape
+    SQL spells ``row_number() = 1``.
+
+    One user-hash shuffle; in-shard ONE vectorized sort then
+    ``drop_duplicates(keep='first')`` — no per-group Python.  Day ids
+    and timestamps travel as exact integers."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": us // _US_PER_DAY,
+                "ts_us": us,
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "shard": df["user_id"].astype("int64") % n_shards,
+            }
+        )
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "day", "ts_us", "event_id"])
+        d = df.drop_duplicates(["user_id", "day"], keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": d["user_id"].to_numpy(),
+                "day": d["day"].to_numpy(),
+                "first_event_id": d["event_id"].to_numpy(),
+                "first_ts_us": d["ts_us"].to_numpy(),
+                "first_type": d["event_type"].to_numpy(),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+# ---------------- gaps-and-islands streaks ----------------------------------
+
+
+def user_active_streak(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands shape (SQL: day - row_number() island key).
+
+    One user-hash shuffle; in-shard the distinct (user, day) pairs are
+    sorted once and islands fall out of a vectorized boundary mask +
+    cumsum + bincount — no per-user loop.  Counts are exact ints."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": us // _US_PER_DAY,
+            }
+        ).drop_duplicates()
+        d["shard"] = d["user_id"] % n_shards
+        return d
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"]
+        )
+        uid = d["user_id"].to_numpy()
+        day = d["day"].to_numpy()
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (day[1:] - day[:-1] != 1)
+        isl = np.cumsum(new) - 1
+        sizes = np.bincount(isl)
+        per_row = pd.DataFrame(
+            {"user_id": uid, "streak": sizes[isl], "one": np.int64(1)}
+        )
+        g = per_row.groupby("user_id", as_index=False).agg(
+            n_active_days=("one", "sum"), longest_streak=("streak", "max")
+        )
+        return g.astype(
+            {"user_id": "int64", "n_active_days": "int64",
+             "longest_streak": "int64"}
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )

@@ -204,6 +204,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("embedding_quantize", ["embeddings"]),
         ("winnow_dup_clusters", ["documents"]),
         ("bloom_semi_join", ["orders", "lineitem"]),
+        ("first_event_per_user_day", ["events"]),
+        ("user_active_streak", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
