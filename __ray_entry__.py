@@ -295,7 +295,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_verified_pairs": dedup.minhash_verified_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
-        "winnow_dup_pairs": dedup.winnow_dup_pairs,
+        # the frame-returning memo wrapper (one fingerprint+join run per
+        # driver pass shared with winnow_dup_clusters, cf. the MinHash
+        # family); the lazy-Dataset plan is dedup.winnow_dup_pairs
+        "winnow_dup_pairs": lambda sf: dedup._winnow_pairs_frame(
+            sf, 4, 64
+        ),
         "winnow_dup_clusters": dedup.winnow_dup_clusters,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,

@@ -584,6 +584,23 @@ def winnow_dup_pairs(
     )
 
 
+# pair-count-bounded frames, memoized per (inputs, params) like the
+# MinHash family so winnow_dup_pairs + winnow_dup_clusters in one driver
+# pass pay the fingerprint+join cost once
+_WINNOW_PAIRS_MEMO: dict[tuple, pd.DataFrame] = {}
+
+
+def _winnow_pairs_frame(
+    sf_dir: str, min_shared: int, n_shards: int
+) -> pd.DataFrame:
+    key = (sf_dir, min_shared, n_shards)
+    if key not in _WINNOW_PAIRS_MEMO:
+        _WINNOW_PAIRS_MEMO[key] = winnow_dup_pairs(
+            sf_dir, min_shared, n_shards
+        ).to_pandas()
+    return _WINNOW_PAIRS_MEMO[key].copy()
+
+
 def winnow_dup_clusters(
     sf_dir: str, min_shared: int = 4, n_shards: int = 64
 ) -> pd.DataFrame:
@@ -591,7 +608,7 @@ def winnow_dup_clusters(
     edge list collapsed by union-find with min-id representatives (the
     same edges-only driver plan as embedding_dup_clusters — only result-
     cardinality pairs ever reach the driver, never the corpus)."""
-    pairs = winnow_dup_pairs(sf_dir, min_shared, n_shards).to_pandas()
+    pairs = _winnow_pairs_frame(sf_dir, min_shared, n_shards)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
