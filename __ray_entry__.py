@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_flag_revenue": relational.region_flag_revenue,
         "user_order_event_ratio": relational.user_order_event_ratio,
         "bloom_semi_join": relational.bloom_semi_join,
+        "q22_region_monthly_revenue": relational.q22_region_monthly_revenue,
+        "above_avg_parts": relational.above_avg_parts,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
@@ -1721,6 +1723,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
                    CAST(sum(abs(code)) AS BIGINT) AS code_l1
             FROM c GROUP BY vec_id
+        """,
+        # TPC-H Q5-shaped 5-table composition; month as yyyymm BIGINT;
+        # revenue in exact 1e-4-dollar ints (cents x (100 - disc_pct)) —
+        # float sums were measured landing ON the half-cent boundary
+        "q22_region_monthly_revenue": """
+            SELECT r.r_name,
+                   CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
+                        AS BIGINT) AS month,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2
+        """,
+        # decorrelated scalar subquery with an EXACT integer-cross-
+        # multiplied boundary (prices are 2-decimal): cents*n > sum_cents
+        "above_avg_parts": """
+            WITH s AS (
+              SELECT sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                         AS sum_cents,
+                     count(*) AS n
+              FROM part
+            )
+            SELECT p.p_partkey, p.p_name, p.p_retailprice
+            FROM part p, s
+            WHERE CAST(round(p.p_retailprice * 100) AS BIGINT) * s.n
+                  > s.sum_cents
         """,
         # bloom-prefiltered semi-join (exact: in-shard merge discards
         # bloom false positives)

@@ -1271,3 +1271,144 @@ def bloom_semi_join(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         .map_groups(merge, batch_format="pandas")
         .select_columns(["l_orderkey", "n_items", "sum_qty"])
     )
+
+
+def q22_region_monthly_revenue(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """TPC-H Q5-shaped composition: revenue per (customer region, order
+    month) across lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    Plan: the two FACT tables meet in q17's sharded union-merge on
+    orderkey (neither broadcast); each shard's joined rows pre-aggregate
+    to (custkey, month) partials; the dimension chain customer → nation
+    → region collapses into ONE custkey→region broadcast lookup (swap to
+    a second sharded merge when the customer dim outgrows a broadcast —
+    the fact-side plan is unchanged); the final bounded groupby is
+    |regions × months|."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    r_name = dict(zip(reg.column("r_regionkey").to_pylist(),
+                      reg.column("r_name").to_pylist()))
+    n2r = {nk: r_name[rk]
+           for nk, rk in zip(nat.column("n_nationkey").to_pylist(),
+                             nat.column("n_regionkey").to_pylist())}
+    c2r = {ck: n2r[nk]
+           for ck, nk in zip(cust.column("c_custkey").to_pylist(),
+                             cust.column("c_nationkey").to_pylist())}
+    c2r_ref = ray.put(c2r)
+
+    def l_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # exact integer revenue in 1e-4-dollar units: price and discount
+        # are 2-decimal by schema, so cents * (100 - disc_pct) is an
+        # integer — float sums of ~30 values were measured landing ON
+        # the half-cent round(.., 2) boundary and flipping vs the oracle
+        cents = np.round(
+            df["l_extendedprice"].to_numpy() * 100.0
+        ).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        rev = cents * (100 - disc)
+        g = (
+            pd.DataFrame({"join_key": df["l_orderkey"].astype("int64"),
+                          "rev": rev})
+            .groupby("join_key", as_index=False)
+            .agg(p_rev=("rev", "sum"), p_n=("rev", "size"))
+        )
+        return pd.DataFrame(
+            {"join_key": g["join_key"],
+             "o_custkey": np.int64(-1), "month": np.int64(-1),
+             "p_rev": g["p_rev"].astype("int64"),
+             "p_n": g["p_n"].astype("int64"),
+             "side": np.int64(0),
+             "shard": g["join_key"] % n_shards}
+        )
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].to_numpy().astype("datetime64[M]")
+        month = (od.astype("int64") % 12) + 1
+        year = od.astype("int64") // 12 + 1970
+        ym = year * 100 + month
+        k = df["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {"join_key": k,
+             "o_custkey": df["o_custkey"].astype("int64"),
+             "month": ym.astype("int64"),
+             "p_rev": np.int64(0), "p_n": np.int64(0),
+             "side": np.int64(1),
+             "shard": k % n_shards}
+        )
+
+    l = _pq(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        l_rows, batch_format="pandas", batch_size=65536)
+    o = _pq(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        o_rows, batch_format="pandas", batch_size=65536)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(c2r_ref)
+        ob = df[df["side"] == 1][["join_key", "o_custkey", "month"]]
+        lb = df[df["side"] == 0]
+        lg = lb.groupby("join_key", as_index=False).agg(
+            p_rev=("p_rev", "sum"), p_n=("p_n", "sum")
+        )
+        j = lg.merge(ob, on="join_key", how="inner")
+        j["r_name"] = j["o_custkey"].map(lut)
+        return j.groupby(["r_name", "month"], as_index=False).agg(
+            p_rev=("p_rev", "sum"), p_n=("p_n", "sum")
+        )
+
+    df = (
+        l.union(o)
+        .groupby("shard")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    g = df.groupby(["r_name", "month"], as_index=False).agg(
+        rev=("p_rev", "sum"), n=("p_n", "sum")
+    )
+    out = pd.DataFrame(
+        {"r_name": g["r_name"], "month": g["month"].astype("int64"),
+         "revenue_e4": g["rev"].astype("int64"),
+         "n_items": g["n"].astype("int64")}
+    )
+    return out.sort_values(["r_name", "month"]).reset_index(drop=True)
+
+
+def above_avg_parts(sf_dir: str) -> "rd.Dataset":
+    """Decorrelated scalar subquery: parts priced above the GLOBAL mean
+    retail price — evaluated in EXACT integer arithmetic: prices are
+    2-decimal, so the filter ``p > sum/n`` is the integer
+    cross-multiplication ``cents(p) * n > sum_cents`` (no float mean is
+    ever formed; the SQL oracle applies the same cross-multiplied
+    predicate, making the boundary bit-exact instead of
+    summation-order-dependent).
+
+    Two streaming passes: (1) bounded aggregate → two ints on the
+    driver, broadcast by closure; (2) pure map filter."""
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    def cents_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["p_retailprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        return pd.DataFrame({"p_sum": [int(c.sum())], "p_n": [len(c)]})
+
+    parts = ds.map_batches(cents_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    sum_cents = int(parts["p_sum"].sum())
+    n = int(parts["p_n"].sum())
+
+    def fil(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["p_retailprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        return df[c * n > sum_cents]
+
+    return ds.map_batches(fil, batch_format="pandas", batch_size=65536)

@@ -206,6 +206,9 @@ def test_ann_topk_multi_oracle(ray_session):
         ("bloom_semi_join", ["orders", "lineitem"]),
         ("first_event_per_user_day", ["events"]),
         ("user_active_streak", ["events"]),
+        ("q22_region_monthly_revenue",
+         ["lineitem", "orders", "customer", "nation", "region"]),
+        ("above_avg_parts", ["part"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
