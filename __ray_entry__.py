@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_user_day": windows.first_event_per_user_day,
         "user_active_streak": windows.user_active_streak,
         "distinct_trigram_count": curation.distinct_trigram_count,
+        "chunk_documents": curation.chunk_documents,
         "embedding_quantize": similarity.embedding_quantize,
         "top_order_lineitems": relational.top_order_lineitems,
         "region_flag_revenue": relational.region_flag_revenue,
@@ -1681,6 +1682,31 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(j.tid, -1) AS touch_event_id,
                    COALESCE(epoch_us(j.tts), -1) AS touch_ts_us
             FROM p LEFT JOIN j ON j.pid = p.event_id AND j.rn = 1
+        """,
+        # overlapping token-window chunking (size 64, stride 48); chunk
+        # text is the single-space token join on both sides
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(generate_series(
+                         0, greatest(len(toks) - 1, 0), 48)) AS s
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(s // 48 AS BIGINT) AS chunk_id,
+                   CAST(least(n - s, 64) AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       list_slice(toks, CAST(s + 1 AS INT),
+                                  CAST(least(s + 64, n) AS INT)),
+                       ' ') AS chunk_text
+            FROM st
         """,
         # exact corpus-wide distinct word trigrams (companion to the KMV
         # approximate sketch); tokenization shared with repetition_stats

@@ -1100,3 +1100,51 @@ def distinct_trigram_count(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
             "n_total": [np.int64(parts["p_total"].sum())],
         }
     )
+
+
+CHUNK_SIZE = 64   # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = size - stride = 16 tokens
+
+
+def chunk_documents(
+    sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> "rd.Dataset":
+    """Overlapping token-window chunking (RAG / context-window prep):
+    each document becomes ceil(n/stride)-ish chunks of ``size`` tokens
+    starting every ``stride`` tokens (chunk starts s = 0, stride, 2x...
+    while s < n; the last chunks are short).  Tokenization is the
+    corpus-wide convention shared with repetition_stats; chunk text is
+    the single-space token join, so the SQL oracle reproduces it with
+    list_slice + array_to_string.  Map-only — zero shuffles, streams at
+    any corpus size."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        chunk_ids: list[int] = []
+        n_toks: list[int] = []
+        texts: list[str] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = [t for t in split_tokens(text.lower()) if t]
+            n = len(toks)
+            for ci, s in enumerate(range(0, max(n, 1), stride)):
+                if s >= n and n > 0:
+                    break
+                chunk = toks[s:s + size]
+                doc_ids.append(int(doc_id))
+                chunk_ids.append(ci)
+                n_toks.append(len(chunk))
+                texts.append(" ".join(chunk))
+                if n == 0:
+                    break
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "chunk_id": np.asarray(chunk_ids, dtype=np.int64),
+                "n_tokens": np.asarray(n_toks, dtype=np.int64),
+                "chunk_text": texts,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas", batch_size=4096
+    )

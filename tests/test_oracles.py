@@ -209,6 +209,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("q22_region_monthly_revenue",
          ["lineitem", "orders", "customer", "nation", "region"]),
         ("above_avg_parts", ["part"]),
+        ("chunk_documents", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
