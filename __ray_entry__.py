@@ -282,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_touch_attribution": windows.first_touch_attribution,
         "first_event_per_user_day": windows.first_event_per_user_day,
         "user_active_streak": windows.user_active_streak,
+        "event_lag_diff": windows.event_lag_diff,
+        "moving_window_sum": windows.moving_window_sum,
+        "ntile_events": windows.ntile_events,
         "distinct_trigram_count": curation.distinct_trigram_count,
         "chunk_documents": curation.chunk_documents,
         "embedding_quantize": similarity.embedding_quantize,
@@ -1812,6 +1815,34 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        # LAG(): microseconds since the user's previous event, -1 first
+        "event_lag_diff": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   coalesce(
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                     -1) AS gap_us
+            FROM events
+        """,
+        # ROWS BETWEEN 2 PRECEDING AND CURRENT ROW frame, exact cents
+        "moving_window_sum": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS win_n,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS win_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        # NTILE(4) per type over (value, event_id) order; rank included
+        "ntile_events": """
+            SELECT event_id, event_type,
+                   row_number() OVER w AS rnk,
+                   ntile(4) OVER w AS tile
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY round(value * 100), event_id)
         """,
         # gaps-and-islands: longest consecutive-active-day streak
         "user_active_streak": """

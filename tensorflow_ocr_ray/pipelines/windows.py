@@ -779,3 +779,212 @@ def user_active_streak(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         .groupby("shard")
         .map_groups(per_shard, batch_format="pandas")
     )
+
+
+# ---------------- LAG / inter-event gaps -------------------------------------
+
+
+def event_lag_diff(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Per-event time since the same user's PREVIOUS event — the LAG()
+    window shape (cf. reference's sequential per-page state carried
+    between rows, main/ocr.c's line loop; here it is a data-parallel
+    shuffle + in-shard vectorized diff).
+
+    One user-hash shuffle; in-shard one sort by (user, ts, event_id)
+    then a shifted-array diff masked at user boundaries — no per-user
+    Python.  Gaps are exact BIGINT microseconds, -1 for a user's first
+    event (SQL's NULL, kept integral for hash-stable comparison)."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": us,
+                "shard": df["user_id"].astype("int64") % n_shards,
+            }
+        )
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        uid = df["user_id"].to_numpy()
+        us = df["ts_us"].to_numpy()
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = -1
+        if len(df) > 1:
+            same = uid[1:] == uid[:-1]
+            gap[1:] = np.where(same, us[1:] - us[:-1], -1)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "ts_us": us,
+                "gap_us": gap,
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "user_id", "ts"])
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+# ---------------- bounded ROWS window (moving sum) ---------------------------
+
+
+def moving_window_sum(sf_dir: str, width: int = 3,
+                      n_shards: int = 64) -> "rd.Dataset":
+    """Per-user moving sum/count over the current + ``width-1`` preceding
+    events in (ts, event_id) order — SQL's ``ROWS BETWEEN k PRECEDING
+    AND CURRENT ROW`` frame.
+
+    Same one-shuffle plan as event_lag_diff; in-shard the window sums
+    fall out of one cumsum minus its width-shifted self, re-truncated
+    at user boundaries via each row's per-user ordinal (vectorized
+    cumcount).  Values travel as exact integer cents so windowed
+    re-addition cannot drift vs the oracle's sequential frame sum."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": us,
+                "cents": np.round(df["value"].to_numpy() * 100.0)
+                .astype("int64"),
+                "shard": df["user_id"].astype("int64") % n_shards,
+            }
+        )
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        uid = df["user_id"].to_numpy()
+        c = df["cents"].to_numpy()
+        n = len(df)
+        # per-user ordinal (0-based) without a groupby: positions minus
+        # the position of each user's first row, via boundary cummax
+        pos = np.arange(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        first_pos = np.maximum.accumulate(np.where(new_user, pos, 0))
+        ord0 = pos - first_pos
+        # frame length: min(width, ordinal+1)
+        w = np.minimum(ord0 + 1, width)
+        csum = np.cumsum(c)
+        start = pos - w  # inclusive-exclusive prefix index
+        prev = np.where(start >= 0, csum[np.maximum(start, 0)], 0)
+        win = csum - prev
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "win_n": w.astype("int64"),
+                "win_cents": win.astype("int64"),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+# ---------------- NTILE via distributed global rank --------------------------
+
+
+def ntile_events(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
+    """NTILE(``tiles``) per event_type over (value, event_id) order —
+    requires each row's GLOBAL rank within its type, computed with the
+    running_total two-pass plan re-keyed on (type, value-bucket):
+    bounded per-(type, bucket) counts -> exclusive rank offsets on the
+    driver -> in-bucket sort + arange.  No task ever sees more than one
+    (type, bucket) slice; the driver holds |types| x |buckets| ints.
+
+    The tile id is then pure integer math on (rank, n): DuckDB/standard
+    NTILE gives the first n % k tiles ceil(n/k) rows."""
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "cents": np.round(v * 100.0).astype("int64"),
+                # value-range bucket: events values are uniform-ish and
+                # 2-decimal; 1-unit buckets keep each slice tiny at any sf
+                "bucket": np.floor(v).astype("int64"),
+            }
+        )
+
+    stats = (
+        _events(sf_dir, ["event_id", "event_type", "value"])
+        .map_batches(skinny, batch_format="pandas", batch_size=65536)
+        .materialize()
+    )
+
+    def bcount(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "bucket"], as_index=False).agg(
+            n=("event_id", "size")
+        )
+        return g.astype({"bucket": "int64", "n": "int64"})
+
+    def bcombine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "bucket": [int(df["bucket"].iloc[0])],
+                "n": [int(df["n"].sum())],
+            }
+        )
+
+    counts = (
+        stats.map_batches(bcount, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "bucket"])
+        .map_groups(bcombine, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "bucket"])
+    )
+    offs: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for _, r in counts.iterrows():
+        t = r["event_type"]
+        offs[(t, int(r["bucket"]))] = totals.get(t, 0)
+        totals[t] = totals.get(t, 0) + int(r["n"])
+    off_ref = ray.put((offs, totals))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        offs_d, totals_d = ray.get(off_ref)
+        t = df["event_type"].iloc[0]
+        rank0 = offs_d[(t, int(df["bucket"].iloc[0]))]
+        n = totals_d[t]
+        df = df.sort_values(["cents", "event_id"])
+        rank = rank0 + np.arange(1, len(df) + 1, dtype=np.int64)
+        # standard NTILE: first (n % k) tiles get ceil(n/k) rows
+        k = tiles
+        big = n // k + 1
+        small = n // k
+        n_big = n % k
+        cut = n_big * big
+        tile = np.where(
+            rank <= cut,
+            (rank - 1) // big + 1,
+            n_big + (rank - cut - 1) // max(small, 1) + 1,
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "event_type": t,
+                "rnk": rank,
+                "tile": tile,
+            }
+        )
+
+    return stats.groupby(["event_type", "bucket"]).map_groups(
+        per_bucket, batch_format="pandas"
+    )

@@ -345,3 +345,57 @@ def test_user_journey_order(ray_session, tmp_path):
     for uid, g in ref:
         assert got.loc[uid, "journey"] == ">".join(g["event_type"])
         assert got.loc[uid, "n_events"] == len(g)
+
+
+def test_event_lag_diff_brute(ray_session, tmp_path):
+    """Sharded LAG == per-user sequential diff on a skewed tie-heavy
+    stream; first event of each user is -1."""
+    from tensorflow_ocr_ray.pipelines.windows import event_lag_diff
+
+    df = _write_events(tmp_path, n=1200)
+    got = event_lag_diff(str(tmp_path)).to_pandas().set_index("event_id")
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    uid = df["user_id"].to_numpy()
+    for i, eid in enumerate(df["event_id"].to_numpy()):
+        want = -1 if (i == 0 or uid[i] != uid[i - 1]) else us[i] - us[i - 1]
+        assert got.loc[eid, "gap_us"] == want
+
+
+def test_moving_window_sum_brute(ray_session, tmp_path):
+    """Cumsum-window plan == explicit 3-row frame sums, exact cents."""
+    from tensorflow_ocr_ray.pipelines.windows import moving_window_sum
+
+    df = _write_events(tmp_path, n=1000)
+    got = moving_window_sum(str(tmp_path)).to_pandas().set_index(
+        "event_id")
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        cents = np.round(g["value"].to_numpy() * 100.0).astype("int64")
+        for i, eid in enumerate(g["event_id"].to_numpy()):
+            lo = max(0, i - 2)
+            assert got.loc[eid, "win_cents"] == cents[lo:i + 1].sum()
+            assert got.loc[eid, "win_n"] == i + 1 - lo
+
+
+def test_ntile_events_brute(ray_session, tmp_path):
+    """Bucket-offset global rank + integer NTILE == pandas qcut-free
+    explicit tiling per event_type (first n%k tiles one row bigger)."""
+    from tensorflow_ocr_ray.pipelines.windows import ntile_events
+
+    df = _write_events(tmp_path, n=1100)
+    got = ntile_events(str(tmp_path)).to_pandas().set_index("event_id")
+    for t, g in df.groupby("event_type"):
+        cents = np.round(g["value"].to_numpy() * 100.0).astype("int64")
+        order = np.lexsort((g["event_id"].to_numpy(), cents))
+        eids = g["event_id"].to_numpy()[order]
+        n, k = len(g), 4
+        big, n_big = n // k + 1, n % k
+        for r0, eid in enumerate(eids):
+            rank = r0 + 1
+            assert got.loc[eid, "rnk"] == rank
+            cut = n_big * big
+            if rank <= cut:
+                want = (rank - 1) // big + 1
+            else:
+                want = n_big + (rank - cut - 1) // (n // k) + 1
+            assert got.loc[eid, "tile"] == want
