@@ -283,6 +283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_user_day": windows.first_event_per_user_day,
         "user_active_streak": windows.user_active_streak,
         "event_lag_diff": windows.event_lag_diff,
+        "median_value_cont": windows.median_value_cont,
+        "corr_quantity_price": relational.corr_quantity_price,
+        "cube_lineitem": relational.cube_lineitem,
         "moving_window_sum": windows.moving_window_sum,
         "ntile_events": windows.ntile_events,
         "distinct_trigram_count": curation.distinct_trigram_count,
@@ -1815,6 +1818,55 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        # PERCENTILE_CONT(0.5): explicit index-select + interpolation,
+        # the same two elements the engine's distributed plan picks
+        "median_value_cont": """
+            WITH s AS (
+              SELECT event_type, value,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY value) - 1
+                         AS idx,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+            )
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   round(avg(value), 4) AS median_value
+            FROM s
+            WHERE idx = (n - 1) // 2 OR idx = n // 2
+            GROUP BY event_type
+        """,
+        # Pearson r from EXACT integer moments (the engine's limb-split
+        # sums reassemble to the same HUGEINTs), float only at the end
+        "corr_quantity_price": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     CAST(l_quantity AS BIGINT) AS q,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+              FROM lineitem
+            ), m AS (
+              SELECT l_returnflag, count(*) AS n,
+                     sum(q) AS sx, sum(p) AS sy,
+                     sum(q * q) AS sxx, sum(q * p) AS sxy,
+                     sum(p * p) AS syy
+              FROM b GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)),
+                         6) AS corr_qty_price
+            FROM m
+        """,
+        # GROUP BY CUBE with 'ALL' sentinels instead of NULLs
+        "cube_lineitem": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         # LAG(): microseconds since the user's previous event, -1 first
         "event_lag_diff": """

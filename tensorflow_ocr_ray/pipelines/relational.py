@@ -1412,3 +1412,124 @@ def above_avg_parts(sf_dir: str) -> "rd.Dataset":
         return df[c * n > sum_cents]
 
     return ds.map_batches(fil, batch_format="pandas", batch_size=65536)
+
+
+def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of (l_quantity, l_extendedprice) per
+    returnflag from EXACT integer moments — no float sum ever forms, so
+    distributed re-association cannot drift vs the oracle's sequential
+    accumulation (cf. q22's exact-cents lesson).
+
+    sum(price_cents^2) overflows int64 across the corpus (1.2e14/row),
+    so each batch's per-flag moment is SPLIT into (hi, lo) 32-bit limbs
+    that the distributed Sum combines independently; the driver
+    reassembles arbitrary-precision Python ints from |flags| limb rows
+    and evaluates r with the same double ops the SQL uses.  Batch size
+    8192 keeps every within-batch int64 sum 9x under overflow."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy().astype(np.int64)
+        pc_ = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        d = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n": np.int64(1),
+                "sx": q,
+                "sy": pc_,
+                "sxx": q * q,
+                "sxy": q * pc_,
+                "syy": pc_ * pc_,
+            }
+        )
+        g = d.groupby("l_returnflag", as_index=False).sum()
+        out = {"l_returnflag": g["l_returnflag"]}
+        for c in ("n", "sx", "sy", "sxx", "sxy", "syy"):
+            v = g[c].to_numpy()
+            out[f"{c}_hi"] = v >> np.int64(32)
+            out[f"{c}_lo"] = v & np.int64(0xFFFFFFFF)
+        return pd.DataFrame(out)
+
+    cols = ("n", "sx", "sy", "sxx", "sxy", "syy")
+    aggs = []
+    for c in cols:
+        aggs.append(Sum(f"{c}_hi", alias_name=f"{c}_hi"))
+        aggs.append(Sum(f"{c}_lo", alias_name=f"{c}_lo"))
+    m = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("l_returnflag")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    import math
+
+    rows = []
+    for _, r in m.iterrows():
+        v = {c: (int(r[f"{c}_hi"]) << 32) + int(r[f"{c}_lo"])
+             for c in cols}
+        n = v["n"]
+        num = n * v["sxy"] - v["sx"] * v["sy"]
+        da = n * v["sxx"] - v["sx"] * v["sx"]
+        db = n * v["syy"] - v["sy"] * v["sy"]
+        corr = float(num) / math.sqrt(float(da) * float(db))
+        rows.append(
+            {"l_returnflag": r["l_returnflag"], "n": n,
+             "corr_qty_price": round(corr, 6)}
+        )
+    out = pd.DataFrame(rows).astype({"n": "int64"})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def cube_lineitem(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(returnflag, linestatus): all FOUR grouping levels,
+    'ALL' sentinels for the rolled-up keys — rollup_lineitem plus the
+    (ALL, status) slice, derived from the same single bounded fine
+    aggregate (map-side partials -> |flag x status| rows; every coarser
+    level is driver math over that tiny table, exact BIGINTs)."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "q": df["l_quantity"].astype("int64"),
+            }
+        )
+        return d.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).agg(p_qty=("q", "sum"), p_n=("q", "size"))
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_qty", alias_name="sum_qty"),
+                   Sum("p_n", alias_name="count_order"))
+        .to_pandas()
+        .astype({"sum_qty": "int64", "count_order": "int64"})
+    )
+    by_flag = fine.groupby("l_returnflag", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum")
+    )
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fine.groupby("l_linestatus", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum")
+    )
+    by_status["l_returnflag"] = "ALL"
+    top = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+            "sum_qty": [fine["sum_qty"].sum()],
+            "count_order": [fine["count_order"].sum()],
+        }
+    )
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
+    out = pd.concat(
+        [fine[cols], by_flag[cols], by_status[cols], top[cols]],
+        ignore_index=True,
+    ).astype({"sum_qty": "int64", "count_order": "int64"})
+    return out.sort_values(cols[:2]).reset_index(drop=True)

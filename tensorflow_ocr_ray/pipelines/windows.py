@@ -988,3 +988,105 @@ def ntile_events(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
     return stats.groupby(["event_type", "bucket"]).map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+# ---------------- interpolated median (percentile_cont) ----------------------
+
+
+def median_value_cont(sf_dir: str) -> pd.DataFrame:
+    """PERCENTILE_CONT(0.5) per event_type — interpolated median, which
+    needs the element(s) at GLOBAL sorted index floor/ceil((n-1)/2)
+    within each type.  Same bounded (type, value-bucket) count pass as
+    ntile_events: exclusive rank offsets tell each bucket slice which
+    global indices it owns; only buckets containing a target index sort
+    locally and emit <=2 rows, so the driver sees <=2 rows per type at
+    any scale.  The raw doubles travel untouched (ordering by 2-decimal
+    value == ordering by cents) and both engines interpolate the same
+    two doubles; round(, 4) absorbs formula-order ulps (true medians
+    live on the 0.005 grid, never at a 1e-4 rounding half-point)."""
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value": v,
+                "bucket": np.floor(v).astype("int64"),
+            }
+        )
+
+    stats = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(skinny, batch_format="pandas", batch_size=65536)
+        .materialize()
+    )
+
+    def bcount(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "bucket"], as_index=False).agg(
+            n=("value", "size")
+        )
+        return g.astype({"bucket": "int64", "n": "int64"})
+
+    def bcombine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "bucket": [int(df["bucket"].iloc[0])],
+                "n": [int(df["n"].sum())],
+            }
+        )
+
+    counts = (
+        stats.map_batches(bcount, batch_format="pandas",
+                          batch_size=65536)
+        .groupby(["event_type", "bucket"])
+        .map_groups(bcombine, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "bucket"])
+    )
+    offs: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for _, r in counts.iterrows():
+        t = r["event_type"]
+        offs[(t, int(r["bucket"]))] = totals.get(t, 0)
+        totals[t] = totals.get(t, 0) + int(r["n"])
+    targets = {
+        t: ((n - 1) // 2, n // 2) for t, n in totals.items()
+    }
+    ref = ray.put((offs, targets))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        offs_d, tgt_d = ray.get(ref)
+        t = df["event_type"].iloc[0]
+        rank0 = offs_d[(t, int(df["bucket"].iloc[0]))]
+        i0, i1 = tgt_d[t]
+        hit = [i for i in {i0, i1} if rank0 <= i < rank0 + len(df)]
+        if not hit:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "idx": pd.Series([], dtype="int64"),
+                 "value": pd.Series([], dtype="float64")}
+            )
+        v = np.sort(df["value"].to_numpy())
+        return pd.DataFrame(
+            {
+                "event_type": t,
+                "idx": np.array(hit, dtype="int64"),
+                "value": v[[i - rank0 for i in hit]],
+            }
+        )
+
+    sel = (
+        stats.groupby(["event_type", "bucket"])
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for t, g in sel.groupby("event_type"):
+        i0, i1 = targets[t]
+        d = dict(zip(g["idx"], g["value"]))
+        med = d[i0] if i0 == i1 else (d[i0] + d[i1]) / 2.0
+        rows.append({"event_type": t, "n": totals[t],
+                     "median_value": round(med, 4)})
+    out = pd.DataFrame(rows).astype({"n": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)

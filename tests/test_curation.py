@@ -467,3 +467,27 @@ def test_curation_pipeline_composes_the_pieces(ray_session):
     cume = np.cumsum(toks) - toks
     assert (out["chunk_id"].to_numpy() == cume // PACK_CAPACITY).all()
     assert (out["chunk_offset"].to_numpy() == cume % PACK_CAPACITY).all()
+
+
+def test_corr_quantity_price_limbs(ray_session):
+    """Limb-split exact moments == numpy corrcoef over the raw columns
+    (to 1e-9) — proves the hi/lo 32-bit reassembly loses nothing."""
+    import pandas as pd
+    from tensorflow_ocr_ray.pipelines.relational import (
+        corr_quantity_price,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = corr_quantity_price(sf).set_index("l_returnflag")
+    df = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    for t, g in df.groupby("l_returnflag"):
+        import numpy as np
+
+        q = g["l_quantity"].to_numpy()
+        p = np.round(g["l_extendedprice"].to_numpy() * 100.0)
+        want = np.corrcoef(q, p)[0, 1]
+        assert abs(got.loc[t, "corr_qty_price"] - want) < 1e-5
+        assert got.loc[t, "n"] == len(g)

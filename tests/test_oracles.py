@@ -210,6 +210,12 @@ def test_ann_topk_multi_oracle(ray_session):
          ["lineitem", "orders", "customer", "nation", "region"]),
         ("above_avg_parts", ["part"]),
         ("chunk_documents", ["documents"]),
+        ("event_lag_diff", ["events"]),
+        ("moving_window_sum", ["events"]),
+        ("ntile_events", ["events"]),
+        ("median_value_cont", ["events"]),
+        ("corr_quantity_price", ["lineitem"]),
+        ("cube_lineitem", ["lineitem"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

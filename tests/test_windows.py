@@ -399,3 +399,17 @@ def test_ntile_events_brute(ray_session, tmp_path):
             else:
                 want = n_big + (rank - cut - 1) // (n // k) + 1
             assert got.loc[eid, "tile"] == want
+
+
+def test_median_value_cont_matches_quantile(ray_session, tmp_path):
+    """Distributed index-select median == numpy percentile (linear
+    interpolation) on odd AND even group sizes."""
+    from tensorflow_ocr_ray.pipelines.windows import median_value_cont
+
+    df = _write_events(tmp_path, n=1001)
+    got = median_value_cont(str(tmp_path)).set_index("event_type")
+    for t, g in df.groupby("event_type"):
+        want = float(np.percentile(g["value"].to_numpy(), 50,
+                                   method="linear"))
+        assert abs(got.loc[t, "median_value"] - round(want, 4)) < 1e-12
+        assert got.loc[t, "n"] == len(g)
