@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_window_sum": windows.moving_window_sum,
         "ntile_events": windows.ntile_events,
         "distinct_trigram_count": curation.distinct_trigram_count,
+        "frequent_trigrams": curation.frequent_trigrams,
+        "token_explode": curation.token_explode,
+        "ann_range_search": similarity.ann_range_search,
         "chunk_documents": curation.chunk_documents,
         "embedding_quantize": similarity.embedding_quantize,
         "top_order_lineitems": relational.top_order_lineitems,
@@ -1735,6 +1738,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
                    CAST(count(*) AS BIGINT) AS n_total
             FROM g
+        """,
+        # iceberg / HAVING heavy hitters over the same trigram CTE
+        "frequent_trigrams": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT toks[CAST(i AS INT)] || ' '
+                     || toks[CAST(i AS INT) + 1] || ' '
+                     || toks[CAST(i AS INT) + 2] AS gram
+              FROM (SELECT toks,
+                           unnest(generate_series(1, len(toks) - 2)) AS i
+                    FROM t WHERE len(toks) >= 3)
+            )
+            SELECT gram, count(*) AS n
+            FROM g GROUP BY gram HAVING count(*) >= 5
+        """,
+        # WITH ORDINALITY token explode on the shared whitespace split
+        "token_explode": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS pos,
+                   toks[CAST(i AS INT)] AS token
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 1)
+        """,
+        # cosine radius query vs vec 0; filter on the raw sim, emit
+        # round(, 4) like embedding_dup_pairs
+        "ann_range_search": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 4) AS sim
+            FROM embeddings
+            WHERE vec_id <> 0
+              AND list_cosine_similarity(
+                    CAST(embedding AS DOUBLE[]),
+                    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                     WHERE vec_id = 0)) >= 0.2
         """,
         # int8 scalar quantization: per-dim global max-|x| scales,
         # half-up rounding in both engines, integer checksums per vector

@@ -1148,3 +1148,85 @@ def chunk_documents(
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pandas", batch_size=4096
     )
+
+
+FREQ_TRIGRAM_MIN = 5
+
+
+def frequent_trigrams(sf_dir: str, min_count: int = FREQ_TRIGRAM_MIN,
+                      n_shards: int = 64) -> "rd.Dataset":
+    """EXACT heavy hitters over the uncollectable word-trigram keyspace:
+    every trigram occurring >= ``min_count`` times corpus-wide, with its
+    exact count (the iceberg / HAVING shape).  A gram lives in exactly
+    one crc32 shard, so per-shard counts ARE global counts; batches
+    pre-aggregate locally so the one skinny shuffle carries (gram,
+    partial) rows, and only survivors of the threshold leave the shard —
+    the result is bounded by the true heavy-hitter set, not the
+    keyspace."""
+    import zlib
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for text in df["text"]:
+            toks = [t for t in split_tokens(text.lower()) if t]
+            for g in _word_grams(toks, 3):
+                counts[g] = counts.get(g, 0) + 1
+        gl = list(counts)
+        return pd.DataFrame(
+            {
+                "gram": gl,
+                "p_n": np.asarray([counts[g] for g in gl],
+                                  dtype=np.int64),
+                "shard": np.asarray(
+                    [zlib.crc32(g.encode()) % n_shards for g in gl],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    def shard_filter(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False).agg(n=("p_n", "sum"))
+        g = g[g["n"] >= min_count]
+        return pd.DataFrame(
+            {"gram": g["gram"].to_numpy(),
+             "n": g["n"].to_numpy().astype(np.int64)}
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(explode, batch_format="pandas", batch_size=4096)
+        .groupby("shard")
+        .map_groups(shard_filter, batch_format="pandas")
+    )
+
+
+def token_explode(sf_dir: str) -> "rd.Dataset":
+    """Ordered token explode: one row per token with its 1-based
+    per-document position (the WITH ORDINALITY / LATERAL unnest shape —
+    the flatten primitive chunk_documents and tfidf build on, exposed
+    as its own operator).  Tokenization is the corpus-wide whitespace
+    convention shared with the SQL oracle.  Map-only, zero shuffles;
+    positions are doc-local, so the stage streams at any corpus
+    size (output is ~|tokens| rows — the read is 2 columns and each
+    task's output stays bounded by its batch)."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        poss: list[int] = []
+        toks_out: list[str] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = [t for t in split_tokens(text.lower()) if t]
+            doc_ids.extend([int(doc_id)] * len(toks))
+            poss.extend(range(1, len(toks) + 1))
+            toks_out.extend(toks)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "pos": np.asarray(poss, dtype=np.int64),
+                "token": toks_out,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas", batch_size=4096
+    )

@@ -896,3 +896,44 @@ def embedding_quantize(sf_dir: str) -> "rd.Dataset":
     return _emb(sf_dir).map_batches(
         quantize, batch_format="numpy", batch_size=4096
     )
+
+
+def ann_range_search(sf_dir: str, threshold: float = 0.2,
+                     query_vec_id: int = 0) -> "rd.Dataset":
+    """Cosine RANGE search: every vector within ``threshold`` similarity
+    of the query — the radius companion to ann_topk_brute.  The
+    normalized query is broadcast once (ray.put); each batch does one
+    matmul and emits only its survivors, so the result set (not the
+    corpus) bounds what leaves the stage.  Lazy Dataset out — composes
+    as a filter into downstream pipelines."""
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    class Score:
+        def __init__(self, ref, tau):
+            self.q = ray.get(ref)
+            self.tau = tau
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m @ self.q) / norms
+            keep = (sims >= self.tau) & (
+                df["vec_id"].to_numpy() != query_vec_id
+            )
+            return pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"].to_numpy()[keep],
+                    "sim": np.round(sims[keep], 4),
+                }
+            )
+
+    return _emb(sf_dir).map_batches(
+        Score,
+        fn_constructor_kwargs={"ref": q_ref, "tau": threshold},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )

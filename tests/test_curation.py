@@ -491,3 +491,43 @@ def test_corr_quantity_price_limbs(ray_session):
         want = np.corrcoef(q, p)[0, 1]
         assert abs(got.loc[t, "corr_qty_price"] - want) < 1e-5
         assert got.loc[t, "n"] == len(g)
+
+
+def test_frequent_trigrams_brute(ray_session):
+    """Gram-sharded heavy hitters == a driver-side brute count over the
+    same tokenizer (every surviving gram has its exact global count)."""
+    import pandas as pd
+    from collections import Counter
+    from tensorflow_ocr_ray.functions.textstats import split_tokens
+    from tensorflow_ocr_ray.pipelines.curation import (
+        frequent_trigrams, _word_grams,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = frequent_trigrams(sf).to_pandas()
+    c = Counter()
+    for text in pd.read_parquet(f"{sf}/documents.parquet",
+                                columns=["text"])["text"]:
+        toks = [t for t in split_tokens(text.lower()) if t]
+        c.update(_word_grams(toks, 3))
+    want = {g: n for g, n in c.items() if n >= 5}
+    assert dict(zip(got["gram"], got["n"])) == want
+
+
+def test_token_explode_positions(ray_session):
+    """Per-doc ordinals are 1..n_tokens and the token at each position
+    matches the shared tokenizer."""
+    import pandas as pd
+    from tensorflow_ocr_ray.functions.textstats import split_tokens
+    from tensorflow_ocr_ray.pipelines.curation import token_explode
+
+    sf = "/root/testdata/sf0.001"
+    got = token_explode(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    by_doc = {d: g.sort_values("pos") for d, g in got.groupby("doc_id")}
+    for _, r in docs.head(50).iterrows():
+        toks = [t for t in split_tokens(r["text"].lower()) if t]
+        g = by_doc[r["doc_id"]]
+        assert g["pos"].tolist() == list(range(1, len(toks) + 1))
+        assert g["token"].tolist() == toks

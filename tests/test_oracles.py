@@ -216,6 +216,9 @@ def test_ann_topk_multi_oracle(ray_session):
         ("median_value_cont", ["events"]),
         ("corr_quantity_price", ["lineitem"]),
         ("cube_lineitem", ["lineitem"]),
+        ("frequent_trigrams", ["documents"]),
+        ("token_explode", ["documents"]),
+        ("ann_range_search", ["embeddings"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

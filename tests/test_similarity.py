@@ -231,3 +231,26 @@ def test_knn_label_predict_matches_naive(ray_session):
         p, v = want[int(r["vec_id"])]
         assert (int(r["pred_label"]), int(r["votes"])) == (p, v)
         assert int(r["correct"]) == int(int(r["true_label"]) == p)
+
+
+def test_ann_range_search_matches_brute(ray_session):
+    """Range result == the >=tau slice of exhaustive driver-side cosine
+    sims; no survivor missing, no non-survivor present."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from tensorflow_ocr_ray.pipelines.similarity import ann_range_search
+
+    sf = "/root/testdata/sf0.001"
+    got = ann_range_search(sf, threshold=0.2).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    q = m[list(ids).index(0)]
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (m @ qn) / norms
+    want = {int(v): round(float(s), 4)
+            for v, s in zip(ids, sims) if s >= 0.2 and v != 0}
+    assert dict(zip(got["vec_id"], got["sim"])) == want
