@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_trigrams": curation.frequent_trigrams,
         "token_explode": curation.token_explode,
         "ann_range_search": similarity.ann_range_search,
+        "kmeans_quantized": similarity.kmeans_quantized,
         "chunk_documents": curation.chunk_documents,
         "embedding_quantize": similarity.embedding_quantize,
         "top_order_lineitems": relational.top_order_lineitems,
@@ -605,6 +606,66 @@ def _ann_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", k: int = 10,
         ORDER BY sim DESC, e.vec_id
         LIMIT {k}
     """
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Fully UNROLLED Lloyd's k-means over the embedding_quantize codes
+    (pipelines/similarity.py:kmeans_quantized): ``iters`` centroid
+    updates then a final assignment, all integer squared-euclidean —
+    argmin ties break to the smallest cluster id (ORDER BY d, cluster ==
+    numpy argmin), empty clusters keep the previous centroid (the LEFT
+    JOIN CASE), and re-quantized centroids use the identical
+    floor(sum/n + 0.5) double expression — so every per-vector
+    (cluster, dist) hashes bit-identically."""
+    parts = [f"""
+        WITH RECURSIVE uu AS MATERIALIZED (
+          SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 unnest(generate_series(1, len(embedding))) AS dim
+          FROM embeddings
+        ),
+        sc AS (SELECT dim, max(abs(x)) AS s FROM uu GROUP BY dim),
+        u AS MATERIALIZED (
+          SELECT uu.vec_id, uu.dim,
+                 CASE WHEN sc.s = 0 THEN 0
+                      ELSE CAST(floor(uu.x * 127 / sc.s + 0.5)
+                                AS BIGINT) END AS code
+          FROM uu JOIN sc USING (dim)
+        ),
+        c0 AS (SELECT vec_id AS cluster, dim, code FROM u
+               WHERE vec_id < {k})"""]
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        parts.append(f"""
+        d{t} AS (
+          SELECT u.vec_id, c.cluster,
+                 sum((u.code - c.code) * (u.code - c.code)) AS d
+          FROM u JOIN {prev} c USING (dim) GROUP BY 1, 2
+        ),
+        a{t} AS (
+          SELECT vec_id, cluster, d FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d{t}) WHERE rn = 1
+        )""")
+        if t <= iters:
+            parts.append(f"""
+        s{t} AS (
+          SELECT a.cluster, u.dim, sum(u.code) AS s, count(*) AS n
+          FROM a{t} a JOIN u USING (vec_id) GROUP BY 1, 2
+        ),
+        c{t} AS (
+          SELECT c.cluster, c.dim,
+                 CASE WHEN s.n IS NULL THEN c.code
+                      ELSE CAST(floor(CAST(s.s AS DOUBLE) / s.n + 0.5)
+                                AS BIGINT) END AS code
+          FROM {prev} c LEFT JOIN s{t} s
+            ON s.cluster = c.cluster AND s.dim = c.dim
+        )""")
+    final = f"""
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(d AS BIGINT) AS dist
+        FROM a{iters + 1}"""
+    return ",".join(parts) + final
 
 
 def _minhash_dedup_sql() -> str:
@@ -1305,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
+        "kmeans_quantized": _kmeans_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
         # simhash64 re-derived in SQL: identical md5-low-64 gram hashes,

@@ -937,3 +937,137 @@ def ann_range_search(sf_dir: str, threshold: float = 0.2,
         batch_size=4096,
         concurrency=2,
     )
+
+
+def kmeans_quantized(sf_dir: str, k: int = 8,
+                     iters: int = 2) -> "rd.Dataset":
+    """Distributed k-means over int8-quantized embeddings — the
+    iterative-algorithm shape (Lloyd's), kept EXACT so a hash-hard
+    unrolled SQL oracle can check every assignment:
+
+    - vectors are the embedding_quantize integer codes (per-dim global
+      scales, half-up rounding) -> all distances are int64 squared
+      euclidean, no float drift anywhere;
+    - init: the codes of vec_id 0..k-1; ties in argmin break to the
+      smallest cluster id (numpy argmin == SQL row_number order);
+    - each iteration is ONE streaming assignment pass (centroids
+      broadcast via ray.put, per-batch integer matmul) emitting k x dim
+      bounded partial sums, combined by one tiny groupby — the driver
+      only ever holds k x dim ints; empty clusters keep their previous
+      centroid (the oracle's LEFT JOIN CASE);
+    - new centroids re-quantize as floor(sum/n + 0.5) in float64, the
+      exact expression the SQL casts — so iteration t+1 starts from
+      bit-identical integer centroids in both engines.
+
+    Per 100 TB: iters+1 streaming passes over the corpus, k x dim state
+    broadcast per pass, nothing else materializes."""
+    from ray.data.aggregate import Max
+
+    def dim_partials(batch: dict) -> pd.DataFrame:
+        arr = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        )
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, arr.shape[1] + 1, dtype=np.int64),
+                "p_max": np.abs(arr).max(axis=0),
+            }
+        )
+
+    scales = (
+        _emb(sf_dir)
+        .map_batches(dim_partials, batch_format="numpy", batch_size=4096)
+        .groupby("dim")
+        .aggregate(Max("p_max", alias_name="s"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    s = scales["s"].to_numpy()
+    s_ref = ray.put(s)
+
+    def codes_of(batch: dict) -> tuple[np.ndarray, np.ndarray]:
+        sc = ray.get(s_ref)
+        arr = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.floor(arr * 127.0 / sc + 0.5)
+        c = np.where(sc == 0, 0.0, c).astype(np.int64)
+        return np.asarray(batch["vec_id"], dtype=np.int64), c
+
+    def assign(codes: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray,
+                                                              np.ndarray]:
+        # int64 squared euclidean; argmin picks the smallest cluster id
+        # on ties, matching the oracle's ORDER BY d, cluster
+        d = (
+            (codes * codes).sum(axis=1, keepdims=True)
+            - 2 * codes @ cents.T
+            + (cents * cents).sum(axis=1)
+        )
+        a = d.argmin(axis=1)
+        return a, d[np.arange(len(a)), a]
+
+    # initial centroids: codes of vec_id 0..k-1 (k rows, driver-side)
+    import pyarrow.parquet as pq_
+    import pyarrow.compute as pc_
+
+    t0 = pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    t0 = t0.filter(pc_.less(t0.column("vec_id"), k))
+    init_ids, init_codes = codes_of(
+        {"vec_id": t0.column("vec_id").to_numpy(),
+         "embedding": t0.column("embedding").to_pylist()}
+    )
+    cents = init_codes[np.argsort(init_ids)]
+
+    base = _emb(sf_dir).materialize()
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partials(batch: dict) -> pd.DataFrame:
+            cc = ray.get(c_ref)
+            ids, codes = codes_of(batch)
+            a, _d = assign(codes, cc)
+            rows = []
+            for j in np.unique(a):
+                m = a == j
+                rows.append(
+                    {"cluster": int(j), "n": int(m.sum()),
+                     **{f"s{i}": v for i, v in
+                        enumerate(codes[m].sum(axis=0))}}
+                )
+            return pd.DataFrame(rows)
+
+        agg_cols = ["n"] + [f"s{i}" for i in range(cents.shape[1])]
+        from ray.data.aggregate import Sum as _Sum
+
+        g = (
+            base.map_batches(partials, batch_format="numpy",
+                             batch_size=4096)
+            .groupby("cluster")
+            .aggregate(*[_Sum(c, alias_name=c) for c in agg_cols])
+            .to_pandas()
+            .set_index("cluster")
+        )
+        new = cents.copy()
+        for j in g.index:
+            n = int(g.loc[j, "n"])
+            if n > 0:
+                sums = g.loc[j, [f"s{i}" for i in
+                                 range(cents.shape[1])]].to_numpy(
+                    dtype=np.float64)
+                new[int(j)] = np.floor(sums / n + 0.5).astype(np.int64)
+        cents = new
+
+    c_ref = ray.put(cents)
+
+    def final(batch: dict) -> pd.DataFrame:
+        cc = ray.get(c_ref)
+        ids, codes = codes_of(batch)
+        a, d = assign(codes, cc)
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster": a.astype(np.int64),
+             "dist": d.astype(np.int64)}
+        )
+
+    return base.map_batches(final, batch_format="numpy", batch_size=4096)

@@ -219,6 +219,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("frequent_trigrams", ["documents"]),
         ("token_explode", ["documents"]),
         ("ann_range_search", ["embeddings"]),
+        ("kmeans_quantized", ["embeddings"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
