@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_explode": curation.token_explode,
         "ann_range_search": similarity.ann_range_search,
         "kmeans_quantized": similarity.kmeans_quantized,
+        "cluster_representatives": similarity.cluster_representatives,
+        "cluster_token_profile": similarity.cluster_token_profile,
+        "priority_sample": curation.priority_sample,
         "chunk_documents": curation.chunk_documents,
         "embedding_quantize": similarity.embedding_quantize,
         "top_order_lineitems": relational.top_order_lineitems,
@@ -1367,6 +1370,35 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": _minhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "kmeans_quantized": _kmeans_sql(),
+        # per-cluster top-3 nearest the final centroid over the SAME
+        # unrolled kmeans CTE chain
+        "cluster_representatives": f"""
+            SELECT vec_id, cluster, dist,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT vec_id, cluster, dist,
+                     row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY dist, vec_id) AS rank
+              FROM ({_kmeans_sql()}) a
+            ) WHERE rank <= 3
+        """,
+        # embedding-cluster x doc-token-count join (vec_id == doc_id)
+        "cluster_token_profile": rf"""
+            SELECT cluster, count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS sum_tokens
+            FROM ({_kmeans_sql()}) a
+            JOIN documents d ON d.doc_id = a.vec_id
+            GROUP BY cluster
+        """,
+        # bottom-100 md5(doc_id): deterministic fixed-size sample
+        "priority_sample": """
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   lang, source, n_chars
+            FROM documents
+            ORDER BY h LIMIT 100
+        """,
         "ann_topk_lsh": _ann_lsh_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
         # simhash64 re-derived in SQL: identical md5-low-64 gram hashes,

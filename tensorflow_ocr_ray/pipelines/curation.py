@@ -1230,3 +1230,51 @@ def token_explode(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pandas", batch_size=4096
     )
+
+
+PRIORITY_SAMPLE_N = 100
+
+
+def priority_sample(sf_dir: str, n: int = PRIORITY_SAMPLE_N) -> pd.DataFrame:
+    """Fixed-SIZE uniform corpus sample (vs hash_split's fixed-RATE):
+    the n docs with the smallest md5(doc_id) — a deterministic priority
+    sample that is scan-order-free and reproducible across engines.
+    Per-batch local heads of n rows are a provable superset of the
+    global bottom-n (any global winner is a winner in its own batch);
+    the driver merges n x num_batches skinny (id, hash) rows, never
+    text.  Text for the winners is then fetched by a pruned semi-join
+    read — only the n selected rows' text ever moves."""
+    import hashlib
+
+    def heads(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(int(d)).encode()).hexdigest()
+             for d in df["doc_id"]]
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "h": h}
+        )
+        return out.sort_values("h").head(n)
+
+    sk = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(heads, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+        .sort_values("h")
+        .head(n)
+    )
+    keep = set(sk["doc_id"].tolist())
+    keep_ref = ray.put(keep)
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keep_ref)
+        m = df["doc_id"].map(lambda d: int(d) in ks)
+        return df[m.to_numpy()]
+
+    docs = (
+        _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+        .map_batches(fetch, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+    )
+    out = docs.merge(sk, on="doc_id").sort_values("h")
+    return out[["doc_id", "h", "lang", "source", "n_chars"]].reset_index(
+        drop=True
+    ).astype({"doc_id": "int64", "n_chars": "int64"})

@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -939,28 +941,45 @@ def ann_range_search(sf_dir: str, threshold: float = 0.2,
     )
 
 
-def kmeans_quantized(sf_dir: str, k: int = 8,
-                     iters: int = 2) -> "rd.Dataset":
-    """Distributed k-means over int8-quantized embeddings — the
-    iterative-algorithm shape (Lloyd's), kept EXACT so a hash-hard
-    unrolled SQL oracle can check every assignment:
+_KMEANS_MEMO: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
-    - vectors are the embedding_quantize integer codes (per-dim global
-      scales, half-up rounding) -> all distances are int64 squared
-      euclidean, no float drift anywhere;
-    - init: the codes of vec_id 0..k-1; ties in argmin break to the
-      smallest cluster id (numpy argmin == SQL row_number order);
-    - each iteration is ONE streaming assignment pass (centroids
-      broadcast via ray.put, per-batch integer matmul) emitting k x dim
-      bounded partial sums, combined by one tiny groupby — the driver
-      only ever holds k x dim ints; empty clusters keep their previous
-      centroid (the oracle's LEFT JOIN CASE);
-    - new centroids re-quantize as floor(sum/n + 0.5) in float64, the
-      exact expression the SQL casts — so iteration t+1 starts from
-      bit-identical integer centroids in both engines.
 
-    Per 100 TB: iters+1 streaming passes over the corpus, k x dim state
-    broadcast per pass, nothing else materializes."""
+def _kmeans_codes(batch: dict, sc: np.ndarray) -> tuple[np.ndarray,
+                                                        np.ndarray]:
+    """int8-quantization codes for a batch (embedding_quantize's rule)."""
+    arr = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.floor(arr * 127.0 / sc + 0.5)
+    c = np.where(sc == 0, 0.0, c).astype(np.int64)
+    return np.asarray(batch["vec_id"], dtype=np.int64), c
+
+
+def _kmeans_assign_codes(codes: np.ndarray,
+                         cents: np.ndarray) -> tuple[np.ndarray,
+                                                     np.ndarray]:
+    # int64 squared euclidean; argmin picks the smallest cluster id on
+    # ties, matching the oracle's ORDER BY d, cluster
+    d = (
+        (codes * codes).sum(axis=1, keepdims=True)
+        - 2 * codes @ cents.T
+        + (cents * cents).sum(axis=1)
+    )
+    a = d.argmin(axis=1)
+    return a, d[np.arange(len(a)), a]
+
+
+def _kmeans_state(sf_dir: str, k: int = 8,
+                  iters: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """(per-dim scales, final integer centroids) — memoized per
+    (sf_dir, k, iters) so kmeans_quantized / cluster_representatives /
+    cluster_token_profile pay the iteration passes once per driver
+    pass.  State is k x dim + dim — trivially broadcastable at any
+    corpus size."""
+    key = (os.path.abspath(sf_dir), k, iters)
+    if key in _KMEANS_MEMO:
+        return _KMEANS_MEMO[key]
     from ray.data.aggregate import Max
 
     def dim_partials(batch: dict) -> pd.DataFrame:
@@ -985,28 +1004,6 @@ def kmeans_quantized(sf_dir: str, k: int = 8,
     s = scales["s"].to_numpy()
     s_ref = ray.put(s)
 
-    def codes_of(batch: dict) -> tuple[np.ndarray, np.ndarray]:
-        sc = ray.get(s_ref)
-        arr = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            c = np.floor(arr * 127.0 / sc + 0.5)
-        c = np.where(sc == 0, 0.0, c).astype(np.int64)
-        return np.asarray(batch["vec_id"], dtype=np.int64), c
-
-    def assign(codes: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray,
-                                                              np.ndarray]:
-        # int64 squared euclidean; argmin picks the smallest cluster id
-        # on ties, matching the oracle's ORDER BY d, cluster
-        d = (
-            (codes * codes).sum(axis=1, keepdims=True)
-            - 2 * codes @ cents.T
-            + (cents * cents).sum(axis=1)
-        )
-        a = d.argmin(axis=1)
-        return a, d[np.arange(len(a)), a]
-
     # initial centroids: codes of vec_id 0..k-1 (k rows, driver-side)
     import pyarrow.parquet as pq_
     import pyarrow.compute as pc_
@@ -1014,20 +1011,22 @@ def kmeans_quantized(sf_dir: str, k: int = 8,
     t0 = pq_.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
     t0 = t0.filter(pc_.less(t0.column("vec_id"), k))
-    init_ids, init_codes = codes_of(
+    init_ids, init_codes = _kmeans_codes(
         {"vec_id": t0.column("vec_id").to_numpy(),
-         "embedding": t0.column("embedding").to_pylist()}
+         "embedding": t0.column("embedding").to_pylist()}, s
     )
     cents = init_codes[np.argsort(init_ids)]
 
     base = _emb(sf_dir).materialize()
+    from ray.data.aggregate import Sum as _Sum
+
     for _ in range(iters):
         c_ref = ray.put(cents)
 
         def partials(batch: dict) -> pd.DataFrame:
             cc = ray.get(c_ref)
-            ids, codes = codes_of(batch)
-            a, _d = assign(codes, cc)
+            _ids, codes = _kmeans_codes(batch, ray.get(s_ref))
+            a, _d = _kmeans_assign_codes(codes, cc)
             rows = []
             for j in np.unique(a):
                 m = a == j
@@ -1039,8 +1038,6 @@ def kmeans_quantized(sf_dir: str, k: int = 8,
             return pd.DataFrame(rows)
 
         agg_cols = ["n"] + [f"s{i}" for i in range(cents.shape[1])]
-        from ray.data.aggregate import Sum as _Sum
-
         g = (
             base.map_batches(partials, batch_format="numpy",
                              batch_size=4096)
@@ -1056,18 +1053,147 @@ def kmeans_quantized(sf_dir: str, k: int = 8,
                 sums = g.loc[j, [f"s{i}" for i in
                                  range(cents.shape[1])]].to_numpy(
                     dtype=np.float64)
+                # the exact floor(sum/n + 0.5) double expression the
+                # oracle CASTs -- iteration t+1 starts bit-identical
                 new[int(j)] = np.floor(sums / n + 0.5).astype(np.int64)
         cents = new
 
+    _KMEANS_MEMO[key] = (s, cents)
+    return s, cents
+
+
+def kmeans_quantized(sf_dir: str, k: int = 8,
+                     iters: int = 2) -> "rd.Dataset":
+    """Distributed k-means over int8-quantized embeddings — the
+    iterative-algorithm shape (Lloyd's), kept EXACT so a hash-hard
+    unrolled SQL oracle can check every assignment:
+
+    - vectors are the embedding_quantize integer codes (per-dim global
+      scales, half-up rounding) -> all distances are int64 squared
+      euclidean, no float drift anywhere;
+    - init: the codes of vec_id 0..k-1; ties in argmin break to the
+      smallest cluster id (numpy argmin == SQL row_number order);
+    - each iteration is ONE streaming assignment pass (centroids
+      broadcast via ray.put, per-batch integer matmul) emitting k x dim
+      bounded partial sums, combined by one tiny groupby — the driver
+      only ever holds k x dim ints; empty clusters keep their previous
+      centroid (the oracle's LEFT JOIN CASE).
+
+    Per 100 TB: iters+1 streaming passes over the corpus, k x dim state
+    broadcast per pass, nothing else materializes."""
+    s, cents = _kmeans_state(sf_dir, k, iters)
+    s_ref = ray.put(s)
     c_ref = ray.put(cents)
 
     def final(batch: dict) -> pd.DataFrame:
-        cc = ray.get(c_ref)
-        ids, codes = codes_of(batch)
-        a, d = assign(codes, cc)
+        ids, codes = _kmeans_codes(batch, ray.get(s_ref))
+        a, d = _kmeans_assign_codes(codes, ray.get(c_ref))
         return pd.DataFrame(
             {"vec_id": ids, "cluster": a.astype(np.int64),
              "dist": d.astype(np.int64)}
         )
 
-    return base.map_batches(final, batch_format="numpy", batch_size=4096)
+    return _emb(sf_dir).map_batches(final, batch_format="numpy",
+                                    batch_size=4096)
+
+
+def cluster_representatives(sf_dir: str, k: int = 8, iters: int = 2,
+                            top: int = 3) -> pd.DataFrame:
+    """Per-cluster representative selection (coreset shape): the ``top``
+    members nearest each final k-means centroid, ties to smaller
+    vec_id.  Per-batch local top-``top`` per cluster bounds the merge at
+    k x top x num_batches rows — the global heads are a provable subset
+    of the union of local heads (same argument as vocab_topk)."""
+    s, cents = _kmeans_state(sf_dir, k, iters)
+    s_ref = ray.put(s)
+    c_ref = ray.put(cents)
+
+    def local_heads(batch: dict) -> pd.DataFrame:
+        ids, codes = _kmeans_codes(batch, ray.get(s_ref))
+        a, d = _kmeans_assign_codes(codes, ray.get(c_ref))
+        df = pd.DataFrame(
+            {"vec_id": ids, "cluster": a.astype(np.int64),
+             "dist": d.astype(np.int64)}
+        ).sort_values(["cluster", "dist", "vec_id"])
+        return df.groupby("cluster", as_index=False).head(top)
+
+    heads = (
+        _emb(sf_dir)
+        .map_batches(local_heads, batch_format="numpy", batch_size=4096)
+        .to_pandas()
+        .sort_values(["cluster", "dist", "vec_id"])
+    )
+    out = heads.groupby("cluster", as_index=False).head(top)
+    out["rank"] = out.groupby("cluster").cumcount() + 1
+    return out.reset_index(drop=True).astype(
+        {"cluster": "int64", "dist": "int64", "rank": "int64"}
+    )
+
+
+def cluster_token_profile(sf_dir: str, k: int = 8,
+                          iters: int = 2,
+                          n_shards: int = 64) -> pd.DataFrame:
+    """Cross-table composite: per k-means cluster, how many documents
+    and how many corpus tokens land in it (vec_id == doc_id by corpus
+    construction) — the embedding-cluster x text-stats join a curation
+    pipeline uses to profile clusters before sampling.
+
+    Neither side is broadcast (both are corpus-sized): tagged skinny
+    partials from BOTH tables meet in one id-hash shuffle
+    (user_order_event_ratio's join-free FULL-OUTER pattern), merge
+    in-shard, and only k rows of (cluster, n_docs, sum_tokens) leave
+    each shard for the bounded final combine."""
+    from ..functions.textstats import token_count  # corpus convention
+    from ray.data.aggregate import Sum as _Sum
+
+    s, cents = _kmeans_state(sf_dir, k, iters)
+    s_ref = ray.put(s)
+    c_ref = ray.put(cents)
+
+    def e_rows(batch: dict) -> pd.DataFrame:
+        ids, codes = _kmeans_codes(batch, ray.get(s_ref))
+        a, _d = _kmeans_assign_codes(codes, ray.get(c_ref))
+        return pd.DataFrame(
+            {"id": ids, "cluster": a.astype(np.int64),
+             "tokens": np.int64(0), "tag": np.int64(0),
+             "shard": ids % n_shards}
+        )
+
+    def d_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        toks = np.asarray([token_count(x) for x in df["text"]],
+                          dtype=np.int64)
+        return pd.DataFrame(
+            {"id": ids, "cluster": np.int64(-1), "tokens": toks,
+             "tag": np.int64(1), "shard": ids % n_shards}
+        )
+
+    emb_side = _emb(sf_dir).map_batches(
+        e_rows, batch_format="numpy", batch_size=4096
+    )
+    doc_side = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(d_rows, batch_format="pandas", batch_size=4096)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["tag"] == 0][["id", "cluster"]]
+        d = df[df["tag"] == 1][["id", "tokens"]]
+        j = e.merge(d, on="id", how="inner")
+        g = j.groupby("cluster", as_index=False).agg(
+            p_docs=("id", "size"), p_tokens=("tokens", "sum")
+        )
+        return g.astype({"cluster": "int64", "p_docs": "int64",
+                         "p_tokens": "int64"})
+
+    out = (
+        emb_side.union(doc_side)
+        .groupby("shard")
+        .map_groups(merge, batch_format="pandas")
+        .groupby("cluster")
+        .aggregate(_Sum("p_docs", alias_name="n_docs"),
+                   _Sum("p_tokens", alias_name="sum_tokens"))
+        .to_pandas()
+        .astype({"cluster": "int64", "n_docs": "int64",
+                 "sum_tokens": "int64"})
+    )
+    return out.sort_values("cluster").reset_index(drop=True)

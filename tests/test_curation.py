@@ -531,3 +531,21 @@ def test_token_explode_positions(ray_session):
         g = by_doc[r["doc_id"]]
         assert g["pos"].tolist() == list(range(1, len(toks) + 1))
         assert g["token"].tolist() == toks
+
+
+def test_priority_sample_is_global_bottom_n(ray_session):
+    """Local-heads merge == the true global bottom-100 by md5(doc_id)
+    (superset argument), and the sample is scan-order-free."""
+    import hashlib
+    import pandas as pd
+    from tensorflow_ocr_ray.pipelines.curation import priority_sample
+
+    sf = "/root/testdata/sf0.001"
+    got = priority_sample(sf)
+    ids = pd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id"])["doc_id"]
+    want = sorted(
+        (hashlib.md5(str(int(d)).encode()).hexdigest(), int(d))
+        for d in ids
+    )[:100]
+    assert list(zip(got["h"], got["doc_id"])) == want

@@ -220,6 +220,9 @@ def test_ann_topk_multi_oracle(ray_session):
         ("token_explode", ["documents"]),
         ("ann_range_search", ["embeddings"]),
         ("kmeans_quantized", ["embeddings"]),
+        ("cluster_representatives", ["embeddings"]),
+        ("cluster_token_profile", ["embeddings", "documents"]),
+        ("priority_sample", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
