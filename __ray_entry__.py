@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_representatives": similarity.cluster_representatives,
         "cluster_token_profile": similarity.cluster_token_profile,
         "priority_sample": curation.priority_sample,
+        "spearman_rank_corr": curation.spearman_rank_corr,
+        "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
         "embedding_quantize": similarity.embedding_quantize,
         "top_order_lineitems": relational.top_order_lineitems,
@@ -1391,6 +1393,49 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_kmeans_sql()}) a
             JOIN documents d ON d.doc_id = a.vec_id
             GROUP BY cluster
+        """,
+        # Spearman rho = Pearson over doubled average ranks (integers:
+        # 2*avg_rank = 2*rank() + tie_count - 1), exact integer moments
+        "spearman_rank_corr": r"""
+            WITH t AS (
+              SELECT n_chars,
+                     len(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents
+            ),
+            r AS (
+              SELECT 2 * rank() OVER (ORDER BY n_chars)
+                       + count(*) OVER (PARTITION BY n_chars) - 1 AS x,
+                     2 * rank() OVER (ORDER BY tok)
+                       + count(*) OVER (PARTITION BY tok) - 1 AS y
+              FROM t
+            ),
+            m AS (
+              SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy,
+                     sum(y * y) AS syy
+              FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)),
+                         6) AS spearman_rho
+            FROM m
+        """,
+        # pairwise source vocabulary intersection sizes
+        "source_vocab_overlap": r"""
+            WITH st AS (
+              SELECT DISTINCT source, unnest(
+                list_filter(string_split_regex(trim(lower(text)),
+                                               '\s+'),
+                            x -> x <> '')) AS token
+              FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS shared_tokens
+            FROM st a JOIN st b
+              ON a.token = b.token AND a.source < b.source
+            GROUP BY 1, 2
         """,
         # bottom-100 md5(doc_id): deterministic fixed-size sample
         "priority_sample": """

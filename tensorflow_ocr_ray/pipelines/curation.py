@@ -1278,3 +1278,166 @@ def priority_sample(sf_dir: str, n: int = PRIORITY_SAMPLE_N) -> pd.DataFrame:
     return out[["doc_id", "h", "lang", "source", "n_chars"]].reset_index(
         drop=True
     ).astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def spearman_rank_corr(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between document length (n_chars) and
+    token count — Pearson over AVERAGE ranks, kept exact end-to-end:
+
+    - both metrics have data-scale-free distinct-value counts (the
+      length_percentile_gate argument), so pass 1 builds two bounded
+      (value, count) histograms via map-side partials + one tiny
+      groupby, and the driver derives 2*avg_rank(v) = 2*cum_less(v) +
+      cnt(v) + 1 — an INTEGER (the doubling clears the tie half-rank),
+      broadcast as two small dicts;
+    - pass 2 maps each doc to integer (x, y) ranks and accumulates the
+      five Pearson moments with the corr_quantity_price 32-bit limb
+      split, so the shuffle carries int64s that reassemble to exact
+      Python ints at any corpus size;
+    - rho is evaluated with the same double expression the SQL casts.
+    """
+    from ray.data.aggregate import Sum as _Sum
+    from .relational import _pq  # noqa: F401  (same read helper family)
+    from ..functions.textstats import token_count
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = np.asarray([token_count(x) for x in df["text"]],
+                          dtype=np.int64)
+        a = pd.DataFrame({"metric": np.int64(0),
+                          "v": df["n_chars"].to_numpy().astype(np.int64)})
+        b = pd.DataFrame({"metric": np.int64(1), "v": toks})
+        g = pd.concat([a, b]).groupby(["metric", "v"],
+                                      as_index=False).size()
+        return g.rename(columns={"size": "p_n"}).astype(
+            {"metric": "int64", "v": "int64", "p_n": "int64"})
+
+    hist = (
+        _docs(sf_dir, ["n_chars", "text"])
+        .map_batches(hist_partial, batch_format="pandas",
+                     batch_size=4096)
+        .groupby(["metric", "v"])
+        .aggregate(_Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["metric", "v"])
+    )
+    maps: list[dict[int, int]] = [{}, {}]
+    for metric in (0, 1):
+        h = hist[hist["metric"] == metric]
+        cum = 0
+        for _, r in h.iterrows():
+            cnt = int(r["n"])
+            # 2*avg_rank = 2*cum_less + cnt + 1 (integral by doubling)
+            maps[metric][int(r["v"])] = 2 * cum + cnt + 1
+            cum += cnt
+    maps_ref = ray.put(maps)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        mx, my = ray.get(maps_ref)
+        toks = np.asarray([token_count(t) for t in df["text"]],
+                          dtype=np.int64)
+        x = np.asarray([mx[int(v)] for v in df["n_chars"]],
+                       dtype=np.int64)
+        y = np.asarray([my[int(v)] for v in toks], dtype=np.int64)
+        vals = {
+            "n": np.int64(len(df)),
+            "sx": x.sum(), "sy": y.sum(),
+            "sxx": (x * x).sum(), "sxy": (x * y).sum(),
+            "syy": (y * y).sum(),
+        }
+        out = {}
+        for c, v in vals.items():
+            v = int(v)
+            out[f"{c}_hi"] = [np.int64(v >> 32)]
+            out[f"{c}_lo"] = [np.int64(v & 0xFFFFFFFF)]
+        return pd.DataFrame(out)
+
+    cols = ("n", "sx", "sy", "sxx", "sxy", "syy")
+    aggs = []
+    for c in cols:
+        aggs.append(_Sum(f"{c}_hi", alias_name=f"{c}_hi"))
+        aggs.append(_Sum(f"{c}_lo", alias_name=f"{c}_lo"))
+    m = (
+        _docs(sf_dir, ["n_chars", "text"])
+        .map_batches(moments, batch_format="pandas", batch_size=4096)
+        .aggregate(*aggs)
+    )
+    import math
+
+    v = {c: (int(m[f"{c}_hi"]) << 32) + int(m[f"{c}_lo"]) for c in cols}
+    n = v["n"]
+    num = n * v["sxy"] - v["sx"] * v["sy"]
+    da = n * v["sxx"] - v["sx"] * v["sx"]
+    db = n * v["syy"] - v["sy"] * v["sy"]
+    rho = float(num) / math.sqrt(float(da) * float(db))
+    return pd.DataFrame(
+        {"n": np.asarray([n], dtype=np.int64),
+         "spearman_rho": [round(rho, 6)]}
+    )
+
+
+def source_vocab_overlap(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Pairwise vocabulary overlap between sources: |distinct tokens of
+    source A ∩ source B| for every source pair — the set-intersection-
+    at-scale shape.  A token lives in exactly one crc32 shard, so each
+    shard intersects its OWN (source, token) distinct sets and emits
+    |sources|² bounded pair counts; the driver sums shards.  The skinny
+    (token, source) stream pre-dedupes per batch; texts never move."""
+    import zlib
+    from itertools import combinations
+    from ray.data.aggregate import Sum as _Sum
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        seen: set[tuple[str, str]] = set()
+        for src, text in zip(df["source"], df["text"]):
+            for t in split_tokens(text.lower()):
+                if t:
+                    seen.add((src, t))
+        rows = list(seen)
+        return pd.DataFrame(
+            {
+                "source": [r[0] for r in rows],
+                "token": [r[1] for r in rows],
+                "shard": np.asarray(
+                    [zlib.crc32(r[1].encode()) % n_shards for r in rows],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["source", "token"])
+        by_tok = d.groupby("token")["source"].agg(
+            lambda s: sorted(set(s))
+        )
+        counts: dict[tuple[str, str], int] = {}
+        for srcs in by_tok:
+            for a, b in combinations(srcs, 2):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            return pd.DataFrame(
+                {"source_a": pd.Series([], dtype=object),
+                 "source_b": pd.Series([], dtype=object),
+                 "p_n": pd.Series([], dtype="int64")}
+            )
+        ks = sorted(counts)
+        return pd.DataFrame(
+            {
+                "source_a": [k[0] for k in ks],
+                "source_b": [k[1] for k in ks],
+                "p_n": np.asarray([counts[k] for k in ks],
+                                  dtype=np.int64),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(explode, batch_format="pandas", batch_size=4096)
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(_Sum("p_n", alias_name="shared_tokens"))
+        .to_pandas()
+        .astype({"shared_tokens": "int64"})
+    )
+    return out.sort_values(["source_a", "source_b"]).reset_index(
+        drop=True)

@@ -549,3 +549,22 @@ def test_priority_sample_is_global_bottom_n(ray_session):
         for d in ids
     )[:100]
     assert list(zip(got["h"], got["doc_id"])) == want
+
+
+def test_spearman_matches_scipy_style(ray_session):
+    """Limb-split rank-moment rho == pandas' spearman (tie-aware) to
+    1e-6 on the real corpus."""
+    import pandas as pd
+    from tensorflow_ocr_ray.functions.textstats import token_count
+    from tensorflow_ocr_ray.pipelines.curation import spearman_rank_corr
+
+    sf = "/root/testdata/sf0.001"
+    got = spearman_rank_corr(sf)
+    df = pd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["n_chars", "text"])
+    df["tok"] = df["text"].map(token_count)
+    rx = df["n_chars"].rank(method="average")
+    ry = df["tok"].rank(method="average")
+    want = rx.corr(ry)  # Pearson over tie-averaged ranks == Spearman
+    assert abs(got["spearman_rho"].iloc[0] - want) < 1e-6
+    assert got["n"].iloc[0] == len(df)

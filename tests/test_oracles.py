@@ -223,6 +223,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("cluster_representatives", ["embeddings"]),
         ("cluster_token_profile", ["embeddings", "documents"]),
         ("priority_sample", ["documents"]),
+        ("spearman_rank_corr", ["documents"]),
+        ("source_vocab_overlap", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
