@@ -907,7 +907,13 @@ def ntile_events(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
     (type, bucket) slice; the driver holds |types| x |buckets| ints.
 
     The tile id is then pure integer math on (rank, n): DuckDB/standard
-    NTILE gives the first n % k tiles ceil(n/k) rows."""
+    NTILE gives the first n % k tiles ceil(n/k) rows.
+
+    Partitioning assumption (shared with median_value_cont): the value
+    distribution spreads across buckets — a constant-valued column
+    degenerates to one bucket owning a whole type (correct, tested, but
+    one task's memory at 100 TB; the scale mitigation is sampled-CDF
+    bucket boundaries instead of unit-width ones)."""
 
     def skinny(df: pd.DataFrame) -> pd.DataFrame:
         v = df["value"].to_numpy()

@@ -413,3 +413,34 @@ def test_median_value_cont_matches_quantile(ray_session, tmp_path):
                                    method="linear"))
         assert abs(got.loc[t, "median_value"] - round(want, 4)) < 1e-12
         assert got.loc[t, "n"] == len(g)
+
+
+def test_ntile_median_degenerate_all_equal(ray_session, tmp_path):
+    """All values identical: one bucket owns every row — ranks must
+    still be a permutation (tie order by event_id) and the interpolated
+    median must equal the constant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tensorflow_ocr_ray.pipelines.windows import (
+        ntile_events, median_value_cont,
+    )
+
+    n = 1000
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    t = pa.table(
+        {"event_id": np.arange(n, dtype="int64"),
+         "ts": np.full(n, base),
+         "user_id": np.zeros(n, dtype="int64"),
+         "event_type": ["view"] * n,
+         "value": np.full(n, 7.25)}
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    nt = ntile_events(str(tmp_path)).to_pandas()
+    assert sorted(nt["rnk"]) == list(range(1, n + 1))
+    # equal values tie-break by event_id
+    assert nt.sort_values("event_id")["rnk"].tolist() == list(
+        range(1, n + 1))
+    assert nt["tile"].value_counts().tolist() == [250] * 4
+    med = median_value_cont(str(tmp_path))
+    assert med["median_value"].iloc[0] == 7.25
+    assert med["n"].iloc[0] == n
