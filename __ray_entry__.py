@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_token_profile": similarity.cluster_token_profile,
         "priority_sample": curation.priority_sample,
         "spearman_rank_corr": curation.spearman_rank_corr,
+        "doc_top_tokens": curation.doc_top_tokens,
+        "user_mode_event": windows.user_mode_event,
+        "q23_returned_item_revenue": relational.q23_returned_item_revenue,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
         "embedding_quantize": similarity.embedding_quantize,
@@ -1421,6 +1424,52 @@ def oracle_sql() -> dict[str, str]:
                                 * CAST(n * syy - sy * sy AS DOUBLE)),
                          6) AS spearman_rho
             FROM m
+        """,
+        # per-doc top-3 tokens by count, ties lexicographic
+        "doc_top_tokens": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(
+                list_filter(string_split_regex(trim(lower(text)),
+                                               '\s+'),
+                            x -> x <> '')) AS token
+              FROM documents
+            ),
+            c AS (SELECT doc_id, token, count(*) AS n
+                  FROM tok GROUP BY 1, 2)
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, n
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY n DESC, token) AS rank
+              FROM c
+            ) WHERE rank <= 3
+        """,
+        # per-user modal event type, ties lexicographic
+        "user_mode_event": """
+            SELECT user_id, mode_type, n FROM (
+              SELECT user_id, event_type AS mode_type,
+                     count(*) AS n,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        # TPC-H Q10 shape, exact 1e-4-dollar revenue ints
+        "q23_returned_item_revenue": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_e4 DESC, c.c_custkey
+            LIMIT 20
         """,
         # pairwise source vocabulary intersection sizes
         "source_vocab_overlap": r"""

@@ -1441,3 +1441,42 @@ def source_vocab_overlap(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
     )
     return out.sort_values(["source_a", "source_b"]).reset_index(
         drop=True)
+
+
+DOC_TOP_TOKENS = 3
+
+
+def doc_top_tokens(sf_dir: str, top: int = DOC_TOP_TOKENS) -> "rd.Dataset":
+    """Per-document top-``top`` most frequent tokens (ties to the
+    lexicographically smaller token) with exact counts — the per-row
+    list-aggregation / mode shape.  Map-only: the argmax is entirely
+    doc-local, so the stage streams; one output row per (doc, rank)."""
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        ranks: list[int] = []
+        toks: list[str] = []
+        counts: list[int] = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            c: dict[str, int] = {}
+            for t in split_tokens(text.lower()):
+                if t:
+                    c[t] = c.get(t, 0) + 1
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+            for r, (t, n) in enumerate(best, 1):
+                doc_ids.append(int(did))
+                ranks.append(r)
+                toks.append(t)
+                counts.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "rank": np.asarray(ranks, dtype=np.int64),
+                "token": toks,
+                "n": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pandas", batch_size=4096
+    )

@@ -1533,3 +1533,100 @@ def cube_lineitem(sf_dir: str) -> pd.DataFrame:
         ignore_index=True,
     ).astype({"sum_qty": "int64", "count_order": "int64"})
     return out.sort_values(cols[:2]).reset_index(drop=True)
+
+
+def q23_returned_item_revenue(sf_dir: str, topn: int = 20,
+                              n_shards: int = 64) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-``topn`` customers by revenue from RETURNED
+    items (l_returnflag = 'R'), with name and nation.  Revenue is exact
+    1e-4-dollar ints (q22's lesson: float sums land on round
+    boundaries).
+
+    Plan: (1) filtered lineitem batches pre-aggregate (orderkey, rev)
+    partials; orders contributes (orderkey, custkey); one orderkey-hash
+    union-merge shard joins them and re-emits (custkey, rev) partials;
+    (2) a custkey-hash combine completes per-customer totals (a customer
+    lives in ONE shard) and each shard emits only its local top-``topn``
+    — a provable superset of the global winners; (3) the driver merges
+    shards x topn skinny rows, and only the ~topn winners' names/nations
+    are fetched via a broadcast-winner pruned read of the customer dim.
+    Neither fact table is broadcast or collected."""
+
+    def l_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        cents = np.round(
+            df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc = np.round(
+            df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        d = pd.DataFrame(
+            {"key": df["l_orderkey"].astype("int64"),
+             "rev": cents * (100 - disc)}
+        ).groupby("key", as_index=False).agg(rev=("rev", "sum"))
+        d["cust"] = np.int64(-1)
+        d["side"] = np.int64(0)
+        d["shard"] = d["key"] % n_shards
+        return d
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {"key": key, "rev": np.int64(0),
+             "cust": df["o_custkey"].astype("int64"),
+             "side": np.int64(1), "shard": key % n_shards}
+        )
+
+    l = _pq(sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice",
+             "l_discount"]).map_batches(
+        l_rows, batch_format="pandas", batch_size=65536)
+    o = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        o_rows, batch_format="pandas", batch_size=65536)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["side"] == 0].groupby("key", as_index=False).agg(
+            rev=("rev", "sum"))
+        od = df[df["side"] == 1][["key", "cust"]]
+        j = li.merge(od, on="key", how="inner")
+        g = j.groupby("cust", as_index=False).agg(rev=("rev", "sum"))
+        g["cshard"] = g["cust"] % n_shards
+        return g.astype({"cust": "int64", "rev": "int64"})
+
+    def cust_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cust", as_index=False).agg(rev=("rev", "sum"))
+        g = g.sort_values(["rev", "cust"], ascending=[False, True])
+        return g.head(topn).astype({"cust": "int64", "rev": "int64"})
+
+    heads = (
+        l.union(o)
+        .groupby("shard")
+        .map_groups(merge, batch_format="pandas")
+        .groupby("cshard")
+        .map_groups(cust_top, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["rev", "cust"], ascending=[False, True])
+        .head(topn)
+    )
+    winners = set(heads["cust"].tolist())
+    win_ref = ray.put(winners)
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(win_ref)
+        m = df["c_custkey"].map(lambda c: int(c) in ks)
+        d = df[m.to_numpy()]
+        return d[["c_custkey", "c_name", "c_nationkey"]]
+
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        cust_rows, batch_format="pandas", batch_size=65536).to_pandas()
+    nation = _pq(sf_dir, "nation").to_pandas()
+    out = (
+        heads.rename(columns={"cust": "c_custkey",
+                              "rev": "revenue_e4"})
+        .merge(cust, on="c_custkey")
+        .merge(nation[["n_nationkey", "n_name"]],
+               left_on="c_nationkey", right_on="n_nationkey")
+    )
+    out = out[["c_custkey", "c_name", "n_name", "revenue_e4"]]
+    out = out.sort_values(["revenue_e4", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out.astype({"c_custkey": "int64", "revenue_e4": "int64"})

@@ -1096,3 +1096,43 @@ def median_value_cont(sf_dir: str) -> pd.DataFrame:
                      "median_value": round(med, 4)})
     out = pd.DataFrame(rows).astype({"n": "int64"})
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------- per-group mode (argmax over counts) -------------------------
+
+
+def user_mode_event(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Each user's MOST FREQUENT event type (the mode / argmax-by-count
+    shape; first_event_per_user_day is its argmin-by-order sibling),
+    ties to the lexicographically smaller type.
+
+    Map-side per-batch (user, type) counts collapse before the one
+    user-hash shuffle; in-shard one groupby-sum then a vectorized sort +
+    drop_duplicates argmax — no per-user Python."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g = g.rename(columns={"size": "p_n"})
+        g["shard"] = g["user_id"].astype("int64") % n_shards
+        return g.astype({"user_id": "int64", "p_n": "int64"})
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("p_n", "sum"))
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        d = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": d["user_id"].to_numpy(),
+                "mode_type": d["event_type"].to_numpy(),
+                "n": d["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )

@@ -225,6 +225,10 @@ def test_ann_topk_multi_oracle(ray_session):
         ("priority_sample", ["documents"]),
         ("spearman_rank_corr", ["documents"]),
         ("source_vocab_overlap", ["documents"]),
+        ("doc_top_tokens", ["documents"]),
+        ("user_mode_event", ["events"]),
+        ("q23_returned_item_revenue",
+         ["lineitem", "orders", "customer", "nation"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

@@ -444,3 +444,18 @@ def test_ntile_median_degenerate_all_equal(ray_session, tmp_path):
     med = median_value_cont(str(tmp_path))
     assert med["median_value"].iloc[0] == 7.25
     assert med["n"].iloc[0] == n
+
+
+def test_user_mode_event_brute(ray_session, tmp_path):
+    """Sharded mode == driver-side Counter argmax with lexicographic
+    tie-break on the skewed stream."""
+    from collections import Counter
+    from tensorflow_ocr_ray.pipelines.windows import user_mode_event
+
+    df = _write_events(tmp_path, n=900)
+    got = user_mode_event(str(tmp_path)).to_pandas().set_index("user_id")
+    for uid, g in df.groupby("user_id"):
+        c = Counter(g["event_type"])
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got.loc[uid, "mode_type"] == want[0]
+        assert got.loc[uid, "n"] == want[1]
