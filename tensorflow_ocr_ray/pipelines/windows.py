@@ -13,6 +13,8 @@ one user's events fit one group — they do, by construction of the key):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -898,6 +900,56 @@ def moving_window_sum(sf_dir: str, width: int = 3,
 # ---------------- NTILE via distributed global rank --------------------------
 
 
+_BUCKET_OFFSETS_MEMO: dict[str, tuple[dict, dict]] = {}
+
+
+def _type_bucket_offsets(sf_dir: str) -> tuple[dict, dict]:
+    """Bounded (event_type, unit-value-bucket) counts -> exclusive rank
+    offsets + per-type totals, memoized per sf_dir: ntile_events and
+    median_value_cont share ONE count pass per driver pass.  The table
+    is |types| x |buckets| — data-scale-free."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUCKET_OFFSETS_MEMO:
+        return _BUCKET_OFFSETS_MEMO[key]
+
+    def bcount(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "bucket": np.floor(df["value"].to_numpy()).astype(
+                    "int64"),
+            }
+        ).groupby(["event_type", "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"bucket": "int64", "n": "int64"})
+
+    def bcombine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "bucket": [int(df["bucket"].iloc[0])],
+                "n": [int(df["n"].sum())],
+            }
+        )
+
+    counts = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(bcount, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "bucket"])
+        .map_groups(bcombine, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "bucket"])
+    )
+    offs: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for _, r in counts.iterrows():
+        t = r["event_type"]
+        offs[(t, int(r["bucket"]))] = totals.get(t, 0)
+        totals[t] = totals.get(t, 0) + int(r["n"])
+    _BUCKET_OFFSETS_MEMO[key] = (offs, totals)
+    return offs, totals
+
+
 def ntile_events(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
     """NTILE(``tiles``) per event_type over (value, event_id) order —
     requires each row's GLOBAL rank within its type, computed with the
@@ -928,40 +980,11 @@ def ntile_events(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
             }
         )
 
-    stats = (
-        _events(sf_dir, ["event_id", "event_type", "value"])
-        .map_batches(skinny, batch_format="pandas", batch_size=65536)
-        .materialize()
-    )
+    stats = _events(
+        sf_dir, ["event_id", "event_type", "value"]
+    ).map_batches(skinny, batch_format="pandas", batch_size=65536)
 
-    def bcount(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["event_type", "bucket"], as_index=False).agg(
-            n=("event_id", "size")
-        )
-        return g.astype({"bucket": "int64", "n": "int64"})
-
-    def bcombine(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [df["event_type"].iloc[0]],
-                "bucket": [int(df["bucket"].iloc[0])],
-                "n": [int(df["n"].sum())],
-            }
-        )
-
-    counts = (
-        stats.map_batches(bcount, batch_format="pandas", batch_size=65536)
-        .groupby(["event_type", "bucket"])
-        .map_groups(bcombine, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["event_type", "bucket"])
-    )
-    offs: dict[tuple[str, int], int] = {}
-    totals: dict[str, int] = {}
-    for _, r in counts.iterrows():
-        t = r["event_type"]
-        offs[(t, int(r["bucket"]))] = totals.get(t, 0)
-        totals[t] = totals.get(t, 0) + int(r["n"])
+    offs, totals = _type_bucket_offsets(sf_dir)
     off_ref = ray.put((offs, totals))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -1021,41 +1044,11 @@ def median_value_cont(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    stats = (
-        _events(sf_dir, ["event_type", "value"])
-        .map_batches(skinny, batch_format="pandas", batch_size=65536)
-        .materialize()
-    )
+    stats = _events(
+        sf_dir, ["event_type", "value"]
+    ).map_batches(skinny, batch_format="pandas", batch_size=65536)
 
-    def bcount(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["event_type", "bucket"], as_index=False).agg(
-            n=("value", "size")
-        )
-        return g.astype({"bucket": "int64", "n": "int64"})
-
-    def bcombine(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [df["event_type"].iloc[0]],
-                "bucket": [int(df["bucket"].iloc[0])],
-                "n": [int(df["n"].sum())],
-            }
-        )
-
-    counts = (
-        stats.map_batches(bcount, batch_format="pandas",
-                          batch_size=65536)
-        .groupby(["event_type", "bucket"])
-        .map_groups(bcombine, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["event_type", "bucket"])
-    )
-    offs: dict[tuple[str, int], int] = {}
-    totals: dict[str, int] = {}
-    for _, r in counts.iterrows():
-        t = r["event_type"]
-        offs[(t, int(r["bucket"]))] = totals.get(t, 0)
-        totals[t] = totals.get(t, 0) + int(r["n"])
+    offs, totals = _type_bucket_offsets(sf_dir)
     targets = {
         t: ((n - 1) // 2, n // 2) for t, n in totals.items()
     }

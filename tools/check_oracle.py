@@ -77,6 +77,9 @@ def main() -> int:
     import __ray_entry__ as entry
 
     con = duckdb.connect()
+    # spill to /tmp, never into the repo (a default connection puts
+    # temp_directory at ./.tmp — one sf0.1 run spilled 50 GB there)
+    con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
