@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": windows.tumbling_windows,
         "events_hopping": windows.hopping_windows,
         "asof_event_order": windows.asof_event_order,
+        "next_purchase_event": windows.next_purchase_event,
         "event_funnel": windows.event_funnel,
         "cohort_retention": windows.cohort_retention,
         "user_journey": windows.user_journey,
@@ -1555,13 +1556,25 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked WHERE rn <= 8 GROUP BY doc_id
             ) f ON f.doc_id = d.doc_id
         """,
+        # exact integer measures + half-up e4 averages (the corpus
+        # lands true means on decimal half-points where numpy/DuckDB
+        # rounding modes split — see q07)
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
-                   round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                       AS BIGINT) AS sum_disc_e4,
+                   CAST((20000 * sum(CAST(l_quantity AS BIGINT))
+                         + count(*)) // (2 * count(*)) AS BIGINT)
+                       AS avg_qty_e4,
+                   CAST((200 * sum(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT)) + count(*))
+                        // (2 * count(*)) AS BIGINT) AS avg_price_e4,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -1594,9 +1607,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type
         """,
+        # mean in exact 1e-4 units, integer half-up: a float avg()
+        # drifted past the round boundary at sf0.1 AND one user's true
+        # mean is exactly x.xxxx5 where numpy/DuckDB rounding modes
+        # disagree — no float ever forms here
         "q07_user_activity": """
             SELECT user_id, count(*) AS events,
-                   round(avg(value), 4) AS avg_value
+                   CAST((200 * sum(CAST(round(value * 100) AS BIGINT))
+                         + count(*)) // (2 * count(*))
+                        AS BIGINT) AS avg_e4
             FROM events GROUP BY user_id
         """,
         "q08_events_hourly": """
@@ -1610,16 +1629,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1, 2
         """,
         "q10_supplier_balance": """
-            SELECT n_name, round(sum(s_acctbal), 2) AS total_bal,
+            SELECT n_name,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_bal_cents,
                    count(*) AS suppliers
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
         """,
         "q11_minmax_part": """
             SELECT p_brand,
-                   round(min(p_retailprice), 2) AS min_price,
-                   round(max(p_retailprice), 2) AS max_price,
-                   round(avg(p_size), 4) AS avg_size,
+                   CAST(min(CAST(round(p_retailprice * 100) AS BIGINT))
+                        AS BIGINT) AS min_price_cents,
+                   CAST(max(CAST(round(p_retailprice * 100) AS BIGINT))
+                        AS BIGINT) AS max_price_cents,
+                   CAST((20000 * sum(CAST(p_size AS BIGINT)) + count(*))
+                        // (2 * count(*)) AS BIGINT) AS avg_size_e4,
                    count(*) AS parts
             FROM part GROUP BY p_brand
         """,
@@ -1750,6 +1774,32 @@ def oracle_sql() -> dict[str, str]:
               JOIN orders o
                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
+        """,
+        # FORWARD as-of within the stream: next purchase strictly after
+        # each event in (ts, event_id) order; -1 sentinels, exact us
+        "next_purchase_event": """
+            WITH s AS (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts) AS us,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                         AS rn
+              FROM events
+            ),
+            nx AS (
+              SELECT event_id, user_id, us, rn,
+                     min(CASE WHEN event_type = 'purchase'
+                              THEN rn END) OVER (
+                       PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN 1 FOLLOWING
+                            AND UNBOUNDED FOLLOWING) AS prn
+              FROM s
+            )
+            SELECT n.event_id, n.user_id,
+                   coalesce(p.event_id, -1) AS next_purchase_id,
+                   coalesce(p.us - n.us, -1) AS gap_us
+            FROM nx n LEFT JOIN s p
+              ON p.user_id = n.user_id AND p.rn = n.prn
         """,
         # ordered conversion funnel: each stage strictly after the
         # previous stage's first completion; times as BIGINT epoch-us

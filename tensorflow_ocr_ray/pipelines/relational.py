@@ -33,7 +33,12 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     The per-batch combiner collapses ~64k rows to ≤|groups| rows before the
     shuffle, so the groupby moves kilobytes regardless of input size.
-    """
+
+    Every measure is an EXACT integer (qty; cents; 1e-4-dollar
+    disc-price; half-up e4 averages): the q07 incident proved this
+    corpus lands means on true decimal half-points where numpy
+    (half-even) and SQL (half-away) round() disagree, and float sums
+    re-associate — integers close both hazards."""
     ds = _pq(
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -41,12 +46,24 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(disc_price=df.l_extendedprice * (1 - df.l_discount))
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            p_qty=("l_quantity", "sum"),
-            p_base=("l_extendedprice", "sum"),
-            p_disc=("disc_price", "sum"),
-            p_cnt=("l_quantity", "size"),
+        cents = np.round(
+            df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc = np.round(
+            df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty": df["l_quantity"].astype("int64"),
+                "base_c": cents,
+                "disc_e4": cents * (100 - disc),
+            }
+        )
+        g = d.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("qty", "sum"),
+            p_base=("base_c", "sum"),
+            p_disc=("disc_e4", "sum"),
+            p_cnt=("qty", "size"),
         )
         return g
 
@@ -58,16 +75,19 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
         Sum("p_cnt", alias_name="s_cnt"),
     )
     df = final.to_pandas()
+    qty = df["s_qty"].to_numpy().astype("int64")
+    base = df["s_base"].to_numpy().astype("int64")
+    cnt = df["s_cnt"].to_numpy().astype("int64")
     out = pd.DataFrame(
         {
             "l_returnflag": df["l_returnflag"],
             "l_linestatus": df["l_linestatus"],
-            "sum_qty": df["s_qty"].round(2),
-            "sum_base_price": df["s_base"].round(2),
-            "sum_disc_price": df["s_disc"].round(2),
-            "avg_qty": (df["s_qty"] / df["s_cnt"]).round(4),
-            "avg_price": (df["s_base"] / df["s_cnt"]).round(4),
-            "count_order": df["s_cnt"].astype("int64"),
+            "sum_qty": qty,
+            "sum_base_cents": base,
+            "sum_disc_e4": df["s_disc"].to_numpy().astype("int64"),
+            "avg_qty_e4": (20000 * qty + cnt) // (2 * cnt),
+            "avg_price_e4": (200 * base + cnt) // (2 * cnt),
+            "count_order": cnt,
         }
     )
     return out
@@ -226,17 +246,39 @@ def q06_event_type_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def q07_user_activity(sf_dir: str) -> pd.DataFrame:
+    """Per-user count + mean value in exact 1e-4 units.  Two float
+    hazards surfaced at sf0.1 and are both closed by integer math:
+    a distributed float Mean drifted a ulp past a round(,4) boundary
+    vs the oracle's sequential avg, and user 822's TRUE mean is exactly
+    40.73125 — a 4-decimal half-point where numpy rounds half-even and
+    DuckDB half-away.  avg_e4 = floor((2*100*sum_cents + n) / (2n)) is
+    the half-up rounding BOTH engines compute on exact ints (values are
+    non-negative 2-decimal by schema)."""
     ds = _pq(sf_dir, "events", ["user_id", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "c": np.round(df["value"].to_numpy() * 100.0).astype(
+                    "int64"),
+            }
+        )
+
     df = (
-        ds.groupby("user_id")
-        .aggregate(Count(alias_name="events"), Mean("value", alias_name="m"))
+        ds.map_batches(cents, batch_format="pandas", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="events"),
+                   Sum("c", alias_name="sum_cents"))
         .to_pandas()
     )
+    n = df["events"].to_numpy().astype("int64")
+    sc = df["sum_cents"].to_numpy().astype("int64")
     return pd.DataFrame(
         {
             "user_id": df["user_id"],
-            "events": df["events"].astype("int64"),
-            "avg_value": df["m"].round(4),
+            "events": n,
+            "avg_e4": (200 * sc + n) // (2 * n),
         }
     )
 
@@ -301,21 +343,32 @@ def q10_supplier_balance(sf_dir: str) -> pd.DataFrame:
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             df["n_name"] = df["s_nationkey"].map(self.m)
-            return df[["n_name", "s_acctbal"]]
+            return df[["n_name", "bal_c"]]
 
     ds = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bal_c"] = np.round(
+            df["s_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        return df.drop(columns=["s_acctbal"])
+
     df = (
-        ds.map_batches(Attach, fn_constructor_kwargs={"ref": name_ref},
-                       batch_format="pandas", concurrency=(1, 8))
+        ds.map_batches(to_cents, batch_format="pandas",
+                       batch_size=65536)
+        .map_batches(Attach, fn_constructor_kwargs={"ref": name_ref},
+                     batch_format="pandas", concurrency=(1, 8))
         .groupby("n_name")
-        .aggregate(Sum("s_acctbal", alias_name="t"),
+        .aggregate(Sum("bal_c", alias_name="t"),
                    Count(alias_name="suppliers"))
         .to_pandas()
     )
+    # exact integer cents: a float sum re-associates and can drift
+    # across a cent boundary (the q07 class of bug)
     return pd.DataFrame(
         {
             "n_name": df["n_name"],
-            "total_bal": df["t"].round(2),
+            "total_bal_cents": df["t"].astype("int64"),
             "suppliers": df["suppliers"].astype("int64"),
         }
     )
@@ -323,23 +376,40 @@ def q10_supplier_balance(sf_dir: str) -> pd.DataFrame:
 
 def q11_minmax_part(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "price_c": np.round(
+                    df["p_retailprice"].to_numpy() * 100.0).astype(
+                    np.int64),
+                "p_size": df["p_size"].astype("int64"),
+            }
+        )
+
     df = (
-        ds.groupby("p_brand")
+        ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+        .groupby("p_brand")
         .aggregate(
-            Min("p_retailprice", alias_name="min_price"),
-            Max("p_retailprice", alias_name="max_price"),
-            Mean("p_size", alias_name="m"),
+            Min("price_c", alias_name="min_c"),
+            Max("price_c", alias_name="max_c"),
+            Sum("p_size", alias_name="s_size"),
             Count(alias_name="parts"),
         )
         .to_pandas()
     )
+    # min/max as exact cents; the size mean as half-up e4 ints (the
+    # q07 class of decimal-half-point rounding split)
+    ssize = df["s_size"].to_numpy().astype("int64")
+    cnt = df["parts"].to_numpy().astype("int64")
     out = pd.DataFrame(
         {
             "p_brand": df["p_brand"],
-            "min_price": df["min_price"].round(2),
-            "max_price": df["max_price"].round(2),
-            "avg_size": df["m"].round(4),
-            "parts": df["parts"].astype("int64"),
+            "min_price_cents": df["min_c"].astype("int64"),
+            "max_price_cents": df["max_c"].astype("int64"),
+            "avg_size_e4": (20000 * ssize + cnt) // (2 * cnt),
+            "parts": cnt,
         }
     )
     return out

@@ -1129,3 +1129,69 @@ def user_mode_event(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         .groupby("shard")
         .map_groups(per_shard, batch_format="pandas")
     )
+
+
+def next_purchase_event(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """FORWARD as-of within the event stream: for every event, the same
+    user's NEXT purchase strictly after it in (ts, event_id) order, and
+    the gap in exact microseconds (-1 sentinel when none follows) — the
+    time-to-conversion shape (the LEAD sibling of asof_event_order;
+    a forward as-of against ORDERS is degenerate on this corpus: every
+    o_orderdate precedes every event ts).
+
+    One user-hash shuffle; in-shard one sort then a vectorized SUFFIX
+    scan: positions of purchases, reversed running-min shifted by one
+    row gives each row the index of the next purchase after it — no
+    per-user loop (user boundaries reset the scan via a sentinel)."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": us,
+                "is_p": (df["event_type"] == "purchase").to_numpy(),
+                "shard": df["user_id"].astype("int64") % n_shards,
+            }
+        )
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        n = len(df)
+        uid = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        us = df["ts_us"].to_numpy()
+        isp = df["is_p"].to_numpy()
+        BIG = np.iinfo(np.int64).max
+        pos = np.where(isp, np.arange(n, dtype=np.int64), BIG)
+        # suffix running-min, reset at user boundaries: iterate the
+        # reversed array once in numpy via np.minimum.accumulate on a
+        # boundary-segmented view — segment resets are applied by
+        # masking positions that belong to the NEXT user out afterwards
+        nxt = np.minimum.accumulate(pos[::-1])[::-1]
+        # shift by one: next purchase strictly AFTER row i
+        nxt = np.concatenate([nxt[1:], [BIG]])
+        # rows whose candidate belongs to a different user are cleared
+        valid = nxt != BIG
+        valid[valid] &= uid[nxt[valid]] == uid[np.nonzero(valid)[0]]
+        out_eid = np.full(n, -1, dtype=np.int64)
+        out_gap = np.full(n, -1, dtype=np.int64)
+        vi = np.nonzero(valid)[0]
+        out_eid[vi] = eid[nxt[vi]]
+        out_gap[vi] = us[nxt[vi]] - us[vi]
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": uid,
+                "next_purchase_id": out_eid,
+                "gap_us": out_gap,
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )

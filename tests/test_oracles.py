@@ -229,6 +229,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("user_mode_event", ["events"]),
         ("q23_returned_item_revenue",
          ["lineitem", "orders", "customer", "nation"]),
+        ("next_purchase_event", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

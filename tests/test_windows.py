@@ -459,3 +459,28 @@ def test_user_mode_event_brute(ray_session, tmp_path):
         want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert got.loc[uid, "mode_type"] == want[0]
         assert got.loc[uid, "n"] == want[1]
+
+
+def test_next_purchase_event_brute(ray_session, tmp_path):
+    """Suffix-min plan == per-user sequential scan on the skewed
+    tie-heavy stream (strictly-after semantics, -1 sentinels, exact
+    microsecond gaps)."""
+    from tensorflow_ocr_ray.pipelines.windows import next_purchase_event
+
+    df = _write_events(tmp_path, n=1000)
+    got = next_purchase_event(str(tmp_path)).to_pandas().set_index(
+        "event_id")
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        for i in range(len(g)):
+            nxt = next((j for j in range(i + 1, len(g))
+                        if g["event_type"].iloc[j] == "purchase"), None)
+            eid = g["event_id"].iloc[i]
+            if nxt is None:
+                assert got.loc[eid, "next_purchase_id"] == -1
+                assert got.loc[eid, "gap_us"] == -1
+            else:
+                assert got.loc[eid, "next_purchase_id"] == \
+                    g["event_id"].iloc[nxt]
+                assert got.loc[eid, "gap_us"] == us[nxt] - us[i]
