@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_token_profile": similarity.cluster_token_profile,
         "priority_sample": curation.priority_sample,
         "spearman_rank_corr": curation.spearman_rank_corr,
+        "stratified_sample_exact": curation.stratified_sample_exact,
         "doc_top_tokens": curation.doc_top_tokens,
         "user_mode_event": windows.user_mode_event,
         "q23_returned_item_revenue": relational.q23_returned_item_revenue,
@@ -1486,6 +1487,18 @@ def oracle_sql() -> dict[str, str]:
             FROM st a JOIN st b
               ON a.token = b.token AND a.source < b.source
             GROUP BY 1, 2
+        """,
+        # per-language exact-size sample: bottom-20 md5 per stratum
+        "stratified_sample_exact": """
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h
+            FROM (
+              SELECT lang, doc_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS h,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rank
+              FROM documents
+            ) WHERE rank <= 20
         """,
         # bottom-100 md5(doc_id): deterministic fixed-size sample
         "priority_sample": """

@@ -1480,3 +1480,41 @@ def doc_top_tokens(sf_dir: str, top: int = DOC_TOP_TOKENS) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         per_doc, batch_format="pandas", batch_size=4096
     )
+
+
+STRAT_SAMPLE_K = 20
+
+
+def stratified_sample_exact(sf_dir: str,
+                            k: int = STRAT_SAMPLE_K) -> pd.DataFrame:
+    """Balanced eval-set construction: EXACTLY min(k, |stratum|) docs
+    per language, chosen by smallest md5(doc_id) — fixed-size PER
+    STRATUM (vs hash_split's fixed-rate and priority_sample's global
+    fixed-size).  Scan-order-free and engine-reproducible.
+
+    Per-batch local per-lang heads are a provable superset of each
+    stratum's global bottom-k; the driver merges |langs| x k x
+    num_batches skinny rows and never sees text."""
+    import hashlib
+
+    def heads(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "h": [hashlib.md5(str(int(x)).encode()).hexdigest()
+                      for x in df["doc_id"]],
+            }
+        ).sort_values(["lang", "h"])
+        return d.groupby("lang", as_index=False).head(k)
+
+    sk = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(heads, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+        .sort_values(["lang", "h"])
+    )
+    out = sk.groupby("lang", as_index=False).head(k)
+    out["rank"] = out.groupby("lang").cumcount() + 1
+    return out[["lang", "rank", "doc_id", "h"]].reset_index(
+        drop=True).astype({"doc_id": "int64", "rank": "int64"})

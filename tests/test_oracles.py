@@ -230,6 +230,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("q23_returned_item_revenue",
          ["lineitem", "orders", "customer", "nation"]),
         ("next_purchase_event", ["events"]),
+        ("stratified_sample_exact", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
