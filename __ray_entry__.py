@@ -431,29 +431,32 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16,
           FROM pos
         ),
         c0 AS (SELECT doc_id, s, 4294967295 AS crc FROM shs),
+        -- CRC byte folds as HASH JOINS against the 256-entry table: the
+        -- correlated-subquery form forced a per-row nested lookup that
+        -- DuckDB materialized and spilled ~250 GB at sf0.1
         c1 AS (
-          SELECT doc_id, s,
-                 CASE WHEN length(s) >= 1
-                      THEN xor(crc >> 8, (SELECT v FROM crc_tbl WHERE
-                           idx = xor(crc, unicode(substring(s,1,1))) & 255))
-                      ELSE crc END AS crc
-          FROM c0
+          SELECT c0.doc_id, c0.s,
+                 CASE WHEN length(c0.s) >= 1
+                      THEN xor(c0.crc >> 8, tb.v)
+                      ELSE c0.crc END AS crc
+          FROM c0 LEFT JOIN crc_tbl tb
+            ON tb.idx = xor(c0.crc, unicode(substring(c0.s,1,1))) & 255
         ),
         c2 AS (
-          SELECT doc_id, s,
-                 CASE WHEN length(s) >= 2
-                      THEN xor(crc >> 8, (SELECT v FROM crc_tbl WHERE
-                           idx = xor(crc, unicode(substring(s,2,1))) & 255))
-                      ELSE crc END AS crc
-          FROM c1
+          SELECT c1.doc_id, c1.s,
+                 CASE WHEN length(c1.s) >= 2
+                      THEN xor(c1.crc >> 8, tb.v)
+                      ELSE c1.crc END AS crc
+          FROM c1 LEFT JOIN crc_tbl tb
+            ON tb.idx = xor(c1.crc, unicode(substring(c1.s,2,1))) & 255
         ),
         c3 AS (
-          SELECT doc_id, s,
-                 CASE WHEN length(s) >= 3
-                      THEN xor(crc >> 8, (SELECT v FROM crc_tbl WHERE
-                           idx = xor(crc, unicode(substring(s,3,1))) & 255))
-                      ELSE crc END AS crc
-          FROM c2
+          SELECT c2.doc_id, c2.s,
+                 CASE WHEN length(c2.s) >= 3
+                      THEN xor(c2.crc >> 8, tb.v)
+                      ELSE c2.crc END AS crc
+          FROM c2 LEFT JOIN crc_tbl tb
+            ON tb.idx = xor(c2.crc, unicode(substring(c2.s,3,1))) & 255
         ),
         sh AS (SELECT DISTINCT doc_id, xor(crc, 4294967295) AS x FROM c3),
         sig AS (
