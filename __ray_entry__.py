@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample": curation.priority_sample,
         "spearman_rank_corr": curation.spearman_rank_corr,
         "stratified_sample_exact": curation.stratified_sample_exact,
+        "eval_set_builder": curation.eval_set_builder,
         "doc_top_tokens": curation.doc_top_tokens,
         "user_mode_event": windows.user_mode_event,
         "q23_returned_item_revenue": relational.q23_returned_item_revenue,
@@ -1125,6 +1126,34 @@ def _gopher_gate_sql() -> str:
     """
 
 
+def _eval_set_sql() -> str:
+    """Composite oracle = literal composition of the decontaminate and
+    gopher_gate oracles, then the stratified bottom-k-by-md5 sample
+    over the survivors (curation.eval_set_builder)."""
+    from tensorflow_ocr_ray.pipelines.curation import EVAL_SET_K
+
+    return f"""
+        WITH dec AS MATERIALIZED ({_decontaminate_sql()}),
+        gop AS MATERIALIZED ({_gopher_gate_sql()}),
+        surv AS (
+          SELECT d.doc_id, d.lang
+          FROM documents d
+          JOIN dec ON dec.doc_id = d.doc_id
+          JOIN gop ON gop.doc_id = d.doc_id
+          WHERE NOT dec.contaminated AND gop.passed = 1
+        )
+        SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h
+        FROM (
+          SELECT lang, doc_id,
+                 md5(CAST(doc_id AS VARCHAR)) AS h,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rank
+          FROM surv
+        ) WHERE rank <= {EVAL_SET_K}
+    """
+
+
 def _curation_pipeline_sql() -> str:
     """The composite oracle is literally the composition of the piece
     oracles: keep-list ∘ gopher gate ∘ the pack prefix-sum, re-run over
@@ -1372,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "curation_pipeline": _curation_pipeline_sql(),
+        "eval_set_builder": _eval_set_sql(),
         "mixture_rebalance": _mixture_sql(),
         "source_topk_docs": _source_topk_sql(),
         "dedup_keep_list": _keep_list_sql(),

@@ -1518,3 +1518,84 @@ def stratified_sample_exact(sf_dir: str,
     out["rank"] = out.groupby("lang").cumcount() + 1
     return out[["lang", "rank", "doc_id", "h"]].reset_index(
         drop=True).astype({"doc_id": "int64", "rank": "int64"})
+
+
+EVAL_SET_K = 10
+
+
+def eval_set_builder(sf_dir: str, k: int = EVAL_SET_K) -> pd.DataFrame:
+    """End-to-end EVAL-SET construction — the second flagship composite
+    (curation_pipeline builds the TRAINING side): keep documents that
+    are (a) NOT contaminated against the benchmark shingle set and
+    (b) pass the Gopher quality gate, then draw a per-language
+    exact-size deterministic sample (bottom-``k`` md5 per stratum).
+
+    Physical plan: the benchmark shingle hashes are broadcast once
+    (decontaminate's small-side rule), then ONE fused map pass computes
+    both verdicts per batch (searchsorted membership + the
+    gopher_gate_batch signals) and emits only each batch's per-lang
+    heads — zero shuffles end to end; the driver merges
+    |langs| x k x num_batches skinny rows.  The oracle is literally
+    the composition of the decontaminate and gopher_gate oracles."""
+    import hashlib
+
+    def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % DECON_BENCH_MOD == 0]
+        parts = [
+            _md5_prefix_batch(_char_kgrams(t, DECON_K), 8)
+            for t in df["text"]
+        ] or [np.array([], dtype=">u8")]
+        return pd.DataFrame(
+            {"h": np.unique(np.concatenate(parts)).astype(np.uint64)}
+        )
+
+    bench_parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_hashes, batch_format="pandas",
+                     batch_size=1024)
+        .to_pandas()
+    )
+    bench = np.unique(bench_parts["h"].values.astype(np.uint64))
+    bench_ref = ray.put(bench)
+
+    def heads(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        df = df[df["doc_id"] % DECON_BENCH_MOD != 0]
+        if not len(df):
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=object),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "h": pd.Series([], dtype=object)}
+            )
+        gop = gopher_gate_batch(df)
+        clean = np.ones(len(df), dtype=bool)
+        for row, t in enumerate(df["text"]):
+            gs = _char_kgrams(t, DECON_K)
+            if gs:
+                hs = _md5_prefix_batch(gs, 8).astype(np.uint64)
+                idx = np.searchsorted(b, hs)
+                idx[idx == len(b)] = 0
+                if len(b) and bool((b[idx] == hs).any()):
+                    clean[row] = False
+        keep = clean & (gop["passed"].to_numpy() == 1)
+        d = pd.DataFrame(
+            {
+                "lang": df["lang"].to_numpy()[keep],
+                "doc_id": df["doc_id"].to_numpy()[keep].astype("int64"),
+            }
+        )
+        d["h"] = [hashlib.md5(str(int(x)).encode()).hexdigest()
+                  for x in d["doc_id"]]
+        d = d.sort_values(["lang", "h"])
+        return d.groupby("lang", as_index=False).head(k)
+
+    sk = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(heads, batch_format="pandas", batch_size=1024)
+        .to_pandas()
+        .sort_values(["lang", "h"])
+    )
+    out = sk.groupby("lang", as_index=False).head(k)
+    out["rank"] = out.groupby("lang").cumcount() + 1
+    return out[["lang", "rank", "doc_id", "h"]].reset_index(
+        drop=True).astype({"doc_id": "int64", "rank": "int64"})

@@ -231,6 +231,7 @@ def test_ann_topk_multi_oracle(ray_session):
          ["lineitem", "orders", "customer", "nation"]),
         ("next_purchase_event", ["events"]),
         ("stratified_sample_exact", ["documents"]),
+        ("eval_set_builder", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

@@ -40,3 +40,23 @@ def test_flood_and_xycut_agree(ref_seed):
         collect_glyphs=False,
     )
     assert a.text == b.text
+
+
+def test_halfup_integer_mean_formula():
+    """floor((2*scale*sum + n) / (2n)) == decimal round-half-up of
+    (sum/n) at that scale, for random non-negative integer sums — the
+    formula both engines now use for every *_e4 average."""
+    from decimal import Decimal, ROUND_HALF_UP
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for _ in range(500):
+        n = int(rng.integers(1, 10_000))
+        s = int(rng.integers(0, 10**12))
+        scale = int(rng.choice([100, 10_000]))
+        got = (2 * scale * s + n) // (2 * n)
+        want = int(
+            (Decimal(s) * scale / Decimal(n)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP)
+        )
+        assert got == want, (s, n, scale, got, want)
