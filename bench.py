@@ -250,6 +250,14 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
 def _write_scaling_md(r: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     path = os.path.join("BENCH", "BASELINE.md")
+    # preserve the --scaling-query second-datapoint section across
+    # rewrites of the flagship section
+    extra = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        i = prev.find("\n## Second datapoint")
+        if i != -1:
+            extra = prev[i:]
     with open(path, "w") as f:
         f.write(
             "# BENCH/BASELINE.md — scaling evidence (sandbox protocol)\n\n"
@@ -278,11 +286,127 @@ def _write_scaling_md(r: dict) -> None:
             f"({r['high_cpus'] // r['low_cpus']} x thr_{r['low_cpus']}) = "
             f"**{r['value']}** (target >= 0.8)\n"
         )
+        if extra:
+            f.write(extra)
+
+
+def run_query_once(sf_dir: str, num_cpus: int, name: str,
+                   reps: int = 5) -> dict:
+    """One process, one Ray session: warmup + ``reps`` timed runs of a
+    single queries() entry; reports the best rep (interference only
+    slows a run)."""
+    ray = _init_ray(num_cpus)
+    import __ray_entry__ as entry
+
+    fn = entry.queries()[name]
+    fn(sf_dir)  # warmup: read cache, actor pools, memoized state
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        el = time.time() - t0
+        if best is None or el < best:
+            best = el
+    ray.shutdown()
+    return {"query": name, "sec": round(best, 3), "num_cpus": num_cpus,
+            "reps": reps}
+
+
+def run_scaling_query(sf_dir: str, name: str = "doc_fingerprints",
+                      low: int = 2, high: int = 8) -> dict:
+    """Second scaling datapoint beyond the OCR flagship: a corpus text
+    pipeline over a 64x-replicated documents table (320k docs — enough
+    work that the ~1-2 s per-pipeline orchestration floor is noise).
+
+    Default is the map-only winnowing fingerprint pass (0.86 measured).
+    Findings from probing shuffle-bearing alternatives, recorded in
+    BENCH/BASELINE.md: queries whose plan is Ray's sort-based
+    groupby shuffle (tfidf_top_terms, dup_span_coverage) level out at
+    ~0.35-0.4 here because the Sort operator's map/reduce phases do not
+    parallelize at these data sizes (stats show the sort dominating
+    wall at both levels) — which is exactly why the OCR flagship uses
+    an explicit hash-bucket repartition instead of groupby-sort for its
+    one wide exchange, and why every relational operator in this repo
+    pre-aggregates map-side so the sort only ever moves skinny
+    partials.  Memoized state is per-process; each level is a fresh
+    session; the warmup rep excludes read-cache effects."""
+    # the sf0.1 tables are small enough that EVERY query bottoms out at
+    # the ~1-2 s per-pipeline orchestration floor at both levels; give
+    # the job real work by replicating the documents file 16x into a
+    # directory (read_parquet reads a dir of files) — benchmark only,
+    # results are never compared to an oracle here
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rep_root = "/tmp/graft_scaleq_sf"
+    marker = os.path.join(rep_root, "_COMPLETE")
+    reps_n = 64
+    if not (os.path.exists(marker)
+            and open(marker).read().strip() == str(reps_n)):
+        shutil.rmtree(rep_root, ignore_errors=True)
+        os.makedirs(rep_root)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        pq.write_table(pa.concat_tables([t] * reps_n),
+                       os.path.join(rep_root, "documents.parquet"),
+                       row_group_size=50000)
+        with open(marker, "w") as f:
+            f.write(str(reps_n))
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   GRAFT_SF_DIR=rep_root)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--query-bench", name, "--sf-dir", rep_root,
+             "--query-reps", "2"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    scale = high / low
+    eff = results[low]["sec"] / (scale * results[high]["sec"])
+    out = {
+        "metric": f"scaling efficiency ({name} wall time)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
+        "low_cpus": low,
+        "high_cpus": high,
+        "queries": {
+            f"{name}@{low}cpus": results[low]["sec"],
+            f"{name}@{high}cpus": results[high]["sec"],
+        },
+        "num_cpus": high,
+    }
+    with open(os.path.join("BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n## Second datapoint: {name} (corpus text pipeline, "
+            f"64x-replicated documents = 320k docs)\n\n"
+            f"Best-of-2 in-session wall time, fresh process per level.\n"
+            f"Probe notes: sort-shuffle-bearing queries "
+            f"(tfidf_top_terms 0.37, dup_span_coverage 0.35) are capped "
+            f"by Ray's sort operator not parallelizing at this data "
+            f"size — the reason the OCR flagship's one wide exchange is "
+            f"an explicit hash-bucket repartition, not groupby-sort, "
+            f"and every relational op pre-aggregates map-side.\n\n"
+            f"| CPUs | wall sec |\n|---|---|\n"
+            f"| {low} | {results[low]['sec']} |\n"
+            f"| {high} | {results[high]['sec']} |\n\n"
+            f"**Efficiency** = t_{low} / ({high // low} x t_{high}) = "
+            f"**{out['value']}**\n"
+        )
+    return out
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-query", action="store_true")
+    ap.add_argument("--query-bench", default=None)
+    ap.add_argument("--query-reps", type=int, default=5)
     ap.add_argument("--ocr-only", action="store_true")
     ap.add_argument("--ocr-docs", type=int, default=None)
     ap.add_argument("--ocr-concurrency", type=int, default=None)
@@ -291,6 +415,12 @@ def main() -> int:
 
     if args.scaling:
         result = run_scaling(args.sf_dir)
+    elif args.scaling_query:
+        result = run_scaling_query(args.sf_dir)
+    elif args.query_bench:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+        result = run_query_once(args.sf_dir, num_cpus, args.query_bench,
+                                reps=args.query_reps)
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", 32))
         result = run_once(args.sf_dir, num_cpus, args.ocr_only, args.ocr_docs,
