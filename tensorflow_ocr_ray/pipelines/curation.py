@@ -396,11 +396,16 @@ def tfidf_top_terms(sf_dir: str, topn: int = TFIDF_TOPN) -> "rd.Dataset":
         g["df"] = g["token"].map(df_tbl).astype("int64")
         return g
 
-    joined = (
+    # routed exchange, not groupby-sort: Ray's Sort operator dominated
+    # wall at BOTH scaling levels on a 320k-doc probe (efficiency 0.37)
+    # while every map stage scaled — rows only need ROUTING to their
+    # precomputed crc32 shard (stages/exchange.py)
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    joined = hash_exchange(
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(counts, batch_format="pandas", batch_size=512)
-        .groupby("tshard")
-        .map_groups(score_shard, batch_format="pandas")
+        .map_batches(counts, batch_format="pandas", batch_size=512),
+        "tshard", _N_SHARDS, score_shard,
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -417,13 +422,12 @@ def tfidf_top_terms(sf_dir: str, topn: int = TFIDF_TOPN) -> "rd.Dataset":
             {"doc_id": "int64", "rank": "int64"}
         )
 
-    return (
+    return hash_exchange(
         joined.map_batches(
             lambda df: df.assign(dshard=(df["doc_id"] % _N_SHARDS)),
             batch_format="pandas",
-        )
-        .groupby("dshard")
-        .map_groups(topk, batch_format="pandas")
+        ),
+        "dshard", _N_SHARDS, topk,
     )
 
 
@@ -617,20 +621,21 @@ def dup_span_coverage(sf_dir: str, k: int = DUP_SPAN_K) -> "rd.Dataset":
     # the gram explode amplifies ~40x per input char (40-byte row per
     # position), so the batch is sized to keep one task's output under
     # ~64 MiB even for multi-KB documents
-    dup_pos = (
+    # both wide steps are routed hash exchanges, not groupby-sorts —
+    # the Sort operator dominated wall at both scaling levels on the
+    # 320k-doc probe (stages/exchange.py for the measurements)
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    dup_pos = hash_exchange(
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(grams, batch_format="pandas", batch_size=128)
-        .groupby("gshard")
-        .map_groups(dup_rows, batch_format="pandas")
+        .map_batches(grams, batch_format="pandas", batch_size=128),
+        "gshard", n_shards, dup_rows,
     )
     sent = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         sentinels, batch_format="pandas", batch_size=2048
     )
-    return (
-        dup_pos.union(sent)
-        .groupby("dshard")
-        .map_groups(coverage, batch_format="pandas")
-    )
+    return hash_exchange(dup_pos.union(sent), "dshard", n_shards,
+                         coverage)
 
 
 # ---------------- corpus vocabulary top-K ----------------------------------

@@ -1,0 +1,70 @@
+"""Explicit hash exchange — the repo's custom wide operator for when
+Ray Data's sort-based shuffle is the bottleneck.
+
+``Dataset.groupby(key).map_groups(fn)`` executes as a SORT: measured on
+a 320k-doc corpus (BENCH/BASELINE.md probe notes), the Sort operator
+dominated wall time at BOTH 2 and 8 CPUs (scaling efficiency ~0.35 for
+tfidf/dup_span) because its map/reduce phases did not parallelize at
+this data size, while every map stage around it scaled cleanly.  For a
+LOW-CARDINALITY PRECOMPUTED shard key (the repo's standard 64-way
+crc32/id-hash shard), sorting is wasted work — rows only need to be
+ROUTED.
+
+``hash_exchange`` does exactly that with raw Ray tasks (SURVEY §2's
+custom-operator rule, option (c), documented): one task per input block
+splits it by the shard column (``num_returns=n_shards`` object refs —
+the object store holds every partition, nothing on the driver), then
+one task per shard concatenates its slices and applies ``fn``.  Two
+passes, no sort, no comparison work; the result returns to the Dataset
+world via ``from_pandas_refs`` so downstream stages stay lazy.
+
+Partitioning assumption (same as the groupby it replaces): one shard's
+rows fit one task's memory — callers size ``n_shards`` to the data, and
+a skewed shard hurts here exactly as it hurt the sort path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def hash_exchange(
+    ds: "rd.Dataset",
+    shard_col: str,
+    n_shards: int,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+) -> "rd.Dataset":
+    """Route every row to shard ``row[shard_col]`` (values must be
+    0..n_shards-1) and apply ``fn`` once per shard — a drop-in
+    replacement for ``ds.groupby(shard_col).map_groups(fn)`` that never
+    sorts."""
+    block_refs = ds.to_arrow_refs()
+
+    @ray.remote(num_returns=n_shards)
+    def split(tbl) -> tuple:
+        df = tbl.to_pandas()
+        if shard_col not in df.columns:
+            # a schema-less EMPTY block (e.g. an empty shard of an
+            # upstream exchange round-tripped through Arrow)
+            return tuple(df for _ in range(n_shards))
+        s = df[shard_col].to_numpy()
+        return tuple(df[s == i] for i in range(n_shards))
+
+    per_block = [split.remote(r) for r in block_refs]
+
+    @ray.remote
+    def merge_apply(*parts) -> pd.DataFrame:
+        # empty shards reach fn as an empty frame WITH columns (concat
+        # of column-typed empties) — the same contract map_groups gives
+        return fn(pd.concat(parts, ignore_index=True))
+
+    shard_refs = [
+        merge_apply.remote(*[pb[s] for pb in per_block])
+        for s in range(n_shards)
+    ]
+    return rd.from_pandas_refs(shard_refs)
