@@ -573,15 +573,18 @@ def winnow_dup_pairs(
             {"doc_a": "int64", "doc_b": "int64", "shared": "int64"}
         )
 
-    return (
+    # routed hash exchanges (stages/exchange.py), not groupby-sorts:
+    # the winnowing-pair join moves corpus-scale fingerprint rows and
+    # Ray's Sort was the dominant cost of this op at sf0.1
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    per_fp = hash_exchange(
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(explode, batch_format="pandas", batch_size=4096)
-        .groupby("shard")
-        .map_groups(pairs_in_shard, batch_format="pandas")
-        .groupby("pshard")
-        .map_groups(finalize, batch_format="pandas")
-        .select_columns(["doc_a", "doc_b", "shared"])
+        .map_batches(explode, batch_format="pandas", batch_size=4096),
+        "shard", n_shards, pairs_in_shard,
     )
+    return hash_exchange(per_fp, "pshard", n_shards, finalize
+                         ).select_columns(["doc_a", "doc_b", "shared"])
 
 
 # pair-count-bounded frames, memoized per (inputs, params) like the
