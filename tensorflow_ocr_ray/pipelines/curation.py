@@ -1092,13 +1092,13 @@ def distinct_trigram_count(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
             }
         )
 
-    parts = (
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    parts = hash_exchange(
         _docs(sf_dir, ["text"])
-        .map_batches(explode, batch_format="pandas", batch_size=4096)
-        .groupby("shard")
-        .map_groups(shard_count, batch_format="pandas")
-        .to_pandas()
-    )
+        .map_batches(explode, batch_format="pandas", batch_size=4096),
+        "shard", n_shards, shard_count,
+    ).to_pandas()
     return pd.DataFrame(
         {
             "n_distinct": [np.int64(parts["p_distinct"].sum())],
@@ -1197,11 +1197,12 @@ def frequent_trigrams(sf_dir: str, min_count: int = FREQ_TRIGRAM_MIN,
              "n": g["n"].to_numpy().astype(np.int64)}
         )
 
-    return (
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    return hash_exchange(
         _docs(sf_dir, ["text"])
-        .map_batches(explode, batch_format="pandas", batch_size=4096)
-        .groupby("shard")
-        .map_groups(shard_filter, batch_format="pandas")
+        .map_batches(explode, batch_format="pandas", batch_size=4096),
+        "shard", n_shards, shard_filter,
     )
 
 

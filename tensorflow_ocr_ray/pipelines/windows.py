@@ -21,6 +21,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
 GAP_MIN = 30
 
 
@@ -115,12 +117,10 @@ def _combine_window_partials(ds: "rd.Dataset", n_shards: int = 64) -> pd.DataFra
         )
         return out
 
-    agg = (
-        ds.map_batches(add_shard, batch_format="pandas")
-        .groupby("shard")
-        .map_groups(combine, batch_format="pandas")
-        .to_pandas()
-    )
+    agg = hash_exchange(
+        ds.map_batches(add_shard, batch_format="pandas"),
+        "shard", n_shards, combine,
+    ).to_pandas()
     return (
         agg.sort_values(["user_id", "window_start"]).reset_index(drop=True)
     )
@@ -207,12 +207,8 @@ def asof_event_order(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         )
         return res[res["o_orderkey"] >= 0]
 
-    df = (
-        o.union(e)
-        .groupby("shard")
-        .map_groups(asof_shard, batch_format="pandas")
-        .to_pandas()
-    )
+    df = hash_exchange(o.union(e), "shard", n_shards,
+                       asof_shard).to_pandas()
     return df.sort_values("event_id").reset_index(drop=True)
 
 
@@ -335,11 +331,10 @@ def user_journey(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         out["n_events"] = out["n_events"].astype("int64")
         return out[["user_id", "journey", "n_events"]]
 
-    return (
+    return hash_exchange(
         _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
     )
 
 
@@ -380,13 +375,11 @@ def event_transitions(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
             one=("one", "sum")
         )
 
-    parts = (
+    parts = hash_exchange(
         _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
-        .to_pandas()
-    )
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
+    ).to_pandas()
     out = parts.groupby(["from_type", "to_type"], as_index=False).agg(
         transitions=("one", "sum")
     )
@@ -599,11 +592,7 @@ def range_join_orders(sf_dir: str, days: int = 7,
             }
         )
 
-    return (
-        o.union(e)
-        .groupby("shard")
-        .map_groups(count_in_shard, batch_format="pandas")
-    )
+    return hash_exchange(o.union(e), "shard", n_shards, count_in_shard)
 
 
 # ---------------- first-touch attribution ----------------------------------
@@ -679,11 +668,7 @@ def first_touch_attribution(sf_dir: str, days: int = 30,
             }
         )
 
-    return (
-        v.union(p)
-        .groupby("shard")
-        .map_groups(attribute, batch_format="pandas")
-    )
+    return hash_exchange(v.union(p), "shard", n_shards, attribute)
 
 
 # ---------------- distinct-on / argmin ---------------------------------------
@@ -724,11 +709,10 @@ def first_event_per_user_day(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
             }
         )
 
-    return (
+    return hash_exchange(
         _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
-        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
     )
 
 
@@ -775,11 +759,10 @@ def user_active_streak(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
              "longest_streak": "int64"}
         )
 
-    return (
+    return hash_exchange(
         _events(sf_dir, ["user_id", "ts"])
-        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
     )
 
 
@@ -809,6 +792,11 @@ def event_lag_diff(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         )
 
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # hash_exchange delivers empty shards too
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("event_id", "user_id", "ts_us", "gap_us")}
+            )
         df = df.sort_values(["user_id", "ts_us", "event_id"])
         uid = df["user_id"].to_numpy()
         us = df["ts_us"].to_numpy()
@@ -826,11 +814,10 @@ def event_lag_diff(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
             }
         )
 
-    return (
+    return hash_exchange(
         _events(sf_dir, ["event_id", "user_id", "ts"])
-        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
     )
 
 
@@ -889,11 +876,10 @@ def moving_window_sum(sf_dir: str, width: int = 3,
             }
         )
 
-    return (
+    return hash_exchange(
         _events(sf_dir, ["event_id", "user_id", "ts", "value"])
-        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
     )
 
 
@@ -1123,11 +1109,10 @@ def user_mode_event(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
             }
         )
 
-    return (
+    return hash_exchange(
         _events(sf_dir, ["user_id", "event_type"])
-        .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
+        .map_batches(partial, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
     )
 
 
@@ -1157,6 +1142,12 @@ def next_purchase_event(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         )
 
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # hash_exchange delivers empty shards too
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("event_id", "user_id",
+                           "next_purchase_id", "gap_us")}
+            )
         df = df.sort_values(["user_id", "ts_us", "event_id"])
         n = len(df)
         uid = df["user_id"].to_numpy()
@@ -1189,9 +1180,8 @@ def next_purchase_event(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
             }
         )
 
-    return (
+    return hash_exchange(
         _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
-        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
     )

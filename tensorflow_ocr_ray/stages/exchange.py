@@ -21,6 +21,10 @@ world via ``from_pandas_refs`` so downstream stages stay lazy.
 Partitioning assumption (same as the groupby it replaces): one shard's
 rows fit one task's memory — callers size ``n_shards`` to the data, and
 a skewed shard hurts here exactly as it hurt the sort path.
+
+Contract difference vs map_groups: EMPTY shards reach ``fn`` as an
+empty typed frame (map_groups never calls the fn for absent groups), so
+``fn`` must tolerate len(df) == 0.
 """
 
 from __future__ import annotations
