@@ -45,6 +45,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from tensorflow_ocr_ray.stages.exchange import hash_exchange
 from tensorflow_ocr_ray.functions.textstats import (
     _WS,
     _md5_64,
@@ -342,6 +343,9 @@ def _pack_assign(stats: "rd.Dataset", capacity: int) -> "rd.Dataset":
             }
         )
 
+    # NOT hash_exchange: pack shards are doc_id // shard_size — a
+    # data-dependent, unbounded shard count (hash_exchange requires
+    # values in 0..n_shards-1 and silently drops the rest)
     return stats.groupby("shard").map_groups(assign, batch_format="pandas")
 
 
@@ -888,14 +892,13 @@ def doc_rarity(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(distinct_tokens, batch_format="pandas", batch_size=512)
-        .groupby("tshard")
-        .map_groups(attach_df, batch_format="pandas")
-        .groupby("dshard")
-        .map_groups(per_doc, batch_format="pandas")
-    )
+    return hash_exchange(
+        hash_exchange(
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(distinct_tokens, batch_format="pandas",
+                         batch_size=512),
+            "tshard", _N_SHARDS, attach_df),
+        "dshard", _N_SHARDS, per_doc)
 
 
 # ---------------- domain-mixture rebalancing -------------------------------
@@ -1042,6 +1045,8 @@ def curation_pipeline(
         a = a[a["flags"] == 2]
         return a[["doc_id", "shard", "tokens"]].astype("int64")
 
+    # NOT hash_exchange: this is the packer's own doc_id // shard_size
+    # key — a data-dependent, unbounded shard count
     stats = (
         k.union(g)
         .groupby("shard")
@@ -1436,10 +1441,11 @@ def source_vocab_overlap(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         )
 
     out = (
-        _docs(sf_dir, ["source", "text"])
-        .map_batches(explode, batch_format="pandas", batch_size=4096)
-        .groupby("shard")
-        .map_groups(shard_pairs, batch_format="pandas")
+        hash_exchange(
+            _docs(sf_dir, ["source", "text"])
+            .map_batches(explode, batch_format="pandas",
+                         batch_size=4096),
+            "shard", n_shards, shard_pairs)
         .groupby(["source_a", "source_b"])
         .aggregate(_Sum("p_n", alias_name="shared_tokens"))
         .to_pandas()

@@ -23,6 +23,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -534,9 +536,10 @@ def q15_active_users(
         )
 
     df = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(combine, batch_format="pandas")
+        hash_exchange(
+            ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+            "shard", n_shards, combine)
         .to_pandas()
     )
     return df.sort_values("user_id").reset_index(drop=True)
@@ -786,9 +789,7 @@ def q17_order_lineitem_join(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         )
 
     df = (
-        lines.union(ords)
-        .groupby("shard")
-        .map_groups(merge_shard, batch_format="pandas")
+        hash_exchange(lines.union(ords), "shard", n_shards, merge_shard)
         .to_pandas()
     )
     return df.sort_values("o_orderkey").reset_index(drop=True)
@@ -834,11 +835,12 @@ def q18_customers_without_orders(
         )
 
     df = (
-        cust.map_batches(c_rows, batch_format="pandas", batch_size=65536)
-        .union(orders.map_batches(o_rows, batch_format="pandas",
-                                  batch_size=65536))
-        .groupby("shard")
-        .map_groups(anti, batch_format="pandas")
+        hash_exchange(
+            cust.map_batches(c_rows, batch_format="pandas",
+                             batch_size=65536)
+            .union(orders.map_batches(o_rows, batch_format="pandas",
+                                      batch_size=65536)),
+            "shard", n_shards, anti)
         .to_pandas()
     )
     return df.sort_values("c_custkey").reset_index(drop=True)
@@ -872,10 +874,10 @@ def q19_top2_orders_per_customer(sf_dir: str, n_shards: int = 64) -> pd.DataFram
         )
 
     df = (
-        orders.map_batches(add_shard, batch_format="pandas",
-                           batch_size=65536)
-        .groupby("shard")
-        .map_groups(rank_shard, batch_format="pandas")
+        hash_exchange(
+            orders.map_batches(add_shard, batch_format="pandas",
+                               batch_size=65536),
+            "shard", n_shards, rank_shard)
         .to_pandas()
     )
     return df.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
@@ -912,9 +914,10 @@ def q20_user_event_window(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         )
 
     df = (
-        ev.map_batches(add_shard, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(window_shard, batch_format="pandas")
+        hash_exchange(
+            ev.map_batches(add_shard, batch_format="pandas",
+                           batch_size=65536),
+            "shard", n_shards, window_shard)
         .to_pandas()
     )
     return df.sort_values("event_id").reset_index(drop=True)
@@ -1079,9 +1082,10 @@ def event_pivot(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         return g.astype("int64")
 
     out = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(combine, batch_format="pandas")
+        hash_exchange(
+            ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+            "shard", n_shards, combine)
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
@@ -1107,18 +1111,15 @@ def top_order_lineitems(sf_dir: str, k: int = 100) -> pd.DataFrame:
         h = h.assign(shard=h["o_orderkey"].astype("int64") % n_shards)
         return h
 
-    heads = (
+    heads = hash_exchange(
         _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .map_batches(batch_head, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(
-            lambda df: df.sort_values(
-                ["o_totalprice", "o_orderkey"], ascending=[False, True]
-            ).head(k),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
+        .map_batches(batch_head, batch_format="pandas",
+                     batch_size=65536),
+        "shard", n_shards,
+        lambda df: df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k),
+    ).to_pandas()
     top = heads.sort_values(
         ["o_totalprice", "o_orderkey"], ascending=[False, True]
     ).head(k)
@@ -1250,10 +1251,11 @@ def user_order_event_ratio(sf_dir: str) -> "rd.Dataset":
         )
 
     return (
-        e.union(o)
-        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
-        .groupby("shard")
-        .map_groups(combine, batch_format="pandas")
+        hash_exchange(
+            e.union(o)
+            .map_batches(add_shard, batch_format="pandas",
+                         batch_size=65536),
+            "shard", n_shards, combine)
         .select_columns(["user_id", "n_events", "n_orders"])
     )
 
@@ -1336,9 +1338,7 @@ def bloom_semi_join(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         )
 
     return (
-        p.union(b)
-        .groupby("shard")
-        .map_groups(merge, batch_format="pandas")
+        hash_exchange(p.union(b), "shard", n_shards, merge)
         .select_columns(["l_orderkey", "n_items", "sum_qty"])
     )
 
@@ -1435,9 +1435,7 @@ def q22_region_monthly_revenue(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         )
 
     df = (
-        l.union(o)
-        .groupby("shard")
-        .map_groups(merge, batch_format="pandas")
+        hash_exchange(l.union(o), "shard", n_shards, merge)
         .to_pandas()
     )
     g = df.groupby(["r_name", "month"], as_index=False).agg(
@@ -1667,11 +1665,9 @@ def q23_returned_item_revenue(sf_dir: str, topn: int = 20,
         return g.head(topn).astype({"cust": "int64", "rev": "int64"})
 
     heads = (
-        l.union(o)
-        .groupby("shard")
-        .map_groups(merge, batch_format="pandas")
-        .groupby("cshard")
-        .map_groups(cust_top, batch_format="pandas")
+        hash_exchange(
+            hash_exchange(l.union(o), "shard", n_shards, merge),
+            "cshard", n_shards, cust_top)
         .to_pandas()
         .sort_values(["rev", "cust"], ascending=[False, True])
         .head(topn)

@@ -57,6 +57,12 @@ def hash_exchange(
             # upstream exchange round-tripped through Arrow)
             return tuple(df for _ in range(n_shards))
         s = df[shard_col].to_numpy()
+        if len(s) and (s.min() < 0 or s.max() >= n_shards):
+            raise ValueError(
+                f"hash_exchange: {shard_col} values outside "
+                f"[0, {n_shards}) — got [{s.min()}, {s.max()}]; rows "
+                f"would be silently dropped"
+            )
         return tuple(df[s == i] for i in range(n_shards))
 
     per_block = [split.remote(r) for r in block_refs]
