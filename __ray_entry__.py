@@ -1638,7 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q04_top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY o_totalprice DESC LIMIT 10
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "q05_region_customers": """
             SELECT r_name, count(*) AS customers
@@ -1716,7 +1716,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q15_active_users": """
             SELECT user_id, count(*) AS events,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS total_value_cents
             FROM events GROUP BY user_id
             HAVING count(*) >= 60
             ORDER BY user_id
@@ -1778,7 +1779,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": """
             SELECT user_id, session_seq,
                    min(ts) AS session_start, max(ts) AS session_end,
-                   count(*) AS events, round(sum(value), 2) AS total_value
+                   count(*) AS events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS total_value_cents
             FROM (
               SELECT user_id, ts, value,
                      CAST(sum(new_sess) OVER (
@@ -1797,12 +1800,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    time_bucket(INTERVAL 60 MINUTE, ts) AS window_start,
                    count(*) AS events,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS total_value_cents
             FROM events GROUP BY 1, 2
         """,
         "events_hopping": """
             SELECT user_id, window_start, count(*) AS events,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS total_value_cents
             FROM (
               SELECT user_id, value,
                      time_bucket(INTERVAL 30 MINUTE, ts)
@@ -2215,12 +2220,15 @@ def oracle_sql() -> dict[str, str]:
                      -1) AS gap_us
             FROM events
         """,
-        # ROWS BETWEEN 2 PRECEDING AND CURRENT ROW frame, exact cents
+        # ROWS BETWEEN 2 PRECEDING AND CURRENT ROW frame, exact cents.
+        # The windowed sum is HUGEINT in DuckDB (pandas float64) — CAST
+        # to BIGINT so the driver's dtype-sensitive hash matches the
+        # engine's int64, exactly as running_total does.
         "moving_window_sum": """
             SELECT event_id, user_id,
                    count(*) OVER w AS win_n,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
-                       AS win_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS win_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

@@ -345,7 +345,8 @@ def _pack_assign(stats: "rd.Dataset", capacity: int) -> "rd.Dataset":
 
     # NOT hash_exchange: pack shards are doc_id // shard_size — a
     # data-dependent, unbounded shard count (hash_exchange requires
-    # values in 0..n_shards-1 and silently drops the rest)
+    # values in 0..n_shards-1 and hard-fails with ValueError outside
+    # that range)
     return stats.groupby("shard").map_groups(assign, batch_format="pandas")
 
 

@@ -37,25 +37,48 @@ def _docs(sf_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def dedup_exact(sf_dir: str) -> "rd.Dataset":
+def dedup_exact(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     """Exact dedup: keep the smallest doc_id per identical text.
+
+    Routed by an md5(text)-derived small-int shard (the
+    ``dedup_keep_list`` hash pattern) so the exchange compares 8-byte
+    keys — the pre-r4 version ran ``groupby("text")``, which shipped
+    every byte of the corpus through the sort shuffle AS THE KEY.  The
+    text still travels once as payload (the result schema includes it),
+    but inside a shard grouping is pandas-hash on co-located strings,
+    and identical texts land in one shard by construction (same md5 →
+    same shard), so the group-min is exact even across md5-prefix
+    collisions (the in-shard group key is the text itself).
 
     Returns the LAZY Dataset — the result is corpus-cardinality (one row
     per distinct text), so it must stream to a sink at scale, never
     collect on the driver."""
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["text", "keeper_doc_id", "copies"]].copy()
-        out["keeper_doc_id"] = out["keeper_doc_id"].astype("int64")
-        out["copies"] = out["copies"].astype("int64")
-        return out
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_prefix_batch(list(df["text"]), 8).astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": df["text"],
+                "shard": (h % np.uint64(n_shards)).astype("int64"),
+            }
+        )
 
-    return (
-        ds.groupby("text")
-        .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
-                   Count(alias_name="copies"))
-        .map_batches(finalize, batch_format="pandas")
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text", as_index=False).agg(
+            keeper_doc_id=("doc_id", "min"), copies=("doc_id", "size")
+        )
+        g["keeper_doc_id"] = g["keeper_doc_id"].astype("int64")
+        g["copies"] = g["copies"].astype("int64")
+        return g[["text", "keeper_doc_id", "copies"]]
+
+    return hash_exchange(
+        ds.map_batches(add_shard, batch_format="pandas", batch_size=4096),
+        "shard", n_shards, per_shard,
     )
 
 

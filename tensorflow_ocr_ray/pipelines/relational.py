@@ -175,10 +175,30 @@ def q03_segment_orders(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def q04_top_orders(sf_dir: str) -> pd.DataFrame:
+def q04_top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Global top-k orders by price WITHOUT a global sort: each block
+    emits its own top-k partial (≤k rows), the driver merges the bounded
+    |blocks|×k frame — the q19/source_topk_docs pattern.  The pre-r4
+    version ran ``ds.sort(...).limit(10)``: a full all-to-all sort of
+    the orders table for 10 rows, a scale-killer at 10^9 orders.
+
+    Tiebreak matches the oracle: price DESC, then o_orderkey ASC."""
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    df = ds.sort("o_totalprice", descending=True).limit(10).to_pandas()
-    return df
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    parts = ds.map_batches(
+        block_topk, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    return (
+        parts.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 def q05_region_customers(sf_dir: str) -> pd.DataFrame:
@@ -512,26 +532,32 @@ def q15_active_users(
 
     Map-side partials per user, then a sharded distributed combine (the
     ``_combine_window_partials`` pattern) — the driver never sees the
-    users×batches partial table, only the final HAVING-filtered result."""
+    users×batches partial table, only the final HAVING-filtered result.
+    Values travel as exact integer cents (the column is 2-decimal by
+    construction) so the distributed partial re-association cannot drift
+    vs the oracle's sequential float sum at any scale."""
     ds = _pq(sf_dir, "events", ["user_id", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("user_id", as_index=False).agg(
-            p_n=("value", "size"), p_v=("value", "sum")
+        d = df.assign(
+            cents=np.round(df["value"].to_numpy() * 100.0).astype("int64")
+        )
+        g = d.groupby("user_id", as_index=False).agg(
+            p_n=("cents", "size"), p_c=("cents", "sum")
         )
         g["shard"] = g["user_id"] % n_shards
         return g
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("user_id", as_index=False).agg(
-            events=("p_n", "sum"), v=("p_v", "sum")
+            events=("p_n", "sum"), c=("p_c", "sum")
         )
         g = g[g["events"] >= min_events]
         return pd.DataFrame(
             {
                 "user_id": g["user_id"],
                 "events": g["events"].astype("int64"),
-                "total_value": g["v"].round(2),
+                "total_value_cents": g["c"].astype("int64"),
             }
         )
 

@@ -1,14 +1,20 @@
 """Windowed / ordered operators over the ``events`` stream table.
 
 Operators Ray Data lacks natively, built per SURVEY §2's custom-operator
-rule as groupby + in-group vectorized compute (partitioning assumption:
-one user's events fit one group — they do, by construction of the key):
+rule as ONE co-locating ``hash_exchange`` on a coarse user-hash shard +
+in-shard vectorized compute (partitioning assumption: one shard's events
+fit one task — callers size ``n_shards``; a user never splits across
+shards by construction of the key):
 
 - ``sessionize``       — gap-based session windows per user (30-min gap)
 - ``tumbling_windows`` — fixed-width per-user time buckets
 - ``asof_event_order`` — as-of backward join: each event matched to the
-  user's latest order at-or-before the event time (broadcast small side
-  + ``np.searchsorted`` per batch; no shuffle of the big side)
+  user's latest order at-or-before the event time (sharded sort-merge;
+  neither side broadcast or collected)
+
+Every corpus-sized operator returns a LAZY Dataset — results stream to
+the consumer; nothing event- or session-cardinality sized lands on the
+driver.
 """
 
 from __future__ import annotations
@@ -30,48 +36,91 @@ def _events(sf_dir: str, columns=None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
-def sessionize(sf_dir: str, gap_minutes: int = GAP_MIN) -> pd.DataFrame:
+def sessionize(sf_dir: str, gap_minutes: int = GAP_MIN,
+               n_shards: int = 64) -> "rd.Dataset":
     """Session windows: a new session starts when the gap from the user's
-    previous event exceeds ``gap_minutes``.  Returns one row per session
-    with its bounds and event count."""
-    gap = np.timedelta64(gap_minutes * 60, "s")
+    previous event exceeds ``gap_minutes``.  One row per session with its
+    bounds, event count and exact integer-cent value sum.
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
-        ts = df["ts"].to_numpy()
-        new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new)
-        out = (
-            df.assign(session_seq=sid)
-            .groupby("session_seq", as_index=False)
+    Physical plan: ONE user-hash shuffle via ``hash_exchange`` (the
+    groupby-sort path measured 0.35-0.4 scaling efficiency on the events
+    table); inside a shard one vectorized sort over (user, ts) and a
+    boundary-mask cumsum label every session with no per-user Python.
+    Values travel as exact integer cents (the column is 2-decimal by
+    construction) so the distributed sum cannot drift vs the oracle's
+    sequential sum.  Returns a LAZY Dataset — nothing session-cardinality
+    sized ever lands on the driver."""
+    gap_us = np.int64(gap_minutes * 60_000_000)
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": us,
+                "cents": np.round(df["value"].to_numpy() * 100.0)
+                .astype("int64"),
+                "shard": df["user_id"].astype("int64") % n_shards,
+            }
+        )
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # hash_exchange delivers empty shards too
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_seq": pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="datetime64[us]"),
+                    "session_end": pd.Series([], dtype="datetime64[us]"),
+                    "events": pd.Series([], dtype="int64"),
+                    "total_value_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts_us"])
+        uid = df["user_id"].to_numpy()
+        us = df["ts_us"].to_numpy()
+        n = len(df)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new = new_user.copy()
+        new[1:] |= (us[1:] - us[:-1]) > gap_us
+        sid = np.cumsum(new)  # global 1-based session label
+        # per-user session_seq: global label minus the user's first label
+        base = np.maximum.accumulate(np.where(new_user, sid, 0))
+        seq = sid - base + 1
+        g = (
+            df.assign(session_seq=seq.astype("int64"))
+            .groupby(["user_id", "session_seq"], as_index=False)
             .agg(
-                user_id=("user_id", "first"),
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                events=("ts", "size"),
-                total_value=("value", "sum"),
+                start_us=("ts_us", "min"),
+                end_us=("ts_us", "max"),
+                events=("ts_us", "size"),
+                total_value_cents=("cents", "sum"),
             )
         )
-        out["total_value"] = out["total_value"].round(2)
-        out["events"] = out["events"].astype("int64")
-        return out[["user_id", "session_seq", "session_start",
-                    "session_end", "events", "total_value"]]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "session_seq": g["session_seq"].astype("int64"),
+                "session_start": g["start_us"].astype("datetime64[us]"),
+                "session_end": g["end_us"].astype("datetime64[us]"),
+                "events": g["events"].astype("int64"),
+                "total_value_cents": g["total_value_cents"]
+                .astype("int64"),
+            }
+        )
 
-    df = (
+    return hash_exchange(
         _events(sf_dir, ["user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
-        .to_pandas()
-    )
-    return (
-        df.sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
     )
 
 
-def tumbling_windows(sf_dir: str, width_minutes: int = 60) -> pd.DataFrame:
+def tumbling_windows(sf_dir: str, width_minutes: int = 60) -> "rd.Dataset":
     """Per-user fixed (tumbling) windows: floor(ts / width) buckets with
-    count + sum, pre-aggregated map-side before the one groupby."""
+    count + exact-cent sum, pre-aggregated map-side before the one
+    co-locating exchange.  Returns a lazy Dataset."""
     width = np.timedelta64(width_minutes * 60, "s")
     epoch = np.datetime64("1970-01-01T00:00:00")
 
@@ -79,9 +128,13 @@ def tumbling_windows(sf_dir: str, width_minutes: int = 60) -> pd.DataFrame:
         ts = df["ts"].to_numpy()
         win = epoch + ((ts - epoch) // width) * width
         g = (
-            df.assign(win_us=win.astype("datetime64[us]").astype("int64"))
+            df.assign(
+                win_us=win.astype("datetime64[us]").astype("int64"),
+                cents=np.round(df["value"].to_numpy() * 100.0)
+                .astype("int64"),
+            )
             .groupby(["user_id", "win_us"], as_index=False)
-            .agg(p_events=("value", "size"), p_value=("value", "sum"))
+            .agg(p_events=("cents", "size"), p_cents=("cents", "sum"))
         )
         return g
 
@@ -91,12 +144,17 @@ def tumbling_windows(sf_dir: str, width_minutes: int = 60) -> pd.DataFrame:
     return _combine_window_partials(ds)
 
 
-def _combine_window_partials(ds: "rd.Dataset", n_shards: int = 64) -> pd.DataFrame:
-    """Distributed finalize of map-side window partials: one shuffle keyed
-    by a coarse user-hash shard, then a VECTORIZED pandas groupby-sum per
-    shard (Ray's per-(user,timestamp)-key aggregate was measured ~45s for
-    10k partial rows; the sharded combine is sub-second and stays off the
-    driver — each shard sees only its users' partials)."""
+def _combine_window_partials(ds: "rd.Dataset",
+                             n_shards: int = 64) -> "rd.Dataset":
+    """Distributed finalize of map-side window partials: one exchange
+    keyed by a coarse user-hash shard, then a VECTORIZED pandas
+    groupby-sum per shard (Ray's per-(user,timestamp)-key aggregate was
+    measured ~45s for 10k partial rows; the sharded combine is
+    sub-second and stays off the driver — each shard sees only its
+    users' partials).  Partials and results are exact integer cents so
+    the distributed re-association cannot drift vs a sequential oracle
+    sum.  Returns a LAZY Dataset — the user×window result never lands
+    on the driver."""
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -105,28 +163,25 @@ def _combine_window_partials(ds: "rd.Dataset", n_shards: int = 64) -> pd.DataFra
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["user_id", "win_us"], as_index=False).agg(
-            events=("p_events", "sum"), v=("p_value", "sum")
+            events=("p_events", "sum"), c=("p_cents", "sum")
         )
         out = pd.DataFrame(
             {
-                "user_id": g["user_id"],
+                "user_id": g["user_id"].astype("int64"),
                 "window_start": g["win_us"].astype("datetime64[us]"),
                 "events": g["events"].astype("int64"),
-                "total_value": g["v"].round(2),
+                "total_value_cents": g["c"].astype("int64"),
             }
         )
         return out
 
-    agg = hash_exchange(
+    return hash_exchange(
         ds.map_batches(add_shard, batch_format="pandas"),
         "shard", n_shards, combine,
-    ).to_pandas()
-    return (
-        agg.sort_values(["user_id", "window_start"]).reset_index(drop=True)
     )
 
 
-def asof_event_order(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+def asof_event_order(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     """As-of backward join: each event gets the user's most recent order
     (o_custkey == user_id, o_orderdate <= ts).
 
@@ -207,17 +262,19 @@ def asof_event_order(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
         )
         return res[res["o_orderkey"] >= 0]
 
-    df = hash_exchange(o.union(e), "shard", n_shards,
-                       asof_shard).to_pandas()
-    return df.sort_values("event_id").reset_index(drop=True)
+    # lazy Dataset out — one row per matched event never lands on the
+    # driver (the pre-r4 version collected + driver-sorted the full
+    # event-cardinality frame)
+    return hash_exchange(o.union(e), "shard", n_shards, asof_shard)
 
 
 def hopping_windows(
     sf_dir: str, width_minutes: int = 60, hop_minutes: int = 30
-) -> pd.DataFrame:
+) -> "rd.Dataset":
     """Per-user HOPPING (overlapping) windows: width 60min, hop 30min —
     each event contributes to width/hop windows.  Map-side expansion to
-    (user, window_start) partials keeps the shuffle small."""
+    (user, window_start) exact-cent partials keeps the shuffle small.
+    Returns a lazy Dataset."""
     width = np.timedelta64(width_minutes * 60, "s")
     hop = np.timedelta64(hop_minutes * 60, "s")
     epoch = np.datetime64("1970-01-01T00:00:00")
@@ -225,6 +282,7 @@ def hopping_windows(
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].to_numpy()
+        cents = np.round(df["value"].to_numpy() * 100.0).astype("int64")
         # last hop-aligned window start covering ts, then k-1 earlier ones
         last = epoch + ((ts - epoch) // hop) * hop
         frames = []
@@ -235,14 +293,14 @@ def hopping_windows(
                         "user_id": df["user_id"].to_numpy(),
                         "win_us": (last - j * hop)
                         .astype("datetime64[us]").astype("int64"),
-                        "value": df["value"].to_numpy(),
+                        "cents": cents,
                     }
                 )
             )
         g = (
             pd.concat(frames)
             .groupby(["user_id", "win_us"], as_index=False)
-            .agg(p_events=("value", "size"), p_value=("value", "sum"))
+            .agg(p_events=("cents", "size"), p_cents=("cents", "sum"))
         )
         return g
 
@@ -444,13 +502,16 @@ def running_total(sf_dir: str) -> "rd.Dataset":
     Values travel as exact integer cents (the column is 2-decimal by
     construction; round(v*100) is integral) so partial re-association is
     exact — a float cumsum would drift vs the oracle's sequential window
-    sum.  Plan: (1) skinny (event_id, ts, day, cents) table; per-batch
-    day partials combined per day group (map_groups, NOT Ray's per-key
-    aggregate — that operator costs ~18 s flat at this block count) →
-    driver computes exclusive day offsets (one pair of ints per day)
-    and broadcasts them; (2) each day group sorts locally and adds its
-    offset to a vectorized cumsum.  No task ever sees more than one
-    day's events; the driver holds |days| ints."""
+    sum.  Plan: (1) per-batch day partials over the skinny projection,
+    tree-combined (repartition + re-partial, no groupby sort) → driver
+    computes exclusive day offsets (one pair of ints per day) and
+    broadcasts them; (2) a SECOND pass over the lazy projection routes
+    each day to its own exchange shard (day → dense index from the
+    broadcast table), sorts locally and adds its offset to a vectorized
+    cumsum.  The projection is recomputed, never ``materialize``d — the
+    pre-r4 version pinned the whole skinny table in the object store
+    (~30 TB at 10^12 rows) to save one cheap re-read.  No task ever
+    sees more than one day's events; the driver holds |days| ints."""
 
     def skinny(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].to_numpy().astype("datetime64[us]")
@@ -465,11 +526,10 @@ def running_total(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    stats = (
-        _events(sf_dir, ["event_id", "ts", "value"])
-        .map_batches(skinny, batch_format="pandas", batch_size=65536)
-        .materialize()
-    )
+    def stats() -> "rd.Dataset":
+        return _events(sf_dir, ["event_id", "ts", "value"]).map_batches(
+            skinny, batch_format="pandas", batch_size=65536
+        )
 
     def day_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("day", as_index=False).agg(
@@ -477,32 +537,53 @@ def running_total(sf_dir: str) -> "rd.Dataset":
         )
         return g.astype({"day": "int64", "n": "int64", "c": "int64"})
 
-    def day_combine(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"day": [int(df["day"].iloc[0])],
-             "n": [int(df["n"].sum())],
-             "c": [int(df["c"].sum())]}
+    def day_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False).agg(
+            n=("n", "sum"), c=("c", "sum")
         )
+        return g.astype({"day": "int64", "n": "int64", "c": "int64"})
 
+    # tree combine: batch partials -> merge blocks -> re-merge; the
+    # driver sees O(16 x |days|) skinny int rows, never a sort shuffle
     totals = (
-        stats.map_batches(day_partial, batch_format="pandas",
-                          batch_size=65536)
-        .groupby("day")
-        .map_groups(day_combine, batch_format="pandas")
+        stats()
+        .map_batches(day_partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(day_merge, batch_format="pandas")
         .to_pandas()
+        .groupby("day", as_index=False)
+        .agg(n=("n", "sum"), c=("c", "sum"))
         .sort_values("day")
     )
-    offs: dict[int, tuple[int, int]] = {}
+    offs: dict[int, tuple[int, int, int]] = {}
     rank_acc = 0
     cents_acc = 0
-    for _, r in totals.iterrows():
-        offs[int(r["day"])] = (rank_acc, cents_acc)
+    for idx, (_, r) in enumerate(totals.iterrows()):
+        offs[int(r["day"])] = (idx, rank_acc, cents_acc)
         rank_acc += int(r["n"])
         cents_acc += int(r["c"])
+    n_days = len(offs)
+    if not n_days:  # empty events table
+        return rd.from_pandas(
+            pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("event_id", "rn", "running_cents")}
+            )
+        )
     off_ref = ray.put(offs)
 
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # ray.get of the broadcast day->index table is a local object
+        # store hit after the first batch on each worker
+        offs_d = ray.get(off_ref)
+        df = df.copy()
+        df["shard"] = (
+            df["day"].map(lambda d: offs_d[d][0]).astype("int64")
+        )
+        return df
+
     def per_day(df: pd.DataFrame) -> pd.DataFrame:
-        rank0, cents0 = ray.get(off_ref)[int(df["day"].iloc[0])]
+        _, rank0, cents0 = ray.get(off_ref)[int(df["day"].iloc[0])]
         df = df.sort_values(["ts_us", "event_id"])
         return pd.DataFrame(
             {
@@ -513,7 +594,11 @@ def running_total(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    return stats.groupby("day").map_groups(per_day, batch_format="pandas")
+    return hash_exchange(
+        stats().map_batches(add_shard, batch_format="pandas",
+                            batch_size=65536),
+        "shard", n_days, per_day,
+    )
 
 
 # ---------------- temporal range join ---------------------------------------

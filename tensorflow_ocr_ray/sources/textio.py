@@ -21,6 +21,8 @@ are data bugs, not noise, at ingestion time).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 import ray.data as rd
@@ -57,29 +59,48 @@ def _coerce(schema: dict[str, "pa.DataType"]):
     return fn
 
 
+def _require_empty(out_dir: str) -> None:
+    """Refuse to write into a non-empty directory: write_parquet appends
+    new files next to whatever is already there, so stale shards from a
+    previous run would silently mix with (and inflate counts of) the new
+    data for every downstream reader."""
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise FileExistsError(
+            f"{out_dir} is not empty — refusing to mix new parquet "
+            "shards with existing files; clean it or point at a fresh "
+            "directory"
+        )
+
+
 def jsonl_to_parquet(
     in_path: str, out_dir: str, schema: dict[str, "pa.DataType"]
 ) -> int:
     """Stream a JSONL dump (file or directory of shards) into canonical
     partitioned parquet.  Returns the row count.  Fully distributed:
     read_json fans shards across the cluster, coercion is per-batch
-    Arrow, the write is one parquet file per block."""
+    Arrow, the write is one parquet file per block.  The target
+    directory must be empty (see ``_require_empty``)."""
+    _require_empty(out_dir)
     ds = rd.read_json(in_path).map_batches(
         _coerce(schema), batch_format="pyarrow", batch_size=8192
     )
     ds.write_parquet(out_dir)
-    return rd.read_parquet(out_dir).count()
+    # count what THIS run wrote (ds is lazy — this re-executes the
+    # coercion plan, not a directory re-listing that would also count
+    # pre-existing files)
+    return ds.count()
 
 
 def csv_to_parquet(
     in_path: str, out_dir: str, schema: dict[str, "pa.DataType"]
 ) -> int:
     """Same contract as jsonl_to_parquet for CSV shards."""
+    _require_empty(out_dir)
     ds = rd.read_csv(in_path).map_batches(
         _coerce(schema), batch_format="pyarrow", batch_size=8192
     )
     ds.write_parquet(out_dir)
-    return rd.read_parquet(out_dir).count()
+    return ds.count()
 
 
 def parquet_to_jsonl(in_path: str, out_dir: str,

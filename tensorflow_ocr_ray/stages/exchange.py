@@ -22,9 +22,27 @@ Partitioning assumption (same as the groupby it replaces): one shard's
 rows fit one task's memory — callers size ``n_shards`` to the data, and
 a skewed shard hurts here exactly as it hurt the sort path.
 
-Contract difference vs map_groups: EMPTY shards reach ``fn`` as an
-empty typed frame (map_groups never calls the fn for absent groups), so
-``fn`` must tolerate len(df) == 0.
+MATERIALIZATION COST (vs the streaming sort-shuffle this replaces):
+``to_arrow_refs()`` executes the whole upstream plan eagerly, and the
+raw split/merge tasks run OUTSIDE Ray Data's streaming executor, so
+they get no backpressure — the exchange input must fit object store +
+spill in its entirety (split slices are views into the same store, not
+copies; the slice-ref table itself is tiny).  Callers therefore feed
+the exchange a SKINNY pre-reduced projection (ids + shard + the few
+columns ``fn`` needs), never raw wide rows: at 10^12 events a 32-byte
+projection is ~30 TB across the cluster's store+spill, which is the
+same high-water mark Ray's sort shuffle needs for its map output.  If
+an input might exceed that, pre-reduce harder (map-side partials) or
+fall back to ``groupby().map_groups`` — correctness is identical.
+
+Contract differences vs map_groups:
+- EMPTY shards reach ``fn`` as an empty typed frame (map_groups never
+  calls the fn for absent groups), so ``fn`` must tolerate
+  len(df) == 0.
+- shard values outside [0, n_shards) raise ValueError (a groupby would
+  happily make extra groups); callers own the modulo.
+- an EMPTY INPUT dataset yields an empty output dataset (fn is not
+  called at all — there is no typed frame to build one from).
 """
 
 from __future__ import annotations
@@ -46,8 +64,16 @@ def hash_exchange(
     """Route every row to shard ``row[shard_col]`` (values must be
     0..n_shards-1) and apply ``fn`` once per shard — a drop-in
     replacement for ``ds.groupby(shard_col).map_groups(fn)`` that never
-    sorts."""
+    sorts.
+
+    See the module docstring for the materialization / backpressure
+    contract: the input executes eagerly and must fit store + spill, so
+    feed this a skinny pre-reduced projection."""
     block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        # empty upstream: no typed frame exists to seed fn with, and
+        # pd.concat(()) would raise — return an empty dataset
+        return rd.from_pandas(pd.DataFrame())
 
     @ray.remote(num_returns=n_shards)
     def split(tbl) -> tuple:

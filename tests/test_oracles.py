@@ -65,15 +65,17 @@ def test_q15_sharded_finalize(ray_session):
     from tensorflow_ocr_ray.pipelines.relational import q15_active_users
 
     orc = _events_con().execute(
-        "SELECT user_id, count(*) AS events, round(sum(value),2) AS "
-        "total_value FROM events GROUP BY user_id "
+        "SELECT user_id, count(*) AS events, "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS "
+        "total_value_cents FROM events GROUP BY user_id "
         "HAVING count(*) >= 5 ORDER BY user_id"
     ).fetchdf()
     got = q15_active_users(SF, min_events=5)
     assert len(got) == len(orc) > 0
     assert (got["user_id"].to_numpy() == orc["user_id"].to_numpy()).all()
     assert (got["events"].to_numpy() == orc["events"].to_numpy()).all()
-    assert (got["total_value"].to_numpy() == orc["total_value"].to_numpy()).all()
+    assert (got["total_value_cents"].to_numpy()
+            == orc["total_value_cents"].to_numpy()).all()
 
 
 def test_minhash_dedup_oracle(ray_session):

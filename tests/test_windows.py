@@ -30,19 +30,29 @@ def tiny_events_dir(tmp_path_factory):
 def test_sessionize_gap_boundary(ray_session, tiny_events_dir):
     from tensorflow_ocr_ray.pipelines.windows import sessionize
 
-    df = sessionize(tiny_events_dir, gap_minutes=30)
+    df = (
+        sessionize(tiny_events_dir, gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
     u1 = df[df.user_id == 1]
     # exactly-30min gap stays in session 1; 30min1s gap opens session 2
     assert u1["session_seq"].tolist() == [1, 2]
     assert u1[u1.session_seq == 1]["events"].iloc[0] == 2
-    assert u1[u1.session_seq == 1]["total_value"].iloc[0] == 3.0
+    assert u1[u1.session_seq == 1]["total_value_cents"].iloc[0] == 300
     assert len(df[df.user_id == 2]) == 1
 
 
 def test_tumbling_bucket_edges(ray_session, tiny_events_dir):
     from tensorflow_ocr_ray.pipelines.windows import tumbling_windows
 
-    df = tumbling_windows(tiny_events_dir, width_minutes=60)
+    df = (
+        tumbling_windows(tiny_events_dir, width_minutes=60)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
     u1 = df[df.user_id == 1]
     # events at :00 and :30 share the 00:00 bucket; :60:01 is in 01:00
     assert len(u1) == 2
@@ -52,7 +62,12 @@ def test_tumbling_bucket_edges(ray_session, tiny_events_dir):
 def test_hopping_windows_overlap(ray_session, tiny_events_dir):
     from tensorflow_ocr_ray.pipelines.windows import hopping_windows
 
-    df = hopping_windows(tiny_events_dir, width_minutes=60, hop_minutes=30)
+    df = (
+        hopping_windows(tiny_events_dir, width_minutes=60, hop_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
     u2 = df[df.user_id == 2]
     # the :45 event belongs to windows starting 00:00 and 00:30
     starts = pd.to_datetime(u2["window_start"]).dt.strftime("%H:%M").tolist()
@@ -78,7 +93,12 @@ def test_asof_no_order_before_event(ray_session, tiny_events_dir, tmp_path):
         }
     )
     orders.to_parquet(d / "orders.parquet")
-    df = asof_event_order(str(d))
+    df = (
+        asof_event_order(str(d))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
     # event 0 (00:00) precedes every order -> dropped; events 1,2 match 100
     assert df["event_id"].tolist() == [1, 2]
     assert set(df["o_orderkey"]) == {100}
@@ -117,22 +137,30 @@ def test_windows_survive_hot_key_skew(ray_session, tmp_path):
         sessionize, tumbling_windows,
     )
 
-    tw = tumbling_windows(str(d))
-    # reference combine in pandas
+    tw = (
+        tumbling_windows(str(d))
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # reference combine in pandas, exact integer cents
     epoch = np.datetime64("1970-01-01T00:00:00")
     width = np.timedelta64(3600, "s")
     win = epoch + ((df["ts"].to_numpy() - epoch) // width) * width
     ref = (
-        df.assign(window_start=win.astype("datetime64[us]"))
+        df.assign(
+            window_start=win.astype("datetime64[us]"),
+            cents=np.round(df["value"].to_numpy() * 100.0).astype("int64"),
+        )
         .groupby(["user_id", "window_start"], as_index=False)
-        .agg(events=("value", "size"), total_value=("value", "sum"))
+        .agg(events=("cents", "size"), total_value_cents=("cents", "sum"))
     )
     ref["events"] = ref["events"].astype("int64")
-    ref["total_value"] = ref["total_value"].round(2)
+    ref["total_value_cents"] = ref["total_value_cents"].astype("int64")
     ref = ref.sort_values(["user_id", "window_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(tw, ref)
 
-    sz = sessionize(str(d))
+    sz = sessionize(str(d)).to_pandas()
     assert (sz.groupby("user_id")["events"].sum()
             == df.groupby("user_id").size()).all()
 

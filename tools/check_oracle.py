@@ -47,6 +47,16 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     a, b = normalize(a), normalize(b)
     for col in a.columns:
         x, y = a[col], b[col]
+        # the driver's value hash is dtype-sensitive: int64 on one side
+        # and float64 on the other hash-mismatches even when every value
+        # is equal (r3's moving_window_sum red row — DuckDB HUGEINT →
+        # pandas float64).  Flag the dtype-class divergence here so the
+        # local gate catches it before the driver does.
+        if pd.api.types.is_float_dtype(x) != pd.api.types.is_float_dtype(y):
+            return False, (
+                f"col {col} dtype class differs: {x.dtype} vs {y.dtype} "
+                "(driver hash is dtype-sensitive)"
+            )
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             ok = np.allclose(
                 x.astype(float), y.astype(float), rtol=0, atol=1e-9,
