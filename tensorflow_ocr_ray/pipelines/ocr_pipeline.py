@@ -159,6 +159,7 @@ def ocr_documents(
     scorer_spec: dict | None = None,
     ray_remote_args: dict | None = None,
     on_media_error: str = "raise",
+    reassemble_via: str = "groupby",
 ) -> "ray.data.Dataset":
     """Build the lazy OCR Dataset; see module docstring for the two plans.
 
@@ -240,6 +241,27 @@ def ocr_documents(
         return batch.append_column("bucket", buckets)
 
     bucketed = scored.map_batches(add_bucket, batch_format="pyarrow")
+    # MEASURED r4 (sf0.1, 32 cpus): routing this reassembly through
+    # hash_exchange LOSES — OCR total 15.2s vs 11.7s on groupby — because
+    # the exchange's eager to_arrow_refs() breaks pipelining with the
+    # heavy OCR actor stage (reassembly can't start until every span is
+    # scored), while the groupby's sort shuffle overlaps with it inside
+    # the streaming executor, and the sort on a small-int key over
+    # already-scored skinny span rows is cheap.  The exchange wins where
+    # its input is the terminal wide step of an already-materialized or
+    # cheap-to-produce projection (the 26 relational/window sites);
+    # here the sort path stays.  `reassemble_via="exchange"` keeps the
+    # measured alternative callable.
+    if reassemble_via == "exchange":
+        from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+        return hash_exchange(
+            bucketed,
+            "bucket",
+            reassemble_buckets,
+            lambda g: reassemble_group(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
     return bucketed.groupby("bucket").map_groups(
         lambda g: reassemble_group(g.drop_columns(["bucket"])),
         batch_format="pyarrow",

@@ -49,7 +49,9 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -59,16 +61,26 @@ def hash_exchange(
     ds: "rd.Dataset",
     shard_col: str,
     n_shards: int,
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
+    batch_format: str = "pandas",
 ) -> "rd.Dataset":
     """Route every row to shard ``row[shard_col]`` (values must be
     0..n_shards-1) and apply ``fn`` once per shard — a drop-in
     replacement for ``ds.groupby(shard_col).map_groups(fn)`` that never
     sorts.
 
+    ``batch_format="pandas"`` (default): ``fn`` maps DataFrame →
+    DataFrame.  ``batch_format="pyarrow"``: ``fn`` maps Table → Table
+    with NO pandas round-trip anywhere — required for nested columns
+    (list<struct> spans) where a pandas conversion is object-array slow
+    and lossy.
+
     See the module docstring for the materialization / backpressure
     contract: the input executes eagerly and must fit store + spill, so
     feed this a skinny pre-reduced projection."""
+    if batch_format not in ("pandas", "pyarrow"):
+        raise ValueError(f"unknown batch_format {batch_format!r}")
+    arrow = batch_format == "pyarrow"
     block_refs = ds.to_arrow_refs()
     if not block_refs:
         # empty upstream: no typed frame exists to seed fn with, and
@@ -77,30 +89,41 @@ def hash_exchange(
 
     @ray.remote(num_returns=n_shards)
     def split(tbl) -> tuple:
-        df = tbl.to_pandas()
-        if shard_col not in df.columns:
+        if shard_col not in tbl.column_names:
             # a schema-less EMPTY block (e.g. an empty shard of an
             # upstream exchange round-tripped through Arrow)
-            return tuple(df for _ in range(n_shards))
-        s = df[shard_col].to_numpy()
+            empty = tbl if arrow else tbl.to_pandas()
+            return tuple(empty for _ in range(n_shards))
+        s = np.asarray(tbl.column(shard_col).to_numpy(zero_copy_only=False))
         if len(s) and (s.min() < 0 or s.max() >= n_shards):
             raise ValueError(
                 f"hash_exchange: {shard_col} values outside "
                 f"[0, {n_shards}) — got [{s.min()}, {s.max()}]; rows "
                 f"would be silently dropped"
             )
+        if arrow:
+            return tuple(
+                tbl.filter(pa.array(s == i)) for i in range(n_shards)
+            )
+        df = tbl.to_pandas()
         return tuple(df[s == i] for i in range(n_shards))
 
     per_block = [split.remote(r) for r in block_refs]
 
     @ray.remote
-    def merge_apply(*parts) -> pd.DataFrame:
-        # empty shards reach fn as an empty frame WITH columns (concat
-        # of column-typed empties) — the same contract map_groups gives
+    def merge_apply(*parts):
+        # empty shards reach fn as an empty frame/table WITH columns
+        # (concat of typed empties) — the same contract map_groups gives
+        if arrow:
+            # permissive promotion: a schema-less EMPTY block (0 rows, 0
+            # cols) must not fail the concat of the typed parts
+            return fn(pa.concat_tables(parts, promote_options="permissive"))
         return fn(pd.concat(parts, ignore_index=True))
 
     shard_refs = [
         merge_apply.remote(*[pb[s] for pb in per_block])
         for s in range(n_shards)
     ]
+    if arrow:
+        return rd.from_arrow_refs(shard_refs)
     return rd.from_pandas_refs(shard_refs)

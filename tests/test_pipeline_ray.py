@@ -49,6 +49,24 @@ def test_span_sequence_equality(ray_session, golden, mode):
     assert got == want
 
 
+def test_span_sequence_equality_exchange_reassembly(ray_session, golden):
+    """The measured-alternative reassembly path (hash_exchange, Arrow
+    batch_format) must produce the identical span sequences — it loses
+    the sf0.1 bench to the pipelining groupby (see ocr_pipeline.py) but
+    stays a correct, callable plan."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
+
+    docs, want = golden
+    ds = rd.from_arrow(docs)
+    out = ocr_documents(ds, mode="exploded", concurrency=(1, 2),
+                        batch_size=8, num_blocks=4,
+                        reassemble_via="exchange", reassemble_buckets=7)
+    got = _span_seq(pa.Table.from_pandas(out.to_pandas()))
+    assert got == want
+
+
 def test_exploded_roundtrip_schema(ray_session, golden):
     import ray.data as rd
 
