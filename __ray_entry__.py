@@ -1650,7 +1650,8 @@ def oracle_sql() -> dict[str, str]:
         "q06_event_type_stats": """
             SELECT event_type, count(*) AS events,
                    count(DISTINCT user_id) AS users,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type
         """,
         # mean in exact 1e-4 units, integer half-up: a float avg()

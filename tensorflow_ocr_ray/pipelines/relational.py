@@ -242,28 +242,47 @@ def q05_region_customers(sf_dir: str) -> pd.DataFrame:
     return df
 
 
-def q06_event_type_stats(sf_dir: str) -> pd.DataFrame:
-    """Exact distinct-count via two-stage groupby."""
+def q06_event_type_stats(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Exact per-type distinct-user count + exact-cent value sum.
+
+    The pre-r4 version ran TWO Ray sort-groupbys over the full event
+    stream; this plan shuffles only map-side (user, type) partials: a
+    per-batch groupby collapses each batch to its distinct (user, type)
+    rows, ONE user-hash exchange co-locates each user's partials (a
+    user lands in exactly one shard, so per-shard distinct counts are
+    exact and simply ADD across shards), and the driver sums the
+    |shards|×|types| partial table.  Cents-exact like q07/q15."""
     ds = _pq(sf_dir, "events", ["event_type", "user_id", "value"])
-    stage1 = ds.groupby(["event_type", "user_id"]).aggregate(
-        Count(alias_name="p_cnt"), Sum("value", alias_name="p_val")
-    )
-    df = (
-        stage1.groupby("event_type")
-        .aggregate(
-            Count(alias_name="users"),
-            Sum("p_cnt", alias_name="events"),
-            Sum("p_val", alias_name="t"),
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(
+            cents=np.round(df["value"].to_numpy() * 100.0).astype("int64")
         )
-        .to_pandas()
+        g = d.groupby(["user_id", "event_type"], as_index=False).agg(
+            p_n=("cents", "size"), p_c=("cents", "sum")
+        )
+        g["shard"] = g["user_id"].astype("int64") % n_shards
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("p_n", "sum"), c=("p_c", "sum")
+        )
+        t = g.groupby("event_type", as_index=False).agg(
+            events=("n", "sum"), users=("user_id", "size"), c=("c", "sum")
+        )
+        return t.astype({"events": "int64", "users": "int64", "c": "int64"})
+
+    parts = hash_exchange(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, combine,
+    ).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        events=("events", "sum"), users=("users", "sum"),
+        total_value_cents=("c", "sum"),
     )
-    return pd.DataFrame(
-        {
-            "event_type": df["event_type"],
-            "events": df["events"].astype("int64"),
-            "users": df["users"].astype("int64"),
-            "total_value": df["t"].round(2),
-        }
+    return out.astype(
+        {"events": "int64", "users": "int64", "total_value_cents": "int64"}
     )
 
 
@@ -306,21 +325,44 @@ def q07_user_activity(sf_dir: str) -> pd.DataFrame:
 
 
 def q08_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Events per hour, shuffle-free: per-batch counts keyed by the
+    INTEGER hour (us // 3.6e9 — no string formatting on the hot path),
+    tree-combined via repartition (the running_total pattern); the
+    driver finishes over O(16 × |hours|) skinny int rows and formats
+    the hour string once per OUTPUT row.  The pre-r4 version pushed a
+    per-event string column through Ray's sort-groupby."""
     ds = _pq(sf_dir, "events", ["ts"])
+    _US_PER_HOUR = 3_600_000_000
 
-    def to_hour(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"hour": df["ts"].dt.strftime("%Y-%m-%d %H:00:00")}
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = (
+            pd.DataFrame({"h": us // _US_PER_HOUR})
+            .groupby("h", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False).agg(n=("n", "sum")).astype(
+            "int64"
         )
 
-    df = (
-        ds.map_batches(to_hour, batch_format="pandas")
-        .groupby("hour")
-        .aggregate(Count(alias_name="events"))
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(merge, batch_format="pandas")
         .to_pandas()
     )
-    df["events"] = df["events"].astype("int64")
-    return df
+    tot = parts.groupby("h", as_index=False).agg(events=("n", "sum"))
+    hour = pd.to_datetime(tot["h"] * _US_PER_HOUR, unit="us")
+    return pd.DataFrame(
+        {
+            "hour": hour.dt.strftime("%Y-%m-%d %H:00:00"),
+            "events": tot["events"].astype("int64"),
+        }
+    )
 
 
 def q09_priority_month(sf_dir: str) -> pd.DataFrame:

@@ -6,14 +6,23 @@ feature-extract / frame-sample run as actor-pool ``map_batches`` stages
 with small batch sizes (large payloads x concurrency must fit worker
 heaps).
 
-The container ships no image/audio/video codecs, so:
+The container ships no image/audio/video libraries, so:
 - IMAGE ops are REAL against the repo's own OCR1/OCR8 bitonal codec
   (``core/raster.py``).
-- AUDIO/VIDEO decode is STUBBED: ``try: import soundfile/av`` and raise
-  ``NotImplementedError`` on real payloads, with a deterministic fake
-  accepted for plumbing tests (payload magic ``FAKEAUD``/``FAKEVID``).
-  The Ray-side contract — schema in/out, actor signature, batch sizing —
-  is real and tested either way.
+- AUDIO decode is REAL for the whole classic WAV matrix — PCM
+  8/16/24/32, IEEE float, G.711 A-law/µ-law, mono IMA ADPCM — via the
+  pure-numpy decoders in ``core/audio_codecs.py`` (implemented from the
+  public specs, the same way G4/LZW were for images).  Only non-WAV
+  containers (mp3/ogg/flac) still gate on ``soundfile`` and raise a
+  guarded ``NotImplementedError`` without it.
+- VIDEO decode is REAL for RIFF/AVI with uncompressed-DIB (8-bit
+  palette / 24-bit BGR / 32-bit BGRX) or RLE8 frames via the
+  pure-numpy decoders in ``core/video_codecs.py``.  Compressed codecs
+  (MJPEG/MPEG/H.26x) gate on ``av`` and raise a guarded
+  ``NotImplementedError`` without it; the deterministic ``FAKEVID``
+  codec remains for plumbing tests.  The Ray-side contract — schema
+  in/out, actor signature, batch sizing — is real and tested either
+  way.
 """
 
 from __future__ import annotations
@@ -126,31 +135,17 @@ class AudioFeatureStage:
                 np.float32
             ) / 32768.0
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            # REAL decode for uncompressed PCM WAV via stdlib `wave` —
-            # no external codec needed; channels are mean-mixed to mono
-            import io
-            import wave
+            # REAL decode, pure numpy (core/audio_codecs.py): PCM
+            # 8/16/24/32, IEEE float, G.711 A-law/µ-law, mono IMA ADPCM;
+            # channels mean-mixed to mono
+            from tensorflow_ocr_ray.core.audio_codecs import decode_wav
 
-            with wave.open(io.BytesIO(payload), "rb") as w:
-                width = w.getsampwidth()
-                nch = w.getnchannels()
-                raw = w.readframes(w.getnframes())
-            if width == 2:
-                s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-            elif width == 1:  # unsigned 8-bit PCM
-                s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
-                     - 128.0) / 128.0
-            else:
-                raise NotImplementedError(
-                    f"{8 * width}-bit PCM needs `soundfile`"
-                )
-            if nch > 1:
-                s = s.reshape(-1, nch).mean(axis=1)
-            return s
+            return decode_wav(payload)
         if self._sf is None:
             raise NotImplementedError(
-                "compressed audio decode requires `soundfile`, not present "
-                "in this container — use PCM WAV or the FAKEAUD test codec"
+                "non-WAV audio decode requires `soundfile`, not present "
+                "in this container — use WAV (PCM / G.711 / mono IMA "
+                "ADPCM) or the FAKEAUD test codec"
             )
         import io
 
@@ -193,11 +188,15 @@ class VideoFrameSampleStage:
     """Frame sampling: every k-th frame re-emitted as an image payload row
     (one output row per sampled frame — a flat-map-shaped stage).
 
-    Real video decode (``av``) is absent: genuine payloads raise
-    ``NotImplementedError``; ``FAKEVID`` payloads exercise the fan-out."""
+    REAL decode for RIFF/AVI with uncompressed DIB or RLE8 frames
+    (``core/video_codecs.py`` — pure numpy from the public spec, the
+    PackBits/G4 precedent); grayscale frames binarize at mid-gray into
+    the repo's bitonal payload codec.  Compressed codecs (MJPEG/MPEG/
+    H.26x) gate on ``av``; ``FAKEVID`` payloads exercise the fan-out."""
 
-    def __init__(self, every: int = 4):
+    def __init__(self, every: int = 4, cutoff: int = 128):
         self.every = every
+        self.cutoff = cutoff
         try:
             import av  # noqa: F401
 
@@ -212,10 +211,21 @@ class VideoFrameSampleStage:
                 np.frombuffer(payload[19:], dtype=np.uint8), count=n * h * w
             )
             return bits.reshape(n, h, w).astype(np.uint8)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from tensorflow_ocr_ray.core.video_codecs import decode_avi
+
+            frames = decode_avi(payload)
+            if not frames:
+                return np.zeros((0, 1, 1), dtype=np.uint8)
+            # grayscale → bitonal ink mask (dark pixels are ink, matching
+            # the raster codec's 1=ink convention)
+            return np.stack([(f < self.cutoff).astype(np.uint8)
+                             for f in frames])
         if self._av is None:
             raise NotImplementedError(
-                "real video decode requires `av`, not present in this "
-                "container — payloads must use the FAKEVID test codec"
+                "compressed video decode requires `av`, not present in "
+                "this container — use AVI (BI_RGB / BI_RLE8) or the "
+                "FAKEVID test codec"
             )
         raise NotImplementedError("deployment path: av frame iteration")
 
