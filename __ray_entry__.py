@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, 4, 64
         ),
         "winnow_dup_clusters": dedup.winnow_dup_clusters,
+        "dedup_incremental": dedup.dedup_incremental,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         # the read-pruned indexed paths (build-once bucket/cell
@@ -1372,6 +1373,35 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql(),
         "pii_scrub": _pii_sql(),
         "pack_sequences": _pack_sql(),
+        # incremental dedup: docs with id >= (max+1)*4//5 are "the new
+        # batch"; match key = first 32 chars (prefix blocking — this
+        # corpus has no full-text exact dups); precedence existing >
+        # in-batch > new, canonicals are the respective min doc_ids
+        "dedup_incremental": """
+            WITH s AS (
+              SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents
+            ),
+            t AS (
+              SELECT doc_id, substr(text, 1, 32) AS k FROM documents
+            ),
+            newd AS (SELECT doc_id, k FROM t, s WHERE doc_id >= s.split),
+            ex AS (
+              SELECT k, min(doc_id) AS ex_id FROM t, s
+              WHERE doc_id < s.split GROUP BY k
+            ),
+            nb AS (SELECT k, min(doc_id) AS nb_id FROM newd GROUP BY k)
+            SELECT n.doc_id,
+                   CASE WHEN e.ex_id IS NOT NULL THEN 'dup_existing'
+                        WHEN n.doc_id <> b.nb_id THEN 'dup_in_batch'
+                        ELSE 'new' END AS verdict,
+                   CAST(CASE WHEN e.ex_id IS NOT NULL THEN e.ex_id
+                             WHEN n.doc_id <> b.nb_id THEN b.nb_id
+                             ELSE n.doc_id END AS BIGINT)
+                       AS canonical_doc_id
+            FROM newd n
+            LEFT JOIN ex e USING (k)
+            JOIN nb b USING (k)
+        """,
         "tfidf_top_terms": _tfidf_sql(),
         "source_gate": _source_gate_sql(),
         "dup_span_coverage": _dup_span_sql(),

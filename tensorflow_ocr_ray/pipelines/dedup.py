@@ -643,43 +643,165 @@ def winnow_dup_pairs(
 
 # pair-count-bounded frames, memoized per (inputs, params) like the
 # MinHash family so winnow_dup_pairs + winnow_dup_clusters in one driver
-# pass pay the fingerprint+join cost once
-_WINNOW_PAIRS_MEMO: dict[tuple, pd.DataFrame] = {}
+# pass pay the fingerprint+join cost once; the memo holds a MATERIALIZED
+# Dataset (object store, dup-edge-bounded), never a driver frame
+_WINNOW_PAIRS_MEMO: dict[tuple, "rd.MaterializedDataset"] = {}
+
+
+def _winnow_pairs_ds(
+    sf_dir: str, min_shared: int, n_shards: int
+) -> "rd.Dataset":
+    key = (sf_dir, min_shared, n_shards)
+    if key not in _WINNOW_PAIRS_MEMO:
+        _WINNOW_PAIRS_MEMO[key] = winnow_dup_pairs(
+            sf_dir, min_shared, n_shards
+        ).materialize()
+    return _WINNOW_PAIRS_MEMO[key]
 
 
 def _winnow_pairs_frame(
     sf_dir: str, min_shared: int, n_shards: int
 ) -> pd.DataFrame:
-    key = (sf_dir, min_shared, n_shards)
-    if key not in _WINNOW_PAIRS_MEMO:
-        _WINNOW_PAIRS_MEMO[key] = winnow_dup_pairs(
-            sf_dir, min_shared, n_shards
-        ).to_pandas()
-    return _WINNOW_PAIRS_MEMO[key].copy()
+    """Oracle-facing collect of the winnow edge list (the collect is
+    this wrapper's job alone)."""
+    return _winnow_pairs_ds(sf_dir, min_shared, n_shards).to_pandas()
 
 
 def winnow_dup_clusters(
     sf_dir: str, min_shared: int = 4, n_shards: int = 64
 ) -> pd.DataFrame:
     """Winnowing near-dup CLUSTERS: the distributed ``winnow_dup_pairs``
-    edge list collapsed by union-find with min-id representatives (the
-    same edges-only driver plan as embedding_dup_clusters — only result-
-    cardinality pairs ever reach the driver, never the corpus)."""
-    pairs = _winnow_pairs_frame(sf_dir, min_shared, n_shards)
-    parent: dict[int, int] = {}
+    edge Dataset collapsed by DISTRIBUTED min-label connected components
+    (``stages.cc`` — same plan as minhash_dedup / embedding_dup_clusters;
+    no driver structure proportional to dup edges)."""
+    from tensorflow_ocr_ray.stages.cc import connected_components
 
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    labels = connected_components(
+        _winnow_pairs_ds(sf_dir, min_shared, n_shards),
+        src="doc_a", dst="doc_b",
+    )
+    df = labels.to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["doc_id", "cluster_rep"]).astype(
+            "int64"
+        )
+    return (
+        df.rename(columns={"node": "doc_id", "label": "cluster_rep"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
 
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    rows = [{"doc_id": d, "cluster_rep": find(d)} for d in sorted(parent)]
-    return pd.DataFrame(
-        rows, columns=["doc_id", "cluster_rep"]
-    ).astype("int64")
+
+# ---------------- incremental (append-batch) dedup ---------------------------
+
+
+def dedup_incremental(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Incremental dedup: a NEW batch of documents arrives and must be
+    deduplicated against the EXISTING corpus without reprocessing it —
+    the steady-state shape of a production ingestion pipeline (the full
+    corpus is deduped once; every later shard only diffs against it).
+
+    Corpus split (deterministic both sides): docs with
+    ``doc_id >= (max_id + 1) * 4 // 5`` are "the new batch", the rest
+    "the existing corpus".  Match key: the first 32 characters of the
+    text — a prefix-blocking fingerprint (this synthetic corpus has no
+    full-text exact dups, so full-text matching would be vacuous; the
+    key function is one line to swap for md5(full text) or a MinHash
+    band in production).
+
+    Per new doc, precedence-ordered verdict:
+      1. ``dup_existing`` — key seen in the existing corpus
+         (canonical = the existing min doc_id for that key);
+      2. ``dup_in_batch`` — key's first occurrence in the batch is an
+         earlier new doc (canonical = that min new doc_id);
+      3. ``new`` — canonical = itself.
+
+    Physical plan: the NEW batch (small side) folds into a 2 MiB bloom
+    broadcast once; the EXISTING corpus (the 100-TB side) streams
+    through a map-only bloom filter that discards everything except
+    probable key matches — false positives cost one extra row in the
+    exchange, never correctness.  One md5(key)-hash exchange then
+    co-locates surviving existing rows with the full new batch; the
+    per-shard verdict is two vectorized groupby-mins + a merge.  Lazy
+    Dataset out (one row per new doc)."""
+    import ray
+
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    split_id = (ds.max("doc_id") + 1) * 4 // 5
+
+    def key_rows(df: pd.DataFrame, side: int) -> pd.DataFrame:
+        keys = [t[:32] for t in df["text"]]
+        h = _md5_prefix_batch(keys, 8).astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "key": keys,
+                "h": h.astype("int64", copy=False),
+                "side": np.int64(side),
+                "shard": (h % np.uint64(n_shards)).astype("int64"),
+            }
+        )
+
+    new_rows = ds.map_batches(
+        lambda df: key_rows(df[df["doc_id"] >= split_id], 1),
+        batch_format="pandas", batch_size=4096,
+    ).materialize()  # consumed twice: bloom build + exchange; batch-sized
+
+    # bloom of the new batch's key hashes: per-batch partial bitmaps,
+    # OR-combined on the driver (constant 2 MiB), broadcast once
+    bloom = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for b in new_rows.map_batches(
+        lambda df: pd.DataFrame(
+            {"bm": [_bloom_from_ids(df["h"].to_numpy(np.int64))]}
+        ),
+        batch_format="pandas", batch_size=65536,
+    ).iter_batches(batch_format="pandas"):
+        for bm in b["bm"]:
+            np.bitwise_or(bloom, np.asarray(bm, dtype=np.uint8), out=bloom)
+    bloom_ref = ray.put(bloom)
+
+    def existing_filtered(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] < split_id]
+        rows = key_rows(d, 0)
+        bm = ray.get(bloom_ref)
+        return rows[_bloom_contains(bm, rows["h"].to_numpy(np.int64))]
+
+    ex = ds.map_batches(
+        existing_filtered, batch_format="pandas", batch_size=4096
+    )
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        nb = df[df["side"] == 1]
+        exd = df[df["side"] == 0]
+        ex_min = exd.groupby("key")["doc_id"].min()
+        nb_min = nb.groupby("key")["doc_id"].min()
+        doc = nb["doc_id"].to_numpy()
+        # float64 coercion: an empty shard side yields an object-dtype
+        # groupby result whose reindex-NaNs break np.isnan otherwise
+        e = ex_min.reindex(nb["key"]).astype("float64").to_numpy()
+        b = nb_min.reindex(nb["key"]).astype("float64").to_numpy()
+        has_ex = ~np.isnan(e)
+        in_batch = ~has_ex & (doc != b)
+        verdicts = np.where(
+            has_ex, "dup_existing", np.where(in_batch, "dup_in_batch",
+                                             "new")
+        )
+        canonical = np.where(
+            has_ex, np.nan_to_num(e, nan=-1),
+            np.where(in_batch, b, doc),
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "verdict": verdicts,
+                "canonical_doc_id": canonical,
+            }
+        )
+
+    return hash_exchange(
+        new_rows.union(ex), "shard", n_shards, verdict
+    )

@@ -296,31 +296,43 @@ def q07_user_activity(sf_dir: str) -> pd.DataFrame:
     the half-up rounding BOTH engines compute on exact ints (values are
     non-negative 2-decimal by schema)."""
     ds = _pq(sf_dir, "events", ["user_id", "value"])
+    n_shards = 64
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
             {
                 "user_id": df["user_id"].astype("int64"),
                 "c": np.round(df["value"].to_numpy() * 100.0).astype(
                     "int64"),
             }
         )
+        g = d.groupby("user_id", as_index=False).agg(
+            p_n=("c", "size"), p_c=("c", "sum")
+        )
+        g["shard"] = g["user_id"] % n_shards
+        return g
 
-    df = (
-        ds.map_batches(cents, batch_format="pandas", batch_size=65536)
-        .groupby("user_id")
-        .aggregate(Count(alias_name="events"),
-                   Sum("c", alias_name="sum_cents"))
-        .to_pandas()
-    )
-    n = df["events"].to_numpy().astype("int64")
-    sc = df["sum_cents"].to_numpy().astype("int64")
-    return pd.DataFrame(
-        {
-            "user_id": df["user_id"],
-            "events": n,
-            "avg_e4": (200 * sc + n) // (2 * n),
-        }
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            events=("p_n", "sum"), sc=("p_c", "sum")
+        )
+        n = g["events"].to_numpy().astype("int64")
+        sc = g["sc"].to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "events": n,
+                # empty shards: int ops on 0-length arrays are no-ops
+                "avg_e4": (200 * sc + n) // np.maximum(2 * n, 1),
+            }
+        )
+
+    # lazy out: one row per user is corpus-class cardinality at 10^8
+    # users — partials pre-reduce per batch, ONE user-hash exchange,
+    # nothing user-sized on the driver (pre-r4: sort-groupby + collect)
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, combine,
     )
 
 
@@ -366,24 +378,51 @@ def q08_events_hourly(sf_dir: str) -> pd.DataFrame:
 
 
 def q09_priority_month(sf_dir: str) -> pd.DataFrame:
+    """Orders per (priority, month): per-batch counts on an INTEGER
+    year*12+month key (no per-row strftime, no full-stream sort), tree-
+    combined via repartition; the driver finishes over O(16 × |keys|)
+    skinny rows and formats month strings once per output row (the q08
+    pattern)."""
     ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
 
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "o_orderpriority": df["o_orderpriority"],
-                "month": df["o_orderdate"].dt.strftime("%Y-%m"),
-            }
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"]
+        mkey = (d.dt.year * 12 + (d.dt.month - 1)).astype("int64")
+        g = (
+            pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                          "mkey": mkey})
+            .groupby(["o_orderpriority", "mkey"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g.astype({"mkey": "int64", "n": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["o_orderpriority", "mkey"], as_index=False)
+            .agg(n=("n", "sum"))
+            .astype({"mkey": "int64", "n": "int64"})
         )
 
-    df = (
-        ds.map_batches(prep, batch_format="pandas")
-        .groupby(["o_orderpriority", "month"])
-        .aggregate(Count(alias_name="n_orders"))
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(merge, batch_format="pandas")
         .to_pandas()
     )
-    df["n_orders"] = df["n_orders"].astype("int64")
-    return df
+    tot = parts.groupby(["o_orderpriority", "mkey"], as_index=False).agg(
+        n_orders=("n", "sum")
+    )
+    month = (
+        tot["mkey"] // 12
+    ).astype(str) + "-" + (tot["mkey"] % 12 + 1).astype(str).str.zfill(2)
+    return pd.DataFrame(
+        {
+            "o_orderpriority": tot["o_orderpriority"],
+            "month": month,
+            "n_orders": tot["n_orders"].astype("int64"),
+        }
+    )
 
 
 def q10_supplier_balance(sf_dir: str) -> pd.DataFrame:
@@ -638,14 +677,30 @@ def q16_event_quantiles(
     ds = _pq(sf_dir, "events", ["event_type", "value"])
     import ray
 
-    stats = (
-        ds.groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Min("value", alias_name="lo"),
-            Max("value", alias_name="hi"),
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), lo=("value", "min"), hi=("value", "max")
         )
+        return g.astype({"n": "int64"})
+
+    def stat_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
+        )
+        return g.astype({"n": "int64"})
+
+    # per-batch (type, n, lo, hi) partials, repartition tree-combined —
+    # the driver sees O(16 × |types|) rows; the pre-r4 version sorted
+    # the full stream through Ray's groupby for this bounded-key
+    # aggregate
+    stats = (
+        ds.map_batches(stat_partial, batch_format="pandas",
+                       batch_size=65536)
+        .repartition(16)
+        .map_batches(stat_merge, batch_format="pandas")
         .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
     )
     # target = (event_type, k) with k the 0-based GLOBAL rank of the order
     # statistic; state: a closed interval [lo, hi] known to contain it.

@@ -315,7 +315,7 @@ def hopping_windows(
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
-def event_funnel(sf_dir: str) -> "rd.Dataset":
+def event_funnel(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     """Ordered conversion funnel view -> click -> purchase, one row per
     user (cf. the reference's per-stream tally loops, generalized to the
     classic event-analytics shape).
@@ -326,37 +326,60 @@ def event_funnel(sf_dir: str) -> "rd.Dataset":
     microseconds (-1 = stage unreached) so the DuckDB oracle compares
     exact integers, never floats or NULL-vs-NaT hashes.
 
-    Physical plan: one shuffle (groupby user_id), vectorized chained
-    mins inside each user group; the result is one bounded row per
-    user and stays a lazy Dataset end-to-end."""
+    Physical plan: ONE user-hash exchange (pre-r4: per-user map_groups —
+    a Python call per user on the Sort path); inside a shard the three
+    chained mins are whole-shard pandas groupby-min + merge chains, no
+    per-user Python anywhere."""
     s1, s2, s3 = FUNNEL_STAGES
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        et = df["event_type"].to_numpy()
-
-        def first_after(stage: str, lo: int) -> int:
-            m = ts[(et == stage) & (ts > lo)]
-            return int(m.min()) if len(m) else -1
-
-        t1 = first_after(s1, -1)
-        t2 = first_after(s2, t1) if t1 >= 0 else -1
-        t3 = first_after(s3, t2) if t2 >= 0 else -1
-        stage = 3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "stage": [stage],
-                "t_view_us": [t1],
-                "t_click_us": [t2],
-                "t_purchase_us": [t3],
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]")
+                .astype("int64"),
+                "event_type": df["event_type"],
+                "shard": df["user_id"].astype("int64") % n_shards,
+            }
+        )
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(df["user_id"].to_numpy(np.int64))
+        out = pd.DataFrame({"user_id": users}).set_index("user_id")
+
+        def first_after(stage: str, prev: pd.Series) -> pd.Series:
+            d = df[df["event_type"] == stage][["user_id", "ts_us"]]
+            p = prev.reindex(d["user_id"]).to_numpy()
+            d = d[d["ts_us"].to_numpy() > p]
+            m = d.groupby("user_id")["ts_us"].min()
+            return m.reindex(out.index, fill_value=-1)
+
+        # chained strictly-after mins, all vectorized; prev=-1 admits all
+        neg1 = pd.Series(-1, index=out.index)
+        t1 = first_after(s1, neg1)
+        # unreached prev (-1 stays -1): block the next stage by +inf
+        BIG = np.iinfo(np.int64).max
+        t2 = first_after(s2, t1.where(t1 >= 0, BIG))
+        t3 = first_after(s3, t2.where(t2 >= 0, BIG))
+        stage = (
+            (t1 >= 0).astype("int64")
+            + (t2 >= 0).astype("int64")
+            + (t3 >= 0).astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out.index.to_numpy(),
+                "stage": stage.to_numpy(),
+                "t_view_us": t1.to_numpy(),
+                "t_click_us": t2.to_numpy(),
+                "t_purchase_us": t3.to_numpy(),
             }
         ).astype("int64")
 
-    return (
+    return hash_exchange(
         _events(sf_dir, ["user_id", "ts", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
     )
 
 
@@ -450,44 +473,56 @@ def event_transitions(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
 _US_PER_DAY = 86_400_000_000
 
 
-def cohort_retention(sf_dir: str) -> "rd.Dataset":
+def cohort_retention(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     """Cohort-retention matrix: users grouped by their first active day
     (the cohort), counted as active at each day offset from it.
 
-    Physical plan: one shuffle on user_id; inside each user group the
-    (cohort_day, offset_day) pairs are a tiny distinct set; a second
-    skinny groupby over the bounded (cohort x offset) key space sums
-    per-user flags into active_users.  Nothing user-cardinality-sized
-    ever lands on the driver."""
+    Physical plan: per-batch distinct (user, day) pre-reduction, ONE
+    user-hash exchange (pre-r4: per-user map_groups — a Python call per
+    user — plus a second Ray sort-groupby); inside a shard one
+    vectorized cohort-min + per-(cohort, offset) partial count, then
+    the bounded |shards| × |cohorts × offsets| partial table combines
+    on the driver (the q12-q14 bounded-key finish).  Nothing
+    user-cardinality-sized ever lands on the driver."""
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        days = np.unique(us // _US_PER_DAY)
-        cohort = int(days[0])
-        return pd.DataFrame(
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame(
             {
-                "cohort_day": cohort,
-                "offset_day": days - cohort,
-                "one": 1,
+                "user_id": df["user_id"].astype("int64"),
+                "day": us // _US_PER_DAY,
             }
-        ).astype("int64")
+        ).drop_duplicates()
+        d["shard"] = d["user_id"] % n_shards
+        return d
 
-    from ray.data.aggregate import Sum
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"])
+        cohort = d.groupby("user_id")["day"].transform("min")
+        g = (
+            pd.DataFrame(
+                {"cohort_day": cohort.to_numpy(),
+                 "offset_day": d["day"].to_numpy() - cohort.to_numpy()}
+            )
+            .groupby(["cohort_day", "offset_day"], as_index=False)
+            .size()
+            .rename(columns={"size": "p"})
+        )
+        return g.astype("int64")
 
-    pairs = (
+    parts = hash_exchange(
         _events(sf_dir, ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
+    ).to_pandas()
+    out = parts.groupby(["cohort_day", "offset_day"], as_index=False).agg(
+        active_users=("p", "sum")
     )
-    agg = pairs.groupby(["cohort_day", "offset_day"]).aggregate(
-        Sum("one", alias_name="active_users")
-    )
-    return agg.map_batches(
-        lambda df: df.astype(
+    return rd.from_pandas(
+        out.astype(
             {"cohort_day": "int64", "offset_day": "int64",
              "active_users": "int64"}
-        ),
-        batch_format="pandas",
+        )
     )
 
 

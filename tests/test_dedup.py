@@ -141,3 +141,82 @@ def test_dedup_keep_list_composition(ray_session):
     # every canonical doc must itself be kept
     canon = set(out["canonical"])
     assert all(out.loc[c, "kept"] == 1 for c in canon)
+
+
+def test_dedup_incremental_verdicts(ray_session, tmp_path):
+    """Crafted corpus with controlled prefix collisions across the 80%
+    id split: every verdict class and its canonical pointer checked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # max_id = 9 -> split = 10*4//5 = 8: docs 8, 9 are "the new batch"
+    P = "X" * 32  # shared 32-char prefix key
+    texts = {
+        0: P + " existing one",
+        1: P + " existing two (same key as 0)",
+        2: "unrelated existing " + "a" * 30,
+        3: "Y" * 32 + " existing key-Y",
+        4: "unique-4 " + "b" * 40,
+        5: "unique-5 " + "c" * 40,
+        6: "unique-6 " + "d" * 40,
+        7: "unique-7 " + "e" * 40,
+        8: P + " NEW doc hits existing key",     # dup_existing -> 0
+        9: "Z" * 32 + " brand new key",          # new
+    }
+    tbl = pa.table(
+        {"doc_id": pa.array(sorted(texts), type=pa.int64()),
+         "text": pa.array([texts[k] for k in sorted(texts)]),
+         "lang": pa.array(["en"] * 10),
+         "source": pa.array(["s"] * 10),
+         "n_chars": pa.array([len(texts[k]) for k in sorted(texts)],
+                             type=pa.int64())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    from tensorflow_ocr_ray.pipelines.dedup import dedup_incremental
+
+    out = (
+        dedup_incremental(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [8, 9]
+    assert out.loc[8, "verdict"] == "dup_existing"
+    assert out.loc[8, "canonical_doc_id"] == 0  # min existing id of key
+    assert out.loc[9, "verdict"] == "new"
+    assert out.loc[9, "canonical_doc_id"] == 9
+
+
+def test_dedup_incremental_in_batch(ray_session, tmp_path):
+    """Two new docs sharing a key unseen in the corpus: the earlier id
+    keeps ('new'), the later is dup_in_batch pointing at it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    Q = "Q" * 32
+    texts = {i: f"old-{i} " + chr(97 + i) * 40 for i in range(8)}
+    texts[8] = Q + " first of pair"   # new batch (split = 10*4//5 = 8)
+    texts[9] = Q + " second of pair"
+    tbl = pa.table(
+        {"doc_id": pa.array(sorted(texts), type=pa.int64()),
+         "text": pa.array([texts[k] for k in sorted(texts)]),
+         "lang": pa.array(["en"] * 10), "source": pa.array(["s"] * 10),
+         "n_chars": pa.array([len(texts[k]) for k in sorted(texts)],
+                             type=pa.int64())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    from tensorflow_ocr_ray.pipelines.dedup import dedup_incremental
+
+    out = (
+        dedup_incremental(str(tmp_path), n_shards=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [8, 9]
+    assert out.loc[8, "verdict"] == "new"
+    assert out.loc[8, "canonical_doc_id"] == 8
+    assert out.loc[9, "verdict"] == "dup_in_batch"
+    assert out.loc[9, "canonical_doc_id"] == 8
