@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_lineitem": relational.rollup_lineitem,
         "price_histogram": relational.price_histogram,
         "running_total": windows.running_total,
+        "densify_hourly_user": windows.densify_hourly_user,
         "range_join_orders": windows.range_join_orders,
         "first_touch_attribution": windows.first_touch_attribution,
         "first_event_per_user_day": windows.first_event_per_user_day,
@@ -303,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": curation.doc_top_tokens,
         "user_mode_event": windows.user_mode_event,
         "q23_returned_item_revenue": relational.q23_returned_item_revenue,
+        "q24_view_no_purchase": relational.q24_view_no_purchase,
+        "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
         "embedding_quantize": similarity.embedding_quantize,
@@ -2231,6 +2234,80 @@ def oracle_sql() -> dict[str, str]:
                                 * CAST(n * syy - sy * sy AS DOUBLE)),
                          6) AS corr_qty_price
             FROM m
+        """,
+        # REGR_SLOPE/REGR_INTERCEPT family via exact integer moments:
+        # identical final double formula both sides (corr pattern)
+        "regr_price_on_quantity": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     CAST(l_quantity AS BIGINT) AS q,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+              FROM lineitem
+            ), m AS (
+              SELECT l_returnflag, count(*) AS n,
+                     sum(q) AS sx, sum(p) AS sy,
+                     sum(q * q) AS sxx, sum(q * p) AS sxy
+              FROM b GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                       AS slope_cents_per_qty,
+                   round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                       AS intercept_cents
+            FROM m
+        """,
+        # EXCEPT / self-anti-semi at (user, day) grain: view-days with
+        # no purchase that day (user-level is vacuously empty here)
+        "q24_view_no_purchase": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     event_type
+              FROM events
+            )
+            SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_views
+            FROM e v
+            WHERE event_type = 'view'
+              AND NOT EXISTS (SELECT 1 FROM e p
+                              WHERE p.user_id = v.user_id
+                                AND p.day = v.day
+                                AND p.event_type = 'purchase')
+            GROUP BY user_id, day
+        """,
+        # time-series densify: per-user dense hourly grid between first
+        # and last active hour, zero-filled gaps, exact cents
+        "densify_hourly_user": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            a AS (
+              SELECT user_id, h, count(*) AS n,
+                     CAST(sum(cents) AS BIGINT) AS c
+              FROM e GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT user_id, min(h) AS lo, max(h) AS hi
+              FROM e GROUP BY user_id
+            ),
+            g AS (
+              -- scalar generate_series + unnest (the chunk_documents
+              -- pattern): this DuckDB build rejects column params in
+              -- the LATERAL table-function form
+              SELECT user_id,
+                     lo + unnest(generate_series(0, hi - lo, 1)) AS h
+              FROM span
+            )
+            SELECT g.user_id,
+                   TIMESTAMP '1970-01-01' + g.h * INTERVAL 1 HOUR
+                       AS hour,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS events,
+                   CAST(coalesce(a.c, 0) AS BIGINT) AS total_value_cents
+            FROM g LEFT JOIN a ON a.user_id = g.user_id AND a.h = g.h
         """,
         # GROUP BY CUBE with 'ALL' sentinels instead of NULLs
         "cube_lineitem": """

@@ -1819,3 +1819,113 @@ def q23_returned_item_revenue(sf_dir: str, topn: int = 20,
     out = out.sort_values(["revenue_e4", "c_custkey"],
                           ascending=[False, True]).reset_index(drop=True)
     return out.astype({"c_custkey": "int64", "revenue_e4": "int64"})
+
+
+def regr_price_on_quantity(sf_dir: str) -> pd.DataFrame:
+    """Per-flag least-squares regression of extendedprice (cents) on
+    quantity — SQL's REGR_SLOPE / REGR_INTERCEPT aggregate family,
+    computed like ``corr_quantity_price``: per-batch EXACT integer
+    moments (n, Sx, Sy, Sxx, Sxy fit int64 at batch size), driver
+    combine in Python big-ints (matching DuckDB's HUGEINT promotion of
+    the moment products), ONE double division per statistic with the
+    identical formula both sides:
+
+      slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+      intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2)
+
+    round(, 6) on the identical doubles.  Map-only + bounded driver
+    combine — no shuffle at all."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy().astype("int64")
+        p = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(
+            "int64")
+        d = pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"], "n": np.int64(1),
+             "sx": q, "sy": p, "sxx": q * q, "sxy": q * p}
+        )
+        return d.groupby("l_returnflag", as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxx=("sxx", "sum"), sxy=("sxy", "sum"),
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    rows = []
+    for flag, g in parts.groupby("l_returnflag"):
+        # Python ints: exact at any scale, like DuckDB's HUGEINT
+        n = int(g["n"].sum())
+        sx = int(g["sx"].sum())
+        sy = int(g["sy"].sum())
+        sxx = int(g["sxx"].sum())
+        sxy = int(g["sxy"].sum())
+        den = n * sxx - sx * sx
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "n": n,
+                "slope_cents_per_qty": round(
+                    float(n * sxy - sx * sy) / float(den), 6),
+                "intercept_cents": round(
+                    float(sy * sxx - sx * sxy) / float(den), 6),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+
+
+def q24_view_no_purchase(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """User-days with at least one view and ZERO purchases that day —
+    the EXCEPT / self-anti-semi shape (q18 is the two-table anti-join).
+    Day granularity because EVERY user has every event type corpus-wide
+    (a user-level EXCEPT is vacuously empty — degeneracy checked before
+    registering, per the r2 lesson).
+
+    Per-batch (user, day, views, purchases) count partials, ONE
+    user-hash exchange (a user's days all land in its shard), per-shard
+    combine + filter.  Lazy Dataset out (result is user×day class)."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+    _US_PER_DAY = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": us // _US_PER_DAY,
+                "v": (df["event_type"] == "view").to_numpy()
+                .astype("int64"),
+                "p": (df["event_type"] == "purchase").to_numpy()
+                .astype("int64"),
+            }
+        )
+        g = d.groupby(["user_id", "day"], as_index=False).agg(
+            v=("v", "sum"), p=("p", "sum")
+        )
+        g["shard"] = g["user_id"] % n_shards
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            v=("v", "sum"), p=("p", "sum")
+        )
+        g = g[(g["v"] > 0) & (g["p"] == 0)]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "day": g["day"].astype("int64"),
+                "n_views": g["v"].astype("int64"),
+            }
+        )
+
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, combine,
+    )

@@ -1305,3 +1305,78 @@ def next_purchase_event(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         .map_batches(add_shard, batch_format="pandas", batch_size=65536),
         "shard", n_shards, per_shard,
     )
+
+
+# ---------------- time-series densify (gap-fill resample) --------------------
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def densify_hourly_user(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Per-user DENSE hourly grid between the user's first and last
+    event hour, missing hours gap-filled with zeros — the time-series
+    resample/densify shape (SQL spells it generate_series + LEFT JOIN).
+
+    One user-hash exchange of per-batch (user, hour) partials; inside a
+    shard the dense grid expands with one vectorized repeat/arange (the
+    chunk_documents expansion pattern, keyed by user span length) and
+    the sparse aggregates land on it via a merge.  Emits exact integer
+    cents.  Output cardinality = Σ per-user hour spans — corpus-class,
+    so the Dataset stays lazy."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "hour": us // _US_PER_HOUR,
+                "cents": np.round(df["value"].to_numpy() * 100.0)
+                .astype("int64"),
+            }
+        )
+        g = d.groupby(["user_id", "hour"], as_index=False).agg(
+            p_n=("cents", "size"), p_c=("cents", "sum")
+        )
+        g["shard"] = g["user_id"] % n_shards
+        return g
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "hour": pd.Series([], dtype="datetime64[us]"),
+                    "events": pd.Series([], dtype="int64"),
+                    "total_value_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(["user_id", "hour"], as_index=False).agg(
+            n=("p_n", "sum"), c=("p_c", "sum")
+        )
+        span = g.groupby("user_id", as_index=False).agg(
+            lo=("hour", "min"), hi=("hour", "max")
+        )
+        uid = span["user_id"].to_numpy()
+        lo = span["lo"].to_numpy()
+        k = (span["hi"].to_numpy() - lo + 1).astype("int64")
+        tot = int(k.sum())
+        base = np.repeat(np.cumsum(k) - k, k)
+        hour = np.repeat(lo, k) + (np.arange(tot, dtype=np.int64) - base)
+        dense = pd.DataFrame(
+            {"user_id": np.repeat(uid, k), "hour": hour}
+        ).merge(g, on=["user_id", "hour"], how="left")
+        return pd.DataFrame(
+            {
+                "user_id": dense["user_id"].astype("int64"),
+                "hour": (dense["hour"] * _US_PER_HOUR)
+                .astype("datetime64[us]"),
+                "events": dense["n"].fillna(0).astype("int64"),
+                "total_value_cents": dense["c"].fillna(0).astype("int64"),
+            }
+        )
+
+    return hash_exchange(
+        _events(sf_dir, ["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
+    )

@@ -234,6 +234,10 @@ def test_ann_topk_multi_oracle(ray_session):
         ("next_purchase_event", ["events"]),
         ("stratified_sample_exact", ["documents"]),
         ("eval_set_builder", ["documents"]),
+        ("dedup_incremental", ["documents"]),
+        ("regr_price_on_quantity", ["lineitem"]),
+        ("q24_view_no_purchase", ["events"]),
+        ("densify_hourly_user", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
