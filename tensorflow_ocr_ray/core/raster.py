@@ -293,6 +293,10 @@ def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
     if payload[:4] in (TIFF_LE, TIFF_BE):
         img, bits = decode_tiff(payload)
         return _binarize_page(img, bits, cutoff)
+    if payload[:2] == b"\xff\xd8":  # baseline JPEG (core/jpeg.py)
+        from tensorflow_ocr_ray.core.jpeg import decode_jpeg_gray
+
+        return _binarize_page(decode_jpeg_gray(payload), 8, cutoff)
     magic, rest = payload[:4], payload[4:]
     h, w = struct.unpack("<II", rest[:8])
     body = rest[8:]

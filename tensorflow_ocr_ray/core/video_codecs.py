@@ -26,6 +26,7 @@ import numpy as np
 
 BI_RGB = 0
 BI_RLE8 = 1
+FOURCC_MJPG = 0x47504A4D  # struct.unpack("<I", b"MJPG")
 
 
 def _riff_chunks(buf: bytes, pos: int, end: int):
@@ -159,6 +160,15 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
                         palette_gray[idx]
                         if palette_gray is not None else idx
                     )
+                elif compression == FOURCC_MJPG:
+                    # Motion-JPEG: each frame chunk is a standalone
+                    # baseline JPEG (core/jpeg.py, spec-implemented);
+                    # frames are top-down already — no DIB flip
+                    from tensorflow_ocr_ray.core.jpeg import (
+                        decode_jpeg_gray,
+                    )
+
+                    frames.append(decode_jpeg_gray(body))
                 else:
                     raise NotImplementedError(
                         f"AVI compression {compression:#x} needs `av`"

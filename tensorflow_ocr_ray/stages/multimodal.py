@@ -16,9 +16,10 @@ The container ships no image/audio/video libraries, so:
   containers (mp3/ogg/flac) still gate on ``soundfile`` and raise a
   guarded ``NotImplementedError`` without it.
 - VIDEO decode is REAL for RIFF/AVI with uncompressed-DIB (8-bit
-  palette / 24-bit BGR / 32-bit BGRX) or RLE8 frames via the
-  pure-numpy decoders in ``core/video_codecs.py``.  Compressed codecs
-  (MJPEG/MPEG/H.26x) gate on ``av`` and raise a guarded
+  palette / 24-bit BGR / 32-bit BGRX), RLE8, or MJPG frames — the
+  MJPEG path decodes each frame with the baseline-JPEG decoder
+  implemented from ITU-T T.81 in ``core/jpeg.py`` (pure numpy).
+  Inter-frame codecs (MPEG/H.26x) gate on ``av`` and raise a guarded
   ``NotImplementedError`` without it; the deterministic ``FAKEVID``
   codec remains for plumbing tests.  The Ray-side contract — schema
   in/out, actor signature, batch sizing — is real and tested either
@@ -223,9 +224,9 @@ class VideoFrameSampleStage:
                              for f in frames])
         if self._av is None:
             raise NotImplementedError(
-                "compressed video decode requires `av`, not present in "
-                "this container — use AVI (BI_RGB / BI_RLE8) or the "
-                "FAKEVID test codec"
+                "inter-frame video decode requires `av`, not present in "
+                "this container — use AVI (BI_RGB / BI_RLE8 / MJPG) or "
+                "the FAKEVID test codec"
             )
         raise NotImplementedError("deployment path: av frame iteration")
 

@@ -128,8 +128,10 @@ def test_avi_rle8_with_palette():
 
 
 def test_avi_compressed_codec_raises():
+    # MJPG is now a REAL path (core/jpeg.py, tested in test_jpeg.py);
+    # inter-frame codecs still raise
     with pytest.raises(NotImplementedError):
-        decode_avi(_avi(2, 2, 24, 0x47504A4D, [bytes(16)]))  # 'MJPG'
+        decode_avi(_avi(2, 2, 24, 0x34363248, [bytes(16)]))  # 'H264'
 
 
 def test_avi_not_riff_raises():
