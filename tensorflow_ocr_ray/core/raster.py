@@ -297,6 +297,10 @@ def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
         from tensorflow_ocr_ray.core.jpeg import decode_jpeg_gray
 
         return _binarize_page(decode_jpeg_gray(payload), 8, cutoff)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":  # PNG (core/png.py)
+        from tensorflow_ocr_ray.core.png import decode_png_gray
+
+        return _binarize_page(decode_png_gray(payload), 8, cutoff)
     magic, rest = payload[:4], payload[4:]
     h, w = struct.unpack("<II", rest[:8])
     body = rest[8:]

@@ -8,7 +8,9 @@ heaps).
 
 The container ships no image/audio/video libraries, so:
 - IMAGE ops are REAL against the repo's own OCR1/OCR8 bitonal codec
-  (``core/raster.py``).
+  plus spec-implemented TIFF (G4/LZW/PackBits — ``core/raster.py``),
+  baseline JPEG (``core/jpeg.py``) and PNG (``core/png.py``) payloads,
+  all binarized with the reference threshold rule.
 - AUDIO decode is REAL for the whole classic WAV matrix — PCM
   8/16/24/32, IEEE float, G.711 A-law/µ-law, mono IMA ADPCM — via the
   pure-numpy decoders in ``core/audio_codecs.py`` (implemented from the
