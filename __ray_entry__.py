@@ -1665,7 +1665,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q03_segment_orders": """
             SELECT c_mktsegment, count(*) AS order_count,
-                   round(sum(o_totalprice), 2) AS total_price
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_price_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,

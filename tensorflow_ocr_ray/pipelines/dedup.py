@@ -59,7 +59,15 @@ def dedup_exact(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        h = _md5_prefix_batch(list(df["text"]), 8).astype(np.uint64)
+        # hash a BOUNDED key (length + 256-char prefix), not the full
+        # text: identical texts still share a shard by construction, a
+        # prefix collision merely co-locates different texts (resolved
+        # by the in-shard group on the text itself), and per-doc hash
+        # cost stays O(1) regardless of document length.  The length
+        # component spreads shared-boilerplate prefixes of different
+        # sizes.
+        keys = [f"{len(t)}:{t[:256]}" for t in df["text"]]
+        h = _md5_prefix_batch(keys, 8).astype(np.uint64)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),

@@ -69,14 +69,23 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
         )
         return g
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("p_qty", alias_name="s_qty"),
-        Sum("p_base", alias_name="s_base"),
-        Sum("p_disc", alias_name="s_disc"),
-        Sum("p_cnt", alias_name="s_cnt"),
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).agg(p_qty=("p_qty", "sum"), p_base=("p_base", "sum"),
+              p_disc=("p_disc", "sum"), p_cnt=("p_cnt", "sum"))
+
+    # bounded-key finish: repartition tree-combine (the q08 pattern),
+    # not Ray's sort-based aggregate over the partial stream
+    df = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(merge, batch_format="pandas")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(s_qty=("p_qty", "sum"), s_base=("p_base", "sum"),
+             s_disc=("p_disc", "sum"), s_cnt=("p_cnt", "sum"))
     )
-    df = final.to_pandas()
     qty = df["s_qty"].to_numpy().astype("int64")
     base = df["s_base"].to_numpy().astype("int64")
     cnt = df["s_cnt"].to_numpy().astype("int64")
@@ -127,7 +136,13 @@ def q02_filtered_revenue(sf_dir: str) -> "rd.Dataset":
 
 
 def q03_segment_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast hash join: customer segment dim shipped once via ray.put."""
+    """Broadcast hash join: customer segment dim shipped once via
+    ray.put, looked up per batch in a TASK pool (the pre-r4 two-actor
+    pool paid actor startup for a sub-second stage; ray.get of the
+    broadcast dict is a local object-store hit after the first batch on
+    each worker).  Bounded-key finish: per-batch segment partials
+    tree-combine via repartition — no sort shuffle, no Ray aggregate
+    over the partial stream.  Cents-exact like q06/q15."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(
@@ -142,36 +157,41 @@ def q03_segment_orders(sf_dir: str) -> pd.DataFrame:
         )
     )
 
-    class AttachSegment:
-        def __init__(self, ref):
-            self.seg = ray.get(ref)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_map_ref)
+        d = pd.DataFrame(
+            {
+                "c_mktsegment": df["o_custkey"].map(seg),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype("int64"),
+            }
+        )
+        g = d.groupby("c_mktsegment", as_index=False).agg(
+            p_cnt=("cents", "size"), p_c=("cents", "sum")
+        )
+        return g.astype({"p_cnt": "int64", "p_c": "int64"})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
-            return df.groupby("c_mktsegment", as_index=False).agg(
-                p_cnt=("o_orderkey", "size"), p_total=("o_totalprice", "sum")
-            )
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("c_mktsegment", as_index=False)
+            .agg(p_cnt=("p_cnt", "sum"), p_c=("p_c", "sum"))
+            .astype({"p_cnt": "int64", "p_c": "int64"})
+        )
 
-    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    partials = orders.map_batches(
-        AttachSegment,
-        fn_constructor_kwargs={"ref": seg_map_ref},
-        batch_format="pandas",
-        batch_size=65536,
-        concurrency=2,
-    )
-    df = (
-        partials.groupby("c_mktsegment")
-        .aggregate(Sum("p_cnt", alias_name="order_count"),
-                   Sum("p_total", alias_name="t"))
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    parts = (
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+        .repartition(16)
+        .map_batches(merge, batch_format="pandas")
         .to_pandas()
     )
-    return pd.DataFrame(
-        {
-            "c_mktsegment": df["c_mktsegment"],
-            "order_count": df["order_count"].astype("int64"),
-            "total_price": df["t"].round(2),
-        }
+    tot = parts.groupby("c_mktsegment", as_index=False).agg(
+        order_count=("p_cnt", "sum"), total_price_cents=("p_c", "sum")
+    )
+    return tot.astype(
+        {"order_count": "int64", "total_price_cents": "int64"}
     )
 
 
