@@ -165,6 +165,65 @@ def _glyph_stats(sf_dir: str):
     )
 
 
+def _media_audio_features(sf_dir: str):
+    """Multimodal plumbing as a first-class query: one deterministic
+    PCM16 WAV payload per document (doc_id-seeded tone, a REAL RIFF
+    container through the spec decoder in core/audio_codecs.py), decoded
+    + featurized by the AudioFeatureStage actor pool.  Rows-only (frame
+    energies are float DSP, not SQL-expressible); determinism makes the
+    driver's row/schema check stable across runs."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.multimodal import AudioFeatureStage
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        payloads = []
+        n = 2048
+        t = np.arange(n, dtype=np.float64)
+        for did in df["doc_id"]:
+            freq = 100.0 + (int(did) % 40) * 10.0
+            amp = 8000.0 + (int(did) % 7) * 1000.0
+            data = (np.sin(2 * np.pi * freq * t / 8000.0) * amp).astype(
+                "<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            payloads.append(
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    [str(int(d)) for d in df["doc_id"]]
+                ),
+                "audio": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    feats = docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2,
+    )
+
+    def finalize(df):
+        df = df.copy()
+        df["rms"] = df["rms"].astype(float).round(6)
+        df["peak"] = df["peak"].astype(float).round(6)
+        return df
+
+    return feats.map_batches(finalize, batch_format="pandas")
+
+
 def _tf_dense_predictions(sf_dir: str):
     from tensorflow_ocr_ray.pipelines.tf_pipeline import dense_predictions
 
@@ -378,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_extract_postprocessed": _ocr_postprocessed,
         "ocr_glyph_stream": _ocr_glyph_stream,
         "ocr_glyph_stats": _glyph_stats,
+        # multimodal plumbing (rows-only; DSP features aren't SQL)
+        "media_audio_features": _media_audio_features,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,
