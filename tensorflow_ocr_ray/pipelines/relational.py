@@ -868,7 +868,7 @@ def q16_event_quantiles(
     return df.sort_values("event_type").reset_index(drop=True)
 
 
-def q17_order_lineitem_join(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+def q17_order_lineitem_join(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     """Fact-to-fact join, sharded merge plan: both sides carry a
     ``key % n_shards`` shuffle key, union, one ``groupby(shard)`` moves
     co-keyed rows together, and each shard does a vectorized pandas
@@ -931,16 +931,15 @@ def q17_order_lineitem_join(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
             }
         )
 
-    df = (
-        hash_exchange(lines.union(ords), "shard", n_shards, merge_shard)
-        .to_pandas()
-    )
-    return df.sort_values("o_orderkey").reset_index(drop=True)
+    # lazy out: the joined result is order-cardinality — it streams
+    # to the consumer; the driver compare sorts rows itself
+    return hash_exchange(lines.union(ords), "shard", n_shards,
+                         merge_shard)
 
 
 def q18_customers_without_orders(
     sf_dir: str, min_total: float = 400_000.0, n_shards: int = 64
-) -> pd.DataFrame:
+) -> "rd.Dataset":
     """Anti-join (customers with no order above ``min_total``), sharded:
     both sides carry ``custkey % n_shards``; each shard drops customers
     present in its (filtered, deduped) order-key set.  No broadcast of
@@ -977,19 +976,16 @@ def q18_customers_without_orders(
              "c_acctbal": c["c_acctbal"].astype("float64")}
         )
 
-    df = (
-        hash_exchange(
-            cust.map_batches(c_rows, batch_format="pandas",
-                             batch_size=65536)
-            .union(orders.map_batches(o_rows, batch_format="pandas",
-                                      batch_size=65536)),
-            "shard", n_shards, anti)
-        .to_pandas()
-    )
-    return df.sort_values("c_custkey").reset_index(drop=True)
+    # lazy out: customer-cardinality result streams to the consumer
+    return hash_exchange(
+        cust.map_batches(c_rows, batch_format="pandas",
+                         batch_size=65536)
+        .union(orders.map_batches(o_rows, batch_format="pandas",
+                                  batch_size=65536)),
+        "shard", n_shards, anti)
 
 
-def q19_top2_orders_per_customer(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+def q19_top2_orders_per_customer(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     """Window rank: each customer's top-2 orders by totalprice.  One
     shuffle keyed by a customer-hash shard; the rank is computed
     vectorized inside each shard (per-customer sort + cumcount)."""
@@ -1016,17 +1012,14 @@ def q19_top2_orders_per_customer(sf_dir: str, n_shards: int = 64) -> pd.DataFram
              "rn": out["rn"]}
         )
 
-    df = (
-        hash_exchange(
-            orders.map_batches(add_shard, batch_format="pandas",
-                               batch_size=65536),
-            "shard", n_shards, rank_shard)
-        .to_pandas()
-    )
-    return df.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+    # lazy out: 2x-customer-cardinality result streams to the consumer
+    return hash_exchange(
+        orders.map_batches(add_shard, batch_format="pandas",
+                           batch_size=65536),
+        "shard", n_shards, rank_shard)
 
 
-def q20_user_event_window(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+def q20_user_event_window(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     """Row-window functions per user (ordered by ts, event_id): 3-row
     rolling max of value (max is order-independent → bit-exact vs the
     SQL window) and the gap to the previous event in exact microseconds
@@ -1056,14 +1049,11 @@ def q20_user_event_window(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
              "gap_us": gap.astype("int64")}
         )
 
-    df = (
-        hash_exchange(
-            ev.map_batches(add_shard, batch_format="pandas",
-                           batch_size=65536),
-            "shard", n_shards, window_shard)
-        .to_pandas()
-    )
-    return df.sort_values("event_id").reset_index(drop=True)
+    # lazy out: event-cardinality result streams to the consumer
+    return hash_exchange(
+        ev.map_batches(add_shard, batch_format="pandas",
+                       batch_size=65536),
+        "shard", n_shards, window_shard)
 
 
 def q21_event_props_stats(sf_dir: str) -> pd.DataFrame:
