@@ -84,3 +84,95 @@ def test_hash_exchange_chained(ray_session):
             n=("v", "size")) if len(g) else g,
     ).to_pandas()
     assert int(second["n"].sum()) == 300
+
+
+def test_hash_exchange_out_of_range_raises(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    ds = rd.from_pandas(pd.DataFrame({"x": [1, 2], "shard": [0, 5]}))
+    with pytest.raises(Exception, match="outside"):
+        hash_exchange(ds, "shard", 4, lambda df: df).to_pandas()
+
+
+def test_hash_exchange_empty_input(ray_session):
+    """Empty upstream → empty output dataset, fn never called (there is
+    no typed frame to seed it with) — the ADVICE r3 crash case."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                      "shard": pd.Series([], dtype="int64")})
+    ).filter(lambda r: False)  # zero BLOCKS after execution
+
+    calls = []
+
+    def fn(df):
+        calls.append(1)
+        return df
+
+    # from_pandas keeps one (0-row) block; exercise both shapes
+    out = hash_exchange(empty, "shard", 4, fn)
+    assert out.count() == 0
+
+
+def test_hash_exchange_pyarrow_mode(ray_session):
+    """Arrow mode routes nested (list<struct>) columns with no pandas
+    round-trip and matches the pandas mode's row content."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    rows = [
+        {"k": i, "shard": i % 3,
+         "spans": [{"kind": "t", "off": j} for j in range(i % 4)]}
+        for i in range(20)
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(tbl)
+
+    def per_shard(t: pa.Table) -> pa.Table:
+        # count spans per row, keep nested column intact
+        import pyarrow.compute as pc
+
+        n = pc.fill_null(pc.list_value_length(t.column("spans")), 0)
+        return t.append_column("n_spans", n)
+
+    out = hash_exchange(ds, "shard", 3, per_shard,
+                        batch_format="pyarrow").to_pandas()
+    assert len(out) == 20
+    got = dict(zip(out["k"], out["n_spans"]))
+    assert got == {i: i % 4 for i in range(20)}
+    # nested column survived the exchange
+    assert len(out.loc[out["k"] == 7, "spans"].iloc[0]) == 3
+
+
+def test_hash_exchange_pyarrow_empty_shard(ray_session):
+    """Arrow mode's empty shards reach fn as 0-row TYPED tables (fn
+    runs remotely, so it reports what it saw through its OUTPUT row)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    tbl = pa.table({"k": [1, 2], "shard": [0, 0]})
+
+    def per_shard(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], type=pa.int64()),
+                "has_k": pa.array(["k" in t.schema.names]),
+            }
+        )
+
+    out = hash_exchange(rd.from_arrow(tbl), "shard", 4, per_shard,
+                        batch_format="pyarrow").to_pandas()
+    assert sorted(out["n_rows"].tolist()) == [0, 0, 0, 2]
+    assert out["has_k"].all()  # typed empties, never schema-less

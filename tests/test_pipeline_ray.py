@@ -338,3 +338,38 @@ def test_exploded_plan_handles_span_count_skew(ray_session):
     for r in rows:
         want = [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
         assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_lance_seam_contract(ray_session, tmp_path):
+    """The Lance reader/writer seam (BASELINE.json input_hint names
+    Lance tables; the lib is not in this container): a .lance path must
+    either work (lance present) or raise the documented RuntimeError —
+    never fall through to the parquet path silently."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import (
+        read_documents,
+        write_documents,
+    )
+
+    try:
+        import lance  # noqa: F401
+
+        has_lance = True
+    except ImportError:
+        has_lance = False
+
+    ds = rd.from_arrow(pa.table({"doc_id": ["a"], "spans": [[]]}))
+    if has_lance:  # pragma: no cover - not in this container
+        write_documents(ds, str(tmp_path / "t.lance"))
+        assert read_documents(str(tmp_path / "t.lance")).count() == 1
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="Lance"):
+            read_documents(str(tmp_path / "t.lance"))
+        with _pytest.raises(RuntimeError, match="Lance"):
+            write_documents(ds, str(tmp_path / "t.lance"))
+        # and no stray output dir was created by the failed writer
+        assert not (tmp_path / "t.lance").exists()
