@@ -224,6 +224,86 @@ def _media_audio_features(sf_dir: str):
     return feats.map_batches(finalize, batch_format="pandas")
 
 
+def _media_pdf_pages(sf_dir: str):
+    """Scanned-PDF ingest as a first-class query: one deterministic
+    single-page CCITT-G4 PDF per document (doc_id-seeded ink blocks in a
+    REAL PDF object graph, parsed + decoded by core/pdfimage.py — the
+    reference's S11 path, ``main/nybc2tiff.pl:1-31``, with no external
+    tool), featurized by the ImageStatsStage actor pool.  Rows-only
+    (binarized ink geometry is not SQL-expressible); deterministic
+    synthesis keeps the driver's row/schema check stable across runs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.multimodal import ImageStatsStage
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        from tensorflow_ocr_ray.core.ccitt import encode_g4
+
+        payloads = []
+        h, w = 24, 40
+        for did in df["doc_id"]:
+            d = int(did)
+            ink = np.zeros((h, w), dtype=np.uint8)
+            r0 = 2 + d % 10
+            c0 = 2 + (d // 10) % 20
+            ink[r0:r0 + 6, c0:c0 + 12] = 1
+            ink[h - 3, (d % 5)::4] = 1
+            g4 = encode_g4(ink)
+            body = bytearray(b"%PDF-1.4\n")
+            offsets = {}
+
+            def put(num, b, body=body, offsets=offsets):
+                offsets[num] = len(body)
+                body.extend(b"%d 0 obj\n" % num + b + b"\nendobj\n")
+
+            put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+            put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+            put(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+                   b"<< /XObject << /Im0 4 0 R >> >> >>")
+            put(4, b"<< /Subtype /Image /Width %d /Height %d "
+                   b"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+                   b"/Filter /CCITTFaxDecode /DecodeParms "
+                   b"<< /K -1 /Columns %d /Rows %d >> /Length %d >>\n"
+                   b"stream\n" % (w, h, w, h, len(g4))
+                   + g4 + b"\nendstream")
+            xref_at = len(body)
+            body.extend(b"xref\n0 5\n0000000000 65535 f \n")
+            for num in range(1, 5):
+                body.extend(b"%010d 00000 n \n" % offsets[num])
+            body.extend(b"trailer\n<< /Size 5 /Root 1 0 R >>\n"
+                        b"startxref\n%d\n%%%%EOF\n" % xref_at)
+            payloads.append(bytes(body))
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    [str(int(d)) for d in df["doc_id"]]
+                ),
+                "image": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    feats = docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(
+        ImageStatsStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2,
+    )
+
+    def finalize(df):
+        df = df.copy()
+        for c in ("ink_ratio", "centroid_y", "centroid_x"):
+            df[c] = df[c].astype(float).round(6)
+        return df
+
+    return feats.map_batches(finalize, batch_format="pandas")
+
+
 def _tf_dense_predictions(sf_dir: str):
     from tensorflow_ocr_ray.pipelines.tf_pipeline import dense_predictions
 
@@ -439,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_glyph_stats": _glyph_stats,
         # multimodal plumbing (rows-only; DSP features aren't SQL)
         "media_audio_features": _media_audio_features,
+        "media_pdf_pages": _media_pdf_pages,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,

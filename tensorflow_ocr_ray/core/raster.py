@@ -10,6 +10,9 @@ opaque ``binary`` columns; ``decode_payload`` sniffs the format:
   horizontal-differencing predictor (``core/tiff_lzw.py``) — all decoded
   by the pure-numpy/pure-Python readers below, no external image libs.
   FillOrder=2 (LSB-first fax) strips are bit-reversed before decode.
+- baseline **JPEG** (``core/jpeg.py``) and **PNG** (``core/png.py``).
+- scanned **PDF** (``core/pdfimage.py``): per-page image XObjects
+  (CCITT G4 / DCT / Flate) decoded in-process — one page per image.
 - ``OCR1``/``OCR8``: the repo's compact bitonal/gray test codec.
 """
 
@@ -279,6 +282,12 @@ def decode_payload_pages(payload: bytes, cutoff: float = 0.50) -> list[np.ndarra
             _binarize_page(img, bits, cutoff)
             for img, bits in decode_tiff_pages(payload)
         ]
+    if payload[:4] == b"%PDF":  # scanned PDF (core/pdfimage.py)
+        from tensorflow_ocr_ray.core.pdfimage import pdf_page_images
+
+        return [
+            _binarize_page(img, 8, cutoff) for img in pdf_page_images(payload)
+        ]
     return [decode_payload(payload, cutoff)]
 
 
@@ -301,6 +310,13 @@ def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
         from tensorflow_ocr_ray.core.png import decode_png_gray
 
         return _binarize_page(decode_png_gray(payload), 8, cutoff)
+    if payload[:4] == b"%PDF":  # scanned PDF (core/pdfimage.py)
+        from tensorflow_ocr_ray.core.pdfimage import pdf_page_images
+
+        pages = pdf_page_images(payload)
+        if not pages:
+            raise ValueError("PDF payload has no raster page images")
+        return _binarize_page(pages[0], 8, cutoff)
     magic, rest = payload[:4], payload[4:]
     h, w = struct.unpack("<II", rest[:8])
     body = rest[8:]

@@ -29,10 +29,26 @@ def ghostscript_available() -> bool:
 
 def pdf_to_tiff_pages(pdf_path: str, dpi: int = 400) -> list[bytes]:
     """One PDF → list of single-page gray TIFF payloads (the reference's
-    ``gs -sDEVICE=tiffgray -r400x400`` + ``tiffsplit`` pipeline)."""
+    ``gs -sDEVICE=tiffgray -r400x400`` + ``tiffsplit`` pipeline,
+    ``main/Makefile:80-93``).
+
+    Scanned PDFs — the reference's actual inputs — are decoded entirely
+    in-process by ``core/pdfimage`` (CCITT G4 / DCT / Flate page-image
+    XObjects through the repo's own spec codecs); only vector-content
+    PDFs (no raster page image) fall through to the Ghostscript seam.
+    """
+    from tensorflow_ocr_ray.core.pdfimage import pdf_page_images
+    from tensorflow_ocr_ray.core.raster import encode_tiff
+
+    with open(pdf_path, "rb") as f:
+        payload = f.read()
+    images = pdf_page_images(payload)  # [] for vector-only PDFs
+    if images:
+        return [encode_tiff(img, bilevel=False) for img in images]
     if not ghostscript_available():
         raise NotImplementedError(
-            "PDF ingestion needs Ghostscript on PATH: "
+            "this PDF has no raster page images (vector content); "
+            "rasterizing needs Ghostscript on PATH: "
             f"`gs -sDEVICE=tiffgray -r{dpi}x{dpi} -o page%03d.tif "
             f"{pdf_path}` (main/Makefile:80-93). This environment has no "
             "gs; deployments mount one or pre-convert."

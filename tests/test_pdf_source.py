@@ -9,6 +9,9 @@ import pytest
 
 
 def test_gs_seam_raises_with_command(tmp_path):
+    """Scanned PDFs now decode in-process (core/pdfimage, see
+    test_pdfimage.py); the Ghostscript seam remains only for
+    vector-content PDFs — it must still surface the exact command."""
     from tensorflow_ocr_ray.sources.pdf import (
         ghostscript_available,
         pdf_to_tiff_pages,
@@ -16,8 +19,16 @@ def test_gs_seam_raises_with_command(tmp_path):
 
     if ghostscript_available():  # pragma: no cover - not in this container
         pytest.skip("gs present; seam exercised for real elsewhere")
+    path = tmp_path / "vector.pdf"
+    path.write_bytes(
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+        b"trailer\n<< /Size 4 /Root 1 0 R >>\n"
+    )
     with pytest.raises(NotImplementedError, match="tiffgray"):
-        pdf_to_tiff_pages(str(tmp_path / "x.pdf"))
+        pdf_to_tiff_pages(str(path))
 
 
 def test_pdf_documents_layout_and_ocr(ray_session, tmp_path):
