@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedup,
         relational,
+        search,
         similarity,
         windows,
     )
@@ -469,6 +470,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "winnow_dup_clusters": dedup.winnow_dup_clusters,
         "dedup_incremental": dedup.dedup_incremental,
+        # corpus search (pipelines/search.py): map-only inverted-index ops
+        "phrase_search": search.phrase_search,
+        "bm25_topk": search.bm25_topk,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         # the read-pruned indexed paths (build-once bucket/cell
@@ -1546,6 +1550,78 @@ def oracle_sql() -> dict[str, str]:
             FROM newd n
             LEFT JOIN ex e USING (k)
             JOIN nb b USING (k)
+        """,
+        # phrase search: overlapping adjacent-token matches per doc
+        # (pipelines/search.py phrase_search; tokenization = the oracle
+        # whitespace convention)
+        "phrase_search": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ts
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok
+            ),
+            pairs AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg FROM idx
+            )
+            SELECT bg AS phrase, doc_id,
+                   count(*)::BIGINT AS matches
+            FROM pairs
+            WHERE bg IN ('part filter', 'order fast', 'table hash')
+            GROUP BY 1, 2
+        """,
+        # BM25 top-20 (ln-free idf ratio variant — every score is the
+        # SAME chain of IEEE double + - * / as pipelines/search.py
+        # bm25_topk computes, so doubles compare bit-identical; k1=1.2,
+        # b=0.75, terms scan/join/filter, ties broken by doc_id)
+        "bm25_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ts
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, len(ts)::DOUBLE AS dl,
+                     len(list_filter(ts, x -> x = 'scan'))::DOUBLE AS tf0,
+                     len(list_filter(ts, x -> x = 'join'))::DOUBLE AS tf1,
+                     len(list_filter(ts, x -> x = 'filter'))::DOUBLE AS tf2
+              FROM tok
+            ),
+            s AS (
+              SELECT count(*)::DOUBLE AS n, sum(dl) AS tt,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE
+                         AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE
+                         AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE
+                         AS df2
+              FROM d
+            ),
+            scored AS (
+              SELECT doc_id,
+                ((n - df0 + 0.5) / (df0 + 0.5))
+                  * ((tf0 * (1.2 + 1.0))
+                     / (tf0 + 1.2 * ((1.0 - 0.75)
+                                     + (0.75 * dl) / (tt / n))))
+              + ((n - df1 + 0.5) / (df1 + 0.5))
+                  * ((tf1 * (1.2 + 1.0))
+                     / (tf1 + 1.2 * ((1.0 - 0.75)
+                                     + (0.75 * dl) / (tt / n))))
+              + ((n - df2 + 0.5) / (df2 + 0.5))
+                  * ((tf2 * (1.2 + 1.0))
+                     / (tf2 + 1.2 * ((1.0 - 0.75)
+                                     + (0.75 * dl) / (tt / n))))
+                AS score
+              FROM d, s
+            )
+            SELECT rank, doc_id, score FROM (
+              SELECT row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS rank,
+                     doc_id, score
+              FROM scored
+            ) WHERE rank <= 20
         """,
         "tfidf_top_terms": _tfidf_sql(),
         "source_gate": _source_gate_sql(),

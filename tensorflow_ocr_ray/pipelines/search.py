@@ -1,0 +1,152 @@
+"""Inverted-index-style corpus search: phrase match + BM25 top-k.
+
+The search primitives a 100-TB training-data pipeline needs when
+selecting or auditing documents by content (e.g. "which docs contain
+this exact phrase" for contamination forensics, "top-k docs for these
+terms" for targeted sampling).  Both are embarrassingly parallel over
+the documents table — a document's tokens live in one row, so phrase
+adjacency and per-doc term frequencies are map-only; the only
+cross-document state is the tiny (num_docs, total_tokens, df_per_term)
+statistics triple, combined from per-batch partials and broadcast back.
+No shuffle of corpus-sized data anywhere.
+
+Tokenization matches the repo's oracle convention exactly:
+``text.strip().lower().split()`` == DuckDB
+``string_split_regex(trim(lower(text)), '\\s+')``.
+
+Exactness: BM25 uses the ln-free idf ratio ``(N - df + 0.5)/(df + 0.5)``
+(monotone in the classic log idf per term) so every score is a fixed
+chain of IEEE-double ``+ - * /`` on exact integers — written as the
+SAME expression, in the same order, in the SQL oracle; scores compare
+bit-identical with no rounding step.  k1 = 1.2, b = 0.75.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+PHRASES = ("part filter", "order fast", "table hash")
+BM25_TERMS = ("scan", "join", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _docs(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def phrase_search(sf_dir: str,
+                  phrases: tuple[str, ...] = PHRASES) -> "rd.Dataset":
+    """(phrase, doc_id, matches) for every document containing each
+    query phrase — adjacency on whitespace tokens, overlapping matches
+    counted ('x x x' has two 'x x' matches), map-only."""
+    split_phrases = [tuple(p.split()) for p in phrases]
+
+    def find(df: pd.DataFrame) -> pd.DataFrame:
+        out_phrase, out_doc, out_n = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = np.asarray(text.strip().lower().split(), dtype=object)
+            if len(toks) < 2:
+                continue
+            head, tail = toks[:-1], toks[1:]
+            for p, (a, b) in zip(phrases, split_phrases):
+                n = int(((head == a) & (tail == b)).sum())
+                if n:
+                    out_phrase.append(p)
+                    out_doc.append(int(doc_id))
+                    out_n.append(n)
+        return pd.DataFrame(
+            {"phrase": pd.Series(out_phrase, dtype=object),
+             "doc_id": pd.Series(out_doc, dtype="int64"),
+             "matches": pd.Series(out_n, dtype="int64")}
+        )
+
+    return _docs(sf_dir).map_batches(
+        find, batch_format="pandas", batch_size=4096
+    )
+
+
+def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
+              k: int = BM25_TOPK) -> pd.DataFrame:
+    """Top-k documents by BM25 (ln-free idf variant, see module doc)
+    for a fixed term set: (rank, doc_id, score).
+
+    Pass 1 — per-batch partials of (n_docs, total_tokens, df per term),
+    combined driver-side (one tiny row per input block).  Pass 2 —
+    per-doc scores from the broadcast stats, per-block top-k partials
+    (score DESC, doc_id ASC), bounded driver merge of <= k rows/block.
+    """
+    terms = tuple(terms)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"n_docs": pd.Series([], dtype="int64"),
+                 "total_tokens": pd.Series([], dtype="int64"),
+                 **{f"df_{i}": pd.Series([], dtype="int64")
+                    for i in range(len(terms))}}
+            )
+        dls, dfs = [], []
+        for text in df["text"]:
+            toks = text.strip().lower().split()
+            dls.append(len(toks))
+            tokset = set(toks)
+            dfs.append([t in tokset for t in terms])
+        row = {"n_docs": np.int64(len(df)),
+               "total_tokens": np.int64(sum(dls))}
+        contains = np.asarray(dfs, dtype=bool)
+        for i, t in enumerate(terms):
+            row[f"df_{i}"] = np.int64(
+                contains[:, i].sum() if len(df) else 0)
+        return pd.DataFrame([row])
+
+    partials = _docs(sf_dir).map_batches(
+        stats_partial, batch_format="pandas", batch_size=4096
+    ).to_pandas()  # one row per block — bounded by block count
+    n = np.float64(int(partials["n_docs"].sum()))
+    t_total = np.float64(int(partials["total_tokens"].sum()))
+    dfs = [np.float64(int(partials[f"df_{i}"].sum()))
+           for i in range(len(terms))]
+    avgdl = t_total / n
+    stats_ref = ray.put((terms, dfs, n, avgdl))
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        terms_, dfs_, n_, avgdl_ = ray.get(stats_ref)
+        tfs = np.zeros((len(df), len(terms_)), dtype=np.float64)
+        dl = np.zeros(len(df), dtype=np.float64)
+        for r, text in enumerate(df["text"]):
+            toks = text.strip().lower().split()
+            dl[r] = len(toks)
+            for i, t in enumerate(terms_):
+                tfs[r, i] = toks.count(t)
+        score = np.zeros(len(df), dtype=np.float64)
+        for i in range(len(terms_)):
+            tf = tfs[:, i]
+            # identical expression (and order) to the SQL oracle
+            score = score + ((n_ - dfs_[i] + 0.5) / (dfs_[i] + 0.5)) * (
+                (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * ((1.0 - BM25_B)
+                                   + (BM25_B * dl) / avgdl_))
+            )
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "score": score}
+        )
+        order = np.lexsort((out["doc_id"].to_numpy(),
+                            -out["score"].to_numpy()))
+        return out.iloc[order[:k]].reset_index(drop=True)
+
+    tops = _docs(sf_dir).map_batches(
+        score_block, batch_format="pandas", batch_size=4096
+    ).to_pandas()  # <= k rows per block — bounded
+    order = np.lexsort((tops["doc_id"].to_numpy(),
+                        -tops["score"].to_numpy()))
+    final = tops.iloc[order[:k]].reset_index(drop=True)
+    final.insert(0, "rank", np.arange(1, len(final) + 1, dtype=np.int64))
+    return final

@@ -238,6 +238,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("regr_price_on_quantity", ["lineitem"]),
         ("q24_view_no_purchase", ["events"]),
         ("densify_hourly_user", ["events"]),
+        ("phrase_search", ["documents"]),
+        ("bm25_topk", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

@@ -275,3 +275,65 @@ def test_kmeans_quantized_invariants(ray_session):
     # distance to SOME centroid and no other assignment has a smaller
     # dist for >1% of rows would indicate a broken argmin)
     assert out.groupby("cluster")["dist"].mean().notna().all()
+
+
+def test_bm25_topk_brute(ray_session):
+    """bm25_topk == a sequential single-process BM25 over the whole
+    corpus (same ln-free idf variant, same tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.search import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        bm25_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = bm25_topk(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = [t.strip().lower().split() for t in docs["text"]]
+    n = float(len(docs))
+    avgdl = float(sum(len(t) for t in toks)) / n
+    dfs = [float(sum(1 for t in toks if term in t)) for term in BM25_TERMS]
+    scores = []
+    for t in toks:
+        dl = float(len(t))
+        s = 0.0
+        for i, term in enumerate(BM25_TERMS):
+            tf = float(t.count(term))
+            s = s + ((n - dfs[i] + 0.5) / (dfs[i] + 0.5)) * (
+                (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dl) / avgdl)))
+        scores.append(s)
+    ref = pd.DataFrame({"doc_id": docs["doc_id"].astype("int64"),
+                        "score": scores})
+    order = np.lexsort((ref["doc_id"].to_numpy(),
+                        -ref["score"].to_numpy()))
+    ref = ref.iloc[order[:20]].reset_index(drop=True)
+    assert list(got["doc_id"]) == list(ref["doc_id"])
+    assert (got["score"].to_numpy() == ref["score"].to_numpy()).all()
+
+
+def test_phrase_search_overlapping_matches(ray_session, tmp_path):
+    """'x x x' counts two 'x x' adjacencies (overlap allowed), and
+    phrases never span documents."""
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.search import phrase_search
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["part filter part filter part",
+                 "order fast order fast",
+                 "part\nfilter  part"],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = phrase_search(str(tmp_path)).to_pandas().sort_values(
+        ["phrase", "doc_id"]).reset_index(drop=True)
+    rows = {(r.phrase, r.doc_id): r.matches for r in out.itertuples()}
+    assert rows[("part filter", 1)] == 2
+    assert rows[("order fast", 2)] == 2
+    assert rows[("part filter", 3)] == 1  # whitespace runs normalize
