@@ -199,23 +199,17 @@ def ocr_documents(
     if mode != "exploded":
         raise ValueError(f"unknown mode {mode!r}")
     spans = ds.map_batches(explode_documents, batch_format="pyarrow")
-    if num_blocks:
-        # spread span rows evenly: per-document span-count skew dies here
-        spans = spans.repartition(num_blocks)
-    scored = spans.map_batches(
-        OcrSpanStage,
-        fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        **remote,
-    )
 
-    # The ONE wide shuffle: co-locate each document's spans.  Key = a
-    # deterministic hash bucket of doc_id (small-int key, ≤
+    # The ONE wide shuffle downstream co-locates each document's spans on
+    # a deterministic hash bucket of doc_id (small-int key, ≤
     # reassemble_buckets groups) instead of the raw doc_id (which would
-    # schedule one Python group call per document); each bucket rebuilds
-    # its documents vectorized.
+    # schedule one Python group call per document).  The bucket is
+    # computed HERE, before the actor stage, so the per-worker polars
+    # first-import (~0.2s × every worker) happens during pipeline spin-up
+    # where it overlaps the OCR actor-pool startup — when this ran after
+    # the OCR stage it landed in the drain tail and added ~2s wall
+    # (measured r4, sf0.1/32cpu); the int32 rides through the actor
+    # stage at 4 bytes/row.
     def add_bucket(batch: pa.Table) -> pa.Table:
         # vectorized deterministic string hash (polars xxhash with a fixed
         # seed — stable across tasks in a run, which is all a shuffle key
@@ -240,7 +234,20 @@ def ocr_documents(
             )
         return batch.append_column("bucket", buckets)
 
-    bucketed = scored.map_batches(add_bucket, batch_format="pyarrow")
+    spans = spans.map_batches(add_bucket, batch_format="pyarrow")
+    if num_blocks:
+        # spread span rows evenly: per-document span-count skew dies here
+        spans = spans.repartition(num_blocks)
+    scored = spans.map_batches(
+        OcrSpanStage,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        **remote,
+    )
+
+    bucketed = scored
     # MEASURED r4 (sf0.1, 32 cpus): routing this reassembly through
     # hash_exchange LOSES — OCR total 15.2s vs 11.7s on groupby — because
     # the exchange's eager to_arrow_refs() breaks pipelining with the
