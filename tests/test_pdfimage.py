@@ -449,3 +449,84 @@ def test_media_pdf_pages_registry_entry(ray_session):
     ink[2 + 7 % 10:2 + 7 % 10 + 6, 2:14] = 1
     ink[21, 2::4] = 1
     assert abs(row["ink_ratio"] - ink.sum() / ink.size) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): random images through random filter chains
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+        i += len(chunk)
+    out.append(128)
+    return bytes(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    chain=st.sampled_from(
+        ["flate", "rle", "ahx+flate", "a85+rle", "flate_pred"]),
+)
+def test_random_gray_filter_chains(h, w, seed, chain):
+    import base64
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    raw = img.tobytes()
+    if chain == "flate":
+        filt, data = b"/Filter /FlateDecode", zlib.compress(raw)
+    elif chain == "rle":
+        filt, data = b"/Filter /RunLengthDecode", _rle_encode(raw)
+    elif chain == "ahx+flate":
+        filt = b"/Filter [/ASCIIHexDecode /FlateDecode]"
+        data = zlib.compress(raw).hex().encode() + b">"
+    elif chain == "a85+rle":
+        filt = b"/Filter [/ASCII85Decode /RunLengthDecode]"
+        data = base64.a85encode(_rle_encode(raw), adobe=True)
+    else:  # flate + PNG Sub predictor rows
+        rows = bytearray()
+        for y in range(h):
+            rows.append(1)  # Sub
+            prev = 0
+            for x in range(w):
+                rows.append((int(img[y, x]) - prev) & 0xFF)
+                prev = int(img[y, x])
+        filt = (b"/Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 11 /Columns %d >>" % w)
+        data = zlib.compress(bytes(rows))
+    body = stream_obj(
+        b"/Subtype /Image /Width %d /Height %d /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceGray " % (w, h) + filt, data)
+    np.testing.assert_array_equal(pdf_page_images(one_image_pdf(body))[0],
+                                  img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 48),
+    density=st.floats(0.0, 1.0),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_random_g4_pdf_roundtrip(h, w, density, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ink = (rng.random((h, w)) < density).astype(np.uint8)
+    body = stream_obj(
+        b"/Subtype /Image /Width %d /Height %d /BitsPerComponent 1 "
+        b"/ColorSpace /DeviceGray /Filter /CCITTFaxDecode "
+        b"/DecodeParms << /K -1 /Columns %d /Rows %d >>" % (w, h, w, h),
+        encode_g4(ink))
+    got = pdf_page_images(one_image_pdf(body))[0]
+    np.testing.assert_array_equal(got, (1 - ink) * np.uint8(255))
