@@ -450,3 +450,142 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
                 row[s_:e_] = 1
         ref_chg = cur_chg
     return out
+
+
+# ---------------- Group 3 (ITU-T T.4) decode ------------------------------
+# The compat tier below G4: TIFF compression 2 (Modified-Huffman rows,
+# byte-aligned) and 3 (T4Options 1-D / 2-D), and PDF CCITTFaxDecode with
+# K >= 0.  Shares the T.4 run tables and the T.6 mode table above (T.4
+# 2-D READ uses the same pass/horizontal/vertical codes as T.6).
+
+
+def _paint_row(row: np.ndarray, chg: list[int], width: int) -> None:
+    """Change list (white-start convention) → 1s for black spans."""
+    if chg:
+        starts = chg[0::2]
+        ends = chg[1::2]
+        if len(ends) < len(starts):
+            ends = ends + [width]
+        for s_, e_ in zip(starts, ends):
+            row[s_:e_] = 1
+
+
+def _skip_eol(r: "_FastBits", two_d: bool):
+    """Consume fill zeros + one EOL if the cursor sits on one.
+
+    Returns ``(saw_eol, tag)``; ``tag`` is the T.4 K>0 mode bit read
+    after an EOL when ``two_d`` (1 = next row 1-D, 0 = 2-D).  No run or
+    mode code starts with 11 zero bits, so peeking 12 disambiguates
+    EOL/fill from data unambiguously (T.4 §4.1.2)."""
+    try:
+        while True:
+            w = r.peek(12)
+            if w == 1:  # 000000000001
+                r.consume(12)
+                tag = None
+                if two_d:
+                    tag = r.peek(1)
+                    r.consume(1)
+                return True, tag
+            if w == 0:  # >= 12 zeros: fill before the EOL
+                r.consume(1)
+                continue
+            return False, None
+    except ValueError:  # truncated tail: nothing left to frame
+        return False, None
+
+
+def _decode_mh_row(r: "_FastBits", width: int) -> list[int]:
+    """One T.4 1-D Modified-Huffman row → change-position list."""
+    chg: list[int] = []
+    pos = 0
+    color = 0
+    steps = 0
+    while pos < width:
+        steps += 1
+        if steps > 2 * width + 8:
+            raise ValueError("corrupt MH row: runs fail to fill the row")
+        run = _read_run(r, _BLACK_TABLE if color else _WHITE_TABLE)
+        pos += run
+        if pos > width:
+            raise ValueError(f"MH row overrun ({pos} > {width})")
+        if pos < width:
+            chg.append(pos)
+        color ^= 1
+    return chg
+
+
+def _decode_2d_row(r: "_FastBits", width: int,
+                   ref_chg: list[int]) -> list[int]:
+    """One T.4 2-D (READ) row against the previous row's change list —
+    the same pass/horizontal/vertical algorithm as ``decode_g4``."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0
+    jb = 0
+    nref = len(ref_chg)
+    while a0 < width:
+        prev_a0 = a0
+        entry = _MODE_TABLE_INT[r.peek(_MODE_W)]
+        if entry is None:
+            raise ValueError(f"bad T.4 2-D mode code near bit {r.pos}")
+        op, arg, ln = entry
+        r.consume(ln)
+        while jb < nref and ref_chg[jb] <= a0:
+            jb += 1
+        j = jb + 1 if (jb & 1) != color else jb
+        if op == 0:  # vertical
+            b1 = ref_chg[j] if j < nref else width
+            a1 = b1 + arg
+            if a1 < width:
+                cur.append(a1)
+            a0 = a1
+            color ^= 1
+        elif op == 2:  # pass
+            a0 = ref_chg[j + 1] if j + 1 < nref else width
+        else:  # horizontal
+            pos = 0 if a0 < 0 else a0
+            tbl = _BLACK_TABLE if color else _WHITE_TABLE
+            for _half in (0, 1):
+                pos += _read_run(r, tbl)
+                if pos < width:
+                    cur.append(pos)
+                tbl = _WHITE_TABLE if color else _BLACK_TABLE
+            a0 = pos
+        if a0 <= prev_a0:
+            raise ValueError(
+                f"corrupt T.4 2-D row: a0 failed to advance (a0={a0})"
+            )
+    return cur
+
+
+def decode_g3(data: bytes, width: int, height: int, two_d: bool = False,
+              byte_align: bool = False) -> np.ndarray:
+    """T.4 Group-3 decode to a 0/1 uint8 bitmap (1 = black ink).
+
+    - ``two_d=False``: 1-D Modified-Huffman rows; EOLs (with fill) are
+      optional and skipped wherever present — covers TIFF compression 2
+      (with ``byte_align=True``: every row restarts on a byte boundary),
+      TIFF compression 3 with T4Options bit0 clear, and PDF
+      ``CCITTFaxDecode`` ``/K 0``.
+    - ``two_d=True``: EOL-framed K>0 streams; the bit after each EOL
+      tags the row 1-D (1) or 2-D READ (0).  A missing first EOL is
+      tolerated as a 1-D row.
+    """
+    out = np.zeros((height, width), dtype=np.uint8)
+    r = _FastBits(data)
+    ref_chg: list[int] = []
+    for y in range(height):
+        if byte_align:
+            pad = (-r.pos) % 8
+            if pad:
+                r.peek(pad)
+                r.consume(pad)
+        _saw, tag = _skip_eol(r, two_d)
+        if (not two_d) or tag != 0:
+            cur = _decode_mh_row(r, width)
+        else:
+            cur = _decode_2d_row(r, width, ref_chg)
+        _paint_row(out[y], cur, width)
+        ref_chg = cur
+    return out

@@ -689,13 +689,17 @@ class PdfFile:
             return (255 - img) if inverted else img
         if imgf == "CCITTFaxDecode":
             k = int(parms.get("K", 0) or 0)
-            if k >= 0:
-                raise ValueError("CCITT G3 (K>=0) unsupported; G4 only")
             cols = int(parms.get("Columns", 1728) or 1728)
             rows = int(parms.get("Rows", h) or h)
-            from tensorflow_ocr_ray.core.ccitt import decode_g4
+            from tensorflow_ocr_ray.core.ccitt import decode_g3, decode_g4
 
-            ink = decode_g4(data, cols, rows)[:h, :w]
+            if k < 0:
+                ink = decode_g4(data, cols, rows)[:h, :w]
+            else:  # K=0: 1-D MH; K>0: EOL-framed mixed 1-D/2-D (T.4)
+                ink = decode_g3(
+                    data, cols, rows, two_d=k > 0,
+                    byte_align=bool(parms.get("EncodedByteAlign")),
+                )[:h, :w]
             gray = ((1 - ink) * np.uint8(255)).astype(np.uint8)
             return (255 - gray) if inverted else gray
         if imgf is not None:

@@ -115,7 +115,7 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
     counts = tags.get(279, [len(payload) - offsets[0]])
     if bits not in (1, 8):
         raise ValueError(f"unsupported TIFF BitsPerSample {bits}")
-    if compression not in (1, 4, 5, 32773):
+    if compression not in (1, 2, 3, 4, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     if fill_order not in (1, 2):
         raise ValueError(f"unsupported TIFF FillOrder {fill_order}")
@@ -128,19 +128,27 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
         arr = np.frombuffer(strip, dtype=np.uint8)
         return _BITREV[arr].tobytes()
 
-    if compression == 4:  # CCITT T.6 — decodes straight to pixels
-        from tensorflow_ocr_ray.core.ccitt import decode_g4
+    if compression in (2, 3, 4):  # CCITT fax — decodes straight to pixels
+        from tensorflow_ocr_ray.core.ccitt import decode_g3, decode_g4
 
         if bits != 1:
-            raise ValueError("G4 compression requires bilevel data")
+            raise ValueError("CCITT compression requires bilevel data")
+        t4opts = tags.get(293, [0])[0]  # T4Options: bit0 = 2-D coding
         rows = []
         for i, (soff, scount) in enumerate(zip(offsets, counts)):
             nrows = min(rows_per_strip, height - i * rows_per_strip)
-            rows.append(
-                decode_g4(_fix_order(payload[soff : soff + scount]), width, nrows)
-            )
+            strip = _fix_order(payload[soff : soff + scount])
+            if compression == 4:
+                rows.append(decode_g4(strip, width, nrows))
+            elif compression == 3:
+                # EOL-framed T.4; fill-to-byte (bit2) skips as EOL fill
+                rows.append(decode_g3(strip, width, nrows,
+                                      two_d=bool(t4opts & 1)))
+            else:  # 2 = Modified Huffman, every row byte-aligned, no EOL
+                rows.append(decode_g3(strip, width, nrows,
+                                      byte_align=True))
         img = np.concatenate(rows, axis=0)
-        # G4 1 = black ink; photometric 0 (WhiteIsZero) is the fax norm
+        # fax 1 = black ink; photometric 0 (WhiteIsZero) is the fax norm
         return (img if photometric == 0 else 1 - img).astype(np.uint8), 1
 
     data = bytearray()
