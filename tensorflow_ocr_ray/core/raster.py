@@ -100,9 +100,10 @@ def _parse_ifds(payload: bytes) -> list[dict[int, list[int]]]:
 
 def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray, int]:
     """One IFD → (image, bits).  Bilevel output is photometric-normalized
-    to 1 = ink.  Compressions: none (1), CCITT Group 4 (4), LZW (5,
-    with horizontal-differencing predictor), PackBits (32773) — the
-    formats libtiff-backed scanned corpora actually use
+    to 1 = ink.  Compressions: none (1), CCITT MH/G3/G4 (2/3/4), LZW
+    (5) and Deflate (8/32946) with the horizontal-differencing
+    predictor, JPEG-in-TIFF (7, via ``core/jpeg.py``), PackBits
+    (32773) — the formats libtiff-backed scanned corpora actually use
     (``main/readPicture.c:36-117`` reads via TIFFReadRGBAImage)."""
     width, height = tags[256][0], tags[257][0]
     bits = tags.get(258, [1])[0]
@@ -115,7 +116,7 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
     counts = tags.get(279, [len(payload) - offsets[0]])
     if bits not in (1, 8):
         raise ValueError(f"unsupported TIFF BitsPerSample {bits}")
-    if compression not in (1, 2, 3, 4, 5, 32773):
+    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {compression}")
     if fill_order not in (1, 2):
         raise ValueError(f"unsupported TIFF FillOrder {fill_order}")
@@ -151,6 +152,22 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
         # fax 1 = black ink; photometric 0 (WhiteIsZero) is the fax norm
         return (img if photometric == 0 else 1 - img).astype(np.uint8), 1
 
+    if compression == 7:  # JPEG-in-TIFF (TTN2): one JPEG stream per strip
+        from tensorflow_ocr_ray.core.jpeg import decode_jpeg_gray
+
+        if bits != 8:
+            raise ValueError("JPEG compression requires 8-bit data")
+        img = np.concatenate(
+            [decode_jpeg_gray(payload[soff : soff + scount])
+             for soff, scount in zip(offsets, counts)], axis=0)
+        if img.shape != (height, width):
+            raise ValueError(
+                f"JPEG strip dims {img.shape} != TIFF dims "
+                f"({height}, {width})")
+        if photometric == 0:
+            img = 255 - img
+        return img.astype(np.uint8), 8
+
     data = bytearray()
     for i, (soff, scount) in enumerate(zip(offsets, counts)):
         strip = payload[soff : soff + scount]
@@ -161,6 +178,10 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
             from tensorflow_ocr_ray.core.tiff_lzw import lzw_decode
 
             strip = lzw_decode(strip, nrows * row_bytes)
+        elif compression in (8, 32946):  # Adobe/legacy Deflate
+            import zlib
+
+            strip = zlib.decompress(strip)
         if bits == 1:
             strip = _fix_order(strip)
         data += strip
@@ -171,7 +192,7 @@ def _decode_ifd(payload: bytes, tags: dict[int, list[int]]) -> tuple[np.ndarray,
         # photometric 0 = WhiteIsZero → set bit means ink already
         return (img if photometric == 0 else 1 - img).astype(np.uint8), 1
     img = buf.reshape(height, width)
-    if compression == 5 and predictor == 2:  # horizontal differencing
+    if compression in (5, 8, 32946) and predictor == 2:  # horiz. diff.
         img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
     if photometric == 0:  # WhiteIsZero gray: invert to BlackIsZero scale
         img = 255 - img

@@ -155,3 +155,71 @@ def test_fixture_corpus_exercises_tiff_containers():
         kinds.add(p[:4])
     assert b"II*\x00" in kinds  # TIFF pages present
     assert (b"OCR1" in kinds) or (b"OCR8" in kinds)
+
+
+def test_tiff_deflate_gray_with_predictor():
+    """Compression 8/32946: zlib strips, horizontal-differencing
+    predictor shared with the LZW path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tensorflow_ocr_ray.core.raster import decode_tiff
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    img = rng.integers(0, 256, size=(9, 31), dtype=np.uint8)
+    for comp in (8, 32946):
+        for pred in (1, 2):
+            raw = img if pred == 1 else np.concatenate(
+                [img[:, :1],
+                 np.diff(img.astype(np.int16), axis=1).astype(np.uint8)],
+                axis=1)
+            body = zlib.compress(raw.tobytes())
+            h, w = img.shape
+            tags = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+                    (259, 3, 1, comp), (262, 3, 1, 1), (277, 3, 1, 1),
+                    (278, 3, 1, h), (279, 4, 1, len(body)),
+                    (317, 3, 1, pred)]
+            ifd_size = 2 + (len(tags) + 1) * 12 + 4
+            tags.append((273, 4, 1, 8 + ifd_size))
+            tags.sort()
+            out = struct.pack("<4sI", b"II*\x00", 8)
+            out += struct.pack("<H", len(tags))
+            for tag, typ, count, value in tags:
+                out += struct.pack("<HHII", tag, typ, count, value)
+            out += struct.pack("<I", 0) + body
+            got, bits = decode_tiff(out)
+            assert bits == 8
+            np.testing.assert_array_equal(got, img)
+
+
+def test_tiff_jpeg_in_tiff():
+    """Compression 7: one baseline-JPEG stream per strip."""
+    import struct
+
+    import numpy as np
+
+    from test_jpeg import encode_gray_jpeg
+
+    from tensorflow_ocr_ray.core.raster import decode_tiff
+
+    img = ((np.arange(16 * 24, dtype=np.uint32) * 17) % 256).astype(
+        np.uint8).reshape(16, 24)
+    body = encode_gray_jpeg(img)
+    h, w = img.shape
+    tags = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, 7), (262, 3, 1, 1), (277, 3, 1, 1),
+            (278, 3, 1, h), (279, 4, 1, len(body))]
+    ifd_size = 2 + (len(tags) + 1) * 12 + 4
+    tags.append((273, 4, 1, 8 + ifd_size))
+    tags.sort()
+    out = struct.pack("<4sI", b"II*\x00", 8)
+    out += struct.pack("<H", len(tags))
+    for tag, typ, count, value in tags:
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0) + body
+    got, bits = decode_tiff(out)
+    assert bits == 8
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 12
