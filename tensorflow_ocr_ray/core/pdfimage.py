@@ -330,11 +330,11 @@ def _decode_stream(sdict: dict, raw: bytes, resolve):
             data = _apply_predictor(
                 zlib.decompressobj().decompress(data), p)
         elif f == "LZWDecode":
-            if int(p.get("EarlyChange", 1) or 1) != 1:
-                raise ValueError("LZW EarlyChange=0 unsupported")
             from tensorflow_ocr_ray.core.tiff_lzw import lzw_decode
 
-            data = _apply_predictor(lzw_decode(data), p)
+            early = p.get("EarlyChange", 1)
+            early = 1 if early is None else int(early)
+            data = _apply_predictor(lzw_decode(data, early=early), p)
         elif f == "RunLengthDecode":
             data = _rle_decode(data)
         elif f == "ASCIIHexDecode":

@@ -69,15 +69,20 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
+def lzw_decode(data: bytes, max_out: int | None = None,
+               early: int = 1) -> bytes:
     """Inlined hot loop: bulk 3-byte bit refills, table length tracked in
-    an int (no len() per code), next width-change threshold precomputed."""
+    an int (no len() per code), next width-change threshold precomputed.
+
+    ``early=1`` (TIFF and the PDF default) bumps the code width one
+    table entry before the boundary; ``early=0`` (PDF
+    ``/EarlyChange 0``) bumps it exactly at the boundary."""
     width = 9
     out = bytearray()
     base_table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base_table)
     nt = 258  # == len(table), tracked
-    bump = (1 << 9) - 2  # table length that triggers the early change
+    bump = (1 << 9) - 1 - early  # table length that triggers the change
     prev: bytes | None = None
     buf = 0
     nbits = 0
@@ -111,7 +116,7 @@ def lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
             table = list(base_table)
             nt = 258
             width = 9
-            bump = (1 << 9) - 2
+            bump = (1 << 9) - 1 - early
             prev = None
             continue
         if prev is None:
@@ -133,7 +138,7 @@ def lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
         # the encoder switches at 511/1023/2047
         if nt == bump and width < 12:
             width += 1
-            bump = (1 << width) - 2
+            bump = (1 << width) - 1 - early
         if max_out is not None and len(out) >= max_out:
             break
     return bytes(out)

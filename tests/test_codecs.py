@@ -172,3 +172,149 @@ def test_tiff_g4_fillorder2():
     out, bits = decode_tiff(bytes(payload))
     assert bits == 1
     assert (out == img).all()
+
+
+def test_lzw_early_change_zero():
+    """PDF /EarlyChange 0: the code-width bump lands exactly at the
+    table-size boundary instead of one entry early.  A parametrized
+    mirror of the engine encoder (thresholds shifted by 1-early)
+    validates: early=1 output is byte-identical to lzw_encode, early=0
+    streams roundtrip through lzw_decode(early=0), and decoding an
+    early=0 stream with the TIFF default diverges once the data
+    crosses the 9->10-bit boundary (the parameter is load-bearing)."""
+    import numpy as np
+
+    from tensorflow_ocr_ray.core.tiff_lzw import lzw_decode, lzw_encode
+
+    def ref_encode(data: bytes, early: int) -> bytes:
+        out = bytearray()
+        buf = nbits = 0
+        width = 9
+        next_code = 258
+        table = {}
+        shift = 1 - early
+
+        def emit(code):
+            nonlocal buf, nbits
+            buf = (buf << width) | code
+            nbits += width
+            while nbits >= 8:
+                nbits -= 8
+                out.append((buf >> nbits) & 0xFF)
+            buf &= (1 << nbits) - 1
+
+        emit(256)
+        it = iter(data)
+        prev = next(it)
+        for ch in it:
+            code = table.get((prev, ch))
+            if code is not None:
+                prev = code
+                continue
+            emit(prev)
+            table[(prev, ch)] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 + shift and width < 12:
+                width += 1
+            if next_code >= 4094:  # table full: reset (engine parity)
+                emit(256)
+                width = 9
+                next_code = 258
+                table = {}
+            prev = ch
+        emit(prev)
+        if next_code == (1 << width) - 2 + shift and width < 12:
+            width += 1
+        emit(257)
+        if nbits:
+            out.append((buf << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    rng = np.random.Generator(np.random.PCG64(99))
+    # enough entropy to push the table past 512 entries (9->10 bump)
+    data = rng.integers(0, 256, size=4096, dtype=np.uint8).tobytes()
+    assert ref_encode(data, 1) == lzw_encode(data)
+    enc0 = ref_encode(data, 0)
+    assert lzw_decode(enc0, early=0) == data
+    # wrong mode must not silently agree: the bit-stream desync shows up
+    # either as different output or as an invalid code
+    try:
+        assert lzw_decode(enc0) != data
+    except ValueError:
+        pass
+
+    # short input below the boundary: both modes agree (spec: identical)
+    short = data[:200]
+    assert lzw_decode(ref_encode(short, 0), early=0) == short
+    assert ref_encode(short, 0) == ref_encode(short, 1)
+
+
+def test_pdf_lzw_early_change_zero_image():
+    from test_pdfimage import one_image_pdf, stream_obj
+
+    import numpy as np
+
+    from tensorflow_ocr_ray.core.pdfimage import pdf_page_images
+    from tensorflow_ocr_ray.core.tiff_lzw import lzw_decode
+
+    rng = np.random.Generator(np.random.PCG64(100))
+    img = rng.integers(0, 256, size=(40, 80), dtype=np.uint8)
+
+    # encode with an early=0 stream: reuse the engine encoder via a
+    # decode cross-check is impossible (it is early=1), so build the
+    # stream with the spec encoder from the sibling test
+    from test_codecs import test_lzw_early_change_zero  # noqa: F401
+
+    # simplest: inline the same reference encoder
+    def ref_encode(data, early):
+        out = bytearray()
+        buf = nbits = 0
+        width = 9
+        next_code = 258
+        table = {}
+        shift = 1 - early
+
+        def emit(code):
+            nonlocal buf, nbits
+            buf = (buf << width) | code
+            nbits += width
+            while nbits >= 8:
+                nbits -= 8
+                out.append((buf >> nbits) & 0xFF)
+            buf &= (1 << nbits) - 1
+
+        emit(256)
+        it = iter(data)
+        prev = next(it)
+        for ch in it:
+            code = table.get((prev, ch))
+            if code is not None:
+                prev = code
+                continue
+            emit(prev)
+            table[(prev, ch)] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 + shift and width < 12:
+                width += 1
+            if next_code >= 4094:  # table full: reset (engine parity)
+                emit(256)
+                width = 9
+                next_code = 258
+                table = {}
+            prev = ch
+        emit(prev)
+        if next_code == (1 << width) - 2 + shift and width < 12:
+            width += 1
+        emit(257)
+        if nbits:
+            out.append((buf << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    payload = ref_encode(img.tobytes(), 0)
+    assert lzw_decode(payload, early=0) == img.tobytes()
+    body = stream_obj(
+        b"/Subtype /Image /Width 80 /Height 40 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceGray /Filter /LZWDecode "
+        b"/DecodeParms << /EarlyChange 0 >>", payload)
+    got = pdf_page_images(one_image_pdf(body))[0]
+    np.testing.assert_array_equal(got, img)
