@@ -27,6 +27,10 @@ Scope (documented, spec-cited — PDF 32000-1:2008):
   DeviceRGB/CalRGB 8-bit (ITU-601 integer luma, same constants as
   ``core/png.py``), Indexed palettes, ICCBased by /N, /ImageMask,
   ``/Decode`` min-max inversion.
+- inline images (§8.9.7): ``BI … ID … EI`` in page content streams,
+  abbreviated keys/filters/colorspaces expanded; false ``EI`` bytes
+  inside filtered payloads rejected by decode-and-completeness
+  validation.
 
 Per page the LARGEST image XObject by pixel count is taken as "the
 scan" (thumbnails and logos are smaller); pages with no raster image
@@ -639,13 +643,15 @@ class PdfFile:
 
     def page_gray_images(self) -> list[np.ndarray]:
         """One uint8 gray array per page that carries a raster image
-        (largest XObject per page = the scan); vector-only pages are
-        skipped.  Final fallback when no page tree resolves: every image
-        XObject in the file, in object-number order."""
+        (largest image XObject or BI/ID/EI inline image per page = the
+        scan); vector-only pages are skipped.  Final fallback when no
+        page tree resolves: every image XObject in the file, in
+        object-number order."""
         out = []
-        for _page, res in self.pages():
+        for page, res in self.pages():
             xo = self.resolve(res.get("XObject")) or {}
             best = None
+            candidates = []
             for ref in xo.values():
                 try:
                     o = self.resolve(ref)
@@ -653,10 +659,13 @@ class PdfFile:
                     continue
                 if isinstance(o, _Stream) and str(
                         o.dict.get("Subtype")) == "Image":
-                    px = int(self.resolve(o.dict.get("Width", 0))) * int(
-                        self.resolve(o.dict.get("Height", 0)))
-                    if best is None or px > best[0]:
-                        best = (px, o)
+                    candidates.append(o)
+            candidates.extend(self._inline_images(page))
+            for o in candidates:
+                px = int(self.resolve(o.dict.get("Width", 0))) * int(
+                    self.resolve(o.dict.get("Height", 0)))
+                if best is None or px > best[0]:
+                    best = (px, o)
             if best is not None:
                 out.append(self._image_gray(best[1]))
         if out:
@@ -670,6 +679,115 @@ class PdfFile:
                     o.dict.get("Subtype")) == "Image":
                 out.append(self._image_gray(o))
         return out
+
+    # -- inline images (BI … ID … EI, §8.9.7) -------------------------------
+
+    _ABBREV_KEYS = {"W": "Width", "H": "Height",
+                    "BPC": "BitsPerComponent", "CS": "ColorSpace",
+                    "F": "Filter", "DP": "DecodeParms",
+                    "IM": "ImageMask", "D": "Decode", "L": "Length",
+                    "I": "Interpolate"}
+    _ABBREV_CS = {"G": "DeviceGray", "RGB": "DeviceRGB",
+                  "CMYK": "DeviceCMYK", "I": "Indexed"}
+
+    def _page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        streams = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for s in streams:
+            s = self.resolve(s)
+            if not isinstance(s, _Stream):
+                continue
+            try:
+                data, imgf, _ = _decode_stream(s.dict, s.raw, self.resolve)
+                if imgf is None:
+                    parts.append(data)
+            except Exception:
+                continue
+        return b"\n".join(parts)
+
+    def _inline_images(self, page: dict) -> list[_Stream]:
+        """BI/ID/EI images in the page's content stream(s), as synthetic
+        ``_Stream`` objects with abbreviated keys expanded, so
+        ``_image_gray`` handles them identically to XObjects."""
+        content = self._page_content(page)
+        out: list[_Stream] = []
+        pos = 0
+        while True:
+            m = re.search(rb"(?:^|[\x00\t\n\x0c\r ])BI"
+                          rb"(?=[\x00\t\n\x0c\r /])", content[pos:])
+            if m is None:
+                return out
+            p = _Parser(content, pos + m.end())
+            d: dict = {}
+            try:
+                while True:
+                    p.skip_ws()
+                    if content[p.pos:p.pos + 2] == b"ID":
+                        p.pos += 2
+                        break
+                    key = str(p._name())
+                    d[self._ABBREV_KEYS.get(key, key)] = p.parse()
+            except Exception:
+                pos += m.end()
+                continue
+            cs = d.get("ColorSpace")
+            if isinstance(cs, _Name) and str(cs) in self._ABBREV_CS:
+                d["ColorSpace"] = _Name(self._ABBREV_CS[str(cs)])
+            start = p.pos + 1  # exactly one whitespace byte after ID
+            data, end = self._inline_payload(content, start, d)
+            if data is not None:
+                out.append(_Stream(d, data))
+                pos = end
+            else:
+                pos = start
+
+    def _inline_payload(self, content: bytes, start: int, d: dict):
+        """Extract the binary payload: exact length for unfiltered data,
+        EI-scan with decode-validation for filtered data (the payload
+        may contain the bytes 'EI')."""
+        filters = d.get("Filter")
+        if not filters:
+            try:
+                w, h = int(d["Width"]), int(d["Height"])
+                ncomp = 1 if d.get("ImageMask") else self._ncomp(
+                    self.resolve(d.get("ColorSpace", _Name("DeviceGray"))))
+                bpc = 1 if d.get("ImageMask") else int(
+                    d.get("BitsPerComponent", 8))
+                n = ((w * ncomp * bpc + 7) // 8) * h
+            except Exception:
+                return None, start
+            data = content[start:start + n]
+            m = re.search(rb"[\x00\t\n\x0c\r ]*EI(?=[\x00\t\n\x0c\r /\[\]<>(]|$)",
+                          content[start + n:])
+            end = start + n + (m.end() if m else 0)
+            return data, end
+        for m in re.finditer(
+                rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(]|$)",
+                content[start:]):
+            data = content[start:start + m.start()]
+            try:
+                payload, imgf, _p = _decode_stream(d, data, self.resolve)
+                if imgf is None:
+                    # sample data: a FALSE terminator truncates the
+                    # payload, and the tolerant RLE/byte decoders would
+                    # zero-pad it — require the full sample count
+                    w, h = int(d["Width"]), int(d["Height"])
+                    ncomp = 1 if d.get("ImageMask") else self._ncomp(
+                        self.resolve(
+                            d.get("ColorSpace", _Name("DeviceGray"))))
+                    bpc = 1 if d.get("ImageMask") else int(
+                        d.get("BitsPerComponent", 8))
+                    if len(payload) < ((w * ncomp * bpc + 7) // 8) * h:
+                        continue
+                else:
+                    self._image_gray(_Stream(d, data))
+            except Exception:
+                continue
+            return data, start + m.end()
+        return None, start
 
     # -- image decode -------------------------------------------------------
 

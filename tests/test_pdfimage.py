@@ -530,3 +530,71 @@ def test_random_g4_pdf_roundtrip(h, w, density, seed):
         encode_g4(ink))
     got = pdf_page_images(one_image_pdf(body))[0]
     np.testing.assert_array_equal(got, (1 - ink) * np.uint8(255))
+
+
+# ---------------------------------------------------------------------------
+# inline images (BI/ID/EI)
+
+
+def _content_page_pdf(content: bytes, extra_objs=None) -> bytes:
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R %s>>"
+           % (extra_objs or {}).pop("page_extra", b""),
+        4: stream_obj(b"", content),
+    }
+    for k, v in (extra_objs or {}).items():
+        objs[k] = v
+    return build_pdf(objs, 1)
+
+
+def test_inline_image_unfiltered():
+    img = gray_ramp(6, 9)
+    content = (b"q BI /W 9 /H 6 /BPC 8 /CS /G ID " + img.tobytes()
+               + b" EI Q")
+    pages = pdf_page_images(_content_page_pdf(content))
+    assert len(pages) == 1
+    np.testing.assert_array_equal(pages[0], img)
+
+
+def test_inline_image_flate_abbreviated():
+    img = gray_ramp(8, 7)
+    content = (b"BI /W 7 /H 8 /BPC 8 /CS /G /F /Fl ID "
+               + zlib.compress(img.tobytes()) + b"\nEI")
+    np.testing.assert_array_equal(
+        pdf_page_images(_content_page_pdf(content))[0], img)
+
+
+def test_inline_image_payload_containing_EI_bytes():
+    """RunLength payload deliberately contains ' EI ' — the scanner's
+    decode-validation must reject the false terminator and find the
+    real one."""
+    row = np.frombuffer(b"\x10 EI \x11\x12\x13", dtype=np.uint8)
+    img = np.tile(row, (3, 1))
+    rle = bytearray()
+    for r in img:
+        rle.append(len(r) - 1)
+        rle += r.tobytes()
+    rle.append(128)
+    assert b" EI " in bytes(rle)
+    content = (b"BI /W %d /H 3 /BPC 8 /CS /G /F /RL ID " % img.shape[1]
+               + bytes(rle) + b" EI")
+    np.testing.assert_array_equal(
+        pdf_page_images(_content_page_pdf(content))[0], img)
+
+
+def test_inline_loses_to_larger_xobject():
+    small = gray_ramp(2, 2)
+    big = gray_ramp(10, 10)
+    content = (b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + small.tobytes()
+               + b" EI Do /Im0 Do")
+    extra = {
+        "page_extra": b"/Resources << /XObject << /Im0 5 0 R >> >> ",
+        5: stream_obj(
+            b"/Subtype /Image /Width 10 /Height 10 /BitsPerComponent 8 "
+            b"/ColorSpace /DeviceGray /Filter /FlateDecode",
+            zlib.compress(big.tobytes())),
+    }
+    np.testing.assert_array_equal(
+        pdf_page_images(_content_page_pdf(content, extra))[0], big)
