@@ -127,3 +127,129 @@ def hash_exchange(
     if arrow:
         return rd.from_arrow_refs(shard_refs)
     return rd.from_pandas_refs(shard_refs)
+
+
+
+class _ShardCollector:
+    """Actor accumulating the slices of a GROUP of shards
+    (streaming_exchange): parts arrive as {shard: frame} dicts, one
+    actor RPC per batch regardless of how many shards it owns."""
+
+    def __init__(self, shards: list[int]):
+        self.parts = {s: [] for s in shards}
+
+    def add(self, parts: dict) -> int:
+        for s, p in parts.items():
+            self.parts[s].append(p)
+        return len(parts)
+
+    def n_batches(self) -> int:
+        return max((len(v) for v in self.parts.values()), default=0)
+
+    def finalize(self, shard: int, fn, arrow: bool):
+        parts = self.parts[shard]
+        if arrow:
+            return fn(pa.concat_tables(parts,
+                                       promote_options="permissive"))
+        return fn(pd.concat(parts, ignore_index=True))
+
+
+def streaming_exchange(
+    ds: "rd.Dataset",
+    shard_col: str,
+    n_shards: int,
+    fn: Callable,
+    batch_format: str = "pandas",
+    batch_size: int | None = 65536,
+    n_collectors: int | None = None,
+) -> "rd.Dataset":
+    """Bounded-memory alternative to :func:`hash_exchange`: the same
+    route-by-precomputed-shard semantics, but the input STREAMS.
+
+    ``hash_exchange`` materializes the whole upstream eagerly
+    (``to_arrow_refs``) and holds input blocks + all split slices in
+    the store at once (a ~2x high-water mark).  Here the routing runs
+    INSIDE Ray Data's streaming executor: a ``map_batches`` stage
+    splits each batch by shard and ships the slices (including empty
+    ones — they carry the schema) to ``n_collectors`` collector ACTORS
+    (each owning a contiguous shard group, ONE ack-gated RPC per actor
+    per batch), so the executor's backpressure propagates all the way
+    to the read.  High-water memory is one shard-set of accumulated
+    rows (~1x, in the collectors) plus the executor's bounded in-flight
+    blocks; the upstream is never pinned.
+
+    Contract differences vs hash_exchange (shared: out-of-range shard
+    values raise; empty shards reach fn as typed empties; empty input
+    yields an empty dataset):
+    - Row ORDER within a shard is arrival order — nondeterministic
+      across runs.  Callers whose fn is order-sensitive must sort
+      inside fn (every fn in this repo already does or is
+      order-insensitive).
+    - A collector's shard group must fit its actor HEAP (hash_exchange
+      keeps slices in the spillable object store until merge), so on a
+      cluster ``n_collectors`` should be sized to spread groups across
+      nodes (default: min(n_shards, 8)).
+    - The collectors take ``num_cpus=0`` so routing tasks can never
+      starve them into a deadlock; add/finalize work is therefore
+      unaccounted in Ray's CPU bookkeeping (documented trade).
+
+    MEASURED (2M-row skinny int64 projection, 64 shards, 32 cpus,
+    best-of-2): hash_exchange 0.68 s, groupby.map_groups 0.89 s, this
+    0.99 s (a first cut with one RPC per SHARD per batch measured
+    21.5 s and a blocked-ray.get worker explosion — grouping shards
+    per actor is what makes it viable).  The eager exchange stays the
+    default for skinny projections; use this when the exchange input
+    is too large to double-buffer in store + spill.
+    """
+    if batch_format not in ("pandas", "pyarrow"):
+        raise ValueError(f"unknown batch_format {batch_format!r}")
+    arrow = batch_format == "pyarrow"
+    n_collectors = min(n_shards, n_collectors or 8)
+    # contiguous shard groups, sizes differing by at most one
+    bounds = np.linspace(0, n_shards, n_collectors + 1).astype(int)
+    groups = [list(range(bounds[i], bounds[i + 1]))
+              for i in range(n_collectors)]
+    owner = np.empty(n_shards, dtype=np.int64)
+    for gi, g in enumerate(groups):
+        owner[g] = gi
+    collectors = [
+        ray.remote(num_cpus=0)(_ShardCollector).remote(g) for g in groups
+    ]
+
+    def route(tbl: pa.Table) -> pa.Table:
+        empty = tbl.slice(0, 0)
+        if shard_col not in tbl.column_names:
+            # schema-less empty block: nothing to route
+            return empty
+        s = np.asarray(tbl.column(shard_col).to_numpy(zero_copy_only=False))
+        if len(s) and (s.min() < 0 or s.max() >= n_shards):
+            raise ValueError(
+                f"streaming_exchange: {shard_col} values outside "
+                f"[0, {n_shards}) — got [{s.min()}, {s.max()}]; rows "
+                f"would be silently dropped"
+            )
+        acks = []
+        for gi, g in enumerate(groups):
+            parts = {}
+            for i in g:
+                part = tbl.filter(pa.array(s == i))
+                parts[i] = part if arrow else part.to_pandas()
+            acks.append(collectors[gi].add.remote(parts))
+        ray.get(acks)  # backpressure: batch completes only once landed
+        return empty
+
+    # drive the routing stage to completion under the streaming executor
+    ds.map_batches(
+        route, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+
+    if not any(ray.get([c.n_batches.remote() for c in collectors])):
+        # empty upstream: no typed slice ever shipped, so there is no
+        # frame to seed fn with — same contract as hash_exchange
+        return rd.from_pandas(pd.DataFrame())
+    shard_refs = [
+        collectors[owner[s]].finalize.remote(s, fn, arrow)
+        for s in range(n_shards)
+    ]
+    return (rd.from_arrow_refs(shard_refs) if arrow
+            else rd.from_pandas_refs(shard_refs))
