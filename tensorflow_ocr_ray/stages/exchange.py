@@ -32,8 +32,10 @@ the exchange a SKINNY pre-reduced projection (ids + shard + the few
 columns ``fn`` needs), never raw wide rows: at 10^12 events a 32-byte
 projection is ~30 TB across the cluster's store+spill, which is the
 same high-water mark Ray's sort shuffle needs for its map output.  If
-an input might exceed that, pre-reduce harder (map-side partials) or
-fall back to ``groupby().map_groups`` — correctness is identical.
+an input might exceed that, pre-reduce harder (map-side partials), use
+:func:`streaming_exchange` below (same semantics, ~1x high-water, true
+backpressure, ~1.5x the per-row cost), or fall back to
+``groupby().map_groups`` — correctness is identical in all three.
 
 Contract differences vs map_groups:
 - EMPTY shards reach ``fn`` as an empty typed frame (map_groups never
