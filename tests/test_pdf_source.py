@@ -69,3 +69,59 @@ def test_pdf_documents_layout_and_ocr(ray_session, tmp_path):
     for row in got:
         for s in row["spans"]:
             assert s["kind"] == "media" and len(s["text"]) > 0
+
+
+def test_pdf_documents_real_converter_ocr_text(ray_session, tmp_path):
+    """The full S11 path with NO fake and NO Ghostscript: a scanned PDF
+    (rendered fixture page as a CCITT-G4 image XObject) → in-process
+    pdf_to_tiff_pages → media store → real OCR → EXACT text match with
+    the construction-derived truth."""
+    import numpy as np
+
+    from tensorflow_ocr_ray.core.ccitt import encode_g4
+    from tensorflow_ocr_ray.fixtures import (
+        page_spec_for_ref,
+        render_page,
+        truth_for_ref,
+    )
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
+    from tensorflow_ocr_ray.sources.pdf import pdf_documents
+
+    ref = "page-42-000007-0"
+    ink = render_page(page_spec_for_ref(ref)).astype(np.uint8)
+    h, w = ink.shape
+    g4 = encode_g4(ink)
+    body = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+
+    def put(num, b):
+        offsets[num] = len(body)
+        body.extend(b"%d 0 obj\n" % num + b + b"\nendobj\n")
+
+    put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    put(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+           b"<< /XObject << /Im0 4 0 R >> >> >>")
+    put(4, b"<< /Subtype /Image /Width %d /Height %d /BitsPerComponent 1"
+           b" /ColorSpace /DeviceGray /Filter /CCITTFaxDecode"
+           b" /DecodeParms << /K -1 /Columns %d /Rows %d >> /Length %d >>"
+           b"\nstream\n" % (w, h, w, h, len(g4)) + g4 + b"\nendstream")
+    xref_at = len(body)
+    body.extend(b"xref\n0 5\n0000000000 65535 f \n")
+    for num in range(1, 5):
+        body.extend(b"%010d 00000 n \n" % offsets[num])
+    body.extend(b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n"
+                b"%d\n%%%%EOF\n" % xref_at)
+
+    path = tmp_path / "scanned-book.pdf"
+    path.write_bytes(bytes(body))
+    media_root = str(tmp_path / "media")
+    out = ocr_documents(
+        pdf_documents([str(path)], media_root),  # REAL converter
+        mode="fused", concurrency=2, batch_size=1,
+        media_spec={"kind": "dir", "path": media_root},
+    ).take_all()
+    assert len(out) == 1 and out[0]["doc_id"] == "scanned-book"
+    spans = out[0]["spans"]
+    assert len(spans) == 1
+    assert spans[0]["text"] == truth_for_ref(ref)
