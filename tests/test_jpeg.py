@@ -187,11 +187,18 @@ def test_restart_intervals():
     assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
 
 
-def test_progressive_raises():
+def test_mislabeled_progressive_and_arithmetic_raise():
+    """Progressive is now DECODED (test_jpeg_progressive.py); a baseline
+    stream relabeled SOF2 is spec-invalid (its single scan says Ss=0
+    Se=63 — DC scans must have Se=0) and must be rejected, and
+    arithmetic coding still raises NotImplementedError."""
     img = np.zeros((8, 8), dtype=np.uint8)
     payload = bytearray(encode_gray_jpeg(img))
     i = payload.index(bytes([0xFF, 0xC0]))
     payload[i + 1] = 0xC2  # SOF2: progressive
+    with pytest.raises(ValueError, match="spectral"):
+        decode_jpeg_gray(bytes(payload))
+    payload[i + 1] = 0xC9  # SOF9: arithmetic sequential
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(bytes(payload))
 
