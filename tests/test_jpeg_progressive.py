@@ -325,3 +325,81 @@ def test_progressive_jpeg_in_pdf_and_payload_dispatch():
     # binarized dispatch path (media payloads)
     ink = decode_payload(payload)
     assert ink.shape == img.shape
+
+
+def test_interleaved_dc_color_progressive():
+    """3-component progressive (no subsampling): the DC scan is
+    INTERLEAVED (every component entropy-decoded to keep sync, per-MCU
+    order), luma AC comes in its own scan, chroma AC scans are pure
+    EOB runs the decoder byte-skips.  Luma out must be bit-exact."""
+    rng = np.random.Generator(np.random.PCG64(9))
+    y = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    yb = _blocks_of(y)
+    nby, nbx, _ = yb.shape
+    nblocks = nby * nbx
+    cb_dc, cr_dc = 8 * (100 - 128), 8 * (200 - 128)  # flat chroma
+
+    h, w = y.shape
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00"
+    out += bytes([1] * 64)
+    out += b"\xff\xc2" + (2 + 6 + 9).to_bytes(2, "big")
+    out += bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+
+    # ---- interleaved DC scan (Y, Cb, Cr per MCU) ----
+    diffs = []
+    preds = {1: 0, 2: 0, 3: 0}
+    for by in range(nby):
+        for bx in range(nbx):
+            for cs, dc in ((1, int(yb[by, bx, 0])), (2, cb_dc),
+                           (3, cr_dc)):
+                diffs.append(dc - preds[cs])
+                preds[cs] = dc
+    symbols = sorted({_category(d) for d in diffs})
+    bits, values, code_map = _fixed_table(symbols)
+    out += b"\xff\xc4" + (2 + 1 + 16 + len(values)).to_bytes(2, "big")
+    out += bytes([0x00]) + bytes(bits) + values
+    w1 = _W(code_map)
+    for d in diffs:
+        t = _category(d)
+        w1.sym(t)
+        if t:
+            w1.bits(d if d >= 0 else d + (1 << t) - 1, t)
+    w1.pad()
+    out += b"\xff\xda" + (2 + 1 + 6 + 3).to_bytes(2, "big")
+    out += bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00])
+    out += w1.out
+
+    # ---- luma AC scan ----
+    symbols2: set[int] = set()
+    _scan_stream(yb, 1, 63, 0, 0, 0, _W(None), symbols2)
+    bits, values, code_map = _fixed_table(sorted(symbols2 or {0}))
+    out += b"\xff\xc4" + (2 + 1 + 16 + len(values)).to_bytes(2, "big")
+    out += bytes([0x10]) + bytes(bits) + values
+    w2 = _W(code_map)
+    _scan_stream(yb, 1, 63, 0, 0, 0, w2, set())
+    out += b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big")
+    out += bytes([1, 1, 0x00, 1, 63, 0x00])
+    out += w2.out
+
+    # ---- chroma AC scans: one EOB run covering every block ----
+    for cs in (2, 3):
+        r = nblocks.bit_length() - 1
+        sym = r << 4
+        bits, values, code_map = _fixed_table([sym])
+        out += b"\xff\xc4" + (2 + 1 + 16 + len(values)).to_bytes(2, "big")
+        out += bytes([0x11]) + bytes(bits) + values
+        w3 = _W(code_map)
+        w3.code_map = code_map
+        w3.sym(sym)
+        if r:
+            w3.bits(nblocks - (1 << r), r)
+        w3.pad()
+        out += b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big")
+        out += bytes([1, cs, 0x11, 1, 63, 0x00])
+        out += w3.out
+    out += b"\xff\xd9"
+
+    got = decode_jpeg_gray(bytes(out))
+    np.testing.assert_array_equal(got, _idct_reference(y))
