@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from tensorflow_ocr_ray.pipelines import (
         curation,
         dedup,
+        profiling,
         relational,
         search,
         similarity,
@@ -473,6 +474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus search (pipelines/search.py): map-only inverted-index ops
         "phrase_search": search.phrase_search,
         "bm25_topk": search.bm25_topk,
+        # schema-audit profiling (pipelines/profiling.py): one streaming
+        # pass, map-side partials only
+        "profile_lineitem": profiling.profile_table,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         # the read-pruned indexed paths (build-once bucket/cell
@@ -1623,6 +1627,36 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 20
         """,
+        # schema-audit profile: one row per lineitem column; integer
+        # normalizations (cents, epoch micros) keep min/max/sum exact
+        "profile_lineitem": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col, count(*)::BIGINT AS n,
+                   sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS nulls,
+                   {mn} AS min_repr, {mx} AS max_repr,
+                   {sm} AS sum_units
+            FROM lineitem"""
+            for c, (mn, mx, sm) in {
+                **{c: (f"CAST(min({c}) AS VARCHAR)",
+                       f"CAST(max({c}) AS VARCHAR)",
+                       f"sum({c})::BIGINT")
+                   for c in ("l_orderkey", "l_partkey", "l_suppkey",
+                             "l_linenumber")},
+                **{c: (f"CAST(CAST(round(min({c}) * 100) AS BIGINT)"
+                       " AS VARCHAR)",
+                       f"CAST(CAST(round(max({c}) * 100) AS BIGINT)"
+                       " AS VARCHAR)",
+                       f"sum(CAST(round({c} * 100) AS BIGINT))::BIGINT")
+                   for c in ("l_quantity", "l_extendedprice",
+                             "l_discount", "l_tax")},
+                **{c: (f"min({c})", f"max({c})", "CAST(0 AS BIGINT)")
+                   for c in ("l_returnflag", "l_linestatus")},
+                "l_shipdate": ("CAST(epoch_us(min(l_shipdate)) AS VARCHAR)",
+                               "CAST(epoch_us(max(l_shipdate)) AS VARCHAR)",
+                               "CAST(0 AS BIGINT)"),
+            }.items()
+        ),
         "tfidf_top_terms": _tfidf_sql(),
         "source_gate": _source_gate_sql(),
         "dup_span_coverage": _dup_span_sql(),

@@ -240,6 +240,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("densify_hourly_user", ["events"]),
         ("phrase_search", ["documents"]),
         ("bm25_topk", ["documents"]),
+        ("profile_lineitem", ["lineitem"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
