@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # schema-audit profiling (pipelines/profiling.py): one streaming
         # pass, map-side partials only
         "profile_lineitem": profiling.profile_table,
+        "profile_events": profiling.profile_events,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         # the read-pruned indexed paths (build-once bucket/cell
@@ -1655,6 +1656,32 @@ def oracle_sql() -> dict[str, str]:
                 "l_shipdate": ("CAST(epoch_us(min(l_shipdate)) AS VARCHAR)",
                                "CAST(epoch_us(max(l_shipdate)) AS VARCHAR)",
                                "CAST(0 AS BIGINT)"),
+            }.items()
+        ),
+        "profile_events": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col, count(*)::BIGINT AS n,
+                   sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS nulls,
+                   {mn} AS min_repr, {mx} AS max_repr,
+                   {sm} AS sum_units
+            FROM events"""
+            for c, (mn, mx, sm) in {
+                **{c: (f"CAST(min({c}) AS VARCHAR)",
+                       f"CAST(max({c}) AS VARCHAR)",
+                       f"sum({c})::BIGINT")
+                   for c in ("event_id", "user_id")},
+                "value": ("CAST(CAST(round(min(value) * 100) AS BIGINT)"
+                          " AS VARCHAR)",
+                          "CAST(CAST(round(max(value) * 100) AS BIGINT)"
+                          " AS VARCHAR)",
+                          "sum(CAST(round(value * 100) AS BIGINT))"
+                          "::BIGINT"),
+                **{c: (f"min({c})", f"max({c})", "CAST(0 AS BIGINT)")
+                   for c in ("event_type", "props")},
+                "ts": ("CAST(epoch_us(min(ts)) AS VARCHAR)",
+                       "CAST(epoch_us(max(ts)) AS VARCHAR)",
+                       "CAST(0 AS BIGINT)"),
             }.items()
         ),
         "tfidf_top_terms": _tfidf_sql(),

@@ -26,6 +26,19 @@ LINEITEM_COLS = {
 }
 
 
+EVENTS_COLS = {
+    "event_id": "int", "ts": "ts", "user_id": "int",
+    "event_type": "str", "value": "cents", "props": "str",
+}
+
+
+def profile_events(sf_dir: str) -> pd.DataFrame:
+    """The same one-pass audit over the events table — the operator is
+    table-agnostic; this registers a second shape (JSON props profile
+    as lexicographic string min/max)."""
+    return profile_table(sf_dir, "events", EVENTS_COLS)
+
+
 def profile_table(sf_dir: str, table: str = "lineitem",
                   cols: dict[str, str] | None = None) -> pd.DataFrame:
     """(col, n, nulls, min_repr, max_repr, sum_units) per column.

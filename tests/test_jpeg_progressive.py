@@ -403,3 +403,23 @@ def test_interleaved_dc_color_progressive():
 
     got = decode_jpeg_gray(bytes(out))
     np.testing.assert_array_equal(got, _idct_reference(y))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=2000)
+@given(seed=st.integers(0, 2**31 - 1), cut=st.floats(0.1, 0.99))
+def test_fuzz_truncated_progressive_never_hangs(seed, cut):
+    """Truncating a progressive stream anywhere raises cleanly (or, if
+    the cut lands after the last needed byte, still decodes)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    payload = _encode_progressive(img, SCRIPTS["full_approx"])
+    trunc = payload[:max(4, int(len(payload) * cut))]
+    try:
+        out = decode_jpeg_gray(trunc)
+        assert out.dtype == np.uint8
+    except Exception:
+        pass

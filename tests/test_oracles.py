@@ -241,6 +241,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("phrase_search", ["documents"]),
         ("bm25_topk", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
+        ("profile_events", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

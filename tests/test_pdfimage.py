@@ -598,3 +598,25 @@ def test_inline_loses_to_larger_xobject():
     }
     np.testing.assert_array_equal(
         pdf_page_images(_content_page_pdf(content, extra))[0], big)
+
+
+@settings(max_examples=60, deadline=2000)
+@given(seed=st.integers(0, 2**31 - 1), nmut=st.integers(1, 40))
+def test_fuzz_mutated_pdf_never_hangs(seed, nmut):
+    """Random byte mutations of a valid scanned PDF either decode or
+    raise cleanly — the parser loops all make forward progress."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = gray_ramp(6, 9)
+    body = stream_obj(
+        b"/Subtype /Image /Width 9 /Height 6 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceGray /Filter /FlateDecode",
+        zlib.compress(img.tobytes()))
+    pdf = bytearray(one_image_pdf(body))
+    for _ in range(nmut):
+        pdf[rng.integers(0, len(pdf))] = rng.integers(0, 256)
+    try:
+        pages = pdf_page_images(bytes(pdf))
+        for p in pages:
+            assert p.dtype == np.uint8
+    except Exception:
+        pass  # clean rejection is fine; hangs/crashes are not
