@@ -304,6 +304,83 @@ def _media_pdf_pages(sf_dir: str):
     return feats.map_batches(finalize, batch_format="pandas")
 
 
+def _media_gif_frames(sf_dir: str):
+    """Animated-GIF ingest as a first-class query: one deterministic
+    GIF89a per document (1 + doc_id%5 full-canvas frames, frame i =
+    first i+1 rows black, through the spec LZW encoder), decoded by
+    core/gif.py inside the VideoFrameSampleStage actor pool (every=2),
+    then per-frame ink counted.  Frame geometry is arithmetic in
+    doc_id, so the DuckDB oracle reproduces (media_ref, frame_idx, ink)
+    exactly — the decode path is hash-checked end to end."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.multimodal import VideoFrameSampleStage
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        from tensorflow_ocr_ray.core.gif import gif_lzw_encode
+
+        pal = bytes([0, 0, 0, 255, 255, 255])  # 0=black, 1=white
+        payloads = []
+        for did in df["doc_id"]:
+            d = int(did)
+            h, w = 8 + d % 4, 8
+            gif = bytearray(b"GIF89a")
+            gif += struct.pack("<HHBBB", w, h, 0x80, 1, 0) + pal
+            for i in range(1 + d % 5):
+                idx = np.ones((h, w), dtype=np.uint8)
+                idx[: i + 1, :] = 0
+                # GCE: disposal=1 (leave), no transparency
+                gif += b"\x21\xf9\x04" + struct.pack("<BHB", 1 << 2, 1, 0)
+                gif += b"\x00"
+                gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                lzw = gif_lzw_encode(idx.tobytes(), 2)
+                gif += b"\x02"  # LZW min code size
+                for j in range(0, len(lzw), 255):
+                    chunk = lzw[j:j + 255]
+                    gif += bytes([len(chunk)]) + chunk
+                gif += b"\x00"  # sub-block terminator
+            gif += b"\x3b"  # trailer
+            payloads.append(bytes(gif))
+        return pa.table(
+            {
+                "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
+                "video": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    frames = docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2, fn_constructor_kwargs={"every": 2},
+    )
+
+    def count_ink(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.raster import decode_payload
+
+        ink = [
+            int(decode_payload(p).sum())
+            for p in batch.column("frame").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "frame_idx": batch.column("frame_idx"),
+                "ink": pa.array(ink, type=pa.int64()),
+            }
+        )
+
+    return frames.map_batches(count_ink, batch_format="pyarrow")
+
+
 def _tf_dense_predictions(sf_dir: str):
     from tensorflow_ocr_ray.pipelines.tf_pipeline import dense_predictions
 
@@ -529,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (rows-only; DSP features aren't SQL)
         "media_audio_features": _media_audio_features,
         "media_pdf_pages": _media_pdf_pages,
+        "media_gif_frames": _media_gif_frames,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,
@@ -1658,6 +1736,16 @@ def oracle_sql() -> dict[str, str]:
                                "CAST(0 AS BIGINT)"),
             }.items()
         ),
+        "media_gif_frames": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST((i + 1) * 8 AS BIGINT) AS ink
+            FROM (
+                SELECT doc_id,
+                       unnest(range(0, 1 + doc_id % 5, 2)) AS i
+                FROM documents
+            )
+        """,
         "profile_events": " UNION ALL ".join(
             f"""
             SELECT '{c}' AS col, count(*)::BIGINT AS n,

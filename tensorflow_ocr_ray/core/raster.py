@@ -317,6 +317,13 @@ def decode_payload_pages(payload: bytes, cutoff: float = 0.50) -> list[np.ndarra
         return [
             _binarize_page(img, 8, cutoff) for img in pdf_page_images(payload)
         ]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):  # GIF (core/gif.py)
+        from tensorflow_ocr_ray.core.gif import decode_gif_frames
+
+        return [
+            _binarize_page(img, 8, cutoff)
+            for img in decode_gif_frames(payload)
+        ]
     return [decode_payload(payload, cutoff)]
 
 
@@ -346,6 +353,10 @@ def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
         if not pages:
             raise ValueError("PDF payload has no raster page images")
         return _binarize_page(pages[0], 8, cutoff)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):  # GIF (core/gif.py)
+        from tensorflow_ocr_ray.core.gif import decode_gif_gray
+
+        return _binarize_page(decode_gif_gray(payload), 8, cutoff)
     magic, rest = payload[:4], payload[4:]
     h, w = struct.unpack("<II", rest[:8])
     body = rest[8:]

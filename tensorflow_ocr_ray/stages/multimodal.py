@@ -224,6 +224,11 @@ class VideoFrameSampleStage:
             # the raster codec's 1=ink convention)
             return np.stack([(f < self.cutoff).astype(np.uint8)
                              for f in frames])
+        if payload[:6] in (b"GIF87a", b"GIF89a"):  # animated GIF
+            from tensorflow_ocr_ray.core.gif import decode_gif_frames
+
+            return np.stack([(f < self.cutoff).astype(np.uint8)
+                             for f in decode_gif_frames(payload)])
         if self._av is None:
             raise NotImplementedError(
                 "inter-frame video decode requires `av`, not present in "

@@ -242,6 +242,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("bm25_topk", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
         ("profile_events", ["events"]),
+        ("media_gif_frames", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
