@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from tensorflow_ocr_ray.pipelines import (
         curation,
         dedup,
+        graph,
         profiling,
         relational,
         search,
@@ -555,6 +556,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pass, map-side partials only
         "profile_lineitem": profiling.profile_table,
         "profile_events": profiling.profile_events,
+        # iterative graph computation (pipelines/graph.py): sharded
+        # rank state in the object store, one exchange per iteration
+        "link_pagerank": graph.link_pagerank,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         # the read-pruned indexed paths (build-once bucket/cell
@@ -1599,6 +1603,8 @@ _WINNOW_RANKED_CTE = r"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from tensorflow_ocr_ray.pipelines.graph import pagerank_oracle_sql
+
     return {
         "decontaminate": _decontaminate_sql(),
         "repetition_stats": _repetition_sql(),
@@ -1736,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
                                "CAST(0 AS BIGINT)"),
             }.items()
         ),
+        "link_pagerank": pagerank_oracle_sql(),
         "media_gif_frames": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,
                    CAST(i AS INTEGER) AS frame_idx,

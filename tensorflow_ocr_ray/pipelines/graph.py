@@ -1,0 +1,135 @@
+"""Iterative graph computation on Ray Data — distributed PageRank.
+
+The engine's iterative-algorithm exemplar (next to the streaming Lloyd
+pass in ``pipelines/similarity.py``): rank state lives in the OBJECT
+STORE as a sharded Dataset, never on the driver; each power iteration
+is one vectorized flat-map (emit per-edge contributions) followed by
+one ``hash_exchange`` routed by ``dst % n_shards`` (sum + damp per
+shard).  The driver only orchestrates the loop — per-iteration data
+volume on the driver is zero.
+
+Graph: deterministic synthetic links over the documents table (doc_ids
+are 0..N-1) — vertex ``v`` has out-degree ``1 + v % 3`` with targets
+``(v*7 + j) % N`` — so in-degrees vary and the stationary ranks are
+non-uniform (a uniform-degree graph would converge to a constant and
+test nothing).
+
+EXACT integer math so the unrolled DuckDB oracle hash-matches:
+ranks are integer units starting at ``SCALE`` per vertex; an iteration
+computes ``r'(v) = SCALE*15//100 + 85 * sum(r(u) // outdeg(u)) // 100``
+with int64 floor division on both sides (all values positive, so
+numpy's floor and DuckDB's ``//`` agree).  A zero-contribution self
+row per vertex keeps sink-less vertices present.  Overflow headroom:
+``85 * N * SCALE`` must fit int64 — at 10^12 vertices drop SCALE to
+10^6 (the oracle constant generates from the same Python constant).
+
+At 100 TB scale: contributions are a skinny (dst, c, shard) projection
+(~24 B/row before Arrow encoding), the exchange's store+spill
+high-water is that projection once per iteration, and n_shards scales
+with the cluster; a real deployment swaps the arithmetic edge
+generator for an edges table sharded the same way (join src-sharded
+ranks to src-sharded edges — one extra co-partitioned zip, no design
+change)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+SCALE = 1_000_000_000_000
+BASE = SCALE * 15 // 100
+DAMP_NUM, DAMP_DEN = 85, 100
+MULT = 7
+MAX_OUTDEG = 3
+
+
+def _int64_frame(v, r):
+    return pd.DataFrame(
+        {"v": np.asarray(v, np.int64), "r": np.asarray(r, np.int64)}
+    )
+
+
+def link_pagerank(
+    sf_dir: str, iters: int = 5, n_shards: int = 32
+) -> "rd.Dataset":
+    """(doc_id, rank_units) after ``iters`` exact-integer power
+    iterations over the synthetic link graph."""
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+
+    ranks = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda df: _int64_frame(df["doc_id"], np.full(len(df), SCALE)),
+        batch_format="pandas",
+    )
+
+    def contribs(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        r = df["r"].to_numpy(np.int64)
+        outdeg = 1 + v % MAX_OUTDEG
+        c = r // outdeg
+        dst_parts = [v]  # self row keeps every vertex present
+        c_parts = [np.zeros(len(v), np.int64)]
+        for j in range(1, MAX_OUTDEG + 1):
+            m = outdeg >= j
+            dst_parts.append((v[m] * MULT + j) % n)
+            c_parts.append(c[m])
+        dst = np.concatenate(dst_parts)
+        val = np.concatenate(c_parts)
+        return pd.DataFrame(
+            {"v": dst, "c": val, "shard": (dst % n_shards).astype(np.int64)}
+        )
+
+    def damp_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _int64_frame([], [])
+        s = df.groupby("v", sort=False)["c"].sum()
+        return _int64_frame(
+            s.index,
+            BASE + (DAMP_NUM * s.to_numpy(np.int64)) // DAMP_DEN,
+        )
+
+    for _ in range(iters):
+        flat = ranks.map_batches(contribs, batch_format="pandas")
+        ranks = hash_exchange(flat, "shard", n_shards, damp_sum)
+
+    return ranks.map_batches(
+        lambda df: df.rename(columns={"v": "doc_id", "r": "rank_units"}),
+        batch_format="pandas",
+    )
+
+
+def pagerank_oracle_sql(iters: int = 5) -> str:
+    """The unrolled exact-integer oracle (same constants, same floor
+    divisions, one CTE per iteration)."""
+    parts = [
+        "meta AS (SELECT count(*) AS n FROM documents)",
+        f"pr0 AS (SELECT doc_id AS v, CAST({SCALE} AS BIGINT) AS r "
+        "FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        arms = [
+            f"SELECT (u.v * {MULT} + {j}) % m.n AS dst, "
+            f"u.r // (1 + u.v % {MAX_OUTDEG}) AS c "
+            f"FROM pr{i - 1} u, meta m WHERE 1 + u.v % {MAX_OUTDEG} >= {j}"
+            for j in range(1, MAX_OUTDEG + 1)
+        ]
+        arms.append(
+            f"SELECT u.v AS dst, CAST(0 AS BIGINT) AS c FROM pr{i - 1} u"
+        )
+        union = " UNION ALL ".join(arms)
+        parts.append(
+            f"pr{i} AS (SELECT dst AS v, CAST({BASE} + "
+            f"({DAMP_NUM} * CAST(sum(c) AS BIGINT)) // {DAMP_DEN} "
+            f"AS BIGINT) AS r FROM ({union}) GROUP BY dst)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT v AS doc_id, r AS rank_units FROM pr{iters}"
+    )

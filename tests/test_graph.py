@@ -1,0 +1,68 @@
+"""Distributed PageRank: exact equality vs a sequential numpy
+reference, mass behavior, and shard-count invariance."""
+
+import numpy as np
+import pandas as pd
+
+from tensorflow_ocr_ray.pipelines.graph import (
+    BASE,
+    DAMP_DEN,
+    DAMP_NUM,
+    MAX_OUTDEG,
+    MULT,
+    SCALE,
+    link_pagerank,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def sequential_pagerank(n: int, iters: int) -> np.ndarray:
+    r = np.full(n, SCALE, dtype=np.int64)
+    v = np.arange(n, dtype=np.int64)
+    outdeg = 1 + v % MAX_OUTDEG
+    for _ in range(iters):
+        c = r // outdeg
+        s = np.zeros(n, dtype=np.int64)
+        for j in range(1, MAX_OUTDEG + 1):
+            m = outdeg >= j
+            np.add.at(s, (v[m] * MULT + j) % n, c[m])
+        r = BASE + (DAMP_NUM * s) // DAMP_DEN
+    return r
+
+
+def test_matches_sequential_reference(ray_session):
+    got = (
+        link_pagerank(SF, iters=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = len(got)
+    exp = sequential_pagerank(n, 5)
+    assert got["doc_id"].tolist() == list(range(n))
+    np.testing.assert_array_equal(got["rank_units"].to_numpy(np.int64), exp)
+
+
+def test_shard_count_invariance(ray_session):
+    a = link_pagerank(SF, iters=2, n_shards=4).to_pandas()
+    b = link_pagerank(SF, iters=2, n_shards=32).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_mass_approximately_conserved(ray_session):
+    df = link_pagerank(SF, iters=3).to_pandas()
+    total = int(df["rank_units"].sum())
+    n = len(df)
+    # floor divisions only ever LOSE units: total <= N*SCALE, and the
+    # per-iteration loss is < N * (outdeg + DAMP_DEN) units
+    assert total <= n * SCALE
+    assert total >= n * SCALE - 3 * n * (MAX_OUTDEG + DAMP_DEN)
+
+
+def test_ranks_nonuniform(ray_session):
+    df = link_pagerank(SF, iters=5).to_pandas()
+    assert df["rank_units"].nunique() > len(df) // 2

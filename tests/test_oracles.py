@@ -243,6 +243,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("profile_lineitem", ["lineitem"]),
         ("profile_events", ["events"]),
         ("media_gif_frames", ["documents"]),
+        ("link_pagerank", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
