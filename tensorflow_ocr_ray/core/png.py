@@ -9,7 +9,10 @@ Color types 0 (gray 1/2/4/8/16), 2 (RGB), 3 (palette), 4 (gray+alpha)
 and 6 (RGBA) are handled; color/alpha reduce to LUMA uint8 with the
 same ITU-R 601 integer weights the AVI decoder uses (alpha is ignored
 — this engine consumes pixels for analysis, not compositing).
-Interlaced (Adam7) images raise ``NotImplementedError``.
+Adam7 interlace is decoded per the spec: the stream is SEVEN
+independently-filtered sub-images (each pass has its own scanline
+stride and byte padding); each defilters and converts on its own, then
+scatters into the output grid at its (origin, step) lattice.
 
 Defiltering is row-sequential by construction (each row references the
 previous); within a row, Sub/Paeth/Average are per-pixel recurrences —
@@ -40,6 +43,8 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _defilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     """Filtered scanlines → recon bytes, (h, stride) uint8."""
+    if len(raw) < h * (1 + stride):
+        raise ValueError("PNG pixel data truncated")
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     for y in range(h):
@@ -99,9 +104,9 @@ def decode_png_gray(payload: bytes) -> np.ndarray:
             )
             if comp != 0 or filt != 0:
                 raise ValueError("non-standard compression/filter method")
-            if interlace:
-                raise NotImplementedError("Adam7 interlaced PNG")
-            ihdr = (w, h, depth, ctype)
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+            ihdr = (w, h, depth, ctype, interlace)
         elif cid == b"PLTE":
             pal = np.frombuffer(body, dtype=np.uint8)
             pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
@@ -116,7 +121,7 @@ def decode_png_gray(payload: bytes) -> np.ndarray:
             break
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype = ihdr
+    w, h, depth, ctype, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
@@ -124,16 +129,53 @@ def decode_png_gray(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid depth {depth} for color type {ctype}")
 
     bits_pp = channels * depth
-    stride = (w * bits_pp + 7) // 8
     bpp = max(1, bits_pp // 8)
-    recon = _defilter(zlib.decompress(bytes(idat)), h, stride, bpp)
+    raw = zlib.decompress(bytes(idat))
 
+    if interlace == 0:
+        stride = (w * bits_pp + 7) // 8
+        recon = _defilter(raw, h, stride, bpp)
+        return _to_gray(recon, h, w, depth, ctype, channels, plte)
+
+    # Adam7: seven sub-images, each with its own scanline stride
+    out = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * bits_pp + 7) // 8
+        nbytes = ph * (1 + stride)
+        recon = _defilter(raw[pos:pos + nbytes], ph, stride, bpp)
+        pos += nbytes
+        out[y0::dy, x0::dx] = _to_gray(
+            recon, ph, pw, depth, ctype, channels, plte
+        )
+    return out
+
+
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _to_gray(recon, h, w, depth, ctype, channels, plte):
+    """Defiltered sample bytes of one (sub-)image → (h, w) gray uint8."""
     if depth < 8:  # gray/palette sub-byte packing, MSB first
         bits = np.unpackbits(recon, axis=1)[:, : w * depth]
         vals = bits.reshape(h, w, depth)
         weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
         px = (vals * weights).sum(axis=2).astype(np.uint16)
         if ctype == 3:
+            if plte is None:
+                raise ValueError("palette image without PLTE")
             return plte[px.astype(np.uint8)]
         # scale to full 8-bit range per the spec's sample depth scaling
         return ((px * 255) // ((1 << depth) - 1)).astype(np.uint8)

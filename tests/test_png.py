@@ -133,12 +133,121 @@ def test_rgba_alpha_ignored():
     assert got[0, 1] == (77 * 200 + 150 * 200 + 29 * 200) >> 8
 
 
-def test_interlaced_raises():
-    body = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
+def test_unknown_interlace_method_raises():
+    body = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
     payload = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", body)
                + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png_gray(payload)
+
+
+# ------------------------------------------------------------- Adam7
+
+_ADAM7_REF = (  # independent copy of the spec lattice table
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _pack_row_bits(row_vals: np.ndarray, depth: int) -> np.ndarray:
+    """Sample values of one scanline → padded bytes (MSB-first)."""
+    bits = (
+        (row_vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).ravel()
+    return np.packbits(bits)
+
+
+def _png_adam7(img: np.ndarray, depth=8, ctype=0, plte=None,
+               ftypes=(0, 1, 2, 3, 4)) -> bytes:
+    """Independent Adam7 ENCODER: split into the 7 sub-images, filter
+    each pass's scanlines (per-pass stride + byte padding), concatenate.
+    ``img`` is (h, w) sample values, or (h, w, ch) for color types."""
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    bpp = max(1, ch * depth // 8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_REF:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        if depth < 8:
+            rows = np.stack(
+                [_pack_row_bits(sub[y], depth) for y in range(ph)]
+            )
+        elif depth == 16:
+            rows = sub.astype(">u2").reshape(ph, -1).view(np.uint8)
+        else:
+            rows = sub.reshape(ph, pw * ch)
+        raw += _filter_rows(np.ascontiguousarray(rows), list(ftypes),
+                            bpp=bpp)
+    out = b"\x89PNG\r\n\x1a\n"
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                       ctype, 0, 0, 1))
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _chunk(b"IEND", b"")
+    return out
+
+
+def test_adam7_gray8_all_filters():
+    rng = np.random.Generator(np.random.PCG64(3))
+    img = rng.integers(0, 256, size=(10, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png_gray(_png_adam7(img)), img)
+
+
+def test_adam7_rgb8_luma():
+    rng = np.random.Generator(np.random.PCG64(4))
+    img = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    exp = (
+        (77 * img[:, :, 0].astype(np.uint32)
+         + 150 * img[:, :, 1].astype(np.uint32)
+         + 29 * img[:, :, 2].astype(np.uint32)) >> 8
+    ).astype(np.uint8)
+    got = decode_png_gray(_png_adam7(img, ctype=2))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_adam7_palette4_subbyte_strides():
+    rng = np.random.Generator(np.random.PCG64(5))
+    idx = rng.integers(0, 16, size=(9, 11), dtype=np.uint8)
+    plte = bytes(v for g in range(16) for v in (g * 17, g * 17, g * 17))
+    got = decode_png_gray(
+        _png_adam7(idx, depth=4, ctype=3, plte=plte, ftypes=(0,))
+    )
+    np.testing.assert_array_equal(got, idx * 17)
+
+
+def test_adam7_gray1():
+    rng = np.random.Generator(np.random.PCG64(6))
+    img = rng.integers(0, 2, size=(12, 17), dtype=np.uint8)
+    got = decode_png_gray(_png_adam7(img, depth=1, ftypes=(0,)))
+    np.testing.assert_array_equal(got, img * 255)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 3), (2, 5), (8, 1), (5, 4)])
+def test_adam7_small_images_empty_passes(h, w):
+    rng = np.random.Generator(np.random.PCG64(h * 100 + w))
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png_gray(_png_adam7(img)), img)
+
+
+def test_adam7_gray16_high_byte():
+    rng = np.random.Generator(np.random.PCG64(9))
+    img16 = rng.integers(0, 65536, size=(7, 6), dtype=np.uint16)
+    got = decode_png_gray(_png_adam7(img16, depth=16))
+    np.testing.assert_array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_adam7_matches_sequential_decode():
+    rng = np.random.Generator(np.random.PCG64(8))
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    stride_img = img  # gray8: stride == w
+    seq = _png(16, 16, 8, 0, _filter_rows(stride_img, [0, 1, 2, 3, 4]))
+    np.testing.assert_array_equal(
+        decode_png_gray(_png_adam7(img)), decode_png_gray(seq)
+    )
 
 
 def test_not_png_raises():
