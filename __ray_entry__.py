@@ -411,6 +411,12 @@ def _approx_distinct_users(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _heavy_hitter_trigrams(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.sketches import heavy_hitter_trigrams
+
+    return heavy_hitter_trigrams(sf_dir)
+
+
 def _html_main_content(sf_dir: str):
     """Boilerplate-strip pipeline: documents.text → deterministic HTML
     chrome (nav/header/aside/footer + script/style/comment noise) →
@@ -559,6 +565,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph computation (pipelines/graph.py): sharded
         # rank state in the object store, one exchange per iteration
         "link_pagerank": graph.link_pagerank,
+        "graph_components": graph.graph_components,
+        # two-pass broadcast-candidate heavy hitters (pipelines/
+        # sketches.py): exact iceberg, no gram-space shuffle
+        "heavy_hitter_trigrams": _heavy_hitter_trigrams,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         # the read-pruned indexed paths (build-once bucket/cell
@@ -1603,7 +1613,11 @@ _WINNOW_RANKED_CTE = r"""
 
 
 def oracle_sql() -> dict[str, str]:
-    from tensorflow_ocr_ray.pipelines.graph import pagerank_oracle_sql
+    from tensorflow_ocr_ray.pipelines.graph import (
+        COMPONENTS_ORACLE_SQL,
+        pagerank_oracle_sql,
+    )
+    from tensorflow_ocr_ray.pipelines.sketches import heavy_hitter_sql
 
     return {
         "decontaminate": _decontaminate_sql(),
@@ -1743,6 +1757,8 @@ def oracle_sql() -> dict[str, str]:
             }.items()
         ),
         "link_pagerank": pagerank_oracle_sql(),
+        "graph_components": COMPONENTS_ORACLE_SQL,
+        "heavy_hitter_trigrams": heavy_hitter_sql(),
         "media_gif_frames": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,
                    CAST(i AS INTEGER) AS frame_idx,

@@ -35,6 +35,12 @@ import numpy as np
 
 MAX_CODE = 4096  # 12-bit ceiling, per spec
 
+# decompression-bomb guard: a 13-byte header can declare a 65535x65535
+# logical screen (a 4.3 GB canvas); real scanned pages stay far below
+# 2^28 px (= a 16k x 16k page), so anything larger is rejected rather
+# than allocated
+MAX_PIXELS = 1 << 28
+
 
 def _luma(pal: np.ndarray) -> np.ndarray:
     """(N,3) uint8 palette -> (N,) uint8 gray, ITU-R 601 integer."""
@@ -198,6 +204,8 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     if w == 0 or h == 0:
         raise ValueError("GIF with zero logical screen dimension")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"GIF logical screen {w}x{h} exceeds pixel cap")
     pos = 13
     gct_gray = None
     if packed & 0x80:

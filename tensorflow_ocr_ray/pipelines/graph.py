@@ -105,6 +105,55 @@ def link_pagerank(
     )
 
 
+def graph_components(sf_dir: str, n_shards: int = 32) -> "rd.Dataset":
+    """Distributed connected components (stages/cc.py — iterated
+    min-label propagation, two hash_exchanges per round) as a
+    first-class query, over a synthetic graph with a CLOSED-FORM
+    component structure the oracle reproduces arithmetically:
+
+    - star edges: every vertex links to its star center ``v - v % 7``
+      (centers get a harmless self-edge, keeping every vertex in the
+      edge set whatever N is);
+    - bridge edges: centers with ``c % 21 == 7`` link to the previous
+      center, merging star pairs — so components have sizes 7 and 14
+      and diameter ≤ 3, and the min label is
+      ``c - 7 if c % 21 == 7 else c``.
+
+    The LP path is the same code the dedup clustering finalizers run;
+    here its fixpoint is hash-checked against the closed form."""
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        c = v - v % 7
+        is_bridge = (v % 7 == 0) & (v % 21 == 7) & (v >= 7)
+        src = np.concatenate([v, v[is_bridge]])
+        dst = np.concatenate([c, v[is_bridge] - 7])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    # consumed exactly once — cc.py materializes its own half-row table
+    edge_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(edges, batch_format="pandas")
+    from tensorflow_ocr_ray.stages.cc import connected_components
+
+    return connected_components(
+        edge_ds, src="src", dst="dst",
+        n_shards=min(n_shards, max(1, n // 16)),
+    )
+
+
+COMPONENTS_ORACLE_SQL = """
+    SELECT doc_id AS node,
+           CAST(CASE WHEN (doc_id - doc_id % 7) % 21 = 7
+                THEN doc_id - doc_id % 7 - 7
+                ELSE doc_id - doc_id % 7 END AS BIGINT) AS label
+    FROM documents
+"""
+
+
 def pagerank_oracle_sql(iters: int = 5) -> str:
     """The unrolled exact-integer oracle (same constants, same floor
     divisions, one CTE per iteration)."""

@@ -1,4 +1,4 @@
-"""Distributed cardinality sketch: K-Minimum-Values (KMV / bottom-k).
+"""Distributed sketches: KMV cardinality and two-pass heavy hitters.
 
 The classic streaming distinct-count estimator (Bar-Yossef et al. 2002):
 hash every key to (0,1], keep the k smallest distinct hashes; with
@@ -11,6 +11,19 @@ Unlike HLL this choice is fully DETERMINISTIC given the hash function;
 with md5-derived hashes (DuckDB-computable) the estimate is
 bit-reproducible in SQL, so the driver gets a HARD oracle for an
 approximate operator.
+
+Second sketch family: TWO-PASS EXACT HEAVY HITTERS
+(:func:`heavy_hitter_trigrams`) — the shuffle-free alternative to the
+iceberg-by-shard plan ``curation.frequent_trigrams`` uses.  Pass 1
+keeps only each block's LOCALLY heavy keys (count_b * m > total_b); by
+pigeonhole any globally heavy key (count * m > total) is locally heavy
+in at least one block, so the union of local candidates is a provable
+superset, bounded by m rows per block.  Pass 2 broadcasts the
+candidate set and recounts EXACTLY, so the output is the exact iceberg
+set whatever the block layout — the sketch only bounds the candidate
+volume, never the answer (the classic 2-round MPC heavy-hitters shape;
+cf. Misra–Gries for the single-pass bounded-memory variant, which this
+degenerates to if block vocabularies ever exceed worker heaps).
 """
 
 from __future__ import annotations
@@ -96,3 +109,125 @@ def approx_distinct_users(sf_dir: str, k: int = 256) -> pd.DataFrame:
         .sort_values("event_type")
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------- heavy hitters
+
+HH_DIVISOR = 1000  # heavy = count * HH_DIVISOR > corpus trigram total
+_CP_BITS = 21  # unicode max 0x10FFFF < 2^21: a trigram packs in 63 bits
+_CP_MASK = (1 << _CP_BITS) - 1
+
+
+def _tri_keys(text: str) -> np.ndarray:
+    """Char trigrams of one text as packed int64 keys (3 x 21-bit
+    codepoints) — vectorized via the utf-32 view, character-exact with
+    SQL ``substr(text, i, 3)``."""
+    codes = np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    if len(codes) < 3:
+        return np.empty(0, dtype=np.int64)
+    return (codes[:-2] << (2 * _CP_BITS)) | (codes[1:-1] << _CP_BITS) \
+        | codes[2:]
+
+
+def _tri_str(key: int) -> str:
+    return (
+        chr((key >> (2 * _CP_BITS)) & _CP_MASK)
+        + chr((key >> _CP_BITS) & _CP_MASK)
+        + chr(key & _CP_MASK)
+    )
+
+
+def heavy_hitter_trigrams(
+    sf_dir: str, m: int = HH_DIVISOR, n_shards: int = 8
+) -> "rd.Dataset":
+    """Exact char-trigram heavy hitters (count * m > corpus total) via
+    the two-pass broadcast-candidate plan (module docstring): no
+    shuffle ever touches the full gram space — pass 1 moves < m rows
+    per block to the driver, pass 2 moves |candidates| x n_blocks
+    pre-reduced rows through one tiny exchange."""
+    import ray
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def local_heavy(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [_tri_keys(t) for t in df["text"]]
+        keys = (np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.int64))
+        total = len(keys)
+        uk, cnt = np.unique(keys, return_counts=True)
+        heavy = uk[cnt * m > total]
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([heavy, [np.int64(-1)]]),
+                "val": np.concatenate(
+                    [np.zeros(len(heavy), dtype=np.int64),
+                     [np.int64(total)]]
+                ),
+            }
+        )
+
+    p1 = docs.map_batches(
+        local_heavy, batch_format="pandas", batch_size=4096
+    ).to_pandas()  # bounded: < m candidate rows + 1 total row per block
+    total = int(p1.loc[p1["key"] == -1, "val"].sum())
+    cand = np.unique(p1.loc[p1["key"] != -1, "key"].to_numpy(np.int64))
+    cand_ref = ray.put(cand)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cand_ref)
+        parts = [_tri_keys(t) for t in df["text"]]
+        keys = (np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.int64))
+        if len(c) and len(keys):
+            idx = np.searchsorted(c, keys)
+            idx[idx == len(c)] = 0
+            keys = keys[c[idx] == keys]
+        else:
+            keys = keys[:0]
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pd.DataFrame(
+            {"key": uk, "val": cnt.astype(np.int64),
+             "shard": (uk % n_shards).astype(np.int64)}
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"tri": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        g = df.groupby("key")["val"].sum()
+        g = g[g.to_numpy() * m > total]
+        return pd.DataFrame(
+            {
+                "tri": [_tri_str(int(k)) for k in g.index],
+                "cnt": g.to_numpy().astype(np.int64),
+            }
+        )
+
+    partials = docs.map_batches(
+        recount, batch_format="pandas", batch_size=4096
+    )
+    return hash_exchange(partials, "shard", n_shards, finish)
+
+
+def heavy_hitter_sql(m: int = HH_DIVISOR) -> str:
+    """The exact-iceberg oracle over the same substr trigram space."""
+    return f"""
+        WITH g AS (
+          SELECT substr(text, i, 3) AS tri
+          FROM (
+            SELECT text, unnest(range(1, len(text) - 1)) AS i
+            FROM documents
+          )
+        ),
+        t AS (SELECT count(*) AS total FROM g)
+        SELECT tri, CAST(count(*) AS BIGINT) AS cnt
+        FROM g, t
+        GROUP BY tri, t.total
+        HAVING count(*) * {m} > t.total
+    """

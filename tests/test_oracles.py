@@ -244,6 +244,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("profile_events", ["events"]),
         ("media_gif_frames", ["documents"]),
         ("link_pagerank", ["documents"]),
+        ("graph_components", ["documents"]),
+        ("heavy_hitter_trigrams", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

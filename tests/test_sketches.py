@@ -48,3 +48,69 @@ def test_distributed_matches_single_process(ray_session):
         assert row.approx_users == kmv_estimate(hs, 256)
         true = sub["user_id"].nunique()
         assert abs(row.approx_users - true) / max(true, 1) < 0.2
+
+
+# ------------------------------------------ two-pass heavy hitters
+
+
+def test_tri_key_roundtrip_unicode():
+    from tensorflow_ocr_ray.pipelines.sketches import _tri_keys, _tri_str
+
+    s = "abcdé ↦𝄞x"
+    keys = _tri_keys(s)
+    assert len(keys) == len(s) - 2
+    assert [_tri_str(int(k)) for k in keys] == [
+        s[i:i + 3] for i in range(len(s) - 2)
+    ]
+    assert len(_tri_keys("ab")) == 0
+
+
+def test_heavy_hitters_exact_vs_brute(ray_session):
+    from collections import Counter
+
+    from tensorflow_ocr_ray.pipelines.sketches import (
+        HH_DIVISOR,
+        heavy_hitter_trigrams,
+    )
+
+    got = (
+        heavy_hitter_trigrams(SF)
+        .to_pandas()
+        .sort_values("tri")
+        .reset_index(drop=True)
+    )
+    texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    c: Counter = Counter()
+    for t in texts["text"]:
+        c.update(t[i:i + 3] for i in range(len(t) - 2))
+    total = sum(c.values())
+    exp = sorted(
+        (tri, n) for tri, n in c.items() if n * HH_DIVISOR > total
+    )
+    assert list(zip(got["tri"], got["cnt"])) == exp
+
+
+def test_heavy_hitters_block_layout_invariant(ray_session):
+    """The candidate superset depends on block layout; the OUTPUT must
+    not — rerun with a tiny batch size (many more, smaller 'blocks')."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.pipelines import sketches
+    from tensorflow_ocr_ray.pipelines.sketches import heavy_hitter_trigrams
+
+    a = heavy_hitter_trigrams(SF).to_pandas()
+
+    orig = rd.read_parquet
+
+    def small_blocks(*args, **kw):
+        return orig(*args, **kw).repartition(13)
+
+    sketches.rd.read_parquet, restore = small_blocks, orig
+    try:
+        b = heavy_hitter_trigrams(SF).to_pandas()
+    finally:
+        sketches.rd.read_parquet = restore
+    pd.testing.assert_frame_equal(
+        a.sort_values("tri").reset_index(drop=True),
+        b.sort_values("tri").reset_index(drop=True),
+    )
