@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_quantity_price": relational.corr_quantity_price,
         "cube_lineitem": relational.cube_lineitem,
         "moving_window_sum": windows.moving_window_sum,
+        "range_window_sum": windows.range_window_sum,
         "ntile_events": windows.ntile_events,
         "distinct_trigram_count": curation.distinct_trigram_count,
         "frequent_trigrams": curation.frequent_trigrams,
@@ -2731,6 +2732,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        # time-interval frame (RANGE, peer-inclusive under ts ties)
+        "range_window_sum": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS win_n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS win_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
         """,
         # NTILE(4) per type over (value, event_id) order; rank included
         "ntile_events": """

@@ -1003,6 +1003,78 @@ def moving_window_sum(sf_dir: str, width: int = 3,
     )
 
 
+def range_window_sum(sf_dir: str, hours: int = 1,
+                     n_shards: int = 64) -> "rd.Dataset":
+    """Per-user time-interval window — SQL's ``RANGE BETWEEN INTERVAL
+    1 HOUR PRECEDING AND CURRENT ROW`` (value-based frames, PEER
+    semantics: every row with the same ts is in the frame whatever its
+    position, so the sum is well-defined under ties, unlike ROWS).
+
+    Same one-shuffle plan as moving_window_sum; in-shard the frame
+    bounds come from TWO vectorized ``searchsorted`` calls on a
+    banded key ``user_band * W + (ts - t0)`` with ``W > span + H`` —
+    the band gap guarantees a lookup for ``key - H`` can never cross
+    into the previous user's band, so no per-user loop exists.  Sums
+    are exact integer cents on a prefix-sum difference."""
+    horizon = hours * 3_600_000_000  # us
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": us,
+                "cents": np.round(df["value"].to_numpy() * 100.0)
+                .astype("int64"),
+                "shard": df["user_id"].astype("int64") % n_shards,
+            }
+        )
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "win_n": pd.Series([], dtype="int64"),
+                    "win_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        uid = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        c = df["cents"].to_numpy()
+        _, band = np.unique(uid, return_inverse=True)  # monotone: sorted
+        tn = ts - ts.min()
+        width = int(tn.max()) + horizon + 2
+        if (int(band[-1]) + 1) * width >= (1 << 62):
+            # users-per-shard x time-span too wide for one banded key:
+            # raise n_shards (callers' knob) rather than corrupt frames
+            raise ValueError(
+                "range_window_sum: banded key would overflow int64 — "
+                "increase n_shards"
+            )
+        key = band.astype(np.int64) * np.int64(width) + tn
+        lo = np.searchsorted(key, key - horizon, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        csum = np.concatenate([[0], np.cumsum(c)])
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "win_n": (hi - lo).astype("int64"),
+                "win_cents": (csum[hi] - csum[lo]).astype("int64"),
+            }
+        )
+
+    return hash_exchange(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
+    )
+
+
 # ---------------- NTILE via distributed global rank --------------------------
 
 

@@ -246,6 +246,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("link_pagerank", ["documents"]),
         ("graph_components", ["documents"]),
         ("heavy_hitter_trigrams", ["documents"]),
+        ("range_window_sum", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

@@ -512,3 +512,65 @@ def test_next_purchase_event_brute(ray_session, tmp_path):
                 assert got.loc[eid, "next_purchase_id"] == \
                     g["event_id"].iloc[nxt]
                 assert got.loc[eid, "gap_us"] == us[nxt] - us[i]
+
+
+def test_range_window_peer_ties_and_boundary(ray_session, tmp_path):
+    """RANGE frame semantics: (a) peers with the SAME ts are all in the
+    frame even when positioned after the current row; (b) the 1-hour
+    bound is inclusive (exactly-1h-old rows count)."""
+    import duckdb
+
+    from tensorflow_ocr_ray.pipelines.windows import range_window_sum
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [
+        # user 1: three PEERS at t=0 (must all see win_cents=1+2+4)
+        {"event_id": 0, "ts": base, "user_id": 1, "event_type": "a",
+         "value": 0.01, "props": ""},
+        {"event_id": 1, "ts": base, "user_id": 1, "event_type": "a",
+         "value": 0.02, "props": ""},
+        {"event_id": 2, "ts": base, "user_id": 1, "event_type": "a",
+         "value": 0.04, "props": ""},
+        # exactly 1h later: frame includes the t=0 peers (inclusive)
+        {"event_id": 3, "ts": base + pd.Timedelta(hours=1), "user_id": 1,
+         "event_type": "a", "value": 0.08, "props": ""},
+        # 1h + 1us later: t=0 peers fall out, only event 3 remains
+        {"event_id": 4,
+         "ts": base + pd.Timedelta(hours=1, microseconds=1),
+         "user_id": 1, "event_type": "a", "value": 0.16, "props": ""},
+        # user 2: same instants — bands must not leak across users
+        {"event_id": 5, "ts": base, "user_id": 2, "event_type": "b",
+         "value": 1.00, "props": ""},
+        {"event_id": 6, "ts": base + pd.Timedelta(minutes=59),
+         "user_id": 2, "event_type": "b", "value": 2.00, "props": ""},
+    ]
+    d = tmp_path / "rangewin"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+
+    got = (
+        range_window_sum(str(d))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["win_cents"].tolist() == [7, 7, 7, 15, 24, 100, 300]
+    assert got["win_n"].tolist() == [3, 3, 3, 4, 2, 1, 2]
+
+    sql = """
+        SELECT event_id, count(*) OVER w AS win_n,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w
+                    AS BIGINT) AS win_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_id
+    """
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    exp = con.sql(sql).df()
+    assert got["win_cents"].tolist() == exp["win_cents"].tolist()
+    assert got["win_n"].tolist() == exp["win_n"].astype(int).tolist()
