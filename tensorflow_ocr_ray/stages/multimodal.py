@@ -14,9 +14,11 @@ The container ships no image/audio/video libraries, so:
 - AUDIO decode is REAL for the whole classic WAV matrix — PCM
   8/16/24/32, IEEE float, G.711 A-law/µ-law, mono IMA ADPCM — via the
   pure-numpy decoders in ``core/audio_codecs.py`` (implemented from the
-  public specs, the same way G4/LZW were for images).  Only non-WAV
-  containers (mp3/ogg/flac) still gate on ``soundfile`` and raise a
-  guarded ``NotImplementedError`` without it.
+  public specs, the same way G4/LZW were for images) — and for FLAC
+  (``core/flac.py``: constant/verbatim/fixed/LPC subframes, rice
+  residuals incl. escapes and partitions, left/right/mid-side stereo,
+  wasted bits).  Only lossy containers (mp3/ogg) still gate on
+  ``soundfile`` and raise a guarded ``NotImplementedError`` without it.
 - VIDEO decode is REAL for RIFF/AVI with uncompressed-DIB (8-bit
   palette / 24-bit BGR / 32-bit BGRX), RLE8, or MJPG frames — the
   MJPEG path decodes each frame with the baseline-JPEG decoder
@@ -144,6 +146,12 @@ class AudioFeatureStage:
             from tensorflow_ocr_ray.core.audio_codecs import decode_wav
 
             return decode_wav(payload)
+        if payload[:4] == b"fLaC":
+            # REAL decode (core/flac.py): constant/verbatim/fixed/LPC
+            # subframes, rice residuals, stereo decorrelation
+            from tensorflow_ocr_ray.core.flac import decode_flac
+
+            return decode_flac(payload)
         if self._sf is None:
             raise NotImplementedError(
                 "non-WAV audio decode requires `soundfile`, not present "
