@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event": windows.user_mode_event,
         "q23_returned_item_revenue": relational.q23_returned_item_revenue,
         "q24_view_no_purchase": relational.q24_view_no_purchase,
+        "intersect_user_days": relational.intersect_user_days,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2652,6 +2653,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # EXCEPT / self-anti-semi at (user, day) grain: view-days with
         # no purchase that day (user-level is vacuously empty here)
+        # INTERSECT at (user, day) grain (q13 UNION ALL, q24 EXCEPT)
+        "intersect_user_days": """
+            SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                       AS day
+            FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                       AS day
+            FROM events WHERE event_type = 'error'
+        """,
         "q24_view_no_purchase": """
             WITH e AS (
               SELECT user_id,

@@ -1939,3 +1939,56 @@ def q24_view_no_purchase(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         ds.map_batches(partial, batch_format="pandas", batch_size=65536),
         "shard", n_shards, combine,
     )
+
+
+def intersect_user_days(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """(user, day) pairs with BOTH a purchase and an error that day —
+    the INTERSECT set-op shape, completing the family (q13 UNION ALL,
+    q24 EXCEPT).  Day granularity for the same degeneracy reason as
+    q24: corpus-wide every user emits every event type.
+
+    Physical plan: per-batch distinct (user, day) → 2-bit membership
+    mask partials (1 = purchase, 2 = error), ONE user-hash exchange,
+    per-shard OR-combine, keep mask == 3.  Bitmask partials make the
+    pre-reduction idempotent — re-OR-ing never overcounts, so block
+    layout cannot matter."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+    _US_PER_DAY = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"]
+        keep = (et == "purchase") | (et == "error")
+        df = df[keep]
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": us // _US_PER_DAY,
+                "m": np.where(
+                    df["event_type"].to_numpy() == "purchase", 1, 2
+                ).astype(np.int64),
+            }
+        )
+        g = d.groupby(["user_id", "day"], as_index=False).agg(
+            m=("m", lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        )
+        g["m"] = g["m"].astype("int64")
+        g["shard"] = g["user_id"] % n_shards
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            m=("m", lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        )
+        g = g[g["m"] == 3]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "day": g["day"].astype("int64"),
+            }
+        )
+
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, combine,
+    )
