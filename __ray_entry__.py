@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
         "embedding_quantize": similarity.embedding_quantize,
+        "embedding_covariance": similarity.embedding_covariance,
         "top_order_lineitems": relational.top_order_lineitems,
         "region_flag_revenue": relational.region_flag_revenue,
         "user_order_event_ratio": relational.user_order_event_ratio,
@@ -2525,6 +2526,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
                    CAST(sum(abs(code)) AS BIGINT) AS code_l1
             FROM c GROUP BY vec_id
+        """,
+        # exact int64 Gram over the SAME quantize codes (PCA stats)
+        "embedding_covariance": """
+            WITH u AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            ),
+            s AS (SELECT dim, max(abs(x)) AS s FROM u GROUP BY dim),
+            c AS (
+              SELECT u.vec_id, u.dim,
+                     CASE WHEN s.s = 0 THEN 0
+                          ELSE CAST(floor(u.x * 127 / s.s + 0.5)
+                                    AS BIGINT) END AS code
+              FROM u JOIN s USING (dim)
+            )
+            SELECT a.dim AS di, b.dim AS dj,
+                   CAST(sum(a.code * b.code) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c a JOIN c b USING (vec_id)
+            WHERE a.dim <= b.dim
+            GROUP BY a.dim, b.dim
         """,
         # TPC-H Q5-shaped 5-table composition; month as yyyymm BIGINT;
         # revenue in exact 1e-4-dollar ints (cents x (100 - disc_pct)) —

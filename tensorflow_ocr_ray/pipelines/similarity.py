@@ -912,6 +912,85 @@ def embedding_quantize(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def embedding_covariance(sf_dir: str, n_shards: int = 16) -> "rd.Dataset":
+    """Exact int64 Gram/covariance statistics over the quantized
+    embedding table — the sufficient-statistics step of a PCA /
+    whitening pipeline, kept EXACT by running on ``embedding_quantize``
+    's int8 codes (same half-up rule, same per-dim max-|x| scales), so
+    the dim x dim second-moment matrix is a sum of small integers and
+    the oracle hash-compares.
+
+    Physical plan: pass 1 = the quantize scale reduction (|dims| rows
+    per batch, one bounded groupby-Max, scales broadcast); pass 2 =
+    per-batch ``Q.T @ Q`` int64 matmul — each block contributes ONE
+    dim(dim+1)/2-row upper-triangle partial regardless of row count —
+    then one tiny exchange keyed by flattened pair index sums partials.
+    Nothing anywhere is proportional to corpus size except the
+    streaming read; the driver holds only the |dims| scale vector."""
+    from ray.data.aggregate import Max
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    def dim_partials(batch: dict) -> pd.DataFrame:
+        arr = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        )
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, arr.shape[1] + 1, dtype=np.int64),
+                "p_max": np.abs(arr).max(axis=0),
+            }
+        )
+
+    scales = (
+        _emb(sf_dir)
+        .map_batches(dim_partials, batch_format="numpy", batch_size=4096)
+        .groupby("dim")
+        .aggregate(Max("p_max", alias_name="s"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    s_ref = ray.put(scales["s"].to_numpy())
+
+    def gram_partial(batch: dict) -> pd.DataFrame:
+        sc = ray.get(s_ref)
+        arr = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            codes = np.floor(arr * 127.0 / sc + 0.5)
+        codes = np.where(sc == 0, 0.0, codes).astype(np.int64)
+        g = codes.T @ codes  # (dim, dim) int64
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        di = (iu + 1).astype(np.int64)
+        dj = (ju + 1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "di": di,
+                "dj": dj,
+                "s": g[iu, ju],
+                "n": np.full(len(iu), len(codes), dtype=np.int64),
+                "shard": (di * d + dj) % n_shards,
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["di", "dj"], as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+        return g.astype(
+            {"di": "int64", "dj": "int64", "s": "int64", "n": "int64"}
+        )
+
+    return hash_exchange(
+        _emb(sf_dir).map_batches(
+            gram_partial, batch_format="numpy", batch_size=4096
+        ),
+        "shard", n_shards, combine,
+    )
+
+
 def ann_range_search(sf_dir: str, threshold: float = 0.2,
                      query_vec_id: int = 0) -> "rd.Dataset":
     """Cosine RANGE search: every vector within ``threshold`` similarity

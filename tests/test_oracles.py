@@ -248,6 +248,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("heavy_hitter_trigrams", ["documents"]),
         ("range_window_sum", ["events"]),
         ("intersect_user_days", ["events"]),
+        ("embedding_covariance", ["embeddings"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
