@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_returned_item_revenue": relational.q23_returned_item_revenue,
         "q24_view_no_purchase": relational.q24_view_no_purchase,
         "intersect_user_days": relational.intersect_user_days,
+        "full_outer_user_day": relational.full_outer_user_day,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2676,6 +2677,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # EXCEPT / self-anti-semi at (user, day) grain: view-days with
         # no purchase that day (user-level is vacuously empty here)
+        # FULL OUTER join of (user, day) aggregates, absent sides = 0
+        "full_outer_user_day": """
+            WITH o AS (
+              SELECT o_custkey AS user_id,
+                     CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS order_cents
+              FROM orders GROUP BY 1, 2
+            ),
+            e AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS event_cents
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, day,
+                   CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(order_cents, 0) AS BIGINT)
+                       AS order_cents,
+                   CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(event_cents, 0) AS BIGINT)
+                       AS event_cents
+            FROM o FULL OUTER JOIN e USING (user_id, day)
+        """,
         # INTERSECT at (user, day) grain (q13 UNION ALL, q24 EXCEPT)
         "intersect_user_days": """
             SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)

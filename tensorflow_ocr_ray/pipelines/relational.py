@@ -1941,6 +1941,96 @@ def q24_view_no_purchase(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     )
 
 
+def full_outer_user_day(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Orders ⟗ events at (user, day) grain — the FULL OUTER join
+    variant (q17 inner, q18 anti, bloom_semi_join semi, q5/q14 snow-
+    flake): per-day order count/cents full-outer per-day event
+    count/cents, absent sides coalesced to 0 (the row's existence is
+    the outer-ness; custkeys above the user range are left-only, most
+    event days right-only — grain checked non-degenerate both ways).
+
+    Physical plan: per-block per-side aggregate partials tagged into
+    ONE union schema, one user-hash exchange, per-shard (user, day)
+    sum — a full outer join of aggregates needs no join operator at
+    all, just a union of idempotently-mergeable partials."""
+    _US_PER_DAY = 86_400_000_000
+    orders = _pq(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_totalprice"])
+    events = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _empty():
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("user_id", "day", "n_orders", "order_cents",
+                       "n_events", "event_cents", "shard")}
+        )
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty()
+        days = (
+            df["o_orderdate"].to_numpy().astype("datetime64[D]")
+            .astype("int64")
+        )
+        d = pd.DataFrame(
+            {
+                "user_id": df["o_custkey"].astype("int64"),
+                "day": days,
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype("int64"),
+            }
+        )
+        g = d.groupby(["user_id", "day"], as_index=False).agg(
+            n_orders=("cents", "size"), order_cents=("cents", "sum")
+        )
+        g["n_events"] = np.int64(0)
+        g["event_cents"] = np.int64(0)
+        g["shard"] = g["user_id"] % n_shards
+        return g.astype("int64")
+
+    def e_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": us // _US_PER_DAY,
+                "cents": np.round(df["value"].to_numpy() * 100.0)
+                .astype("int64"),
+            }
+        )
+        g = d.groupby(["user_id", "day"], as_index=False).agg(
+            n_events=("cents", "size"), event_cents=("cents", "sum")
+        )
+        g["n_orders"] = np.int64(0)
+        g["order_cents"] = np.int64(0)
+        g["shard"] = g["user_id"] % n_shards
+        return g.astype("int64")[
+            ["user_id", "day", "n_orders", "order_cents",
+             "n_events", "event_cents", "shard"]
+        ]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            n_orders=("n_orders", "sum"),
+            order_cents=("order_cents", "sum"),
+            n_events=("n_events", "sum"),
+            event_cents=("event_cents", "sum"),
+        )
+        return g.astype("int64")
+
+    both = orders.map_batches(
+        o_partial, batch_format="pandas", batch_size=65536
+    ).union(
+        events.map_batches(
+            e_partial, batch_format="pandas", batch_size=65536
+        )
+    )
+    return hash_exchange(both, "shard", n_shards, combine)
+
+
 def intersect_user_days(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     """(user, day) pairs with BOTH a purchase and an error that day —
     the INTERSECT set-op shape, completing the family (q13 UNION ALL,

@@ -249,6 +249,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("range_window_sum", ["events"]),
         ("intersect_user_days", ["events"]),
         ("embedding_covariance", ["embeddings"]),
+        ("full_outer_user_day", ["orders", "events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
