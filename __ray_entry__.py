@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank state in the object store, one exchange per iteration
         "link_pagerank": graph.link_pagerank,
         "graph_components": graph.graph_components,
+        "graph_bfs_depth": graph.graph_bfs_depth,
         # two-pass broadcast-candidate heavy hitters (pipelines/
         # sketches.py): exact iceberg, no gram-space shuffle
         "heavy_hitter_trigrams": _heavy_hitter_trigrams,
@@ -1619,6 +1620,7 @@ _WINNOW_RANKED_CTE = r"""
 def oracle_sql() -> dict[str, str]:
     from tensorflow_ocr_ray.pipelines.graph import (
         COMPONENTS_ORACLE_SQL,
+        bfs_oracle_sql,
         pagerank_oracle_sql,
     )
     from tensorflow_ocr_ray.pipelines.sketches import heavy_hitter_sql
@@ -1762,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "link_pagerank": pagerank_oracle_sql(),
         "graph_components": COMPONENTS_ORACLE_SQL,
+        "graph_bfs_depth": bfs_oracle_sql(),
         "heavy_hitter_trigrams": heavy_hitter_sql(),
         "media_gif_frames": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,

@@ -182,3 +182,103 @@ def pagerank_oracle_sql(iters: int = 5) -> str:
         "WITH " + ", ".join(parts)
         + f" SELECT v AS doc_id, r AS rank_units FROM pr{iters}"
     )
+
+
+SEED_MOD = 97
+BFS_ITERS = 6
+
+
+def graph_bfs_depth(
+    sf_dir: str, iters: int = BFS_ITERS, n_shards: int = 32
+) -> "rd.Dataset":
+    """Multi-source BFS over the synthetic link graph — (doc_id,
+    depth) = shortest hop count from the seed set ``doc_id % 97 == 0``
+    for every vertex reachable within ``iters`` hops (the recursive
+    traversal / shortest-path family, next to link_pagerank's power
+    iteration and graph_components' label propagation).
+
+    FRONTIER-ONLY expansion: a BFS level is final the round it is
+    discovered, so round ``i`` emits neighbor messages only from rows
+    with ``d == i - 1`` (the last round's discoveries); every state
+    row additionally re-emits itself so the per-shard min keeps the
+    visited set.  Message volume per round is therefore
+    |state| + outdeg x |frontier|, not outdeg x |state| — on a 10^12
+    vertex graph the frontier term, which dominates early rounds,
+    never re-expands settled vertices.  The re-exchanged self rows are
+    the co-partitioning cost of expressing the merge through one
+    ``hash_exchange``; a long-lived sharded-actor state (shard i holds
+    its slice, receives only messages) would drop that term with no
+    change to the arithmetic.
+
+    Depth arithmetic is pure int64, so the DuckDB oracle — a
+    WITH RECURSIVE over the same arithmetic edge generator, UNION
+    dedup on (v, d), ``min(d)`` per vertex — hash-matches exactly."""
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+
+    def _state_frame(v, d):
+        return pd.DataFrame(
+            {"v": np.asarray(v, np.int64), "d": np.asarray(d, np.int64)}
+        )
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        v = v[v % SEED_MOD == 0]
+        return _state_frame(v, np.zeros(len(v), np.int64))
+
+    state = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(seed, batch_format="pandas")
+
+    def expand(df: pd.DataFrame, frontier_d: int) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        f = v[d == frontier_d]  # last round's discoveries
+        outdeg = 1 + f % MAX_OUTDEG
+        dst_parts, d_parts = [v], [d]  # self rows carry the visited set
+        for j in range(1, MAX_OUTDEG + 1):
+            m = outdeg >= j
+            dst_parts.append((f[m] * MULT + j) % n)
+            d_parts.append(np.full(int(m.sum()), frontier_d + 1, np.int64))
+        out = _state_frame(
+            np.concatenate(dst_parts), np.concatenate(d_parts)
+        )
+        out["shard"] = out["v"] % n_shards
+        return out
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _state_frame([], [])
+        s = df.groupby("v", sort=False)["d"].min()
+        return _state_frame(s.index, s.to_numpy(np.int64))
+
+    for i in range(1, iters + 1):
+        msgs = state.map_batches(
+            lambda df, fd=i - 1: expand(df, fd), batch_format="pandas"
+        )
+        state = hash_exchange(msgs, "shard", n_shards, min_merge)
+
+    return state.map_batches(
+        lambda df: df.rename(columns={"v": "doc_id", "d": "depth"}),
+        batch_format="pandas",
+    )
+
+
+def bfs_oracle_sql(iters: int = BFS_ITERS) -> str:
+    """WITH RECURSIVE oracle: UNION-dedup on (v, d) bounds the
+    recursion at ``d < iters``; min(d) per vertex is the BFS depth."""
+    return f"""
+        WITH RECURSIVE bfs(v, d) AS (
+            SELECT doc_id, CAST(0 AS BIGINT)
+            FROM documents WHERE doc_id % {SEED_MOD} = 0
+            UNION
+            SELECT (b.v * {MULT} + j.j) % m.n, b.d + 1
+            FROM bfs b,
+                 (SELECT count(*) AS n FROM documents) m,
+                 (SELECT unnest(range(1, {MAX_OUTDEG + 1})) AS j) j
+            WHERE 1 + b.v % {MAX_OUTDEG} >= j.j AND b.d < {iters}
+        )
+        SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS depth
+        FROM bfs GROUP BY v
+    """
