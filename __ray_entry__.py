@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": graph.link_pagerank,
         "graph_components": graph.graph_components,
         "graph_bfs_depth": graph.graph_bfs_depth,
+        "triangle_count": graph.triangle_count,
         # two-pass broadcast-candidate heavy hitters (pipelines/
         # sketches.py): exact iceberg, no gram-space shuffle
         "heavy_hitter_trigrams": _heavy_hitter_trigrams,
@@ -1620,6 +1621,7 @@ _WINNOW_RANKED_CTE = r"""
 def oracle_sql() -> dict[str, str]:
     from tensorflow_ocr_ray.pipelines.graph import (
         COMPONENTS_ORACLE_SQL,
+        TRIANGLE_ORACLE_SQL,
         bfs_oracle_sql,
         pagerank_oracle_sql,
     )
@@ -1765,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": pagerank_oracle_sql(),
         "graph_components": COMPONENTS_ORACLE_SQL,
         "graph_bfs_depth": bfs_oracle_sql(),
+        "triangle_count": TRIANGLE_ORACLE_SQL,
         "heavy_hitter_trigrams": heavy_hitter_sql(),
         "media_gif_frames": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,

@@ -282,3 +282,275 @@ def bfs_oracle_sql(iters: int = BFS_ITERS) -> str:
         SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS depth
         FROM bfs GROUP BY v
     """
+
+
+TRI_HASH_MULT = 1_000_003
+
+
+def _pair_shard(a: np.ndarray, b: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard key for an (a, b) pair — uint64 wrap then modulo, so huge
+    vertex ids can't go negative under int64 overflow."""
+    h = a.astype(np.uint64) * np.uint64(TRI_HASH_MULT) + b.astype(np.uint64)
+    return (h % np.uint64(n_shards)).astype(np.int64)
+
+
+def triangle_count(sf_dir: str, n_shards: int = 32) -> "rd.Dataset":
+    """Per-vertex triangle participation over the (undirected) synthetic
+    link graph — (doc_id, n_triangles) for every vertex in >= 1
+    triangle.  The classic degree-ordered node-iterator, fully
+    distributed:
+
+    1. canonicalize arithmetic edges to a < b, pair-hash exchange,
+       per-shard dedup -> unique undirected edges;
+    2. endpoint rows, vertex-hash exchange -> (v, deg);
+    3. two tagged-union exchanges attach deg(a) then deg(b) to each
+       edge (the co-partitioned-join pattern — no broadcast of the
+       O(N) degree table);
+    4. orient each edge from its (deg, id)-smaller endpoint, so a
+       vertex's oriented out-degree is bounded by O(sqrt(|E|))
+       (arboricity bound) — the wedge fan-out sum(outdeg^2) stays
+       near-linear even on power-law graphs;
+    5. src-hash exchange, per-shard vectorized all-pairs wedge
+       emission (concatenated-ranges trick, no Python loop over
+       groups), pair-hash exchange tagged-union with the edge set:
+       a wedge (u; v, w) whose (v, w) is an edge closes triangle
+       (u, v, w) -> emit three (vertex, 1) rows;
+    6. vertex-hash exchange, sum -> per-vertex counts.
+
+    Every triangle is found exactly once (its (deg,id)-smallest vertex
+    is the only u emitting that wedge).  Pure int64 counting, so the
+    three-way self-join DuckDB oracle hash-matches exactly."""
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+
+    def _ab_frame(a, b, **extra):
+        d = {"a": np.asarray(a, np.int64), "b": np.asarray(b, np.int64)}
+        d.update(extra)
+        return pd.DataFrame(d)
+
+    def gen_edges(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        outdeg = 1 + v % MAX_OUTDEG
+        src_parts, dst_parts = [], []
+        for j in range(1, MAX_OUTDEG + 1):
+            m = outdeg >= j
+            src_parts.append(v[m])
+            dst_parts.append((v[m] * MULT + j) % n)
+        s = np.concatenate(src_parts)
+        d = np.concatenate(dst_parts)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        return _ab_frame(a, b, shard=_pair_shard(a, b, n_shards))
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _ab_frame([], [])
+        g = df.drop_duplicates(["a", "b"])
+        return _ab_frame(g["a"], g["b"])
+
+    raw = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(gen_edges, batch_format="pandas")
+    edges = hash_exchange(raw, "shard", n_shards, dedup)
+
+    # --- degrees -------------------------------------------------------
+    def endpoint_rows(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate(
+            [df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]
+        )
+        return pd.DataFrame({"v": v, "shard": v % n_shards})
+
+    def count_deg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"v": pd.Series([], dtype="int64"),
+                                 "deg": pd.Series([], dtype="int64")})
+        s = df.groupby("v", sort=False).size()
+        return pd.DataFrame(
+            {"v": s.index.to_numpy(np.int64),
+             "deg": s.to_numpy(np.int64)}
+        )
+
+    degrees = hash_exchange(
+        edges.map_batches(endpoint_rows, batch_format="pandas"),
+        "shard", n_shards, count_deg,
+    )
+
+    # --- attach deg(a), then deg(b) (tagged-union co-partitioned join)
+    def tag_edges_by(col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["shard"] = out[col].to_numpy(np.int64) % n_shards
+            return out
+        return f
+
+    def tag_degrees(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": df["v"].astype("int64"),
+             "deg": df["deg"].astype("int64"),
+             "shard": df["v"].to_numpy(np.int64) % n_shards}
+        )
+
+    def join_deg(key, out_col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            is_deg = df["a"].isna() if "a" in df else pd.Series(
+                [], dtype=bool)
+            lut = df[is_deg]
+            e = df[~is_deg].copy()
+            if not len(e):
+                cols = [c for c in df.columns
+                        if c not in ("v", "deg", "shard")] + [out_col]
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in cols}
+                )
+            m = pd.Series(
+                lut["deg"].to_numpy(np.int64),
+                index=lut["v"].to_numpy(np.int64),
+            )
+            e[out_col] = m.reindex(
+                e[key].to_numpy(np.int64)
+            ).to_numpy(np.int64)
+            return e.drop(columns=["v", "deg", "shard"]).astype("int64")
+        return f
+
+    e_a = hash_exchange(
+        edges.map_batches(tag_edges_by("a"), batch_format="pandas").union(
+            degrees.map_batches(tag_degrees, batch_format="pandas")
+        ),
+        "shard", n_shards, join_deg("a", "deg_a"),
+    )
+    e_ab = hash_exchange(
+        e_a.map_batches(tag_edges_by("b"), batch_format="pandas").union(
+            degrees.map_batches(tag_degrees, batch_format="pandas")
+        ),
+        "shard", n_shards, join_deg("b", "deg_b"),
+    )
+
+    # --- orient + wedge emission --------------------------------------
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("src", "dst", "shard")}
+            )
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pd.DataFrame(
+            {"src": src, "dst": dst, "shard": src % n_shards}
+        )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _ab_frame([], [], u=pd.Series([], dtype="int64"),
+                             shard=pd.Series([], dtype="int64"))
+        df = df.sort_values(["src", "dst"])
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        # group sizes per src (contiguous after sort)
+        change = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        k = np.diff(np.r_[change, len(src)])
+        starts = np.repeat(change, k)           # group start per row
+        local = np.arange(len(src)) - starts
+        kk = np.repeat(k, k)                    # group size per row
+        reps = kk - 1 - local                   # pairs led by this row
+        first = np.repeat(np.arange(len(src)), reps)
+        off = np.cumsum(reps) - reps
+        second = (np.arange(int(reps.sum())) - np.repeat(off, reps)
+                  + np.repeat(np.arange(len(src)) + 1, reps))
+        w1, w2 = dst[first], dst[second]
+        u = src[first]
+        a, b = np.minimum(w1, w2), np.maximum(w1, w2)
+        return _ab_frame(a, b, u=u, shard=_pair_shard(a, b, n_shards))
+
+    oriented = hash_exchange(
+        e_ab.map_batches(orient, batch_format="pandas"),
+        "shard", n_shards, lambda df: df.drop(columns=["shard"])
+        if len(df) else pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("src", "dst")}
+        ),
+    )
+
+    wedge_ds = oriented.map_batches(
+        lambda df: wedges(df), batch_format="pandas"
+    )
+
+    def tag_edge_set(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        return _ab_frame(
+            a, b, u=np.full(len(a), -1, np.int64),
+            shard=_pair_shard(a, b, n_shards),
+        )
+
+    def close_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"v": pd.Series([], dtype="int64"),
+                 "shard": pd.Series([], dtype="int64")}
+            )
+        is_edge = df["u"].to_numpy(np.int64) == -1
+        eset = df[is_edge]
+        w = df[~is_edge]
+        if not len(w) or not len(eset):
+            return pd.DataFrame(
+                {"v": pd.Series([], dtype="int64"),
+                 "shard": pd.Series([], dtype="int64")}
+            )
+        hit = w.merge(eset[["a", "b"]], on=["a", "b"], how="inner")
+        v = np.concatenate(
+            [hit["u"].to_numpy(np.int64),
+             hit["a"].to_numpy(np.int64),
+             hit["b"].to_numpy(np.int64)]
+        )
+        return pd.DataFrame({"v": v, "shard": v % n_shards})
+
+    tri_vertices = hash_exchange(
+        wedge_ds.union(
+            edges.map_batches(tag_edge_set, batch_format="pandas")
+        ),
+        "shard", n_shards, close_wedges,
+    )
+
+    def count_tri(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_triangles": pd.Series([], dtype="int64")}
+            )
+        s = df.groupby("v", sort=False).size()
+        return pd.DataFrame(
+            {"doc_id": s.index.to_numpy(np.int64),
+             "n_triangles": s.to_numpy(np.int64)}
+        )
+
+    return hash_exchange(tri_vertices, "shard", n_shards, count_tri)
+
+
+TRIANGLE_ORACLE_SQL = f"""
+    WITH meta AS (SELECT count(*) AS n FROM documents),
+    e0 AS (
+        SELECT doc_id AS src,
+               (doc_id * {MULT} + j.j) % m.n AS dst
+        FROM documents, meta m,
+             (SELECT unnest(range(1, {MAX_OUTDEG + 1})) AS j) j
+        WHERE 1 + doc_id % {MAX_OUTDEG} >= j.j
+    ),
+    eu AS (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM eu e1
+        JOIN eu e2 ON e2.a = e1.b
+        JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY 1
+"""

@@ -66,3 +66,54 @@ def test_mass_approximately_conserved(ray_session):
 def test_ranks_nonuniform(ray_session):
     df = link_pagerank(SF, iters=5).to_pandas()
     assert df["rank_units"].nunique() > len(df) // 2
+
+
+def sequential_triangles(n: int) -> dict[int, int]:
+    """Brute-force per-vertex triangle counts over the undirected
+    arithmetic link graph (set-based, independent of the engine's
+    orientation/wedge machinery)."""
+    adj: dict[int, set[int]] = {v: set() for v in range(n)}
+    for v in range(n):
+        for j in range(1, 1 + (1 + v % MAX_OUTDEG)):
+            w = (v * MULT + j) % n
+            if w != v:
+                adj[v].add(w)
+                adj[w].add(v)
+    counts: dict[int, int] = {}
+    for a in range(n):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for x in (a, b, c):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    from tensorflow_ocr_ray.pipelines.graph import triangle_count
+
+    got = (
+        triangle_count(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{SF}/documents.parquet").count_rows()
+    exp = sequential_triangles(n)
+    assert dict(zip(got["doc_id"], got["n_triangles"])) == exp
+    assert (got["n_triangles"] >= 1).all()
+
+
+def test_triangle_count_shard_invariance(ray_session):
+    from tensorflow_ocr_ray.pipelines.graph import triangle_count
+
+    a = triangle_count(SF, n_shards=5).to_pandas()
+    b = triangle_count(SF, n_shards=32).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
