@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q24_view_no_purchase": relational.q24_view_no_purchase,
         "intersect_user_days": relational.intersect_user_days,
         "full_outer_user_day": relational.full_outer_user_day,
+        "copurchase_pairs": relational.copurchase_pairs,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2710,6 +2711,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(event_cents, 0) AS BIGINT)
                        AS event_cents
             FROM o FULL OUTER JOIN e USING (user_id, day)
+        """,
+        # market-basket co-occurrence: unordered distinct-part pairs
+        # within an order, kept at co_count >= 2
+        "copurchase_pairs": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            )
+            SELECT p1, p2, CAST(count(*) AS BIGINT) AS co_count
+            FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # INTERSECT at (user, day) grain (q13 UNION ALL, q24 EXCEPT)
         "intersect_user_days": """

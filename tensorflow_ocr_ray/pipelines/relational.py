@@ -2082,3 +2082,96 @@ def intersect_user_days(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         ds.map_batches(partial, batch_format="pandas", batch_size=65536),
         "shard", n_shards, combine,
     )
+
+
+def copurchase_pairs(
+    sf_dir: str, min_count: int = 2, n_shards: int = 64
+) -> "rd.Dataset":
+    """Market-basket co-occurrence: (p1, p2, co_count) for every
+    unordered pair of DISTINCT parts appearing in the same order, kept
+    when co_count >= min_count — the item-item co-occurrence matrix a
+    recommender / association-rule pass starts from.
+
+    Physical plan (two exchanges, both on skinny int columns):
+    orderkey-hash exchange co-locates an order's lineitems, a
+    vectorized all-pairs emission (concatenated-ranges, no per-order
+    Python loop) turns each order's distinct-part set into canonical
+    p1 < p2 pairs, and the pairs are PARTIALLY COUNTED inside the same
+    shard before the pair-hash exchange sums partials and applies the
+    threshold.  Pair fan-out per order is C(k, 2) on k = distinct
+    parts per order — bounded by basket size, never by catalog size;
+    the threshold keeps the output the interesting co-purchases, not
+    the long tail of singletons."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def by_order(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o": df["l_orderkey"].astype("int64"),
+                "p": df["l_partkey"].astype("int64"),
+                "shard": df["l_orderkey"].to_numpy(np.int64) % n_shards,
+            }
+        )
+
+    def _pair_frame(p1, p2, c):
+        return pd.DataFrame(
+            {
+                "p1": np.asarray(p1, np.int64),
+                "p2": np.asarray(p2, np.int64),
+                "c": np.asarray(c, np.int64),
+            }
+        )
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = _pair_frame([], [], [])
+            out["shard"] = pd.Series([], dtype="int64")
+            return out
+        d = df.drop_duplicates(["o", "p"]).sort_values(["o", "p"])
+        o = d["o"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        change = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        k = np.diff(np.r_[change, len(o)])
+        starts = np.repeat(change, k)
+        local = np.arange(len(o)) - starts
+        reps = np.repeat(k, k) - 1 - local
+        first = np.repeat(np.arange(len(o)), reps)
+        off = np.cumsum(reps) - reps
+        second = (
+            np.arange(int(reps.sum())) - np.repeat(off, reps)
+            + np.repeat(np.arange(len(o)) + 1, reps)
+        )
+        out = _pair_frame(p[first], p[second], np.ones(len(first)))
+        g = out.groupby(["p1", "p2"], as_index=False)["c"].sum()
+        g = g.astype("int64")
+        h = (
+            g["p1"].to_numpy(np.uint64) * np.uint64(1_000_003)
+            + g["p2"].to_numpy(np.uint64)
+        )
+        g["shard"] = (h % np.uint64(n_shards)).astype(np.int64)
+        return g
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "p1": pd.Series([], dtype="int64"),
+                    "p2": pd.Series([], dtype="int64"),
+                    "co_count": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(["p1", "p2"], as_index=False)["c"].sum()
+        g = g[g["c"] >= min_count]
+        return pd.DataFrame(
+            {
+                "p1": g["p1"].to_numpy(np.int64),
+                "p2": g["p2"].to_numpy(np.int64),
+                "co_count": g["c"].to_numpy(np.int64),
+            }
+        )
+
+    grouped = hash_exchange(
+        li.map_batches(by_order, batch_format="pandas"),
+        "shard", n_shards, emit_pairs,
+    )
+    return hash_exchange(grouped, "shard", n_shards, sum_pairs)

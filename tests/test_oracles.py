@@ -252,6 +252,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("full_outer_user_day", ["orders", "events"]),
         ("graph_bfs_depth", ["documents"]),
         ("triangle_count", ["documents"]),
+        ("copurchase_pairs", ["lineitem"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
