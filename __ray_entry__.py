@@ -547,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_parts": relational.above_avg_parts,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
+        "edit_distance_pairs": dedup.edit_distance_pairs,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_dedup": dedup.minhash_dedup,
@@ -2714,6 +2715,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # market-basket co-occurrence: unordered distinct-part pairs
         # within an order, kept at co_count >= 2
+        # exact prefix blocking + byte Levenshtein on 64-char prefix
+        "edit_distance_pairs": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 64) AS p,
+                     substr(text, 1, 16) AS blk
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+            FROM d a JOIN d b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.p, b.p) <= 8
+        """,
         "copurchase_pairs": """
             WITH op AS (
               SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -813,3 +813,132 @@ def dedup_incremental(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     return hash_exchange(
         new_rows.union(ex), "shard", n_shards, verdict
     )
+
+
+def _levenshtein_block(s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """Vectorized unit-cost Levenshtein over a BATCH of pairs.
+
+    ``s1``/``s2``: (P, L) uint8 code matrices right-padded with 0xFF
+    sentinels plus (P,) true lengths encoded as the first padding
+    position — here both come from ``_pack_prefix``.  The DP runs the
+    classic row recurrence; the in-row left-neighbor dependency
+    ``cur[j-1] + 1`` is a prefix-min with slope 1, solved closed-form
+    as ``min(base[j], min_{k<=j}(base[k] - k) + j)`` via
+    ``np.minimum.accumulate`` — so the whole batch advances one DP row
+    per iteration with no per-pair Python work (O(L) iterations of
+    O(P x L) numpy kernels)."""
+    p, l1 = s1.shape
+    l2 = s2.shape[1]
+    n1 = (s1 != 0xFF).sum(axis=1)
+    n2 = (s2 != 0xFF).sum(axis=1)
+    idx = np.arange(l2 + 1, dtype=np.int64)
+    prev = np.broadcast_to(idx, (p, l2 + 1)).copy()
+    for i in range(1, l1 + 1):
+        alive = n1 >= i
+        cost = (s1[:, i - 1 : i] != s2).astype(np.int64)  # (P, L2)
+        base = np.empty((p, l2 + 1), dtype=np.int64)
+        base[:, 0] = i
+        base[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        cur = np.minimum(
+            base, np.minimum.accumulate(base - idx, axis=1) + idx
+        )
+        prev = np.where(alive[:, None], cur, prev)
+    return prev[np.arange(p), n2]
+
+
+def _pack_prefix(texts, length: int) -> np.ndarray:
+    """(N, length) uint8 matrix of each text's first ``length`` ASCII
+    bytes, right-padded with 0xFF (a value no ASCII byte takes)."""
+    out = np.full((len(texts), length), 0xFF, dtype=np.uint8)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")[:length]
+        out[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return out
+
+
+def edit_distance_pairs(
+    sf_dir: str,
+    prefix_len: int = 64,
+    block_len: int = 16,
+    max_dist: int = 8,
+    n_shards: int = 64,
+) -> "rd.Dataset":
+    """Near-dup pairs by EXACT Levenshtein distance on the first
+    ``prefix_len`` characters — (doc_a, doc_b, dist) for candidate
+    pairs with dist <= max_dist.  Candidates are blocked on the first
+    ``block_len`` characters (exact prefix blocking, the same family
+    as dedup_incremental's match key): only pairs sharing the block
+    ever meet, so the verify cost is sum over blocks of C(k, 2), never
+    corpus-quadratic, and blocks route through one md5-hash exchange.
+
+    The verifier is a batch DP (``_levenshtein_block``) — one numpy
+    kernel advances every pair in the shard one DP row, no per-pair
+    Python.  DuckDB's ``levenshtein`` is BYTE-based; this corpus is
+    pure ASCII so bytes == characters, and the engine packs utf-8
+    bytes of the char-prefix to match byte semantics exactly.
+
+    At 100 TB: prefix blocking is one skinny (block_hash, doc_id,
+    prefix) projection; for robustness to prefix edits a deployment
+    would union 2-3 offset block keys (or minhash bands) — same plan,
+    more candidate rows."""
+    import hashlib
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "prefix": pd.Series([], dtype="object"),
+                 "blk": pd.Series([], dtype="object"),
+                 "shard": pd.Series([], dtype="int64")}
+            )
+        prefix = df["text"].str.slice(0, prefix_len)
+        blk = df["text"].str.slice(0, block_len)
+        shard = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(b.encode("utf-8")).digest()[:8], "big"
+            ) % n_shards for b in blk),
+            dtype=np.int64, count=len(df),
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "prefix": prefix, "blk": blk, "shard": shard}
+        )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "dist": pd.Series([], dtype="int64")}
+        )
+        if not len(df):
+            return empty
+        d = df.sort_values(["blk", "doc_id"]).reset_index(drop=True)
+        blk = d["blk"].to_numpy()
+        change = np.flatnonzero(np.r_[True, blk[1:] != blk[:-1]])
+        k = np.diff(np.r_[change, len(d)])
+        starts = np.repeat(change, k)
+        local = np.arange(len(d)) - starts
+        reps = np.repeat(k, k) - 1 - local
+        if not reps.sum():
+            return empty
+        first = np.repeat(np.arange(len(d)), reps)
+        off = np.cumsum(reps) - reps
+        second = (np.arange(int(reps.sum())) - np.repeat(off, reps)
+                  + np.repeat(np.arange(len(d)) + 1, reps))
+        pk = _pack_prefix(d["prefix"].tolist(), prefix_len)
+        dist = _levenshtein_block(pk[first], pk[second])
+        ids = d["doc_id"].to_numpy(np.int64)
+        keep = dist <= max_dist
+        return pd.DataFrame(
+            {"doc_a": ids[first][keep], "doc_b": ids[second][keep],
+             "dist": dist[keep].astype(np.int64)}
+        )
+
+    return hash_exchange(
+        docs.map_batches(project, batch_format="pandas"),
+        "shard", n_shards, verify,
+    )

@@ -220,3 +220,38 @@ def test_dedup_incremental_in_batch(ray_session, tmp_path):
     assert out.loc[8, "canonical_doc_id"] == 8
     assert out.loc[9, "verdict"] == "dup_in_batch"
     assert out.loc[9, "canonical_doc_id"] == 8
+
+
+def test_levenshtein_block_matches_reference():
+    """Batch DP kernel vs a per-pair python reference on random pairs
+    incl. empty strings and full-length prefixes."""
+    import random
+
+    import numpy as np
+
+    from tensorflow_ocr_ray.pipelines.dedup import (
+        _levenshtein_block,
+        _pack_prefix,
+    )
+
+    def ref(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    rng = random.Random(7)
+    A, B = [], []
+    for _ in range(200):
+        A.append("".join(rng.choice("abcx ")
+                         for _ in range(rng.randint(0, 24))))
+        B.append("".join(rng.choice("abcx ")
+                         for _ in range(rng.randint(0, 24))))
+    got = _levenshtein_block(_pack_prefix(A, 24), _pack_prefix(B, 24))
+    exp = np.array([ref(a, b) for a, b in zip(A, B)])
+    np.testing.assert_array_equal(got, exp)

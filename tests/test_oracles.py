@@ -253,6 +253,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("graph_bfs_depth", ["documents"]),
         ("triangle_count", ["documents"]),
         ("copurchase_pairs", ["lineitem"]),
+        ("edit_distance_pairs", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
