@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gate": curation.source_gate,
         "dup_span_coverage": curation.dup_span_coverage,
         "vocab_topk": curation.vocab_topk,
+        "source_token_gini": curation.source_token_gini,
         "length_percentile_gate": curation.length_percentile_gate,
         "gopher_gate": curation.gopher_gate,
         "doc_rarity": curation.doc_rarity,
@@ -1810,6 +1811,29 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _tfidf_sql(),
         "source_gate": _source_gate_sql(),
         "dup_span_coverage": _dup_span_sql(),
+        # per-source token Gini impurity, exact ints; same whitespace
+        # tokenization as vocab_topk; HUGEINT sums cast to BIGINT
+        "source_token_gini": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(string_split_regex(trim(lower(text)),
+                                               '\\s+')) AS token
+              FROM documents
+            ),
+            ct AS (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS c
+              FROM tok WHERE token <> '' GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(sum(c * c) AS BIGINT) AS sum_sq
+              FROM ct GROUP BY 1
+            )
+            SELECT source, n_tokens, sum_sq,
+                   CAST((n_tokens * n_tokens - sum_sq) * 1000000
+                        // (n_tokens * n_tokens) AS BIGINT) AS gini_ppm
+            FROM agg
+        """,
         "vocab_topk": _vocab_topk_sql(),
         "length_percentile_gate": _length_gate_sql(),
         "gopher_gate": _gopher_gate_sql(),

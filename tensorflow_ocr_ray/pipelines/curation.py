@@ -1612,3 +1612,90 @@ def eval_set_builder(sf_dir: str, k: int = EVAL_SET_K) -> pd.DataFrame:
     out["rank"] = out.groupby("lang").cumcount() + 1
     return out[["lang", "rank", "doc_id", "h"]].reset_index(
         drop=True).astype({"doc_id": "int64", "rank": "int64"})
+
+
+def source_token_gini(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Per-source token-distribution Gini impurity — (source, n_tokens,
+    sum_sq, gini_ppm) where gini_ppm = floor((N^2 - sum c_i^2) * 10^6
+    / N^2): the mixture-diversity score a curation pass uses to flag
+    sources dominated by a few boilerplate tokens (gini -> 0) vs
+    diverse prose (gini -> 1).
+
+    EXACT integer math end-to-end: Gini needs every token's FINAL
+    count squared, so pass 1 exchanges per-batch (source, token)
+    Counter partials on a crc32(source, token) key (each token's total
+    lands whole in one shard — the vocab_topk routing), squares there,
+    and pass 2 exchanges the per-shard (N_partial, sum_sq_partial)
+    rows — a few rows per source per shard — on the source key.
+    Nothing driver-side; the only corpus-sized structure is the
+    (source, token) count table sharded across pass-1 shards.
+    Headroom: (N^2 - sum_sq) * 10^6 needs N <= ~3e6 tokens/source in
+    int64 — at larger N emit ppm against a pre-divided N (or split the
+    quotient); the oracle generates from the same constants."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for source, text in zip(df["source"], df["text"]):
+            for t in split_tokens(text.lower()):
+                if t:
+                    c[(source, t)] += 1
+        keys = list(c.keys())
+        out = pd.DataFrame(
+            {
+                "source": [k[0] for k in keys],
+                "token": [k[1] for k in keys],
+                "c": np.fromiter(
+                    (c[k] for k in keys), dtype=np.int64, count=len(keys)
+                ),
+                "shard": np.fromiter(
+                    (zlib.crc32((k[0] + "\x00" + k[1]).encode())
+                     % n_shards for k in keys),
+                    dtype=np.int64, count=len(keys),
+                ),
+            }
+        )
+        return out
+
+    def square(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64"),
+                 "sq": pd.Series([], dtype="int64"),
+                 "shard": pd.Series([], dtype="int64")}
+            )
+        g = df.groupby(["source", "token"], as_index=False)["c"].sum()
+        cc = g["c"].to_numpy(np.int64)
+        out = g.groupby("source", as_index=False).agg(n=("c", "sum"))
+        sq = pd.DataFrame({"source": g["source"], "sq": cc * cc}).groupby(
+            "source", as_index=False
+        )["sq"].sum()
+        out = out.merge(sq, on="source")
+        out["shard"] = [
+            zlib.crc32(s.encode()) % n_shards for s in out["source"]
+        ]
+        return out
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "sum_sq": pd.Series([], dtype="int64"),
+                 "gini_ppm": pd.Series([], dtype="int64")}
+            )
+        g = df.groupby("source", as_index=False).agg(
+            n_tokens=("n", "sum"), sum_sq=("sq", "sum")
+        )
+        n = g["n_tokens"].to_numpy(np.int64)
+        sq = g["sum_sq"].to_numpy(np.int64)
+        g["gini_ppm"] = (n * n - sq) * 1_000_000 // (n * n)
+        return g.astype(
+            {"n_tokens": "int64", "sum_sq": "int64", "gini_ppm": "int64"}
+        )
+
+    toks = _docs(sf_dir, ["source", "text"]).map_batches(
+        counts, batch_format="pandas", batch_size=1024
+    )
+    partials = hash_exchange(toks, "shard", n_shards, square)
+    return hash_exchange(partials, "shard", n_shards, gini)

@@ -254,6 +254,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("triangle_count", ["documents"]),
         ("copurchase_pairs", ["lineitem"]),
         ("edit_distance_pairs", ["documents"]),
+        ("source_token_gini", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
