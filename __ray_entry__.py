@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_lineitem": relational.rollup_lineitem,
         "price_histogram": relational.price_histogram,
         "running_total": windows.running_total,
+        "rolling_distinct_users": windows.rolling_distinct_users,
         "densify_hourly_user": windows.densify_hourly_user,
         "range_join_orders": windows.range_join_orders,
         "first_touch_attribution": windows.first_touch_attribution,
@@ -2362,6 +2363,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # global ordered prefix sums as exact integer cents (value is
         # 2-decimal by construction; round(v*100) is integral both sides)
+        # exact trailing-7-day distinct users per observed day
+        "rolling_distinct_users": """
+            WITH e AS (
+              SELECT DISTINCT
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     user_id
+              FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM e)
+            SELECT d.day,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT)
+                       AS distinct_users
+            FROM days d JOIN e
+              ON e.day BETWEEN d.day - 6 AND d.day
+            GROUP BY 1
+        """,
         "running_total": """
             WITH c AS (
               SELECT event_id, ts,

@@ -1452,3 +1452,62 @@ def densify_hourly_user(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         .map_batches(partial, batch_format="pandas", batch_size=65536),
         "shard", n_shards, per_shard,
     )
+
+
+def rolling_distinct_users(
+    sf_dir: str, window_days: int = 7, n_shards: int = 32
+) -> "rd.Dataset":
+    """EXACT trailing-window distinct count — (day, distinct_users) =
+    users active in [day - window_days + 1, day] for every observed
+    day.  Distinct-over-a-sliding-window does not decompose into
+    mergeable per-day partials (unlike sums), so the plan materializes
+    MEMBERSHIP, not counts: each per-batch-deduped (user, day) emits
+    one contribution row per window it falls in (window_days rows),
+    every row for window w routes to shard w % n_shards, and the
+    per-shard nunique is exact because a window's whole membership
+    lands in one shard.  Marker rows (user = -1) carry the observed
+    days so windows are emitted only at days that exist, matching the
+    oracle's days CTE.  Volume: window_days x |distinct (user, day)| —
+    linear in the window span, never corpus-quadratic, and the
+    in-batch dedup collapses each user's repeat events first."""
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def contribute(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {"u": df["user_id"].to_numpy(np.int64),
+             "day": us // _US_PER_DAY}
+        ).drop_duplicates()
+        u = d["u"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        days = np.unique(day)
+        w_parts = [days]                      # markers: window == day
+        u_parts = [np.full(len(days), -1, np.int64)]
+        for off in range(window_days):
+            w_parts.append(day + off)
+            u_parts.append(u)
+        w = np.concatenate(w_parts)
+        return pd.DataFrame(
+            {"u": np.concatenate(u_parts), "w": w,
+             "shard": w % n_shards}
+        )
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype="int64"),
+                 "distinct_users": pd.Series([], dtype="int64")}
+            )
+        u = df["u"].to_numpy(np.int64)
+        observed = np.unique(df["w"].to_numpy(np.int64)[u == -1])
+        d = df[(u != -1) & df["w"].isin(observed)]
+        g = d.drop_duplicates(["u", "w"]).groupby("w").size()
+        return pd.DataFrame(
+            {"day": g.index.to_numpy(np.int64),
+             "distinct_users": g.to_numpy(np.int64)}
+        )
+
+    return hash_exchange(
+        ev.map_batches(contribute, batch_format="pandas"),
+        "shard", n_shards, count_distinct,
+    )

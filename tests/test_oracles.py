@@ -255,6 +255,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("copurchase_pairs", ["lineitem"]),
         ("edit_distance_pairs", ["documents"]),
         ("source_token_gini", ["documents"]),
+        ("rolling_distinct_users", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
