@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_user_days": relational.intersect_user_days,
         "full_outer_user_day": relational.full_outer_user_day,
         "copurchase_pairs": relational.copurchase_pairs,
+        "winsorized_mean_by_type": relational.winsorized_mean_by_type,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2753,6 +2754,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(event_cents, 0) AS BIGINT)
                        AS event_cents
             FROM o FULL OUTER JOIN e USING (user_id, day)
+        """,
+        # winsorized per-type mean: clamp cents to [p05,p95]
+        # (quantile_disc order stats), exact int64 sum + floor mean
+        "winsorized_mean_by_type": """
+            WITH q AS (
+              SELECT event_type,
+                     CAST(round(quantile_disc(value, 0.05) * 100)
+                          AS BIGINT) AS lo,
+                     CAST(round(quantile_disc(value, 0.95) * 100)
+                          AS BIGINT) AS hi
+              FROM events GROUP BY 1
+            ),
+            c AS (
+              SELECT e.event_type,
+                     least(greatest(CAST(round(e.value * 100) AS BIGINT),
+                                    q.lo), q.hi) AS cents
+              FROM events e JOIN q USING (event_type)
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS win_sum_cents,
+                   CAST(CAST(sum(cents) AS BIGINT) * 1000 // count(*)
+                        AS BIGINT) AS win_mean_millicents
+            FROM c GROUP BY 1
         """,
         # market-basket co-occurrence: unordered distinct-part pairs
         # within an order, kept at co_count >= 2

@@ -677,6 +677,7 @@ def q16_event_quantiles(
     n_bins: int = 1024,
     collect_limit: int = 65536,
     max_rounds: int = 6,
+    qs: tuple = ((0.5, "p50"), (0.9, "p90")),
 ) -> pd.DataFrame:
     """Exact per-group discrete quantiles (p50/p90) — DuckDB's
     quantile_disc picks the sorted value at index ceil(q*n)-1 — computed
@@ -733,7 +734,7 @@ def q16_event_quantiles(
     targets: list[dict] = []
     for _, row in stats.iterrows():
         n = int(row["n"])
-        for q, col in ((0.5, "p50"), (0.9, "p90")):
+        for q, col in qs:
             targets.append(
                 {
                     "event_type": row["event_type"],
@@ -859,9 +860,10 @@ def q16_event_quantiles(
     rows: dict[str, dict] = {}
     for t in targets:
         rows.setdefault(t["event_type"], {})[t["col"]] = t["value"]
+    cols = [col for _, col in qs]
     df = pd.DataFrame(
         [
-            {"event_type": k, "p50": v["p50"], "p90": v["p90"]}
+            {"event_type": k, **{c: v[c] for c in cols}}
             for k, v in rows.items()
         ]
     )
@@ -2175,3 +2177,65 @@ def copurchase_pairs(
         "shard", n_shards, emit_pairs,
     )
     return hash_exchange(grouped, "shard", n_shards, sum_pairs)
+
+
+def winsorized_mean_by_type(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type statistics: clamp value-cents to the exact
+    [p05, p95] (quantile_disc order statistics from q16's distributed
+    histogram-refinement — no group is ever materialized) and compute
+    the exact winsorized sum/mean — (event_type, n, win_sum_cents,
+    win_mean_millicents).  The two-phase shape a robust-stats pass
+    needs at scale: a distributed SELECTION feeding a BROADCAST of the
+    tiny bounds table into one streaming clamp+sum pass.
+
+    Exactness: the clamp runs in the integer cents domain on both
+    sides (round(v*100) is monotone, and the bounds are actual data
+    values passed through the same rounding), partials are int64 sums,
+    and the mean is a floor division — no float re-association
+    anywhere."""
+    bounds = q16_event_quantiles(
+        sf_dir, qs=((0.05, "p05"), (0.95, "p95"))
+    )
+    lut = {
+        r["event_type"]: (
+            int(np.round(r["p05"] * 100.0)),
+            int(np.round(r["p95"] * 100.0)),
+        )
+        for _, r in bounds.iterrows()
+    }
+    bref = ray.put(lut)
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lu = ray.get(bref)
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        et = df["event_type"].to_numpy()
+        frames = []
+        for t, (lo, hi) in lu.items():
+            m = et == t
+            if not m.any():
+                continue
+            c = np.clip(cents[m], lo, hi)
+            frames.append((t, int(m.sum()), int(c.sum())))
+        return pd.DataFrame(
+            frames, columns=["event_type", "n", "s"]
+        ) if frames else pd.DataFrame(
+            {"event_type": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "s": pd.Series([], dtype="int64")}
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), win_sum_cents=("s", "sum"))
+    )
+    parts["win_mean_millicents"] = (
+        parts["win_sum_cents"] * 1000 // parts["n"]
+    )
+    out = parts.astype(
+        {"n": "int64", "win_sum_cents": "int64",
+         "win_mean_millicents": "int64"}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -256,6 +256,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("edit_distance_pairs", ["documents"]),
         ("source_token_gini", ["documents"]),
         ("rolling_distinct_users", ["events"]),
+        ("winsorized_mean_by_type", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
