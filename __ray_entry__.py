@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_user_day": relational.full_outer_user_day,
         "copurchase_pairs": relational.copurchase_pairs,
         "winsorized_mean_by_type": relational.winsorized_mean_by_type,
+        "daily_anomaly_days": relational.daily_anomaly_days,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2754,6 +2755,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(event_cents, 0) AS BIGINT)
                        AS event_cents
             FROM o FULL OUTER JOIN e USING (user_id, day)
+        """,
+        # integer-exact 2-sigma anomaly days: (n*D-S)^2 > 4*(Q*D-S^2)
+        "daily_anomaly_days": """
+            WITH cd AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(n) AS BIGINT) AS sum_n,
+                     CAST(sum(n * n) AS BIGINT) AS sum_sq
+              FROM cd GROUP BY 1
+            )
+            SELECT event_type, day, n, n_days, sum_n, sum_sq
+            FROM cd JOIN st USING (event_type)
+            WHERE (n * n_days - sum_n) * (n * n_days - sum_n)
+                  > 4 * (sum_sq * n_days - sum_n * sum_n)
         """,
         # winsorized per-type mean: clamp cents to [p05,p95]
         # (quantile_disc order stats), exact int64 sum + floor mean

@@ -2239,3 +2239,57 @@ def winsorized_mean_by_type(sf_dir: str) -> pd.DataFrame:
          "win_mean_millicents": "int64"}
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def daily_anomaly_days(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact 2-sigma anomaly scan over the per-(type, day)
+    event-count grid: flag cells where |n - mean_type| > 2*sigma_type
+    (population moments over that type's days).  The float-free trick:
+    multiply through by D^2 — anomaly  <=>  (n*D - S)^2 > 4*(Q*D - S^2)
+    with D = #days, S = sum n, Q = sum n^2, so both sides are int64
+    products and the DuckDB oracle is the same inequality verbatim.
+
+    Scale shape: the (type, day) grid is bounded by |types| x |days|
+    regardless of corpus size, so per-batch count partials tree-combine
+    (repartition(16)) and the grid reaches the driver — the same
+    bounded-key contract as q16's stats pass; no shuffle of raw
+    events."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+    _US_DAY = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"],
+                          "day": us // _US_DAY})
+            .groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g.astype({"day": "int64", "n": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False)["n"].sum()
+        return g.astype({"day": "int64", "n": "int64"})
+
+    grid = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(merge, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n"].sum()
+    )
+    st = grid.groupby("event_type", as_index=False).agg(
+        n_days=("n", "size"), sum_n=("n", "sum"), sum_sq=("n", lambda v: int((v.to_numpy(np.int64) ** 2).sum()))
+    )
+    j = grid.merge(st, on="event_type")
+    n = j["n"].to_numpy(np.int64)
+    d = j["n_days"].to_numpy(np.int64)
+    s = j["sum_n"].to_numpy(np.int64)
+    q = j["sum_sq"].to_numpy(np.int64)
+    keep = (n * d - s) ** 2 > 4 * (q * d - s * s)
+    out = j[keep].astype(
+        {"n": "int64", "n_days": "int64", "sum_n": "int64",
+         "sum_sq": "int64"}
+    )
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

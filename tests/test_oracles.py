@@ -257,6 +257,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("source_token_gini", ["documents"]),
         ("rolling_distinct_users", ["events"]),
         ("winsorized_mean_by_type", ["events"]),
+        ("daily_anomaly_days", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
