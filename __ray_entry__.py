@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": graph.graph_components,
         "graph_bfs_depth": graph.graph_bfs_depth,
         "triangle_count": graph.triangle_count,
+        "kcore_membership": graph.kcore_membership,
         # two-pass broadcast-candidate heavy hitters (pipelines/
         # sketches.py): exact iceberg, no gram-space shuffle
         "heavy_hitter_trigrams": _heavy_hitter_trigrams,
@@ -1628,6 +1629,7 @@ def oracle_sql() -> dict[str, str]:
     from tensorflow_ocr_ray.pipelines.graph import (
         COMPONENTS_ORACLE_SQL,
         TRIANGLE_ORACLE_SQL,
+        kcore_oracle_sql,
         bfs_oracle_sql,
         pagerank_oracle_sql,
     )
@@ -1774,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": COMPONENTS_ORACLE_SQL,
         "graph_bfs_depth": bfs_oracle_sql(),
         "triangle_count": TRIANGLE_ORACLE_SQL,
+        "kcore_membership": kcore_oracle_sql(),
         "heavy_hitter_trigrams": heavy_hitter_sql(),
         "media_gif_frames": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,

@@ -554,3 +554,198 @@ TRIANGLE_ORACLE_SQL = f"""
     SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
     FROM (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY 1
 """
+
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 16
+
+
+def kcore_membership(
+    sf_dir: str, k: int = KCORE_K, n_shards: int = 32,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+) -> "rd.Dataset":
+    """Vertices of the k-core of the undirected link graph — the
+    iterative-peeling member of the graph family (pagerank: power
+    iteration; components: label propagation; bfs: frontier expansion;
+    triangles: one-shot join).  Each round drops vertices whose degree
+    among SURVIVORS is < k, until a fixpoint.
+
+    Round = three co-partitioned exchanges on the static undirected
+    edge set: filter edges by alive(a) (tagged union on the a key),
+    by alive(b) (b key), then count surviving-endpoint degrees (v key)
+    and keep deg >= k.  The driver reads only the alive COUNT per
+    round (convergence test).  Re-exchanging the static edge set every
+    round is the cost of expressing peeling through stateless
+    exchanges; a deployment would pin edge shards in long-lived actors
+    and ship only the alive deltas.  Converges in <= max_rounds
+    (asserted), so the oracle — the same peel unrolled max_rounds
+    times, idempotent after convergence — matches exactly."""
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+
+    def gen_edges(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        outdeg = 1 + v % MAX_OUTDEG
+        src_parts, dst_parts = [], []
+        for j in range(1, MAX_OUTDEG + 1):
+            m = outdeg >= j
+            src_parts.append(v[m])
+            dst_parts.append((v[m] * MULT + j) % n)
+        s = np.concatenate(src_parts)
+        d = np.concatenate(dst_parts)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        return pd.DataFrame(
+            {"a": a, "b": b, "shard": _pair_shard(a, b, n_shards)}
+        )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["a", "b"]) if len(df) else df
+        return pd.DataFrame(
+            {"a": g.get("a", pd.Series([], dtype="int64")).to_numpy(
+                np.int64),
+             "b": g.get("b", pd.Series([], dtype="int64")).to_numpy(
+                np.int64)}
+        )
+
+    edges = hash_exchange(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).map_batches(gen_edges, batch_format="pandas"),
+        "shard", n_shards, dedup,
+    )
+
+    def _v_frame(v):
+        return pd.DataFrame({"v": np.asarray(v, np.int64)})
+
+    alive = edges.map_batches(
+        lambda df: _v_frame(
+            np.unique(np.concatenate(
+                [df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]
+            ))
+        ),
+        batch_format="pandas",
+    )
+    # the initial alive set is per-block-deduped only, so its count
+    # includes cross-block duplicates — start the convergence test at a
+    # sentinel so the first (incomparable) count can never stop the loop
+    n_alive = -1
+
+    def tag_alive(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"a": v, "b": np.full(len(v), -1, np.int64),
+             "shard": v % n_shards}
+        )
+
+    def key_edges(key):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["shard"] = out[key].to_numpy(np.int64) % n_shards
+            return out
+        return f
+
+    def filter_by(key):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {"a": pd.Series([], dtype="int64"),
+                     "b": pd.Series([], dtype="int64")}
+                )
+            is_alive = df["b"].to_numpy(np.int64) == -1
+            ok = set(df["a"].to_numpy(np.int64)[is_alive].tolist())
+            e = df[~is_alive]
+            keep = e[key].isin(ok)
+            e = e[keep]
+            return pd.DataFrame(
+                {"a": e["a"].to_numpy(np.int64),
+                 "b": e["b"].to_numpy(np.int64)}
+            )
+        return f
+
+    def degree_keep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _v_frame([])
+        s = df.groupby("v", sort=False).size()
+        return _v_frame(s.index.to_numpy(np.int64)[s.to_numpy() >= k])
+
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"k-core did not converge in {max_rounds} rounds — "
+                "raise max_rounds (and regenerate the oracle)"
+            )
+        ea = hash_exchange(
+            edges.map_batches(key_edges("a"), batch_format="pandas")
+            .union(alive.map_batches(tag_alive, batch_format="pandas")),
+            "shard", n_shards, filter_by("a"),
+        )
+        eab = hash_exchange(
+            ea.map_batches(key_edges("b"), batch_format="pandas")
+            .union(alive.map_batches(tag_alive, batch_format="pandas")),
+            "shard", n_shards, filter_by("b"),
+        )
+        endpoints = eab.map_batches(
+            lambda df: pd.DataFrame(
+                {"v": (vv := np.concatenate(
+                    [df["a"].to_numpy(np.int64),
+                     df["b"].to_numpy(np.int64)])),
+                 "shard": vv % n_shards}
+            ),
+            batch_format="pandas",
+        )
+        alive = hash_exchange(endpoints, "shard", n_shards, degree_keep)
+        n_next = alive.count()
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+
+    return alive.map_batches(
+        lambda df: df.rename(columns={"v": "doc_id"}),
+        batch_format="pandas",
+    )
+
+
+def kcore_oracle_sql(
+    k: int = KCORE_K, rounds: int = KCORE_MAX_ROUNDS
+) -> str:
+    """The peel unrolled ``rounds`` times — idempotent once converged,
+    and the engine asserts convergence within ``rounds``."""
+    parts = [
+        "meta AS (SELECT count(*) AS n FROM documents)",
+        f"""e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM (
+              SELECT doc_id AS src,
+                     (doc_id * {MULT} + j.j) % m.n AS dst
+              FROM documents, meta m,
+                   (SELECT unnest(range(1, {MAX_OUTDEG + 1})) AS j) j
+              WHERE 1 + doc_id % {MAX_OUTDEG} >= j.j
+            ) WHERE src <> dst
+        )""",
+        "v0 AS MATERIALIZED (SELECT a AS v FROM e0 UNION SELECT b FROM e0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+                SELECT e.a, e.b FROM e0 e
+                JOIN v{i - 1} va ON va.v = e.a
+                JOIN v{i - 1} vb ON vb.v = e.b
+            )"""
+        )
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+                SELECT v FROM (
+                  SELECT a AS v FROM e{i}
+                  UNION ALL SELECT b FROM e{i}
+                ) GROUP BY v HAVING count(*) >= {k}
+            )"""
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT v AS doc_id FROM v{rounds}"
+    )

@@ -258,6 +258,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("rolling_distinct_users", ["events"]),
         ("winsorized_mean_by_type", ["events"]),
         ("daily_anomaly_days", ["events"]),
+        ("kcore_membership", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
