@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": relational.copurchase_pairs,
         "winsorized_mean_by_type": relational.winsorized_mean_by_type,
         "daily_anomaly_days": relational.daily_anomaly_days,
+        "orders_daily_ohlc": relational.orders_daily_ohlc,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2758,6 +2759,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(event_cents, 0) AS BIGINT)
                        AS event_cents
             FROM o FULL OUTER JOIN e USING (user_id, day)
+        """,
+        # per-day OHLC: open/close = price at min/max orderkey (the
+        # deterministic sequence), exact cents
+        "orders_daily_ohlc": """
+            SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                       AS day,
+                   CAST(arg_min(round(o_totalprice * 100),
+                                o_orderkey) AS BIGINT) AS open_cents,
+                   CAST(max(round(o_totalprice * 100)) AS BIGINT)
+                       AS high_cents,
+                   CAST(min(round(o_totalprice * 100)) AS BIGINT)
+                       AS low_cents,
+                   CAST(arg_max(round(o_totalprice * 100),
+                                o_orderkey) AS BIGINT) AS close_cents,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders GROUP BY 1
         """,
         # integer-exact 2-sigma anomaly days: (n*D-S)^2 > 4*(Q*D-S^2)
         "daily_anomaly_days": """

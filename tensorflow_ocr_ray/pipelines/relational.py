@@ -2293,3 +2293,79 @@ def daily_anomaly_days(sf_dir: str) -> pd.DataFrame:
          "sum_sq": "int64"}
     )
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def orders_daily_ohlc(sf_dir: str) -> pd.DataFrame:
+    """Per-day OHLC over order totals — (day, open_cents, high_cents,
+    low_cents, close_cents, n, sum_cents) where open/close are the
+    prices of the MIN-/MAX-orderkey order that day (the deterministic
+    sequence stand-in for time-of-day): the first/last-by-sequence
+    aggregate family (argmin/argmax), which IS mergeable —
+    partial(open) carries (orderkey, cents) and the combine keeps the
+    pair with the smaller key, so per-batch partials tree-combine
+    exactly like sums do.  The day grid is calendar-bounded, so
+    partials reach the driver under the same bounded-key contract as
+    daily_anomaly_days; prices are exact cents."""
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "day": df["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype("int64"),
+                "key": df["o_orderkey"].astype("int64"),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype("int64"),
+            }
+        )
+        g = d.groupby("day")
+        i_open = g["key"].idxmin()
+        i_close = g["key"].idxmax()
+        out = pd.DataFrame(
+            {
+                "open_key": d.loc[i_open, "key"].to_numpy(),
+                "open_cents": d.loc[i_open, "cents"].to_numpy(),
+                "close_key": d.loc[i_close, "key"].to_numpy(),
+                "close_cents": d.loc[i_close, "cents"].to_numpy(),
+                "high_cents": g["cents"].max(),
+                "low_cents": g["cents"].min(),
+                "n": g.size(),
+                "sum_cents": g["cents"].sum(),
+            }
+        )
+        return out.reset_index().astype("int64")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for day, g in df.groupby("day"):
+            io = g["open_key"].idxmin()
+            ic = g["close_key"].idxmax()
+            rows.append(
+                {
+                    "day": day,
+                    "open_key": g.loc[io, "open_key"],
+                    "open_cents": g.loc[io, "open_cents"],
+                    "close_key": g.loc[ic, "close_key"],
+                    "close_cents": g.loc[ic, "close_cents"],
+                    "high_cents": g["high_cents"].max(),
+                    "low_cents": g["low_cents"].min(),
+                    "n": g["n"].sum(),
+                    "sum_cents": g["sum_cents"].sum(),
+                }
+            )
+        return pd.DataFrame(rows).astype("int64")
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    out = combine(parts)
+    out = out[
+        ["day", "open_cents", "high_cents", "low_cents", "close_cents",
+         "n", "sum_cents"]
+    ]
+    return out.sort_values("day").reset_index(drop=True)

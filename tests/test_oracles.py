@@ -259,6 +259,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("winsorized_mean_by_type", ["events"]),
         ("daily_anomaly_days", ["events"]),
         ("kcore_membership", ["documents"]),
+        ("orders_daily_ohlc", ["orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
