@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean_by_type": relational.winsorized_mean_by_type,
         "daily_anomaly_days": relational.daily_anomaly_days,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
+        "user_bitmap_activity": relational.user_bitmap_activity,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2759,6 +2760,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(event_cents, 0) AS BIGINT)
                        AS event_cents
             FROM o FULL OUTER JOIN e USING (user_id, day)
+        """,
+        # bitmap activity: bit (day - min day), OR-combined; bit_count
+        "user_bitmap_activity": """
+            WITH d AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events
+            ),
+            base AS (SELECT min(day) AS day0 FROM d)
+            SELECT user_id,
+                   CAST(bit_or(CAST(1 AS BIGINT)
+                               << CAST(day - b.day0 AS INT))
+                        AS BIGINT) AS day_mask,
+                   CAST(count(DISTINCT day) AS BIGINT) AS n_active_days
+            FROM d, base b GROUP BY user_id
         """,
         # per-day OHLC: open/close = price at min/max orderkey (the
         # deterministic sequence), exact cents

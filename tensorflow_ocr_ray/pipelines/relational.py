@@ -2369,3 +2369,74 @@ def orders_daily_ohlc(sf_dir: str) -> pd.DataFrame:
          "n", "sum_cents"]
     ]
     return out.sort_values("day").reset_index(drop=True)
+
+
+def user_bitmap_activity(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Bitmap-index activity encoding: per user, the 30-day event
+    activity packed into ONE int64 bitmask (bit ``day % 63``) plus its
+    popcount — (user_id, day_mask, n_active_days).  The compact-state
+    pattern behind bitmap indexes and roaring-style segment encodings:
+    OR is idempotent and commutative, so per-batch mask partials can
+    be OR-combined through any block layout and exchange order without
+    overcounting (the same provable-idempotence argument as
+    intersect_user_days' membership masks).
+
+    Bit position ``day - day0`` (day0 = corpus min day, one tiny
+    streaming-min pre-pass) is injective while the corpus day span is
+    < 63 — asserted globally, not per batch; a wider span would need
+    one mask word per 63-day segment, same plan.  Bit 63 is never
+    used so the mask stays a positive BIGINT in both engine and
+    oracle."""
+    ev = _pq(sf_dir, "events", ["ts", "user_id"])
+    _US_DAY = 86_400_000_000
+
+    def day_minmax(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = us // _US_DAY
+        return pd.DataFrame({"lo": [day.min()], "hi": [day.max()]})
+
+    mm = ev.map_batches(
+        day_minmax, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    day0, day_hi = int(mm["lo"].min()), int(mm["hi"].max())
+    if day_hi - day0 >= 63:
+        raise ValueError(
+            "day span >= 63: widen to one mask word per segment"
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = us // _US_DAY
+        d = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "m": np.int64(1) << (day - day0)}
+        )
+        g = d.groupby("user_id", as_index=False)["m"].agg(np.bitwise_or.reduce)
+        g["shard"] = g["user_id"] % n_shards
+        return g.astype("int64")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "day_mask": pd.Series([], dtype="int64"),
+                 "n_active_days": pd.Series([], dtype="int64")}
+            )
+        g = df.groupby("user_id", as_index=False)["m"].agg(
+            np.bitwise_or.reduce
+        )
+        m = g["m"].to_numpy(np.int64)
+        pop = np.zeros(len(m), np.int64)
+        x = m.copy()
+        while (x != 0).any():
+            pop += x & 1
+            x >>= 1
+        return pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(np.int64),
+             "day_mask": m, "n_active_days": pop}
+        )
+
+    return hash_exchange(
+        ev.map_batches(partial, batch_format="pandas"),
+        "shard", n_shards, combine,
+    )

@@ -260,6 +260,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("daily_anomaly_days", ["events"]),
         ("kcore_membership", ["documents"]),
         ("orders_daily_ohlc", ["orders"]),
+        ("user_bitmap_activity", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
