@@ -539,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_anomaly_days": relational.daily_anomaly_days,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
         "user_bitmap_activity": relational.user_bitmap_activity,
+        "customer_rfm_segments": relational.customer_rfm_segments,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2760,6 +2761,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(event_cents, 0) AS BIGINT)
                        AS event_cents
             FROM o FULL OUTER JOIN e USING (user_id, day)
+        """,
+        # RFM: exact quintile boundaries per measure, score = 1 +
+        # count of boundaries strictly below the value
+        "customer_rfm_segments": """
+            WITH u AS (
+              SELECT o_custkey AS user_id,
+                     (SELECT max(CAST(epoch_us(o_orderdate)
+                                      // 86400000000 AS BIGINT))
+                      FROM orders)
+                     - max(CAST(epoch_us(o_orderdate)
+                                // 86400000000 AS BIGINT))
+                         AS recency_days,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS monetary_cents
+              FROM orders GROUP BY 1
+            ),
+            b AS (
+              SELECT
+                quantile_disc(recency_days, 0.2) AS r1,
+                quantile_disc(recency_days, 0.4) AS r2,
+                quantile_disc(recency_days, 0.6) AS r3,
+                quantile_disc(recency_days, 0.8) AS r4,
+                quantile_disc(n_orders, 0.2) AS f1,
+                quantile_disc(n_orders, 0.4) AS f2,
+                quantile_disc(n_orders, 0.6) AS f3,
+                quantile_disc(n_orders, 0.8) AS f4,
+                quantile_disc(monetary_cents, 0.2) AS m1,
+                quantile_disc(monetary_cents, 0.4) AS m2,
+                quantile_disc(monetary_cents, 0.6) AS m3,
+                quantile_disc(monetary_cents, 0.8) AS m4
+              FROM u
+            ),
+            s AS (
+              SELECT u.user_id, u.recency_days, u.n_orders,
+                     u.monetary_cents,
+                     CAST(1 + CAST(u.recency_days > b.r1 AS INT)
+                            + CAST(u.recency_days > b.r2 AS INT)
+                            + CAST(u.recency_days > b.r3 AS INT)
+                            + CAST(u.recency_days > b.r4 AS INT)
+                          AS BIGINT) AS r_score,
+                     CAST(1 + CAST(u.n_orders > b.f1 AS INT)
+                            + CAST(u.n_orders > b.f2 AS INT)
+                            + CAST(u.n_orders > b.f3 AS INT)
+                            + CAST(u.n_orders > b.f4 AS INT)
+                          AS BIGINT) AS f_score,
+                     CAST(1 + CAST(u.monetary_cents > b.m1 AS INT)
+                            + CAST(u.monetary_cents > b.m2 AS INT)
+                            + CAST(u.monetary_cents > b.m3 AS INT)
+                            + CAST(u.monetary_cents > b.m4 AS INT)
+                          AS BIGINT) AS m_score
+              FROM u, b
+            )
+            SELECT user_id, recency_days, n_orders, monetary_cents,
+                   r_score, f_score, m_score,
+                   CAST(r_score * 100 + f_score * 10 + m_score
+                        AS BIGINT) AS rfm_code
+            FROM s
         """,
         # bitmap activity: bit (day - min day), OR-combined; bit_count
         "user_bitmap_activity": """

@@ -679,195 +679,20 @@ def q16_event_quantiles(
     max_rounds: int = 6,
     qs: tuple = ((0.5, "p50"), (0.9, "p90")),
 ) -> pd.DataFrame:
-    """Exact per-group discrete quantiles (p50/p90) — DuckDB's
-    quantile_disc picks the sorted value at index ceil(q*n)-1 — computed
-    by distributed histogram refinement, NOT whole-group materialization:
+    """Exact per-group discrete quantiles (p50/p90 by default) —
+    DuckDB's quantile_disc picks the sorted value at index ceil(q*n)-1
+    — computed by distributed histogram refinement, NOT whole-group
+    materialization.  The machinery lives in
+    ``stages/selection.exact_group_quantiles`` (see its docstring for
+    the three-pass refinement contract); this query binds it to the
+    events table per event_type."""
+    from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
 
-    1. per-type counts + min/max (one streaming aggregate);
-    2. each (type, q) target holds an interval known to contain its
-       order statistic; every round, one ``map_batches`` pass computes
-       per-target bin counts (tiny: targets × n_bins reaches the driver)
-       and the interval narrows to the bin containing the k-th value —
-       the in-interval count shrinks ~n_bins× per round;
-    3. when every target's interval holds ≤ ``collect_limit`` values,
-       one filtered pass collects just those values and the exact rank
-       is read off locally.
-
-    No task ever holds more than a batch (pass 2) or ``collect_limit``
-    floats (pass 3), regardless of group skew."""
     ds = _pq(sf_dir, "events", ["event_type", "value"])
-    import ray
-
-    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("value", "size"), lo=("value", "min"), hi=("value", "max")
-        )
-        return g.astype({"n": "int64"})
-
-    def stat_merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
-        )
-        return g.astype({"n": "int64"})
-
-    # per-batch (type, n, lo, hi) partials, repartition tree-combined —
-    # the driver sees O(16 × |types|) rows; the pre-r4 version sorted
-    # the full stream through Ray's groupby for this bounded-key
-    # aggregate
-    stats = (
-        ds.map_batches(stat_partial, batch_format="pandas",
-                       batch_size=65536)
-        .repartition(16)
-        .map_batches(stat_merge, batch_format="pandas")
-        .to_pandas()
-        .groupby("event_type", as_index=False)
-        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    return exact_group_quantiles(
+        ds, "event_type", "value", qs,
+        n_bins=n_bins, collect_limit=collect_limit, max_rounds=max_rounds,
     )
-    # target = (event_type, k) with k the 0-based GLOBAL rank of the order
-    # statistic; state: a closed interval [lo, hi] known to contain it.
-    # Rank bookkeeping is always comparison-exact (count of v < lo is
-    # re-measured each pass), so histogram float rounding can never shift
-    # the selected index — the histogram only CHOOSES the next interval,
-    # padded one bin each side (bin index is monotone in v, so the true
-    # order stat lives within one bin of the nominal one even under
-    # worst-case rounding of the bin-index multiply).
-    targets: list[dict] = []
-    for _, row in stats.iterrows():
-        n = int(row["n"])
-        for q, col in qs:
-            targets.append(
-                {
-                    "event_type": row["event_type"],
-                    "col": col,
-                    "k": max(int(np.ceil(q * n)) - 1, 0),
-                    "lo": float(row["lo"]),
-                    "hi": float(row["hi"]),
-                    "in_count": n,
-                    "value": None,
-                }
-            )
-
-    def hist_pass(tgt_list: list[dict]) -> tuple[np.ndarray, np.ndarray]:
-        """One distributed pass → per-target (bin counts, n_below) where
-        ``n_below`` is the exact count of values < lo (comparison-based)
-        and bins cover [lo, hi] half-open with an overflow slot for
-        v == hi."""
-        tref = ray.put(
-            [(t["event_type"], t["lo"], t["hi"]) for t in tgt_list]
-        )
-
-        def counts(df: pd.DataFrame) -> pd.DataFrame:
-            tl = ray.get(tref)
-            out = np.zeros((len(tl), n_bins + 1), dtype=np.int64)
-            below = np.zeros(len(tl), dtype=np.int64)
-            for i, (etype, lo, hi) in enumerate(tl):
-                v = df.loc[df["event_type"] == etype, "value"].to_numpy()
-                if len(v) == 0:
-                    continue
-                below[i] = int((v < lo).sum())
-                if hi <= lo:
-                    continue
-                v = v[(v >= lo) & (v <= hi)]
-                idx = np.clip(
-                    ((v - lo) * (n_bins / (hi - lo))).astype(np.int64),
-                    0, n_bins,
-                )
-                np.add.at(out[i], idx, 1)
-            return pd.DataFrame(
-                {"tgt": np.arange(len(tl)),
-                 "below": below,
-                 "bins": [out[i] for i in range(len(tl))]}
-            )
-
-        parts = ds.map_batches(
-            counts, batch_format="pandas", batch_size=65536
-        ).to_pandas()
-        total = np.zeros((len(tgt_list), n_bins + 1), dtype=np.int64)
-        below = np.zeros(len(tgt_list), dtype=np.int64)
-        for tgt, nb, b in zip(parts["tgt"], parts["below"], parts["bins"]):
-            total[int(tgt)] += np.asarray(b, dtype=np.int64)
-            below[int(tgt)] += int(nb)
-        return total, below
-
-    for _ in range(max_rounds):
-        live = [t for t in targets if t["value"] is None
-                and t["in_count"] > collect_limit and t["hi"] > t["lo"]]
-        if not live:
-            break
-        hists, belows = hist_pass(live)
-        for t, h, nb in zip(live, hists, belows):
-            want = t["k"] - int(nb)  # rank within [lo, hi]
-            cum = np.cumsum(h)
-            b = int(np.searchsorted(cum, want + 1))
-            width = (t["hi"] - t["lo"]) / n_bins
-            if b >= n_bins:  # overflow slot: the value IS hi exactly
-                t["value"] = t["hi"]
-                continue
-            # pad one bin each side against bin-index rounding
-            new_lo = max(t["lo"], t["lo"] + (b - 1) * width)
-            new_hi = min(t["hi"], t["lo"] + (b + 2) * width)
-            t["lo"], t["hi"] = new_lo, new_hi
-            t["in_count"] = int(
-                h[max(b - 1, 0) : min(b + 2, n_bins)].sum()
-            ) + int(h[n_bins] if b + 2 > n_bins else 0)
-
-    # a collapsed interval IS the answer (e.g. an all-duplicates group:
-    # the histogram can never shrink it, but min == max pins the value) —
-    # no need to collect the duplicates
-    for t in targets:
-        if t["value"] is None and t["hi"] <= t["lo"]:
-            t["value"] = t["lo"]
-
-    # final exact selection: collect only in-interval values per target,
-    # with the exact below-count measured in the same pass
-    live = [t for t in targets if t["value"] is None]
-    if live:
-        tref = ray.put(
-            [(t["event_type"], t["lo"], t["hi"]) for t in live]
-        )
-
-        def residual(df: pd.DataFrame) -> pd.DataFrame:
-            tl = ray.get(tref)
-            frames = []
-            for i, (etype, lo, hi) in enumerate(tl):
-                v = df.loc[df["event_type"] == etype, "value"].to_numpy()
-                if len(v) == 0:
-                    continue
-                nb = int((v < lo).sum())
-                keep = v[(v >= lo) & (v <= hi)]
-                frames.append(pd.DataFrame(
-                    {"tgt": i,
-                     "below": [nb] + [0] * len(keep),
-                     "value": np.concatenate(([np.nan], keep))}
-                ))
-            if not frames:
-                return pd.DataFrame(
-                    {"tgt": pd.Series([], dtype="int64"),
-                     "below": pd.Series([], dtype="int64"),
-                     "value": pd.Series([], dtype="float64")}
-                )
-            return pd.concat(frames, ignore_index=True)
-
-        vals = ds.map_batches(
-            residual, batch_format="pandas", batch_size=65536
-        ).to_pandas()
-        for i, t in enumerate(live):
-            sel = vals[vals["tgt"] == i]
-            nb = int(sel["below"].sum())
-            v = np.sort(sel["value"].dropna().to_numpy())
-            t["value"] = float(v[t["k"] - nb])
-
-    rows: dict[str, dict] = {}
-    for t in targets:
-        rows.setdefault(t["event_type"], {})[t["col"]] = t["value"]
-    cols = [col for _, col in qs]
-    df = pd.DataFrame(
-        [
-            {"event_type": k, **{c: v[c] for c in cols}}
-            for k, v in rows.items()
-        ]
-    )
-    return df.sort_values("event_type").reset_index(drop=True)
 
 
 def q17_order_lineitem_join(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
@@ -2440,3 +2265,121 @@ def user_bitmap_activity(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         ev.map_batches(partial, batch_format="pandas"),
         "shard", n_shards, combine,
     )
+
+
+def customer_rfm_segments(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """RFM segmentation — per customer (recency_days, n_orders,
+    monetary_cents) scored 1-5 against EXACT quintile boundaries of
+    each measure, plus the packed rfm_code (r*100 + f*10 + m; scores
+    count boundaries strictly below the value, so higher raw measure
+    => higher score — recency is thus days-since-last-order scored
+    ascending; invert downstream if the marketing convention is
+    wanted).
+
+    The op exists to exercise ``exact_group_quantiles`` over a DERIVED
+    dataset: the per-customer aggregate (one user-hash exchange of
+    skinny partials, materialized refs so the selection's multi-pass
+    consumption is cheap) is re-shaped to long form (measure, value)
+    and the selection machinery finds the 12 order statistics without
+    materializing any measure's column; the tiny boundary table then
+    broadcasts into one scoring map.  Boundaries are data values
+    (integers), so scoring comparisons are int64 on both sides."""
+    from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
+
+    _US_DAY = 86_400_000_000
+    orders = _pq(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def day_max(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy().astype("datetime64[D]")
+        return pd.DataFrame({"hi": [d.astype("int64").max()]})
+
+    day_hi = int(
+        orders.map_batches(day_max, batch_format="pandas",
+                           batch_size=65536).to_pandas()["hi"].max()
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": df["o_custkey"].astype("int64"),
+                "day": df["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype("int64"),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype("int64"),
+            }
+        )
+        g = d.groupby("user_id", as_index=False).agg(
+            last_day=("day", "max"), n=("day", "size"),
+            cents=("cents", "sum"),
+        )
+        g["shard"] = g["user_id"] % n_shards
+        return g.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("user_id", "recency_days", "n_orders",
+                           "monetary_cents")}
+            )
+        g = df.groupby("user_id", as_index=False).agg(
+            last_day=("last_day", "max"), n=("n", "sum"),
+            cents=("cents", "sum"),
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "recency_days": day_hi - g["last_day"].to_numpy(np.int64),
+                "n_orders": g["n"].to_numpy(np.int64),
+                "monetary_cents": g["cents"].to_numpy(np.int64),
+            }
+        )
+
+    per_user = hash_exchange(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        "shard", n_shards, merge,
+    )
+
+    measures = ("recency_days", "n_orders", "monetary_cents")
+
+    def long_form(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            pd.DataFrame(
+                {"measure": m, "value": df[m].to_numpy(np.float64)}
+            )
+            for m in measures
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    bounds = exact_group_quantiles(
+        per_user.map_batches(long_form, batch_format="pandas"),
+        "measure", "value",
+        qs=((0.2, "b1"), (0.4, "b2"), (0.6, "b3"), (0.8, "b4")),
+    )
+    lut = {
+        r["measure"]: np.array(
+            [int(r["b1"]), int(r["b2"]), int(r["b3"]), int(r["b4"])],
+            dtype=np.int64,
+        )
+        for _, r in bounds.iterrows()
+    }
+    bref = ray.put(lut)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lu = ray.get(bref)
+        out = df.copy()
+        for m, col in zip(measures, ("r_score", "f_score", "m_score")):
+            v = df[m].to_numpy(np.int64)
+            s = np.ones(len(v), np.int64)
+            for b in lu[m]:
+                s += (v > b).astype(np.int64)
+            out[col] = s
+        out["rfm_code"] = (
+            out["r_score"] * 100 + out["f_score"] * 10 + out["m_score"]
+        )
+        return out.astype("int64")
+
+    return per_user.map_batches(score, batch_format="pandas")

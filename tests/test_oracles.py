@@ -261,6 +261,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("kcore_membership", ["documents"]),
         ("orders_daily_ohlc", ["orders"]),
         ("user_bitmap_activity", ["events"]),
+        ("customer_rfm_segments", ["orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
