@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs_depth": graph.graph_bfs_depth,
         "triangle_count": graph.triangle_count,
         "kcore_membership": graph.kcore_membership,
+        "shortest_path_weighted": graph.shortest_path_weighted,
         # two-pass broadcast-candidate heavy hitters (pipelines/
         # sketches.py): exact iceberg, no gram-space shuffle
         "heavy_hitter_trigrams": _heavy_hitter_trigrams,
@@ -1633,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         COMPONENTS_ORACLE_SQL,
         TRIANGLE_ORACLE_SQL,
         kcore_oracle_sql,
+        shortest_path_oracle_sql,
         bfs_oracle_sql,
         pagerank_oracle_sql,
     )
@@ -1780,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_depth": bfs_oracle_sql(),
         "triangle_count": TRIANGLE_ORACLE_SQL,
         "kcore_membership": kcore_oracle_sql(),
+        "shortest_path_weighted": shortest_path_oracle_sql(),
         "heavy_hitter_trigrams": heavy_hitter_sql(),
         "media_gif_frames": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,

@@ -749,3 +749,108 @@ def kcore_oracle_sql(
         "WITH " + ", ".join(parts)
         + f" SELECT v AS doc_id FROM v{rounds}"
     )
+
+
+SP_ROUNDS = 6
+SP_WMOD = 5
+
+
+def shortest_path_weighted(
+    sf_dir: str, rounds: int = SP_ROUNDS, n_shards: int = 32
+) -> "rd.Dataset":
+    """Weighted single-source-set shortest paths over the link graph —
+    (doc_id, dist) = min path WEIGHT from the seed set
+    ``doc_id % 97 == 0`` within ``rounds`` relaxations, edge weight
+    ``1 + (src + dst) % 5``: the min-plus (tropical semiring) member
+    of the iterative family, distinct from BFS's hop metric.
+
+    Bellman-Ford relaxation: each round every settled vertex re-emits
+    itself (carrying state through the exchange) and relaxes its out
+    edges with dist + w; one dst-hash exchange takes the per-vertex
+    min.  Unlike BFS, a vertex's distance can IMPROVE after discovery
+    (a longer-hop but lighter path), so expansion cannot be
+    frontier-only without a change-tracking delta — the full
+    relaxation is the textbook form and the oracle unrolls it
+    verbatim (min-plus rounds are idempotent once converged but we
+    fix the round count on both sides, so convergence is not even
+    required for the hash match)."""
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+
+    def _frame(v, d):
+        return pd.DataFrame(
+            {"v": np.asarray(v, np.int64), "d": np.asarray(d, np.int64)}
+        )
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        v = v[v % SEED_MOD == 0]
+        return _frame(v, np.zeros(len(v), np.int64))
+
+    state = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(seed, batch_format="pandas")
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        outdeg = 1 + v % MAX_OUTDEG
+        dst_parts, d_parts = [v], [d]  # self rows carry state
+        for j in range(1, MAX_OUTDEG + 1):
+            m = outdeg >= j
+            dst = (v[m] * MULT + j) % n
+            w = 1 + (v[m] + dst) % SP_WMOD
+            dst_parts.append(dst)
+            d_parts.append(d[m] + w)
+        out = _frame(np.concatenate(dst_parts), np.concatenate(d_parts))
+        out["shard"] = out["v"] % n_shards
+        return out
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _frame([], [])
+        s = df.groupby("v", sort=False)["d"].min()
+        return _frame(s.index, s.to_numpy(np.int64))
+
+    for _ in range(rounds):
+        state = hash_exchange(
+            state.map_batches(relax, batch_format="pandas"),
+            "shard", n_shards, min_merge,
+        )
+
+    return state.map_batches(
+        lambda df: df.rename(columns={"v": "doc_id", "d": "dist"}),
+        batch_format="pandas",
+    )
+
+
+def shortest_path_oracle_sql(rounds: int = SP_ROUNDS) -> str:
+    """Unrolled min-plus relaxation, one MATERIALIZED CTE per round
+    (each d_i is referenced by every relaxation arm — materialization
+    keeps the unroll linear, the kcore lesson)."""
+    parts = [
+        "meta AS (SELECT count(*) AS n FROM documents)",
+        f"d0 AS MATERIALIZED (SELECT doc_id AS v, "
+        f"CAST(0 AS BIGINT) AS d FROM documents "
+        f"WHERE doc_id % {SEED_MOD} = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        arms = [f"SELECT v, d FROM d{i - 1}"]
+        for j in range(1, MAX_OUTDEG + 1):
+            arms.append(
+                f"SELECT (u.v * {MULT} + {j}) % m.n AS v, "
+                f"u.d + 1 + (u.v + (u.v * {MULT} + {j}) % m.n) "
+                f"% {SP_WMOD} AS d "
+                f"FROM d{i - 1} u, meta m "
+                f"WHERE 1 + u.v % {MAX_OUTDEG} >= {j}"
+            )
+        union = " UNION ALL ".join(arms)
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT v, CAST(min(d) AS BIGINT) "
+            f"AS d FROM ({union}) GROUP BY v)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT v AS doc_id, d AS dist FROM d{rounds}"
+    )

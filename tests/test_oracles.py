@@ -262,6 +262,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("orders_daily_ohlc", ["orders"]),
         ("user_bitmap_activity", ["events"]),
         ("customer_rfm_segments", ["orders"]),
+        ("shortest_path_weighted", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
