@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_coverage": curation.dup_span_coverage,
         "vocab_topk": curation.vocab_topk,
         "source_token_gini": curation.source_token_gini,
+        "bigram_pmi_topk": curation.bigram_pmi_topk,
         "length_percentile_gate": curation.length_percentile_gate,
         "gopher_gate": curation.gopher_gate,
         "doc_rarity": curation.doc_rarity,
@@ -1823,6 +1824,36 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _tfidf_sql(),
         "source_gate": _source_gate_sql(),
         "dup_span_coverage": _dup_span_sql(),
+        # top-50 bigrams by exact-integer PMI argument
+        # c_xy*N*1000//(c_x*c_y); pair bound i<len via constant range
+        "bigram_pmi_topk": """
+            WITH tok AS (
+              SELECT string_split_regex(trim(lower(text)),
+                                        '\\s+') AS ts
+              FROM documents
+            ),
+            big AS (
+              SELECT ts[i.i] AS w1, ts[i.i + 1] AS w2
+              FROM tok, (SELECT unnest(range(1, 2048)) AS i) i
+              WHERE i.i < len(ts)
+            ),
+            bc AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+              FROM big GROUP BY 1, 2
+            ),
+            uni AS (
+              SELECT t.tk AS w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(ts) AS tk FROM tok) t GROUP BY 1
+            ),
+            meta AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+            SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+                   CAST(b.c_xy * m.n * 1000 // (u1.c * u2.c)
+                        AS BIGINT) AS pmi_ratio_ppt
+            FROM bc b
+            JOIN uni u1 ON u1.w = b.w1
+            JOIN uni u2 ON u2.w = b.w2, meta m
+            ORDER BY pmi_ratio_ppt DESC, b.w1, b.w2 LIMIT 50
+        """,
         # per-source token Gini impurity, exact ints; same whitespace
         # tokenization as vocab_topk; HUGEINT sums cast to BIGINT
         "source_token_gini": """

@@ -1699,3 +1699,108 @@ def source_token_gini(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     )
     partials = hash_exchange(toks, "shard", n_shards, square)
     return hash_exchange(partials, "shard", n_shards, gini)
+
+
+def bigram_pmi_topk(
+    sf_dir: str, topn: int = 50, n_shards: int = 64
+) -> pd.DataFrame:
+    """Collocation mining: top-``topn`` adjacent-token bigrams by an
+    exact-integer PMI ARGUMENT — pmi_ratio_ppt = c_xy * N * 1000 //
+    (c_x * c_y), monotone in true PMI (log of the same ratio) but
+    float-free, so the oracle is the identical expression.  The
+    curation tool that surfaces boilerplate phrases ("dup dup") and
+    multi-word units worth protecting from tokenizer splits.
+
+    Two passes: unigram counts are VOCAB-bounded (tree-combined to the
+    driver and broadcast — same contract as vocab_topk); bigram counts
+    route through one crc32(w1,w2)-hash exchange, each shard scores
+    its bigrams against the broadcast unigram table and keeps its own
+    top-``topn`` by (score desc, w1, w2) — a provable superset of the
+    global head under the same total order — and the driver merges
+    shards * topn bounded rows.  Headroom: c_xy * N * 1000 needs
+    N <= ~3e6 corpus tokens in int64; at web scale pre-divide N (the
+    oracle constant generates from the same code path).  Adjacency is
+    computed on the empty-filtered token sequence, which equals
+    DuckDB's split of the TRIMMED text (\\s+ runs can't make interior
+    empties)."""
+    docs = _docs(sf_dir, ["text"])
+
+    def uni_counts(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(t for t in split_tokens(text.lower()) if t)
+        return pd.DataFrame(
+            {"token": list(c.keys()),
+             "c": np.fromiter(c.values(), dtype=np.int64, count=len(c))}
+        )
+
+    uni = (
+        docs.map_batches(uni_counts, batch_format="pandas",
+                         batch_size=1024)
+        .repartition(16)
+        .map_batches(
+            lambda df: df.groupby("token", as_index=False)["c"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("token", as_index=False)["c"].sum()
+    )
+    c_uni = dict(zip(uni["token"], uni["c"].astype(np.int64)))
+    n_total = int(uni["c"].sum())
+    uref = ray.put((c_uni, n_total))
+
+    def bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            toks = [t for t in split_tokens(text.lower()) if t]
+            c.update(zip(toks, toks[1:]))
+        keys = list(c.keys())
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k in keys],
+                "w2": [k[1] for k in keys],
+                "c_xy": np.fromiter(
+                    (c[k] for k in keys), dtype=np.int64, count=len(keys)
+                ),
+                "shard": np.fromiter(
+                    (zlib.crc32((k[0] + "\x00" + k[1]).encode())
+                     % n_shards for k in keys),
+                    dtype=np.int64, count=len(keys),
+                ),
+            }
+        )
+
+    def shard_top(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["w1", "w2", "c_xy", "c_x", "c_y", "pmi_ratio_ppt"]
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(
+                    [], dtype="object" if c in ("w1", "w2") else "int64")
+                 for c in cols}
+            )
+        cu, n = ray.get(uref)
+        g = df.groupby(["w1", "w2"], as_index=False)["c_xy"].sum()
+        cx = g["w1"].map(cu).to_numpy(np.int64)
+        cy = g["w2"].map(cu).to_numpy(np.int64)
+        g["c_x"], g["c_y"] = cx, cy
+        g["pmi_ratio_ppt"] = (
+            g["c_xy"].to_numpy(np.int64) * n * 1000 // (cx * cy)
+        )
+        g = g.sort_values(
+            ["pmi_ratio_ppt", "w1", "w2"],
+            ascending=[False, True, True],
+        ).head(topn)
+        return g[cols].astype(
+            {"c_xy": "int64", "c_x": "int64", "c_y": "int64",
+             "pmi_ratio_ppt": "int64"}
+        )
+
+    heads = hash_exchange(
+        docs.map_batches(bigram_counts, batch_format="pandas",
+                         batch_size=1024),
+        "shard", n_shards, shard_top,
+    ).to_pandas()
+    out = heads.sort_values(
+        ["pmi_ratio_ppt", "w1", "w2"], ascending=[False, True, True]
+    ).head(topn)
+    return out.reset_index(drop=True)

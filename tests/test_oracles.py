@@ -263,6 +263,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("user_bitmap_activity", ["events"]),
         ("customer_rfm_segments", ["orders"]),
         ("shortest_path_weighted", ["documents"]),
+        ("bigram_pmi_topk", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
