@@ -540,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_daily_ohlc": relational.orders_daily_ohlc,
         "user_bitmap_activity": relational.user_bitmap_activity,
         "customer_rfm_segments": relational.customer_rfm_segments,
+        "orders_skyline": relational.orders_skyline,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2795,6 +2796,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(event_cents, 0) AS BIGINT)
                        AS event_cents
             FROM o FULL OUTER JOIN e USING (user_id, day)
+        """,
+        # 2D max-max skyline via the window formulation (equal-cents
+        # groups survive iff dmax beats every higher-cents dmax)
+        "orders_skyline": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS day
+              FROM orders
+            ),
+            g AS (SELECT cents, max(day) AS dmax FROM o GROUP BY cents),
+            m AS (
+              SELECT cents, dmax,
+                     max(dmax) OVER (ORDER BY cents DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS mprev
+              FROM g
+            ),
+            sk AS (
+              SELECT cents, dmax FROM m
+              WHERE mprev IS NULL OR dmax > mprev
+            )
+            SELECT o.o_orderkey, o.cents, o.day
+            FROM o JOIN sk s ON o.cents = s.cents AND o.day = s.dmax
         """,
         # RFM: exact quintile boundaries per measure, score = 1 +
         # count of boundaries strictly below the value

@@ -2383,3 +2383,62 @@ def customer_rfm_segments(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         return out.astype("int64")
 
     return per_user.map_batches(score, batch_format="pandas")
+
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2D max-max skyline of (cents, day) rows — survivors are
+    rows not STRICTLY dominated (b >= a both dims, > in one).  Within
+    an equal-cents group only the max-day rows can survive, and the
+    group survives iff its dmax strictly exceeds every higher-cents
+    group's dmax — one sort + one prefix max, fully vectorized."""
+    if not len(df):
+        return df
+    d = df.sort_values(["cents", "day"], ascending=False)
+    cents = d["cents"].to_numpy(np.int64)
+    day = d["day"].to_numpy(np.int64)
+    # first row of each cents group (sorted desc) holds the group dmax
+    new_grp = np.r_[True, cents[1:] != cents[:-1]]
+    grp_idx = np.cumsum(new_grp) - 1
+    dmax = day[new_grp]                      # per group, in desc-cents order
+    prev_best = np.r_[np.int64(-2**62),
+                      np.maximum.accumulate(dmax)[:-1]]
+    grp_alive = dmax > prev_best
+    keep = grp_alive[grp_idx] & (day == dmax[grp_idx])
+    return d[keep]
+
+
+def orders_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier of orders over (totalprice cents ↑, orderdate
+    day ↑) — every order not strictly dominated by another that is
+    >= in both dimensions and > in one.  The skyline operator's
+    distributed form rests on a provable SUPERSET property: the global
+    skyline is contained in the union of per-block local skylines
+    (any global survivor survives its own block), and a 2D skyline of
+    n random points is ~O(log n) rows, so per-block `_skyline_2d`
+    partials stay tiny and one bounded driver-side final pass over
+    blocks x skyline_size rows finishes exactly — the same
+    head-superset argument as vocab_topk / source_topk_docs, applied
+    to dominance instead of rank."""
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype("int64"),
+                "day": df["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype("int64"),
+            }
+        )
+        return _skyline_2d(d)
+
+    parts = ds.map_batches(
+        local, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    out = _skyline_2d(parts).astype("int64")
+    return out.sort_values(
+        ["cents", "day", "o_orderkey"], ascending=False
+    ).reset_index(drop=True)

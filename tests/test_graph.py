@@ -117,3 +117,25 @@ def test_triangle_count_shard_invariance(ray_session):
         a.sort_values("doc_id").reset_index(drop=True),
         b.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_skyline_matches_brute_force(ray_session):
+    """Distributed skyline == O(n^2) dominance filter on sf0.001."""
+    from tensorflow_ocr_ray.pipelines.relational import orders_skyline, _pq
+
+    got = orders_skyline(SF)
+    o = _pq(SF, "orders",
+            ["o_orderkey", "o_orderdate", "o_totalprice"]).to_pandas()
+    cents = np.round(o["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    day = (o["o_orderdate"].to_numpy().astype("datetime64[D]")
+           .astype("int64"))
+    keep = []
+    for i in range(len(o)):
+        dominated = (
+            (cents >= cents[i]) & (day >= day[i])
+            & ((cents > cents[i]) | (day > day[i]))
+        ).any()
+        if not dominated:
+            keep.append(i)
+    exp = set(o["o_orderkey"].to_numpy(np.int64)[keep])
+    assert set(got["o_orderkey"]) == exp and len(exp) > 0

@@ -264,6 +264,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("customer_rfm_segments", ["orders"]),
         ("shortest_path_weighted", ["documents"]),
         ("bigram_pmi_topk", ["documents"]),
+        ("orders_skyline", ["orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
