@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": relational.price_histogram,
         "running_total": windows.running_total,
         "rolling_distinct_users": windows.rolling_distinct_users,
+        "user_active_coverage": windows.user_active_coverage,
         "densify_hourly_user": windows.densify_hourly_user,
         "range_join_orders": windows.range_join_orders,
         "first_touch_attribution": windows.first_touch_attribution,
@@ -2406,6 +2407,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # global ordered prefix sums as exact integer cents (value is
         # 2-decimal by construction; round(v*100) is integral both sides)
+        # union of [ts, ts+5min) intervals per user, exact us
+        "user_active_coverage": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t FROM events
+            ),
+            s AS (
+              SELECT user_id, t,
+                     lead(t) OVER (PARTITION BY user_id
+                                   ORDER BY t) AS nt
+              FROM e
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN nt IS NULL THEN 300000000
+                            ELSE least(300000000, nt - t) END)
+                        AS BIGINT) AS covered_us
+            FROM s GROUP BY 1
+        """,
         # exact trailing-7-day distinct users per observed day
         "rolling_distinct_users": """
             WITH e AS (

@@ -1511,3 +1511,58 @@ def rolling_distinct_users(
         ev.map_batches(contribute, batch_format="pandas"),
         "shard", n_shards, count_distinct,
     )
+
+
+_COVER_US = 300_000_000  # 5-minute activity interval per event
+
+
+def user_active_coverage(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Union-of-intervals coverage — per user, the total microseconds
+    covered by the union of [ts, ts + 5min) activity intervals (the
+    interval-union operator behind "active time" metrics; overlapping
+    bursts must not double-count).  With FIXED-length intervals the
+    sorted sweep collapses to one vectorized expression: each event
+    contributes min(L, next_ts - ts) and the last event per user
+    contributes L — ties contribute 0 whatever their order, so the
+    result is deterministic without an intra-tie sort key.
+
+    One user-hash exchange of the skinny (user, ts_us) projection;
+    per-shard lexsort + diff, no per-user loop.  Exact int64
+    microseconds on both sides."""
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"u": u, "t": us, "shard": u % n_shards}
+        )
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "covered_us": pd.Series([], dtype="int64")}
+            )
+        u = df["u"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        gap = np.empty(len(t), np.int64)
+        gap[:-1] = t[1:] - t[:-1]
+        gap[-1] = _COVER_US
+        last_of_user = np.r_[u[1:] != u[:-1], True]
+        gap[last_of_user] = _COVER_US
+        contrib = np.minimum(gap, _COVER_US)
+        s = pd.DataFrame({"u": u, "c": contrib}).groupby(
+            "u", sort=False
+        )["c"].sum()
+        return pd.DataFrame(
+            {"user_id": s.index.to_numpy(np.int64),
+             "covered_us": s.to_numpy(np.int64)}
+        )
+
+    return hash_exchange(
+        ev.map_batches(project, batch_format="pandas"),
+        "shard", n_shards, sweep,
+    )

@@ -265,6 +265,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("shortest_path_weighted", ["documents"]),
         ("bigram_pmi_topk", ["documents"]),
         ("orders_skyline", ["orders"]),
+        ("user_active_coverage", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
