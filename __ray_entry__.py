@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": relational.copurchase_pairs,
         "winsorized_mean_by_type": relational.winsorized_mean_by_type,
         "daily_anomaly_days": relational.daily_anomaly_days,
+        "daily_count_autocov": relational.daily_count_autocov,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
         "user_bitmap_activity": relational.user_bitmap_activity,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -2930,6 +2931,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS sum_cents
             FROM orders GROUP BY 1
+        """,
+        # D^2-scaled autocovariance at lags 0/1/7 over daily counts,
+        # day pairs matched BY VALUE (join on day+k)
+        "daily_count_autocov": """
+            WITH cd AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+                     CAST(sum(n) AS BIGINT) AS s
+              FROM cd GROUP BY 1
+            ),
+            dev AS (
+              SELECT c.event_type, c.day, c.n * t.d - t.s AS dv, t.d
+              FROM cd c JOIN st t USING (event_type)
+            )
+            SELECT a.event_type,
+                   CAST(max(a.d) AS BIGINT) AS n_days,
+                   CAST(sum(a.dv * a.dv) AS BIGINT) AS var_d2,
+                   CAST(COALESCE(sum(a.dv * b1.dv), 0) AS BIGINT)
+                       AS acov1_d2,
+                   CAST(COALESCE(sum(a.dv * b7.dv), 0) AS BIGINT)
+                       AS acov7_d2
+            FROM dev a
+            LEFT JOIN dev b1 ON b1.event_type = a.event_type
+                            AND b1.day = a.day + 1
+            LEFT JOIN dev b7 ON b7.event_type = a.event_type
+                            AND b7.day = a.day + 7
+            GROUP BY 1
         """,
         # integer-exact 2-sigma anomaly days: (n*D-S)^2 > 4*(Q*D-S^2)
         "daily_anomaly_days": """

@@ -2442,3 +2442,67 @@ def orders_skyline(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["cents", "day", "o_orderkey"], ascending=False
     ).reset_index(drop=True)
+
+
+def daily_count_autocov(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact autocovariance of the per-type daily-count series
+    at lags 1 and 7 — the seasonality/burstiness diagnostic next to
+    daily_anomaly_days, sharing its float-free trick: the lag-k
+    autocovariance numerator scaled by D^2 is
+    ``sum_t (n_t*D - S) * (n_{t+k}*D - S)`` over the D-k adjacent day
+    pairs (days are dense here; pairing is by day value, not row
+    order), every term an int64 product.  Output per type:
+    (event_type, n_days, acov1_d2, acov7_d2, var_d2) with var_d2 the
+    lag-0 value — acov/var is the autocorrelation, left to the caller
+    so the engine stays exact.  Same bounded (type, day) grid contract
+    as daily_anomaly_days."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+    _US_DAY = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"],
+                          "day": us // _US_DAY})
+            .groupby(["event_type", "day"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return g.astype({"day": "int64", "n": "int64"})
+
+    grid = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(
+            lambda df: df.groupby(["event_type", "day"],
+                                  as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n"].sum()
+    )
+    rows = []
+    for et, g in grid.groupby("event_type"):
+        g = g.sort_values("day")
+        day = g["day"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        d = np.int64(len(n))
+        s = n.sum()
+        dev = n * d - s
+        out = {"event_type": et, "n_days": int(d),
+               "var_d2": int((dev * dev).sum())}
+        for k, col in ((1, "acov1_d2"), (7, "acov7_d2")):
+            # pair day t with day t+k BY VALUE (grid may have holes)
+            pos = {dd: i for i, dd in enumerate(day)}
+            idx = [(i, pos[dd + k]) for i, dd in enumerate(day)
+                   if dd + k in pos]
+            out[col] = int(sum(int(dev[i]) * int(dev[j])
+                               for i, j in idx))
+        rows.append(out)
+    return (
+        pd.DataFrame(rows)[
+            ["event_type", "n_days", "var_d2", "acov1_d2", "acov7_d2"]
+        ]
+        .astype({"n_days": "int64", "var_d2": "int64",
+                 "acov1_d2": "int64", "acov7_d2": "int64"})
+        .sort_values("event_type").reset_index(drop=True)
+    )

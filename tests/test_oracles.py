@@ -266,6 +266,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("bigram_pmi_topk", ["documents"]),
         ("orders_skyline", ["orders"]),
         ("user_active_coverage", ["events"]),
+        ("daily_count_autocov", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
