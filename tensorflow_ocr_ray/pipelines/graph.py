@@ -47,6 +47,15 @@ MULT = 7
 MAX_OUTDEG = 3
 
 
+def _eff_shards(n_shards: int, n: int) -> int:
+    """Shard count scaled to graph size: exchange results are
+    shard-count invariant (tested), but every exchange pays a fixed
+    per-shard task cost — at sf-test sizes 32 shards of ~16 vertices
+    each is pure overhead.  ~256 vertices per shard floor, cluster
+    n_shards cap."""
+    return max(1, min(n_shards, n // 256))
+
+
 def _int64_frame(v, r):
     return pd.DataFrame(
         {"v": np.asarray(v, np.int64), "r": np.asarray(r, np.int64)}
@@ -216,6 +225,7 @@ def graph_bfs_depth(
     import pyarrow.dataset as pads
 
     n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    n_shards = _eff_shards(n_shards, n)
 
     def _state_frame(v, d):
         return pd.DataFrame(
@@ -323,6 +333,7 @@ def triangle_count(sf_dir: str, n_shards: int = 32) -> "rd.Dataset":
     import pyarrow.dataset as pads
 
     n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    n_shards = _eff_shards(n_shards, n)
 
     def _ab_frame(a, b, **extra):
         d = {"a": np.asarray(a, np.int64), "b": np.asarray(b, np.int64)}
@@ -583,6 +594,7 @@ def kcore_membership(
     import pyarrow.dataset as pads
 
     n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    n_shards = _eff_shards(n_shards, n)
 
     def gen_edges(df: pd.DataFrame) -> pd.DataFrame:
         v = df["doc_id"].to_numpy(np.int64)
@@ -777,6 +789,7 @@ def shortest_path_weighted(
     import pyarrow.dataset as pads
 
     n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    n_shards = _eff_shards(n_shards, n)
 
     def _frame(v, d):
         return pd.DataFrame(

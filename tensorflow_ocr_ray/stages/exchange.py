@@ -91,11 +91,16 @@ def hash_exchange(
 
     @ray.remote(num_returns=n_shards)
     def split(tbl) -> tuple:
+        # with num_returns=1 ray treats the whole return value as THE
+        # single return, so a 1-tuple must be unwrapped
+        def rets(parts: tuple):
+            return parts if n_shards > 1 else parts[0]
+
         if shard_col not in tbl.column_names:
             # a schema-less EMPTY block (e.g. an empty shard of an
             # upstream exchange round-tripped through Arrow)
             empty = tbl if arrow else tbl.to_pandas()
-            return tuple(empty for _ in range(n_shards))
+            return rets(tuple(empty for _ in range(n_shards)))
         s = np.asarray(tbl.column(shard_col).to_numpy(zero_copy_only=False))
         if len(s) and (s.min() < 0 or s.max() >= n_shards):
             raise ValueError(
@@ -104,13 +109,17 @@ def hash_exchange(
                 f"would be silently dropped"
             )
         if arrow:
-            return tuple(
+            return rets(tuple(
                 tbl.filter(pa.array(s == i)) for i in range(n_shards)
-            )
+            ))
         df = tbl.to_pandas()
-        return tuple(df[s == i] for i in range(n_shards))
+        return rets(tuple(df[s == i] for i in range(n_shards)))
 
     per_block = [split.remote(r) for r in block_refs]
+    if n_shards == 1:
+        # ray returns a bare ObjectRef (not a 1-tuple) for
+        # num_returns=1 — normalize so pb[s] indexing below works
+        per_block = [[ref] for ref in per_block]
 
     @ray.remote
     def merge_apply(*parts):

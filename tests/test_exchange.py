@@ -270,3 +270,28 @@ def test_streaming_exchange_pyarrow_mode(ray_session):
     ).to_pandas()
     assert out["rows"].sum() == 80
     assert out["vsum"].sum() == int(df["v"].sum())
+
+
+def test_hash_exchange_single_shard(ray_session):
+    """n_shards=1 (adaptive sharding floor): ray's num_returns=1
+    returns a bare value, not a 1-tuple — the exchange must normalize
+    both the task return and the ref list."""
+    import ray.data as rd
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    df = _mk(n=500, n_shards=1)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", as_index=False).agg(s=("v", "sum"))
+        return out.astype({"k": "int64", "s": "int64"})
+
+    got = (
+        hash_exchange(rd.from_pandas(df), "shard", 1, fn)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k", as_index=False).agg(s=("v", "sum"))
+        .astype({"k": "int64", "s": "int64"})
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
