@@ -295,3 +295,34 @@ def test_hash_exchange_single_shard(ray_session):
         .sort_values("k").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "mod,fn",
+    [
+        ("tensorflow_ocr_ray.pipelines.relational", "copurchase_pairs"),
+        ("tensorflow_ocr_ray.pipelines.relational", "user_bitmap_activity"),
+        ("tensorflow_ocr_ray.pipelines.windows", "rolling_distinct_users"),
+        ("tensorflow_ocr_ray.pipelines.windows", "user_active_coverage"),
+        ("tensorflow_ocr_ray.pipelines.curation", "source_token_gini"),
+        ("tensorflow_ocr_ray.pipelines.dedup", "edit_distance_pairs"),
+    ],
+)
+def test_new_ops_shard_count_invariant(ray_session, mod, fn):
+    """Exchange-routed operators must produce identical results at any
+    shard count (the layout-independence contract)."""
+    import importlib
+
+    f = getattr(importlib.import_module(mod), fn)
+    sf = "/root/testdata/sf0.001"
+    a = f(sf, n_shards=3)
+    b = f(sf, n_shards=32)
+    a = a.to_pandas() if hasattr(a, "to_pandas") else a
+    b = b.to_pandas() if hasattr(b, "to_pandas") else b
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
