@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         doc_stats_batch,
         fingerprint_batch,
         langid_batch,
+        langid_confusion,
         normalize_batch,
         quality_batch,
     )
@@ -605,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": _doc_map(doc_stats_batch),
         "doc_quality": _doc_map(quality_batch),
         "doc_langid": _doc_map(langid_batch),
+        "langid_confusion": langid_confusion,
         "doc_fingerprints": _doc_map(fingerprint_batch),
         "doc_normalize": _doc_map(normalize_batch),
         # corpus curation: the training-data build steps beyond dedup
@@ -1911,6 +1913,10 @@ def oracle_sql() -> dict[str, str]:
         "source_topk_docs": _source_topk_sql(),
         "dedup_keep_list": _keep_list_sql(),
         "doc_langid": _langid_sql(),
+        "langid_confusion": f"""
+            SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM ({_langid_sql()}) GROUP BY 1, 2
+        """,
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),

@@ -301,3 +301,38 @@ def normalize_batch(df: pd.DataFrame) -> pd.DataFrame:
             ).astype("int64"),
         }
     )
+
+
+def langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID evaluation: the (labeled lang, predicted lang)
+    confusion matrix with exact counts — (lang, pred_lang, n).  The
+    eval-composition pattern: reuses langid_batch verbatim, per-batch
+    count partials tree-combine under the bounded-key contract (grid
+    <= |langs|^2 whatever the corpus size); the oracle wraps the
+    generated _langid_sql re-derivation in one GROUP BY."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = langid_batch(df)
+        g = p.groupby(["lang", "pred_lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=1024)
+        .repartition(4)
+        .map_batches(
+            lambda df: df.groupby(["lang", "pred_lang"],
+                                  as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+    )
+    return (
+        parts.astype({"n": "int64"})
+        .sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+    )

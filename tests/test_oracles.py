@@ -267,6 +267,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("orders_skyline", ["orders"]),
         ("user_active_coverage", ["events"]),
         ("daily_count_autocov", ["events"]),
+        ("langid_confusion", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
