@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_bitmap_activity": relational.user_bitmap_activity,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "orders_skyline": relational.orders_skyline,
+        "zorder_layout_stats": relational.zorder_layout_stats,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -2821,6 +2822,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(event_cents, 0) AS BIGINT)
                        AS event_cents
             FROM o FULL OUTER JOIN e USING (user_id, day)
+        """,
+        # Morton-interleave layout stats; code = 16 div/mod terms
+        "zorder_layout_stats": """
+            WITH m AS (
+              SELECT o_custkey % 256 AS ck,
+                     CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) % 256 AS dy,
+                     o_custkey AS cust
+              FROM orders
+            ),
+            c AS (
+              SELECT CAST(((ck // 1) % 2) * 1 + ((dy // 1) % 2) * 2 + ((ck // 2) % 2) * 4 + ((dy // 2) % 2) * 8 + ((ck // 4) % 2) * 16 + ((dy // 4) % 2) * 32 + ((ck // 8) % 2) * 64 + ((dy // 8) % 2) * 128 + ((ck // 16) % 2) * 256 + ((dy // 16) % 2) * 512 + ((ck // 32) % 2) * 1024 + ((dy // 32) % 2) * 2048 + ((ck // 64) % 2) * 4096 + ((dy // 64) % 2) * 8192 + ((ck // 128) % 2) * 16384 + ((dy // 128) % 2) * 32768 AS BIGINT) AS code, cust FROM m
+            )
+            SELECT CAST(code // 4096 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(code) AS BIGINT) AS min_code,
+                   CAST(max(code) AS BIGINT) AS max_code,
+                   CAST(count(DISTINCT cust) AS BIGINT) AS n_customers
+            FROM c GROUP BY 1
         """,
         # 2D max-max skyline via the window formulation (equal-cents
         # groups survive iff dmax beats every higher-cents dmax)

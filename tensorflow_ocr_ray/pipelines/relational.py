@@ -2506,3 +2506,93 @@ def daily_count_autocov(sf_dir: str) -> pd.DataFrame:
                  "acov1_d2": "int64", "acov7_d2": "int64"})
         .sort_values("event_type").reset_index(drop=True)
     )
+
+
+def zorder_layout_stats(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
+    """Z-order (Morton) clustering-key diagnostics — the data-LAYOUT
+    operator behind multi-dimensional pruning at 100 TB: interleave
+    the low 8 bits of customer and order-day into a 16-bit Morton
+    code, bucket by the top 4 code bits, and report per-bucket
+    (n, min_code, max_code, n_customers).  A table rewritten in this
+    key order serves 2-D range predicates (customer range x date
+    range) from a bounded number of contiguous buckets; the stats
+    quantify how balanced those buckets are.  Pure integer bit
+    algebra, so the oracle is the same interleave written as 16
+    div/mod terms.  Count/min/max partials tree-combine under the
+    bounded-key contract (16 buckets); the DISTINCT-customer count
+    routes (bucket, cust) pairs through one pair-hash exchange
+    (per-shard dedup + per-bucket partial counts — disjoint pairs, so
+    the 16 x n_shards partials sum exactly) rather than collecting
+    pairs on the driver."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _morton(df: pd.DataFrame):
+        a = df["o_custkey"].to_numpy(np.int64) % 256
+        b = (df["o_orderdate"].to_numpy().astype("datetime64[D]")
+             .astype("int64")) % 256
+        code = np.zeros(len(a), np.int64)
+        for i in range(8):
+            code |= ((a >> i) & 1) << (2 * i)
+            code |= ((b >> i) & 1) << (2 * i + 1)
+        return code
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        code = _morton(df)
+        g = pd.DataFrame({"bucket": code >> 12, "code": code}).groupby(
+            "bucket", as_index=False
+        ).agg(n=("code", "size"), min_code=("code", "min"),
+              max_code=("code", "max"))
+        return g.astype("int64")
+
+    stats = (
+        ds.map_batches(stat_partial, batch_format="pandas",
+                       batch_size=65536)
+        .repartition(8)
+        .map_batches(
+            lambda df: df.groupby("bucket", as_index=False).agg(
+                n=("n", "sum"), min_code=("min_code", "min"),
+                max_code=("max_code", "max")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("bucket", as_index=False)
+        .agg(n=("n", "sum"), min_code=("min_code", "min"),
+             max_code=("max_code", "max"))
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        code = _morton(df)
+        d = pd.DataFrame(
+            {"bucket": code >> 12,
+             "cust": df["o_custkey"].to_numpy(np.int64)}
+        ).drop_duplicates()
+        h = (d["bucket"].to_numpy(np.uint64) * np.uint64(1_000_003)
+             + d["cust"].to_numpy(np.uint64))
+        d["shard"] = (h % np.uint64(n_shards)).astype(np.int64)
+        return d.astype("int64")
+
+    def distinct_count(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "nc": pd.Series([], dtype="int64")}
+            )
+        g = df.drop_duplicates(["bucket", "cust"]).groupby(
+            "bucket", as_index=False
+        ).size().rename(columns={"size": "nc"})
+        return g.astype("int64")
+
+    cust = (
+        hash_exchange(
+            ds.map_batches(pair_partial, batch_format="pandas",
+                           batch_size=65536),
+            "shard", n_shards, distinct_count,
+        )
+        .to_pandas()
+        .groupby("bucket", as_index=False)["nc"].sum()
+        .rename(columns={"nc": "n_customers"})
+    )
+    out = stats.merge(cust, on="bucket").astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)

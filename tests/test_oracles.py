@@ -268,6 +268,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("user_active_coverage", ["events"]),
         ("daily_count_autocov", ["events"]),
         ("langid_confusion", ["documents"]),
+        ("zorder_layout_stats", ["orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
