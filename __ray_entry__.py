@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pass, map-side partials only
         "profile_lineitem": profiling.profile_table,
         "profile_events": profiling.profile_events,
+        "profile_documents": profiling.profile_documents,
         # iterative graph computation (pipelines/graph.py): sharded
         # rank state in the object store, one exchange per iteration
         "link_pagerank": graph.link_pagerank,
@@ -1782,6 +1783,23 @@ def oracle_sql() -> dict[str, str]:
                 "l_shipdate": ("CAST(epoch_us(min(l_shipdate)) AS VARCHAR)",
                                "CAST(epoch_us(max(l_shipdate)) AS VARCHAR)",
                                "CAST(0 AS BIGINT)"),
+            }.items()
+        ),
+        "profile_documents": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col, count(*)::BIGINT AS n,
+                   sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS nulls,
+                   {mn} AS min_repr, {mx} AS max_repr,
+                   {sm} AS sum_units
+            FROM documents"""
+            for c, (mn, mx, sm) in {
+                **{c: (f"CAST(min({c}) AS VARCHAR)",
+                       f"CAST(max({c}) AS VARCHAR)",
+                       f"sum({c})::BIGINT")
+                   for c in ("doc_id", "n_chars")},
+                **{c: (f"min({c})", f"max({c})", "CAST(0 AS BIGINT)")
+                   for c in ("text", "lang", "source")},
             }.items()
         ),
         "link_pagerank": pagerank_oracle_sql(),

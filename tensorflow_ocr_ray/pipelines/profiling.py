@@ -104,3 +104,15 @@ def profile_table(sf_dir: str, table: str = "lineitem",
         out, columns=["col", "n", "nulls", "min_repr", "max_repr",
                       "sum_units"]
     ).astype({"n": "int64", "nulls": "int64", "sum_units": "int64"})
+
+
+DOCUMENTS_COLS = {
+    "doc_id": "int", "text": "str", "lang": "str",
+    "source": "str", "n_chars": "int",
+}
+
+
+def profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Third registered shape — the corpus table itself (string-heavy:
+    text/lang/source as lexicographic min/max)."""
+    return profile_table(sf_dir, "documents", DOCUMENTS_COLS)

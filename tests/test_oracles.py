@@ -269,6 +269,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("daily_count_autocov", ["events"]),
         ("langid_confusion", ["documents"]),
         ("zorder_layout_stats", ["orders"]),
+        ("profile_documents", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
