@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_user_day": relational.full_outer_user_day,
         "copurchase_pairs": relational.copurchase_pairs,
         "winsorized_mean_by_type": relational.winsorized_mean_by_type,
+        "mad_by_type": relational.mad_by_type,
         "daily_anomaly_days": relational.daily_anomaly_days,
         "daily_count_autocov": relational.daily_count_autocov,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
@@ -3026,6 +3027,24 @@ def oracle_sql() -> dict[str, str]:
             FROM cd JOIN st USING (event_type)
             WHERE (n * n_days - sum_n) * (n * n_days - sum_n)
                   > 4 * (sum_sq * n_days - sum_n * sum_n)
+        """,
+        # MAD: median of |cents - median_cents|, both quantile_disc
+        "mad_by_type": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            m AS (
+              SELECT event_type,
+                     quantile_disc(cents, 0.5) AS median_cents
+              FROM c GROUP BY 1
+            )
+            SELECT c.event_type, m.median_cents,
+                   CAST(quantile_disc(abs(c.cents - m.median_cents),
+                                      0.5) AS BIGINT) AS mad_cents
+            FROM c JOIN m USING (event_type)
+            GROUP BY c.event_type, m.median_cents
         """,
         # winsorized per-type mean: clamp cents to [p05,p95]
         # (quantile_disc order stats), exact int64 sum + floor mean

@@ -2596,3 +2596,56 @@ def zorder_layout_stats(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
     )
     out = stats.merge(cust, on="bucket").astype("int64")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def mad_by_type(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation — (event_type, median_cents,
+    mad_cents), the robust scale estimator: two CHAINED exact
+    selections (the composition the selection.py refactor enables).
+    Stage 1 finds each type's exact median of value-cents; stage 2
+    broadcasts the tiny median table and runs the SAME machinery over
+    the DERIVED |cents - median| column — no group is materialized in
+    either stage, and both order statistics are quantile_disc-exact
+    in the integer cents domain (deviations are exact ints, stored as
+    exactly-representable doubles for the histogram refinement)."""
+    from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"],
+             "cents": np.round(df["value"].to_numpy() * 100.0)
+             .astype(np.int64).astype(np.float64)}
+        )
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pandas",
+                              batch_size=65536)
+    med = exact_group_quantiles(
+        cents_ds, "event_type", "cents", qs=((0.5, "median"),)
+    )
+    lut = {r["event_type"]: np.int64(r["median"])
+           for _, r in med.iterrows()}
+    mref = ray.put(lut)
+
+    def deviations(df: pd.DataFrame) -> pd.DataFrame:
+        lu = ray.get(mref)
+        m = df["event_type"].map(lu).to_numpy(np.int64)
+        c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {"event_type": df["event_type"],
+             "dev": np.abs(c - m).astype(np.float64)}
+        )
+
+    dev_ds = ds.map_batches(deviations, batch_format="pandas",
+                            batch_size=65536)
+    mad = exact_group_quantiles(
+        dev_ds, "event_type", "dev", qs=((0.5, "mad"),)
+    )
+    out = med.merge(mad, on="event_type")
+    out["median_cents"] = out["median"].astype(np.int64)
+    out["mad_cents"] = out["mad"].astype(np.int64)
+    return (
+        out[["event_type", "median_cents", "mad_cents"]]
+        .sort_values("event_type").reset_index(drop=True)
+    )

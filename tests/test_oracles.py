@@ -270,6 +270,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("langid_confusion", ["documents"]),
         ("zorder_layout_stats", ["orders"]),
         ("profile_documents", ["documents"]),
+        ("mad_by_type", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
