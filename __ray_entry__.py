@@ -381,6 +381,92 @@ def _media_gif_frames(sf_dir: str):
     return frames.map_batches(count_ink, batch_format="pyarrow")
 
 
+def _media_avi_frames(sf_dir: str):
+    """RIFF/AVI ingest as a first-class query — the video twin of
+    _media_gif_frames: one deterministic palettized-DIB AVI per
+    document (same arithmetic frame geometry: 1 + doc_id%5 frames,
+    frame i = first i+1 rows black on an (8 + doc_id%4) x 8 canvas),
+    decoded by core/video_codecs.decode_avi inside the
+    VideoFrameSampleStage actor pool (every=2, mid-gray binarize),
+    per-frame ink counted — so the same DuckDB arithmetic oracle
+    shape hash-checks the AVI container + DIB palette decode path end
+    to end."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.multimodal import VideoFrameSampleStage
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def _chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def _list(kind: bytes, body: bytes) -> bytes:
+        return _chunk(b"LIST", kind + body)
+
+    def synth(df):
+        # palette entry 0 = black (ink after binarize), 1 = white
+        pal = bytes((0, 0, 0, 0)) + bytes((255, 255, 255, 0))
+        payloads = []
+        for did in df["doc_id"]:
+            d = int(did)
+            h, w = 8 + d % 4, 8  # stride w == 8 is already 4-aligned
+            bih = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 2, 0
+            )
+            strl = _list(
+                b"strl",
+                _chunk(b"strh", bytes(56)) + _chunk(b"strf", bih + pal),
+            )
+            hdrl = _list(b"hdrl", _chunk(b"avih", bytes(56)) + strl)
+            frames = []
+            for i in range(1 + d % 5):
+                idx = np.ones((h, w), dtype=np.uint8)
+                idx[: i + 1, :] = 0          # top-down: i+1 black rows
+                frames.append(idx[::-1].tobytes())  # DIB rows bottom-up
+            movi = _list(
+                b"movi", b"".join(_chunk(b"00db", f) for f in frames)
+            )
+            body = b"AVI " + hdrl + movi
+            payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pa.table(
+            {
+                "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
+                "video": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    frames = docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2, fn_constructor_kwargs={"every": 2},
+    )
+
+    def count_ink(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.raster import decode_payload
+
+        ink = [
+            int(decode_payload(p).sum())
+            for p in batch.column("frame").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "frame_idx": batch.column("frame_idx"),
+                "ink": pa.array(ink, type=pa.int64()),
+            }
+        )
+
+    return frames.map_batches(count_ink, batch_format="pyarrow")
+
+
 def _tf_dense_predictions(sf_dir: str):
     from tensorflow_ocr_ray.pipelines.tf_pipeline import dense_predictions
 
@@ -647,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": _media_audio_features,
         "media_pdf_pages": _media_pdf_pages,
         "media_gif_frames": _media_gif_frames,
+        "media_avi_frames": _media_avi_frames,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,
@@ -1811,6 +1898,16 @@ def oracle_sql() -> dict[str, str]:
         "shortest_path_weighted": shortest_path_oracle_sql(),
         "heavy_hitter_trigrams": heavy_hitter_sql(),
         "media_gif_frames": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST((i + 1) * 8 AS BIGINT) AS ink
+            FROM (
+                SELECT doc_id,
+                       unnest(range(0, 1 + doc_id % 5, 2)) AS i
+                FROM documents
+            )
+        """,
+        "media_avi_frames": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,
                    CAST(i AS INTEGER) AS frame_idx,
                    CAST((i + 1) * 8 AS BIGINT) AS ink

@@ -271,6 +271,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("zorder_layout_stats", ["orders"]),
         ("profile_documents", ["documents"]),
         ("mad_by_type", ["events"]),
+        ("media_avi_frames", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
