@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_dedup": dedup.minhash_dedup,
+        "minhash_cluster_size_hist": dedup.minhash_cluster_size_hist,
         "minhash_verified_pairs": dedup.minhash_verified_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         # the frame-returning memo wrapper (one fingerprint+join run per
@@ -2037,6 +2038,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
+        "minhash_cluster_size_hist": f"""
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM (
+              SELECT cluster_rep, count(*) AS cluster_size
+              FROM ({_minhash_dedup_sql()}) GROUP BY cluster_rep
+            ) GROUP BY 1
+        """,
         "kmeans_quantized": _kmeans_sql(),
         # per-cluster top-3 nearest the final centroid over the SAME
         # unrolled kmeans CTE chain

@@ -942,3 +942,21 @@ def edit_distance_pairs(
         docs.map_batches(project, batch_format="pandas"),
         "shard", n_shards, verify,
     )
+
+
+def minhash_cluster_size_hist(sf_dir: str) -> pd.DataFrame:
+    """Dedup-audit composition: the histogram of MinHash near-dup
+    cluster sizes — (cluster_size, n_clusters), the number a curation
+    report leads with ("how much of the corpus is 2x/3x/Nx
+    duplicated?").  Reuses minhash_dedup's memoized labels (one
+    label-propagation run shared with dedup_keep_list); the oracle
+    wraps the full generated SQL re-derivation in two GROUP BYs.
+    Cluster labels are clustered-docs-bounded, so the groupbys are
+    driver-trivial here and one exchange at scale."""
+    labels = minhash_dedup(sf_dir)
+    sizes = labels.groupby("cluster_rep").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame(
+        {"cluster_size": hist.index.to_numpy(np.int64),
+         "n_clusters": hist.to_numpy(np.int64)}
+    )

@@ -272,6 +272,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("profile_documents", ["documents"]),
         ("mad_by_type", ["events"]),
         ("media_avi_frames", ["documents"]),
+        ("minhash_cluster_size_hist", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
