@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": curation.vocab_topk,
         "source_token_gini": curation.source_token_gini,
         "bigram_pmi_topk": curation.bigram_pmi_topk,
+        "doc_novel_trigrams": curation.doc_novel_trigrams,
         "length_percentile_gate": curation.length_percentile_gate,
         "gopher_gate": curation.gopher_gate,
         "doc_rarity": curation.doc_rarity,
@@ -1947,6 +1948,41 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _tfidf_sql(),
         "source_gate": _source_gate_sql(),
         "dup_span_coverage": _dup_span_sql(),
+        # per-doc novelty: trigrams first seen in this doc_id
+        "doc_novel_trigrams": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     toks[CAST(i AS INT)] || ' '
+                     || toks[CAST(i AS INT) + 1] || ' '
+                     || toks[CAST(i AS INT) + 2] AS g
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 2)) AS i
+                    FROM t WHERE len(toks) >= 3)
+            ),
+            tot AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              FROM g GROUP BY 1
+            ),
+            fs AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1),
+            nov AS (
+              SELECT first_doc AS doc_id,
+                     CAST(count(*) AS BIGINT) AS n_novel
+              FROM fs GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(tot.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN nov USING (doc_id)
+        """,
         # top-50 bigrams by exact-integer PMI argument
         # c_xy*N*1000//(c_x*c_y); pair bound i<len via constant range
         "bigram_pmi_topk": """

@@ -1804,3 +1804,97 @@ def bigram_pmi_topk(
         ["pmi_ratio_ppt", "w1", "w2"], ascending=[False, True, True]
     ).head(topn)
     return out.reset_index(drop=True)
+
+
+def doc_novel_trigrams(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Corpus novelty curve — per document: total word-trigram count
+    and the number of trigrams FIRST seen in this document (first
+    occurrence attributed by doc_id order), the growth diagnostic
+    behind "is more data still adding new content?".
+
+    First-occurrence is a min-aggregation, so the whole op is ONE
+    crc32(gram)-hash exchange: per-batch (gram, min local doc_id,
+    count-per-doc partials) rows; in each shard a gram's global first
+    doc is the min over its rows, and novelty rows (first_doc, 1)
+    re-key by doc hash for the per-doc sum — the second exchange is
+    doc-bounded.  Totals ride the first pass as per-doc gram counts."""
+    import zlib
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows_g, rows_d, rows_n = [], [], []
+        tot_doc, tot_n = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = [t for t in split_tokens(text.lower()) if t]
+            g3 = _word_grams(toks, 3)
+            tot_doc.append(int(did))
+            tot_n.append(len(g3))
+            for g in set(g3):
+                rows_g.append(g)
+                rows_d.append(int(did))
+        return pd.DataFrame(
+            {
+                "gram": rows_g + [""] * len(tot_doc),
+                "doc_id": np.asarray(rows_d + tot_doc, dtype=np.int64),
+                "n_grams": np.asarray(
+                    [0] * len(rows_g) + tot_n, dtype=np.int64
+                ),
+                "is_total": np.asarray(
+                    [0] * len(rows_g) + [1] * len(tot_doc),
+                    dtype=np.int64,
+                ),
+                "shard": np.asarray(
+                    [zlib.crc32(g.encode()) % n_shards
+                     for g in rows_g]
+                    + [d % n_shards for d in tot_doc],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_novel": pd.Series([], dtype="int64"),
+                 "n_grams": pd.Series([], dtype="int64"),
+                 "shard": pd.Series([], dtype="int64")}
+            )
+        g = df[df["is_total"] == 0]
+        t = df[df["is_total"] == 1]
+        first = g.groupby("gram", sort=False)["doc_id"].min()
+        nov = first.value_counts()
+        tt = t.groupby("doc_id", as_index=False)["n_grams"].sum()
+        out = pd.DataFrame(
+            {"doc_id": np.concatenate(
+                [nov.index.to_numpy(np.int64),
+                 tt["doc_id"].to_numpy(np.int64)]),
+             "n_novel": np.concatenate(
+                 [nov.to_numpy(np.int64),
+                  np.zeros(len(tt), np.int64)]),
+             "n_grams": np.concatenate(
+                 [np.zeros(len(nov), np.int64),
+                  tt["n_grams"].to_numpy(np.int64)])}
+        )
+        out["shard"] = out["doc_id"] % n_shards
+        return out
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_grams": pd.Series([], dtype="int64"),
+                 "n_novel": pd.Series([], dtype="int64")}
+            )
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_novel=("n_novel", "sum")
+        )
+        return g.astype("int64")
+
+    stage1 = hash_exchange(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode, batch_format="pandas", batch_size=4096),
+        "shard", n_shards, first_seen,
+    )
+    return hash_exchange(stage1, "shard", n_shards, per_doc)

@@ -273,6 +273,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("mad_by_type", ["events"]),
         ("media_avi_frames", ["documents"]),
         ("minhash_cluster_size_hist", ["documents"]),
+        ("doc_novel_trigrams", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
