@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_explode": curation.token_explode,
         "ann_range_search": similarity.ann_range_search,
         "kmeans_quantized": similarity.kmeans_quantized,
+        "pq_codebooks": similarity.pq_codebooks,
         "cluster_representatives": similarity.cluster_representatives,
         "cluster_token_profile": similarity.cluster_token_profile,
         "priority_sample": curation.priority_sample,
@@ -1042,6 +1043,70 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
                CAST(d AS BIGINT) AS dist
         FROM a{iters + 1}"""
     return ",".join(parts) + final
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2,
+            dim: int = 64) -> str:
+    """Product-quantization oracle: the _kmeans_sql Lloyd unroll
+    repeated per contiguous dim slice (same codes CTE, per-subspace
+    chains suffixed _j with every u-join dim-filtered to the slice)
+    and UNION ALLed into (vec_id, subspace, code, dist)."""
+    sub = dim // m
+    parts = [f"""
+        WITH uu AS MATERIALIZED (
+          SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 unnest(generate_series(1, len(embedding))) AS dim
+          FROM embeddings
+        ),
+        sc AS (SELECT dim, max(abs(x)) AS s FROM uu GROUP BY dim),
+        u AS MATERIALIZED (
+          SELECT uu.vec_id, uu.dim,
+                 CASE WHEN sc.s = 0 THEN 0
+                      ELSE CAST(floor(uu.x * 127 / sc.s + 0.5)
+                                AS BIGINT) END AS code
+          FROM uu JOIN sc USING (dim)
+        )"""]
+    finals = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"""
+        c0_{j} AS (SELECT vec_id AS cluster, dim, code FROM u
+               WHERE vec_id < {k} AND dim BETWEEN {lo} AND {hi})""")
+        for t in range(1, iters + 2):
+            prev = f"c{t - 1}_{j}"
+            parts.append(f"""
+        d{t}_{j} AS (
+          SELECT u.vec_id, c.cluster,
+                 sum((u.code - c.code) * (u.code - c.code)) AS d
+          FROM u JOIN {prev} c USING (dim) GROUP BY 1, 2
+        ),
+        a{t}_{j} AS (
+          SELECT vec_id, cluster, d FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d{t}_{j}) WHERE rn = 1
+        )""")
+            if t <= iters:
+                parts.append(f"""
+        s{t}_{j} AS (
+          SELECT a.cluster, u.dim, sum(u.code) AS s, count(*) AS n
+          FROM a{t}_{j} a JOIN u USING (vec_id)
+          WHERE u.dim BETWEEN {lo} AND {hi} GROUP BY 1, 2
+        ),
+        c{t}_{j} AS (
+          SELECT c.cluster, c.dim,
+                 CASE WHEN s.n IS NULL THEN c.code
+                      ELSE CAST(floor(CAST(s.s AS DOUBLE) / s.n + 0.5)
+                                AS BIGINT) END AS code
+          FROM {prev} c LEFT JOIN s{t}_{j} s
+            ON s.cluster = c.cluster AND s.dim = c.dim
+        )""")
+        finals.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS subspace, "
+            f"CAST(cluster AS BIGINT) AS code, CAST(d AS BIGINT) AS dist "
+            f"FROM a{iters + 1}_{j}"
+        )
+    return ",".join(parts) + " " + " UNION ALL ".join(finals)
 
 
 def _minhash_dedup_sql() -> str:
@@ -2083,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1
         """,
         "kmeans_quantized": _kmeans_sql(),
+        "pq_codebooks": _pq_sql(),
         # per-cluster top-3 nearest the final centroid over the SAME
         # unrolled kmeans CTE chain
         "cluster_representatives": f"""

@@ -1288,3 +1288,140 @@ def cluster_token_profile(sf_dir: str, k: int = 8,
                  "sum_tokens": "int64"})
     )
     return out.sort_values("cluster").reset_index(drop=True)
+
+
+_PQ_MEMO: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _pq_state(sf_dir: str, m: int = 4, k: int = 8,
+              iters: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """(per-dim scales, (m, k, dim/m) per-subspace integer centroids)
+    for product quantization — Lloyd's run INDEPENDENTLY on each of
+    ``m`` contiguous dim slices of the embedding_quantize codes, all
+    subspaces advanced in the SAME streaming pass per iteration (one
+    corpus read trains every codebook).  Same exactness contract as
+    _kmeans_state: init = sliced codes of vec_id 0..k-1, ties to the
+    smaller cluster id, empty clusters keep their centroid,
+    floor(sum/n + 0.5) re-quantization."""
+    key = (os.path.abspath(sf_dir), m, k, iters)
+    if key in _PQ_MEMO:
+        return _PQ_MEMO[key]
+    from ray.data.aggregate import Max, Sum as _Sum
+
+    def dim_partials(batch: dict) -> pd.DataFrame:
+        arr = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        )
+        return pd.DataFrame(
+            {"dim": np.arange(1, arr.shape[1] + 1, dtype=np.int64),
+             "p_max": np.abs(arr).max(axis=0)}
+        )
+
+    scales = (
+        _emb(sf_dir)
+        .map_batches(dim_partials, batch_format="numpy", batch_size=4096)
+        .groupby("dim")
+        .aggregate(Max("p_max", alias_name="s"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    s = scales["s"].to_numpy()
+    dim = len(s)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    s_ref = ray.put(s)
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+
+    t0 = pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    t0 = t0.filter(pc_.less(t0.column("vec_id"), k))
+    init_ids, init_codes = _kmeans_codes(
+        {"vec_id": t0.column("vec_id").to_numpy(),
+         "embedding": t0.column("embedding").to_pylist()}, s
+    )
+    full = init_codes[np.argsort(init_ids)]
+    cents = np.stack([full[:, j * sub:(j + 1) * sub] for j in range(m)])
+
+    base = _emb(sf_dir).materialize()
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partials(batch: dict) -> pd.DataFrame:
+            cc = ray.get(c_ref)
+            _ids, codes = _kmeans_codes(batch, ray.get(s_ref))
+            rows = []
+            for j in range(m):
+                sl = codes[:, j * sub:(j + 1) * sub]
+                a, _d = _kmeans_assign_codes(sl, cc[j])
+                for cl in np.unique(a):
+                    msk = a == cl
+                    rows.append(
+                        {"sub": j, "cluster": int(cl),
+                         "n": int(msk.sum()),
+                         **{f"s{i}": v for i, v in
+                            enumerate(sl[msk].sum(axis=0))}}
+                    )
+            return pd.DataFrame(rows)
+
+        agg_cols = ["n"] + [f"s{i}" for i in range(sub)]
+        g = (
+            base.map_batches(partials, batch_format="numpy",
+                             batch_size=4096)
+            .groupby(["sub", "cluster"])
+            .aggregate(*[_Sum(c, alias_name=c) for c in agg_cols])
+            .to_pandas()
+        )
+        new = cents.copy()
+        for _, row in g.iterrows():
+            n = int(row["n"])
+            if n > 0:
+                sums = np.asarray(
+                    [row[f"s{i}"] for i in range(sub)], dtype=np.float64
+                )
+                new[int(row["sub"]), int(row["cluster"])] = np.floor(
+                    sums / n + 0.5
+                ).astype(np.int64)
+        cents = new
+
+    _PQ_MEMO[key] = (s, cents)
+    return s, cents
+
+
+def pq_codebooks(sf_dir: str, m: int = 4, k: int = 8,
+                 iters: int = 2) -> "rd.Dataset":
+    """Product quantization — the billion-scale ANN compression path:
+    split each embedding into ``m`` contiguous subvectors and train an
+    independent k-codeword codebook per subspace (one streaming Lloyd
+    pass per iteration trains all ``m`` at once), then emit each
+    vector's code and exact int64 distortion per subspace —
+    (vec_id, subspace, code, dist).  A vector's PQ representation is
+    the m-tuple of codes (m * log2(k) bits vs dim * 32), and
+    sum(dist) over subspaces is its total quantization error.  Exact
+    integer arithmetic end-to-end, so the oracle — the kmeans_quantized
+    unroll repeated per dim slice and UNION ALLed — hash-matches every
+    assignment."""
+    s, cents = _pq_state(sf_dir, m, k, iters)
+    sub = cents.shape[2]
+    s_ref = ray.put(s)
+    c_ref = ray.put(cents)
+
+    def assign(batch: dict) -> pd.DataFrame:
+        cc = ray.get(c_ref)
+        ids, codes = _kmeans_codes(batch, ray.get(s_ref))
+        frames = []
+        for j in range(m):
+            sl = codes[:, j * sub:(j + 1) * sub]
+            a, d = _kmeans_assign_codes(sl, cc[j])
+            frames.append(pd.DataFrame(
+                {"vec_id": ids, "subspace": np.int64(j),
+                 "code": a.astype(np.int64),
+                 "dist": d.astype(np.int64)}
+            ))
+        return pd.concat(frames, ignore_index=True)
+
+    return _emb(sf_dir).map_batches(assign, batch_format="numpy",
+                                    batch_size=4096)

@@ -274,6 +274,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("media_avi_frames", ["documents"]),
         ("minhash_cluster_size_hist", ["documents"]),
         ("doc_novel_trigrams", ["documents"]),
+        ("pq_codebooks", ["embeddings"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
