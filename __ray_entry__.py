@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": similarity.ann_range_search,
         "kmeans_quantized": similarity.kmeans_quantized,
         "pq_codebooks": similarity.pq_codebooks,
+        "ann_topk_pq": similarity.ann_topk_pq,
         "cluster_representatives": similarity.cluster_representatives,
         "cluster_token_profile": similarity.cluster_token_profile,
         "priority_sample": curation.priority_sample,
@@ -1107,6 +1108,42 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 2,
             f"FROM a{iters + 1}_{j}"
         )
     return ",".join(parts) + " " + " UNION ALL ".join(finals)
+
+
+def _pq_adc_sql(m: int = 4, k: int = 8, iters: int = 2,
+                dim: int = 64, topk: int = 10, qid: int = 0) -> str:
+    """PQ-ADC oracle: the per-subspace Lloyd chains from _pq_sql, a
+    LUT CTE per subspace (query-slice-to-codeword int distances from
+    the FINAL centroids c{iters}_j), gathered by each vector's
+    a{iters+1}_j code and summed."""
+    sub = dim // m
+    body = _pq_sql(m, k, iters, dim)
+    # reuse everything up to the final UNION ALL selects
+    chains = body[: body.index(" SELECT vec_id, CAST(0 AS BIGINT)")]
+    luts, gathers = [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        luts.append(f"""
+        lut_{j} AS (
+          SELECT c.cluster,
+                 sum((q.code - c.code) * (q.code - c.code)) AS ld
+          FROM c{iters}_{j} c
+          JOIN (SELECT dim, code FROM u
+                WHERE vec_id = {qid}
+                  AND dim BETWEEN {lo} AND {hi}) q USING (dim)
+          GROUP BY 1
+        )""")
+        gathers.append(
+            f"SELECT a.vec_id, l.ld FROM a{iters + 1}_{j} a "
+            f"JOIN lut_{j} l ON l.cluster = a.cluster"
+        )
+    return (
+        chains + "," + ",".join(luts)
+        + f""" SELECT vec_id, CAST(sum(ld) AS BIGINT) AS d_pq
+        FROM ({" UNION ALL ".join(gathers)})
+        WHERE vec_id <> {qid}
+        GROUP BY vec_id ORDER BY d_pq, vec_id LIMIT {topk}"""
+    )
 
 
 def _minhash_dedup_sql() -> str:
@@ -2149,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_quantized": _kmeans_sql(),
         "pq_codebooks": _pq_sql(),
+        "ann_topk_pq": _pq_adc_sql(),
         # per-cluster top-3 nearest the final centroid over the SAME
         # unrolled kmeans CTE chain
         "cluster_representatives": f"""

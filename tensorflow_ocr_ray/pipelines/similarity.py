@@ -1425,3 +1425,55 @@ def pq_codebooks(sf_dir: str, m: int = 4, k: int = 8,
 
     return _emb(sf_dir).map_batches(assign, batch_format="numpy",
                                     batch_size=4096)
+
+
+def ann_topk_pq(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                m: int = 4, codebook_k: int = 8,
+                iters: int = 2) -> pd.DataFrame:
+    """PQ-ADC nearest neighbours — the search half of pq_codebooks:
+    asymmetric distance computation with the classic m x k lookup
+    table (exact int64 distance from the query's code slices to every
+    codeword, computed ONCE on the driver), so scoring a vector is m
+    table gathers + a sum instead of a dim-length dot product.
+    Returns the top-``k`` (vec_id, d_pq) by approximated distance,
+    ties to the smaller vec_id; per-batch local top-k partials merge
+    driver-side (the ann_topk_brute shape).  Every quantity is an
+    integer, so the oracle — the per-subspace Lloyd unroll joined to
+    a LUT CTE — hash-matches the full ranking."""
+    s, cents = _pq_state(sf_dir, m, codebook_k, iters)
+    sub = cents.shape[2]
+    q = _query_vector(sf_dir, query_vec_id)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qc = np.floor(q * 127.0 / s + 0.5)
+    qc = np.where(s == 0, 0.0, qc).astype(np.int64)
+    lut = np.stack([
+        ((qc[j * sub:(j + 1) * sub] - cents[j]) ** 2).sum(axis=1)
+        for j in range(m)
+    ])  # (m, codebook_k) int64
+    s_ref = ray.put(s)
+    c_ref = ray.put(cents)
+    l_ref = ray.put(lut)
+
+    def local_top(batch: dict) -> pd.DataFrame:
+        cc, lu = ray.get(c_ref), ray.get(l_ref)
+        ids, codes = _kmeans_codes(batch, ray.get(s_ref))
+        d = np.zeros(len(ids), np.int64)
+        for j in range(m):
+            a, _ = _kmeans_assign_codes(
+                codes[:, j * sub:(j + 1) * sub], cc[j]
+            )
+            d += lu[j, a]
+        out = pd.DataFrame({"vec_id": ids, "d_pq": d})
+        out = out[out["vec_id"] != query_vec_id]
+        return out.sort_values(["d_pq", "vec_id"]).head(k)
+
+    parts = (
+        _emb(sf_dir)
+        .map_batches(local_top, batch_format="numpy", batch_size=4096)
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["d_pq", "vec_id"]).head(k)
+        .astype({"vec_id": "int64", "d_pq": "int64"})
+        .reset_index(drop=True)
+    )

@@ -275,6 +275,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("minhash_cluster_size_hist", ["documents"]),
         ("doc_novel_trigrams", ["documents"]),
         ("pq_codebooks", ["embeddings"]),
+        ("ann_topk_pq", ["embeddings"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
