@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_by_type": relational.mad_by_type,
         "daily_anomaly_days": relational.daily_anomaly_days,
         "daily_count_autocov": relational.daily_count_autocov,
+        "daily_cusum": relational.daily_cusum,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
         "user_bitmap_activity": relational.user_bitmap_activity,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -3222,6 +3223,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS sum_cents
             FROM orders GROUP BY 1
+        """,
+        # CUSUM over D-scaled deviations; the recursion kept literal
+        "daily_cusum": """
+            WITH RECURSIVE cd AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+                     CAST(sum(n) AS BIGINT) AS s
+              FROM cd GROUP BY 1
+            ),
+            seq AS (
+              SELECT c.event_type, c.day, c.n * t.d - t.s AS dev,
+                     row_number() OVER (PARTITION BY c.event_type
+                                        ORDER BY c.day) AS i
+              FROM cd c JOIN st t USING (event_type)
+            ),
+            cus(event_type, i, day, cusum) AS (
+              SELECT event_type, i, day,
+                     greatest(CAST(0 AS BIGINT), dev)
+              FROM seq WHERE i = 1
+              UNION ALL
+              SELECT s.event_type, s.i, s.day,
+                     greatest(CAST(0 AS BIGINT), c.cusum + s.dev)
+              FROM cus c JOIN seq s
+                ON s.event_type = c.event_type AND s.i = c.i + 1
+            )
+            SELECT event_type, day, CAST(cusum AS BIGINT) AS cusum_d
+            FROM cus
         """,
         # D^2-scaled autocovariance at lags 0/1/7 over daily counts,
         # day pairs matched BY VALUE (join on day+k)

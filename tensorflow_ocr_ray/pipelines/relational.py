@@ -2649,3 +2649,59 @@ def mad_by_type(sf_dir: str) -> pd.DataFrame:
         out[["event_type", "median_cents", "mad_cents"]]
         .sort_values("event_type").reset_index(drop=True)
     )
+
+
+def daily_cusum(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint statistic over the per-type daily-count
+    series — S_t = max(0, S_{t-1} + (n_t*D - S)), the sequential-state
+    member of the anomaly family (daily_anomaly_days: pointwise;
+    daily_count_autocov: second-order; this: accumulated drift).  The
+    recursion has the classic closed form S_t = P_t - min(0,
+    min_{j<=t} P_j) over the deviation prefix sums, so the engine is
+    one vectorized cumsum + running-min per type over the bounded
+    (type, day) grid — while the ORACLE keeps the recursion literal
+    (WITH RECURSIVE stepping day by day), making the hash match a
+    proof the closed form equals the recurrence on this data.  Pure
+    int64 (deviations are D-scaled, no division)."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+    _US_DAY = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"],
+                          "day": us // _US_DAY})
+            .groupby(["event_type", "day"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return g.astype({"day": "int64", "n": "int64"})
+
+    grid = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(
+            lambda df: df.groupby(["event_type", "day"],
+                                  as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n"].sum()
+    )
+    frames = []
+    for et, g in grid.groupby("event_type"):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy(np.int64)
+        d = np.int64(len(n))
+        dev = n * d - n.sum()
+        p = np.cumsum(dev)
+        runmin = np.minimum.accumulate(np.r_[np.int64(0), p])[1:]
+        s = p - np.minimum(runmin, 0)
+        frames.append(pd.DataFrame(
+            {"event_type": et, "day": g["day"].to_numpy(np.int64),
+             "cusum_d": s}
+        ))
+    return (
+        pd.concat(frames, ignore_index=True)
+        .astype({"day": "int64", "cusum_d": "int64"})
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+    )

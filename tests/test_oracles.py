@@ -276,6 +276,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("doc_novel_trigrams", ["documents"]),
         ("pq_codebooks", ["embeddings"]),
         ("ann_topk_pq", ["embeddings"]),
+        ("daily_cusum", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
