@@ -630,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_anomaly_days": relational.daily_anomaly_days,
         "daily_count_autocov": relational.daily_count_autocov,
         "daily_cusum": relational.daily_cusum,
+        "daily_ewma": relational.daily_ewma,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
         "user_bitmap_activity": relational.user_bitmap_activity,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -3223,6 +3224,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS sum_cents
             FROM orders GROUP BY 1
+        """,
+        # integer EWMA alpha=1/4: S_t = (n_t + 3*S_{t-1}) // 4
+        "daily_ewma": """
+            WITH RECURSIVE cd AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            seq AS (
+              SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS i
+              FROM cd
+            ),
+            ew(event_type, i, day, n, ewma) AS (
+              SELECT event_type, i, day, n, n FROM seq WHERE i = 1
+              UNION ALL
+              SELECT s.event_type, s.i, s.day, s.n,
+                     (1 * s.n + 3 * e.ewma) // 4
+              FROM ew e JOIN seq s
+                ON s.event_type = e.event_type AND s.i = e.i + 1
+            )
+            SELECT event_type, day, n, CAST(ewma AS BIGINT) AS ewma
+            FROM ew
         """,
         # CUSUM over D-scaled deviations; the recursion kept literal
         "daily_cusum": """

@@ -2705,3 +2705,56 @@ def daily_cusum(sf_dir: str) -> pd.DataFrame:
         .astype({"day": "int64", "cusum_d": "int64"})
         .sort_values(["event_type", "day"]).reset_index(drop=True)
     )
+
+
+def daily_ewma(sf_dir: str, num: int = 1, den: int = 4) -> pd.DataFrame:
+    """Integer EWMA over per-type daily counts — S_1 = n_1,
+    S_t = (num*n_t + (den-num)*S_{t-1}) // den (alpha = num/den with
+    floor division, so the state stays int64 and the recursive-CTE
+    oracle steps the identical recurrence).  The smoothing member of
+    the time-series family (CUSUM: drift; autocov: correlation; this:
+    level).  Unlike CUSUM there is no closed form under floor
+    division — the engine runs the literal 30-step recursion per type
+    over the bounded grid (driver-trivial; the grid never scales with
+    corpus size)."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+    _US_DAY = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"],
+                          "day": us // _US_DAY})
+            .groupby(["event_type", "day"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return g.astype({"day": "int64", "n": "int64"})
+
+    grid = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(
+            lambda df: df.groupby(["event_type", "day"],
+                                  as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n"].sum()
+    )
+    frames = []
+    for et, g in grid.groupby("event_type"):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy(np.int64)
+        s = np.empty(len(n), np.int64)
+        s[0] = n[0]
+        for i in range(1, len(n)):
+            s[i] = (num * n[i] + (den - num) * s[i - 1]) // den
+        frames.append(pd.DataFrame(
+            {"event_type": et, "day": g["day"].to_numpy(np.int64),
+             "n": n, "ewma": s}
+        ))
+    return (
+        pd.concat(frames, ignore_index=True)
+        .astype({"day": "int64", "n": "int64", "ewma": "int64"})
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+    )

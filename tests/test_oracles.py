@@ -277,6 +277,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("pq_codebooks", ["embeddings"]),
         ("ann_topk_pq", ["embeddings"]),
         ("daily_cusum", ["events"]),
+        ("daily_ewma", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
