@@ -612,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_quantized": similarity.kmeans_quantized,
         "pq_codebooks": similarity.pq_codebooks,
         "ann_topk_pq": similarity.ann_topk_pq,
+        "ann_topk_ivfpq": similarity.ann_topk_ivfpq,
         "cluster_representatives": similarity.cluster_representatives,
         "cluster_token_profile": similarity.cluster_token_profile,
         "priority_sample": curation.priority_sample,
@@ -1145,6 +1146,135 @@ def _pq_adc_sql(m: int = 4, k: int = 8, iters: int = 2,
         FROM ({" UNION ALL ".join(gathers)})
         WHERE vec_id <> {qid}
         GROUP BY vec_id ORDER BY d_pq, vec_id LIMIT {topk}"""
+    )
+
+
+def _ivfpq_sql(m: int = 4, k: int = 8, iters: int = 2,
+               dim: int = 64, topk: int = 10, qid: int = 0,
+               nprobe: int = 2) -> str:
+    """IVF+PQ oracle: one shared codes CTE, a COARSE Lloyd chain
+    (kc*/kd*/ka*/ks* names) giving per-vector cells and final coarse
+    centroids, a query-cell CTE picking the nprobe nearest cells, the
+    per-subspace PQ chains + LUTs from the _pq_sql pattern, and the
+    ADC gather filtered to probed cells."""
+    sub = dim // m
+    parts = [f"""
+        WITH uu AS MATERIALIZED (
+          SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 unnest(generate_series(1, len(embedding))) AS dim
+          FROM embeddings
+        ),
+        sc AS (SELECT dim, max(abs(x)) AS s FROM uu GROUP BY dim),
+        u AS MATERIALIZED (
+          SELECT uu.vec_id, uu.dim,
+                 CASE WHEN sc.s = 0 THEN 0
+                      ELSE CAST(floor(uu.x * 127 / sc.s + 0.5)
+                                AS BIGINT) END AS code
+          FROM uu JOIN sc USING (dim)
+        ),
+        kc0 AS (SELECT vec_id AS cluster, dim, code FROM u
+                WHERE vec_id < {k})"""]
+    for t in range(1, iters + 2):
+        prev = f"kc{t - 1}"
+        parts.append(f"""
+        kd{t} AS (
+          SELECT u.vec_id, c.cluster,
+                 sum((u.code - c.code) * (u.code - c.code)) AS d
+          FROM u JOIN {prev} c USING (dim) GROUP BY 1, 2
+        ),
+        ka{t} AS (
+          SELECT vec_id, cluster, d FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM kd{t}) WHERE rn = 1
+        )""")
+        if t <= iters:
+            parts.append(f"""
+        ks{t} AS (
+          SELECT a.cluster, u.dim, sum(u.code) AS s, count(*) AS n
+          FROM ka{t} a JOIN u USING (vec_id) GROUP BY 1, 2
+        ),
+        kc{t} AS (
+          SELECT c.cluster, c.dim,
+                 CASE WHEN s.n IS NULL THEN c.code
+                      ELSE CAST(floor(CAST(s.s AS DOUBLE) / s.n + 0.5)
+                                AS BIGINT) END AS code
+          FROM {prev} c LEFT JOIN ks{t} s
+            ON s.cluster = c.cluster AND s.dim = c.dim
+        )""")
+    parts.append(f"""
+        cells AS MATERIALIZED (
+          SELECT vec_id, cluster AS cell FROM ka{iters + 1}
+        ),
+        qcell AS (
+          SELECT cluster AS cell FROM (
+            SELECT c.cluster,
+                   sum((q.code - c.code) * (q.code - c.code)) AS d
+            FROM kc{iters} c
+            JOIN (SELECT dim, code FROM u WHERE vec_id = {qid}) q
+              USING (dim)
+            GROUP BY 1 ORDER BY d, cluster LIMIT {nprobe}
+          )
+        )""")
+    gathers = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"""
+        c0_{j} AS (SELECT vec_id AS cluster, dim, code FROM u
+               WHERE vec_id < {k} AND dim BETWEEN {lo} AND {hi})""")
+        for t in range(1, iters + 2):
+            prev = f"c{t - 1}_{j}"
+            parts.append(f"""
+        d{t}_{j} AS (
+          SELECT u.vec_id, c.cluster,
+                 sum((u.code - c.code) * (u.code - c.code)) AS d
+          FROM u JOIN {prev} c USING (dim) GROUP BY 1, 2
+        ),
+        a{t}_{j} AS (
+          SELECT vec_id, cluster, d FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d{t}_{j}) WHERE rn = 1
+        )""")
+            if t <= iters:
+                parts.append(f"""
+        s{t}_{j} AS (
+          SELECT a.cluster, u.dim, sum(u.code) AS s, count(*) AS n
+          FROM a{t}_{j} a JOIN u USING (vec_id)
+          WHERE u.dim BETWEEN {lo} AND {hi} GROUP BY 1, 2
+        ),
+        c{t}_{j} AS (
+          SELECT c.cluster, c.dim,
+                 CASE WHEN s.n IS NULL THEN c.code
+                      ELSE CAST(floor(CAST(s.s AS DOUBLE) / s.n + 0.5)
+                                AS BIGINT) END AS code
+          FROM {prev} c LEFT JOIN s{t}_{j} s
+            ON s.cluster = c.cluster AND s.dim = c.dim
+        )""")
+        parts.append(f"""
+        lut_{j} AS (
+          SELECT c.cluster,
+                 sum((q.code - c.code) * (q.code - c.code)) AS ld
+          FROM c{iters}_{j} c
+          JOIN (SELECT dim, code FROM u
+                WHERE vec_id = {qid}
+                  AND dim BETWEEN {lo} AND {hi}) q USING (dim)
+          GROUP BY 1
+        )""")
+        gathers.append(
+            f"SELECT a.vec_id, l.ld FROM a{iters + 1}_{j} a "
+            f"JOIN lut_{j} l ON l.cluster = a.cluster"
+        )
+    return (
+        ",".join(parts)
+        + f""" SELECT g.vec_id, ce.cell,
+               CAST(sum(g.ld) AS BIGINT) AS d_pq
+        FROM ({" UNION ALL ".join(gathers)}) g
+        JOIN cells ce ON ce.vec_id = g.vec_id
+        WHERE ce.cell IN (SELECT cell FROM qcell)
+          AND g.vec_id <> {qid}
+        GROUP BY g.vec_id, ce.cell
+        ORDER BY d_pq, g.vec_id LIMIT {topk}"""
     )
 
 
@@ -2189,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_quantized": _kmeans_sql(),
         "pq_codebooks": _pq_sql(),
         "ann_topk_pq": _pq_adc_sql(),
+        "ann_topk_ivfpq": _ivfpq_sql(),
         # per-cluster top-3 nearest the final centroid over the SAME
         # unrolled kmeans CTE chain
         "cluster_representatives": f"""

@@ -1477,3 +1477,62 @@ def ann_topk_pq(sf_dir: str, k: int = 10, query_vec_id: int = 0,
         .astype({"vec_id": "int64", "d_pq": "int64"})
         .reset_index(drop=True)
     )
+
+
+def ann_topk_ivfpq(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                   nprobe: int = 2, m: int = 4, codebook_k: int = 8,
+                   iters: int = 2) -> pd.DataFrame:
+    """IVF-pruned PQ search — the combined billion-scale serving
+    shape: a coarse quantizer (kmeans_quantized's cells) restricts
+    scoring to the query's ``nprobe`` nearest cells, and PQ-ADC
+    (ann_topk_pq's m x k lookup table) scores only those vectors — so
+    cost is (probed fraction of corpus) x (m gathers), not corpus x
+    dim.  Returns top-``k`` (vec_id, cell, d_pq), ties to smaller
+    vec_id; exact integer arithmetic throughout, so the oracle —
+    coarse-assignment unroll + per-subspace PQ unroll + a query-cell
+    CTE + the LUT gather filtered to probed cells — hash-matches.
+    Recall is approximate BY DESIGN (vectors outside probed cells are
+    never scored); the oracle checks the pruned computation itself."""
+    cs, ccents = _kmeans_state(sf_dir, codebook_k, iters)
+    ps, pcents = _pq_state(sf_dir, m, codebook_k, iters)
+    sub = pcents.shape[2]
+    q = _query_vector(sf_dir, query_vec_id)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qc = np.floor(q * 127.0 / cs + 0.5)
+    qc = np.where(cs == 0, 0.0, qc).astype(np.int64)
+    dq = ((qc - ccents) ** 2).sum(axis=1)
+    probe = np.lexsort((np.arange(len(dq)), dq))[:nprobe]
+    lut = np.stack([
+        ((qc[j * sub:(j + 1) * sub] - pcents[j]) ** 2).sum(axis=1)
+        for j in range(m)
+    ])
+    refs = tuple(map(ray.put, (cs, ccents, pcents, lut,
+                               np.asarray(probe, np.int64))))
+
+    def local_top(batch: dict) -> pd.DataFrame:
+        s_, cc_, pc_, lu_, pr_ = (ray.get(r) for r in refs)
+        ids, codes = _kmeans_codes(batch, s_)
+        cell, _ = _kmeans_assign_codes(codes, cc_)
+        msk = np.isin(cell, pr_) & (ids != query_vec_id)
+        ids, codes, cell = ids[msk], codes[msk], cell[msk]
+        d = np.zeros(len(ids), np.int64)
+        for j in range(m):
+            a, _ = _kmeans_assign_codes(
+                codes[:, j * sub:(j + 1) * sub], pc_[j]
+            )
+            d += lu_[j, a]
+        out = pd.DataFrame(
+            {"vec_id": ids, "cell": cell.astype(np.int64), "d_pq": d}
+        )
+        return out.sort_values(["d_pq", "vec_id"]).head(k)
+
+    parts = (
+        _emb(sf_dir)
+        .map_batches(local_top, batch_format="numpy", batch_size=4096)
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["d_pq", "vec_id"]).head(k)
+        .astype({"vec_id": "int64", "cell": "int64", "d_pq": "int64"})
+        .reset_index(drop=True)
+    )

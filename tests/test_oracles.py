@@ -278,6 +278,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("ann_topk_pq", ["embeddings"]),
         ("daily_cusum", ["events"]),
         ("daily_ewma", ["events"]),
+        ("ann_topk_ivfpq", ["embeddings"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
