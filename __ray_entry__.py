@@ -304,6 +304,92 @@ def _media_pdf_pages(sf_dir: str):
     return feats.map_batches(finalize, batch_format="pandas")
 
 
+def _gif_payloads(df) -> "pa.Table":
+    """Deterministic animated GIFs (1 + doc_id%5 frames, frame i =
+    first i+1 black rows on an (8 + doc_id%4) x 8 canvas) — shared by
+    media_gif_frames and the mixed-container router."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.core.gif import gif_lzw_encode
+
+    pal = bytes([0, 0, 0, 255, 255, 255])  # 0=black, 1=white
+    payloads = []
+    for did in df["doc_id"]:
+        d = int(did)
+        h, w = 8 + d % 4, 8
+        gif = bytearray(b"GIF89a")
+        gif += struct.pack("<HHBBB", w, h, 0x80, 1, 0) + pal
+        for i in range(1 + d % 5):
+            idx = np.ones((h, w), dtype=np.uint8)
+            idx[: i + 1, :] = 0
+            gif += b"\x21\xf9\x04" + struct.pack("<BHB", 1 << 2, 1, 0)
+            gif += b"\x00"
+            gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            lzw = gif_lzw_encode(idx.tobytes(), 2)
+            gif += b"\x02"
+            for j in range(0, len(lzw), 255):
+                chunk = lzw[j:j + 255]
+                gif += bytes([len(chunk)]) + chunk
+            gif += b"\x00"
+        gif += b"\x3b"
+        payloads.append(bytes(gif))
+    return pa.table(
+        {
+            "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
+            "video": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def _avi_payloads(df) -> "pa.Table":
+    """Deterministic palettized-DIB AVIs with the same arithmetic
+    frame geometry as _gif_payloads."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def _list(kind: bytes, body: bytes) -> bytes:
+        return _chunk(b"LIST", kind + body)
+
+    pal = bytes((0, 0, 0, 0)) + bytes((255, 255, 255, 0))
+    payloads = []
+    for did in df["doc_id"]:
+        d = int(did)
+        h, w = 8 + d % 4, 8
+        bih = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 2, 0
+        )
+        strl = _list(
+            b"strl",
+            _chunk(b"strh", bytes(56)) + _chunk(b"strf", bih + pal),
+        )
+        hdrl = _list(b"hdrl", _chunk(b"avih", bytes(56)) + strl)
+        frames = []
+        for i in range(1 + d % 5):
+            idx = np.ones((h, w), dtype=np.uint8)
+            idx[: i + 1, :] = 0
+            frames.append(idx[::-1].tobytes())
+        movi = _list(
+            b"movi", b"".join(_chunk(b"00db", f) for f in frames)
+        )
+        body = b"AVI " + hdrl + movi
+        payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+    return pa.table(
+        {
+            "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
+            "video": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
 def _media_gif_frames(sf_dir: str):
     """Animated-GIF ingest as a first-class query: one deterministic
     GIF89a per document (1 + doc_id%5 full-canvas frames, frame i =
@@ -325,36 +411,7 @@ def _media_gif_frames(sf_dir: str):
     )
 
     def synth(df):
-        from tensorflow_ocr_ray.core.gif import gif_lzw_encode
-
-        pal = bytes([0, 0, 0, 255, 255, 255])  # 0=black, 1=white
-        payloads = []
-        for did in df["doc_id"]:
-            d = int(did)
-            h, w = 8 + d % 4, 8
-            gif = bytearray(b"GIF89a")
-            gif += struct.pack("<HHBBB", w, h, 0x80, 1, 0) + pal
-            for i in range(1 + d % 5):
-                idx = np.ones((h, w), dtype=np.uint8)
-                idx[: i + 1, :] = 0
-                # GCE: disposal=1 (leave), no transparency
-                gif += b"\x21\xf9\x04" + struct.pack("<BHB", 1 << 2, 1, 0)
-                gif += b"\x00"
-                gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-                lzw = gif_lzw_encode(idx.tobytes(), 2)
-                gif += b"\x02"  # LZW min code size
-                for j in range(0, len(lzw), 255):
-                    chunk = lzw[j:j + 255]
-                    gif += bytes([len(chunk)]) + chunk
-                gif += b"\x00"  # sub-block terminator
-            gif += b"\x3b"  # trailer
-            payloads.append(bytes(gif))
-        return pa.table(
-            {
-                "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
-                "video": pa.array(payloads, type=pa.binary()),
-            }
-        )
+        return _gif_payloads(df)
 
     frames = docs.map_batches(
         synth, batch_format="pandas", batch_size=1024
@@ -411,36 +468,54 @@ def _media_avi_frames(sf_dir: str):
         return _chunk(b"LIST", kind + body)
 
     def synth(df):
-        # palette entry 0 = black (ink after binarize), 1 = white
-        pal = bytes((0, 0, 0, 0)) + bytes((255, 255, 255, 0))
-        payloads = []
-        for did in df["doc_id"]:
-            d = int(did)
-            h, w = 8 + d % 4, 8  # stride w == 8 is already 4-aligned
-            bih = struct.pack(
-                "<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 2, 0
-            )
-            strl = _list(
-                b"strl",
-                _chunk(b"strh", bytes(56)) + _chunk(b"strf", bih + pal),
-            )
-            hdrl = _list(b"hdrl", _chunk(b"avih", bytes(56)) + strl)
-            frames = []
-            for i in range(1 + d % 5):
-                idx = np.ones((h, w), dtype=np.uint8)
-                idx[: i + 1, :] = 0          # top-down: i+1 black rows
-                frames.append(idx[::-1].tobytes())  # DIB rows bottom-up
-            movi = _list(
-                b"movi", b"".join(_chunk(b"00db", f) for f in frames)
-            )
-            body = b"AVI " + hdrl + movi
-            payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return _avi_payloads(df)
+
+    frames = docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2, fn_constructor_kwargs={"every": 2},
+    )
+
+    def count_ink(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.raster import decode_payload
+
+        ink = [
+            int(decode_payload(p).sum())
+            for p in batch.column("frame").to_pylist()
+        ]
         return pa.table(
             {
-                "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
-                "video": pa.array(payloads, type=pa.binary()),
+                "media_ref": batch.column("media_ref"),
+                "frame_idx": batch.column("frame_idx"),
+                "ink": pa.array(ink, type=pa.int64()),
             }
         )
+
+    return frames.map_batches(count_ink, batch_format="pyarrow")
+
+
+def _media_mixed_frames(sf_dir: str):
+    """Mixed-container media routing: EVEN doc_ids get an animated GIF,
+    ODD doc_ids a palettized-DIB AVI (same arithmetic frame geometry),
+    all flowing through ONE VideoFrameSampleStage pool — the payload
+    SNIFFING dispatch (GIF87a/89a magic vs RIFF/AVI) is what this
+    query pins down: a real corpus column holds heterogeneous
+    containers and the stage must route per row, not per pipeline.
+    Ink oracle is the same arithmetic for both formats."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.multimodal import VideoFrameSampleStage
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        gif_tbl = _gif_payloads(df[df["doc_id"] % 2 == 0])
+        avi_tbl = _avi_payloads(df[df["doc_id"] % 2 == 1])
+        return pa.concat_tables([gif_tbl, avi_tbl])
 
     frames = docs.map_batches(
         synth, batch_format="pandas", batch_size=1024
@@ -741,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pdf_pages": _media_pdf_pages,
         "media_gif_frames": _media_gif_frames,
         "media_avi_frames": _media_avi_frames,
+        "media_mixed_frames": _media_mixed_frames,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,
@@ -2144,6 +2220,16 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "media_avi_frames": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST((i + 1) * 8 AS BIGINT) AS ink
+            FROM (
+                SELECT doc_id,
+                       unnest(range(0, 1 + doc_id % 5, 2)) AS i
+                FROM documents
+            )
+        """,
+        "media_mixed_frames": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,
                    CAST(i AS INTEGER) AS frame_idx,
                    CAST((i + 1) * 8 AS BIGINT) AS ink

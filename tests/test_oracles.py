@@ -279,6 +279,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("daily_cusum", ["events"]),
         ("daily_ewma", ["events"]),
         ("ann_topk_ivfpq", ["embeddings"]),
+        ("media_mixed_frames", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
