@@ -542,6 +542,399 @@ def _media_mixed_frames(sf_dir: str):
     return frames.map_batches(count_ink, batch_format="pyarrow")
 
 
+def _png_payloads(df) -> "pa.Table":
+    """Deterministic PNGs sweeping BOTH axes the spec multiplies:
+    color type cycles doc_id%5 over {gray8, RGB, palette, gray+alpha,
+    RGBA} and the per-row filter cycles row%5 over all five defilters
+    (None/Sub/Up/Average/Paeth), so one corpus pass exercises every
+    (color, filter) combination core/png.py implements.  Ink geometry
+    stays arithmetic (first 1 + doc_id%5 rows black on an
+    (8 + doc_id%4) x 8 canvas); pure black/white pixels are exact
+    through the ITU-R 601 integer luma (77/150/29 >> 8), so the ink
+    oracle is format-independent."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body))
+        )
+
+    def _filter_rows(raw: "np.ndarray", bpp: int) -> bytes:
+        """raw: (h, stride) uint8 scanlines → filtered stream, row r
+        using filter r%5 per the RFC 2083 recurrences."""
+        h = raw.shape[0]
+        out = bytearray()
+        prior = np.zeros(raw.shape[1], dtype=np.int32)
+        for r in range(h):
+            row = raw[r].astype(np.int32)
+            left = np.zeros_like(row)
+            left[bpp:] = row[:-bpp]
+            upleft = np.zeros_like(prior)
+            upleft[bpp:] = prior[:-bpp]
+            f = r % 5
+            if f == 0:
+                filt = row
+            elif f == 1:
+                filt = row - left
+            elif f == 2:
+                filt = row - prior
+            elif f == 3:
+                filt = row - (left + prior) // 2
+            else:
+                p = left + prior - upleft
+                pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - prior),
+                                 np.abs(p - upleft))
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_), left,
+                    np.where(pb_ <= pc_, prior, upleft),
+                )
+                filt = row - pred
+            out.append(f)
+            out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+            prior = row
+        return bytes(out)
+
+    payloads = []
+    for did in df["doc_id"]:
+        d = int(did)
+        h, w = 8 + d % 4, 8
+        mask = np.zeros((h, w), dtype=np.uint8)
+        mask[: 1 + d % 5, :] = 1  # 1 = black/ink
+        gray = np.where(mask == 1, 0, 255).astype(np.uint8)
+        kind = d % 5
+        if kind == 0:  # gray 8-bit
+            ctype, bpp, plte = 0, 1, None
+            raw = gray
+        elif kind == 1:  # RGB
+            ctype, bpp, plte = 2, 3, None
+            raw = np.repeat(gray, 3).reshape(h, w * 3)
+        elif kind == 2:  # palette (0=black, 1=white)
+            ctype, bpp, plte = 3, 1, bytes([0, 0, 0, 255, 255, 255])
+            raw = mask ^ 1
+        elif kind == 3:  # gray + alpha
+            ctype, bpp = 4, 2
+            plte = None
+            raw = np.dstack([gray, np.full_like(gray, 255)]).reshape(
+                h, w * 2
+            )
+        else:  # RGBA
+            ctype, bpp = 6, 4
+            plte = None
+            raw = np.dstack(
+                [gray, gray, gray, np.full_like(gray, 255)]
+            ).reshape(h, w * 4)
+        png = bytearray(b"\x89PNG\r\n\x1a\n")
+        png += _chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        if plte is not None:
+            png += _chunk(b"PLTE", plte)
+        png += _chunk(b"IDAT", zlib.compress(_filter_rows(raw, bpp)))
+        png += _chunk(b"IEND", b"")
+        payloads.append(bytes(png))
+    return pa.table(
+        {
+            "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
+            "image": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def _media_png_ink(sf_dir: str):
+    """PNG ingest as a first-class hash-checked query: one
+    deterministic PNG per document cycling all five color types AND
+    all five row filters (see _png_payloads), decoded by core/png.py
+    via decode_payload, binarized with the reference threshold, exact
+    ink counted — so the chunk walk, zlib inflate, every defilter
+    recurrence and every color-to-luma path are pinned by the
+    arithmetic DuckDB oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        return _png_payloads(df)
+
+    def count_ink(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.raster import decode_payload
+
+        heights, ink = [], []
+        for p in batch.column("image").to_pylist():
+            img = decode_payload(p)
+            heights.append(img.shape[0])
+            ink.append(int(img.sum()))
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "height": pa.array(heights, type=pa.int32()),
+                "ink": pa.array(ink, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(count_ink, batch_format="pyarrow")
+
+
+def _jpeg_payloads(df) -> "pa.Table":
+    """Deterministic baseline JPEGs whose decode is EXACT: all-ones
+    quant table and DC-only constant 8x8 blocks, so dequant + IDCT
+    reproduce each block's gray level bit-for-bit (DC = 8*(v-128) is
+    exactly representable; the orthonormal IDCT of a DC-only block is
+    the constant DC/8 within 1e-12, and the decoder's final round
+    recovers v).  Per doc: an 8 x 8*(1+d%4) strip; the first
+    1 + d % (1+d%4) blocks are black (v=0), the rest white (v=255) —
+    ink is arithmetic in doc_id.  The writer is DC-only but the
+    decoder still runs its full marker parse, canonical-Huffman build
+    (deliberately non-standard fixed-length tables), entropy decode,
+    EXTEND, dequant, zigzag and IDCT on every block."""
+    import struct
+
+    import pyarrow as pa
+
+    class _W:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def bits(self, value: int, length: int):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((value >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc = 0
+                    self.n = 0
+
+        def flush(self):
+            while self.n:
+                self.bits(1, 1)  # pad with 1s per T.81
+
+    def _seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2) + body
+
+    # fixed-length canonical tables: DC categories 0..11 at 4 bits
+    # (codes 0..11; the all-ones code 15 stays unused), AC just EOB
+    # at 2 bits — valid Kraft, unlike any standard table.
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    ac_bits = [0] * 16
+    ac_bits[1] = 1
+
+    payloads = []
+    for did in df["doc_id"]:
+        d = int(did)
+        nb = 1 + d % 4
+        k = 1 + d % nb  # black blocks
+        h, w = 8, 8 * nb
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                    + bytes([1, 0x11, 0]))
+        out += _seg(0xC4, bytes([0x00]) + bytes(dc_bits)
+                    + bytes(range(12)))
+        out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        wtr = _W()
+        pred = 0
+        for j in range(nb):
+            v = 0 if j < k else 255
+            dc = 8 * (v - 128)
+            diff = dc - pred
+            pred = dc
+            t = 0 if diff == 0 else abs(diff).bit_length()
+            wtr.bits(t, 4)
+            if t:
+                mag = diff if diff > 0 else diff + (1 << t) - 1
+                wtr.bits(mag, t)
+            wtr.bits(0, 2)  # EOB
+        wtr.flush()
+        out += wtr.out
+        out += b"\xff\xd9"
+        payloads.append(bytes(out))
+    return pa.table(
+        {
+            "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
+            "image": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def _media_jpeg_ink(sf_dir: str):
+    """Baseline-JPEG ingest as a first-class hash-checked query: one
+    deterministic DC-only JPEG per document (see _jpeg_payloads —
+    constant blocks through the REAL Huffman/EXTEND/dequant/IDCT
+    path, exact by construction), decoded by core/jpeg.py via
+    decode_payload, exact ink counted against the arithmetic DuckDB
+    oracle.  Completes the hash-checked image matrix: TIFF (OCR
+    corpus), PDF/G4, GIF, AVI/DIB, PNG, JPEG."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        return _jpeg_payloads(df)
+
+    def count_ink(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.raster import decode_payload
+
+        widths, ink = [], []
+        for p in batch.column("image").to_pylist():
+            img = decode_payload(p)
+            widths.append(img.shape[1])
+            ink.append(int(img.sum()))
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "width": pa.array(widths, type=pa.int32()),
+                "ink": pa.array(ink, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(count_ink, batch_format="pyarrow")
+
+
+def _media_audio_mixed(sf_dir: str):
+    """Mixed-container AUDIO routing, hash-checked: EVEN doc_ids carry
+    a PCM16 WAV, ODD doc_ids a FLAC (constant subframe) — both encode
+    the SAME constant signal v = 1000 + (doc_id%200)*37, and both flow
+    through ONE AudioFeatureStage pool whose magic sniff (RIFF/WAVE vs
+    fLaC) dispatches per row.  A constant at amplitude v decodes to
+    the float32 v/2^15 exactly (power-of-two scale), so
+    round(peak * 32768) recovers v as an exact int64 and the DuckDB
+    oracle is pure doc_id arithmetic — pinning the FLAC frame walk
+    (core/flac.py) and the WAV PCM path end to end."""
+    import struct
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.multimodal import AudioFeatureStage
+
+    N = 2048  # samples; AudioFeatureStage frame=1024 → n_frames=2
+
+    def _wav(v: int) -> bytes:
+        data = struct.pack("<h", v) * N
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    class _BW:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.nbits = 0
+
+        def write(self, v: int, k: int):
+            self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+            self.nbits += k
+            while self.nbits >= 8:
+                self.nbits -= 8
+                self.buf.append((self.acc >> self.nbits) & 0xFF)
+            self.acc &= (1 << self.nbits) - 1
+
+    def _flac(v: int) -> bytes:
+        w = _BW()
+        # STREAMINFO: blocksize bounds, frame sizes, sr 8000, mono,
+        # 16 bps, total unset, md5 unset
+        w.write(16, 16)
+        w.write(65535, 16)
+        w.write(0, 24)
+        w.write(0, 24)
+        w.write(8000, 20)
+        w.write(0, 3)
+        w.write(15, 5)
+        w.write(0, 36)
+        info = bytes(w.buf) + b"\x00" * 16
+        out = bytearray(b"fLaC")
+        out += bytes([0x80]) + struct.pack(">I", len(info))[1:] + info
+        f = _BW()
+        f.write(0x3FFE, 14)  # sync
+        f.write(0, 1)
+        f.write(0, 1)  # fixed-blocksize strategy
+        f.write(7, 4)  # 16-bit blocksize-1 follows
+        f.write(0, 4)  # sample rate from STREAMINFO
+        f.write(0, 4)  # mono
+        f.write(4, 3)  # 16-bit samples
+        f.write(0, 1)
+        f.write(0, 8)  # frame number 0 (single-byte UTF-8)
+        f.write(N - 1, 16)
+        f.write(0, 8)  # header CRC-8 (parsed over)
+        f.write(0, 1)  # subframe pad bit
+        f.write(0, 6)  # CONSTANT
+        f.write(0, 1)  # no wasted bits
+        f.write(v, 16)  # the constant, signed 16-bit
+        if f.nbits:
+            f.write(0, 8 - f.nbits)  # align
+        f.write(0, 16)  # frame CRC-16 (parsed over)
+        out += bytes(f.buf)
+        return bytes(out)
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        payloads = []
+        for did in df["doc_id"]:
+            d = int(did)
+            v = 1000 + (d % 200) * 37
+            payloads.append(_wav(v) if d % 2 == 0 else _flac(v))
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    [str(int(d)) for d in df["doc_id"]]
+                ),
+                "audio": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    feats = docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2,
+    )
+
+    def finalize(batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        peak = batch.column("peak").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "n_frames": batch.column("n_frames"),
+                "sample_val": pa.array(
+                    np.round(
+                        peak.astype(np.float64) * 32768.0
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return feats.map_batches(finalize, batch_format="pyarrow")
+
+
 def _tf_dense_predictions(sf_dir: str):
     from tensorflow_ocr_ray.pipelines.tf_pipeline import dense_predictions
 
@@ -817,6 +1210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_gif_frames": _media_gif_frames,
         "media_avi_frames": _media_avi_frames,
         "media_mixed_frames": _media_mixed_frames,
+        "media_png_ink": _media_png_ink,
+        "media_jpeg_ink": _media_jpeg_ink,
+        "media_audio_mixed": _media_audio_mixed,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,
@@ -2238,6 +2634,26 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range(0, 1 + doc_id % 5, 2)) AS i
                 FROM documents
             )
+        """,
+        "media_png_ink": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(8 + doc_id % 4 AS INTEGER) AS height,
+                   CAST((1 + doc_id % 5) * 8 AS BIGINT) AS ink
+            FROM documents
+        """,
+        "media_jpeg_ink": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(8 * (1 + doc_id % 4) AS INTEGER) AS width,
+                   CAST(64 * (1 + doc_id % (1 + doc_id % 4)) AS BIGINT)
+                       AS ink
+            FROM documents
+        """,
+        "media_audio_mixed": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(2 AS INTEGER) AS n_frames,
+                   CAST(1000 + (doc_id % 200) * 37 AS BIGINT)
+                       AS sample_val
+            FROM documents
         """,
         "profile_events": " UNION ALL ".join(
             f"""
