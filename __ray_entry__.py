@@ -694,7 +694,12 @@ def _jpeg_payloads(df) -> "pa.Table":
     ink is arithmetic in doc_id.  The writer is DC-only but the
     decoder still runs its full marker parse, canonical-Huffman build
     (deliberately non-standard fixed-length tables), entropy decode,
-    EXTEND, dequant, zigzag and IDCT on every block."""
+    EXTEND, dequant, zigzag and IDCT on every block.  EVEN doc_ids are
+    baseline (SOF0); ODD doc_ids are PROGRESSIVE (SOF2) with a single
+    DC spectral-selection scan (Ss=Se=0, no AC scans → AC stay zero,
+    same constant blocks) — so both decode processes are pinned by the
+    same arithmetic oracle, and the per-row SOF sniffing mirrors a
+    mixed real corpus."""
     import struct
 
     import pyarrow as pa
@@ -738,14 +743,19 @@ def _jpeg_payloads(df) -> "pa.Table":
         nb = 1 + d % 4
         k = 1 + d % nb  # black blocks
         h, w = 8, 8 * nb
+        progressive = bool(d % 2)
         out = bytearray(b"\xff\xd8")
         out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
-        out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+        out += _seg(0xC2 if progressive else 0xC0,
+                    struct.pack(">BHHB", 8, h, w, 1)
                     + bytes([1, 0x11, 0]))
         out += _seg(0xC4, bytes([0x00]) + bytes(dc_bits)
                     + bytes(range(12)))
-        out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
-        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        if not progressive:
+            out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits)
+                        + bytes([0x00]))
+        ss, se = (0, 0) if progressive else (0, 63)
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, 0]))
         wtr = _W()
         pred = 0
         for j in range(nb):
@@ -758,7 +768,8 @@ def _jpeg_payloads(df) -> "pa.Table":
             if t:
                 mag = diff if diff > 0 else diff + (1 << t) - 1
                 wtr.bits(mag, t)
-            wtr.bits(0, 2)  # EOB
+            if not progressive:
+                wtr.bits(0, 2)  # EOB
         wtr.flush()
         out += wtr.out
         out += b"\xff\xd9"
