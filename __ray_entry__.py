@@ -1170,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IS the operator; the scan-and-filter variants remain as
         # similarity.ann_topk_lsh / ann_topk_ivf for index-free corpora
         "ann_topk_lsh": similarity.ann_topk_lsh_pruned,
+        "ann_recall_eval": similarity.ann_recall_eval,
         "ann_topk_ivf": similarity.ann_topk_ivf_pruned,
         "label_centroids": similarity.label_centroids,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
@@ -1345,7 +1346,8 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16,
 
 
 def _ann_lsh_sql(k: int = 10, n_planes: int = 8, probes: int = 3,
-                 seed: int = 11, dim: int = 64) -> str:
+                 seed: int = 11, dim: int = 64,
+                 query_vec_id: int = 0) -> str:
     """DuckDB re-derivation of similarity.ann_topk_lsh_pruned end to end:
     the SAME seeded hyperplanes (parameters, injected as literals; the
     testdata embeddings are {dim}-dim at every sf tier), sign-projection
@@ -1364,7 +1366,7 @@ def _ann_lsh_sql(k: int = 10, n_planes: int = 8, probes: int = 3,
     return f"""
         WITH planes(pi, pv) AS (VALUES {planes_values}),
         q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-              WHERE vec_id = 0),
+              WHERE vec_id = {query_vec_id}),
         qproj AS (SELECT pi, list_dot_product(pv, (SELECT e FROM q)) AS d
                   FROM planes),
         qcode_t AS (SELECT CAST(SUM(CASE WHEN d > 0 THEN 1<<pi ELSE 0 END)
@@ -1391,7 +1393,7 @@ def _ann_lsh_sql(k: int = 10, n_planes: int = 8, probes: int = 3,
           SELECT ps.p, count(r.vec_id) AS n
           FROM (SELECT unnest(generate_series({probes}, {n_planes})) AS p) ps
           LEFT JOIN ring r ON r.lvl IS NOT NULL AND r.lvl <= ps.p
-                           AND r.vec_id <> 0
+                           AND r.vec_id <> {query_vec_id}
           GROUP BY ps.p
         ),
         pstar_t AS (SELECT coalesce(min(p), {n_planes}) AS pstar
@@ -1400,11 +1402,42 @@ def _ann_lsh_sql(k: int = 10, n_planes: int = 8, probes: int = 3,
                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                      (SELECT e FROM q)), 4) AS sim
         FROM ring r JOIN embeddings e ON e.vec_id = r.vec_id
-        WHERE r.vec_id <> 0 AND r.lvl IS NOT NULL
+        WHERE r.vec_id <> {query_vec_id} AND r.lvl IS NOT NULL
           AND r.lvl <= (SELECT pstar FROM pstar_t)
         ORDER BY sim DESC, e.vec_id
         LIMIT {k}
     """
+
+
+def _ann_recall_sql(k: int = 10,
+                    query_vec_ids: tuple[int, ...] = (0, 1, 2, 3)) -> str:
+    """DuckDB re-derivation of similarity.ann_recall_eval: for each
+    query, the FULL LSH re-derivation (_ann_lsh_sql, parameterized by
+    query id) joined against the exact brute-force top-k on vec_id;
+    recall is the integer hits*100//k, so the whole eval composition —
+    approximate index vs ground truth — is hash-checked."""
+    parts = []
+    for qid in query_vec_ids:
+        lsh = _ann_lsh_sql(k=k, query_vec_id=qid)
+        parts.append(f"""
+        SELECT CAST({qid} AS BIGINT) AS query_id,
+               CAST(count(*) AS BIGINT) AS hits,
+               CAST(count(*) * 100 // {k} AS BIGINT) AS recall_pct
+        FROM ({lsh}) a JOIN (
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       round(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[])
+                            FROM embeddings WHERE vec_id = {qid})),
+                           4) AS sim
+                FROM embeddings WHERE vec_id <> {qid}
+                ORDER BY sim DESC, vec_id
+                LIMIT {k}
+            )
+        ) t USING (vec_id)
+        """)
+    return " UNION ALL ".join(parts)
 
 
 def _ann_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", k: int = 10,
@@ -2964,6 +2997,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY h LIMIT 100
         """,
         "ann_topk_lsh": _ann_lsh_sql(),
+        "ann_recall_eval": _ann_recall_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
         # simhash64 re-derived in SQL: identical md5-low-64 gram hashes,
         # per-bit majority vote, unsigned->signed int64 reinterpretation

@@ -1536,3 +1536,28 @@ def ann_topk_ivfpq(sf_dir: str, k: int = 10, query_vec_id: int = 0,
         .astype({"vec_id": "int64", "cell": "int64", "d_pq": "int64"})
         .reset_index(drop=True)
     )
+
+
+def ann_recall_eval(
+    sf_dir: str, k: int = 10, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3)
+) -> pd.DataFrame:
+    """Recall@k of the read-pruned LSH search against exact brute-force
+    ground truth — the quality-audit number every approximate index
+    ships with.  Ground truth for ALL queries comes from ONE corpus
+    pass (``ann_topk_multi``: broadcast query matrix, per-batch local
+    top-k partials); each approximate answer reads only its probe-ring
+    partitions (``ann_topk_lsh_pruned``), so the audit costs one scan
+    + Q metadata-pruned bucket reads regardless of corpus size.  At
+    100 TB this runs over a query SAMPLE; recall is reported as the
+    exact integer hits*100//k so the DuckDB oracle (both re-derivations
+    joined per query) hash-matches."""
+    truth = ann_topk_multi(sf_dir, k=k, query_vec_ids=query_vec_ids)
+    rows = []
+    for qid in query_vec_ids:
+        approx = ann_topk_lsh_pruned(sf_dir, k=k, query_vec_id=qid)
+        true_ids = set(truth.loc[truth["query_id"] == qid, "vec_id"])
+        hits = int(sum(v in true_ids for v in approx["vec_id"]))
+        rows.append((int(qid), hits, hits * 100 // k))
+    return pd.DataFrame(
+        rows, columns=["query_id", "hits", "recall_pct"]
+    ).astype("int64")
