@@ -1116,6 +1116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": relational.customer_rfm_segments,
         "orders_skyline": relational.orders_skyline,
         "zorder_layout_stats": relational.zorder_layout_stats,
+        "zorder_pruned_scan": relational.zorder_pruned_scan,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -3769,6 +3770,16 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN e USING (user_id, day)
         """,
         # Morton-interleave layout stats; code = 16 div/mod terms
+        "zorder_pruned_scan": """
+            SELECT o_orderkey,
+                   CAST(o_custkey % 256 AS BIGINT) AS cust_mod,
+                   CAST(CAST(epoch_us(o_orderdate) // 86400000000
+                             AS BIGINT) % 256 AS BIGINT) AS day_mod
+            FROM orders
+            WHERE (o_custkey % 256) BETWEEN 32 AND 95
+              AND (CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   % 256) BETWEEN 100 AND 180
+        """,
         "zorder_layout_stats": """
             WITH m AS (
               SELECT o_custkey % 256 AS ck,

@@ -2758,3 +2758,104 @@ def daily_ewma(sf_dir: str, num: int = 1, den: int = 4) -> pd.DataFrame:
         .astype({"day": "int64", "n": "int64", "ewma": "int64"})
         .sort_values(["event_type", "day"]).reset_index(drop=True)
     )
+
+
+def _orders_fingerprint(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    return hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+
+
+def _ensure_zorder_layout(sf_dir: str) -> str:
+    """Build-once cache of the orders table REWRITTEN in Z-order: hive
+    partitions ``zbucket=K`` for the top 4 Morton bits of
+    (o_custkey % 256, order-day % 256) — the physical layout
+    zorder_layout_stats diagnoses.  Same build-into-scratch-then-rename
+    race contract as similarity._ensure_index."""
+    import os
+    import shutil
+
+    root = "/tmp/tensorflow_ocr_ray_indexes"
+    d = os.path.join(root, f"zorder-{_orders_fingerprint(sf_dir)}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        tmp = f"{d}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+
+        def add_key(df: pd.DataFrame) -> pd.DataFrame:
+            a = df["o_custkey"].to_numpy(np.int64) % 256
+            b = (df["o_orderdate"].to_numpy().astype("datetime64[D]")
+                 .astype("int64")) % 256
+            code = np.zeros(len(a), np.int64)
+            for i in range(8):
+                code |= ((a >> i) & 1) << (2 * i)
+                code |= ((b >> i) & 1) << (2 * i + 1)
+            return pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].astype("int64"),
+                 "cust_mod": a, "day_mod": b, "zbucket": code >> 12}
+            )
+
+        _pq(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            add_key, batch_format="pandas", batch_size=65536
+        ).write_parquet(tmp, partition_cols=["zbucket"])
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def zorder_pruned_scan(
+    sf_dir: str, cust_lo: int = 32, cust_hi: int = 95,
+    day_lo: int = 100, day_hi: int = 180,
+) -> "rd.Dataset":
+    """2-D range query served from the Z-ordered layout by READING ONLY
+    the buckets whose Morton quadrant intersects the query rectangle —
+    the pruning payoff zorder_layout_stats predicts, proven
+    answer-preserving by the plain-filter oracle.  Bucket K packs bits
+    (b7 b6 a7 a6) of (a = cust % 256, b = day % 256) as
+    K = a6 | b6<<1 | a7<<2 | b7<<3, so each K covers the 64x64 cell
+    [qa*64, qa*64+64) x [qb*64, qb*64+64); the driver intersects those
+    cells with the query rectangle and hands Ray Data only the matching
+    hive partitions (4 of 16 at the defaults).  The residual exact
+    filter streams; output is lazy.  At 100 TB this is the difference
+    between touching 1/4 of the table and all of it — with zero change
+    to results."""
+    import os
+
+    idx = _ensure_zorder_layout(sf_dir)
+    want = set()
+    for qa in range(cust_lo >> 6, (cust_hi >> 6) + 1):
+        for qb in range(day_lo >> 6, (day_hi >> 6) + 1):
+            want.add((qa & 1) | ((qb & 1) << 1)
+                     | ((qa >> 1) << 2) | ((qb >> 1) << 3))
+    dirs = [
+        os.path.join(idx, f"zbucket={k}", f)
+        for k in sorted(want)
+        if os.path.isdir(os.path.join(idx, f"zbucket={k}"))
+        for f in sorted(os.listdir(os.path.join(idx, f"zbucket={k}")))
+        if f.endswith(".parquet")
+    ]
+    if not dirs:
+        return rd.from_pandas(pd.DataFrame(
+            {"o_orderkey": pd.Series([], dtype="int64"),
+             "cust_mod": pd.Series([], dtype="int64"),
+             "day_mod": pd.Series([], dtype="int64")}))
+    ds = rd.read_parquet(dirs, columns=["o_orderkey", "cust_mod",
+                                        "day_mod"])
+
+    def residual(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["cust_mod"].between(cust_lo, cust_hi)
+                & df["day_mod"].between(day_lo, day_hi))
+        return df.loc[keep, ["o_orderkey", "cust_mod", "day_mod"]].astype(
+            "int64")
+
+    return ds.map_batches(residual, batch_format="pandas",
+                          batch_size=65536)

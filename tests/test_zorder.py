@@ -1,0 +1,71 @@
+"""zorder_pruned_scan: the pruned read must touch only the buckets whose
+Morton quadrant intersects the query rectangle, and the answer must equal
+a plain full-scan filter."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _full_scan(cust_lo, cust_hi, day_lo, day_hi) -> pd.DataFrame:
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).to_pandas()
+    a = t["o_custkey"].to_numpy(np.int64) % 256
+    b = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+         .astype("int64")) % 256
+    keep = (a >= cust_lo) & (a <= cust_hi) & (b >= day_lo) & (b <= day_hi)
+    return (
+        pd.DataFrame({"o_orderkey": t["o_orderkey"].to_numpy(np.int64)[keep],
+                      "cust_mod": a[keep], "day_mod": b[keep]})
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+
+
+def test_pruned_scan_equals_full_filter(ray_session):
+    from tensorflow_ocr_ray.pipelines.relational import zorder_pruned_scan
+
+    got = (
+        zorder_pruned_scan(SF).to_pandas()
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    exp = _full_scan(32, 95, 100, 180)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_prunes_to_intersecting_buckets_only(ray_session):
+    from tensorflow_ocr_ray.pipelines.relational import (
+        _ensure_zorder_layout,
+        zorder_pruned_scan,
+    )
+
+    # defaults: qa in {0,1}, qb in {1,2} -> buckets {2, 3, 8, 9}
+    idx = _ensure_zorder_layout(SF)
+    built = {int(d.split("=")[1]) for d in os.listdir(idx)
+             if d.startswith("zbucket=")}
+    assert built and built <= set(range(16))  # only valid bucket codes
+    # a rectangle inside one 64x64 cell must read exactly one bucket:
+    # qa=0, qb=0 -> bucket 0; results still exact
+    got = (
+        zorder_pruned_scan(SF, 0, 63, 0, 63).to_pandas()
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    exp = _full_scan(0, 63, 0, 63)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0
+
+
+def test_empty_rectangle_empty_result(ray_session):
+    from tensorflow_ocr_ray.pipelines.relational import zorder_pruned_scan
+
+    # day_mod range [255, 255] with cust range [255, 255] is a 1x1 cell
+    got = zorder_pruned_scan(SF, 255, 255, 255, 255).to_pandas()
+    exp = _full_scan(255, 255, 255, 255)
+    assert len(got) == len(exp)
