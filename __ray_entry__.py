@@ -1116,6 +1116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": relational.customer_rfm_segments,
         "orders_skyline": relational.orders_skyline,
         "zorder_layout_stats": relational.zorder_layout_stats,
+        "equidepth_histogram": relational.equidepth_histogram,
         "zorder_pruned_scan": relational.zorder_pruned_scan,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -3770,6 +3771,27 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN e USING (user_id, day)
         """,
         # Morton-interleave layout stats; code = 16 div/mod terms
+        "equidepth_histogram": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            b AS (
+              SELECT event_type, quantile_disc(cents, 1/8.0) AS q1, quantile_disc(cents, 2/8.0) AS q2, quantile_disc(cents, 3/8.0) AS q3, quantile_disc(cents, 4/8.0) AS q4, quantile_disc(cents, 5/8.0) AS q5, quantile_disc(cents, 6/8.0) AS q6, quantile_disc(cents, 7/8.0) AS q7
+              FROM e GROUP BY 1
+            ),
+            s AS (
+              SELECT e.event_type, e.cents,
+                     1 + CAST(e.cents > b.q1 AS INT) + CAST(e.cents > b.q2 AS INT) + CAST(e.cents > b.q3 AS INT) + CAST(e.cents > b.q4 AS INT) + CAST(e.cents > b.q5 AS INT) + CAST(e.cents > b.q6 AS INT) + CAST(e.cents > b.q7 AS INT) AS bucket
+              FROM e JOIN b USING (event_type)
+            )
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(cents) AS BIGINT) AS lo_cents,
+                   CAST(max(cents) AS BIGINT) AS hi_cents
+            FROM s GROUP BY 1, 2
+        """,
         "zorder_pruned_scan": """
             SELECT o_orderkey,
                    CAST(o_custkey % 256 AS BIGINT) AS cust_mod,

@@ -2859,3 +2859,86 @@ def zorder_pruned_scan(
 
     return ds.map_batches(residual, batch_format="pandas",
                           batch_size=65536)
+
+
+def equidepth_histogram(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
+    """Per-type EQUI-DEPTH histogram over exact value cents — the
+    profiling structure query optimizers and skew planners consume
+    (equi-WIDTH is price_histogram; this one places boundaries at the
+    exact i/n order statistics so every bucket holds ~n/8 of the
+    type's rows).  Boundaries come from the distributed
+    histogram-refinement selection (``exact_group_quantiles`` — no
+    group ever materializes); the tiny boundary table broadcasts into
+    one streaming count/min/max pass, bucket = 1 + #boundaries
+    strictly below (the RFM scoring rule), partials tree-combining
+    under the bounded-key contract (|types| x n_buckets grid at any
+    corpus size).  All integer cents, so the DuckDB oracle
+    (quantile_disc CTE + comparison scoring) hash-matches."""
+    from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "cents": np.round(df["value"].to_numpy() * 100.0)
+                .astype(np.int64),
+            }
+        )
+
+    def cents_ds():
+        return _pq(sf_dir, "events", ["event_type", "value"]).map_batches(
+            to_cents, batch_format="pandas", batch_size=65536
+        )
+
+    qs = tuple(
+        (i / n_buckets, f"q{i}") for i in range(1, n_buckets)
+    )
+    bounds = exact_group_quantiles(cents_ds(), "event_type", "cents", qs)
+    qcols = [f"q{i}" for i in range(1, n_buckets)]
+    bmap = {
+        r["event_type"]: np.asarray([r[c] for c in qcols], dtype=np.int64)
+        for _, r in bounds.iterrows()
+    }
+    bref = ray.put(bmap)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bref)
+        out = []
+        for t, g in df.groupby("event_type"):
+            c = g["cents"].to_numpy(np.int64)
+            b = bm[t]
+            bucket = 1 + (c[:, None] > b[None, :]).sum(axis=1)
+            gg = pd.DataFrame({"bucket": bucket, "cents": c}).groupby(
+                "bucket", as_index=False
+            ).agg(n=("cents", "size"), lo_cents=("cents", "min"),
+                  hi_cents=("cents", "max"))
+            gg.insert(0, "event_type", t)
+            out.append(gg)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"event_type": pd.Series([], dtype="object"),
+             "bucket": pd.Series([], dtype="int64"),
+             "n": pd.Series([], dtype="int64"),
+             "lo_cents": pd.Series([], dtype="int64"),
+             "hi_cents": pd.Series([], dtype="int64")})
+
+    merged = (
+        cents_ds()
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(8)
+        .map_batches(
+            lambda df: df.groupby(["event_type", "bucket"],
+                                  as_index=False).agg(
+                n=("n", "sum"), lo_cents=("lo_cents", "min"),
+                hi_cents=("hi_cents", "max")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["event_type", "bucket"], as_index=False)
+        .agg(n=("n", "sum"), lo_cents=("lo_cents", "min"),
+             hi_cents=("hi_cents", "max"))
+    )
+    return (
+        merged.astype({"bucket": "int64", "n": "int64",
+                       "lo_cents": "int64", "hi_cents": "int64"})
+        .sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    )
