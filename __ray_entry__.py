@@ -1198,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": curation.vocab_topk,
         "source_token_gini": curation.source_token_gini,
         "bigram_pmi_topk": curation.bigram_pmi_topk,
+        "bigram_lm_familiarity": curation.bigram_lm_familiarity,
         "doc_novel_trigrams": curation.doc_novel_trigrams,
         "length_percentile_gate": curation.length_percentile_gate,
         "gopher_gate": curation.gopher_gate,
@@ -2767,6 +2768,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # top-50 bigrams by exact-integer PMI argument
         # c_xy*N*1000//(c_x*c_y); pair bound i<len via constant range
+        "bigram_lm_familiarity": """
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)),
+                                        '\\s+') AS ts
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id, ts[i.i] AS w1, ts[i.i + 1] AS w2
+              FROM tok, (SELECT unnest(range(1, 2048)) AS i) i
+              WHERE i.i < len(ts)
+            ),
+            bc AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+              FROM big GROUP BY 1, 2
+            ),
+            uni AS (
+              SELECT t.tk AS w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(ts) AS tk FROM tok) t GROUP BY 1
+            ),
+            sc AS (
+              SELECT b.doc_id,
+                     CAST(bc.c_xy * 1000 // u.c AS BIGINT) AS t
+              FROM big b
+              JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+              JOIN uni u ON u.w = b.w1
+            ),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(t) AS BIGINT) AS familiarity
+              FROM sc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(a.familiarity, 0) AS BIGINT)
+                       AS familiarity
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "bigram_pmi_topk": """
             WITH tok AS (
               SELECT string_split_regex(trim(lower(text)),

@@ -1898,3 +1898,125 @@ def doc_novel_trigrams(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         "shard", n_shards, first_seen,
     )
     return hash_exchange(stage1, "shard", n_shards, per_doc)
+
+
+def bigram_lm_familiarity(
+    sf_dir: str, n_shards: int = 64
+) -> "rd.Dataset":
+    """Per-document bigram language-model familiarity — the exact-
+    integer stand-in for LM perplexity scoring a curation pipeline
+    runs corpus-wide: each adjacent token pair contributes
+    t = c_xy * 1000 // c_x (the corpus-level transition frequency per
+    mille, c_x = total occurrences of w1), and a document's score is
+    the sum over its pairs.  Low familiarity flags disfluent / noisy
+    text; the metric is float-free so the DuckDB oracle (bigram and
+    unigram CTEs joined back to every pair occurrence) hash-matches.
+
+    Plan: unigram counts are vocab-bounded (tree-combine + broadcast,
+    the vocab_topk contract); per-batch (doc, w1, w2, cnt) partials
+    route ONE crc32(w1,w2)-hash exchange so each shard holds every
+    occurrence of its bigrams — c_xy is exact in-shard and each
+    occurrence is scored there; per-doc partials re-key by doc hash
+    for the bounded second exchange (the doc_novel_trigrams shape).
+    Marker rows carry zero-pair documents so every doc_id emits."""
+    import zlib
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def uni_counts(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(t for t in split_tokens(text.lower()) if t)
+        return pd.DataFrame(
+            {"token": list(c.keys()),
+             "c": np.fromiter(c.values(), dtype=np.int64, count=len(c))}
+        )
+
+    uni = (
+        docs.map_batches(uni_counts, batch_format="pandas",
+                         batch_size=1024)
+        .repartition(16)
+        .map_batches(
+            lambda df: df.groupby("token", as_index=False)["c"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("token", as_index=False)["c"].sum()
+    )
+    uref = ray.put(dict(zip(uni["token"], uni["c"].astype(np.int64))))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        marker_docs = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = [t for t in split_tokens(text.lower()) if t]
+            c.update(((int(did), a, b) for a, b in zip(toks, toks[1:])))
+            marker_docs.append(int(did))
+        keys = list(c.keys())
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(
+                    [k[0] for k in keys] + marker_docs, dtype=np.int64),
+                "w1": [k[1] for k in keys] + [""] * len(marker_docs),
+                "w2": [k[2] for k in keys] + [""] * len(marker_docs),
+                "cnt": np.asarray(
+                    [c[k] for k in keys] + [0] * len(marker_docs),
+                    dtype=np.int64),
+                "is_total": np.asarray(
+                    [0] * len(keys) + [1] * len(marker_docs),
+                    dtype=np.int64),
+                "shard": np.asarray(
+                    [zlib.crc32((k[1] + "\x00" + k[2]).encode())
+                     % n_shards for k in keys]
+                    + [d % n_shards for d in marker_docs],
+                    dtype=np.int64),
+            }
+        )
+
+    def score_shard(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "n_pairs": "int64",
+                "familiarity": "int64", "shard": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=v) for k, v in cols.items()})
+        g = df[df["is_total"] == 0]
+        m = df[df["is_total"] == 1]
+        frames = []
+        if len(g):
+            cu = ray.get(uref)
+            cxy = g.groupby(["w1", "w2"])["cnt"].transform("sum")
+            cx = g["w1"].map(cu).to_numpy(np.int64)
+            t = (cxy.to_numpy(np.int64) * 1000) // cx
+            sc = pd.DataFrame(
+                {"doc_id": g["doc_id"].to_numpy(np.int64),
+                 "n_pairs": g["cnt"].to_numpy(np.int64),
+                 "familiarity": g["cnt"].to_numpy(np.int64) * t}
+            ).groupby("doc_id", as_index=False).sum()
+            frames.append(sc)
+        if len(m):
+            frames.append(pd.DataFrame(
+                {"doc_id": m["doc_id"].unique().astype(np.int64),
+                 "n_pairs": 0, "familiarity": 0}))
+        out = pd.concat(frames, ignore_index=True)
+        out["shard"] = out["doc_id"] % n_shards
+        return out.astype("int64")
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_pairs": pd.Series([], dtype="int64"),
+                 "familiarity": pd.Series([], dtype="int64")})
+        return df.groupby("doc_id", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"),
+            familiarity=("familiarity", "sum"),
+        ).astype("int64")
+
+    stage1 = hash_exchange(
+        docs.map_batches(explode, batch_format="pandas",
+                         batch_size=4096),
+        "shard", n_shards, score_shard,
+    )
+    return hash_exchange(stage1, "shard", n_shards, per_doc)
