@@ -821,6 +821,75 @@ def _media_jpeg_ink(sf_dir: str):
     ).map_batches(count_ink, batch_format="pyarrow")
 
 
+def _media_tiff_ink(sf_dir: str):
+    """Multi-page TIFF ingest as a first-class hash-checked query: one
+    deterministic little-endian TIFF per document with 1 + doc_id%3
+    chained IFD pages (page p = first p+1 rows black on an
+    (8 + doc_id%4) x 8 canvas) and the COMPRESSION CYCLING doc_id%4
+    over {uncompressed, PackBits, CCITT G4, LZW} — so one corpus pass
+    pins the IFD walk, the strip readers and all four codec paths
+    (core/raster.py, core/ccitt.py, core/tiff_lzw.py) against the
+    arithmetic ink oracle.  The OCR corpus exercises TIFF via span
+    equality; this query adds the direct per-codec hash check."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        from tensorflow_ocr_ray.core.raster import encode_tiff_multi
+
+        comps = [None, "packbits", "g4", "lzw"]
+        payloads = []
+        for did in df["doc_id"]:
+            d = int(did)
+            h, w = 8 + d % 4, 8
+            pages = []
+            for p in range(1 + d % 3):
+                img = np.zeros((h, w), dtype=np.uint8)
+                img[: p + 1, :] = 1
+                pages.append(img)
+            payloads.append(
+                encode_tiff_multi(pages, bilevel=True,
+                                  compression=comps[d % 4])
+            )
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    [str(int(d)) for d in df["doc_id"]]
+                ),
+                "image": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    def count_ink(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.raster import decode_payload_pages
+
+        refs, page_idx, ink = [], [], []
+        for ref, p in zip(
+            batch.column("media_ref").to_pylist(),
+            batch.column("image").to_pylist(),
+        ):
+            for i, img in enumerate(decode_payload_pages(p)):
+                refs.append(ref)
+                page_idx.append(i)
+                ink.append(int(img.sum()))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "page_idx": pa.array(page_idx, type=pa.int32()),
+                "ink": pa.array(ink, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(count_ink, batch_format="pyarrow")
+
+
 def _media_audio_mixed(sf_dir: str):
     """Mixed-container AUDIO routing, hash-checked: EVEN doc_ids carry
     a PCM16 WAV, ODD doc_ids a FLAC (constant subframe) — both encode
@@ -1228,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_png_ink": _media_png_ink,
         "media_jpeg_ink": _media_jpeg_ink,
         "media_audio_mixed": _media_audio_mixed,
+        "media_tiff_ink": _media_tiff_ink,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,
@@ -2694,6 +2764,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 * (1 + doc_id % (1 + doc_id % 4)) AS BIGINT)
                        AS ink
             FROM documents
+        """,
+        "media_tiff_ink": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(i AS INTEGER) AS page_idx,
+                   CAST((i + 1) * 8 AS BIGINT) AS ink
+            FROM (
+                SELECT doc_id,
+                       unnest(range(0, 1 + doc_id % 3)) AS i
+                FROM documents
+            )
         """,
         "media_audio_mixed": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,
