@@ -1186,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": relational.orders_skyline,
         "zorder_layout_stats": relational.zorder_layout_stats,
         "equidepth_histogram": relational.equidepth_histogram,
+        "orders_percent_rank": relational.orders_percent_rank,
         "zorder_pruned_scan": relational.zorder_pruned_scan,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -3890,6 +3891,23 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN e USING (user_id, day)
         """,
         # Morton-interleave layout stats; code = 16 div/mod terms
+        "orders_percent_rank": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ),
+            r AS (
+              SELECT o_orderkey,
+                     rank() OVER (ORDER BY cents) AS rnk,
+                     count(*) OVER () AS n
+              FROM o
+            )
+            SELECT o_orderkey, CAST(rnk AS BIGINT) AS rank,
+                   CAST((rnk - 1) * 1000000 // (n - 1) AS BIGINT)
+                       AS pct_ppm
+            FROM r
+        """,
         "equidepth_histogram": """
             WITH e AS (
               SELECT event_type,

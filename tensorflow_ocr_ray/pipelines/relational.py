@@ -2942,3 +2942,102 @@ def equidepth_histogram(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
                        "lo_cents": "int64", "hi_cents": "int64"})
         .sort_values(["event_type", "bucket"]).reset_index(drop=True)
     )
+
+
+def orders_percent_rank(sf_dir: str, n_shards: int = 32) -> "rd.Dataset":
+    """GLOBAL rank + percent-rank of every order by price cents WITHOUT
+    a global sort — the distributed-ranking primitive: range-partition
+    by exact quantile boundaries, rank locally, add broadcast offsets.
+
+    1. 31 exact boundary order statistics via the histogram-refinement
+       selection (no materialization);
+    2. shard = #boundaries strictly below cents — equal cents always
+       co-shard, so SQL ``rank()`` tie semantics (ties share the rank
+       of the first) are computable locally;
+    3. one bounded count pass gives each shard's row count; the
+       driver's 32-entry exclusive prefix sum broadcasts back;
+    4. one hash_exchange ranks in-shard (searchsorted on the sorted
+       local values = 1 + #strictly-smaller) + shard offset.
+
+    Wide data never converges on one node: the only driver state is
+    32 boundaries + 32 counts.  pct_ppm = (rank-1)*1e6//(N-1), exact
+    int64, so the window-function oracle hash-matches."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+    from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+                "grp": 0,
+            }
+        )
+
+    def cents_ds():
+        return _pq(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice"]).map_batches(
+            to_cents, batch_format="pandas", batch_size=65536
+        )
+
+    qs = tuple((i / n_shards, f"b{i}") for i in range(1, n_shards))
+    bounds_df = exact_group_quantiles(cents_ds(), "grp", "cents", qs)
+    bounds = np.sort(
+        bounds_df.iloc[0][[f"b{i}" for i in range(1, n_shards)]]
+        .to_numpy()
+    ).astype(np.int64)
+    bref = ray.put(bounds)
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bref)
+        c = df["cents"].to_numpy(np.int64)
+        out = df[["o_orderkey", "cents"]].copy()
+        # strictly-below count == searchsorted left on ascending bounds
+        out["shard"] = np.searchsorted(b, c, side="left").astype(np.int64)
+        return out
+
+    # bounded count pass: 32-key partials tree-combine to the driver
+    counts = (
+        cents_ds()
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536)
+        .map_batches(
+            lambda df: df.groupby("shard", as_index=False).agg(
+                n=("cents", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("shard")["n"].sum()
+    )
+    n_total = int(counts.sum())
+    offs = np.zeros(n_shards, dtype=np.int64)
+    for s, n in counts.items():
+        offs[int(s)] = n
+    offs = np.concatenate([[0], np.cumsum(offs)[:-1]])
+    oref = ray.put(offs)
+
+    def rank_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series([], dtype="int64"),
+                 "rank": pd.Series([], dtype="int64"),
+                 "pct_ppm": pd.Series([], dtype="int64")})
+        off = ray.get(oref)[int(df["shard"].iloc[0])]
+        c = df["cents"].to_numpy(np.int64)
+        sorted_c = np.sort(c)
+        rank = off + 1 + np.searchsorted(sorted_c, c, side="left")
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "rank": rank.astype(np.int64),
+                "pct_ppm": ((rank - 1) * 1_000_000
+                            // (n_total - 1)).astype(np.int64),
+            }
+        )
+
+    return hash_exchange(
+        cents_ds().map_batches(add_shard, batch_format="pandas",
+                               batch_size=65536),
+        "shard", n_shards, rank_shard,
+    )

@@ -69,3 +69,27 @@ def test_empty_rectangle_empty_result(ray_session):
     got = zorder_pruned_scan(SF, 255, 255, 255, 255).to_pandas()
     exp = _full_scan(255, 255, 255, 255)
     assert len(got) == len(exp)
+
+
+def test_percent_rank_shard_invariant(ray_session):
+    """Global ranks must not depend on the range-partition count, and
+    must equal the sequential rank() computation."""
+    from tensorflow_ocr_ray.pipelines.relational import orders_percent_rank
+
+    a = (orders_percent_rank(SF, n_shards=4).to_pandas()
+         .sort_values("o_orderkey").reset_index(drop=True))
+    b = (orders_percent_rank(SF, n_shards=32).to_pandas()
+         .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    cents = np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    rank = pd.Series(cents).rank(method="min").astype(np.int64)
+    exp = (
+        pd.DataFrame({"o_orderkey": t["o_orderkey"].astype("int64"),
+                      "rank": rank,
+                      "pct_ppm": (rank - 1) * 1_000_000 // (len(cents) - 1)})
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, exp)
