@@ -1187,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_stats": relational.zorder_layout_stats,
         "equidepth_histogram": relational.equidepth_histogram,
         "orders_percent_rank": relational.orders_percent_rank,
+        "join_cardinality_audit": relational.join_cardinality_audit,
         "zorder_pruned_scan": relational.zorder_pruned_scan,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -3891,6 +3892,37 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN e USING (user_id, day)
         """,
         # Morton-interleave layout stats; code = 16 div/mod terms
+        "join_cardinality_audit": """
+            WITH co AS (
+              SELECT o_orderkey AS key, CAST(count(*) AS BIGINT) AS c
+              FROM orders GROUP BY 1
+            ),
+            cl AS (
+              SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1
+            ),
+            m AS (
+              SELECT CAST((SELECT count(*) FROM orders) AS BIGINT)
+                         AS n_orders,
+                     CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+                         AS n_lineitem,
+                     CAST((SELECT count(*) FROM co) AS BIGINT)
+                         AS v_orders,
+                     CAST((SELECT count(*) FROM cl) AS BIGINT)
+                         AS v_lineitem,
+                     CAST((SELECT count(*) FROM co JOIN cl USING (key))
+                          AS BIGINT) AS v_both,
+                     CAST((SELECT coalesce(sum(co.c * cl.c), 0)
+                           FROM co JOIN cl USING (key)) AS BIGINT)
+                         AS actual_pairs
+            )
+            SELECT n_orders, n_lineitem, v_orders, v_lineitem, v_both,
+                   actual_pairs,
+                   CAST(n_orders * n_lineitem
+                        // greatest(v_orders, v_lineitem, 1) AS BIGINT)
+                       AS est_pairs
+            FROM m
+        """,
         "orders_percent_rank": """
             WITH o AS (
               SELECT o_orderkey,

@@ -3041,3 +3041,70 @@ def orders_percent_rank(sf_dir: str, n_shards: int = 32) -> "rd.Dataset":
                                batch_size=65536),
         "shard", n_shards, rank_shard,
     )
+
+
+def join_cardinality_audit(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Exact join-cardinality audit for orders ⋈ lineitem on orderkey —
+    the optimizer diagnostic comparing the TRUE join size (sum over
+    keys of c_o(k) * c_l(k)) against the textbook independence
+    estimate |R||S| / max(V(R), V(S)).  Pre-join cardinality checks
+    are how a 100-TB pipeline catches a fan-out join before paying for
+    it.  Per-batch per-key count partials from BOTH sides ride one
+    co-sharded key-hash exchange; each shard contributes (distinct
+    keys, keys-in-both, Σ c_o·c_l) over ITS disjoint key range, so the
+    driver sums exact bounded partials (n_shards rows).  All int64
+    (headroom: per-key c_o*c_l and the row-count product must fit —
+    at web scale swap the estimate to a pre-divided form).  Single-row
+    output; the plain-SQL oracle hash-matches."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False).size()
+        return pd.DataFrame(
+            {"key": g["o_orderkey"].astype("int64"),
+             "c_o": g["size"].astype("int64"), "c_l": 0,
+             "shard": g["o_orderkey"].astype("int64") % n_shards})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).size()
+        return pd.DataFrame(
+            {"key": g["l_orderkey"].astype("int64"), "c_o": 0,
+             "c_l": g["size"].astype("int64"),
+             "shard": g["l_orderkey"].astype("int64") % n_shards})
+
+    both = _pq(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        o_partial, batch_format="pandas", batch_size=65536
+    ).union(
+        _pq(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            l_partial, batch_format="pandas", batch_size=65536
+        )
+    )
+
+    def shard_stats(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["n_o", "n_l", "v_o", "v_l", "v_both", "pairs"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        g = df.groupby("key", as_index=False).agg(
+            c_o=("c_o", "sum"), c_l=("c_l", "sum"))
+        co = g["c_o"].to_numpy(np.int64)
+        cl = g["c_l"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"n_o": [int(co.sum())], "n_l": [int(cl.sum())],
+             "v_o": [int((co > 0).sum())], "v_l": [int((cl > 0).sum())],
+             "v_both": [int(((co > 0) & (cl > 0)).sum())],
+             "pairs": [int((co * cl).sum())]}).astype("int64")
+
+    parts = hash_exchange(both, "shard", n_shards, shard_stats).to_pandas()
+    t = parts.sum()
+    n_o, n_l = int(t["n_o"]), int(t["n_l"])
+    v_max = max(int(t["v_o"]), int(t["v_l"]), 1)
+    return pd.DataFrame(
+        {
+            "n_orders": [n_o], "n_lineitem": [n_l],
+            "v_orders": [int(t["v_o"])], "v_lineitem": [int(t["v_l"])],
+            "v_both": [int(t["v_both"])],
+            "actual_pairs": [int(t["pairs"])],
+            "est_pairs": [n_o * n_l // v_max],
+        }
+    ).astype("int64")
