@@ -1039,6 +1039,12 @@ def _ocr_cnn_scorer(sf_dir: str):
     return ocr_with_scorer(sf_dir, "cnn")
 
 
+def _cms_heavy_hitters(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(sf_dir)
+
+
 def _approx_distinct_users(sf_dir: str):
     from tensorflow_ocr_ray.pipelines.sketches import approx_distinct_users
 
@@ -1236,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-pass broadcast-candidate heavy hitters (pipelines/
         # sketches.py): exact iceberg, no gram-space shuffle
         "heavy_hitter_trigrams": _heavy_hitter_trigrams,
+        "cms_heavy_hitters": _cms_heavy_hitters,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
         # the read-pruned indexed paths (build-once bucket/cell
@@ -1483,6 +1490,45 @@ def _ann_lsh_sql(k: int = 10, n_planes: int = 8, probes: int = 3,
         LIMIT {k}
     """
 
+
+
+
+def _cms_sql(topn: int = 10) -> str:
+    """DuckDB re-derivation of sketches.cms_heavy_hitters: the d x w
+    counter grid as one GROUP BY per hash row (same arithmetic hash
+    constants), the exact top-n, and est = least() over the d
+    correlated counter lookups."""
+    from tensorflow_ocr_ray.pipelines.sketches import (
+        CMS_A, CMS_B, CMS_P, CMS_W,
+    )
+
+    row_ctes = ",\n            ".join(
+        f"""c{i} AS (
+              SELECT ((({CMS_A[i]} * user_id + {CMS_B[i]}) % {CMS_P})
+                      % {CMS_W}) AS b,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            )""" for i in range(len(CMS_A))
+    )
+    lookups = ",\n                   ".join(
+        f"""(SELECT n FROM c{i} WHERE b =
+                        ((({CMS_A[i]} * t.user_id + {CMS_B[i]})
+                          % {CMS_P}) % {CMS_W}))""" for i in range(len(CMS_A))
+    )
+    return f"""
+        WITH cnt AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        ),
+        top AS (
+          SELECT user_id, n FROM cnt
+          ORDER BY n DESC, user_id LIMIT {topn}
+        ),
+        {row_ctes}
+        SELECT t.user_id, t.n AS n_exact,
+               CAST(least({lookups}) AS BIGINT) AS n_est
+        FROM top t
+    """
 
 def _ann_recall_sql(k: int = 10,
                     query_vec_ids: tuple[int, ...] = (0, 1, 2, 3)) -> str:
@@ -2724,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_membership": kcore_oracle_sql(),
         "shortest_path_weighted": shortest_path_oracle_sql(),
         "heavy_hitter_trigrams": heavy_hitter_sql(),
+        "cms_heavy_hitters": _cms_sql(),
         "media_gif_frames": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,
                    CAST(i AS INTEGER) AS frame_idx,

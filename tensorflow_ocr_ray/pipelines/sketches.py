@@ -231,3 +231,104 @@ def heavy_hitter_sql(m: int = HH_DIVISOR) -> str:
         GROUP BY tri, t.total
         HAVING count(*) * {m} > t.total
     """
+
+
+# Count-Min Sketch params: d arithmetic hash rows over w buckets.
+# h_i(u) = ((A_i*u + B_i) % P) % w — pure int64 arithmetic (P prime,
+# A_i*u bounded ~1e12*5e5 << 2^63) so DuckDB can re-derive the SKETCH
+# ITSELF, not just the answers it approximates.
+CMS_P = 1_000_003
+CMS_W = 256
+CMS_A = (131071, 524287, 8191, 262139)
+CMS_B = (12345, 54321, 2468, 13579)
+
+
+def cms_heavy_hitters(
+    sf_dir: str, topn: int = 10, n_shards: int = 32
+) -> pd.DataFrame:
+    """Count-Min Sketch audit — the third sketch family (after KMV
+    distinct and 2-pass exact heavy hitters): estimate per-user event
+    counts from a d x w counter grid and report, for the true top-n
+    users, the exact count next to the CMS estimate (est >= exact
+    always; the gap IS the sketch's collision error on this corpus).
+
+    The counter grid is corpus-size-independent (d*w = 1024 int64s):
+    per-batch partials histogram each row's d buckets and tree-combine
+    — a sketch build is a BOUNDED-KEY aggregate, the whole point of
+    CMS at 100 TB.  The exact top-n rides the usual count-exchange +
+    per-shard head-superset.  Every quantity is an integer and the
+    hash is plain arithmetic, so the DuckDB oracle re-derives grid,
+    top-n and estimates verbatim."""
+    import ray
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+
+    d = len(CMS_A)
+
+    def grid_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        frames = []
+        for i in range(d):
+            b = ((CMS_A[i] * u + CMS_B[i]) % CMS_P) % CMS_W
+            g = pd.DataFrame({"row": i, "bucket": b}).groupby(
+                ["row", "bucket"], as_index=False).agg(n=("row", "size"))
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True).astype("int64")
+
+    grid = (
+        events.map_batches(grid_partial, batch_format="pandas",
+                           batch_size=65536)
+        .repartition(8)
+        .map_batches(
+            lambda df: df.groupby(["row", "bucket"],
+                                  as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["row", "bucket"], as_index=False)["n"].sum()
+    )
+    cms = np.zeros((d, CMS_W), dtype=np.int64)
+    cms[grid["row"].to_numpy(np.int64),
+        grid["bucket"].to_numpy(np.int64)] = grid["n"].to_numpy(np.int64)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size()
+        return pd.DataFrame(
+            {"user_id": g["user_id"].astype("int64"),
+             "n": g["size"].astype("int64"),
+             "shard": g["user_id"].astype("int64") % n_shards})
+
+    def shard_top(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")})
+        g = df.groupby("user_id", as_index=False)["n"].sum()
+        return g.sort_values(["n", "user_id"],
+                             ascending=[False, True]).head(topn)
+
+    tops = hash_exchange(
+        events.map_batches(count_partial, batch_format="pandas",
+                           batch_size=65536),
+        "shard", n_shards, shard_top,
+    ).to_pandas()
+    tops = (
+        tops.sort_values(["n", "user_id"], ascending=[False, True])
+        .head(topn).reset_index(drop=True)
+    )
+
+    u = tops["user_id"].to_numpy(np.int64)
+    ests = np.min(
+        np.stack([
+            cms[i, ((CMS_A[i] * u + CMS_B[i]) % CMS_P) % CMS_W]
+            for i in range(d)
+        ]),
+        axis=0,
+    )
+    return pd.DataFrame(
+        {"user_id": u, "n_exact": tops["n"].to_numpy(np.int64),
+         "n_est": ests}
+    ).astype("int64")
