@@ -1194,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_histogram": relational.equidepth_histogram,
         "orders_percent_rank": relational.orders_percent_rank,
         "join_cardinality_audit": relational.join_cardinality_audit,
+        "compaction_plan": relational.compaction_plan,
         "zorder_pruned_scan": relational.zorder_pruned_scan,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -3939,6 +3940,21 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN e USING (user_id, day)
         """,
         # Morton-interleave layout stats; code = 16 div/mod terms
+        "compaction_plan": """
+            WITH d AS (
+              SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)
+                         AS day,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM lineitem GROUP BY 1
+            )
+            SELECT day, n_rows,
+                   CAST(coalesce(sum(n_rows) OVER (
+                            ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 5000
+                        AS BIGINT) AS group_id
+            FROM d
+        """,
         "join_cardinality_audit": """
             WITH co AS (
               SELECT o_orderkey AS key, CAST(count(*) AS BIGINT) AS c

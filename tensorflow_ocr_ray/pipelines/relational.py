@@ -3108,3 +3108,42 @@ def join_cardinality_audit(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
             "est_pairs": [n_o * n_l // v_max],
         }
     ).astype("int64")
+
+
+def compaction_plan(sf_dir: str, target_rows: int = 5000) -> pd.DataFrame:
+    """Compaction / OPTIMIZE planning — assign each day-partition of
+    lineitem to a merge group of ~``target_rows`` rows by splitting the
+    chronological cumulative size: group = exclusive-prefix-sum //
+    target.  This is the maintenance pass a 100-TB table needs
+    continuously (small-file compaction, clustering upkeep); the plan
+    itself is tiny (one row per partition) while the INPUT statistics
+    are corpus-sized — so day row counts tree-combine under the
+    bounded-key contract (calendar grid) and only the bounded grid
+    reaches the driver for the order-dependent prefix sum (the
+    running_total day-partials precedent).  Exact integers; oracle =
+    GROUP BY day + window cumsum, hash-matched."""
+    ds = _pq(sf_dir, "lineitem", ["l_shipdate"])
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["l_shipdate"].to_numpy().astype("datetime64[D]")
+               .astype("int64"))
+        g = pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).agg(n_rows=("day", "size"))
+        return g.astype("int64")
+
+    days = (
+        ds.map_batches(day_partial, batch_format="pandas",
+                       batch_size=65536)
+        .repartition(8)
+        .map_batches(
+            lambda df: df.groupby("day", as_index=False)["n_rows"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("day", as_index=False)["n_rows"].sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    csum = days["n_rows"].cumsum().shift(fill_value=0).to_numpy(np.int64)
+    days["group_id"] = csum // target_rows
+    return days.astype("int64")
