@@ -1141,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": windows.cohort_retention,
         "user_journey": windows.user_journey,
         "event_transitions": windows.event_transitions,
+        "event_pattern_match": windows.event_pattern_match,
         "event_pivot": relational.event_pivot,
         "rollup_lineitem": relational.rollup_lineitem,
         "price_histogram": relational.price_histogram,
@@ -4488,6 +4489,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         # Markov transition counts between consecutive per-user events
+        "event_pattern_match": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lead(event_type, 1) OVER w AS t1,
+                     lead(event_type, 2) OVER w AS t2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS matches
+            FROM s
+            WHERE event_type = 'view' AND t1 = 'click'
+              AND t2 = 'purchase'
+            GROUP BY 1
+        """,
         "event_transitions": """
             WITH s AS (
               SELECT event_type,

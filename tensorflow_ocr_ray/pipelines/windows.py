@@ -1566,3 +1566,54 @@ def user_active_coverage(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
         ev.map_batches(project, batch_format="pandas"),
         "shard", n_shards, sweep,
     )
+
+
+def event_pattern_match(
+    sf_dir: str, pattern: tuple[str, ...] = ("view", "click", "purchase"),
+    n_shards: int = 64,
+) -> "rd.Dataset":
+    """CEP-style sequence pattern matching: per user, how many times
+    the CONSECUTIVE event-type pattern (view, click, purchase by
+    default) occurs in the (ts, event_id)-ordered stream — the
+    MATCH_RECOGNIZE shape funnels, fraud rules and session mining run.
+
+    Physical plan is the event_transitions shape: one user-hash
+    exchange; in-shard ONE vectorized sort + a same-user boolean mask
+    ANDed across the pattern offsets (no per-user Python, no per-match
+    row explosion — the count is a mask sum).  Only matching users
+    emit.  Output is a lazy Dataset; the lead()-window oracle
+    hash-matches."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(shard=df["user_id"].astype("int64") % n_shards)
+
+    L = len(pattern)
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "matches": pd.Series([], dtype="int64")})
+        if len(df) < L:
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy(np.int64)
+        n = len(df) - (L - 1)
+        mask = np.ones(n, dtype=bool)
+        for k in range(L):
+            mask &= et[k:k + n] == pattern[k]
+        mask &= uid[L - 1:L - 1 + n] == uid[:n]  # whole window one user
+        if not mask.any():
+            return empty
+        return (
+            pd.DataFrame({"user_id": uid[:n][mask]})
+            .groupby("user_id", as_index=False)
+            .agg(matches=("user_id", "size"))
+            .astype("int64")
+        )
+
+    return hash_exchange(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(add_shard, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_shard,
+    )
