@@ -1196,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_percent_rank": relational.orders_percent_rank,
         "join_cardinality_audit": relational.join_cardinality_audit,
         "compaction_plan": relational.compaction_plan,
+        "table_diff_audit": relational.table_diff_audit,
         "zorder_pruned_scan": relational.zorder_pruned_scan,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -3941,6 +3942,37 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN e USING (user_id, day)
         """,
         # Morton-interleave layout stats; code = 16 div/mod terms
+        "table_diff_audit": """
+            WITH v1 AS (
+              SELECT o_orderkey AS key,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ),
+            v2 AS (
+              SELECT key,
+                     cents + CAST(key % 31 = 0 AS BIGINT) AS cents
+              FROM v1 WHERE key % 97 <> 0
+              UNION ALL
+              SELECT key + 1000000000000 AS key, cents
+              FROM v1 WHERE key % 41 = 0
+            ),
+            j AS (
+              SELECT v1.cents AS c1, v2.cents AS c2
+              FROM v1 FULL OUTER JOIN v2 USING (key)
+            )
+            SELECT
+              CAST(count(*) FILTER (WHERE c1 = c2) AS BIGINT)
+                  AS n_unchanged,
+              CAST(count(*) FILTER (WHERE c1 IS NOT NULL
+                                      AND c2 IS NOT NULL
+                                      AND c1 <> c2) AS BIGINT)
+                  AS n_modified,
+              CAST(count(*) FILTER (WHERE c2 IS NULL) AS BIGINT)
+                  AS n_deleted,
+              CAST(count(*) FILTER (WHERE c1 IS NULL) AS BIGINT)
+                  AS n_added
+            FROM j
+        """,
         "compaction_plan": """
             WITH d AS (
               SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)

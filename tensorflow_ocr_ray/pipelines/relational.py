@@ -3147,3 +3147,67 @@ def compaction_plan(sf_dir: str, target_rows: int = 5000) -> pd.DataFrame:
     csum = days["n_rows"].cumsum().shift(fill_value=0).to_numpy(np.int64)
     days["group_id"] = csum // target_rows
     return days.astype("int64")
+
+
+def table_diff_audit(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Snapshot diff (CDC audit) between two versions of the orders
+    table — the change-summary a lakehouse emits between commits.  v2
+    is a deterministic mutation of v1 (keys %97 deleted, surviving
+    keys %31 get +1 cent, keys %41 re-appear shifted by 10^12 as
+    inserts), derived in-stream from the same read so both snapshots
+    stay corpus-sized pipelines, never driver frames.  Both sides tag
+    and route ONE key-hash exchange; each shard classifies its
+    disjoint keys (unchanged / modified / deleted / added) by
+    comparing cents across sides and emits four bounded counts; the
+    driver sums |shards| x 4 ints.  Exact integers; FULL OUTER JOIN
+    oracle hash-matches."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    base = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def v1(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        return pd.DataFrame(
+            {"key": k, "cents": c, "side": np.int64(0),
+             "shard": k % n_shards})
+
+    def v2(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        keep = k % 97 != 0
+        kk, cc = k[keep], c[keep]
+        cc = cc + (kk % 31 == 0)
+        add = k % 41 == 0
+        ka = k[add] + 1_000_000_000_000
+        ca = c[add]
+        return pd.DataFrame(
+            {"key": np.concatenate([kk, ka]),
+             "cents": np.concatenate([cc, ca]),
+             "side": np.int64(1),
+             "shard": np.concatenate([kk, ka]) % n_shards})
+
+    both = base.map_batches(v1, batch_format="pandas",
+                            batch_size=65536).union(
+        base.map_batches(v2, batch_format="pandas", batch_size=65536)
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["n_unchanged", "n_modified", "n_deleted", "n_added"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        a = df[df["side"] == 0].set_index("key")["cents"]
+        b = df[df["side"] == 1].set_index("key")["cents"]
+        j = a.to_frame("c1").join(b.to_frame("c2"), how="outer")
+        return pd.DataFrame(
+            {"n_unchanged": [int((j["c1"] == j["c2"]).sum())],
+             "n_modified": [int((j["c1"].notna() & j["c2"].notna()
+                                 & (j["c1"] != j["c2"])).sum())],
+             "n_deleted": [int(j["c2"].isna().sum())],
+             "n_added": [int(j["c1"].isna().sum())]}).astype("int64")
+
+    parts = hash_exchange(both, "shard", n_shards, classify).to_pandas()
+    return parts.sum().to_frame().T.astype("int64")
