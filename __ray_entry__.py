@@ -1187,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_count_autocov": relational.daily_count_autocov,
         "daily_cusum": relational.daily_cusum,
         "daily_ewma": relational.daily_ewma,
+        "daily_holt": relational.daily_holt,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
         "user_bitmap_activity": relational.user_bitmap_activity,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -4202,6 +4203,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         # integer EWMA alpha=1/4: S_t = (n_t + 3*S_{t-1}) // 4
+        "daily_holt": """
+            WITH RECURSIVE cd AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            seq AS (
+              SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS i
+              FROM cd
+            ),
+            h(event_type, i, day, n, lvl, trd) AS (
+              SELECT event_type, i, day, n, n, CAST(0 AS BIGINT)
+              FROM seq WHERE i = 1
+              UNION ALL
+              SELECT s.event_type, s.i, s.day, s.n,
+                     (s.n + 3 * (e.lvl + e.trd)) // 4,
+                     (((s.n + 3 * (e.lvl + e.trd)) // 4 - e.lvl)
+                      + 3 * e.trd) // 4
+              FROM h e JOIN seq s
+                ON s.event_type = e.event_type AND s.i = e.i + 1
+            )
+            SELECT event_type, day, n, CAST(lvl AS BIGINT) AS level,
+                   CAST(trd AS BIGINT) AS trend
+            FROM h
+        """,
         "daily_ewma": """
             WITH RECURSIVE cd AS (
               SELECT event_type,

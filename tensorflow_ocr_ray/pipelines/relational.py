@@ -3211,3 +3211,74 @@ def table_diff_audit(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
 
     parts = hash_exchange(both, "shard", n_shards, classify).to_pandas()
     return parts.sum().to_frame().T.astype("int64")
+
+
+def daily_holt(sf_dir: str, den: int = 4) -> pd.DataFrame:
+    """Holt double-exponential smoothing (level + trend) over per-type
+    daily counts — the trend member of the time-series family
+    (daily_ewma smooths level only).  Integer recurrences with
+    alpha = beta = 1/den:
+
+        L_1 = n_1,  T_1 = 0
+        L_t = (n_t + (den-1)*(L_{t-1} + T_{t-1})) / den
+        T_t = ((L_t - L_{t-1}) + (den-1)*T_{t-1}) / den
+
+    where ``/`` is TRUNCATING integer division (toward zero) — chosen
+    because that is DuckDB's ``//`` semantics and the TREND GOES
+    NEGATIVE (Python's floor ``//`` would diverge on those steps; the
+    engine mirrors trunc with sign-aware division).  No closed form,
+    so the engine steps the literal recursion over the bounded
+    |types| x |days| grid (driver-trivial at any corpus size) and the
+    oracle is the identical recursive CTE carrying both states."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+    _US_DAY = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"],
+                          "day": us // _US_DAY})
+            .groupby(["event_type", "day"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return g.astype({"day": "int64", "n": "int64"})
+
+    grid = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(16)
+        .map_batches(
+            lambda df: df.groupby(["event_type", "day"],
+                                  as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n"].sum()
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        """DuckDB // (truncation toward zero)."""
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    frames = []
+    for et, g in grid.groupby("event_type"):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy(np.int64)
+        lvl = np.empty(len(n), np.int64)
+        trd = np.empty(len(n), np.int64)
+        lvl[0], trd[0] = n[0], 0
+        for i in range(1, len(n)):
+            lvl[i] = tdiv(int(n[i]) + (den - 1)
+                          * (int(lvl[i - 1]) + int(trd[i - 1])), den)
+            trd[i] = tdiv((int(lvl[i]) - int(lvl[i - 1]))
+                          + (den - 1) * int(trd[i - 1]), den)
+        frames.append(pd.DataFrame(
+            {"event_type": et, "day": g["day"].to_numpy(np.int64),
+             "n": n, "level": lvl, "trend": trd}
+        ))
+    return (
+        pd.concat(frames, ignore_index=True)
+        .astype({"day": "int64", "n": "int64", "level": "int64",
+                 "trend": "int64"})
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+    )
