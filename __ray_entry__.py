@@ -821,6 +821,113 @@ def _media_jpeg_ink(sf_dir: str):
     ).map_batches(count_ink, batch_format="pyarrow")
 
 
+def _media_audio_g711(sf_dir: str):
+    """G.711 companded-audio ingest, hash-checked: EVEN doc_ids carry
+    µ-law WAVs (fmt code 7), ODD doc_ids A-law (fmt code 6), each a
+    constant companded byte code = 16 + doc_id%64 — so the expander
+    tables in core/audio_codecs.py are pinned end to end.  A constant
+    byte decodes to a constant int16 whose float32 |value|/2^15 is
+    exact, so round(peak * 32768) recovers the expanded MAGNITUDE as
+    int64; the oracle's lookup tables are generated from stdlib
+    ``audioop`` (the independent reference the codec's unit tests
+    already compare against), injected as VALUES literals — spec
+    tables as parameters, the IVF-centroid precedent."""
+    import struct
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.multimodal import AudioFeatureStage
+
+    N = 2048
+
+    def _wav(fmt_code: int, byte: int) -> bytes:
+        data = bytes([byte]) * N
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        payloads = []
+        for did in df["doc_id"]:
+            d = int(did)
+            code = 16 + d % 64
+            payloads.append(
+                _wav(7, code) if d % 2 == 0 else _wav(6, code)
+            )
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    [str(int(d)) for d in df["doc_id"]]
+                ),
+                "audio": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    feats = docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2,
+    )
+
+    def finalize(batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        peak = batch.column("peak").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "n_frames": batch.column("n_frames"),
+                "sample_val": pa.array(
+                    np.round(
+                        peak.astype(np.float64) * 32768.0
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return feats.map_batches(finalize, batch_format="pyarrow")
+
+
+def _g711_sql() -> str:
+    """Oracle for media_audio_g711: µ-law and A-law expanded
+    magnitudes for codes 16..79 from stdlib audioop (independent of
+    core/audio_codecs), as literal lookup tables."""
+    import audioop
+    import struct
+
+    def mag(fn, code):
+        (v,) = struct.unpack("<h", fn(bytes([code]), 2))
+        return abs(int(v))
+
+    mu = ", ".join(
+        f"({c}, {mag(audioop.ulaw2lin, c)})" for c in range(16, 80)
+    )
+    al = ", ".join(
+        f"({c}, {mag(audioop.alaw2lin, c)})" for c in range(16, 80)
+    )
+    return f"""
+        WITH mu(code, mag) AS (VALUES {mu}),
+        al(code, mag) AS (VALUES {al})
+        SELECT CAST(d.doc_id AS VARCHAR) AS media_ref,
+               CAST(2 AS INTEGER) AS n_frames,
+               CAST(CASE WHEN d.doc_id % 2 = 0 THEN mu.mag
+                         ELSE al.mag END AS BIGINT) AS sample_val
+        FROM documents d
+        JOIN mu ON mu.code = 16 + d.doc_id % 64
+        JOIN al ON al.code = 16 + d.doc_id % 64
+    """
+
+
 def _media_tiff_ink(sf_dir: str):
     """Multi-page TIFF ingest as a first-class hash-checked query: one
     deterministic little-endian TIFF per document with 1 + doc_id%3
@@ -1310,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_png_ink": _media_png_ink,
         "media_jpeg_ink": _media_jpeg_ink,
         "media_audio_mixed": _media_audio_mixed,
+        "media_audio_g711": _media_audio_g711,
         "media_tiff_ink": _media_tiff_ink,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
@@ -2828,6 +2936,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
         """,
+        "media_audio_g711": _g711_sql(),
         "media_audio_mixed": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,
                    CAST(2 AS INTEGER) AS n_frames,
