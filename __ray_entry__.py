@@ -1335,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_user_days": relational.intersect_user_days,
         "full_outer_user_day": relational.full_outer_user_day,
         "copurchase_pairs": relational.copurchase_pairs,
+        "association_rules": relational.association_rules,
         "winsorized_mean_by_type": relational.winsorized_mean_by_type,
         "mad_by_type": relational.mad_by_type,
         "daily_anomaly_days": relational.daily_anomaly_days,
@@ -4550,6 +4551,39 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE levenshtein(a.p, b.p) <= 8
+        """,
+        "association_rules": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            n AS (
+              SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS nb
+              FROM op GROUP BY 1
+            ),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS total FROM orders
+            ),
+            pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                     CAST(count(*) AS BIGINT) AS co_count
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            dir AS (
+              SELECT p1 AS a, p2 AS c, co_count FROM pairs
+              UNION ALL
+              SELECT p2 AS a, p1 AS c, co_count FROM pairs
+            )
+            SELECT d.a AS antecedent, d.c AS consequent, d.co_count,
+                   CAST(d.co_count * 1000000 // na.nb AS BIGINT)
+                       AS conf_ppm,
+                   CAST(d.co_count * m.total * 1000
+                        // (na.nb * nc.nb) AS BIGINT) AS lift_ppt
+            FROM dir d
+            JOIN n na ON na.p = d.a
+            JOIN n nc ON nc.p = d.c, m
         """,
         "copurchase_pairs": """
             WITH op AS (

@@ -3282,3 +3282,74 @@ def daily_holt(sf_dir: str, den: int = 4) -> pd.DataFrame:
                  "trend": "int64"})
         .sort_values(["event_type", "day"]).reset_index(drop=True)
     )
+
+
+def association_rules(
+    sf_dir: str, min_count: int = 2, n_shards: int = 64
+) -> "rd.Dataset":
+    """Directed association rules over order baskets — the classic
+    market-basket output (antecedent -> consequent, support,
+    confidence, lift) a recommender derives from the co-occurrence
+    matrix.  Exact integers: conf_ppm = co*1e6 // baskets(antecedent),
+    lift_ppt = co*N*1000 // (baskets(a)*baskets(c)) with N = order
+    count (int64 headroom documented; pre-divide N at web scale).
+
+    Physical plan: the copurchase_pairs two-exchange shape (orderkey
+    exchange -> vectorized all-pairs -> pair-hash exchange) for exact
+    pair counts; per-part basket counts route their own part-hash
+    exchange (per-shard (order,part) dedup is exact because a part's
+    rows co-shard) and come back as a CATALOG-bounded table broadcast
+    into the scoring pass — parts are a dimension, not a corpus."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def by_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        return pd.DataFrame(
+            {"o": d["l_orderkey"].astype("int64"),
+             "p": d["l_partkey"].astype("int64"),
+             "shard": d["l_partkey"].to_numpy(np.int64) % n_shards})
+
+    def part_baskets(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"p": pd.Series([], dtype="int64"),
+                                 "nb": pd.Series([], dtype="int64")})
+        g = (df.drop_duplicates(["o", "p"])
+             .groupby("p", as_index=False).agg(nb=("o", "size")))
+        return g.astype("int64")
+
+    nb = hash_exchange(
+        li.map_batches(by_part, batch_format="pandas",
+                       batch_size=65536),
+        "shard", n_shards, part_baskets,
+    ).to_pandas()
+    nb_map = dict(zip(nb["p"].astype(np.int64),
+                      nb["nb"].astype(np.int64)))
+    n_orders = int(_pq(sf_dir, "orders", ["o_orderkey"]).count())
+    bref = ray.put((nb_map, n_orders))
+
+    pairs = copurchase_pairs(sf_dir, min_count=min_count,
+                             n_shards=n_shards)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["antecedent", "consequent", "co_count", "conf_ppm",
+                "lift_ppt"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        m, n = ray.get(bref)
+        a = np.concatenate([df["p1"].to_numpy(np.int64),
+                            df["p2"].to_numpy(np.int64)])
+        c = np.concatenate([df["p2"].to_numpy(np.int64),
+                            df["p1"].to_numpy(np.int64)])
+        co = np.concatenate([df["co_count"].to_numpy(np.int64)] * 2)
+        na = np.asarray([m[x] for x in a], dtype=np.int64)
+        nc = np.asarray([m[x] for x in c], dtype=np.int64)
+        return pd.DataFrame(
+            {"antecedent": a, "consequent": c, "co_count": co,
+             "conf_ppm": co * 1_000_000 // na,
+             "lift_ppt": co * n * 1000 // (na * nc)}).astype("int64")
+
+    return pairs.map_batches(score, batch_format="pandas",
+                             batch_size=65536)
