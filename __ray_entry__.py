@@ -1343,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_cusum": relational.daily_cusum,
         "daily_ewma": relational.daily_ewma,
         "daily_holt": relational.daily_holt,
+        "orders_yoy_growth": relational.orders_yoy_growth,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
         "user_bitmap_activity": relational.user_bitmap_activity,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -4361,6 +4362,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         # integer EWMA alpha=1/4: S_t = (n_t + 3*S_{t-1}) // 4
+        "orders_yoy_growth": """
+            WITH m AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                     CAST(month(o_orderdate) AS BIGINT) AS month,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT a.year, a.month, a.cents,
+                   b.cents AS prev_cents,
+                   a.cents - b.cents AS delta_cents,
+                   CAST((a.cents - b.cents) * 1000000 // b.cents
+                        AS BIGINT) AS growth_ppm
+            FROM m a JOIN m b
+              ON b.year = a.year - 1 AND b.month = a.month
+        """,
         "daily_holt": """
             WITH RECURSIVE cd AS (
               SELECT event_type,

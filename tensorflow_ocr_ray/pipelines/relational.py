@@ -3353,3 +3353,50 @@ def association_rules(
 
     return pairs.map_batches(score, batch_format="pandas",
                              batch_size=65536)
+
+
+def orders_yoy_growth(sf_dir: str) -> pd.DataFrame:
+    """Year-over-year monthly revenue growth — the BI staple: per
+    calendar month, exact revenue cents plus the delta and growth rate
+    vs the SAME month one year earlier.  Month pairs match BY VALUE
+    (join on (y-1, m), robust to gaps — the daily_count_autocov
+    lesson); growth_ppm = delta*1e6 / prev_cents under TRUNCATING
+    division (DuckDB ``//`` semantics; deltas go negative, the
+    daily_holt lesson).  Revenue partials tree-combine under the
+    bounded calendar-grid contract; only the grid reaches the
+    driver."""
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df["o_orderdate"].to_numpy().astype("datetime64[M]")
+        y = (dt.astype("datetime64[Y]").astype("int64") + 1970)
+        m = dt.astype("int64") % 12 + 1
+        cents = np.round(
+            df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        g = pd.DataFrame({"year": y, "month": m, "cents": cents}).groupby(
+            ["year", "month"], as_index=False)["cents"].sum()
+        return g.astype("int64")
+
+    grid = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(8)
+        .map_batches(
+            lambda df: df.groupby(["year", "month"],
+                                  as_index=False)["cents"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["year", "month"], as_index=False)["cents"].sum()
+    )
+    prev = grid.rename(columns={"cents": "prev_cents"}).copy()
+    prev["year"] = prev["year"] + 1
+    out = grid.merge(prev, on=["year", "month"], how="inner")
+    delta = (out["cents"] - out["prev_cents"]).to_numpy(np.int64)
+    pc_ = out["prev_cents"].to_numpy(np.int64)
+    q = np.abs(delta) * 1_000_000 // pc_
+    out["delta_cents"] = delta
+    out["growth_ppm"] = np.where(delta >= 0, q, -q)
+    return (
+        out.astype("int64")
+        .sort_values(["year", "month"]).reset_index(drop=True)
+    )
