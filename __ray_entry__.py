@@ -975,6 +975,93 @@ def _g711_sql() -> str:
     """
 
 
+def _tiff_payloads(df) -> "pa.Table":
+    """Deterministic multi-page TIFFs (1 + doc_id%3 pages, page p =
+    first p+1 rows black on an (8 + doc_id%4) x 8 canvas), compression
+    cycling doc_id%4 over {none, PackBits, G4, LZW} — shared by
+    media_tiff_ink and the header probe."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.core.raster import encode_tiff_multi
+
+    comps = [None, "packbits", "g4", "lzw"]
+    payloads = []
+    for did in df["doc_id"]:
+        d = int(did)
+        h, w = 8 + d % 4, 8
+        pages = []
+        for p in range(1 + d % 3):
+            img = np.zeros((h, w), dtype=np.uint8)
+            img[: p + 1, :] = 1
+            pages.append(img)
+        payloads.append(
+            encode_tiff_multi(pages, bilevel=True,
+                              compression=comps[d % 4])
+        )
+    return pa.table(
+        {
+            "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
+            "image": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def _media_header_probe(sf_dir: str):
+    """Header-only media metadata as a first-class hash-checked query:
+    doc_id%5 routes each document to one of FIVE containers (PNG, JPEG,
+    GIF, AVI, multi-page TIFF — the exact payload builders the decode
+    queries use), and ``probe_media_header`` reports (format, width,
+    height, n_frames) from CONTAINER HEADERS ALONE — no pixel decode,
+    no decompression.  This is the scale pattern the decode matrix
+    needs a twin for: route/batch/skip decisions on 100 TB cost header
+    bytes, not decode CPU, and the arithmetic oracle proves the probe
+    agrees with the geometry the decoders later see."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.multimodal import probe_media_header
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        frames = []
+        for k, builder in enumerate(
+            (_png_payloads, _jpeg_payloads, _gif_payloads,
+             _avi_payloads, _tiff_payloads)
+        ):
+            sub = df[df["doc_id"] % 5 == k]
+            if len(sub):
+                t = builder(sub)
+                t = t.rename_columns(["media_ref", "payload"])
+                frames.append(t)
+        return pa.concat_tables(frames)
+
+    def probe(batch: "pa.Table") -> "pa.Table":
+        fmts, ws, hs, nf = [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            f, w, h, n = probe_media_header(p)
+            fmts.append(f)
+            ws.append(w)
+            hs.append(h)
+            nf.append(n)
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "format": pa.array(fmts, type=pa.string()),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(hs, type=pa.int32()),
+                "n_frames": pa.array(nf, type=pa.int32()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(probe, batch_format="pyarrow")
+
+
 def _media_tiff_ink(sf_dir: str):
     """Multi-page TIFF ingest as a first-class hash-checked query: one
     deterministic little-endian TIFF per document with 1 + doc_id%3
@@ -994,30 +1081,7 @@ def _media_tiff_ink(sf_dir: str):
     )
 
     def synth(df):
-        from tensorflow_ocr_ray.core.raster import encode_tiff_multi
-
-        comps = [None, "packbits", "g4", "lzw"]
-        payloads = []
-        for did in df["doc_id"]:
-            d = int(did)
-            h, w = 8 + d % 4, 8
-            pages = []
-            for p in range(1 + d % 3):
-                img = np.zeros((h, w), dtype=np.uint8)
-                img[: p + 1, :] = 1
-                pages.append(img)
-            payloads.append(
-                encode_tiff_multi(pages, bilevel=True,
-                                  compression=comps[d % 4])
-            )
-        return pa.table(
-            {
-                "media_ref": pa.array(
-                    [str(int(d)) for d in df["doc_id"]]
-                ),
-                "image": pa.array(payloads, type=pa.binary()),
-            }
-        )
+        return _tiff_payloads(df)
 
     def count_ink(batch: "pa.Table") -> "pa.Table":
         from tensorflow_ocr_ray.core.raster import decode_payload_pages
@@ -1469,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_g711": _media_audio_g711,
         "ocr_lineage_manifest": _ocr_lineage_manifest,
         "media_tiff_ink": _media_tiff_ink,
+        "media_header_probe": _media_header_probe,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,
@@ -2974,6 +3039,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 * (1 + doc_id % 4) AS INTEGER) AS width,
                    CAST(64 * (1 + doc_id % (1 + doc_id % 4)) AS BIGINT)
                        AS ink
+            FROM documents
+        """,
+        "media_header_probe": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                     WHEN 2 THEN 'gif' WHEN 3 THEN 'avi'
+                     ELSE 'tiff' END AS format,
+                   CAST(CASE WHEN doc_id % 5 = 1
+                             THEN 8 * (1 + doc_id % 4)
+                             ELSE 8 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 5 = 1 THEN 8
+                             ELSE 8 + doc_id % 4 END AS INTEGER)
+                       AS height,
+                   CAST(CASE doc_id % 5
+                     WHEN 2 THEN 1 + doc_id % 5
+                     WHEN 3 THEN 1 + doc_id % 5
+                     WHEN 4 THEN 1 + doc_id % 3
+                     ELSE 1 END AS INTEGER) AS n_frames
             FROM documents
         """,
         "media_tiff_ink": """

@@ -263,3 +263,99 @@ class VideoFrameSampleStage:
                 "frame": pa.array(frames, type=pa.binary()),
             }
         )
+
+
+# ---------------- header probe ---------------------------------------------
+
+def probe_media_header(payload: bytes) -> tuple[str, int, int, int]:
+    """(format, width, height, n_frames) from CONTAINER HEADERS ONLY —
+    no pixel/sample decode, no decompression.  The cheap metadata pass
+    a 100-TB pipeline runs first: route/batch/skip decisions (small vs
+    large frames, stills vs animations) cost header bytes, not decode
+    CPU.  Walks: PNG IHDR; JPEG markers to SOF0/SOF2; GIF logical
+    screen + block-skip frame count (sub-block lengths, LZW untouched);
+    RIFF/AVI strf BITMAPINFOHEADER + 00db/00dc chunk count; TIFF
+    chained-IFD walk reading only the size tags."""
+    import struct as _struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _struct.unpack(">II", payload[16:24])
+        return "png", int(w), int(h), 1
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = _struct.unpack(">HH", payload[i + 5:i + 9])
+                return "jpeg", int(w), int(h), 1
+            (seglen,) = _struct.unpack(">H", payload[i + 2:i + 4])
+            i += 2 + seglen
+        raise ValueError("JPEG without SOF")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, flags = _struct.unpack("<HHB", payload[6:11])
+        i = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+        frames = 0
+        while i < len(payload):
+            b = payload[i]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while payload[i]:
+                    i += 1 + payload[i]
+                i += 1
+            elif b == 0x2C:  # image descriptor
+                frames += 1
+                lflags = payload[i + 9]
+                i += 10 + (3 * (2 << (lflags & 7))
+                           if lflags & 0x80 else 0)
+                i += 1  # LZW min code size
+                while payload[i]:
+                    i += 1 + payload[i]
+                i += 1
+            else:
+                raise ValueError(f"GIF block {b:#x}")
+        return "gif", int(w), int(h), frames
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        w = h = 0
+        frames = 0
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i:i + 4]
+            (size,) = _struct.unpack("<I", payload[i + 4:i + 8])
+            if cid == b"LIST":
+                i += 12  # descend
+                continue
+            if cid == b"strf":
+                w, h = _struct.unpack(
+                    "<ii", payload[i + 12:i + 20])
+                h = abs(h)
+            if cid in (b"00db", b"00dc"):
+                frames += 1
+            i += 8 + size + (size & 1)
+        return "avi", int(w), int(h), frames
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        le = payload[:2] == b"II"
+        u16 = "<H" if le else ">H"
+        u32 = "<I" if le else ">I"
+        (off,) = _struct.unpack(u32, payload[4:8])
+        w = h = 0
+        frames = 0
+        while off:
+            frames += 1
+            (n,) = _struct.unpack(u16, payload[off:off + 2])
+            for t in range(n):
+                e = off + 2 + t * 12
+                (tag,) = _struct.unpack(u16, payload[e:e + 2])
+                if frames == 1 and tag in (256, 257):
+                    (v,) = _struct.unpack(u32, payload[e + 8:e + 12])
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            (off,) = _struct.unpack(
+                u32, payload[off + 2 + n * 12:off + 6 + n * 12])
+        return "tiff", int(w), int(h), frames
+    raise ValueError(f"unknown container magic {payload[:4]!r}")
