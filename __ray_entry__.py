@@ -1459,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank state in the object store, one exchange per iteration
         "link_pagerank": graph.link_pagerank,
         "graph_components": graph.graph_components,
+        "graph_degree_stats": graph.graph_degree_stats,
         "graph_bfs_depth": graph.graph_bfs_depth,
         "triangle_count": graph.triangle_count,
         "kcore_membership": graph.kcore_membership,
@@ -2991,6 +2992,30 @@ def oracle_sql() -> dict[str, str]:
             }.items()
         ),
         "link_pagerank": pagerank_oracle_sql(),
+        "graph_degree_stats": """
+            WITH e AS (
+              SELECT doc_id AS a, doc_id - doc_id % 7 AS b
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id AS a, doc_id - 7 AS b
+              FROM documents
+              WHERE doc_id % 7 = 0 AND doc_id % 21 = 7 AND doc_id >= 7
+            ),
+            und AS (
+              SELECT a AS v, b AS nb FROM e
+              UNION ALL
+              SELECT b AS v, a AS nb FROM e
+            ),
+            deg AS (
+              SELECT d.doc_id AS v,
+                     CAST(coalesce(count(DISTINCT u.nb), 0) AS BIGINT)
+                         AS degree
+              FROM documents d LEFT JOIN und u ON u.v = d.doc_id
+              GROUP BY 1
+            )
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+            FROM deg GROUP BY 1
+        """,
         "graph_components": COMPONENTS_ORACLE_SQL,
         "graph_bfs_depth": bfs_oracle_sql(),
         "triangle_count": TRIANGLE_ORACLE_SQL,

@@ -867,3 +867,62 @@ def shortest_path_oracle_sql(rounds: int = SP_ROUNDS) -> str:
         "WITH " + ", ".join(parts)
         + f" SELECT v AS doc_id, d AS dist FROM d{rounds}"
     )
+
+
+def graph_degree_stats(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
+    """Degree distribution of the undirected star+bridge graph (the
+    graph_components topology) — the first diagnostic any graph
+    pipeline prints before choosing a partitioning strategy (skewed
+    degrees are where vertex-cut vs edge-cut matters).  Self-loops
+    excluded; isolated vertices counted at degree 0 via marker rows.
+
+    One vertex-hash exchange (both endpoint directions + markers);
+    each shard counts DISTINCT neighbors per vertex — exact because a
+    vertex's rows co-shard — and pre-reduces to its local degree
+    histogram, so the driver combines |shards| x |degrees| skinny
+    rows (degrees are bounded by star size + bridges, not corpus
+    size).  Oracle: derive the same closed-form edge list in SQL and
+    GROUP BY twice."""
+    import pyarrow.dataset as pads
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        c = v - v % 7
+        leaf = v % 7 != 0
+        is_bridge = (v % 7 == 0) & (v % 21 == 7) & (v >= 7)
+        a = np.concatenate([v[leaf], c[leaf], v[is_bridge],
+                            v[is_bridge] - 7, v])
+        b = np.concatenate([c[leaf], v[leaf], v[is_bridge] - 7,
+                            v[is_bridge], np.full(len(v), -1,
+                                                  np.int64)])
+        return pd.DataFrame(
+            {"v": a, "nb": b, "shard": a % n_shards})
+
+    def shard_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"degree": pd.Series([], dtype="int64"),
+                 "n_vertices": pd.Series([], dtype="int64")})
+        real = df[df["nb"] >= 0].drop_duplicates(["v", "nb"])
+        deg = real.groupby("v")["nb"].size()
+        allv = pd.Index(df["v"].unique())
+        deg = deg.reindex(allv, fill_value=0)
+        h = deg.value_counts().sort_index()
+        return pd.DataFrame(
+            {"degree": h.index.to_numpy(np.int64),
+             "n_vertices": h.to_numpy(np.int64)})
+
+    parts = hash_exchange(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])
+        .map_batches(endpoints, batch_format="pandas",
+                     batch_size=65536),
+        "shard", n_shards, shard_hist,
+    ).to_pandas()
+    return (
+        parts.groupby("degree", as_index=False)["n_vertices"].sum()
+        .astype("int64")
+        .sort_values("degree").reset_index(drop=True)
+    )
