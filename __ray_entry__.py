@@ -1360,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journey": windows.user_journey,
         "event_transitions": windows.event_transitions,
         "event_pattern_match": windows.event_pattern_match,
+        "interarrival_quantiles": windows.interarrival_quantiles,
         "event_pivot": relational.event_pivot,
         "rollup_lineitem": relational.rollup_lineitem,
         "price_histogram": relational.price_histogram,
@@ -4867,6 +4868,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         # Markov transition counts between consecutive per-user events
+        "interarrival_quantiles": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY event_type
+                         ORDER BY epoch_us(ts), event_id) AS gap
+              FROM events
+            ),
+            gg AS (SELECT event_type, CAST(gap AS BIGINT) AS gap
+                   FROM g WHERE gap IS NOT NULL)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                       AS p50_gap_us,
+                   CAST(quantile_disc(gap, 0.99) AS BIGINT)
+                       AS p99_gap_us
+            FROM gg GROUP BY 1
+        """,
         "event_pattern_match": """
             WITH s AS (
               SELECT user_id, event_type,

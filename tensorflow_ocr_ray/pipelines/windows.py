@@ -1617,3 +1617,148 @@ def event_pattern_match(
         .map_batches(add_shard, batch_format="pandas", batch_size=65536),
         "shard", n_shards, per_shard,
     )
+
+
+def interarrival_quantiles(
+    sf_dir: str, n_shards: int = 32
+) -> pd.DataFrame:
+    """Exact p50/p99 of the GLOBAL inter-arrival gap (microseconds)
+    between consecutive events of each type — latency-style
+    percentiles where NO grouping key localizes the computation (the
+    window ops shard by user; here consecutive neighbors of a type
+    span the whole corpus).  The distributed consecutive-difference
+    primitive:
+
+    1. deterministic ts-range partitioning (equal-width between the
+       streamed min/max — balance, not correctness, depends on the
+       split, so no quantile pass is needed);
+    2. in-shard vectorized per-type diffs — all interior gaps;
+    3. each shard's per-type FIRST/LAST rows (types x shards rows)
+       chain on the driver into the cross-shard boundary gaps a
+       range partition cannot see;
+    4. exact p50/p99 over interior ∪ boundary gaps via the
+       histogram-refinement selection.  The exchange pins the SKINNY
+       (type, gap) projection in the object store (the selection
+       re-reads it per refinement round); nothing row-width-wide ever
+       materializes.
+
+    Every gap is an int64 microsecond difference, so the lag()-window
+    oracle hash-matches.  n_gaps = n_events(type) - 1 rides the same
+    partials."""
+    from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
+
+    ev = _events(sf_dir, ["event_type", "ts", "event_id"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"],
+             "us": df["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64),
+             "event_id": df["event_id"].astype("int64")})
+
+    mm = (
+        ev.map_batches(to_us, batch_format="pandas", batch_size=65536)
+        .map_batches(
+            lambda df: pd.DataFrame({"lo": [df["us"].min()],
+                                     "hi": [df["us"].max()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    bounds = np.linspace(lo, hi, n_shards + 1)[1:-1].astype(np.int64)
+    bref = ray.put(bounds)
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        d = to_us(df)
+        d["shard"] = np.searchsorted(
+            ray.get(bref), d["us"].to_numpy(np.int64), side="left"
+        ).astype(np.int64)
+        return d
+
+    def shard_gaps(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": "object", "gap": "int64", "us": "int64",
+                "event_id": "int64", "kind": "int64", "shard": "int64"}
+        if not len(df):
+            return pd.DataFrame({k: pd.Series([], dtype=v)
+                                 for k, v in cols.items()})
+        df = df.sort_values(["event_type", "us", "event_id"])
+        et = df["event_type"].to_numpy()
+        us = df["us"].to_numpy(np.int64)
+        same = np.r_[False, et[1:] == et[:-1]]
+        interior = pd.DataFrame(
+            {"event_type": et[same], "gap": np.diff(us)[same[1:]],
+             "us": np.int64(0), "event_id": np.int64(0),
+             "kind": np.int64(0)})
+        firsts = ~same
+        lasts = np.r_[~same[1:], True]
+        sid = int(df["shard"].iloc[0])
+        edge = pd.DataFrame(
+            {"event_type": np.concatenate([et[firsts], et[lasts]]),
+             "gap": np.int64(0),
+             "us": np.concatenate([us[firsts], us[lasts]]),
+             "event_id": np.concatenate(
+                 [df["event_id"].to_numpy(np.int64)[firsts],
+                  df["event_id"].to_numpy(np.int64)[lasts]]),
+             "kind": np.concatenate(
+                 [np.full(int(firsts.sum()), 1, np.int64),
+                  np.full(int(lasts.sum()), 2, np.int64)])})
+        out = pd.concat([interior, edge], ignore_index=True)
+        out["shard"] = np.int64(sid)
+        return out.astype({k: v for k, v in cols.items()
+                           if k != "event_type"})
+
+    routed = hash_exchange(
+        ev.map_batches(add_shard, batch_format="pandas",
+                       batch_size=65536),
+        "shard", n_shards, shard_gaps,
+    ).materialize()
+
+    # boundary stitch: per type, chain shard k's last -> next shard's
+    # first (skipping shards without the type) — types x shards rows
+    edges = (
+        routed.map_batches(
+            lambda df: df[df["kind"] > 0], batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "us", "event_id"])
+    )
+    boundary_rows = []
+    for et, g in edges.groupby("event_type"):
+        g = g.sort_values(["shard", "kind"])
+        last_of_prev = None
+        for sid, sg in g.groupby("shard"):
+            first = sg[sg["kind"] == 1].iloc[0]
+            last = sg[sg["kind"] == 2].iloc[-1]
+            if last_of_prev is not None:
+                boundary_rows.append(
+                    (et, int(first["us"]) - int(last_of_prev)))
+            last_of_prev = int(last["us"])
+    extra = pd.DataFrame(boundary_rows, columns=["event_type", "gap"])
+
+    gaps_interior = routed.map_batches(
+        lambda df: df.loc[df["kind"] == 0, ["event_type", "gap"]],
+        batch_format="pandas",
+    )
+    gaps = (
+        gaps_interior.union(rd.from_pandas(extra))
+        if len(extra) else gaps_interior
+    )
+    q = exact_group_quantiles(
+        gaps, "event_type", "gap", ((0.5, "p50_gap_us"),
+                                    (0.99, "p99_gap_us")))
+    counts = (
+        gaps.map_batches(
+            lambda df: df.groupby("event_type", as_index=False)
+            .agg(n_gaps=("gap", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("event_type", as_index=False)["n_gaps"].sum()
+    )
+    out = q.merge(counts, on="event_type")
+    return (
+        out[["event_type", "n_gaps", "p50_gap_us", "p99_gap_us"]]
+        .astype({"n_gaps": "int64", "p50_gap_us": "int64",
+                 "p99_gap_us": "int64"})
+        .sort_values("event_type").reset_index(drop=True)
+    )

@@ -93,3 +93,13 @@ def test_percent_rank_shard_invariant(ray_session):
         .sort_values("o_orderkey").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, exp)
+
+
+def test_interarrival_shard_invariant(ray_session):
+    """Boundary stitching must make the gap multiset independent of the
+    range-partition count."""
+    from tensorflow_ocr_ray.pipelines.windows import interarrival_quantiles
+
+    a = interarrival_quantiles(SF, n_shards=3)
+    b = interarrival_quantiles(SF, n_shards=32)
+    pd.testing.assert_frame_equal(a, b)
