@@ -1409,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_ewma": relational.daily_ewma,
         "daily_holt": relational.daily_holt,
         "orders_yoy_growth": relational.orders_yoy_growth,
+        "ab_test_stats": relational.ab_test_stats,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
         "user_bitmap_activity": relational.user_bitmap_activity,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -4472,6 +4473,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         # integer EWMA alpha=1/4: S_t = (n_t + 3*S_{t-1}) // 4
+        "ab_test_stats": """
+            WITH e AS (
+              SELECT ((1315423911 * user_id) % 1000003) % 2 AS arm,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE event_type = 'purchase'
+            ),
+            s AS (
+              SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(c) AS HUGEINT) AS s1,
+                     CAST(sum(c * c) AS HUGEINT) AS q
+              FROM e GROUP BY 1
+            ),
+            a AS (SELECT * FROM s WHERE arm = 0),
+            b AS (SELECT * FROM s WHERE arm = 1)
+            SELECT CAST(a.n AS BIGINT) AS n_a,
+                   CAST(b.n AS BIGINT) AS n_b,
+                   CAST(a.s1 AS BIGINT) AS sum_a_cents,
+                   CAST(b.s1 AS BIGINT) AS sum_b_cents,
+                   CAST(CASE WHEN
+                       (a.s1 * b.n - b.s1 * a.n)
+                       * (a.s1 * b.n - b.s1 * a.n) * a.n * b.n
+                       > 4 * ((a.n * a.q - a.s1 * a.s1) * b.n * b.n * b.n
+                              + (b.n * b.q - b.s1 * b.s1)
+                                * a.n * a.n * a.n)
+                       THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM a, b
+        """,
         "orders_yoy_growth": """
             WITH m AS (
               SELECT CAST(year(o_orderdate) AS BIGINT) AS year,

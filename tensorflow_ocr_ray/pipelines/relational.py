@@ -3400,3 +3400,47 @@ def orders_yoy_growth(sf_dir: str) -> pd.DataFrame:
         out.astype("int64")
         .sort_values(["year", "month"]).reset_index(drop=True)
     )
+
+
+def ab_test_stats(sf_dir: str) -> pd.DataFrame:
+    """Two-sample A/B significance test on purchase value — the
+    experimentation primitive: users split deterministically into arms
+    by the arithmetic hash ((1315423911*u) % 1000003) % 2 (SQL-
+    reproducible, the CMS trick), per-arm (n, Σcents, Σcents²)
+    partials tree-combine (6 ints — bounded-key), and the driver
+    evaluates the z² > 4 criterion EXACTLY by cross-multiplying the
+    division-free inequality
+
+        (S_a·n_b − S_b·n_a)²·n_a·n_b  >  4·[(n_a·Q_a − S_a²)·n_b³
+                                           + (n_b·Q_b − S_b²)·n_a³]
+
+    in arbitrary-precision Python ints (the oracle mirrors it in
+    HUGEINT — fits to ~1e38; at web scale pre-divide both sides).
+    Single row: per-arm stats + the significance flag."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "purchase"]
+        u = d["user_id"].to_numpy(np.int64)
+        arm = ((1315423911 * u) % 1000003) % 2
+        c = np.round(d["value"].to_numpy() * 100.0).astype(np.int64)
+        g = pd.DataFrame({"arm": arm, "n": 1, "s": c, "q": c * c}).groupby(
+            "arm", as_index=False).sum()
+        return g.astype("int64")
+
+    s = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("arm", as_index=False)
+        .sum()
+        .set_index("arm")
+    )
+    na, nb = int(s.loc[0, "n"]), int(s.loc[1, "n"])
+    sa, sb = int(s.loc[0, "s"]), int(s.loc[1, "s"])
+    qa, qb = int(s.loc[0, "q"]), int(s.loc[1, "q"])
+    lhs = (sa * nb - sb * na) ** 2 * na * nb
+    rhs = 4 * ((na * qa - sa * sa) * nb**3 + (nb * qb - sb * sb) * na**3)
+    return pd.DataFrame(
+        {"n_a": [na], "n_b": [nb], "sum_a_cents": [sa],
+         "sum_b_cents": [sb],
+         "significant": [1 if lhs > rhs else 0]}).astype("int64")
