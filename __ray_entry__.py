@@ -224,6 +224,98 @@ def _media_audio_features(sf_dir: str):
     return feats.map_batches(finalize, batch_format="pandas")
 
 
+def _pdf_payloads(df) -> "pa.Table":
+    """Deterministic single-page CCITT-G4 PDFs (doc_id-seeded ink: a
+    6x12 block at an arithmetic offset + a bottom dotted row) — shared
+    by media_pdf_pages (float stats, rows-only) and media_pdf_ink
+    (exact ink, hash-checked)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.core.ccitt import encode_g4
+
+    payloads = []
+    h, w = 24, 40
+    for did in df["doc_id"]:
+        d = int(did)
+        ink = np.zeros((h, w), dtype=np.uint8)
+        r0 = 2 + d % 10
+        c0 = 2 + (d // 10) % 20
+        ink[r0:r0 + 6, c0:c0 + 12] = 1
+        ink[h - 3, (d % 5)::4] = 1
+        g4 = encode_g4(ink)
+        body = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+
+        def put(num, b, body=body, offsets=offsets):
+            offsets[num] = len(body)
+            body.extend(b"%d 0 obj\n" % num + b + b"\nendobj\n")
+
+        put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        put(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+               b"<< /XObject << /Im0 4 0 R >> >> >>")
+        put(4, b"<< /Subtype /Image /Width %d /Height %d "
+               b"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+               b"/Filter /CCITTFaxDecode /DecodeParms "
+               b"<< /K -1 /Columns %d /Rows %d >> /Length %d >>\n"
+               b"stream\n" % (w, h, w, h, len(g4))
+               + g4 + b"\nendstream")
+        xref_at = len(body)
+        body.extend(b"xref\n0 5\n0000000000 65535 f \n")
+        for num in range(1, 5):
+            body.extend(b"%010d 00000 n \n" % offsets[num])
+        body.extend(b"trailer\n<< /Size 5 /Root 1 0 R >>\n"
+                    b"startxref\n%d\n%%%%EOF\n" % xref_at)
+        payloads.append(bytes(body))
+    return pa.table(
+        {
+            "media_ref": pa.array(
+                [str(int(d)) for d in df["doc_id"]]
+            ),
+            "image": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+
+def _media_pdf_ink(sf_dir: str):
+    """Scanned-PDF decode hash-checked: the same deterministic G4-in-
+    PDF payloads as media_pdf_pages (real PDF object graph + xref,
+    CCITT G4 image stream), but counting EXACT ink through
+    decode_payload — the 6x12 block contributes 72 and the bottom
+    dotted row (43 - doc_id%5)//4, so the whole PDF parse + G4 decode
+    path gets an arithmetic DuckDB oracle (media_pdf_pages stays the
+    float-stats rows-only sibling)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        return _pdf_payloads(df)
+
+    def count_ink(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.raster import decode_payload
+
+        ink = [
+            int(decode_payload(p).sum())
+            for p in batch.column("image").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "ink": pa.array(ink, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(count_ink, batch_format="pyarrow")
+
+
 def _media_pdf_pages(sf_dir: str):
     """Scanned-PDF ingest as a first-class query: one deterministic
     single-page CCITT-G4 PDF per document (doc_id-seeded ink blocks in a
@@ -243,50 +335,7 @@ def _media_pdf_pages(sf_dir: str):
     )
 
     def synth(df):
-        from tensorflow_ocr_ray.core.ccitt import encode_g4
-
-        payloads = []
-        h, w = 24, 40
-        for did in df["doc_id"]:
-            d = int(did)
-            ink = np.zeros((h, w), dtype=np.uint8)
-            r0 = 2 + d % 10
-            c0 = 2 + (d // 10) % 20
-            ink[r0:r0 + 6, c0:c0 + 12] = 1
-            ink[h - 3, (d % 5)::4] = 1
-            g4 = encode_g4(ink)
-            body = bytearray(b"%PDF-1.4\n")
-            offsets = {}
-
-            def put(num, b, body=body, offsets=offsets):
-                offsets[num] = len(body)
-                body.extend(b"%d 0 obj\n" % num + b + b"\nendobj\n")
-
-            put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
-            put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
-            put(3, b"<< /Type /Page /Parent 2 0 R /Resources "
-                   b"<< /XObject << /Im0 4 0 R >> >> >>")
-            put(4, b"<< /Subtype /Image /Width %d /Height %d "
-                   b"/BitsPerComponent 1 /ColorSpace /DeviceGray "
-                   b"/Filter /CCITTFaxDecode /DecodeParms "
-                   b"<< /K -1 /Columns %d /Rows %d >> /Length %d >>\n"
-                   b"stream\n" % (w, h, w, h, len(g4))
-                   + g4 + b"\nendstream")
-            xref_at = len(body)
-            body.extend(b"xref\n0 5\n0000000000 65535 f \n")
-            for num in range(1, 5):
-                body.extend(b"%010d 00000 n \n" % offsets[num])
-            body.extend(b"trailer\n<< /Size 5 /Root 1 0 R >>\n"
-                        b"startxref\n%d\n%%%%EOF\n" % xref_at)
-            payloads.append(bytes(body))
-        return pa.table(
-            {
-                "media_ref": pa.array(
-                    [str(int(d)) for d in df["doc_id"]]
-                ),
-                "image": pa.array(payloads, type=pa.binary()),
-            }
-        )
+        return _pdf_payloads(df)
 
     feats = docs.map_batches(
         synth, batch_format="pandas", batch_size=1024
@@ -1527,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (rows-only; DSP features aren't SQL)
         "media_audio_features": _media_audio_features,
         "media_pdf_pages": _media_pdf_pages,
+        "media_pdf_ink": _media_pdf_ink,
         "media_gif_frames": _media_gif_frames,
         "media_avi_frames": _media_avi_frames,
         "media_mixed_frames": _media_mixed_frames,
@@ -3085,6 +3135,11 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 3 THEN 1 + doc_id % 5
                      WHEN 4 THEN 1 + doc_id % 3
                      ELSE 1 END AS INTEGER) AS n_frames
+            FROM documents
+        """,
+        "media_pdf_ink": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(72 + (43 - doc_id % 5) // 4 AS BIGINT) AS ink
             FROM documents
         """,
         "media_tiff_ink": """
