@@ -1483,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_parts": relational.above_avg_parts,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
+        "dedup_rate_by_source": dedup.dedup_rate_by_source,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -5074,6 +5075,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.doc_id
             )
             SELECT doc_id, min(r) AS cluster_rep FROM walk GROUP BY doc_id
+        """,
+        "dedup_rate_by_source": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+                   CAST((count(*) - count(DISTINCT text)) * 1000000
+                        // count(*) AS BIGINT) AS dup_ppm
+            FROM documents GROUP BY 1
         """,
         "dedup_exact": """
             SELECT text, min(doc_id) AS keeper_doc_id, count(*) AS copies

@@ -960,3 +960,73 @@ def minhash_cluster_size_hist(sf_dir: str) -> pd.DataFrame:
         {"cluster_size": hist.index.to_numpy(np.int64),
          "n_clusters": hist.to_numpy(np.int64)}
     )
+
+
+def dedup_rate_by_source(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Per-source duplication audit — the number a curation report
+    opens with: for each source, document count, distinct-text count
+    and dup_ppm = (n_docs - n_unique) * 1e6 // n_docs.
+
+    Distinct texts are counted WITHOUT shuffling text bytes: per-batch
+    deduped (source, md5-derived 8-byte key) partials route one
+    key-hash exchange — identical texts co-shard by construction, so
+    per-shard per-source distinct counts are exact and, because key
+    ranges are disjoint across shards, the bounded |shards| x
+    |sources| partials SUM exactly.  Doc counts ride per-batch
+    partials.  The oracle counts DISTINCT text directly (same number,
+    md5 collision-free at corpus scale)."""
+    import hashlib
+    import zlib
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[:8], "big",
+                signed=False,
+            ) >> 1
+            for t in df["text"]
+        ]
+        d = pd.DataFrame(
+            {"source": df["source"].to_numpy(), "k": keys}
+        ).drop_duplicates()
+        d["shard"] = (d["k"] % n_shards).astype("int64")
+        return d
+
+    def shard_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "n_unique": pd.Series([], dtype="int64")})
+        g = (df.drop_duplicates(["source", "k"])
+             .groupby("source", as_index=False).agg(n_unique=("k",
+                                                              "size")))
+        return g
+
+    uniq = hash_exchange(
+        docs.map_batches(key_partial, batch_format="pandas",
+                         batch_size=4096),
+        "shard", n_shards, shard_distinct,
+    ).to_pandas().groupby("source", as_index=False)["n_unique"].sum()
+
+    counts = (
+        docs.map_batches(
+            lambda df: df.groupby("source", as_index=False)
+            .agg(n_docs=("text", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)["n_docs"].sum()
+    )
+    out = counts.merge(uniq, on="source")
+    out["dup_ppm"] = (
+        (out["n_docs"] - out["n_unique"]) * 1_000_000 // out["n_docs"]
+    )
+    return (
+        out.astype({"n_docs": "int64", "n_unique": "int64",
+                    "dup_ppm": "int64"})
+        .sort_values("source").reset_index(drop=True)
+    )
