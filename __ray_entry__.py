@@ -1452,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": relational.association_rules,
         "winsorized_mean_by_type": relational.winsorized_mean_by_type,
         "mad_by_type": relational.mad_by_type,
+        "value_outliers": relational.value_outliers,
         "daily_anomaly_days": relational.daily_anomaly_days,
         "daily_count_autocov": relational.daily_count_autocov,
         "daily_cusum": relational.daily_cusum,
@@ -4708,6 +4709,30 @@ def oracle_sql() -> dict[str, str]:
                   > 4 * (sum_sq * n_days - sum_n * sum_n)
         """,
         # MAD: median of |cents - median_cents|, both quantile_disc
+        "value_outliers": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            m AS (
+              SELECT event_type,
+                     quantile_disc(cents, 0.5) AS med
+              FROM c GROUP BY 1
+            ),
+            s AS (
+              SELECT c.event_type,
+                     CAST(quantile_disc(abs(c.cents - m.med), 0.5)
+                          AS BIGINT) AS mad,
+                     CAST(m.med AS BIGINT) AS med
+              FROM c JOIN m USING (event_type)
+              GROUP BY c.event_type, m.med
+            )
+            SELECT c.event_id, c.event_type, c.cents,
+                   abs(c.cents - s.med) AS dev_cents
+            FROM c JOIN s USING (event_type)
+            WHERE abs(c.cents - s.med) > 5 * s.mad
+        """,
         "mad_by_type": """
             WITH c AS (
               SELECT event_type,

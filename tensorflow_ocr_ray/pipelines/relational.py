@@ -3444,3 +3444,36 @@ def ab_test_stats(sf_dir: str) -> pd.DataFrame:
         {"n_a": [na], "n_b": [nb], "sum_a_cents": [sa],
          "sum_b_cents": [sb],
          "significant": [1 if lhs > rhs else 0]}).astype("int64")
+
+
+def value_outliers(sf_dir: str, k: int = 5) -> "rd.Dataset":
+    """Robust per-row outlier flagging — events whose value deviates
+    from their type's exact median by more than ``k`` MADs (the
+    median/MAD pair from mad_by_type's chained exact selections).  The
+    two-stage shape every robust cleaning pass uses at scale: the
+    tiny (type, median, mad) table broadcasts and the corpus streams
+    through one vectorized filter — no shuffle at all in the flagging
+    pass.  Exact integers (dev_cents vs k*mad_cents), so the nested
+    quantile_disc oracle hash-matches.  Output is lazy."""
+    stats = mad_by_type(sf_dir)
+    lut = {
+        r["event_type"]: (np.int64(r["median_cents"]),
+                          np.int64(r["mad_cents"]))
+        for _, r in stats.iterrows()
+    }
+    sref = ray.put(lut)
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        lu = ray.get(sref)
+        med = df["event_type"].map(lambda t: lu[t][0]).to_numpy(np.int64)
+        mad = df["event_type"].map(lambda t: lu[t][1]).to_numpy(np.int64)
+        c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        dev = np.abs(c - med)
+        keep = dev > k * mad
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(np.int64)[keep],
+             "event_type": df["event_type"].to_numpy()[keep],
+             "cents": c[keep], "dev_cents": dev[keep]})
+
+    return ds.map_batches(flag, batch_format="pandas", batch_size=65536)
