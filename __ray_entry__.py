@@ -1467,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_stats": relational.zorder_layout_stats,
         "equidepth_histogram": relational.equidepth_histogram,
         "orders_percent_rank": relational.orders_percent_rank,
+        "systematic_sample": relational.systematic_sample,
         "join_cardinality_audit": relational.join_cardinality_audit,
         "compaction_plan": relational.compaction_plan,
         "table_diff_audit": relational.table_diff_audit,
@@ -4346,6 +4347,17 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(v_orders, v_lineitem, 1) AS BIGINT)
                        AS est_pairs
             FROM m
+        """,
+        "systematic_sample": """
+            WITH r AS (
+              SELECT o_orderkey,
+                     rank() OVER (
+                         ORDER BY CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS rnk
+              FROM orders
+            )
+            SELECT o_orderkey, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk % 100 = 1
         """,
         "orders_percent_rank": """
             WITH o AS (

@@ -3477,3 +3477,21 @@ def value_outliers(sf_dir: str, k: int = 5) -> "rd.Dataset":
              "cents": c[keep], "dev_cents": dev[keep]})
 
     return ds.map_batches(flag, batch_format="pandas", batch_size=65536)
+
+
+def systematic_sample(sf_dir: str, k: int = 100) -> "rd.Dataset":
+    """Systematic sampling by GLOBAL value order — every k-th order by
+    price rank (rank % k == 1, SQL rank() tie semantics) — the
+    order-representative sampling an audit pass wants, computed
+    WITHOUT a global sort by composing the orders_percent_rank
+    primitive (range-partition on exact quantile boundaries + in-shard
+    rank + broadcast offsets) with a streaming filter.  Lazy output;
+    rank()-window oracle hash-matches."""
+    ranked = orders_percent_rank(sf_dir)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["rank"].to_numpy(np.int64) % k == 1
+        return df.loc[keep, ["o_orderkey", "rank"]].astype("int64")
+
+    return ranked.map_batches(pick, batch_format="pandas",
+                              batch_size=65536)
