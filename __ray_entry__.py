@@ -1419,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densify_hourly_user": windows.densify_hourly_user,
         "range_join_orders": windows.range_join_orders,
         "first_touch_attribution": windows.first_touch_attribution,
+        "linear_attribution": windows.linear_attribution,
         "first_event_per_user_day": windows.first_event_per_user_day,
         "user_active_streak": windows.user_active_streak,
         "event_lag_diff": windows.event_lag_diff,
@@ -3955,6 +3956,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # first-touch attribution: earliest view in [purchase-30d,
         # purchase), ties by event_id; -1 (BIGINT) = unattributed
+        "linear_attribution": """
+            WITH v AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'view'
+            ),
+            p AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'purchase'
+            ),
+            j AS (
+              SELECT p.event_id AS pid, v.event_id AS vid,
+                     count(*) OVER (PARTITION BY p.event_id) AS n,
+                     row_number() OVER (
+                         PARTITION BY p.event_id
+                         ORDER BY v.t, v.event_id) AS rn
+              FROM p JOIN v
+                ON v.user_id = p.user_id
+               AND v.t >= p.t - 30 * 86400000000
+               AND v.t < p.t
+            )
+            SELECT pid AS purchase_event_id,
+                   vid AS touch_event_id,
+                   CAST(1000000 // n
+                        + CASE WHEN rn = 1 THEN 1000000 % n
+                          ELSE 0 END AS BIGINT) AS credit_ppm
+            FROM j
+            UNION ALL
+            SELECT p.event_id, CAST(-1 AS BIGINT),
+                   CAST(1000000 AS BIGINT)
+            FROM p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM v
+              WHERE v.user_id = p.user_id
+                AND v.t >= p.t - 30 * 86400000000 AND v.t < p.t
+            )
+        """,
         "first_touch_attribution": """
             WITH v AS (SELECT user_id, event_id, ts FROM events
                        WHERE event_type = 'view'),

@@ -1762,3 +1762,99 @@ def interarrival_quantiles(
                  "p99_gap_us": "int64"})
         .sort_values("event_type").reset_index(drop=True)
     )
+
+
+def linear_attribution(sf_dir: str, days: int = 30,
+                       n_shards: int = 64) -> "rd.Dataset":
+    """Multi-touch LINEAR attribution — each purchase distributes
+    exactly 1,000,000 ppm of credit equally across the same user's
+    view events in the preceding ``days`` window; the integer split is
+    floor(1e6/n) per touch with the remainder assigned to the EARLIEST
+    touch (ties by event_id), so credits always sum to exactly 1e6 and
+    the window-function oracle hash-matches.  Unattributed purchases
+    emit touch -1 with full credit (the first_touch -1 convention).
+
+    Same physical plan as first_touch_attribution (skinny typed
+    streams through one user-hash exchange, in-shard searchsorted
+    windows); the per-touch fan-out is bounded by views-per-user in
+    the window, vectorized with repeat/arange indexing."""
+    delta = np.int64(days * _US_PER_DAY)
+
+    def rows(side_type: str, side_tag: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["event_type"] == side_type]
+            key = d["user_id"].astype("int64")
+            return pd.DataFrame(
+                {
+                    "user_id": key,
+                    "event_id": d["event_id"].astype("int64"),
+                    "t_us": d["ts"].to_numpy()
+                    .astype("datetime64[us]").astype("int64"),
+                    "side": np.int64(side_tag),
+                    "shard": key % n_shards,
+                }
+            )
+
+        return fn
+
+    src = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    v = src.map_batches(rows("view", 0), batch_format="pandas",
+                        batch_size=65536)
+    p = src.map_batches(rows("purchase", 1), batch_format="pandas",
+                        batch_size=65536)
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"purchase_event_id": "int64",
+                "touch_event_id": "int64", "credit_ppm": "int64"}
+        vb = df[df["side"] == 0].sort_values(
+            ["user_id", "t_us", "event_id"]
+        )
+        pb = df[df["side"] == 1]
+        if not len(pb):
+            return pd.DataFrame({k: pd.Series([], dtype=t)
+                                 for k, t in cols.items()})
+        v_uid = vb["user_id"].to_numpy()
+        v_t = vb["t_us"].to_numpy()
+        v_id = vb["event_id"].to_numpy()
+        p_uid = pb["user_id"].to_numpy()
+        p_t = pb["t_us"].to_numpy()
+        p_id = pb["event_id"].to_numpy()
+        out_p, out_v, out_c = [], [], []
+        for k in np.unique(p_uid):
+            lo = np.searchsorted(v_uid, k, side="left")
+            hi = np.searchsorted(v_uid, k, side="right")
+            rows_ = np.nonzero(p_uid == k)[0]
+            t = p_t[rows_]
+            a = np.searchsorted(v_t[lo:hi], t - delta, side="left")
+            b = np.searchsorted(v_t[lo:hi], t, side="left")
+            n = b - a
+            hit = n > 0
+            # unattributed: full credit to -1
+            for r in rows_[~hit]:
+                out_p.append(p_id[r])
+                out_v.append(np.int64(-1))
+                out_c.append(np.int64(1_000_000))
+            if not hit.any():
+                continue
+            rh, ah, nh = rows_[hit], a[hit], n[hit]
+            total = int(nh.sum())
+            pid_rep = np.repeat(p_id[rh], nh)
+            base = np.repeat(1_000_000 // nh, nh)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(nh) - nh, nh)
+            vidx = lo + np.repeat(ah, nh) + offs
+            rem = np.repeat(1_000_000 % nh, nh)
+            credit = base + np.where(offs == 0, rem, 0)
+            out_p.append(pid_rep)
+            out_v.append(v_id[vidx])
+            out_c.append(credit)
+        return pd.DataFrame(
+            {"purchase_event_id": np.concatenate(
+                [np.atleast_1d(x) for x in out_p]).astype(np.int64),
+             "touch_event_id": np.concatenate(
+                 [np.atleast_1d(x) for x in out_v]).astype(np.int64),
+             "credit_ppm": np.concatenate(
+                 [np.atleast_1d(x) for x in out_c]).astype(np.int64)}
+        )
+
+    return hash_exchange(v.union(p), "shard", n_shards, attribute)
