@@ -1461,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_holt": relational.daily_holt,
         "orders_yoy_growth": relational.orders_yoy_growth,
         "ab_test_stats": relational.ab_test_stats,
+        "pareto_revenue_share": relational.pareto_revenue_share,
         "orders_daily_ohlc": relational.orders_daily_ohlc,
         "user_bitmap_activity": relational.user_bitmap_activity,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -4579,6 +4580,36 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         # integer EWMA alpha=1/4: S_t = (n_t + 3*S_{t-1}) // 4
+        "pareto_revenue_share": """
+            WITH r AS (
+              SELECT o_custkey AS cust,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ),
+            t AS (
+              SELECT CAST(sum(cents) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM r
+            ),
+            o AS (
+              SELECT cents,
+                     sum(cents) OVER (ORDER BY cents DESC, cust)
+                         AS csum
+              FROM r
+            ),
+            g AS (
+              SELECT total, n, (total * 4 + 4) // 5 AS target FROM t
+            )
+            SELECT g.n AS n_customers,
+                   CAST((SELECT count(*) FROM o
+                         WHERE o.csum < g.target) + 1 AS BIGINT)
+                       AS k_customers,
+                   CAST((SELECT min(csum) FROM o
+                         WHERE o.csum >= g.target) * 1000000
+                        // g.total AS BIGINT) AS top_share_ppm
+            FROM g
+        """,
         "ab_test_stats": """
             WITH e AS (
               SELECT ((1315423911 * user_id) % 1000003) % 2 AS arm,

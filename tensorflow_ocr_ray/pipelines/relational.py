@@ -3495,3 +3495,126 @@ def systematic_sample(sf_dir: str, k: int = 100) -> "rd.Dataset":
 
     return ranked.map_batches(pick, batch_format="pandas",
                               batch_size=65536)
+
+
+def pareto_revenue_share(sf_dir: str, num: int = 4, den: int = 5,
+                         n_bins: int = 1024,
+                         collect_limit: int = 65536) -> pd.DataFrame:
+    """The 80/20 concentration number: the smallest count of top
+    customers (by exact revenue cents, ties by custkey) whose combined
+    revenue first reaches ceil(num/den of total), plus the exact share
+    they hold.  This is a WEIGHTED order statistic — the crossing is
+    by revenue MASS, not row count — so the q16 histogram-refinement
+    machinery doesn't apply directly; instead each refinement round
+    histograms (count, mass) per revenue bin, the driver walks bins
+    from the top to find the one containing the crossing, and when
+    the crossing bin holds <= collect_limit customers their rows are
+    collected and finished exactly.  Per-customer revenue comes from
+    one cust-hash exchange; every pass over it is a bounded-histogram
+    stream.  Output: (n_customers, k_customers, top_share_ppm) —
+    single row, window-cumsum oracle."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    n_shards = 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"cust": df["o_custkey"].astype("int64"),
+             "cents": np.round(df["o_totalprice"].to_numpy() * 100.0)
+             .astype(np.int64)}
+        ).groupby("cust", as_index=False)["cents"].sum()
+        g["shard"] = g["cust"] % n_shards
+        return g.astype("int64")
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"cust": pd.Series([], dtype="int64"),
+                 "cents": pd.Series([], dtype="int64")})
+        return df.groupby("cust", as_index=False)["cents"].sum()
+
+    rev = hash_exchange(
+        _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536),
+        "shard", n_shards, per_cust,
+    ).materialize()  # skinny (cust, cents); re-read per refinement round
+
+    tot = rev.map_batches(
+        lambda df: pd.DataFrame(
+            {"n": [len(df)], "s": [int(df["cents"].sum())],
+             "lo": [int(df["cents"].min()) if len(df) else 0],
+             "hi": [int(df["cents"].max()) if len(df) else 0]}),
+        batch_format="pandas",
+    ).to_pandas()
+    n_customers = int(tot["n"].sum())
+    total = int(tot["s"].sum())
+    lo, hi = int(tot["lo"].min()), int(tot["hi"].max())
+    target = (total * num + den - 1) // den  # ceil, positive-safe
+
+    # refine: find the revenue level whose bin contains the MASS
+    # crossing (count above + mass above from bins > b)
+    above_n, above_mass = 0, 0
+    while True:
+        edges = np.linspace(lo, hi + 1, n_bins + 1)
+        eref = ray.put(edges)
+
+        def hist(df: pd.DataFrame) -> pd.DataFrame:
+            e = ray.get(eref)
+            c = df["cents"].to_numpy(np.int64)
+            m = (c >= int(e[0])) & (c <= hi)
+            c = c[m]
+            b = np.clip(np.searchsorted(e, c, side="right") - 1,
+                        0, n_bins - 1)
+            g = pd.DataFrame({"b": b, "n": 1, "s": c}).groupby(
+                "b", as_index=False).sum()
+            return g.astype("int64")
+
+        h = (
+            rev.map_batches(hist, batch_format="pandas",
+                            batch_size=65536)
+            .to_pandas().groupby("b", as_index=False).sum()
+            .sort_values("b", ascending=False)
+        )
+        # walk bins top-down to the crossing bin
+        run_n, run_m = above_n, above_mass
+        cross_b = None
+        for _, r in h.iterrows():
+            nm = run_m + int(r["s"])
+            if nm >= target:
+                cross_b = int(r["b"])
+                break
+            run_n += int(r["n"])
+            run_m = nm
+        assert cross_b is not None
+        blo = int(np.ceil(edges[cross_b]))
+        bhi = int(np.floor(min(edges[cross_b + 1] - 1e-9, hi)))
+        bin_n = int(h.loc[h["b"] == cross_b, "n"].iloc[0])
+        if bin_n <= collect_limit or blo >= bhi:
+            above_n, above_mass = run_n, run_m
+            lo, hi = blo, bhi
+            break
+        above_n, above_mass = run_n, run_m
+        lo, hi = blo, bhi
+
+    # exact finish: collect only the crossing bin's customers
+    lo_f, hi_f = lo, hi
+
+    def residual(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cents"].to_numpy(np.int64)
+        m = (c >= lo_f) & (c <= hi_f)
+        return df.loc[m, ["cust", "cents"]]
+
+    res = (
+        rev.map_batches(residual, batch_format="pandas",
+                        batch_size=65536)
+        .to_pandas()
+        .sort_values(["cents", "cust"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    csum = above_mass + res["cents"].cumsum()
+    kk = int(np.searchsorted(csum.to_numpy(), target, side="left"))
+    k_customers = above_n + kk + 1
+    share_ppm = int(csum.iloc[kk]) * 1_000_000 // total
+    return pd.DataFrame(
+        {"n_customers": [n_customers], "k_customers": [k_customers],
+         "top_share_ppm": [share_ppm]}).astype("int64")

@@ -103,3 +103,30 @@ def test_interarrival_shard_invariant(ray_session):
     a = interarrival_quantiles(SF, n_shards=3)
     b = interarrival_quantiles(SF, n_shards=32)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pareto_refinement_multi_round(ray_session):
+    """Tiny bins + collect limit force several refinement rounds; the
+    answer must match the sequential cumsum reference exactly."""
+    from tensorflow_ocr_ray.pipelines.relational import pareto_revenue_share
+
+    got = pareto_revenue_share(SF, n_bins=4, collect_limit=8)
+    one = pareto_revenue_share(SF)  # default single-round path
+    pd.testing.assert_frame_equal(got, one)
+
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_custkey", "o_totalprice"]).to_pandas()
+    t["cents"] = np.round(t["o_totalprice"].to_numpy() * 100).astype(
+        np.int64)
+    r = t.groupby("o_custkey", as_index=False)["cents"].sum()
+    r = r.sort_values(["cents", "o_custkey"],
+                      ascending=[False, True]).reset_index(drop=True)
+    total = int(r["cents"].sum())
+    target = (total * 4 + 4) // 5
+    csum = r["cents"].cumsum()
+    k = int(np.searchsorted(csum.to_numpy(), target, side="left"))
+    exp = pd.DataFrame(
+        {"n_customers": [len(r)], "k_customers": [k + 1],
+         "top_share_ppm": [int(csum.iloc[k]) * 1_000_000 // total]}
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
