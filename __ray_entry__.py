@@ -1474,6 +1474,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compaction_plan": relational.compaction_plan,
         "table_diff_audit": relational.table_diff_audit,
         "zorder_pruned_scan": relational.zorder_pruned_scan,
+        "merge_upsert": relational.merge_upsert,
+        "mv_delta_refresh": relational.mv_delta_refresh,
+        "key_skew_audit": relational.key_skew_audit,
+        "scd2_price_enrich": relational.scd2_price_enrich,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
@@ -4339,6 +4343,75 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(*) FILTER (WHERE c1 IS NULL) AS BIGINT)
                   AS n_added
             FROM j
+        """,
+        "merge_upsert": """
+            WITH v1 AS (
+              SELECT o_orderkey AS key,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            )
+            SELECT key,
+                   CASE WHEN key % 37 = 0 THEN cents + 5
+                        ELSE cents END AS cents
+            FROM v1 WHERE key % 89 <> 0
+            UNION ALL
+            SELECT key + 2000000000000 AS key, cents + 1 AS cents
+            FROM v1 WHERE key % 43 = 0
+        """,
+        "mv_delta_refresh": """
+            SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                       AS day,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY 1
+        """,
+        "key_skew_audit": """
+            WITH c AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1
+            )
+            SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(n) AS BIGINT) AS max_count,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_count,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_count,
+                   CAST(max(n) * 1000000 // sum(n) AS BIGINT)
+                       AS top1_share_ppm,
+                   CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT)
+                       AS skew_ratio_e4
+            FROM c
+        """,
+        "scd2_price_enrich": """
+            WITH v AS (SELECT unnest([0, 1, 2]) AS version),
+            dim AS (
+              SELECT p_partkey, p_brand, version,
+                     CAST(round(p_retailprice * 100) AS BIGINT)
+                         + version AS cents,
+                     CASE WHEN version = 0
+                          THEN -9223372036854775807
+                          ELSE 9500 + (p_partkey % 200) * 5
+                               + (version - 1) * 600 END AS vfrom,
+                     CASE WHEN version = 2
+                          THEN 9223372036854775807
+                          ELSE 9500 + (p_partkey % 200) * 5
+                               + version * 600 END AS vto
+              FROM part, v
+            ),
+            f AS (
+              SELECT l_partkey,
+                     CAST(epoch_us(l_shipdate) // 86400000000
+                          AS BIGINT) AS day,
+                     CAST(l_quantity AS BIGINT) AS q
+              FROM lineitem
+            )
+            SELECT p_brand, CAST(version AS BIGINT) AS version,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(cents * q) AS BIGINT) AS value_cents
+            FROM f JOIN dim
+              ON f.l_partkey = dim.p_partkey
+             AND f.day >= dim.vfrom AND f.day < dim.vto
+            GROUP BY 1, 2
         """,
         "compaction_plan": """
             WITH d AS (

@@ -3618,3 +3618,260 @@ def pareto_revenue_share(sf_dir: str, num: int = 4, den: int = 5,
     return pd.DataFrame(
         {"n_customers": [n_customers], "k_customers": [k_customers],
          "top_share_ppm": [share_ppm]}).astype("int64")
+
+
+def merge_upsert(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """MERGE INTO / upsert-apply — the CDC *apply* step next to
+    ``table_diff_audit``'s *summary* step: apply a changelog of
+    deletes / updates / inserts to a snapshot and emit the merged
+    table (the Delta/Hudi/Iceberg upsert-compaction shape).
+
+    The changelog is derived deterministically in-stream from the same
+    orders read (no side files): keys %89 are DELETEd, surviving keys
+    %37 get an UPDATE to cents+5, keys %43 spawn an INSERT at
+    key+2*10^12 with cents+1.  Base rows and changelog rows tag an op
+    code and route ONE key-hash exchange (insert rows hash their NEW
+    key, deletes the key they kill, so every key's full history lands
+    in one shard); each shard applies delete -> update-overwrite ->
+    insert vectorized over its disjoint key range and emits its slice
+    of the merged snapshot.  Output is corpus-sized, so the exchange's
+    lazy Dataset is returned — never a driver frame.  Oracle: the
+    set-algebra equivalent (anti-join deletes + CASE update + UNION
+    inserts), hash-matched."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    base = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        # op -1: base snapshot rows
+        frames = [pd.DataFrame({"key": k, "cents": c,
+                                "op": np.int64(-1)})]
+        del_m = k % 89 == 0
+        frames.append(pd.DataFrame(
+            {"key": k[del_m], "cents": np.int64(0), "op": np.int64(0)}))
+        upd_m = (k % 37 == 0) & ~del_m
+        frames.append(pd.DataFrame(
+            {"key": k[upd_m], "cents": c[upd_m] + 5, "op": np.int64(1)}))
+        ins_m = k % 43 == 0
+        frames.append(pd.DataFrame(
+            {"key": k[ins_m] + 2_000_000_000_000,
+             "cents": c[ins_m] + 1, "op": np.int64(2)}))
+        out = pd.concat(frames, ignore_index=True)
+        out["shard"] = out["key"].to_numpy(np.int64) % n_shards
+        return out.astype("int64")
+
+    def apply_merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["key", "cents"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        snap = df[df["op"] == -1][["key", "cents"]]
+        dels = df.loc[df["op"] == 0, "key"]
+        upds = df[df["op"] == 1].set_index("key")["cents"]
+        ins = df[df["op"] == 2][["key", "cents"]]
+        snap = snap[~snap["key"].isin(dels)]
+        hit = snap["key"].map(upds)
+        snap = snap.assign(cents=hit.fillna(snap["cents"]))
+        return (pd.concat([snap, ins], ignore_index=True)
+                .astype("int64"))
+
+    tagged = base.map_batches(tag, batch_format="pandas",
+                              batch_size=65536)
+    return hash_exchange(tagged, "shard", n_shards, apply_merge)
+
+
+def mv_delta_refresh(sf_dir: str) -> pd.DataFrame:
+    """Incremental materialized-view maintenance — refresh a per-day
+    revenue MV from a DELTA instead of a full recompute, and prove the
+    merge equals the recompute (the oracle IS the full GROUP BY).
+
+    The orders table splits in-stream into the stored base partition
+    (o_orderkey %5 != 0) and a newly-arrived delta (%5 == 0).  Both
+    sides reduce with per-batch (day -> n, cents) partials tree-
+    combined under the bounded calendar-grid contract; the refresh is
+    a driver-side outer-add of two bounded grids — the whole point of
+    MV maintenance at 100 TB is that the delta pass touches only the
+    delta and the merge touches only |days| rows, never the base
+    corpus (here both sides derive from one read because the testdata
+    has no second file, but the base aggregate would be the STORED MV
+    in production)."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        out = pd.DataFrame({"is_delta": (k % 5 == 0).astype(np.int64),
+                            "day": day, "cents": c})
+        g = out.groupby(["is_delta", "day"], as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+        return g.astype("int64")
+
+    grids = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(8)
+        .map_batches(
+            lambda df: df.groupby(["is_delta", "day"], as_index=False)
+            .agg(n_orders=("n_orders", "sum"),
+                 revenue_cents=("revenue_cents", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["is_delta", "day"], as_index=False)
+        .agg(n_orders=("n_orders", "sum"),
+             revenue_cents=("revenue_cents", "sum"))
+    )
+    base = grids[grids["is_delta"] == 0].set_index("day")
+    delta = grids[grids["is_delta"] == 1].set_index("day")
+    merged = base[["n_orders", "revenue_cents"]].add(
+        delta[["n_orders", "revenue_cents"]], fill_value=0)
+    return (
+        merged.reset_index().astype("int64")
+        .sort_values("day").reset_index(drop=True)
+        [["day", "n_orders", "revenue_cents"]]
+    )
+
+
+def key_skew_audit(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+    """Shuffle-planning skew diagnostic over the orders->customer join
+    key — the pre-flight audit that decides salting / broadcast before
+    a 100-TB shuffle: total rows, distinct keys, max per-key count,
+    p50/p99 per-key counts (exact, quantile_disc semantics), the top
+    key's row share (ppm) and max/mean ratio (e4).
+
+    One count pass: per-batch (custkey, n) partials route a key-hash
+    exchange (disjoint key ranges -> per-shard counts exact); each
+    shard pre-reduces its exact per-key counts to a COUNT-OF-COUNTS
+    histogram, so the driver merges |shards| x |distinct counts|
+    bounded rows — the key space itself never reaches the driver, and
+    the per-key-count distribution is exact at any corpus size.  The
+    quantiles walk the merged histogram at ceil(q*n)-1 (the
+    quantile_disc rule used across the repo's selection oracles)."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    ds = _pq(sf_dir, "orders", ["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("o_custkey", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["shard"] = g["o_custkey"].to_numpy(np.int64) % n_shards
+        return g.astype("int64")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cnt", "n_keys"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        per_key = df.groupby("o_custkey")["n"].sum()
+        h = (per_key.value_counts().rename_axis("cnt")
+             .reset_index(name="n_keys"))
+        return h.astype("int64")
+
+    parts = hash_exchange(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        "shard", n_shards, hist,
+    ).to_pandas()
+    h = (parts.groupby("cnt", as_index=False)["n_keys"].sum()
+         .sort_values("cnt").reset_index(drop=True))
+    n_keys = int(h["n_keys"].sum())
+    total_rows = int((h["cnt"] * h["n_keys"]).sum())
+    max_count = int(h["cnt"].iloc[-1])
+
+    def q_disc(q_num: int, q_den: int) -> int:
+        # value at index ceil(q*n) - 1 of the sorted per-key counts
+        idx = -(-q_num * n_keys // q_den) - 1
+        csum = h["n_keys"].cumsum().to_numpy()
+        return int(h["cnt"].iloc[int(np.searchsorted(csum, idx + 1))])
+
+    return pd.DataFrame(
+        {"total_rows": [total_rows], "n_keys": [n_keys],
+         "max_count": [max_count],
+         "p50_count": [q_disc(1, 2)], "p99_count": [q_disc(99, 100)],
+         "top1_share_ppm": [max_count * 1_000_000 // total_rows],
+         "skew_ratio_e4": [max_count * n_keys * 10_000 // total_rows]}
+    ).astype("int64")
+
+
+SCD2_BASE_DAY = 9500
+SCD2_STEP = 5
+SCD2_SPAN = 600
+
+
+def scd2_price_enrich(sf_dir: str) -> pd.DataFrame:
+    """SCD2 (slowly-changing-dimension) enrichment — join each
+    lineitem row to the part-price VERSION valid on its ship date, the
+    temporal-dimension shape every warehouse runs (effective-dated
+    prices, plans, org trees).  The dimension is derived from the part
+    table: each part has 3 price versions; version v is valid in
+    [T1+(v-1)*SPAN, T1+v*SPAN) with open ends, where T1 = BASE_DAY +
+    (p_partkey % 200) * STEP, and version v's price is retail cents
+    + v.
+
+    The dimension is CATALOG-BOUNDED (it scales with parts, not with
+    the fact table), so the right 100-TB plan is a broadcast interval
+    join: the (partkey -> T1, cents, brand) arrays ship once via
+    ``ray.put`` and every fact batch resolves its version with two
+    vectorized comparisons and an O(1) array lookup — no shuffle
+    touches the fact table; per-batch (brand, version) partials
+    tree-combine under the bounded 25x3 grid.  Oracle: the same
+    3-version dimension generated in SQL and range-joined, so the
+    hash check proves the broadcast lookup IS the interval join."""
+    import ray as _ray
+
+    part = _pq(sf_dir, "part",
+               ["p_partkey", "p_brand", "p_retailprice"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    dim_t1 = np.zeros(int(pk.max()) + 1, np.int64)
+    dim_cents = np.zeros(int(pk.max()) + 1, np.int64)
+    dim_brand = np.empty(int(pk.max()) + 1, dtype=object)
+    dim_t1[pk] = SCD2_BASE_DAY + (pk % 200) * SCD2_STEP
+    dim_cents[pk] = np.round(
+        part["p_retailprice"].to_numpy() * 100.0).astype(np.int64)
+    dim_brand[pk] = part["p_brand"].to_numpy()
+    dim_ref = _ray.put((dim_t1, dim_cents, dim_brand))
+
+    fact = _pq(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_quantity"])
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        t1, cents, brand = _ray.get(dim_ref)
+        k = df["l_partkey"].to_numpy(np.int64)
+        day = (df["l_shipdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        ver = np.clip((day - t1[k]) // SCD2_SPAN + 1, 0, 2)
+        q = df["l_quantity"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"p_brand": brand[k], "version": ver,
+             "eff_cents": (cents[k] + ver) * q})
+        g = out.groupby(["p_brand", "version"], as_index=False).agg(
+            n_items=("eff_cents", "size"),
+            value_cents=("eff_cents", "sum"))
+        return g.astype({"version": "int64", "n_items": "int64",
+                         "value_cents": "int64"})
+
+    return (
+        fact.map_batches(enrich, batch_format="pandas",
+                         batch_size=65536)
+        .repartition(8)
+        .map_batches(
+            lambda df: df.groupby(["p_brand", "version"],
+                                  as_index=False)
+            .agg(n_items=("n_items", "sum"),
+                 value_cents=("value_cents", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["p_brand", "version"], as_index=False)
+        .agg(n_items=("n_items", "sum"),
+             value_cents=("value_cents", "sum"))
+        .astype({"version": "int64", "n_items": "int64",
+                 "value_cents": "int64"})
+        .sort_values(["p_brand", "version"]).reset_index(drop=True)
+    )

@@ -280,6 +280,10 @@ def test_ann_topk_multi_oracle(ray_session):
         ("daily_ewma", ["events"]),
         ("ann_topk_ivfpq", ["embeddings"]),
         ("media_mixed_frames", ["documents"]),
+        ("merge_upsert", ["orders"]),
+        ("mv_delta_refresh", ["orders"]),
+        ("key_skew_audit", ["orders"]),
+        ("scd2_price_enrich", ["part", "lineitem"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
@@ -310,3 +314,25 @@ def test_new_operator_oracles(ray_session, name, tables):
             assert (gv.astype(str) == ov.astype(str)).all(), c
         else:
             assert (gv.to_numpy() == ov.to_numpy()).all(), c
+
+
+def test_merge_upsert_shard_invariance(ray_session):
+    """The merged snapshot must not depend on the exchange fan-out:
+    n_shards=3 (multi-key shards, inserts co-sharding with unrelated
+    keys) equals n_shards=64 row-for-row."""
+    from tensorflow_ocr_ray.pipelines.relational import merge_upsert
+
+    a = (merge_upsert(SF, n_shards=3).to_pandas()
+         .sort_values("key").reset_index(drop=True))
+    b = (merge_upsert(SF, n_shards=64).to_pandas()
+         .sort_values("key").reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert (a["key"].to_numpy() == b["key"].to_numpy()).all()
+    assert (a["cents"].to_numpy() == b["cents"].to_numpy()).all()
+    # the changelog really fired: some deletes and some inserts
+    import duckdb
+    n_base = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert (a["key"] >= 2_000_000_000_000).sum() > 0
+    assert (a["key"] < 2_000_000_000_000).sum() < n_base
