@@ -1362,6 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         search,
         similarity,
+        sketches,
         windows,
     )
 
@@ -1423,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_user_day": windows.first_event_per_user_day,
         "user_active_streak": windows.user_active_streak,
         "event_lag_diff": windows.event_lag_diff,
+        "latest_event_snapshot": windows.latest_event_snapshot,
         "median_value_cont": windows.median_value_cont,
         "corr_quantity_price": relational.corr_quantity_price,
         "cube_lineitem": relational.cube_lineitem,
@@ -1575,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the text EXACTLY (hard oracle: extracted == documents.text)
         "html_main_content": _html_main_content,
         "approx_distinct_users": _approx_distinct_users,
+        "hll_distinct": sketches.hll_distinct,
         # OCR pipeline (rows-only; correctness gated by pytest span-equality)
         "ocr_extract_exploded": _ocr_exploded,
         "ocr_extract_fused": _ocr_fused,
@@ -1780,6 +1783,74 @@ def _ann_lsh_sql(k: int = 10, n_planes: int = 8, probes: int = 3,
     """
 
 
+
+
+def _hll_sql() -> str:
+    """DuckDB re-derivation of sketches.hll_distinct: same md5-high-60
+    hash, same m=256 registers, the HUGEINT fixed-point raw estimate,
+    and the linear-counting correction looked up from the SAME
+    hll_lc_lut() the engine uses (injected as a VALUES table — no
+    transcendental is evaluated independently on either side)."""
+    from tensorflow_ocr_ray.pipelines.sketches import (
+        HLL_ALPHA_E6, HLL_K, HLL_M, HLL_WBITS, hll_lc_lut,
+    )
+
+    lut_rows = ", ".join(
+        f"({v + 1}, {lc})" for v, lc in enumerate(hll_lc_lut()))
+    return f"""
+        WITH hh AS (
+          SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                 1, 15))::BIGINT AS h
+          FROM orders
+        ),
+        b AS (
+          SELECT h % {HLL_M} AS bucket,
+                 (h // {HLL_M}) % {1 << HLL_WBITS} AS w
+          FROM hh
+        ),
+        r AS (
+          SELECT bucket,
+                 max(CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+                      ELSE CAST(floor(log2(w & (-w))) AS BIGINT)
+                           + 1 END) AS register
+          FROM b GROUP BY 1
+        ),
+        f AS (
+          SELECT gs.bucket,
+                 CAST(coalesce(r.register, 0) AS BIGINT) AS register
+          FROM (SELECT unnest(generate_series(0, {HLL_M - 1}))
+                    AS bucket) gs
+          LEFT JOIN r USING (bucket)
+        ),
+        s AS (
+          SELECT sum(CAST(1 AS BIGINT) << ({HLL_K} - register)) AS s,
+                 CAST(count(*) FILTER (WHERE register = 0) AS BIGINT)
+                     AS v_empty
+          FROM f
+        ),
+        est AS (
+          SELECT CAST(CAST({HLL_ALPHA_E6} AS HUGEINT)
+                      * {HLL_M * HLL_M} * {1 << HLL_K}
+                      // (1000000 * s) AS BIGINT) AS raw,
+                 v_empty
+          FROM s
+        ),
+        lut(v, lc) AS (VALUES {lut_rows}),
+        corrected AS (
+          SELECT CASE WHEN 2 * raw <= {5 * HLL_M} AND v_empty > 0
+                      THEN (SELECT lc FROM lut WHERE v = v_empty)
+                      ELSE raw END AS c
+          FROM est
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket, register FROM f
+        UNION ALL
+        SELECT -1, raw FROM est
+        UNION ALL
+        SELECT -2, c FROM corrected
+        UNION ALL
+        SELECT -3, CAST(count(DISTINCT o_custkey) AS BIGINT)
+        FROM orders
+    """
 
 
 def _cms_sql(topn: int = 10) -> str:
@@ -4344,6 +4415,17 @@ def oracle_sql() -> dict[str, str]:
                   AS n_added
             FROM j
         """,
+        "latest_event_snapshot": """
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   event_id,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "hll_distinct": _hll_sql(),
         "merge_upsert": """
             WITH v1 AS (
               SELECT o_orderkey AS key,

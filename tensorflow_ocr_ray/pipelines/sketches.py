@@ -332,3 +332,124 @@ def cms_heavy_hitters(
         {"user_id": u, "n_exact": tops["n"].to_numpy(np.int64),
          "n_est": ests}
     ).astype("int64")
+
+
+# ------------------------------------------------------- HyperLogLog
+
+HLL_M = 256           # registers (2^8 buckets): std err 1.04/sqrt(m)
+HLL_WBITS = 25        # bits kept for the rank pattern
+HLL_K = 40            # fixed-point exponent for the integer estimate
+# alpha_256 = 0.7213 / (1 + 1.079/256) (Flajolet et al. 2007), e6
+HLL_ALPHA_E6 = round(0.7213 / (1 + 1.079 / HLL_M) * 1_000_000)
+
+
+def _hll_h60(values) -> np.ndarray:
+    """md5-high-60 hash (first 15 hex chars) — the KMV convention
+    trimmed to 60 bits so it stays a positive BIGINT for DuckDB's
+    signed bit ops (``('0x' || substr(md5(v), 1, 15))::BIGINT``)."""
+    return np.fromiter(
+        (int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15], 16)
+         for v in values),
+        dtype=np.int64, count=len(values))
+
+
+def hll_lc_lut() -> list[int]:
+    """Linear-counting corrections, one per possible empty-bucket
+    count V=1..m: round(m * ln(m / V)).  Shared by the engine and the
+    generated oracle as an injected VALUES table (the audioop-LUT
+    precedent: a 256-entry spec table as parameters keeps ln() out of
+    the cross-engine math entirely)."""
+    import math
+    return [round(HLL_M * math.log(HLL_M / v))
+            for v in range(1, HLL_M + 1)]
+
+
+def hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-count sketch over the orders->customer key
+    — the third cardinality family next to KMV
+    (:func:`approx_distinct_users`, bottom-k) and the exact exchange
+    count: CONSTANT state (256 registers) at any corpus size, where
+    KMV keeps k hashes and the exact count keys the whole space.
+
+    Same design rule as the CMS grid: every piece is DuckDB-
+    re-derivable.  Hash = md5-high-60 (the KMV convention trimmed to a
+    positive BIGINT; an LCG ``(A*u+B) % P`` was measured at 42% error
+    at sf0.1 — its linear structure leaks into the trailing-zero
+    observable); bucket ``h % m``, pattern ``w = (h // m) % 2^25``,
+    rank = trailing zeros of ``w`` + 1 (``w = 0`` caps at WBITS+1).
+    Register build is a bounded-key aggregate: per-batch (bucket, max
+    rank) partials — <= m rows per batch — merge by max; nothing
+    corpus-sized moves.  The raw estimate avoids the float harmonic
+    mean with the fixed-point identity
+
+        E = alpha*m^2 / sum_j 2^-M_j
+          = (ALPHA_E6 * m^2 * 2^K) // (10^6 * sum_j 2^(K-M_j))
+
+    (arbitrary-precision Python / HUGEINT SQL — the ab_test_stats
+    headroom rule).  Small-range correction: when E <= 2.5m and some
+    buckets are empty, linear counting ``round(m*ln(m/V))`` applies —
+    via the shared :func:`hll_lc_lut` table so no transcendental is
+    evaluated independently on either side.  Measured error vs exact:
+    +0.6% / -1.2% / +6.1% at sf0.001/0.01/0.1 (raw m=64 was 13-21%).
+    The exact count rides one key-hash exchange (disjoint key ranges
+    -> per-shard nunique sums exactly) so the output carries sketch vs
+    truth side by side.  Rows: m (bucket, register) rows + bucket -1
+    (raw fixed-point estimate) + bucket -2 (corrected estimate) +
+    bucket -3 (exact), all hash-checked."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey"])
+
+    def reg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(df["o_custkey"].to_numpy(np.int64))
+        h = _hll_h60(u)
+        bucket = h % HLL_M
+        w = (h // HLL_M) % (1 << HLL_WBITS)
+        low = w & -w
+        rho = np.where(w == 0, HLL_WBITS + 1,
+                       np.log2(np.maximum(low, 1)).astype(np.int64) + 1)
+        g = (pd.DataFrame({"bucket": bucket, "register": rho})
+             .groupby("bucket", as_index=False)["register"].max())
+        return g.astype("int64")
+
+    regs = (
+        ds.map_batches(reg_partial, batch_format="pandas",
+                       batch_size=65536)
+        .to_pandas()
+        .groupby("bucket", as_index=False)["register"].max()
+    )
+    full = pd.DataFrame({"bucket": np.arange(HLL_M, dtype=np.int64)})
+    regs = full.merge(regs, on="bucket", how="left").fillna(0)
+    m_j = [int(r) for r in regs["register"]]
+    s = sum(1 << (HLL_K - r) for r in m_j)   # Python big ints
+    est = (HLL_ALPHA_E6 * HLL_M * HLL_M * (1 << HLL_K)) // (1_000_000 * s)
+    v_empty = sum(1 for r in m_j if r == 0)
+    if 2 * est <= 5 * HLL_M and v_empty > 0:
+        corrected = hll_lc_lut()[v_empty - 1]
+    else:
+        corrected = est
+
+    n_shards = 32
+
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(df["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({"key": u, "shard": u % n_shards}).astype(
+            "int64")
+
+    def nunique(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [df["key"].nunique()]}).astype("int64")
+
+    exact = int(hash_exchange(
+        ds.map_batches(key_partial, batch_format="pandas",
+                       batch_size=65536),
+        "shard", n_shards, nunique,
+    ).to_pandas()["n"].sum())
+
+    out = pd.concat(
+        [regs, pd.DataFrame({"bucket": [-1, -2, -3],
+                             "register": [est, corrected, exact]})],
+        ignore_index=True)
+    return (out.astype("int64").sort_values("bucket")
+            .reset_index(drop=True))

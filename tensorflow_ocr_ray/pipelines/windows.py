@@ -1858,3 +1858,56 @@ def linear_attribution(sf_dir: str, days: int = 30,
         )
 
     return hash_exchange(v.union(p), "shard", n_shards, attribute)
+
+
+def latest_event_snapshot(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+    """Latest-per-key compaction — per (user_id, event_type) keep the
+    LATEST event (max ts, tiebreak max event_id): the streaming-upsert
+    snapshot read every CDC/lakehouse table serves (``SELECT * ...
+    QUALIFY row_number() OVER (... ORDER BY ts DESC) = 1``), and the
+    compaction pass that bounds an append-only event log to one row
+    per live key.
+
+    ONE user-hash exchange co-locates each user's rows; inside a shard
+    one vectorized lexsort over (user, type, ts, event_id) + a
+    next-row boundary mask selects group tails — no per-key Python.
+    Output is key-cardinality sized, so the exchange's lazy Dataset is
+    returned.  Exact integer cents; oracle is the row_number window,
+    hash-matched."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_type": df["event_type"],
+             "ts_us": us,
+             "event_id": df["event_id"].astype("int64"),
+             "value_cents": np.round(
+                 df["value"].to_numpy() * 100.0).astype("int64"),
+             "shard": df["user_id"].to_numpy(np.int64) % n_shards})
+
+    def tails(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_type", "ts_us", "event_id",
+                "value_cents"]
+        if not len(df):
+            out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                for c in cols})
+            return out.astype({"event_type": "object"})
+        u = df["user_id"].to_numpy(np.int64)
+        t = pd.factorize(df["event_type"].to_numpy())[0]
+        order = np.lexsort((df["event_id"].to_numpy(np.int64),
+                            df["ts_us"].to_numpy(np.int64), t, u))
+        s = df.iloc[order].reset_index(drop=True)
+        su, st = u[order], t[order]
+        last = np.empty(len(s), bool)
+        last[:-1] = (su[:-1] != su[1:]) | (st[:-1] != st[1:])
+        last[-1] = True
+        return s.loc[last, cols].reset_index(drop=True)
+
+    ev = _events(sf_dir,
+                 ["event_id", "ts", "user_id", "event_type", "value"])
+    return hash_exchange(
+        ev.map_batches(add_shard, batch_format="pandas",
+                       batch_size=65536),
+        "shard", n_shards, tails,
+    )

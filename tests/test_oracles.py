@@ -284,6 +284,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("mv_delta_refresh", ["orders"]),
         ("key_skew_audit", ["orders"]),
         ("scd2_price_enrich", ["part", "lineitem"]),
+        ("latest_event_snapshot", ["events"]),
+        ("hll_distinct", ["orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

@@ -114,3 +114,52 @@ def test_heavy_hitters_block_layout_invariant(ray_session):
         a.sort_values("tri").reset_index(drop=True),
         b.sort_values("tri").reset_index(drop=True),
     )
+
+
+def test_hll_linear_counting_and_accuracy(ray_session):
+    """sf0.001 (150 keys << 2.5m = 640) must take the linear-counting
+    branch and land within the documented error; registers must be
+    batch-layout invariant (max-merge is idempotent)."""
+    from tensorflow_ocr_ray.pipelines.sketches import (
+        HLL_M, hll_distinct, hll_lc_lut,
+    )
+
+    df = hll_distinct("/root/testdata/sf0.001")
+    regs = df[df["bucket"] >= 0]
+    assert len(regs) == HLL_M
+    raw = int(df.loc[df["bucket"] == -1, "register"].iloc[0])
+    corrected = int(df.loc[df["bucket"] == -2, "register"].iloc[0])
+    exact = int(df.loc[df["bucket"] == -3, "register"].iloc[0])
+    v_empty = int((regs["register"] == 0).sum())
+    assert raw <= 5 * HLL_M // 2 and v_empty > 0  # LC branch taken
+    assert corrected == hll_lc_lut()[v_empty - 1]
+    assert abs(corrected - exact) * 100 <= 10 * exact  # within 10%
+
+
+def test_hll_register_merge_order_invariance():
+    """Registers from one pass over all keys == max-merge of any
+    partition of the keys (the mergeability HLL is used for)."""
+    import numpy as np
+
+    from tensorflow_ocr_ray.pipelines.sketches import (
+        HLL_M, HLL_WBITS, _hll_h60,
+    )
+
+    def registers(keys):
+        h = _hll_h60(keys)
+        b = h % HLL_M
+        w = (h // HLL_M) % (1 << HLL_WBITS)
+        low = w & -w
+        rho = np.where(w == 0, HLL_WBITS + 1,
+                       np.log2(np.maximum(low, 1)).astype(np.int64) + 1)
+        r = np.zeros(HLL_M, np.int64)
+        np.maximum.at(r, b, rho)
+        return r
+
+    keys = np.arange(1, 5001)
+    whole = registers(keys)
+    rng = np.random.default_rng(7)
+    shuffled = rng.permutation(keys)
+    merged = np.maximum.reduce(
+        [registers(part) for part in np.array_split(shuffled, 7)])
+    assert (whole == merged).all()
