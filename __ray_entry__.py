@@ -1363,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         search,
         similarity,
         sketches,
+        tokenizer,
         windows,
     )
 
@@ -1425,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_streak": windows.user_active_streak,
         "event_lag_diff": windows.event_lag_diff,
         "latest_event_snapshot": windows.latest_event_snapshot,
+        "late_event_audit": windows.late_event_audit,
         "median_value_cont": windows.median_value_cont,
         "corr_quantity_price": relational.corr_quantity_price,
         "cube_lineitem": relational.cube_lineitem,
@@ -1578,6 +1580,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_content": _html_main_content,
         "approx_distinct_users": _approx_distinct_users,
         "hll_distinct": sketches.hll_distinct,
+        # BPE merge learning (rows-only: k data-dependent
+        # re-segmentation rounds aren't SQL; pytest parity vs the
+        # sequential reference trainer is the gate)
+        "bpe_learn_merges": tokenizer.bpe_learn_merges,
         # OCR pipeline (rows-only; correctness gated by pytest span-equality)
         "ocr_extract_exploded": _ocr_exploded,
         "ocr_extract_fused": _ocr_fused,
@@ -4414,6 +4420,25 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(*) FILTER (WHERE c1 IS NULL) AS BIGINT)
                   AS n_added
             FROM j
+        """,
+        "late_event_audit": """
+            WITH w AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                     coalesce(max(epoch_us(ts)) OVER (
+                         ORDER BY event_id % 16, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING),
+                       epoch_us(ts)) AS pm
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE pm - ts_us
+                                           > 86400000000) AS BIGINT)
+                       AS n_late,
+                   CAST(max(pm - ts_us) AS BIGINT) AS max_behind_us
+            FROM w GROUP BY 1
         """,
         "latest_event_snapshot": """
             SELECT user_id, event_type,

@@ -1911,3 +1911,99 @@ def latest_event_snapshot(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
                        batch_size=65536),
         "shard", n_shards, tails,
     )
+
+
+LATE_LANES = 16
+LATE_THRESHOLD_US = 86_400_000_000  # 1 day
+
+
+def late_event_audit(sf_dir: str, n_ranges: int = 8) -> pd.DataFrame:
+    """Watermark / late-data audit — the streaming-ingestion health
+    check run before choosing window allowed-lateness: against the
+    corpus's ARRIVAL order, how many events arrive behind the running
+    high-water mark (max ts seen so far), per type, and by how much.
+    Arrival is modelled as ``LATE_LANES`` interleaved delivery lanes
+    (``event_id % 16``: per-lane in-order, cross-lane skew — the
+    multi-partition consumer every log ingest has), so arrival order
+    is (lane, event_id).
+
+    This needs a GLOBAL PREFIX-MAX over a total order — the running_
+    total shape with max instead of sum: shards are (lane, event_id-
+    range) slices of the arrival order; pass 1 tree-reduces per-shard
+    max-ts partials (bounded |lanes| x |ranges| rows) and the driver
+    chains them into each shard's exclusive initial watermark; pass 2
+    routes ONE hash exchange where each shard accumulates its own
+    prefix max from that initial value and pre-reduces to per-type
+    (n, n_late, max_behind) partials.  Nothing corpus-sized reaches
+    the driver.  The global first event is its own watermark (behind
+    = 0, the oracle's coalesce).  Oracle: max() OVER (ORDER BY lane,
+    event_id ROWS .. 1 PRECEDING), hash-matched."""
+    ev = _events(sf_dir, ["event_id", "ts", "event_type"])
+    max_id = int(ev.max("event_id"))
+    n_shards = LATE_LANES * n_ranges
+    sentinel = np.int64(-(2**62))
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        lane = eid % LATE_LANES
+        rng = eid * n_ranges // (max_id + 1)
+        return pd.DataFrame(
+            {"event_id": eid, "ts_us": us,
+             "event_type": df["event_type"],
+             "shard": lane * n_ranges + rng})
+
+    tagged = ev.map_batches(add_shard, batch_format="pandas",
+                            batch_size=65536)
+
+    # pass 1: per-shard max ts -> exclusive prefix max in shard order
+    part = (
+        tagged.map_batches(
+            lambda df: df.groupby("shard", as_index=False)["ts_us"]
+            .max(),
+            batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("shard", as_index=False)["ts_us"].max()
+    )
+    shard_max = np.full(n_shards, sentinel, np.int64)
+    shard_max[part["shard"].to_numpy(np.int64)] = \
+        part["ts_us"].to_numpy(np.int64)
+    inits = np.full(n_shards, sentinel, np.int64)
+    np.maximum.accumulate(shard_max[:-1], out=inits[1:])
+    init_ref = ray.put(inits)
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "n_events", "n_late", "max_behind_us"]
+        if not len(df):
+            out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                for c in cols})
+            return out.astype({"event_type": "object"})
+        w0 = ray.get(init_ref)[int(df["shard"].iloc[0])]
+        s = df.sort_values("event_id").reset_index(drop=True)
+        ts = s["ts_us"].to_numpy(np.int64)
+        pm = np.empty(len(ts), np.int64)
+        pm[0] = w0
+        np.maximum.accumulate(
+            np.concatenate([[w0], ts[:-1]]), out=pm)
+        if w0 == sentinel:        # global first event: own watermark
+            pm[0] = ts[0]
+        behind = pm - ts
+        g = pd.DataFrame({"event_type": s["event_type"],
+                          "behind": behind})
+        out = g.groupby("event_type").agg(
+            n_events=("behind", "size"),
+            n_late=("behind",
+                    lambda b: int((b > LATE_THRESHOLD_US).sum())),
+            max_behind_us=("behind", "max")).reset_index()
+        return out.astype({"n_events": "int64", "n_late": "int64",
+                           "max_behind_us": "int64"})
+
+    parts = hash_exchange(tagged, "shard", n_shards, audit).to_pandas()
+    return (
+        parts.groupby("event_type", as_index=False)
+        .agg(n_events=("n_events", "sum"), n_late=("n_late", "sum"),
+             max_behind_us=("max_behind_us", "max"))
+        .astype({"n_events": "int64", "n_late": "int64",
+                 "max_behind_us": "int64"})
+        .sort_values("event_type").reset_index(drop=True)
+    )

@@ -286,6 +286,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("scd2_price_enrich", ["part", "lineitem"]),
         ("latest_event_snapshot", ["events"]),
         ("hll_distinct", ["orders"]),
+        ("late_event_audit", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

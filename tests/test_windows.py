@@ -574,3 +574,14 @@ def test_range_window_peer_ties_and_boundary(ray_session, tmp_path):
     exp = con.sql(sql).df()
     assert got["win_cents"].tolist() == exp["win_cents"].tolist()
     assert got["win_n"].tolist() == exp["win_n"].astype(int).tolist()
+
+
+def test_late_event_audit_range_invariance(ray_session):
+    """The prefix-max chaining must be exact for any range fan-out:
+    n_ranges=1 (pure per-lane shards) == n_ranges=8."""
+    from tensorflow_ocr_ray.pipelines.windows import late_event_audit
+
+    a = late_event_audit("/root/testdata/sf0.001", n_ranges=1)
+    b = late_event_audit("/root/testdata/sf0.001", n_ranges=8)
+    assert a.equals(b)
+    assert (a["n_late"] > 0).any()  # the audit is non-degenerate
