@@ -1479,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff_audit": relational.table_diff_audit,
         "zorder_pruned_scan": relational.zorder_pruned_scan,
         "merge_upsert": relational.merge_upsert,
+        "orders_sorted_export": relational.orders_sorted_export,
         "mv_delta_refresh": relational.mv_delta_refresh,
         "key_skew_audit": relational.key_skew_audit,
         "scd2_price_enrich": relational.scd2_price_enrich,
@@ -1584,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-segmentation rounds aren't SQL; pytest parity vs the
         # sequential reference trainer is the gate)
         "bpe_learn_merges": tokenizer.bpe_learn_merges,
+        "bpe_tokenize_count": tokenizer.bpe_tokenize_count,
         # OCR pipeline (rows-only; correctness gated by pytest span-equality)
         "ocr_extract_exploded": _ocr_exploded,
         "ocr_extract_fused": _ocr_fused,
@@ -4464,6 +4466,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT key + 2000000000000 AS key, cents + 1 AS cents
             FROM v1 WHERE key % 43 = 0
+        """,
+        "orders_sorted_export": """
+            WITH c AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ),
+            q AS (
+              SELECT unnest(quantile_disc(cents,
+                  [1/16.0, 2/16.0, 3/16.0, 4/16.0, 5/16.0, 6/16.0,
+                   7/16.0, 8/16.0, 9/16.0, 10/16.0, 11/16.0, 12/16.0,
+                   13/16.0, 14/16.0, 15/16.0])) AS b
+              FROM c
+            ),
+            p AS (
+              SELECT c.o_orderkey, c.cents,
+                     CAST(count(*) FILTER (WHERE q.b < c.cents)
+                          AS BIGINT) AS part_id
+              FROM c CROSS JOIN q
+              GROUP BY 1, 2
+            )
+            SELECT part_id, CAST(count(*) AS BIGINT) AS n_rows,
+                   min(cents) AS min_cents, max(cents) AS max_cents
+            FROM p GROUP BY 1
         """,
         "mv_delta_refresh": """
             SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)

@@ -3875,3 +3875,113 @@ def scd2_price_enrich(sf_dir: str) -> pd.DataFrame:
                  "value_cents": "int64"})
         .sort_values(["p_brand", "version"]).reset_index(drop=True)
     )
+
+
+def orders_sorted_export(sf_dir: str, n_parts: int = 16) -> pd.DataFrame:
+    """External sort to storage — the ORDER BY ... write path at 100 TB:
+    rewrite the orders table as ``n_parts`` GLOBALLY range-ordered
+    parquet partitions (part k's every row <= part k+1's every row)
+    without a global sort operator, and return the per-partition
+    manifest (part_id, n_rows, min_cents, max_cents) that proves the
+    order and makes the layout resumable.
+
+    Plan (composing the orders_percent_rank primitives): exact
+    equi-depth boundaries from the histogram-refinement selection;
+    part = #boundaries strictly below cents (equal cents co-part, so
+    parts never interleave); ONE hash exchange; each part task sorts
+    its slice by (cents, o_orderkey) and writes its own
+    ``part-K.parquet`` — a failed run leaves no ``_SUCCESS`` and
+    rebuilds into a fresh scratch (the zorder build-once
+    scratch+rename contract); a repeat call RESUMES by reading the
+    stored manifest, bit-identical.  The driver holds boundaries +
+    the bounded manifest, never rows.  Oracle: the same quantile_disc
+    boundaries and strictly-below partitioning re-derived in SQL,
+    hash-matched; global order is asserted (min_k > max_{k-1})."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+    from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
+
+    root = "/tmp/tensorflow_ocr_ray_exports"
+    d = os.path.join(
+        root, f"sorted-{_orders_fingerprint(sf_dir)}-{n_parts}")
+    manifest_path = os.path.join(d, "manifest.parquet")
+
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        tmp = f"{d}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+
+        def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].astype("int64"),
+                 "cents": np.round(
+                     df["o_totalprice"].to_numpy() * 100.0
+                 ).astype(np.int64),
+                 "grp": 0})
+
+        def cents_ds():
+            return _pq(sf_dir, "orders",
+                       ["o_orderkey", "o_totalprice"]).map_batches(
+                to_cents, batch_format="pandas", batch_size=65536)
+
+        qs = tuple((i / n_parts, f"b{i}") for i in range(1, n_parts))
+        bounds_df = exact_group_quantiles(cents_ds(), "grp", "cents", qs)
+        bounds = np.sort(
+            bounds_df.iloc[0][[f"b{i}" for i in range(1, n_parts)]]
+            .to_numpy()).astype(np.int64)
+        bref = ray.put(bounds)
+
+        def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            b = ray.get(bref)
+            out = df[["o_orderkey", "cents"]].copy()
+            out["part"] = np.searchsorted(
+                b, df["cents"].to_numpy(np.int64), side="left"
+            ).astype(np.int64)
+            return out
+
+        def write_part(df: pd.DataFrame) -> pd.DataFrame:
+            cols = ["part_id", "n_rows", "min_cents", "max_cents"]
+            if not len(df):
+                return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                     for c in cols})
+            k = int(df["part"].iloc[0])
+            s = df.sort_values(["cents", "o_orderkey"])
+            papq.write_table(
+                pa.table({"o_orderkey":
+                          s["o_orderkey"].to_numpy(np.int64),
+                          "cents": s["cents"].to_numpy(np.int64)}),
+                os.path.join(tmp, f"part-{k:05d}.parquet"))
+            return pd.DataFrame(
+                {"part_id": [k], "n_rows": [len(s)],
+                 "min_cents": [int(s["cents"].iloc[0])],
+                 "max_cents": [int(s["cents"].iloc[-1])]}
+            ).astype("int64")
+
+        manifest = (
+            hash_exchange(
+                cents_ds().map_batches(add_part, batch_format="pandas",
+                                       batch_size=65536),
+                "part", n_parts, write_part)
+            .to_pandas()
+            .sort_values("part_id").reset_index(drop=True)
+        )
+        # global-order proof: partitions must not interleave
+        assert (manifest["min_cents"].to_numpy()[1:]
+                > manifest["max_cents"].to_numpy()[:-1]).all()
+        papq.write_table(pa.Table.from_pandas(manifest),
+                         os.path.join(tmp, "manifest.parquet"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return (papq.read_table(manifest_path).to_pandas()
+            .astype("int64").sort_values("part_id")
+            .reset_index(drop=True))

@@ -186,3 +186,66 @@ def bpe_reference(word_counts: dict[str, int],
         for w in vocab:
             vocab[w] = _apply_merge(vocab[w], l, r)
     return out
+
+
+class BpeTokenizeStage:
+    """Actor-pool tokenization stage: the corpus-wide APPLY pass that
+    follows :func:`bpe_learn_merges` — the single most expensive step
+    of a 100-TB tokenizer rollout, so it gets the stateful-stage
+    treatment: the merge table ships ONCE per actor (``__init__``),
+    and a word -> token-count memo exploits Zipf (the same few word
+    types dominate every batch; each type is segmented once per actor,
+    not once per occurrence)."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.merges = merges
+        self.memo: dict[str, int] = {}
+
+    def _n_tokens(self, word: str) -> int:
+        n = self.memo.get(word)
+        if n is None:
+            syms = list(word) + [EOW]
+            for left, right in self.merges:
+                if len(syms) < 2:
+                    break
+                syms = _apply_merge(syms, left, right)
+            n = len(syms)
+            self.memo[word] = n
+        return n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.fromiter(
+            (sum(self._n_tokens(w) for w in t.split())
+             for t in df["text"]),
+            dtype=np.int64, count=len(df))
+        return pd.DataFrame({"source": df["source"],
+                             "n_docs": np.int64(1),
+                             "bpe_tokens": counts}).groupby(
+            "source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), bpe_tokens=("bpe_tokens", "sum"))
+
+
+def bpe_tokenize_count(sf_dir: str, n_merges: int = 12,
+                       concurrency: int = 4) -> pd.DataFrame:
+    """Per-source BPE token counts under the corpus-trained merge
+    table: learn merges (bounded vocab work), broadcast them into a
+    :class:`BpeTokenizeStage` actor pool, stream the corpus through it
+    once, tree-combine the bounded per-(batch, source) partials.
+    Rows-only registry entry (BPE segmentation isn't SQL); pytest pins
+    exact parity with sequentially-segmented totals."""
+    merges_df = bpe_learn_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    parts = docs.map_batches(
+        BpeTokenizeStage, batch_format="pandas", batch_size=2048,
+        concurrency=concurrency,
+        fn_constructor_args=(merges,),
+    ).to_pandas()
+    return (
+        parts.groupby("source", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), bpe_tokens=("bpe_tokens", "sum"))
+        .astype({"n_docs": "int64", "bpe_tokens": "int64"})
+        .sort_values("source").reset_index(drop=True)
+    )

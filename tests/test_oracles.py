@@ -287,6 +287,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("latest_event_snapshot", ["events"]),
         ("hll_distinct", ["orders"]),
         ("late_event_audit", ["events"]),
+        ("orders_sorted_export", ["orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

@@ -60,3 +60,46 @@ def test_bpe_shard_invariance_and_tiebreak(ray_session, tmp_path):
     ref = bpe_reference({"ab": 3, "cd": 3, "zz": 3}, 3)
     assert first == (ref[0][0], ref[0][1])
     assert list(zip(a["left"], a["right"], a["count"])) == ref
+
+
+def test_bpe_tokenize_count_parity(ray_session):
+    """Actor-pool tokenization totals == sequentially-segmented totals
+    under the same merge table."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from tensorflow_ocr_ray.pipelines.tokenizer import (
+        bpe_tokenize_count,
+    )
+
+    got = bpe_tokenize_count(SF, n_merges=8, concurrency=2)
+    rows = duckdb.sql(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    wc = Counter()
+    for _, t in rows:
+        wc.update(t.split())
+    merges = bpe_reference(dict(wc), 8)
+    memo = {}
+
+    def ntok(w):
+        if w not in memo:
+            syms = list(w) + [EOW]
+            for left, right, _ in merges:
+                if len(syms) < 2:
+                    break
+                syms = _apply_merge(syms, left, right)
+            memo[w] = len(syms)
+        return memo[w]
+
+    agg = defaultdict(lambda: [0, 0])
+    for s, t in rows:
+        agg[s][0] += 1
+        agg[s][1] += sum(ntok(w) for w in t.split())
+    exp = pd.DataFrame(
+        [(s, a[0], a[1]) for s, a in sorted(agg.items())],
+        columns=["source", "n_docs", "bpe_tokens"],
+    ).astype({"n_docs": "int64", "bpe_tokens": "int64"})
+    assert got.reset_index(drop=True).equals(exp)

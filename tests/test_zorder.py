@@ -130,3 +130,46 @@ def test_pareto_refinement_multi_round(ray_session):
          "top_share_ppm": [int(csum.iloc[k]) * 1_000_000 // total]}
     ).astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sorted_export_resume_and_global_order(ray_session):
+    """orders_sorted_export: the written partitions concatenate to the
+    exact global sort order; a repeat call resumes from the stored
+    manifest bit-identically."""
+    import glob
+    import os
+    import time
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from tensorflow_ocr_ray.pipelines.relational import (
+        orders_sorted_export,
+    )
+
+    m1 = orders_sorted_export(SF)
+    t0 = time.time()
+    m2 = orders_sorted_export(SF)  # resume: manifest read-back only
+    resume_sec = time.time() - t0
+    assert m1.equals(m2)
+    assert resume_sec < 2.0
+
+    from tensorflow_ocr_ray.pipelines.relational import (
+        _orders_fingerprint,
+    )
+    d = (f"/tmp/tensorflow_ocr_ray_exports/"
+         f"sorted-{_orders_fingerprint(SF)}-16")
+    files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    assert len(files) == len(m1)
+    allc = []
+    for f in files:
+        c = papq.read_table(f).to_pandas()["cents"].to_numpy()
+        assert (np.diff(c) >= 0).all()  # each partition sorted
+        allc.append(c)
+    flat = np.concatenate(allc)
+    assert (np.diff(flat) >= 0).all()  # global order across parts
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert len(flat) == n == int(m1["n_rows"].sum())
