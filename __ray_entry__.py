@@ -1479,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff_audit": relational.table_diff_audit,
         "zorder_pruned_scan": relational.zorder_pruned_scan,
         "merge_upsert": relational.merge_upsert,
+        "k_anonymity_audit": relational.k_anonymity_audit,
         "orders_sorted_export": relational.orders_sorted_export,
         "mv_delta_refresh": relational.mv_delta_refresh,
         "key_skew_audit": relational.key_skew_audit,
@@ -1497,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
+        "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -3440,6 +3442,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),
+        "cross_source_dup_matrix": f"""
+            WITH p AS ({_minhash_sql()})
+            SELECT least(a.source, b.source) AS source_a,
+                   greatest(a.source, b.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p
+            JOIN documents a ON a.doc_id = p.doc_a
+            JOIN documents b ON b.doc_id = p.doc_b
+            GROUP BY 1, 2
+        """,
         "minhash_dedup": _minhash_dedup_sql(),
         "minhash_cluster_size_hist": f"""
             SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
@@ -4498,6 +4510,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS revenue_cents
             FROM orders GROUP BY 1
+        """,
+        "k_anonymity_audit": """
+            WITH g AS (
+              SELECT o_orderpriority, o_orderstatus,
+                     CAST(epoch_us(o_orderdate) // 86400000000 // 30
+                          AS BIGINT) AS mo,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2, 3
+            ),
+            ks AS (SELECT unnest([2, 5, 10]) AS k)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(count(*) FILTER (WHERE n < k) AS BIGINT)
+                       AS n_groups_below,
+                   CAST(coalesce(sum(n) FILTER (WHERE n < k), 0)
+                        AS BIGINT) AS n_rows_at_risk
+            FROM g CROSS JOIN ks GROUP BY 1
         """,
         "key_skew_audit": """
             WITH c AS (

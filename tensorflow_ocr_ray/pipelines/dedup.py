@@ -1030,3 +1030,101 @@ def dedup_rate_by_source(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
                     "dup_ppm": "int64"})
         .sort_values("source").reset_index(drop=True)
     )
+
+
+def cross_source_dup_matrix(sf_dir: str,
+                            n_shards: int = 32) -> pd.DataFrame:
+    """Cross-source near-duplication matrix — WHERE the duplication
+    lives: for every unordered source pair, how many verified MinHash
+    near-dup pairs straddle it (same-source pairs land on the
+    diagonal).  This is the attribution a curation report needs after
+    dedup_rate_by_source says *how much* is duplicated: which feeds
+    mirror which (e.g. a crawl re-ingesting a wiki dump).
+
+    Reuses the memoized verified-edge Dataset (one verify pass shared
+    with minhash_dedup / dedup_keep_list); sources attach via TWO
+    doc-hash exchange hops (the doc_rarity two-hop join: pairs are
+    dup-edge-bounded, the doc -> source side is corpus-bounded, and
+    each hop co-shards by one endpoint), then per-batch (least,
+    greatest) pair counts tree-combine under the bounded |sources|^2
+    grid.  Oracle: the generated MinHash pair re-derivation joined to
+    documents twice (sf0.1 inherits the documented minhash-oracle
+    spill exclusion)."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    pairs = _verified_pairs_ds(sf_dir)
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def doc_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc": df["doc_id"].astype("int64"),
+             "other": np.int64(-1), "source": df["source"],
+             "shard": df["doc_id"].to_numpy(np.int64) % n_shards})
+
+    def pair_side_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc": df["doc_a"].astype("int64"),
+             "other": df["doc_b"].astype("int64"),
+             "source": "", 
+             "shard": df["doc_a"].to_numpy(np.int64) % n_shards})
+
+    def join_a(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_b", "source_a", "shard"]
+        if not len(df):
+            out = pd.DataFrame({c: pd.Series([], dtype="object")
+                                for c in cols})
+            return out.astype({"doc_b": "int64", "shard": "int64"})
+        src = df[df["other"] == -1].set_index("doc")["source"]
+        p = df[df["other"] != -1]
+        return pd.DataFrame(
+            {"doc_b": p["other"].to_numpy(np.int64),
+             "source_a": p["doc"].map(src).to_numpy(),
+             "shard": p["other"].to_numpy(np.int64) % n_shards})
+
+    hop1 = hash_exchange(
+        docs.map_batches(doc_side, batch_format="pandas",
+                         batch_size=65536).union(
+            pairs.map_batches(pair_side_a, batch_format="pandas")),
+        "shard", n_shards, join_a)
+
+    def doc_side2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_b": df["doc_id"].astype("int64"),
+             "source_a": "", "is_doc": np.int64(1),
+             "source_b": df["source"],
+             "shard": df["doc_id"].to_numpy(np.int64) % n_shards})
+
+    def pair_side_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_b": df["doc_b"].astype("int64"),
+             "source_a": df["source_a"], "is_doc": np.int64(0),
+             "source_b": "", "shard": df["shard"].astype("int64")})
+
+    def join_b(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["source_a", "source_b", "n_pairs"]
+        if not len(df):
+            out = pd.DataFrame({c: pd.Series([], dtype="object")
+                                for c in cols})
+            return out.astype({"n_pairs": "int64"})
+        src = df[df["is_doc"] == 1].set_index("doc_b")["source_b"]
+        p = df[df["is_doc"] == 0]
+        sa = p["source_a"].to_numpy()
+        sb = p["doc_b"].map(src).to_numpy()
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        g = (pd.DataFrame({"source_a": lo, "source_b": hi})
+             .groupby(["source_a", "source_b"], as_index=False)
+             .size().rename(columns={"size": "n_pairs"}))
+        return g.astype({"n_pairs": "int64"})
+
+    parts = hash_exchange(
+        docs.map_batches(doc_side2, batch_format="pandas",
+                         batch_size=65536).union(
+            hop1.map_batches(pair_side_b, batch_format="pandas")),
+        "shard", n_shards, join_b).to_pandas()
+    return (
+        parts.groupby(["source_a", "source_b"], as_index=False)
+        ["n_pairs"].sum()
+        .astype({"n_pairs": "int64"})
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    )

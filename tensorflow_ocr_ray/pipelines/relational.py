@@ -3985,3 +3985,52 @@ def orders_sorted_export(sf_dir: str, n_parts: int = 16) -> pd.DataFrame:
     return (papq.read_table(manifest_path).to_pandas()
             .astype("int64").sort_values("part_id")
             .reset_index(drop=True))
+
+
+K_ANON_KS = (2, 5, 10)
+
+
+def k_anonymity_audit(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity / re-identification risk audit over the orders
+    table — the privacy gate a dataset release runs next to pii_scrub:
+    treating (priority, status, order-month) as the quasi-identifier
+    tuple, how many equivalence classes have fewer than k members, and
+    how many rows sit in them, for k in {2, 5, 10}.
+
+    The class grid is BOUNDED (|priorities| x |statuses| x |months|),
+    so per-batch class-count partials tree-combine and the driver
+    evaluates all k thresholds on the tiny grid — one corpus pass, no
+    shuffle.  Oracle: GROUP BY + FILTER counts per unnested k,
+    hash-matched."""
+    ds = _pq(sf_dir, "orders",
+             ["o_orderpriority", "o_orderstatus", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        g = pd.DataFrame(
+            {"prio": df["o_orderpriority"],
+             "status": df["o_orderstatus"],
+             "mo": day // 30}).groupby(
+            ["prio", "status", "mo"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return g.astype({"mo": "int64", "n": "int64"})
+
+    grid = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(8)
+        .map_batches(
+            lambda df: df.groupby(["prio", "status", "mo"],
+                                  as_index=False)["n"].sum(),
+            batch_format="pandas")
+        .to_pandas()
+        .groupby(["prio", "status", "mo"], as_index=False)["n"].sum()
+    )
+    n = grid["n"].to_numpy(np.int64)
+    rows = []
+    for k in K_ANON_KS:
+        below = n < k
+        rows.append((k, len(n), int(below.sum()), int(n[below].sum())))
+    return pd.DataFrame(
+        rows, columns=["k", "n_groups", "n_groups_below",
+                       "n_rows_at_risk"]).astype("int64")

@@ -288,6 +288,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("hll_distinct", ["orders"]),
         ("late_event_audit", ["events"]),
         ("orders_sorted_export", ["orders"]),
+        ("k_anonymity_audit", ["orders"]),
+        ("cross_source_dup_matrix", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
