@@ -732,6 +732,55 @@ def _media_png_ink(sf_dir: str):
     ).map_batches(count_ink, batch_format="pyarrow")
 
 
+def _media_augment_ink(sf_dir: str):
+    """Image AUGMENTATION as a first-class hash-checked stage — the
+    preprocessing pass (rotate / crop / flip-class transforms) a
+    vision training pipeline runs AFTER decode: each document's
+    deterministic PNG (all five color types x all five row filters,
+    _png_payloads) is decoded by core/png.py, rotated doc_id%4
+    quarter-turns, and cropped doc_id%3 rows off the top; the emitted
+    (height, width, ink) pin the real ndarray geometry ops against a
+    pure-arithmetic oracle (the black band's post-rotation position
+    decides how much ink the crop removes — a wrong rot90 direction or
+    off-by-one crop flips the numbers immediately)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        return _png_payloads(df)
+
+    def augment(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.raster import decode_payload
+
+        heights, widths, ink = [], [], []
+        refs = batch.column("media_ref").to_pylist()
+        for ref, p in zip(refs, batch.column("image").to_pylist()):
+            d = int(ref)
+            img = decode_payload(p)
+            img = np.rot90(img, d % 4)
+            img = img[d % 3:]
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            ink.append(int(img.sum()))
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "height": pa.array(heights, type=pa.int32()),
+                "width": pa.array(widths, type=pa.int32()),
+                "ink": pa.array(ink, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(augment, batch_format="pyarrow")
+
+
 def _jpeg_payloads(df) -> "pa.Table":
     """Deterministic baseline JPEGs whose decode is EXACT: all-ones
     quant table and DC-only constant 8x8 blocks, so dequant + IDCT
@@ -1603,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_avi_frames": _media_avi_frames,
         "media_mixed_frames": _media_mixed_frames,
         "media_png_ink": _media_png_ink,
+        "media_augment_ink": _media_augment_ink,
         "media_jpeg_ink": _media_jpeg_ink,
         "media_audio_mixed": _media_audio_mixed,
         "media_audio_g711": _media_audio_g711,
@@ -3194,6 +3244,28 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range(0, 1 + doc_id % 5, 2)) AS i
                 FROM documents
             )
+        """,
+        "media_augment_ink": """
+            WITH g AS (
+              SELECT doc_id,
+                     CAST(doc_id AS VARCHAR) AS media_ref,
+                     1 + doc_id % 5 AS b,
+                     8 + doc_id % 4 AS h,
+                     doc_id % 3 AS c,
+                     doc_id % 4 AS k
+              FROM documents
+            )
+            SELECT media_ref,
+                   CAST(CASE WHEN k % 2 = 0 THEN h - c
+                             ELSE 8 - c END AS INTEGER) AS height,
+                   CAST(CASE WHEN k % 2 = 0 THEN 8
+                             ELSE h END AS INTEGER) AS width,
+                   CAST(CASE k
+                     WHEN 0 THEN greatest(0, b - c) * 8
+                     WHEN 1 THEN (8 - c) * b
+                     WHEN 2 THEN 8 * b
+                     ELSE (8 - c) * b END AS BIGINT) AS ink
+            FROM g
         """,
         "media_png_ink": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,

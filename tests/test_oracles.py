@@ -290,6 +290,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("orders_sorted_export", ["orders"]),
         ("k_anonymity_audit", ["orders"]),
         ("cross_source_dup_matrix", ["documents"]),
+        ("media_augment_ink", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
