@@ -1536,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
+        "contrastive_negatives": curation.contrastive_negatives,
         "embedding_quantize": similarity.embedding_quantize,
         "embedding_covariance": similarity.embedding_covariance,
         "top_order_lineitems": relational.top_order_lineitems,
@@ -1548,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
         "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
+        "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -3514,6 +3516,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_quality": _quality_sql(),
         "minhash_verified_pairs": _minhash_sql(),
+        "dedup_threshold_sweep": f"""
+            WITH p AS ({_minhash_sql()}),
+            h AS (
+              SELECT CAST(floor(sim * 20) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM p GROUP BY 1
+            )
+            SELECT bucket * 5 AS bucket_lo_pct, n_pairs,
+                   CAST(sum(n_pairs) OVER (
+                       ORDER BY bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+                       AS n_pairs_cum_ge
+            FROM h
+        """,
         "cross_source_dup_matrix": f"""
             WITH p AS ({_minhash_sql()})
             SELECT least(a.source, b.source) AS source_a,
@@ -4582,6 +4599,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS revenue_cents
             FROM orders GROUP BY 1
+        """,
+        "contrastive_negatives": """
+            WITH pos AS (
+              SELECT DISTINCT o.o_custkey AS cust,
+                              l.l_partkey AS part
+              FROM orders o
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            ),
+            users AS (SELECT DISTINCT o_custkey AS cust FROM orders),
+            np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+            cand AS (
+              SELECT u.cust, j.j,
+                     (u.cust * 31 + j.j * 17 + 7) % np.n AS part
+              FROM users u,
+                   (SELECT unnest(generate_series(0, 63)) AS j) j, np
+            ),
+            neg AS (
+              SELECT cust, j, part,
+                     row_number() OVER (PARTITION BY cust
+                                        ORDER BY j) AS rk
+              FROM cand c
+              WHERE NOT EXISTS (SELECT 1 FROM pos p
+                                WHERE p.cust = c.cust
+                                  AND p.part = c.part)
+            )
+            SELECT cust AS user_id, CAST(rk - 1 AS BIGINT) AS neg_rank,
+                   CAST(part AS BIGINT) AS part_id
+            FROM neg WHERE rk <= 4
         """,
         "k_anonymity_audit": """
             WITH g AS (

@@ -2020,3 +2020,98 @@ def bigram_lm_familiarity(
         "shard", n_shards, score_shard,
     )
     return hash_exchange(stage1, "shard", n_shards, per_doc)
+
+
+CN_J, CN_K = 64, 4
+
+
+def contrastive_negatives(sf_dir: str, n_shards: int = 32) -> "rd.Dataset":
+    """Deterministic negative sampling for contrastive training — for
+    every purchasing user, the first ``CN_K`` parts from a fixed
+    pseudo-random candidate walk that the user has NEVER bought (the
+    (user, pos, neg) triple-mining step of retrieval/recsys training,
+    made reproducible: candidate_j = (cust*31 + j*17 + 7) % |parts|,
+    17 coprime to |parts| so the walk never repeats within 64 draws).
+
+    Positives need the orders x lineitem join: one orderkey-hash
+    exchange joins the two fact projections; the (cust, part) pairs
+    re-key by user TOGETHER with user marker rows (so zero-lineitem
+    users still sample) through a second exchange, where each shard
+    filters its users' candidate matrix fully vectorized — packed
+    (cust * |parts| + part) keys, one np.isin against the shard's
+    positive set, cumsum row-select of the first K survivors.  No
+    per-user Python.  Output is users x K sized: lazy Dataset.
+    Oracle: generate_series candidates anti-joined on the positives,
+    row_number <= K, hash-matched."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    n_parts = int(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey"]).count())
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"key": k, "val": df["o_custkey"].astype("int64"),
+             "side": np.int64(0), "shard": k % n_shards})
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"key": k, "val": df["l_partkey"].astype("int64"),
+             "side": np.int64(1), "shard": k % n_shards})
+
+    def join_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cust", "part", "shard"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        cust = df[df["side"] == 0].set_index("key")["val"]
+        li = df[df["side"] == 1]
+        c = li["key"].map(cust).to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"cust": c, "part": li["val"].to_numpy(np.int64)}
+        ).drop_duplicates()
+        # user markers ride along so zero-lineitem users still sample
+        u = pd.DataFrame({"cust": pd.unique(cust.to_numpy()),
+                          "part": np.int64(-1)})
+        out = pd.concat([out, u], ignore_index=True)
+        out["shard"] = out["cust"].to_numpy(np.int64) % n_shards
+        return out.astype("int64")
+
+    pairs = hash_exchange(
+        orders.map_batches(o_side, batch_format="pandas",
+                           batch_size=65536).union(
+            items.map_batches(l_side, batch_format="pandas",
+                              batch_size=65536)),
+        "shard", n_shards, join_pairs)
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "neg_rank", "part_id"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        pos = df[df["part"] >= 0]
+        users = np.sort(pd.unique(df["cust"].to_numpy(np.int64)))
+        packed_pos = (pos["cust"].to_numpy(np.int64) * n_parts
+                      + pos["part"].to_numpy(np.int64))
+        j = np.arange(CN_J, dtype=np.int64)
+        cand = (users[:, None] * 31 + j[None, :] * 17 + 7) % n_parts
+        packed = users[:, None] * n_parts + cand
+        ok = ~np.isin(packed, packed_pos)
+        rank = np.cumsum(ok, axis=1)
+        take = ok & (rank <= CN_K)
+        uu, jj = np.nonzero(take)
+        return pd.DataFrame(
+            {"user_id": users[uu],
+             "neg_rank": rank[uu, jj] - 1,
+             "part_id": cand[uu, jj]}).astype("int64")
+
+    return hash_exchange(pairs, "shard", n_shards, sample)

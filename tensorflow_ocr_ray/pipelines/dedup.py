@@ -1128,3 +1128,38 @@ def cross_source_dup_matrix(sf_dir: str,
         .astype({"n_pairs": "int64"})
         .sort_values(["source_a", "source_b"]).reset_index(drop=True)
     )
+
+
+def dedup_threshold_sweep(sf_dir: str) -> pd.DataFrame:
+    """Threshold-sensitivity audit for the near-dup verifier — the
+    sweep a curation team runs before committing to a Jaccard cutoff:
+    verified-pair counts per 5%-similarity bucket plus the cumulative
+    "pairs you would keep at >= this cutoff" column.  Marginal cost is
+    ~zero: it reuses the memoized verified-edge Dataset (one verify
+    pass shared with the whole minhash family) and tree-combines
+    bounded per-bucket counts; the driver holds <= 9 rows.  The
+    bucket floor(sim*20) is computed on the SAME IEEE double both
+    sides, so the oracle (GROUP BY bucket + desc window cumsum over
+    the generated pair re-derivation) hash-matches."""
+    pairs = _verified_pairs_ds(sf_dir)
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["sim"].to_numpy(np.float64) * 20.0).astype(
+            np.int64)
+        g = (pd.DataFrame({"bucket": b}).groupby("bucket")
+             .size().rename("n_pairs").reset_index())
+        return g.astype("int64")
+
+    h = (
+        pairs.map_batches(bucket_partial, batch_format="pandas",
+                          batch_size=65536)
+        .to_pandas()
+        .groupby("bucket", as_index=False)["n_pairs"].sum()
+        .sort_values("bucket", ascending=False)
+        .reset_index(drop=True)
+    )
+    h["n_pairs_cum_ge"] = h["n_pairs"].cumsum()
+    h["bucket_lo_pct"] = h["bucket"] * 5
+    return (h[["bucket_lo_pct", "n_pairs", "n_pairs_cum_ge"]]
+            .astype("int64").sort_values("bucket_lo_pct")
+            .reset_index(drop=True))

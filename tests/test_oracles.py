@@ -291,6 +291,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("k_anonymity_audit", ["orders"]),
         ("cross_source_dup_matrix", ["documents"]),
         ("media_augment_ink", ["documents"]),
+        ("dedup_threshold_sweep", ["documents"]),
+        ("contrastive_negatives", ["orders", "lineitem", "part"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
