@@ -1593,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IS the operator; the scan-and-filter variants remain as
         # similarity.ann_topk_lsh / ann_topk_ivf for index-free corpora
         "ann_topk_lsh": similarity.ann_topk_lsh_pruned,
+        "ann_index_append": similarity.ann_index_append,
         "ann_recall_eval": similarity.ann_recall_eval,
         "ann_topk_ivf": similarity.ann_topk_ivf_pruned,
         "label_centroids": similarity.label_centroids,
@@ -3685,6 +3686,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY h LIMIT 100
         """,
         "ann_topk_lsh": _ann_lsh_sql(),
+        # appended (base + delta) index must equal the from-scratch
+        # answer over the full corpus: the SAME re-derivation
+        "ann_index_append": _ann_lsh_sql(),
         "ann_recall_eval": _ann_recall_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
         # simhash64 re-derived in SQL: identical md5-low-64 gram hashes,

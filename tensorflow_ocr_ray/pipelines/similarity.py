@@ -218,12 +218,15 @@ def _lsh_scan(sf_dir, q, planes, cand_codes, k, query_vec_id):
 
 
 def build_lsh_index(
-    sf_dir: str, index_dir: str, n_planes: int = 8, seed: int = 11
+    sf_dir: str, index_dir: str, n_planes: int = 8, seed: int = 11,
+    vid_filter=None,
 ) -> int:
     """Write the embeddings table re-partitioned by LSH bucket code
     (one ``code=N`` hive directory per bucket).  A probed query then READS
     only its probe-ring partitions — the pruning happens at the source,
-    not as a post-read filter.  Returns the number of distinct buckets."""
+    not as a post-read filter.  Returns the number of distinct buckets.
+    ``vid_filter`` (vec_id ndarray -> bool mask) restricts the rows —
+    the base/delta split ann_index_append maintains."""
     import pyarrow.parquet as pq
 
     dim = len(
@@ -234,6 +237,10 @@ def build_lsh_index(
     planes_ref = ray.put(planes)
 
     def code_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if vid_filter is not None:
+            df = df[vid_filter(df["vec_id"].to_numpy(np.int64))]
+            if not len(df):
+                return df.assign(code=pd.Series([], dtype="int64"))
         p = ray.get(planes_ref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         codes = ((m @ p.T) > 0).astype(np.uint32) @ (
@@ -361,6 +368,23 @@ def _bucket_row_count(index_dir: str, prefix: str, code: int) -> int:
     )
 
 
+def _lsh_widen_level(index_dir: str, q: np.ndarray, k: int,
+                     n_planes: int, p0: int, seed: int) -> int:
+    """The auto-widen rule shared by the pruned query and the appended
+    index: smallest probe level in [p0, n_planes] whose ring holds
+    >= k candidates, from parquet FOOTER counts only (candidates
+    exclude the query row — it sits in its own bucket)."""
+    planes = _lsh_planes(q.shape[0], n_planes, seed)
+    for p in range(p0, n_planes + 1):
+        codes = _probe_codes(q, planes, p)
+        n_cand = sum(
+            _bucket_row_count(index_dir, "code", c) for c in codes
+        ) - 1
+        if n_cand >= k:
+            return p
+    return n_planes
+
+
 def ann_topk_lsh_pruned(
     sf_dir: str,
     k: int = 10,
@@ -386,16 +410,7 @@ def ann_topk_lsh_pruned(
     p0 = min(probes, n_planes)
     p_star = n_planes
     if auto_widen:
-        planes = _lsh_planes(q.shape[0], n_planes, seed)
-        for p in range(p0, n_planes + 1):
-            codes = _probe_codes(q, planes, p)
-            # candidates exclude the query row (it sits in its own bucket)
-            n_cand = sum(
-                _bucket_row_count(index_dir, "code", c) for c in codes
-            ) - 1
-            if n_cand >= k:
-                p_star = p
-                break
+        p_star = _lsh_widen_level(index_dir, q, k, n_planes, p0, seed)
     else:
         p_star = p0
     return ann_topk_lsh_indexed(
@@ -1561,3 +1576,70 @@ def ann_recall_eval(
     return pd.DataFrame(
         rows, columns=["query_id", "hits", "recall_pct"]
     ).astype("int64")
+
+
+def ann_index_append(
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_planes: int = 8,
+    probes: int = 3,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """Incremental ANN index maintenance — the dedup_incremental of the
+    similarity family: vectors arrive AFTER the index was built
+    (vec_id % 10 == 0 plays the new batch), and instead of rebuilding,
+    the delta pass codes ONLY the new vectors and appends their files
+    into the existing ``code=N`` hive partitions (hardlinked base files
+    + ``append-*`` delta files: at 100 TB the append touches |delta|
+    rows while a rebuild touches the corpus).  The probe-ring reader
+    and footer-count auto-widen rule see base + delta transparently,
+    so the query over the appended index must equal — byte for byte —
+    the from-scratch answer over the full corpus: the oracle is the
+    very same generated LSH re-derivation ann_topk_lsh uses
+    (hash-matching it proves the append is lossless)."""
+    import os
+    import shutil
+
+    base_dir = _ensure_index(
+        f"lshbase-p{n_planes}-s{seed}", sf_dir,
+        lambda d: build_lsh_index(
+            sf_dir, d, n_planes, seed,
+            vid_filter=lambda v: v % 10 != 0),
+    )
+
+    def build_appended(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+        for bucket in os.listdir(base_dir):
+            if not bucket.startswith("code="):
+                continue
+            os.makedirs(os.path.join(d, bucket), exist_ok=True)
+            for f in os.listdir(os.path.join(base_dir, bucket)):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(base_dir, bucket, f),
+                            os.path.join(d, bucket, f))
+        delta_tmp = f"{d}.delta"
+        shutil.rmtree(delta_tmp, ignore_errors=True)
+        build_lsh_index(sf_dir, delta_tmp, n_planes, seed,
+                        vid_filter=lambda v: v % 10 == 0)
+        for bucket in os.listdir(delta_tmp):
+            if not bucket.startswith("code="):
+                continue
+            os.makedirs(os.path.join(d, bucket), exist_ok=True)
+            for i, f in enumerate(sorted(
+                    os.listdir(os.path.join(delta_tmp, bucket)))):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(delta_tmp, bucket, f),
+                        os.path.join(d, bucket, f"append-{i:04d}.parquet"))
+        shutil.rmtree(delta_tmp, ignore_errors=True)
+
+    full_dir = _ensure_index(
+        f"lshapp-p{n_planes}-s{seed}", sf_dir, build_appended)
+
+    q = _query_vector(sf_dir, query_vec_id)
+    p_star = _lsh_widen_level(full_dir, q, k, n_planes,
+                              min(probes, n_planes), seed)
+    return ann_topk_lsh_indexed(
+        full_dir, q, k, query_vec_id, n_planes, p_star, seed
+    )

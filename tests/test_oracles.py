@@ -293,6 +293,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("media_augment_ink", ["documents"]),
         ("dedup_threshold_sweep", ["documents"]),
         ("contrastive_negatives", ["orders", "lineitem", "part"]),
+        ("ann_index_append", ["embeddings"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

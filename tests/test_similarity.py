@@ -337,3 +337,29 @@ def test_phrase_search_overlapping_matches(ray_session, tmp_path):
     assert rows[("part filter", 1)] == 2
     assert rows[("order fast", 2)] == 2
     assert rows[("part filter", 3)] == 1  # whitespace runs normalize
+
+
+def test_ann_index_append_equals_scratch(ray_session):
+    """The appended (base hardlinks + delta files) index must answer
+    identically to the from-scratch full index — the append is
+    lossless — and the appended bucket dirs must actually contain
+    append-* delta files."""
+    import glob
+
+    from tensorflow_ocr_ray.pipelines.similarity import (
+        _emb_fingerprint,
+        ann_index_append,
+        ann_topk_lsh_pruned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = ann_index_append(sf).reset_index(drop=True)
+    b = ann_topk_lsh_pruned(sf).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert a["sim"].tolist() == b["sim"].tolist()
+    d = (f"/tmp/tensorflow_ocr_ray_indexes/"
+         f"lshapp-p8-s11-{_emb_fingerprint(sf)}")
+    appended = glob.glob(f"{d}/code=*/append-*.parquet")
+    base = glob.glob(f"{d}/code=*/*.parquet")
+    assert len(appended) > 0
+    assert len(base) > len(appended)  # hardlinked base files present
