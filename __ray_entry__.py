@@ -1532,6 +1532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_sorted_export": relational.orders_sorted_export,
         "mv_delta_refresh": relational.mv_delta_refresh,
         "key_skew_audit": relational.key_skew_audit,
+        "part_trending_decay": relational.part_trending_decay,
+        "schema_evolution_read": relational.schema_evolution_read,
         "scd2_price_enrich": relational.scd2_price_enrich,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -4648,6 +4650,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(n) FILTER (WHERE n < k), 0)
                         AS BIGINT) AS n_rows_at_risk
             FROM g CROSS JOIN ks GROUP BY 1
+        """,
+        "schema_evolution_read": """
+            SELECT CAST(CASE WHEN o_orderkey % 3 = 0 THEN -1
+                        ELSE o_orderkey % 4 END AS BIGINT) AS channel,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY 1
+        """,
+        "part_trending_decay": """
+            WITH f AS (
+              SELECT l_partkey,
+                     CAST(epoch_us(l_shipdate) // 86400000000 // 7
+                          AS BIGINT) AS w
+              FROM lineitem
+            ),
+            mx AS (SELECT max(w) AS mw FROM f),
+            s AS (
+              SELECT l_partkey,
+                     CAST(sum(CASE WHEN mw - w <= 40
+                              THEN CAST(1 AS BIGINT) << (40 - (mw - w))
+                              ELSE 0 END) AS BIGINT) AS s
+              FROM f, mx GROUP BY 1
+            )
+            SELECT l_partkey, s >> 20 AS score_fp20
+            FROM s
+            ORDER BY score_fp20 DESC, l_partkey
+            LIMIT 10
         """,
         "key_skew_audit": """
             WITH c AS (

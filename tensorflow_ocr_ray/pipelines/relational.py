@@ -4034,3 +4034,134 @@ def k_anonymity_audit(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["k", "n_groups", "n_groups_below",
                        "n_rows_at_risk"]).astype("int64")
+
+
+def part_trending_decay(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Decayed trending ranking — "what's hot NOW": each lineitem row
+    contributes 2^-weeks_ago to its part's score (half-life one week),
+    computed EXACTLY as the fixed-point integer 2^(40 - weeks_ago)
+    (contributions older than 40 weeks are exactly 0 — same rule in
+    SQL; int64 headroom is ~2^23 rows per week at this scale — at
+    10^12 rows split the sum into 32-bit limbs like
+    corr_quantity_price does).  The decay anchor (max ship-week) comes from one streaming
+    max pass; contributions are then ADDITIVE per row, so per-batch
+    (part, score) partials tree-combine and only the CATALOG-BOUNDED
+    score table reaches the driver for the top-k — the trending query
+    never shuffles the fact table.  Emitted at 2^20 fixed point
+    (score_fp20 = sum >> 20) so sub-unit decayed mass stays visible.
+    Oracle: weekly GROUP BY + the same shift arithmetic + top-k,
+    hash-matched."""
+    ds = _pq(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+
+    def week_of(df: pd.DataFrame) -> np.ndarray:
+        day = (df["l_shipdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        return day // 7
+
+    max_week = int(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"w": [week_of(df).max()]}),
+            batch_format="pandas", batch_size=65536)
+        .max("w"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ago = (max_week - week_of(df)).astype(np.int64)
+        capped = np.minimum(ago, np.int64(40))
+        s = (np.int64(1) << (40 - capped)) * (ago <= 40)
+        g = pd.DataFrame(
+            {"part": df["l_partkey"].to_numpy(np.int64), "s": s}
+        ).groupby("part", as_index=False)["s"].sum()
+        return g.astype("int64")
+
+    scores = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .repartition(8)
+        .map_batches(
+            lambda df: df.groupby("part", as_index=False)["s"].sum(),
+            batch_format="pandas")
+        .to_pandas()
+        .groupby("part", as_index=False)["s"].sum()
+    )
+    scores["score_fp20"] = scores["s"].to_numpy(np.int64) >> 20
+    top = scores.sort_values(["score_fp20", "part"],
+                             ascending=[False, True]).head(k)
+    return (top[["part", "score_fp20"]]
+            .rename(columns={"part": "l_partkey"})
+            .astype("int64").reset_index(drop=True))
+
+
+def schema_evolution_read(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution-on-read — the mixed-file-version reality of any
+    long-lived lake table: v1 files were written before the ``channel``
+    column existed, v2 files carry it; one logical read must serve
+    both.  The two versions are synthesized once per corpus
+    fingerprint (v1 = keys %3 == 0 with the OLD two-column schema,
+    v2 = the rest with channel = key % 4), then read as separate
+    Datasets, unified EXPLICITLY (v1 rows get the documented default
+    channel = -1 — Ray Data, like any engine, will not guess a
+    default) and unioned; per-channel (n_orders, revenue_cents)
+    partials tree-combine.  Oracle derives the same channel rule
+    arithmetically from the original table, hash-matched — proving
+    the unified read loses nothing."""
+    import os
+    import shutil
+
+    root = "/tmp/tensorflow_ocr_ray_exports"
+    d = os.path.join(
+        root, f"schemaevo-{_orders_fingerprint(sf_dir)}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        tmp = f"{d}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "v1"), exist_ok=True)
+        os.makedirs(os.path.join(tmp, "v2"), exist_ok=True)
+
+        def split(df: pd.DataFrame) -> pd.DataFrame:
+            k = df["o_orderkey"].to_numpy(np.int64)
+            c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(
+                np.int64)
+            return pd.DataFrame(
+                {"o_orderkey": k, "cents": c, "is_v1": k % 3 == 0,
+                 "channel": k % 4})
+
+        rows = _pq(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice"]).map_batches(
+            split, batch_format="pandas", batch_size=65536)
+        rows.filter(
+            lambda r: bool(r["is_v1"])
+        ).select_columns(["o_orderkey", "cents"]).write_parquet(
+            os.path.join(tmp, "v1"))
+        rows.filter(
+            lambda r: not r["is_v1"]
+        ).select_columns(
+            ["o_orderkey", "cents", "channel"]).write_parquet(
+            os.path.join(tmp, "v2"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    unified = ["o_orderkey", "cents", "channel"]
+    v1 = rd.read_parquet(os.path.join(d, "v1")).map_batches(
+        lambda df: df.assign(channel=np.int64(-1))[unified],
+        batch_format="pandas", batch_size=65536)
+    v2 = rd.read_parquet(os.path.join(d, "v2")).map_batches(
+        lambda df: df[unified].astype({"channel": "int64"}),
+        batch_format="pandas", batch_size=65536)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("channel", as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+        return g.astype("int64")
+
+    return (
+        v1.union(v2)
+        .map_batches(agg, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("channel", as_index=False)
+        .agg(n_orders=("n_orders", "sum"),
+             revenue_cents=("revenue_cents", "sum"))
+        .astype("int64")
+        .sort_values("channel").reset_index(drop=True)
+    )

@@ -294,6 +294,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("dedup_threshold_sweep", ["documents"]),
         ("contrastive_negatives", ["orders", "lineitem", "part"]),
         ("ann_index_append", ["embeddings"]),
+        ("part_trending_decay", ["lineitem"]),
+        ("schema_evolution_read", ["orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
