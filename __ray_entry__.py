@@ -1476,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_diff": windows.event_lag_diff,
         "latest_event_snapshot": windows.latest_event_snapshot,
         "late_event_audit": windows.late_event_audit,
+        "user_growth_curve": windows.user_growth_curve,
         "median_value_cont": windows.median_value_cont,
         "corr_quantity_price": relational.corr_quantity_price,
         "cube_lineitem": relational.cube_lineitem,
@@ -1637,6 +1638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_content": _html_main_content,
         "approx_distinct_users": _approx_distinct_users,
         "hll_distinct": sketches.hll_distinct,
+        "bloom_fpr_audit": sketches.bloom_fpr_audit,
         # BPE merge learning (rows-only: k data-dependent
         # re-segmentation rounds aren't SQL; pytest parity vs the
         # sequential reference trainer is the gate)
@@ -1848,6 +1850,56 @@ def _ann_lsh_sql(k: int = 10, n_planes: int = 8, probes: int = 3,
     """
 
 
+
+
+def _bloom_sql() -> str:
+    """DuckDB re-derivation of sketches.bloom_fpr_audit: same
+    arithmetic double-hashing constants, the bitmap as bit_or-built
+    63-bit int64 words, probes AND-checked via min over the three
+    bits."""
+    from tensorflow_ocr_ray.pipelines.sketches import (
+        BF_A, BF_B, BF_M, BF_P,
+    )
+
+    def hashes(src_cte: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT u, (({a} * u + {b}) % {BF_P}) % {BF_M} AS p "
+            f"FROM {src_cte}"
+            for a, b in zip(BF_A, BF_B))
+
+    return f"""
+        WITH ins AS (SELECT DISTINCT o_custkey AS u FROM orders
+                     WHERE o_custkey % 2 = 0),
+        pr AS (SELECT DISTINCT o_custkey AS u FROM orders
+               WHERE o_custkey % 2 = 1),
+        hp AS ({hashes("ins")}),
+        words AS (
+          SELECT p // 63 AS w,
+                 bit_or(CAST(1 AS BIGINT)
+                        << CAST(p % 63 AS INTEGER)) AS bits
+          FROM hp GROUP BY 1
+        ),
+        ph AS ({hashes("pr")}),
+        chk AS (
+          SELECT ph.u,
+                 min(coalesce((w.bits >> CAST(ph.p % 63 AS INTEGER))
+                              & 1, 0)) AS allhit
+          FROM ph LEFT JOIN words w ON w.w = ph.p // 63
+          GROUP BY ph.u
+        ),
+        agg AS (SELECT CAST(count(*) FILTER (WHERE allhit = 1)
+                            AS BIGINT) AS n_fp FROM chk)
+        SELECT CAST((SELECT count(*) FROM ins) AS BIGINT)
+                   AS n_inserted,
+               CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_probes,
+               CAST((SELECT sum(bit_count(bits)) FROM words)
+                    AS BIGINT) AS n_bits_set,
+               n_fp AS n_false_pos,
+               CAST(n_fp * 1000000
+                    // greatest((SELECT count(*) FROM pr), 1)
+                    AS BIGINT) AS fpr_ppm
+        FROM agg
+    """
 
 
 def _hll_sql() -> str:
@@ -4530,6 +4582,24 @@ def oracle_sql() -> dict[str, str]:
                   AS n_added
             FROM j
         """,
+        "user_growth_curve": """
+            WITH f AS (
+              SELECT user_id,
+                     CAST(min(epoch_us(ts) // 86400000000) AS BIGINT)
+                         AS day
+              FROM events GROUP BY 1
+            ),
+            g AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS new_users
+              FROM f GROUP BY 1
+            )
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+                       AS cum_users
+            FROM g
+        """,
         "late_event_audit": """
             WITH w AS (
               SELECT event_type,
@@ -4560,6 +4630,7 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY ts DESC, event_id DESC) = 1
         """,
         "hll_distinct": _hll_sql(),
+        "bloom_fpr_audit": _bloom_sql(),
         "merge_upsert": """
             WITH v1 AS (
               SELECT o_orderkey AS key,

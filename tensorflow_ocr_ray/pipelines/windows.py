@@ -2007,3 +2007,48 @@ def late_event_audit(sf_dir: str, n_ranges: int = 8) -> pd.DataFrame:
                  "max_behind_us": "int64"})
         .sort_values("event_type").reset_index(drop=True)
     )
+
+
+def user_growth_curve(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
+    """Cumulative-distinct growth curve — "how many unique users has
+    the product ever seen, by day": the running COUNT(DISTINCT)
+    no engine computes directly at scale.  Exact plan: distinct is a
+    FIRST-OCCURRENCE problem — one user-hash exchange takes each
+    user's min active day (disjoint user ranges -> exact), each shard
+    pre-reduces to a (first_day -> n_new_users) histogram bounded by
+    the calendar grid, and the driver's cumulative sum over the merged
+    grid is the growth curve.  Nothing user-cardinality-sized reaches
+    the driver.  Oracle: min(day) per user + window cumsum,
+    hash-matched."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "day": us // 86_400_000_000}
+        ).groupby("user_id", as_index=False)["day"].min()
+        g["shard"] = g["user_id"].to_numpy(np.int64) % n_shards
+        return g.astype("int64")
+
+    def first_day_hist(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["day", "new_users"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        first = df.groupby("user_id")["day"].min()
+        h = (first.value_counts().rename_axis("day")
+             .reset_index(name="new_users"))
+        return h.astype("int64")
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    grid = (
+        hash_exchange(
+            ev.map_batches(add_shard, batch_format="pandas",
+                           batch_size=65536),
+            "shard", n_shards, first_day_hist)
+        .to_pandas()
+        .groupby("day", as_index=False)["new_users"].sum()
+        .sort_values("day").reset_index(drop=True)
+    )
+    grid["cum_users"] = grid["new_users"].cumsum()
+    return grid.astype("int64")

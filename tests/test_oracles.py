@@ -296,6 +296,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("ann_index_append", ["embeddings"]),
         ("part_trending_decay", ["lineitem"]),
         ("schema_evolution_read", ["orders"]),
+        ("bloom_fpr_audit", ["orders"]),
+        ("user_growth_curve", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
