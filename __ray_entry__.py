@@ -1535,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_audit": relational.key_skew_audit,
         "part_trending_decay": relational.part_trending_decay,
         "schema_evolution_read": relational.schema_evolution_read,
+        "data_quality_expectations": relational.data_quality_expectations,
         "scd2_price_enrich": relational.scd2_price_enrich,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -4721,6 +4722,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(n) FILTER (WHERE n < k), 0)
                         AS BIGINT) AS n_rows_at_risk
             FROM g CROSS JOIN ks GROUP BY 1
+        """,
+        "data_quality_expectations": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n
+                       FROM orders),
+            suite AS (
+            SELECT 'price_positive' AS check, n.n AS n_rows,
+                   CAST((SELECT count(*) FROM orders
+                         WHERE o_totalprice <= 0) AS BIGINT)
+                       AS n_violations
+            FROM n
+            UNION ALL
+            SELECT 'status_accepted_values', n.n,
+                   CAST((SELECT count(*) FROM orders
+                         WHERE o_orderstatus NOT IN ('O', 'F'))
+                        AS BIGINT)
+            FROM n
+            UNION ALL
+            SELECT 'orderdate_before_2000', n.n,
+                   CAST((SELECT count(*) FROM orders
+                         WHERE o_orderdate >= DATE '2000-01-01')
+                        AS BIGINT)
+            FROM n
+            UNION ALL
+            SELECT 'custkey_referential', n.n,
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (
+                           SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+                        AS BIGINT)
+            FROM n
+            UNION ALL
+            SELECT 'orderkey_unique', n.n,
+                   n.n - CAST((SELECT count(DISTINCT o_orderkey)
+                               FROM orders) AS BIGINT)
+            FROM n
+            )
+            SELECT "check", n_rows, n_violations,
+                   CAST(n_violations = 0 AS BIGINT) AS passed
+            FROM suite
         """,
         "schema_evolution_read": """
             SELECT CAST(CASE WHEN o_orderkey % 3 = 0 THEN -1

@@ -4165,3 +4165,87 @@ def schema_evolution_read(sf_dir: str) -> pd.DataFrame:
         .astype("int64")
         .sort_values("channel").reset_index(drop=True)
     )
+
+
+def data_quality_expectations(sf_dir: str,
+                              n_shards: int = 32) -> pd.DataFrame:
+    """Declarative data-contract validation — the dbt-test /
+    expectations suite a pipeline gates a publish on: five checks over
+    orders, each one corpus pass (fused where possible), each emitting
+    (check, n_rows, n_violations, passed).  The suite deliberately
+    contains expectations this corpus FAILS (accepted_values without
+    'P', an orderdate upper bound) — the audit's job is to count
+    violations, not to vacuously pass.
+
+    Scale shapes: row-local checks (positive price, accepted values,
+    date bound) fuse into ONE vectorized pass with bounded partials;
+    referential integrity broadcasts the catalog-bounded customer key
+    set via ``ray.put`` + sorted-array membership (no shuffle touches
+    orders); uniqueness counts rows vs distinct keys through one
+    key-hash exchange (disjoint ranges -> exact).  Oracle: one UNION
+    ALL of the five SQL aggregates, hash-matched."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    ckeys = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cref = ray.put(ckeys)
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_totalprice",
+              "o_orderstatus", "o_orderdate"])
+
+    DAY_BOUND = 10957  # 2000-01-01 in days since epoch
+
+    def rowlocal(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(cref)
+        n = len(df)
+        price_bad = int((df["o_totalprice"].to_numpy() <= 0).sum())
+        status_bad = int(
+            (~df["o_orderstatus"].isin(["O", "F"])).sum())
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        date_bad = int((day >= DAY_BOUND).sum())
+        k = df["o_custkey"].to_numpy(np.int64)
+        idx = np.searchsorted(keys, k)
+        idx[idx == len(keys)] = 0
+        ref_bad = int((keys[idx] != k).sum())
+        return pd.DataFrame(
+            {"check": ["price_positive", "status_accepted_values",
+                       "orderdate_before_2000", "custkey_referential"],
+             "n_rows": np.int64(n),
+             "n_violations": np.array(
+                 [price_bad, status_bad, date_bad, ref_bad],
+                 dtype=np.int64)})
+
+    rl = (
+        ds.map_batches(rowlocal, batch_format="pandas",
+                       batch_size=65536)
+        .to_pandas()
+        .groupby("check", as_index=False)
+        .agg(n_rows=("n_rows", "sum"),
+             n_violations=("n_violations", "sum"))
+    )
+
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({"key": k, "shard": k % n_shards}).astype(
+            "int64")
+
+    def dup_count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [len(df)], "nd": [df["key"].nunique()]}
+        ).astype("int64")
+
+    uq = hash_exchange(
+        ds.map_batches(key_partial, batch_format="pandas",
+                       batch_size=65536),
+        "shard", n_shards, dup_count).to_pandas().sum()
+    rl = pd.concat(
+        [rl, pd.DataFrame(
+            {"check": ["orderkey_unique"], "n_rows": [int(uq["n"])],
+             "n_violations": [int(uq["n"]) - int(uq["nd"])]})],
+        ignore_index=True)
+    rl["passed"] = (rl["n_violations"] == 0).astype(np.int64)
+    return (rl.astype({"n_rows": "int64", "n_violations": "int64",
+                       "passed": "int64"})
+            .sort_values("check").reset_index(drop=True))

@@ -298,6 +298,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("schema_evolution_read", ["orders"]),
         ("bloom_fpr_audit", ["orders"]),
         ("user_growth_curve", ["events"]),
+        ("data_quality_expectations", ["orders", "customer"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
