@@ -413,12 +413,13 @@ def hll_distinct(sf_dir: str) -> pd.DataFrame:
              .groupby("bucket", as_index=False)["register"].max())
         return g.astype("int64")
 
-    regs = (
-        ds.map_batches(reg_partial, batch_format="pandas",
-                       batch_size=65536)
-        .to_pandas()
-        .groupby("bucket", as_index=False)["register"].max()
-    )
+    parts = ds.map_batches(reg_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    empty_corpus = "bucket" not in parts.columns  # no partials at all
+    if empty_corpus:
+        parts = pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                              "register": pd.Series([], dtype="int64")})
+    regs = parts.groupby("bucket", as_index=False)["register"].max()
     full = pd.DataFrame({"bucket": np.arange(HLL_M, dtype=np.int64)})
     regs = full.merge(regs, on="bucket", how="left").fillna(0)
     m_j = [int(r) for r in regs["register"]]
@@ -441,11 +442,14 @@ def hll_distinct(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {"n": [df["key"].nunique()]}).astype("int64")
 
-    exact = int(hash_exchange(
-        ds.map_batches(key_partial, batch_format="pandas",
-                       batch_size=65536),
-        "shard", n_shards, nunique,
-    ).to_pandas()["n"].sum())
+    if empty_corpus:
+        exact = 0
+    else:
+        exact = int(hash_exchange(
+            ds.map_batches(key_partial, batch_format="pandas",
+                           batch_size=65536),
+            "shard", n_shards, nunique,
+        ).to_pandas()["n"].sum())
 
     out = pd.concat(
         [regs, pd.DataFrame({"bucket": [-1, -2, -3],

@@ -1,0 +1,134 @@
+"""Edge cases for the part-8 operators: crafted corpora exercising
+empty results, tie-breaks, boundary days and degenerate keys."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def test_merge_upsert_delete_all(ray_session, tmp_path):
+    """Every key divisible by 89 -> the whole snapshot is deleted and
+    nothing qualifies for insert; the merged table is EMPTY but typed."""
+    keys = [89, 178, 267]  # none % 43 == 0 -> no inserts either
+    sf = _write(tmp_path, "orders", pa.table(
+        {"o_orderkey": pa.array(keys, pa.int64()),
+         "o_totalprice": pa.array([10.0, 20.0, 30.0])}))
+    from tensorflow_ocr_ray.pipelines.relational import merge_upsert
+
+    out = merge_upsert(sf, n_shards=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_merge_upsert_update_and_insert_same_key(ray_session, tmp_path):
+    """A key divisible by both 37 and 43 (1591) is updated in place AND
+    spawns an insert at key+2e12 — both must appear."""
+    sf = _write(tmp_path, "orders", pa.table(
+        {"o_orderkey": pa.array([1591, 2], pa.int64()),
+         "o_totalprice": pa.array([10.0, 5.0])}))
+    from tensorflow_ocr_ray.pipelines.relational import merge_upsert
+
+    out = (merge_upsert(sf, n_shards=4).to_pandas()
+           .sort_values("key").reset_index(drop=True))
+    assert out["key"].tolist() == [2, 1591, 2_000_000_001_591]
+    assert out["cents"].tolist() == [500, 1005, 1001]
+
+
+def test_latest_event_snapshot_ts_tie(ray_session, tmp_path):
+    """Equal timestamps: the larger event_id wins."""
+    ts = pd.Timestamp("2024-01-01")
+    sf = _write(tmp_path, "events", pa.table(
+        {"event_id": pa.array([1, 2, 3], pa.int64()),
+         "ts": pa.array([ts, ts, ts]),
+         "user_id": pa.array([7, 7, 7], pa.int64()),
+         "event_type": pa.array(["view", "view", "click"]),
+         "value": pa.array([1.0, 2.0, 3.0])}))
+    from tensorflow_ocr_ray.pipelines.windows import (
+        latest_event_snapshot,
+    )
+
+    out = (latest_event_snapshot(sf, n_shards=2).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    assert out["event_id"].tolist() == [3, 2]  # click, view
+    assert out["value_cents"].tolist() == [300, 200]
+
+
+def test_late_event_audit_single_event(ray_session, tmp_path):
+    """One event: it is its own watermark — zero behind, zero late."""
+    sf = _write(tmp_path, "events", pa.table(
+        {"event_id": pa.array([0], pa.int64()),
+         "ts": pa.array([pd.Timestamp("2024-01-01")]),
+         "event_type": pa.array(["view"])}))
+    from tensorflow_ocr_ray.pipelines.windows import late_event_audit
+
+    out = late_event_audit(sf, n_ranges=2)
+    assert out["n_events"].tolist() == [1]
+    assert out["n_late"].tolist() == [0]
+    assert out["max_behind_us"].tolist() == [0]
+
+
+def test_key_skew_audit_single_hot_key(ray_session, tmp_path):
+    """Degenerate skew: one key owns every row."""
+    sf = _write(tmp_path, "orders", pa.table(
+        {"o_custkey": pa.array([5] * 100, pa.int64())}))
+    from tensorflow_ocr_ray.pipelines.relational import key_skew_audit
+
+    out = key_skew_audit(sf, n_shards=4)
+    assert out["n_keys"].tolist() == [1]
+    assert out["max_count"].tolist() == [100]
+    assert out["p99_count"].tolist() == [100]
+    assert out["top1_share_ppm"].tolist() == [1_000_000]
+    assert out["skew_ratio_e4"].tolist() == [10_000]
+
+
+def test_scd2_version_boundary(ray_session, tmp_path):
+    """Ship day exactly at T1 belongs to version 1 (closed lower
+    bound), T1 - 1 to version 0, T1 + SPAN to version 2."""
+    from tensorflow_ocr_ray.pipelines.relational import (
+        SCD2_BASE_DAY,
+        SCD2_SPAN,
+        SCD2_STEP,
+        scd2_price_enrich,
+    )
+
+    pk = 3
+    t1 = SCD2_BASE_DAY + (pk % 200) * SCD2_STEP
+    days = [t1 - 1, t1, t1 + SCD2_SPAN - 1, t1 + SCD2_SPAN]
+    dates = pd.to_datetime(np.array(days, "datetime64[D]"))
+    tmp = tmp_path
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([pk], pa.int64()),
+         "p_brand": pa.array(["B#1"]),
+         "p_retailprice": pa.array([10.0])}), str(tmp / "part.parquet"))
+    pq.write_table(pa.table(
+        {"l_partkey": pa.array([pk] * 4, pa.int64()),
+         "l_shipdate": pa.array(dates),
+         "l_quantity": pa.array([1, 1, 1, 1], pa.int64())}),
+        str(tmp / "lineitem.parquet"))
+    out = scd2_price_enrich(str(tmp))
+    # versions hit: 0 (t1-1), 1 (t1, t1+SPAN-1), 2 (t1+SPAN)
+    assert out["version"].tolist() == [0, 1, 2]
+    assert out["n_items"].tolist() == [1, 2, 1]
+    assert out["value_cents"].tolist() == [1000, 2 * 1001, 1002]
+
+
+def test_hll_empty_table(ray_session, tmp_path):
+    """Empty orders: all registers zero, linear counting collapses to
+    0, exact count 0."""
+    sf = _write(tmp_path, "orders", pa.table(
+        {"o_custkey": pa.array([], pa.int64())}))
+    from tensorflow_ocr_ray.pipelines.sketches import (
+        HLL_M,
+        hll_distinct,
+    )
+
+    out = hll_distinct(sf)
+    regs = out[out["bucket"] >= 0]
+    assert len(regs) == HLL_M and (regs["register"] == 0).all()
+    assert out.loc[out["bucket"] == -2, "register"].tolist() == [0]
+    assert out.loc[out["bucket"] == -3, "register"].tolist() == [0]
