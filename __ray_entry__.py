@@ -1541,6 +1541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": curation.source_vocab_overlap,
         "chunk_documents": curation.chunk_documents,
         "contrastive_negatives": curation.contrastive_negatives,
+        "pii_pseudonymize": curation.pii_pseudonymize,
         "embedding_quantize": similarity.embedding_quantize,
         "embedding_covariance": similarity.embedding_covariance,
         "top_order_lineitems": relational.top_order_lineitems,
@@ -4677,6 +4678,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS revenue_cents
             FROM orders GROUP BY 1
+        """,
+        "pii_pseudonymize": """
+            WITH ev AS (
+              SELECT DISTINCT user_id AS uid,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1, 15))::BIGINT AS s
+              FROM events
+            ),
+            oo AS (
+              SELECT DISTINCT o_custkey AS uid,
+                     ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                     1, 15))::BIGINT AS s
+              FROM orders
+            ),
+            ids AS (SELECT uid, s FROM ev UNION SELECT uid, s FROM oo)
+            SELECT CAST((SELECT count(*) FROM ev) AS BIGINT)
+                       AS n_ids_events,
+                   CAST((SELECT count(*) FROM oo) AS BIGINT)
+                       AS n_ids_orders,
+                   CAST((SELECT count(*) FROM ev JOIN oo USING (uid))
+                        AS BIGINT) AS n_ids_both,
+                   CAST((SELECT count(DISTINCT s) FROM ids) AS BIGINT)
+                       AS n_surrogates,
+                   CAST((SELECT count(*) FROM ids) AS BIGINT)
+                       - CAST((SELECT count(DISTINCT s) FROM ids)
+                              AS BIGINT) AS n_collisions
         """,
         "contrastive_negatives": """
             WITH pos AS (

@@ -2115,3 +2115,74 @@ def contrastive_negatives(sf_dir: str, n_shards: int = 32) -> "rd.Dataset":
              "part_id": cand[uu, jj]}).astype("int64")
 
     return hash_exchange(pairs, "shard", n_shards, sample)
+
+
+def pii_pseudonymize(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
+    """Deterministic pseudonymization audit — the tokenization step of
+    a privacy-preserving release (next to pii_scrub and
+    k_anonymity_audit): every user id is replaced by the keyed
+    surrogate md5-high-60(id) (the hll hash convention), and the audit
+    proves the two properties a release depends on: CONSISTENCY (the
+    same id maps to the same surrogate in events AND orders, so joins
+    still work post-release) and INJECTIVITY (no two ids share a
+    surrogate — a collision silently merges two people).
+
+    Ids from both tables route ONE exchange sharded by SURROGATE (ids
+    co-shard with their surrogate because the mapping is
+    deterministic, so per-shard distinct/intersection/collision counts
+    are exact and sum across disjoint surrogate ranges).  Output is
+    one bounded row.  Oracle: the same md5 expression in SQL,
+    hash-matched."""
+    import hashlib
+
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    def h60(vals: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+             for v in vals), dtype=np.int64, count=len(vals))
+
+    def ev_side(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(df["user_id"].to_numpy(np.int64))
+        s = h60(u)
+        return pd.DataFrame({"uid": u, "surrogate": s,
+                             "side": np.int64(0),
+                             "shard": s % n_shards})
+
+    def ord_side(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(df["o_custkey"].to_numpy(np.int64))
+        s = h60(u)
+        return pd.DataFrame({"uid": u, "surrogate": s,
+                             "side": np.int64(1),
+                             "shard": s % n_shards})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"]).map_batches(
+        ev_side, batch_format="pandas", batch_size=65536)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"]).map_batches(
+        ord_side, batch_format="pandas", batch_size=65536)
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["n_ids_events", "n_ids_orders", "n_ids_both",
+                "n_surrogates", "n_collisions"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        d = df.drop_duplicates(["uid", "side"])
+        ev_ids = set(d.loc[d["side"] == 0, "uid"])
+        or_ids = set(d.loc[d["side"] == 1, "uid"])
+        ids = d.drop_duplicates("uid")
+        n_sur = ids["surrogate"].nunique()
+        return pd.DataFrame(
+            {"n_ids_events": [len(ev_ids)],
+             "n_ids_orders": [len(or_ids)],
+             "n_ids_both": [len(ev_ids & or_ids)],
+             "n_surrogates": [n_sur],
+             "n_collisions": [len(ids) - n_sur]}).astype("int64")
+
+    parts = hash_exchange(ev.union(orders), "shard", n_shards,
+                          audit).to_pandas()
+    return parts.sum().to_frame().T.astype("int64")

@@ -299,6 +299,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("bloom_fpr_audit", ["orders"]),
         ("user_growth_curve", ["events"]),
         ("data_quality_expectations", ["orders", "customer"]),
+        ("pii_pseudonymize", ["events", "orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
