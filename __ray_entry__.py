@@ -1555,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
         "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
+        "doc_containment_pairs": dedup.doc_containment_pairs,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -5670,6 +5671,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # winnowing near-dup pairs: the doc_fingerprints CTE chain
         # (shared verbatim) self-joined on fingerprint values
+        "doc_containment_pairs": _WINNOW_RANKED_CTE + """
+            , fp AS (SELECT doc_id, m FROM ranked WHERE rn <= 64),
+            n AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM fp GROUP BY 1
+            ),
+            sh AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM fp a JOIN fp b
+                ON a.m = b.m AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT da, db, shared, na.n AS n_a, nb.n AS n_b
+              FROM sh
+              JOIN n na ON na.doc_id = da
+              JOIN n nb ON nb.doc_id = db
+              WHERE shared >= 4
+            ),
+            d AS (
+              SELECT CASE WHEN (n_a, da) < (n_b, db)
+                          THEN da ELSE db END AS doc_inner,
+                     CASE WHEN (n_a, da) < (n_b, db)
+                          THEN db ELSE da END AS doc_outer,
+                     CASE WHEN (n_a, da) < (n_b, db)
+                          THEN n_a ELSE n_b END AS n_inner,
+                     shared
+              FROM j
+            )
+            SELECT doc_inner, doc_outer, n_inner, shared FROM d
+            WHERE shared * 100 >= 90 * n_inner
+        """,
         "winnow_dup_pairs": _WINNOW_RANKED_CTE + """
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    count(*) AS shared

@@ -1163,3 +1163,160 @@ def dedup_threshold_sweep(sf_dir: str) -> pd.DataFrame:
     return (h[["bucket_lo_pct", "n_pairs", "n_pairs_cum_ge"]]
             .astype("int64").sort_values("bucket_lo_pct")
             .reset_index(drop=True))
+
+
+CONTAIN_KEEP = 64     # winnow fingerprints kept per doc
+CONTAIN_PCT = 90      # inner doc "contained" if >= 90% fps shared
+CONTAIN_MIN = 4       # noise floor on shared fingerprints
+
+
+def doc_containment_pairs(sf_dir: str,
+                          n_shards: int = 64) -> "rd.Dataset":
+    """Containment screening — the dedup mode Jaccard misses: a doc
+    QUOTED or WRAPPED inside a larger one scores low symmetric
+    similarity but high one-sided containment.  Pairs where >=
+    CONTAIN_PCT% of the INNER doc's winnowing fingerprints (keep=64
+    for resolution; same k-gram/window chain as doc_fingerprints)
+    appear in the outer doc's set; inner = the side with the smaller
+    (|fps|, doc_id), so direction is deterministic.
+
+    Plan (the winnow_dup_pairs fingerprint-shard shape + the
+    cross-source two-hop count join): distinct (fp, doc) rows shard by
+    fp -> per-shard co-occurrence pair partials -> pair-shard sums;
+    per-doc fp counts (computed map-side, docs are rows) ride two
+    doc-hash exchange hops to attach n_a / n_b; the final shard
+    evaluates the containment predicate vectorized.  Lazy Dataset of
+    (doc_inner, doc_outer, n_inner, shared).  Oracle: the shared
+    winnowing CTE filtered to rn <= 64, self-joined, tuple-compared,
+    hash-matched.
+
+    SKEW CAVEAT (measured): a fingerprint shared by F docs emits
+    O(F^2) pair partials.  This synthetic corpus draws from a ~30-word
+    vocabulary, so at sf0.1 the 5-gram space SATURATES (median fp
+    doc-frequency 170 of 5000 docs) and the pass costs ~85 s; a
+    df-cap / PPJoin rarest-prefix filter was prototyped and measured
+    — on this corpus NO frequency threshold separates dup-cluster
+    fingerprints from corpus-common ones (cap 100 keeps 5 of 256 true
+    pairs; cap 200 keeps all but restores the full volume), so the
+    exact semantics are kept.  On a real corpus (md5 5-grams over
+    natural text are near-unique) the rarest-prefix filter is the
+    100-TB path: candidates only from each doc's floor(0.1*n)+1
+    rarest fps, then exact verification — same answer, linear
+    candidate volume."""
+    from tensorflow_ocr_ray.functions.textstats import winnow_fingerprint
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            ms = winnow_fingerprint(text, keep=CONTAIN_KEEP)
+            ids.extend([int(did)] * len(ms))
+            fps.extend(int(m) for m in ms)
+        fp = np.asarray(fps, dtype=np.int64)
+        return pd.DataFrame(
+            {"fp": fp, "doc_id": np.asarray(ids, np.int64),
+             "shard": fp % n_shards})
+
+    # per-doc fp counts (the containment denominator): a skinny
+    # second pass over the same read
+    def count_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = [(int(d), len(winnow_fingerprint(t, keep=CONTAIN_KEEP)))
+               for d, t in zip(df["doc_id"], df["text"])]
+        g = pd.DataFrame(out, columns=["doc", "n"])
+        return g[g["n"] > 0].astype("int64")
+
+    def pairs_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b", "p_shared", "pshard"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        a_l, b_l = [], []
+        for _, g in df.groupby("fp"):
+            d = np.sort(pd.unique(g["doc_id"].to_numpy()))
+            if len(d) < 2:
+                continue
+            iu = np.triu_indices(len(d), k=1)
+            a_l.append(d[iu[0]])
+            b_l.append(d[iu[1]])
+        if not a_l:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        out = (pd.DataFrame({"doc_a": np.concatenate(a_l),
+                             "doc_b": np.concatenate(b_l)})
+               .groupby(["doc_a", "doc_b"], as_index=False)
+               .size().rename(columns={"size": "p_shared"}))
+        out["pshard"] = (out["doc_a"] * 1_000_003
+                         + out["doc_b"]) % n_shards
+        return out.astype("int64")
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b", "shared", "shard"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            shared=("p_shared", "sum"))
+        g = g[g["shared"] >= CONTAIN_MIN]
+        g["shard"] = g["doc_a"].to_numpy(np.int64) % n_shards
+        return g.astype("int64")
+
+    fp_rows = docs.map_batches(explode, batch_format="pandas",
+                               batch_size=2048)
+    pair_partials = hash_exchange(fp_rows, "shard", n_shards,
+                                  pairs_in_shard)
+    pairs = hash_exchange(pair_partials, "pshard", n_shards, sum_pairs)
+
+    counts = docs.map_batches(count_rows, batch_format="pandas",
+                              batch_size=2048)
+
+    def count_side_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_a": df["doc"].astype("int64"),
+             "doc_b": np.int64(-1), "shared": df["n"].astype("int64"),
+             "shard": df["doc"].to_numpy(np.int64) % n_shards})
+
+    def join_a(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b", "shared", "n_a", "shard"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        na = df[df["doc_b"] == -1].set_index("doc_a")["shared"]
+        p = df[df["doc_b"] != -1].copy()
+        p["n_a"] = p["doc_a"].map(na).astype("int64")
+        p["shard"] = p["doc_b"].to_numpy(np.int64) % n_shards
+        return p[cols].astype("int64")
+
+    hop1 = hash_exchange(
+        pairs.union(counts.map_batches(count_side_a,
+                                       batch_format="pandas")),
+        "shard", n_shards, join_a)
+
+    def count_side_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_a": np.int64(-1), "doc_b": df["doc"].astype("int64"),
+             "shared": df["n"].astype("int64"), "n_a": np.int64(-1),
+             "shard": df["doc"].to_numpy(np.int64) % n_shards})
+
+    def join_b(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_inner", "doc_outer", "n_inner", "shared"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        nb = df[df["doc_a"] == -1].set_index("doc_b")["shared"]
+        p = df[df["doc_a"] != -1].copy()
+        p["n_b"] = p["doc_b"].map(nb).astype("int64")
+        a_is_inner = (
+            (p["n_a"] < p["n_b"])
+            | ((p["n_a"] == p["n_b"]) & (p["doc_a"] < p["doc_b"])))
+        p["doc_inner"] = np.where(a_is_inner, p["doc_a"], p["doc_b"])
+        p["doc_outer"] = np.where(a_is_inner, p["doc_b"], p["doc_a"])
+        p["n_inner"] = np.where(a_is_inner, p["n_a"], p["n_b"])
+        keep = p["shared"] * 100 >= CONTAIN_PCT * p["n_inner"]
+        return p.loc[keep, cols].astype("int64")
+
+    return hash_exchange(
+        hop1.union(counts.map_batches(count_side_b,
+                                      batch_format="pandas")),
+        "shard", n_shards, join_b)

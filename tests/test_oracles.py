@@ -300,6 +300,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("user_growth_curve", ["events"]),
         ("data_quality_expectations", ["orders", "customer"]),
         ("pii_pseudonymize", ["events", "orders"]),
+        ("doc_containment_pairs", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
