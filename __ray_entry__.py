@@ -1536,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_trending_decay": relational.part_trending_decay,
         "schema_evolution_read": relational.schema_evolution_read,
         "data_quality_expectations": relational.data_quality_expectations,
+        "order_value_benford": relational.order_value_benford,
         "scd2_price_enrich": relational.scd2_price_enrich,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -4750,6 +4751,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(n) FILTER (WHERE n < k), 0)
                         AS BIGINT) AS n_rows_at_risk
             FROM g CROSS JOIN ks GROUP BY 1
+        """,
+        "order_value_benford": """
+            WITH c AS (
+              SELECT CAST(substr(CAST(
+                         abs(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM orders
+              WHERE CAST(round(o_totalprice * 100) AS BIGINT) <> 0
+            ),
+            g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1),
+            b(digit, benford_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+            SELECT b.digit, CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+                   CAST(coalesce(g.n, 0) * 1000000
+                        // greatest(t.total, 1) AS BIGINT)
+                       AS share_ppm,
+                   CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+                   CAST(abs(coalesce(g.n, 0) * 1000000
+                            // greatest(t.total, 1)
+                            - b.benford_ppm) AS BIGINT) AS abs_dev_ppm
+            FROM b LEFT JOIN g USING (digit) CROSS JOIN t
         """,
         "data_quality_expectations": """
             WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n

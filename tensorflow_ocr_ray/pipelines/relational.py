@@ -4249,3 +4249,54 @@ def data_quality_expectations(sf_dir: str,
     return (rl.astype({"n_rows": "int64", "n_violations": "int64",
                        "passed": "int64"})
             .sort_values("check").reset_index(drop=True))
+
+
+# Benford expected first-digit shares, ppm: round(log10(1 + 1/d) * 1e6)
+# — precomputed constants injected into both engines (the LUT rule:
+# spec tables as parameters, never transcendentals at query time)
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181,
+               66947, 57992, 51153, 45757)
+
+
+def order_value_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-data / unit-mixup screen a finance pipeline runs on
+    ingest: the distribution of leading digits of o_totalprice (in
+    cents) against Benford's law, with the absolute ppm deviation per
+    digit.  One streaming pass: the leading digit is pure integer math
+    (divide by 10 until < 10 — a fixed 18-step shift loop, vectorized
+    over the batch), per-digit partials tree-combine under the
+    9-row grid.  Synthetic uniform-ish prices will NOT follow Benford
+    — the audit's job is to report the deviation, and the deviation
+    IS the signal (hash-checked either way).  Oracle: string-slice
+    first digit + the same ppm constants."""
+    ds = _pq(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        c = np.abs(c)
+        c = c[c > 0]
+        for _ in range(18):          # int64 max has 19 digits
+            big = c >= 10
+            if not big.any():
+                break
+            c = np.where(big, c // 10, c)
+        g = (pd.DataFrame({"digit": c}).groupby("digit")
+             .size().rename("n").reset_index())
+        return g.astype("int64")
+
+    grid = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("digit", as_index=False)["n"].sum()
+    )
+    full = pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64)})
+    grid = full.merge(grid, on="digit", how="left").fillna(0)
+    total = int(grid["n"].sum())
+    grid["share_ppm"] = (grid["n"].to_numpy(np.int64) * 1_000_000
+                         // max(total, 1))
+    grid["benford_ppm"] = np.array(BENFORD_PPM, dtype=np.int64)
+    grid["abs_dev_ppm"] = np.abs(grid["share_ppm"]
+                                 - grid["benford_ppm"])
+    return grid.astype("int64").reset_index(drop=True)

@@ -301,6 +301,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("data_quality_expectations", ["orders", "customer"]),
         ("pii_pseudonymize", ["events", "orders"]),
         ("doc_containment_pairs", ["documents"]),
+        ("order_value_benford", ["orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
