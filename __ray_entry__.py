@@ -1537,6 +1537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution_read": relational.schema_evolution_read,
         "data_quality_expectations": relational.data_quality_expectations,
         "order_value_benford": relational.order_value_benford,
+        "sampled_event_counts": relational.sampled_event_counts,
         "scd2_price_enrich": relational.scd2_price_enrich,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -4751,6 +4752,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(n) FILTER (WHERE n < k), 0)
                         AS BIGINT) AS n_rows_at_risk
             FROM g CROSS JOIN ks GROUP BY 1
+        """,
+        "sampled_event_counts": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST((('0x' || substr(md5(CAST(event_id
+                              AS VARCHAR)), 1, 15))::BIGINT % 16 = 0)
+                          AS BIGINT) AS in_sample
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(sum(in_sample) * 16 AS BIGINT) AS n_est,
+                   CAST(sum(cents) AS BIGINT) AS cents_exact,
+                   CAST(sum(cents * in_sample) * 16 AS BIGINT)
+                       AS cents_est,
+                   CAST(abs(sum(in_sample) * 16 - count(*)) * 1000000
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS n_err_ppm
+            FROM e GROUP BY 1
         """,
         "order_value_benford": """
             WITH c AS (

@@ -4300,3 +4300,68 @@ def order_value_benford(sf_dir: str) -> pd.DataFrame:
     grid["abs_dev_ppm"] = np.abs(grid["share_ppm"]
                                  - grid["benford_ppm"])
     return grid.astype("int64").reset_index(drop=True)
+
+
+SAMPLE_MOD = 16  # keep events whose md5-high-60(event_id) % 16 == 0
+
+
+def sampled_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Sampling-based approximate aggregation with its error audit —
+    the "answer from 1/16th of the data" mode an interactive layer
+    offers, made reproducible: a DETERMINISTIC hash sample (crc32 of
+    the event id, so the sample is a fixed property of the data, not
+    of the run) feeds per-type Horvitz-Thompson scaled counts and
+    cent sums, reported NEXT TO the exact pass so the error is
+    measured, not guessed.  Both passes are one streaming aggregate
+    over the bounded type grid; the sample pass reads 1/16th of the
+    rows in expectation (at 100 TB the sample filter pushes into the
+    scan).  All integers; oracle recomputes the same md5-high-60
+    sample hash in one SQL expression (the hll/KMV convention),
+    hash-matched."""
+    import hashlib
+
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        h = np.fromiter(
+            (int(hashlib.md5(str(int(e)).encode())
+                 .hexdigest()[:15], 16) for e in eid),
+            dtype=np.int64, count=len(eid))
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(
+            np.int64)
+        keep = h % SAMPLE_MOD == 0
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "cents": cents,
+             "in_sample": keep.astype(np.int64)})
+        out = g.groupby("event_type", as_index=False).agg(
+            n_exact=("cents", "size"),
+            cents_exact=("cents", "sum"),
+            n_sample=("in_sample", "sum"))
+        out["cents_sample"] = (
+            g[g["in_sample"] == 1].groupby("event_type")["cents"]
+            .sum().reindex(out["event_type"]).fillna(0)
+            .to_numpy(np.int64))
+        return out.astype({"n_exact": "int64", "cents_exact": "int64",
+                           "n_sample": "int64",
+                           "cents_sample": "int64"})
+
+    g = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n_exact=("n_exact", "sum"),
+             cents_exact=("cents_exact", "sum"),
+             n_sample=("n_sample", "sum"),
+             cents_sample=("cents_sample", "sum"))
+    )
+    g["n_est"] = g["n_sample"] * SAMPLE_MOD
+    g["cents_est"] = g["cents_sample"] * SAMPLE_MOD
+    g["n_err_ppm"] = (np.abs(g["n_est"] - g["n_exact"]) * 1_000_000
+                      // np.maximum(g["n_exact"], 1))
+    return (g[["event_type", "n_exact", "n_est", "cents_exact",
+               "cents_est", "n_err_ppm"]]
+            .astype({c: "int64" for c in
+                     ("n_exact", "n_est", "cents_exact", "cents_est",
+                      "n_err_ppm")})
+            .sort_values("event_type").reset_index(drop=True))

@@ -302,6 +302,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("pii_pseudonymize", ["events", "orders"]),
         ("doc_containment_pairs", ["documents"]),
         ("order_value_benford", ["orders"]),
+        ("sampled_event_counts", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
