@@ -1585,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank state in the object store, one exchange per iteration
         "link_pagerank": graph.link_pagerank,
         "graph_components": graph.graph_components,
+        "graph_modularity": graph.graph_modularity,
         "graph_degree_stats": graph.graph_degree_stats,
         "graph_bfs_depth": graph.graph_bfs_depth,
         "triangle_count": graph.triangle_count,
@@ -3246,6 +3247,40 @@ def oracle_sql() -> dict[str, str]:
             }.items()
         ),
         "link_pagerank": pagerank_oracle_sql(),
+        "graph_modularity": """
+            WITH e AS (
+              SELECT doc_id AS v, doc_id - doc_id % 7 AS c
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id AS v, doc_id - 7 AS c
+              FROM documents
+              WHERE doc_id % 21 = 7 AND doc_id >= 7
+            ),
+            lab AS (
+              SELECT CASE WHEN (c - c % 7) % 21 = 7
+                          THEN c - c % 7 - 7
+                          ELSE c - c % 7 END AS label
+              FROM e
+            ),
+            per AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS e
+              FROM lab GROUP BY 1
+            ),
+            m AS (SELECT CAST(sum(e) AS BIGINT) AS m FROM per),
+            rows_ AS (
+              SELECT label, e AS n_edges,
+                     2 * e AS degree_sum,
+                     4 * m.m * e - 4 * e * e AS q_contrib_num
+              FROM per, m
+            )
+            SELECT label, n_edges, degree_sum, q_contrib_num
+            FROM rows_
+            UNION ALL
+            SELECT -1, m.m, 2 * m.m,
+                   CAST((SELECT sum(q_contrib_num) FROM rows_)
+                        * 1000000 // (4 * m.m * m.m) AS BIGINT)
+            FROM m
+        """,
         "graph_degree_stats": """
             WITH e AS (
               SELECT doc_id AS a, doc_id - doc_id % 7 AS b

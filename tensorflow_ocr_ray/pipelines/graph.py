@@ -926,3 +926,71 @@ def graph_degree_stats(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
         .astype("int64")
         .sort_values("degree").reset_index(drop=True)
     )
+
+
+def graph_modularity(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
+    """Newman modularity of the TRUE community partition (component
+    labels) of the star+bridge graph — the partition-quality metric a
+    community-detection pass is scored by.  Exact integers throughout:
+    with every edge intra-community (stars and bridges never cross
+    components by construction), Q = sum_c (e_c/m - (d_c/2m)^2)
+    becomes the per-community numerator 4*m*e_c - d_c^2 over the
+    common denominator 4*m^2 (headroom to m ~ 1.5e9; past that
+    pre-divide or go HUGEINT like ab_test_stats).
+
+    One streaming pass derives edges + closed-form labels per batch
+    and pre-reduces (label, e_c) partials; one label-hash exchange
+    makes per-community counts exact; m tree-combines alongside.
+    Rows: one per community (label, n_edges, degree_sum,
+    q_contrib_num) plus the label=-1 summary carrying (m, 2m, Q_ppm)
+    — the hll summary-row convention.  Oracle: same closed-form edge
+    list and label CASE, GROUP BY + window total, hash-matched."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def edge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        c = v - v % 7
+        member = v % 7 != 0
+        is_bridge = (v % 21 == 7) & (v >= 7)
+        # an edge's community label == its center's component label
+        def label_of(x):
+            base = x - x % 7
+            return np.where(base % 21 == 7, base - 7, base)
+        lab = np.concatenate([label_of(c[member]),
+                              label_of(v[is_bridge])])
+        g = (pd.DataFrame({"label": lab}).groupby("label")
+             .size().rename("e").reset_index())
+        g["shard"] = g["label"].to_numpy(np.int64) % n_shards
+        return g.astype("int64")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["label", "e"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        return (df.groupby("label", as_index=False)["e"].sum()
+                .astype("int64"))
+
+    per = hash_exchange(
+        docs.map_batches(edge_partials, batch_format="pandas",
+                         batch_size=65536),
+        "shard", n_shards, combine).to_pandas()
+    per = per.groupby("label", as_index=False)["e"].sum()
+    m = int(per["e"].sum())
+    e = per["e"].to_numpy(np.int64)
+    d = 2 * e                      # all edges intra => d_c = 2*e_c
+    qnum = 4 * m * e - d * d
+    q_ppm = int(qnum.sum()) * 1_000_000 // (4 * m * m)
+    out = pd.DataFrame(
+        {"label": per["label"].to_numpy(np.int64), "n_edges": e,
+         "degree_sum": d, "q_contrib_num": qnum})
+    out = pd.concat(
+        [out, pd.DataFrame({"label": [-1], "n_edges": [m],
+                            "degree_sum": [2 * m],
+                            "q_contrib_num": [q_ppm]})],
+        ignore_index=True)
+    return (out.astype("int64").sort_values("label")
+            .reset_index(drop=True))

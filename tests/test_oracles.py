@@ -303,6 +303,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("doc_containment_pairs", ["documents"]),
         ("order_value_benford", ["orders"]),
         ("sampled_event_counts", ["events"]),
+        ("graph_modularity", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
