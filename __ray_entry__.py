@@ -1477,6 +1477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_snapshot": windows.latest_event_snapshot,
         "late_event_audit": windows.late_event_audit,
         "user_growth_curve": windows.user_growth_curve,
+        "markov_stationary": windows.markov_stationary,
         "median_value_cont": windows.median_value_cont,
         "corr_quantity_price": relational.corr_quantity_price,
         "cube_lineitem": relational.cube_lineitem,
@@ -4621,6 +4622,80 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(*) FILTER (WHERE c1 IS NULL) AS BIGINT)
                   AS n_added
             FROM j
+        """,
+        "markov_stationary": """
+            WITH s AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                         AS prev
+              FROM events
+            ),
+            t AS (
+              SELECT prev AS ft, event_type AS tt,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+            ),
+            r AS (SELECT ft, CAST(sum(c) AS BIGINT) AS rs
+                  FROM t GROUP BY 1),
+            tm AS (SELECT t.ft, t.tt, t.c, r.rs
+                   FROM t JOIN r USING (ft)),
+            st AS (SELECT ft AS state FROM t
+                   UNION SELECT tt FROM t),
+            p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS mass
+                   FROM st),
+            p1 AS (
+              SELECT tm.tt AS state,
+                     CAST(sum(p0.mass * tm.c // tm.rs) AS BIGINT)
+                         AS mass
+              FROM p0 JOIN tm ON tm.ft = p0.state GROUP BY 1
+            ),
+            p2 AS (
+              SELECT tm.tt AS state,
+                     CAST(sum(p1.mass * tm.c // tm.rs) AS BIGINT)
+                         AS mass
+              FROM p1 JOIN tm ON tm.ft = p1.state GROUP BY 1
+            ),
+            p3 AS (
+              SELECT tm.tt AS state,
+                     CAST(sum(p2.mass * tm.c // tm.rs) AS BIGINT)
+                         AS mass
+              FROM p2 JOIN tm ON tm.ft = p2.state GROUP BY 1
+            ),
+            p4 AS (
+              SELECT tm.tt AS state,
+                     CAST(sum(p3.mass * tm.c // tm.rs) AS BIGINT)
+                         AS mass
+              FROM p3 JOIN tm ON tm.ft = p3.state GROUP BY 1
+            ),
+            p5 AS (
+              SELECT tm.tt AS state,
+                     CAST(sum(p4.mass * tm.c // tm.rs) AS BIGINT)
+                         AS mass
+              FROM p4 JOIN tm ON tm.ft = p4.state GROUP BY 1
+            ),
+            p6 AS (
+              SELECT tm.tt AS state,
+                     CAST(sum(p5.mass * tm.c // tm.rs) AS BIGINT)
+                         AS mass
+              FROM p5 JOIN tm ON tm.ft = p5.state GROUP BY 1
+            ),
+            p7 AS (
+              SELECT tm.tt AS state,
+                     CAST(sum(p6.mass * tm.c // tm.rs) AS BIGINT)
+                         AS mass
+              FROM p6 JOIN tm ON tm.ft = p6.state GROUP BY 1
+            ),
+            p8 AS (
+              SELECT tm.tt AS state,
+                     CAST(sum(p7.mass * tm.c // tm.rs) AS BIGINT)
+                         AS mass
+              FROM p7 JOIN tm ON tm.ft = p7.state GROUP BY 1
+            ),
+            f AS (SELECT st.state, coalesce(p8.mass, 0) AS mass
+                  FROM st LEFT JOIN p8 USING (state))
+            SELECT state AS event_type, CAST(mass AS BIGINT) AS mass
+            FROM f
         """,
         "user_growth_curve": """
             WITH f AS (

@@ -2052,3 +2052,43 @@ def user_growth_curve(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
     )
     grid["cum_users"] = grid["new_users"].cumsum()
     return grid.astype("int64")
+
+
+MARKOV_ITERS = 8
+MARKOV_SCALE = 1_000_000
+
+
+def markov_stationary(sf_dir: str) -> pd.DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    user sessions settle in the long run, the steady-state number a
+    journey analysis reports next to the raw transition matrix.
+    Power iteration in EXACT integer arithmetic: mass starts at
+    SCALE per state and each step routes floor(mass * c_ij /
+    rowsum_i) along every observed transition (floors shed a few
+    units of mass per step — deterministic on both sides, the
+    pagerank integer-units convention).  The corpus-sized work is the
+    transition-count pass (event_transitions' user-hash-exchange
+    plan, reused); the iteration itself runs on the bounded
+    |types|^2 matrix.  Oracle: the same counts CTE + the iteration
+    unrolled as chained aggregates (aggregation in a recursive CTE is
+    not portable — the daily_holt unroll lesson), hash-matched."""
+    from tensorflow_ocr_ray.pipelines.windows import event_transitions
+
+    t = event_transitions(sf_dir)
+    if hasattr(t, "to_pandas"):
+        t = t.to_pandas()
+    t = t.copy()
+    rs = t.groupby("from_type")["transitions"].transform("sum")
+    t["rs"] = rs
+    states = sorted(set(t["from_type"]) | set(t["to_type"]))
+    mass = {s: MARKOV_SCALE for s in states}
+    for _ in range(MARKOV_ITERS):
+        nxt = {s: 0 for s in states}
+        for ft, tt, c, r in zip(t["from_type"], t["to_type"],
+                                t["transitions"], t["rs"]):
+            nxt[tt] += mass[ft] * int(c) // int(r)
+        mass = nxt
+    return (pd.DataFrame({"event_type": states,
+                          "mass": [mass[s] for s in states]})
+            .astype({"mass": "int64"})
+            .sort_values("event_type").reset_index(drop=True))

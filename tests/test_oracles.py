@@ -304,6 +304,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("order_value_benford", ["orders"]),
         ("sampled_event_counts", ["events"]),
         ("graph_modularity", ["documents"]),
+        ("markov_stationary", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
