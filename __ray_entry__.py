@@ -1539,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_quality_expectations": relational.data_quality_expectations,
         "order_value_benford": relational.order_value_benford,
         "sampled_event_counts": relational.sampled_event_counts,
+        "revenue_gini": relational.revenue_gini,
         "scd2_price_enrich": relational.scd2_price_enrich,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -4862,6 +4863,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(n) FILTER (WHERE n < k), 0)
                         AS BIGINT) AS n_rows_at_risk
             FROM g CROSS JOIN ks GROUP BY 1
+        """,
+        "revenue_gini": """
+            WITH rev AS (
+              SELECT o_custkey AS cust,
+                     CAST(sum(CAST(round(o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ),
+            rk AS (
+              SELECT cust, cents,
+                     row_number() OVER (ORDER BY cents, cust) AS rn
+              FROM rev
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS s,
+                     CAST(sum(rn * cents) AS BIGINT) AS sc
+              FROM rk
+            )
+            SELECT n AS n_customers, s AS total_cents,
+                   CAST(CAST(2 * sc - (n + 1) * s AS HUGEINT)
+                        * 1000000 // (n * s) AS BIGINT) AS gini_ppm
+            FROM agg
         """,
         "sampled_event_counts": """
             WITH e AS (

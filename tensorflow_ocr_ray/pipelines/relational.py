@@ -4365,3 +4365,97 @@ def sampled_event_counts(sf_dir: str) -> pd.DataFrame:
                      ("n_exact", "n_est", "cents_exact", "cents_est",
                       "n_err_ppm")})
             .sort_values("event_type").reset_index(drop=True))
+
+
+def revenue_gini(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
+    """Gini coefficient of customer revenue — the inequality single
+    number next to pareto_revenue_share's 80/20 crossing, computed
+    WITHOUT a global sort by composing the repo's distributed-ranking
+    primitives: G = (2*sum(rank_i * x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over revenues sorted ascending with row_number semantics
+    (deterministic (cents, cust) tiebreak).
+
+    Plan: per-customer revenue via one cust-hash exchange (the pareto
+    shape), materialized as the customer-dim skinny table; exact
+    quantile boundaries (selection stage) range-partition it with
+    ties co-sharded; each shard sorts locally and emits ONE partial
+    (count, sum, sum of local_pos * cents, sum of cents for the
+    offset correction) — sum(rank*x) = sum(pos*x) + offset *
+    sum(x)_shard reassembles exactly from bounded per-shard rows.
+    Driver math in Python big ints (n*S overflows int64 past ~1e9
+    customers; SQL mirrors via HUGEINT).  Oracle: row_number window +
+    the same integer formula, hash-matched."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+    from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
+
+    base = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        g = pd.DataFrame({"cust": df["o_custkey"].astype("int64"),
+                          "cents": c}).groupby(
+            "cust", as_index=False)["cents"].sum()
+        g["shard"] = g["cust"].to_numpy(np.int64) % n_shards
+        return g.astype("int64")
+
+    def rev_merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cust", "cents", "grp"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        g = df.groupby("cust", as_index=False)["cents"].sum()
+        g["grp"] = np.int64(0)
+        return g.astype("int64")
+
+    rev = hash_exchange(
+        base.map_batches(rev_partial, batch_format="pandas",
+                         batch_size=65536),
+        "shard", n_shards, rev_merge).materialize()
+
+    qs = tuple((i / n_shards, f"b{i}") for i in range(1, n_shards))
+    bounds_df = exact_group_quantiles(rev, "grp", "cents", qs)
+    bounds = np.sort(
+        bounds_df.iloc[0][[f"b{i}" for i in range(1, n_shards)]]
+        .to_numpy()).astype(np.int64)
+    bref = ray.put(bounds)
+
+    def add_range(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bref)
+        out = df[["cust", "cents"]].copy()
+        out["rshard"] = np.searchsorted(
+            b, df["cents"].to_numpy(np.int64), side="left"
+        ).astype(np.int64)
+        return out
+
+    def shard_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["rshard", "n", "s", "pos_x"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        s = df.sort_values(["cents", "cust"]).reset_index(drop=True)
+        x = s["cents"].to_numpy(np.int64)
+        pos = np.arange(1, len(x) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {"rshard": [int(df["rshard"].iloc[0])], "n": [len(x)],
+             "s": [int(x.sum())], "pos_x": [int((pos * x).sum())]}
+        ).astype("int64")
+
+    parts = (
+        hash_exchange(
+            rev.map_batches(add_range, batch_format="pandas",
+                            batch_size=65536),
+            "rshard", n_shards, shard_partial)
+        .to_pandas().sort_values("rshard").reset_index(drop=True)
+    )
+    # rank_i = local_pos + exclusive prefix count of earlier shards
+    offs = parts["n"].cumsum().shift(fill_value=0).astype("int64")
+    n = int(parts["n"].sum())
+    s_total = int(parts["s"].sum())
+    sum_rank_x = int(
+        (parts["pos_x"] + offs * parts["s"]).sum())   # Python ints
+    gini_ppm = ((2 * sum_rank_x - (n + 1) * s_total) * 1_000_000
+                // (n * s_total))
+    return pd.DataFrame(
+        {"n_customers": [n], "total_cents": [s_total],
+         "gini_ppm": [gini_ppm]}).astype("int64")

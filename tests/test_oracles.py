@@ -305,6 +305,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("sampled_event_counts", ["events"]),
         ("graph_modularity", ["documents"]),
         ("markov_stationary", ["events"]),
+        ("revenue_gini", ["orders"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

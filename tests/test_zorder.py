@@ -173,3 +173,14 @@ def test_sorted_export_resume_and_global_order(ray_session):
         f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
     ).fetchone()[0]
     assert len(flat) == n == int(m1["n_rows"].sum())
+
+
+def test_revenue_gini_shard_invariance(ray_session):
+    """The row-number reassembly (local pos + exclusive count offsets)
+    must be exact at any range fan-out."""
+    from tensorflow_ocr_ray.pipelines.relational import revenue_gini
+
+    a = revenue_gini(SF, n_shards=3)
+    b = revenue_gini(SF, n_shards=32)
+    assert a.equals(b)
+    assert 0 < int(a["gini_ppm"].iloc[0]) < 1_000_000
