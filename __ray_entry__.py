@@ -1478,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_audit": windows.late_event_audit,
         "user_growth_curve": windows.user_growth_curve,
         "markov_stationary": windows.markov_stationary,
+        "session_duration_quantiles": windows.session_duration_quantiles,
         "median_value_cont": windows.median_value_cont,
         "corr_quantity_price": relational.corr_quantity_price,
         "cube_lineitem": relational.cube_lineitem,
@@ -4623,6 +4624,41 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(*) FILTER (WHERE c1 IS NULL) AS BIGINT)
                   AS n_added
             FROM j
+        """,
+        "session_duration_quantiles": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts)
+                               - lag(epoch_us(ts)) OVER (
+                                   PARTITION BY user_id ORDER BY ts,
+                                   event_id) > 1800000000
+                          OR lag(epoch_us(ts)) OVER (
+                                   PARTITION BY user_id ORDER BY ts,
+                                   event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ),
+            lab AS (
+              SELECT user_id, us,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+              FROM s
+            ),
+            d AS (
+              SELECT CAST(max(us) - min(us) AS BIGINT) AS dur_us
+              FROM lab GROUP BY user_id, sid
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(quantile_disc(dur_us, 0.5) AS BIGINT)
+                       AS p50_us,
+                   CAST(quantile_disc(dur_us, 0.9) AS BIGINT)
+                       AS p90_us,
+                   CAST(quantile_disc(dur_us, 0.99) AS BIGINT)
+                       AS p99_us,
+                   CAST(max(dur_us) AS BIGINT) AS max_us
+            FROM d
         """,
         "markov_stationary": """
             WITH s AS (

@@ -2092,3 +2092,45 @@ def markov_stationary(sf_dir: str) -> pd.DataFrame:
                           "mass": [mass[s] for s in states]})
             .astype({"mass": "int64"})
             .sort_values("event_type").reset_index(drop=True))
+
+
+def session_duration_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90/p99 session duration (plus count and max) — the
+    engagement report a product team reads off the sessionized
+    stream, and the composition exhibit: the exact-selection stage
+    (stages/selection.py histogram refinement) running over a DERIVED
+    distributed pipeline (sessionize's lazy exchange output), not a
+    base table — durations are never materialized to the driver; the
+    selection sees only bounded histograms per round.  Integer
+    microsecond durations end to end.  Oracle: the sessionize window
+    chain + quantile_disc, hash-matched."""
+    from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
+
+    def durations(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["session_end"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64)
+             - df["session_start"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        return pd.DataFrame({"grp": np.int64(0), "dur_us": d})
+
+    def dur_ds():
+        return sessionize(sf_dir).map_batches(
+            durations, batch_format="pandas", batch_size=65536)
+
+    qs = ((0.5, "p50_us"), (0.9, "p90_us"), (0.99, "p99_us"))
+    q = exact_group_quantiles(dur_ds(), "grp", "dur_us", qs)
+
+    stats = (
+        dur_ds().map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [len(df)],
+                 "mx": [int(df["dur_us"].max()) if len(df) else 0]}),
+            batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {"n_sessions": [int(stats["n"].sum())],
+         "p50_us": [int(q["p50_us"].iloc[0])],
+         "p90_us": [int(q["p90_us"].iloc[0])],
+         "p99_us": [int(q["p99_us"].iloc[0])],
+         "max_us": [int(stats["mx"].max())]}).astype("int64")

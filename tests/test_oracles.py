@@ -306,6 +306,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("graph_modularity", ["documents"]),
         ("markov_stationary", ["events"]),
         ("revenue_gini", ["orders"]),
+        ("session_duration_quantiles", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
