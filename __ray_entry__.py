@@ -1479,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth_curve": windows.user_growth_curve,
         "markov_stationary": windows.markov_stationary,
         "session_duration_quantiles": windows.session_duration_quantiles,
+        "weekly_churn": windows.weekly_churn,
         "median_value_cont": windows.median_value_cont,
         "corr_quantity_price": relational.corr_quantity_price,
         "cube_lineitem": relational.cube_lineitem,
@@ -4624,6 +4625,46 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(*) FILTER (WHERE c1 IS NULL) AS BIGINT)
                   AS n_added
             FROM j
+        """,
+        "weekly_churn": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 604800000000 AS BIGINT)
+                         AS week
+              FROM events
+            ),
+            rng AS (
+              SELECT CAST(min(week) AS BIGINT) AS lo,
+                     CAST(max(week) AS BIGINT) AS hi
+              FROM uw
+            ),
+            weeks AS (
+              SELECT unnest(generate_series(rng.lo, rng.hi - 1))
+                         AS week
+              FROM rng
+            )
+            SELECT w.week,
+                   CAST((SELECT count(*) FROM uw
+                         WHERE uw.week = w.week) AS BIGINT)
+                       AS n_active,
+                   CAST((SELECT count(*) FROM uw a JOIN uw b
+                         ON a.user_id = b.user_id
+                         AND a.week = w.week
+                         AND b.week = w.week + 1) AS BIGINT)
+                       AS n_retained,
+                   CAST((SELECT count(*) FROM uw a
+                         WHERE a.week = w.week AND NOT EXISTS (
+                           SELECT 1 FROM uw b
+                           WHERE b.user_id = a.user_id
+                             AND b.week = w.week + 1)) AS BIGINT)
+                       AS n_churned,
+                   CAST((SELECT count(*) FROM uw b
+                         WHERE b.week = w.week + 1 AND NOT EXISTS (
+                           SELECT 1 FROM uw a
+                           WHERE a.user_id = b.user_id
+                             AND a.week = w.week)) AS BIGINT)
+                       AS n_new
+            FROM weeks w
         """,
         "session_duration_quantiles": """
             WITH s AS (

@@ -2134,3 +2134,66 @@ def session_duration_quantiles(sf_dir: str) -> pd.DataFrame:
          "p90_us": [int(q["p90_us"].iloc[0])],
          "p99_us": [int(q["p99_us"].iloc[0])],
          "max_us": [int(stats["mx"].max())]}).astype("int64")
+
+
+def weekly_churn(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
+    """Week-over-week churn/retention counts — the subscription-health
+    table next to cohort_retention's matrix: for every consecutive
+    week pair (w, w+1): users active in w, retained into w+1, churned
+    out, and newly appearing.  One user-hash exchange; in-shard each
+    user's active weeks collapse to a BITMASK over the bounded
+    calendar grid (the user_bitmap_activity trick — OR-idempotent, so
+    batch layout cannot matter), and per-shard (week-pair, four
+    counts) partials sum exactly across disjoint user ranges.
+    Oracle: per-user distinct weeks self-joined w -> w+1 with
+    FULL OUTER semantics via filtered counts, hash-matched."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "week": us // (7 * 86_400_000_000)}
+        ).drop_duplicates()
+        g["shard"] = g["user_id"].to_numpy(np.int64) % n_shards
+        return g.astype("int64")
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    tagged = ev.map_batches(add_shard, batch_format="pandas",
+                            batch_size=65536)
+
+    # global week range from a bounded pre-pass (weeks are few)
+    wk = (tagged.map_batches(
+        lambda df: pd.DataFrame({"lo": [int(df["week"].min())],
+                                 "hi": [int(df["week"].max())]}),
+        batch_format="pandas", batch_size=65536).to_pandas())
+    lo, hi = int(wk["lo"].min()), int(wk["hi"].max())
+    n_weeks = hi - lo + 1
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["week", "n_active", "n_retained", "n_churned",
+                "n_new"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        d = df.drop_duplicates(["user_id", "week"])
+        users, uidx = np.unique(d["user_id"].to_numpy(np.int64),
+                                return_inverse=True)
+        mask = np.zeros((len(users), n_weeks), bool)
+        mask[uidx, d["week"].to_numpy(np.int64) - lo] = True
+        rows = []
+        for w in range(n_weeks - 1):
+            a, b = mask[:, w], mask[:, w + 1]
+            rows.append((lo + w, int(a.sum()), int((a & b).sum()),
+                         int((a & ~b).sum()), int((~a & b).sum())))
+        return pd.DataFrame(rows, columns=cols).astype("int64")
+
+    parts = hash_exchange(tagged, "shard", n_shards,
+                          pair_counts).to_pandas()
+    return (
+        parts.groupby("week", as_index=False)
+        .agg(n_active=("n_active", "sum"),
+             n_retained=("n_retained", "sum"),
+             n_churned=("n_churned", "sum"),
+             n_new=("n_new", "sum"))
+        .astype("int64").sort_values("week").reset_index(drop=True)
+    )

@@ -307,6 +307,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("markov_stationary", ["events"]),
         ("revenue_gini", ["orders"]),
         ("session_duration_quantiles", ["events"]),
+        ("weekly_churn", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
