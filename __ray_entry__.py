@@ -1480,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_stationary": windows.markov_stationary,
         "session_duration_quantiles": windows.session_duration_quantiles,
         "weekly_churn": windows.weekly_churn,
+        "seasonal_profile": windows.seasonal_profile,
         "median_value_cont": windows.median_value_cont,
         "corr_quantity_price": relational.corr_quantity_price,
         "cube_lineitem": relational.cube_lineitem,
@@ -4625,6 +4626,19 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(*) FILTER (WHERE c1 IS NULL) AS BIGINT)
                   AS n_added
             FROM j
+        """,
+        "seasonal_profile": """
+            WITH g AS (
+              SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+                     CAST(hour(ts) AS BIGINT) AS hour,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+            SELECT dow, hour, n,
+                   CAST(n * 1000000 // greatest(t.total, 1)
+                        AS BIGINT) AS share_ppm
+            FROM g, t
         """,
         "weekly_churn": """
             WITH uw AS (

@@ -2197,3 +2197,35 @@ def weekly_churn(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
              n_new=("n_new", "sum"))
         .astype("int64").sort_values("week").reset_index(drop=True)
     )
+
+
+def seasonal_profile(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week x hour-of-day activity heat grid with exact ppm
+    shares — the seasonality profile capacity planning and
+    anomaly-baseline jobs read (daily_anomaly_days flags deviations
+    FROM this baseline).  One streaming pass, bounded 7x24 grid
+    partials tree-combine; dow follows ISO (Monday=0, derived from
+    the epoch day: 1970-01-01 was a Thursday, so dow = (day + 3) %
+    7), matching DuckDB's isodow - 1.  All integers; oracle GROUP BY
+    + window total, hash-matched."""
+    ev = _events(sf_dir, ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // 86_400_000_000
+        g = pd.DataFrame(
+            {"dow": (day + 3) % 7,
+             "hour": (us // 3_600_000_000) % 24}
+        ).groupby(["dow", "hour"]).size().rename("n").reset_index()
+        return g.astype("int64")
+
+    grid = (
+        ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["dow", "hour"], as_index=False)["n"].sum()
+    )
+    total = int(grid["n"].sum())
+    grid["share_ppm"] = (grid["n"].to_numpy(np.int64) * 1_000_000
+                         // max(total, 1))
+    return (grid.astype("int64").sort_values(["dow", "hour"])
+            .reset_index(drop=True))

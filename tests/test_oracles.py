@@ -308,6 +308,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("revenue_gini", ["orders"]),
         ("session_duration_quantiles", ["events"]),
         ("weekly_churn", ["events"]),
+        ("seasonal_profile", ["events"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
