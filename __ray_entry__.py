@@ -1543,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_benford": relational.order_value_benford,
         "sampled_event_counts": relational.sampled_event_counts,
         "revenue_gini": relational.revenue_gini,
+        "basket_size_hist": relational.basket_size_hist,
         "scd2_price_enrich": relational.scd2_price_enrich,
         "regr_price_on_quantity": relational.regr_price_on_quantity,
         "source_vocab_overlap": curation.source_vocab_overlap,
@@ -4954,6 +4955,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(n) FILTER (WHERE n < k), 0)
                         AS BIGINT) AS n_rows_at_risk
             FROM g CROSS JOIN ks GROUP BY 1
+        """,
+        "basket_size_hist": """
+            WITH b AS (
+              SELECT l_orderkey,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT)
+                         AS basket_size
+              FROM lineitem GROUP BY 1
+            )
+            SELECT basket_size,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM b GROUP BY 1
         """,
         "revenue_gini": """
             WITH rev AS (

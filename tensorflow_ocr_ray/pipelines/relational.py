@@ -4459,3 +4459,44 @@ def revenue_gini(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
     return pd.DataFrame(
         {"n_customers": [n], "total_cents": [s_total],
          "gini_ppm": [gini_ppm]}).astype("int64")
+
+
+def basket_size_hist(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
+    """Histogram of basket sizes (distinct parts per order) — the
+    distribution association_rules' support thresholds are tuned
+    against, and the fan-out profile of the orders->lineitem join.
+    Per-batch deduped (orderkey, partkey) partials route one
+    orderkey-hash exchange (disjoint order ranges -> per-order
+    distinct counts exact); each shard pre-reduces to a
+    (basket_size -> n_orders) histogram, so the driver merges
+    |shards| x |sizes| bounded rows — the order space never reaches
+    it.  Oracle: two GROUP BYs, hash-matched."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        d = d.rename(columns={"l_orderkey": "k", "l_partkey": "p"})
+        d["shard"] = d["k"].to_numpy(np.int64) % n_shards
+        return d.astype("int64")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["basket_size", "n_orders"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        per = df.drop_duplicates(["k", "p"]).groupby("k").size()
+        h = (per.value_counts().rename_axis("basket_size")
+             .reset_index(name="n_orders"))
+        return h.astype("int64")
+
+    parts = hash_exchange(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        "shard", n_shards, hist).to_pandas()
+    return (
+        parts.groupby("basket_size", as_index=False)["n_orders"].sum()
+        .astype("int64").sort_values("basket_size")
+        .reset_index(drop=True)
+    )

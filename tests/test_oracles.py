@@ -309,6 +309,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("session_duration_quantiles", ["events"]),
         ("weekly_churn", ["events"]),
         ("seasonal_profile", ["events"]),
+        ("basket_size_hist", ["lineitem"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
