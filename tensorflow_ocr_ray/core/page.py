@@ -89,18 +89,23 @@ def ocr_page_image(
         if cfg.may_combine:
             seg.split_wide_glyphs()
             seg.narrow_glyphs()
-        # classify all glyphs in reading order, batched
-        feats = []
-        for line in seg.lines:
-            for g in line.glyphs:
-                feats.append(
-                    g.tuple
-                    if g.tuple is not None and np.all(np.isfinite(g.tuple))
-                    else np.zeros(TUPLELENGTH, dtype=np.float32)
-                )
+        # classify all glyphs in reading order, batched; the NaN screen
+        # runs once on the stacked matrix instead of per glyph (the
+        # per-glyph np.all(np.isfinite(...)) was ~0.5 ms/page of numpy
+        # call overhead at 69 glyphs/page)
+        _zero = np.zeros(TUPLELENGTH, dtype=np.float32)
+        feats = [
+            g.tuple if g.tuple is not None else _zero
+            for line in seg.lines
+            for g in line.glyphs
+        ]
         if feats:
+            fmat = np.stack(feats)
+            bad = ~np.isfinite(fmat).all(axis=1)
+            if bad.any():
+                fmat[bad] = 0.0
             values, d2 = index.ocr_values(
-                np.stack(feats), cfg.min_match, cfg.ignore_vertical
+                fmat, cfg.min_match, cfg.ignore_vertical
             )
             if classifier is not None:
                 if classifier_input == "windows":
@@ -113,7 +118,7 @@ def ocr_page_image(
                     ]
                     values = list(classifier(glyph_windows(image, boxes)))
                 else:
-                    values = list(classifier(np.stack(feats)))
+                    values = list(classifier(fmat))
         else:
             values, d2 = [], np.empty(0, dtype=np.float32)
         if predictions is not None:

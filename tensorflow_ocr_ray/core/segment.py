@@ -136,10 +136,12 @@ class PageSegmenter:
             # int32: pages are far below 2^31 pixels; halves the memory
             # traffic of the hottest array (measured contention at 32-way)
             ps = np.zeros((self.h + 1, self.w + 1), dtype=np.int32)
-            np.cumsum(
-                np.cumsum(self.image != 0, axis=0, dtype=np.int32),
-                axis=1, out=ps[1:, 1:],
-            )
+            # bool -> int32 assign, then two IN-PLACE accumulates: avoids
+            # the mixed-dtype cumsum slow path and its (h, w) temporary
+            # (zero padding row/col stays zero under both accumulates)
+            ps[1:, 1:] = self.image != 0
+            np.cumsum(ps, axis=1, out=ps)
+            np.cumsum(ps, axis=0, out=ps)
             self._ps = ps
         return self._ps
 
@@ -274,10 +276,22 @@ class PageSegmenter:
         non-blank after the child's column trim, so the child's row scan
         is provably a no-op (no trim, no row breaks) and is skipped; the
         symmetric holds for column-split children.  Same leaf set,
-        roughly half the scans."""
+        roughly half the scans.
+
+        Column-split children (the per-glyph leaves — the bulk of the
+        stack traffic) are processed in one vectorized pass per split via
+        :meth:`_process_col_runs`; depth-first order is preserved by
+        recursing into :meth:`_run_stack` for the rare children that
+        split further, so glyph insertion order — which line formation
+        depends on — is identical to the plain stack walk."""
+        self._run_stack([(top, bottom, left, right, 0)])
+
+    def _run_stack(
+        self, stack: list[tuple[int, int, int, int, int]]
+    ) -> None:
+        """The findCells stack walk over an explicit initial stack."""
         cfg = self.cfg
         ROWS_CLEAN, COLS_CLEAN = 1, 2
-        stack = [(top, bottom, left, right, 0)]
         while stack:
             top, bottom, left, right, clean = stack.pop()
             # off-image rows/cols are blank (cf. _count); clamp so the
@@ -338,11 +352,9 @@ class PageSegmenter:
                 if len(cbreaks):
                     starts = np.concatenate(([nzc[0]], nzc[cbreaks + 1]))
                     ends = np.concatenate((nzc[cbreaks], [nzc[-1]]))
-                    for s, e in zip(starts, ends):
-                        stack.append(
-                            (top, bottom, base_left + int(s),
-                             base_left + int(e), COLS_CLEAN)
-                        )
+                    self._process_col_runs(
+                        top, bottom, base_left, starts, ends
+                    )
                     continue
             if (right + 1 - left > cfg.max_glyph_width) or (
                 bottom - top > cfg.max_glyph_height
@@ -360,6 +372,86 @@ class PageSegmenter:
                             stack.append((top, min_black_row - 1, left, right, 0))
                 continue
             self.insert_glyph(left, right + 1, top, bottom + 1)
+
+    def _process_col_runs(
+        self,
+        top: int,
+        bottom: int,
+        base_left: int,
+        starts: np.ndarray,
+        ends: np.ndarray,
+    ) -> None:
+        """Vectorized processing of one column split's children.
+
+        Each (start, end) col run is a COLS_CLEAN child of the stack walk:
+        it needs exactly one row scan (trim + interior-gap check), a size
+        gate, and — in the overwhelmingly common single-run case — one
+        insert_glyph.  All G row scans come off the page prefix sum as a
+        single (H, G) count matrix, with trims / run counts / size gates
+        computed across the whole split at once.  Children are then
+        visited right-to-left (the stack's pop order) and the rare child
+        that splits further (multi-part glyph: i, j, :, =) or exceeds the
+        max-glyph box recurses into :meth:`_run_stack` — depth-first, so
+        everything it inserts lands before the next sibling, exactly as
+        the LIFO walk orders it."""
+        cfg = self.cfg
+        ps = self._prefix()
+        los = base_left + starts.astype(np.int64)  # inclusive left cols
+        his = base_left + ends.astype(np.int64)    # inclusive right cols
+        sl = ps[top : bottom + 2]
+        seg = sl[:, his + 1] - sl[:, los]          # (H+1, G) cumulative
+        mask = (seg[1:] - seg[:-1]) > 0            # (H, G) non-blank rows
+        H = mask.shape[0]
+        top_off = mask.argmax(axis=0)
+        bot_off = H - 1 - mask[::-1].argmax(axis=0)
+        run_cnt = (mask[1:] & ~mask[:-1]).sum(axis=0) + mask[0]
+        heights = bot_off - top_off + 1
+        widths = his - los + 1
+        ok = (
+            (widths >= cfg.min_glyph_width)
+            & (heights >= cfg.min_glyph_height)
+            & (heights * widths >= cfg.min_glyph_area)
+        )
+        big = (widths > cfg.max_glyph_width) | (
+            heights - 1 > cfg.max_glyph_height
+        )
+        # plain-int lists: per-element numpy scalar extraction in the loop
+        # below costs more than the whole batched scan for typical G~12
+        ok = ok.tolist()
+        big = big.tolist()
+        run_cnt = run_cnt.tolist()
+        top_l = top_off.tolist()
+        bot_l = bot_off.tolist()
+        los_l = los.tolist()
+        his_l = his.tolist()
+        for g in range(len(starts) - 1, -1, -1):
+            if not ok[g]:
+                continue
+            lo, hi = los_l[g], his_l[g]
+            if run_cnt[g] > 1:
+                # interior blank rows: same pushes the scalar walk makes
+                # (row runs in scan order, ROWS_CLEAN), run to completion
+                # before the next sibling (LIFO == depth-first)
+                m = mask[:, g]
+                rs = np.nonzero(m & ~np.concatenate(([False], m[:-1])))[0]
+                re_ = np.nonzero(m & ~np.concatenate((m[1:], [False])))[0]
+                self._run_stack(
+                    [
+                        (top + int(s), top + int(e), lo, hi, 1)
+                        for s, e in zip(rs, re_)
+                    ]
+                )
+            elif big[g]:
+                # oversize single-run child: the findLinesHarder branch;
+                # re-enter the scalar walk on the trimmed box (COLS_CLEAN;
+                # its row re-scan is an idempotent no-op trim)
+                self._run_stack(
+                    [(top + top_l[g], top + bot_l[g], lo, hi, 2)]
+                )
+            else:
+                self.insert_glyph(
+                    lo, hi + 1, top + top_l[g], top + bot_l[g] + 1
+                )
 
     # ---------------- flood fill (run-based CCL) --------------------------
     def flood_find_glyphs(self) -> int:

@@ -160,6 +160,7 @@ def ocr_documents(
     ray_remote_args: dict | None = None,
     on_media_error: str = "raise",
     reassemble_via: str = "groupby",
+    pool: str = "tasks",
 ) -> "ray.data.Dataset":
     """Build the lazy OCR Dataset; see module docstring for the two plans.
 
@@ -238,14 +239,36 @@ def ocr_documents(
     if num_blocks:
         # spread span rows evenly: per-document span-count skew dies here
         spans = spans.repartition(num_blocks)
-    scored = spans.map_batches(
-        OcrSpanStage,
-        fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        **remote,
-    )
+    if pool == "tasks":
+        # default deployment: plain tasks over warm reused worker
+        # processes, stage state built once per worker via the
+        # module-global cache (make_span_ocr_fn docstring has the
+        # measured 3.5-6s-per-execution actor-spawn numbers this
+        # avoids).  ``concurrency`` still caps in-flight tasks.
+        from tensorflow_ocr_ray.stages.ocr_stages import make_span_ocr_fn
+
+        scored = spans.map_batches(
+            make_span_ocr_fn(kwargs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(concurrency if isinstance(concurrency, int)
+                         else None),
+            **remote,
+        )
+    elif pool == "actors":
+        # reserved-resource deployment (GPU scorer weights pinned per
+        # actor via ray_remote_args={"num_gpus": ...}): the north-star
+        # form for heavy models — state lives on an explicit actor.
+        scored = spans.map_batches(
+            OcrSpanStage,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            **remote,
+        )
+    else:
+        raise ValueError(f"unknown pool {pool!r}")
 
     bucketed = scored
     # MEASURED r4 (sf0.1, 32 cpus): routing this reassembly through

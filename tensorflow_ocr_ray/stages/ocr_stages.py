@@ -103,6 +103,47 @@ class _OcrBase:
         return self.post(text)
 
 
+# Per-WORKER-PROCESS stage cache for the task-pool deployment (see
+# make_span_ocr_fn): keyed by the spec fingerprint so one worker can
+# serve several concurrent pipelines with different configs.
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def _spec_fingerprint(kwargs: dict) -> str:
+    """Deterministic per-session key for a stage spec.  repr() covers
+    ObjectRefs (hex id, stable within a session) and OcrConfig
+    (dataclass repr); specs are small driver-side values, never data."""
+    return repr(sorted((k, repr(v)) for k, v in kwargs.items()))
+
+
+def make_span_ocr_fn(kwargs: dict):
+    """Task-pool variant of :class:`OcrSpanStage`.
+
+    An actor pool pays a measured 3.5-6 s spin-up per EXECUTION on a
+    32-cpu node (31 fresh actor processes), while Ray reuses warm
+    worker processes for plain tasks (~0.8 s to first batch).  Stage
+    state here is cheap to build (~0.3 s: font index + media-store
+    handle + optional broadcast-weight fetch), so building it once per
+    worker process — cached in a module global keyed by the spec —
+    gives the identical once-per-process amortization without the
+    actor-spawn tax.  Use the actor path (``pool="actors"``) when the
+    state genuinely needs a reserved resource (GPU weights pinned on a
+    ``num_gpus`` actor) or takes long enough to build that an unlucky
+    worker churn would repay it often.
+
+    The returned closure captures only the spec (small; scorer weights
+    should ride as ``state_ref`` broadcasts, never inline)."""
+    key = _spec_fingerprint(kwargs)
+
+    def ocr_span_batch(batch: pa.Table) -> pa.Table:
+        st = _WORKER_STAGE_CACHE.get(key)
+        if st is None:
+            st = _WORKER_STAGE_CACHE.setdefault(key, OcrSpanStage(**kwargs))
+        return st(batch)
+
+    return ocr_span_batch
+
+
 class OcrSpanStage(_OcrBase):
     """Fill ``text`` for media rows of an exploded span batch."""
 
