@@ -37,7 +37,7 @@ def _docs(sf_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def dedup_exact(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
+def dedup_exact(sf_dir: str, n_shards: int | None = None) -> "rd.Dataset":
     """Exact dedup: keep the smallest doc_id per identical text.
 
     Routed by an md5(text)-derived small-int shard (the
@@ -54,8 +54,18 @@ def dedup_exact(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     per distinct text), so it must stream to a sink at scale, never
     collect on the driver."""
     from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
-    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+    from tensorflow_ocr_ray.stages.exchange import (
+        adaptive_shards,
+        hash_exchange,
+        meta_rows,
+    )
 
+    if n_shards is None:
+        # full text rides the exchange as payload: size shards to ~64 MB
+        # at 1 KB/doc rather than the int-partial default
+        n_shards = adaptive_shards(
+            meta_rows(sf_dir, "documents"), target_rows=65536
+        )
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:

@@ -23,7 +23,11 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from tensorflow_ocr_ray.stages.exchange import hash_exchange
+from tensorflow_ocr_ray.stages.exchange import (
+    adaptive_shards,
+    hash_exchange,
+    meta_rows,
+)
 
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
@@ -262,7 +266,9 @@ def q05_region_customers(sf_dir: str) -> pd.DataFrame:
     return df
 
 
-def q06_event_type_stats(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
+def q06_event_type_stats(
+    sf_dir: str, n_shards: int | None = None
+) -> pd.DataFrame:
     """Exact per-type distinct-user count + exact-cent value sum.
 
     The pre-r4 version ran TWO Ray sort-groupbys over the full event
@@ -272,6 +278,9 @@ def q06_event_type_stats(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
     user lands in exactly one shard, so per-shard distinct counts are
     exact and simply ADD across shards), and the driver sums the
     |shards|×|types| partial table.  Cents-exact like q07/q15."""
+    if n_shards is None:
+        # the exchange carries (user, type) int partials, not raw events
+        n_shards = adaptive_shards(meta_rows(sf_dir, "events") // 4)
     ds = _pq(sf_dir, "events", ["event_type", "user_id", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -316,7 +325,7 @@ def q07_user_activity(sf_dir: str) -> pd.DataFrame:
     the half-up rounding BOTH engines compute on exact ints (values are
     non-negative 2-decimal by schema)."""
     ds = _pq(sf_dir, "events", ["user_id", "value"])
-    n_shards = 64
+    n_shards = adaptive_shards(meta_rows(sf_dir, "events") // 4)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         d = pd.DataFrame(

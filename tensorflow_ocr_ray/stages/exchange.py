@@ -59,6 +59,30 @@ import ray
 import ray.data as rd
 
 
+def meta_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet FOOTER — no data scan, no Ray task."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    except Exception:
+        return 0
+
+
+def adaptive_shards(
+    rows: int, target_rows: int = 100_000, lo: int = 1, hi: int = 4096
+) -> int:
+    """Shard count proportional to input size.
+
+    A fixed 64-way exchange pays ~1 s of split/merge task dispatch
+    regardless of volume (measured warm on a 5k-row input: 1.6 s at 64
+    shards vs 0.6 s at 4) — pure overhead under ``target_rows`` rows,
+    while inputs past 64 x target need MORE shards to keep the
+    one-shard-fits-one-task contract.  Callers with a heavier per-row
+    payload (full text vs int partials) pass a smaller ``target_rows``."""
+    return max(lo, min(hi, -(-rows // target_rows)))
+
+
 def hash_exchange(
     ds: "rd.Dataset",
     shard_col: str,
