@@ -20,6 +20,23 @@ import ray
 import ray.data as rd
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_get(ref):
+    """Per-worker-process cache of ``ray.get`` for small broadcast values
+    (query vectors, plane matrices, centroid tables) — the task-pool
+    analogue of fetching once in an actor ``__init__``.  Plain tasks on
+    warm workers skip the ~1 s actor-pool spin-up a 2-actor
+    ``concurrency=2`` class stage paid per query (measured: the spawn
+    dominated every sub-second ANN query at bench scale)."""
+    key = ref.hex()
+    v = _BCAST_CACHE.get(key)
+    if v is None:
+        v = _BCAST_CACHE.setdefault(key, ray.get(ref))
+    return v
+
+
 def _emb(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -42,30 +59,22 @@ def ann_topk_brute(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataFr
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
 
-    class Score:
-        def __init__(self, ref, k):
-            self.q = ray.get(ref)
-            self.k = k
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (m @ self.q) / norms
-            out = pd.DataFrame(
-                {"vec_id": df["vec_id"].values, "sim": np.round(sims, 4)}
-            )
-            out = out[out["vec_id"] != query_vec_id]
-            return out.sort_values(
-                ["sim", "vec_id"], ascending=[False, True]
-            ).head(self.k)
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qv = _bcast_get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"].values, "sim": np.round(sims, 4)}
+        )
+        out = out[out["vec_id"] != query_vec_id]
+        return out.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(k)
 
     tops = _emb(sf_dir).map_batches(
-        Score,
-        fn_constructor_kwargs={"ref": q_ref, "k": k},
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=2,
+        score, batch_format="pandas", batch_size=4096
     ).to_pandas()
     tops = tops.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
     return tops.reset_index(drop=True).astype({"vec_id": "int64"})
@@ -93,31 +102,28 @@ def ann_topk_multi(
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_ref = ray.put((np.asarray(query_vec_ids, dtype=np.int64), qm))
 
-    class MultiScore:
-        def __init__(self):
-            self.qids, self.qm = ray.get(q_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (m / norms[:, None]) @ self.qm.T  # (batch, Q)
-            vids = df["vec_id"].to_numpy()
-            frames = []
-            for j, qid in enumerate(self.qids):
-                s = pd.DataFrame(
-                    {"query_id": qid, "vec_id": vids,
-                     "sim": np.round(sims[:, j], 4)}
-                )
-                s = s[s["vec_id"] != qid]
-                frames.append(
-                    s.sort_values(["sim", "vec_id"],
-                                  ascending=[False, True]).head(k)
-                )
-            return pd.concat(frames, ignore_index=True)
+    def multi_score(df: pd.DataFrame) -> pd.DataFrame:
+        qids, qmat = _bcast_get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ qmat.T  # (batch, Q)
+        vids = df["vec_id"].to_numpy()
+        frames = []
+        for j, qid in enumerate(qids):
+            s = pd.DataFrame(
+                {"query_id": qid, "vec_id": vids,
+                 "sim": np.round(sims[:, j], 4)}
+            )
+            s = s[s["vec_id"] != qid]
+            frames.append(
+                s.sort_values(["sim", "vec_id"],
+                              ascending=[False, True]).head(k)
+            )
+        return pd.concat(frames, ignore_index=True)
 
     scored = _emb(sf_dir).map_batches(
-        MultiScore, batch_format="pandas", batch_size=4096, concurrency=2
+        multi_score, batch_format="pandas", batch_size=4096
     ).to_pandas()
     out = (
         scored.sort_values(["sim", "vec_id"], ascending=[False, True])
@@ -184,34 +190,36 @@ def _lsh_scan(sf_dir, q, planes, cand_codes, k, query_vec_id):
     q_ref = ray.put(qn)
     codes_ref = ray.put(cand_codes)
 
-    class BucketScore:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-            self.q = ray.get(q_ref)
-            self.codes = ray.get(codes_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            codes = ((m @ self.planes.T) > 0).astype(np.uint32) @ (
-                1 << np.arange(self.planes.shape[0])
-            )
-            keep = np.array([c in self.codes for c in codes])
-            keep &= df["vec_id"].to_numpy() != query_vec_id
-            if not keep.any():
-                return pd.DataFrame({"vec_id": [], "sim": []})
-            m = m[keep]
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (m @ self.q) / norms
-            return pd.DataFrame(
-                {
-                    "vec_id": df["vec_id"].to_numpy()[keep],
-                    "sim": np.round(sims, 4),
-                }
-            )
+    def bucket_score(df: pd.DataFrame) -> pd.DataFrame:
+        planes_v = _bcast_get(planes_ref)
+        qv = _bcast_get(q_ref)
+        codes_v = _bcast_get(codes_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = ((m @ planes_v.T) > 0).astype(np.uint32) @ (
+            1 << np.arange(planes_v.shape[0])
+        )
+        keep = np.array([c in codes_v for c in codes])
+        keep &= df["vec_id"].to_numpy() != query_vec_id
+        if not keep.any():
+            return pd.DataFrame({"vec_id": [], "sim": []})
+        m = m[keep]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        out = pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy()[keep],
+                "sim": np.round(sims, 4),
+            }
+        )
+        # per-block top-k partial: the driver merge sees O(blocks * k)
+        # rows, never the full probed-row score set
+        return out.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(k)
 
     scored = _emb(sf_dir).map_batches(
-        BucketScore, batch_format="pandas", batch_size=4096, concurrency=2
+        bucket_score, batch_format="pandas", batch_size=4096
     ).to_pandas()
     out = scored.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True).astype({"vec_id": "int64"})
@@ -288,24 +296,24 @@ def ann_topk_lsh_indexed(
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (m @ self.q) / norms
-            out = pd.DataFrame(
-                {"vec_id": df["vec_id"].values, "sim": np.round(sims, 4)}
-            )
-            if query_vec_id is not None:
-                out = out[out["vec_id"] != query_vec_id]
-            return out
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qv = _bcast_get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"].values, "sim": np.round(sims, 4)}
+        )
+        if query_vec_id is not None:
+            out = out[out["vec_id"] != query_vec_id]
+        # per-block top-k partial -> O(blocks * k) driver merge
+        return out.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(k)
 
     scored = rd.read_parquet(paths).map_batches(
-        Score, batch_format="pandas", batch_size=4096, concurrency=2
+        score, batch_format="pandas", batch_size=4096
     ).to_pandas()
     out = scored.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True).astype({"vec_id": "int64"})
@@ -675,24 +683,24 @@ def ann_topk_ivf_indexed(
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (m @ self.q) / norms
-            out = pd.DataFrame(
-                {"vec_id": df["vec_id"].values, "sim": np.round(sims, 4)}
-            )
-            if query_vec_id is not None:
-                out = out[out["vec_id"] != query_vec_id]
-            return out
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qv = _bcast_get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"].values, "sim": np.round(sims, 4)}
+        )
+        if query_vec_id is not None:
+            out = out[out["vec_id"] != query_vec_id]
+        # per-block top-k partial -> O(blocks * k) driver merge
+        return out.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(k)
 
     scored = rd.read_parquet(paths).map_batches(
-        Score, batch_format="pandas", batch_size=4096, concurrency=2
+        score, batch_format="pandas", batch_size=4096
     ).to_pandas()
     out = scored.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True).astype({"vec_id": "int64"})
@@ -721,30 +729,31 @@ def ann_topk_ivf(
     q_ref = ray.put(qn)
     cells_ref = ray.put(probe_cells)
 
-    class CellScore:
-        def __init__(self):
-            self.cents = ray.get(cents_ref)
-            self.q = ray.get(q_ref)
-            self.cells = ray.get(cells_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            d = ((m[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
-            keep = np.isin(d.argmin(1), list(self.cells))
-            keep &= df["vec_id"].to_numpy() != query_vec_id
-            if not keep.any():
-                return pd.DataFrame({"vec_id": [], "sim": []})
-            m = m[keep]
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (m @ self.q) / norms
-            return pd.DataFrame(
-                {"vec_id": df["vec_id"].to_numpy()[keep],
-                 "sim": np.round(sims, 4)}
-            )
+    def cell_score(df: pd.DataFrame) -> pd.DataFrame:
+        cents_v = _bcast_get(cents_ref)
+        qv = _bcast_get(q_ref)
+        cells_v = _bcast_get(cells_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cents_v[None, :, :]) ** 2).sum(-1)
+        keep = np.isin(d.argmin(1), list(cells_v))
+        keep &= df["vec_id"].to_numpy() != query_vec_id
+        if not keep.any():
+            return pd.DataFrame({"vec_id": [], "sim": []})
+        m = m[keep]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy()[keep],
+             "sim": np.round(sims, 4)}
+        )
+        # per-block top-k partial -> O(blocks * k) driver merge
+        return out.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(k)
 
     scored = _emb(sf_dir).map_batches(
-        CellScore, batch_format="pandas", batch_size=4096, concurrency=2
+        cell_score, batch_format="pandas", batch_size=4096
     ).to_pandas()
     out = scored.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True).astype({"vec_id": "int64"})
@@ -1017,33 +1026,26 @@ def ann_range_search(sf_dir: str, threshold: float = 0.2,
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
+    tau = threshold
 
-    class Score:
-        def __init__(self, ref, tau):
-            self.q = ray.get(ref)
-            self.tau = tau
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (m @ self.q) / norms
-            keep = (sims >= self.tau) & (
-                df["vec_id"].to_numpy() != query_vec_id
-            )
-            return pd.DataFrame(
-                {
-                    "vec_id": df["vec_id"].to_numpy()[keep],
-                    "sim": np.round(sims[keep], 4),
-                }
-            )
+    def range_score(df: pd.DataFrame) -> pd.DataFrame:
+        qv = _bcast_get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        keep = (sims >= tau) & (
+            df["vec_id"].to_numpy() != query_vec_id
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy()[keep],
+                "sim": np.round(sims[keep], 4),
+            }
+        )
 
     return _emb(sf_dir).map_batches(
-        Score,
-        fn_constructor_kwargs={"ref": q_ref, "tau": threshold},
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=2,
+        range_score, batch_format="pandas", batch_size=4096
     )
 
 
