@@ -1564,6 +1564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "doc_containment_pairs": dedup.doc_containment_pairs,
+        # rarest-prefix plan: same rows, linear candidate volume on
+        # natural corpora (the 100-TB path); shares the exact plan's SQL
+        "doc_containment_prefix": dedup.doc_containment_pairs_prefix,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -3088,6 +3091,15 @@ _WINNOW_RANKED_CTE = r"""
 
 
 def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # the rarest-prefix containment plan returns the exact plan's rows
+    # by construction (pigeonhole candidate completeness + exact
+    # verification) — one SQL derivation checks both
+    sql["doc_containment_prefix"] = sql["doc_containment_pairs"]
+    return sql
+
+
+def _oracle_sql_base() -> dict[str, str]:
     from tensorflow_ocr_ray.pipelines.graph import (
         COMPONENTS_ORACLE_SQL,
         TRIANGLE_ORACLE_SQL,

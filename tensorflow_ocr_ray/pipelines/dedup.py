@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
@@ -1180,86 +1181,13 @@ CONTAIN_PCT = 90      # inner doc "contained" if >= 90% fps shared
 CONTAIN_MIN = 4       # noise floor on shared fingerprints
 
 
-def doc_containment_pairs(sf_dir: str,
-                          n_shards: int = 64) -> "rd.Dataset":
-    """Containment screening — the dedup mode Jaccard misses: a doc
-    QUOTED or WRAPPED inside a larger one scores low symmetric
-    similarity but high one-sided containment.  Pairs where >=
-    CONTAIN_PCT% of the INNER doc's winnowing fingerprints (keep=64
-    for resolution; same k-gram/window chain as doc_fingerprints)
-    appear in the outer doc's set; inner = the side with the smaller
-    (|fps|, doc_id), so direction is deterministic.
-
-    Plan (the winnow_dup_pairs fingerprint-shard shape + the
-    cross-source two-hop count join): distinct (fp, doc) rows shard by
-    fp -> per-shard co-occurrence pair partials -> pair-shard sums;
-    per-doc fp counts (computed map-side, docs are rows) ride two
-    doc-hash exchange hops to attach n_a / n_b; the final shard
-    evaluates the containment predicate vectorized.  Lazy Dataset of
-    (doc_inner, doc_outer, n_inner, shared).  Oracle: the shared
-    winnowing CTE filtered to rn <= 64, self-joined, tuple-compared,
-    hash-matched.
-
-    SKEW CAVEAT (measured): a fingerprint shared by F docs emits
-    O(F^2) pair partials.  This synthetic corpus draws from a ~30-word
-    vocabulary, so at sf0.1 the 5-gram space SATURATES (median fp
-    doc-frequency 170 of 5000 docs) and the pass costs ~85 s; a
-    df-cap / PPJoin rarest-prefix filter was prototyped and measured
-    — on this corpus NO frequency threshold separates dup-cluster
-    fingerprints from corpus-common ones (cap 100 keeps 5 of 256 true
-    pairs; cap 200 keeps all but restores the full volume), so the
-    exact semantics are kept.  On a real corpus (md5 5-grams over
-    natural text are near-unique) the rarest-prefix filter is the
-    100-TB path: candidates only from each doc's floor(0.1*n)+1
-    rarest fps, then exact verification — same answer, linear
-    candidate volume."""
-    from tensorflow_ocr_ray.functions.textstats import winnow_fingerprint
+def _contain_finish(pair_partials: "rd.Dataset", counts: "rd.Dataset",
+                    n_shards: int) -> "rd.Dataset":
+    """Shared tail of both containment plans: sum per-fp pair partials,
+    attach n_a / n_b via two doc-hash exchange hops, evaluate the
+    containment predicate.  ``pair_partials`` rows: (doc_a, doc_b,
+    p_shared, pshard); ``counts`` rows: (doc, n)."""
     from tensorflow_ocr_ray.stages.exchange import hash_exchange
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids, fps = [], []
-        for did, text in zip(df["doc_id"], df["text"]):
-            ms = winnow_fingerprint(text, keep=CONTAIN_KEEP)
-            ids.extend([int(did)] * len(ms))
-            fps.extend(int(m) for m in ms)
-        fp = np.asarray(fps, dtype=np.int64)
-        return pd.DataFrame(
-            {"fp": fp, "doc_id": np.asarray(ids, np.int64),
-             "shard": fp % n_shards})
-
-    # per-doc fp counts (the containment denominator): a skinny
-    # second pass over the same read
-    def count_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = [(int(d), len(winnow_fingerprint(t, keep=CONTAIN_KEEP)))
-               for d, t in zip(df["doc_id"], df["text"])]
-        g = pd.DataFrame(out, columns=["doc", "n"])
-        return g[g["n"] > 0].astype("int64")
-
-    def pairs_in_shard(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_a", "doc_b", "p_shared", "pshard"]
-        if not len(df):
-            return pd.DataFrame({c: pd.Series([], dtype="int64")
-                                 for c in cols})
-        a_l, b_l = [], []
-        for _, g in df.groupby("fp"):
-            d = np.sort(pd.unique(g["doc_id"].to_numpy()))
-            if len(d) < 2:
-                continue
-            iu = np.triu_indices(len(d), k=1)
-            a_l.append(d[iu[0]])
-            b_l.append(d[iu[1]])
-        if not a_l:
-            return pd.DataFrame({c: pd.Series([], dtype="int64")
-                                 for c in cols})
-        out = (pd.DataFrame({"doc_a": np.concatenate(a_l),
-                             "doc_b": np.concatenate(b_l)})
-               .groupby(["doc_a", "doc_b"], as_index=False)
-               .size().rename(columns={"size": "p_shared"}))
-        out["pshard"] = (out["doc_a"] * 1_000_003
-                         + out["doc_b"]) % n_shards
-        return out.astype("int64")
 
     def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["doc_a", "doc_b", "shared", "shard"]
@@ -1272,14 +1200,7 @@ def doc_containment_pairs(sf_dir: str,
         g["shard"] = g["doc_a"].to_numpy(np.int64) % n_shards
         return g.astype("int64")
 
-    fp_rows = docs.map_batches(explode, batch_format="pandas",
-                               batch_size=2048)
-    pair_partials = hash_exchange(fp_rows, "shard", n_shards,
-                                  pairs_in_shard)
     pairs = hash_exchange(pair_partials, "pshard", n_shards, sum_pairs)
-
-    counts = docs.map_batches(count_rows, batch_format="pandas",
-                              batch_size=2048)
 
     def count_side_a(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1330,3 +1251,263 @@ def doc_containment_pairs(sf_dir: str,
         hop1.union(counts.map_batches(count_side_b,
                                       batch_format="pandas")),
         "shard", n_shards, join_b)
+
+
+def doc_containment_pairs(sf_dir: str,
+                          n_shards: int = 64,
+                          plan: str = "exact") -> "rd.Dataset":
+    """Containment screening — the dedup mode Jaccard misses: a doc
+    QUOTED or WRAPPED inside a larger one scores low symmetric
+    similarity but high one-sided containment.  Pairs where >=
+    CONTAIN_PCT% of the INNER doc's winnowing fingerprints (keep=64
+    for resolution; same k-gram/window chain as doc_fingerprints)
+    appear in the outer doc's set; inner = the side with the smaller
+    (|fps|, doc_id), so direction is deterministic.
+
+    Plan (the winnow_dup_pairs fingerprint-shard shape + the
+    cross-source two-hop count join): distinct (fp, doc) rows shard by
+    fp -> per-shard co-occurrence pair partials -> pair-shard sums;
+    per-doc fp counts (computed map-side, docs are rows) ride two
+    doc-hash exchange hops to attach n_a / n_b; the final shard
+    evaluates the containment predicate vectorized.  Lazy Dataset of
+    (doc_inner, doc_outer, n_inner, shared).  Oracle: the shared
+    winnowing CTE filtered to rn <= 64, self-joined, tuple-compared,
+    hash-matched.
+
+    SKEW CAVEAT (measured): a fingerprint shared by F docs emits
+    O(F^2) pair partials.  This synthetic corpus draws from a ~30-word
+    vocabulary, so at sf0.1 the 5-gram space SATURATES (median fp
+    doc-frequency 170 of 5000 docs) and the pass costs ~85 s; a
+    df-cap / PPJoin rarest-prefix filter was prototyped and measured
+    — on this corpus NO frequency threshold separates dup-cluster
+    fingerprints from corpus-common ones (cap 100 keeps 5 of 256 true
+    pairs; cap 200 keeps all but restores the full volume), so the
+    exact semantics are kept.  On a real corpus (md5 5-grams over
+    natural text are near-unique) the rarest-prefix filter is the
+    100-TB path: candidates only from each doc's floor(0.1*n)+1
+    rarest fps, then exact verification — same answer, linear
+    candidate volume."""
+    if plan == "prefix":
+        return doc_containment_pairs_prefix(sf_dir, n_shards)
+    if plan != "exact":
+        raise ValueError(f"unknown containment plan {plan!r}")
+    from tensorflow_ocr_ray.functions.textstats import winnow_fingerprint
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            ms = winnow_fingerprint(text, keep=CONTAIN_KEEP)
+            ids.extend([int(did)] * len(ms))
+            fps.extend(int(m) for m in ms)
+        fp = np.asarray(fps, dtype=np.int64)
+        return pd.DataFrame(
+            {"fp": fp, "doc_id": np.asarray(ids, np.int64),
+             "shard": fp % n_shards})
+
+    # per-doc fp counts (the containment denominator): a skinny
+    # second pass over the same read
+    def count_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = [(int(d), len(winnow_fingerprint(t, keep=CONTAIN_KEEP)))
+               for d, t in zip(df["doc_id"], df["text"])]
+        g = pd.DataFrame(out, columns=["doc", "n"])
+        return g[g["n"] > 0].astype("int64")
+
+    def pairs_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b", "p_shared", "pshard"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        a_l, b_l = [], []
+        for _, g in df.groupby("fp"):
+            d = np.sort(pd.unique(g["doc_id"].to_numpy()))
+            if len(d) < 2:
+                continue
+            iu = np.triu_indices(len(d), k=1)
+            a_l.append(d[iu[0]])
+            b_l.append(d[iu[1]])
+        if not a_l:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        out = (pd.DataFrame({"doc_a": np.concatenate(a_l),
+                             "doc_b": np.concatenate(b_l)})
+               .groupby(["doc_a", "doc_b"], as_index=False)
+               .size().rename(columns={"size": "p_shared"}))
+        out["pshard"] = (out["doc_a"] * 1_000_003
+                         + out["doc_b"]) % n_shards
+        return out.astype("int64")
+
+    fp_rows = docs.map_batches(explode, batch_format="pandas",
+                               batch_size=2048)
+    pair_partials = hash_exchange(fp_rows, "shard", n_shards,
+                                  pairs_in_shard)
+    counts = docs.map_batches(count_rows, batch_format="pandas",
+                              batch_size=2048)
+    return _contain_finish(pair_partials, counts, n_shards)
+
+
+def doc_containment_pairs_prefix(sf_dir: str,
+                                 n_shards: int = 64) -> "rd.Dataset":
+    """Rarest-prefix (PPJoin-style) containment — the 100-TB plan.
+
+    Same answer as ``plan="exact"`` with LINEAR candidate volume on
+    natural corpora: a pair with shared >= required(n_inner) must share
+    at least one of the inner doc's prefix_len = n - required(n) + 1
+    globally RAREST fingerprints (pigeonhole: missing all of them caps
+    shared at required - 1), where required(n) = max(ceil(PCT*n/100),
+    CONTAIN_MIN) — fingerprints per doc are distinct by construction
+    (winnow_fingerprint dedups).  Candidates pair only PREFIX rows with
+    bucket rows, so a corpus-common fingerprint (high df, in almost
+    nobody's prefix) never fans out quadratically — the failure mode of
+    the exact plan's per-fp triu.  Exact verification then recounts
+    shared ONLY for candidate pairs, so the final rows are identical to
+    the exact plan's (a crafted-corpus test asserts frame equality).
+
+    Dataflow: explode -> df-per-fp (fp-sharded: exact in-shard df) ->
+    per-doc rarest-prefix marking (doc-sharded) -> candidate pairs
+    (fp-sharded, prefix x bucket) -> pair-dedup -> broadcast adjacency
+    (the candidate list is linear; same driver-collect contract as the
+    minhash pair-dedup) -> candidate-restricted co-occurrence partials
+    -> the shared _contain_finish verification tail."""
+    from tensorflow_ocr_ray.functions.textstats import winnow_fingerprint
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            ms = winnow_fingerprint(text, keep=CONTAIN_KEEP)
+            ids.extend([int(did)] * len(ms))
+            fps.extend(int(m) for m in ms)
+        fp = np.asarray(fps, dtype=np.int64)
+        return pd.DataFrame(
+            {"fp": fp, "doc_id": np.asarray(ids, np.int64),
+             "shard": fp % n_shards})
+
+    def count_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = [(int(d), len(winnow_fingerprint(t, keep=CONTAIN_KEEP)))
+               for d, t in zip(df["doc_id"], df["text"])]
+        g = pd.DataFrame(out, columns=["doc", "n"])
+        return g[g["n"] > 0].astype("int64")
+
+    fp_rows = docs.map_batches(explode, batch_format="pandas",
+                               batch_size=2048)
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["fp", "doc_id", "fp_df", "shard"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        d = df.groupby("fp")["doc_id"].size()  # rows are (fp, doc)-distinct
+        out = df[["fp", "doc_id"]].copy()
+        out["fp_df"] = out["fp"].map(d).astype("int64")
+        out["shard"] = out["doc_id"].to_numpy(np.int64) % n_shards
+        return out.astype("int64")
+
+    with_df = hash_exchange(fp_rows, "shard", n_shards, attach_df)
+
+    def mark_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["fp", "doc_id", "in_prefix", "shard"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        df = df.sort_values(["doc_id", "fp_df", "fp"], kind="mergesort")
+        n = df.groupby("doc_id")["fp"].transform("size").to_numpy(np.int64)
+        rank = df.groupby("doc_id").cumcount().to_numpy(np.int64)
+        required = np.maximum(
+            (CONTAIN_PCT * n + 99) // 100, CONTAIN_MIN)
+        plen = n - required + 1  # <= 0: doc can never be inner
+        fp = df["fp"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"fp": fp,
+             "doc_id": df["doc_id"].to_numpy(np.int64),
+             "in_prefix": (rank < plen).astype(np.int64),
+             "shard": fp % n_shards})
+
+    marked = hash_exchange(with_df, "shard", n_shards, mark_prefix)
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b", "pshard"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        a_l, b_l = [], []
+        for _, g in df.groupby("fp"):
+            bucket = np.sort(pd.unique(g["doc_id"].to_numpy()))
+            if len(bucket) < 2:
+                continue
+            pref = pd.unique(
+                g.loc[g["in_prefix"] == 1, "doc_id"].to_numpy())
+            if not len(pref):
+                continue
+            a = np.repeat(pref, len(bucket))
+            b = np.tile(bucket, len(pref))
+            keep = a != b
+            a, b = a[keep], b[keep]
+            a_l.append(np.minimum(a, b))
+            b_l.append(np.maximum(a, b))
+        if not a_l:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        out = pd.DataFrame(
+            {"doc_a": np.concatenate(a_l),
+             "doc_b": np.concatenate(b_l)}).drop_duplicates()
+        out["pshard"] = (out["doc_a"] * 1_000_003
+                         + out["doc_b"]) % n_shards
+        return out.astype("int64")
+
+    cand_partials = hash_exchange(marked, "shard", n_shards, cand_pairs)
+
+    def dedup_cands(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        return df[cols].drop_duplicates().astype("int64")
+
+    cands = hash_exchange(
+        cand_partials, "pshard", n_shards, dedup_cands).to_pandas()
+    adj: dict[int, set] = {}
+    if len(cands) and "doc_a" in cands.columns:
+        for a, b in zip(cands["doc_a"].tolist(), cands["doc_b"].tolist()):
+            adj.setdefault(int(a), set()).add(int(b))
+    adj_ref = ray.put(adj)
+
+    def pairs_in_shard_cand(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b", "p_shared", "pshard"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        adj_v = ray.get(adj_ref)
+        a_l, b_l = [], []
+        for _, g in df.groupby("fp"):
+            bucket = pd.unique(g["doc_id"].to_numpy()).tolist()
+            if len(bucket) < 2:
+                continue
+            in_bucket = set(bucket)
+            for a in bucket:
+                ps = adj_v.get(a)
+                if not ps:
+                    continue
+                for b in ps:
+                    if b in in_bucket:
+                        a_l.append(a)
+                        b_l.append(b)
+        if not a_l:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        out = (pd.DataFrame({"doc_a": a_l, "doc_b": b_l})
+               .groupby(["doc_a", "doc_b"], as_index=False)
+               .size().rename(columns={"size": "p_shared"}))
+        out["pshard"] = (out["doc_a"] * 1_000_003
+                         + out["doc_b"]) % n_shards
+        return out.astype("int64")
+
+    pair_partials = hash_exchange(marked, "shard", n_shards,
+                                  pairs_in_shard_cand)
+    counts = docs.map_batches(count_rows, batch_format="pandas",
+                              batch_size=2048)
+    return _contain_finish(pair_partials, counts, n_shards)

@@ -255,3 +255,55 @@ def test_levenshtein_block_matches_reference():
     got = _levenshtein_block(_pack_prefix(A, 24), _pack_prefix(B, 24))
     exp = np.array([ref(a, b) for a, b in zip(A, B)])
     np.testing.assert_array_equal(got, exp)
+
+
+def test_containment_prefix_plan_crafted_corpus(ray_session, tmp_path):
+    """The rarest-prefix plan equals the exact plan on a NATURAL-shaped
+    corpus (large vocabulary -> near-unique fingerprints, the regime the
+    pruned plan exists for) with planted containment pairs, and its
+    candidate volume premise holds: planted inner docs are found."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.dedup import (
+        doc_containment_pairs,
+        doc_containment_pairs_prefix,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"w{v:04d}" for v in range(5000)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(50, 120)))
+        for _ in range(180)
+    ]
+    planted = []
+    for i in range(8):
+        inner = texts[i * 3]
+        pad = " ".join(rng.choice(vocab) for _ in range(20))
+        # outer extends inner: the kept-fingerprint budget (keep=64,
+        # document order) must cover the quoted span, so it leads
+        texts.append(f"{inner} {pad}")
+        planted.append(i * 3)
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "crafted",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+
+    exact = doc_containment_pairs(str(tmp_path), n_shards=8).to_pandas()
+    pruned = doc_containment_pairs_prefix(str(tmp_path), n_shards=8).to_pandas()
+
+    def norm(d):
+        return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(exact), norm(pruned))
+    found_inner = set(pruned["doc_inner"].tolist())
+    assert set(planted) <= found_inner, (planted, sorted(found_inner))
