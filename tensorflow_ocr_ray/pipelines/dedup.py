@@ -243,6 +243,9 @@ def _bloom_contains(bm: np.ndarray, ids: np.ndarray) -> np.ndarray:
 # queries() entries (verified_pairs, minhash_dedup, dedup_keep_list) in
 # one driver pass — memoized like the TF scorer family so the suite pays
 # the LSH+verify cost once.  Values are pair-count-bounded frames.
+# bounded-memory escape hatch for the minhash verify exchanges (see
+# _verified_pairs_ds): False = eager routed exchange (faster, measured)
+_STREAM_VERIFY_EXCHANGE = False
 _VERIFIED_PAIRS_MEMO: dict[tuple, "rd.MaterializedDataset"] = {}
 _DEDUP_LABELS_MEMO: dict[tuple, pd.DataFrame] = {}
 
@@ -391,8 +394,21 @@ def _verified_pairs_ds(
         )
         return out
 
-    attached = half.union(shingles).groupby("join_shard").map_groups(
-        attach_shard, batch_format="pandas"
+    # the widest hop of the verify chain (every surviving doc's packed
+    # shingle bytes travel).  Exchange choice measured at the 320k-doc
+    # probe (see tfidf_top_terms / dup_span_coverage): the eager routed
+    # exchange is 2.4-7x faster than the ack-gated streaming collector
+    # at volume, and its high-water (input in store+spill) matches
+    # Ray's own sort shuffle — so eager is the default; a caller whose
+    # shingle stream exceeds store+spill flips _STREAM_VERIFY_EXCHANGE.
+    from tensorflow_ocr_ray.stages.exchange import (
+        hash_exchange as _hx,
+        streaming_exchange as _sx,
+    )
+
+    exch = _sx if _STREAM_VERIFY_EXCHANGE else _hx
+    attached = exch(
+        half.union(shingles), "join_shard", n_join_shards, attach_shard
     )
 
     def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
@@ -423,8 +439,9 @@ def _verified_pairs_ds(
             {"doc_a": rows_a, "doc_b": rows_b, "sim": sims}
         ).astype({"doc_a": "int64", "doc_b": "int64", "sim": "float64"})
 
-    verified = attached.groupby("pair_shard").map_groups(
-        verify_shard, batch_format="pandas"
+    # same: the pair halves still carry the shingle bytes
+    verified = exch(
+        attached, "pair_shard", n_join_shards, verify_shard
     ).materialize()
     _VERIFIED_PAIRS_MEMO[memo_key] = verified
     return verified

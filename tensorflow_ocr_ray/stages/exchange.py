@@ -167,26 +167,31 @@ def hash_exchange(
 
 class _ShardCollector:
     """Actor accumulating the slices of a GROUP of shards
-    (streaming_exchange): parts arrive as {shard: frame} dicts, one
-    actor RPC per batch regardless of how many shards it owns."""
+    (streaming_exchange): one RPC per batch delivers the group's
+    CONTIGUOUS slice of the shard-sorted batch plus its shard values;
+    the split into per-shard zero-copy sub-slices happens here, off the
+    routing task's critical path."""
 
     def __init__(self, shards: list[int]):
         self.parts = {s: [] for s in shards}
+        self.shards = shards
 
-    def add(self, parts: dict) -> int:
-        for s, p in parts.items():
-            self.parts[s].append(p)
-        return len(parts)
+    def add_group(self, part: pa.Table, shard_vals: np.ndarray) -> int:
+        for sh in self.shards:
+            lo = np.searchsorted(shard_vals, sh, side="left")
+            hi = np.searchsorted(shard_vals, sh, side="right")
+            self.parts[sh].append(part.slice(lo, hi - lo))
+        return len(shard_vals)
 
-    def n_batches(self) -> int:
-        return max((len(v) for v in self.parts.values()), default=0)
+    def n_rows(self) -> int:
+        return sum(p.num_rows for v in self.parts.values() for p in v)
 
     def finalize(self, shard: int, fn, arrow: bool):
-        parts = self.parts[shard]
+        t = pa.concat_tables(self.parts[shard],
+                             promote_options="permissive")
         if arrow:
-            return fn(pa.concat_tables(parts,
-                                       promote_options="permissive"))
-        return fn(pd.concat(parts, ignore_index=True))
+            return fn(t)
+        return fn(t.to_pandas())
 
 
 def streaming_exchange(
@@ -195,7 +200,7 @@ def streaming_exchange(
     n_shards: int,
     fn: Callable,
     batch_format: str = "pandas",
-    batch_size: int | None = 65536,
+    batch_size: int | None = 262144,
     n_collectors: int | None = None,
 ) -> "rd.Dataset":
     """Bounded-memory alternative to :func:`hash_exchange`: the same
@@ -252,6 +257,13 @@ def streaming_exchange(
     ]
 
     def route(tbl: pa.Table) -> pa.Table:
+        """ONE stable sort + take per batch, then one contiguous
+        zero-copy slice per collector group (shard groups are
+        contiguous ranges) — not one full-table filter per shard, which
+        made the first cut O(n_shards x batch) per batch and 6x slower
+        than the eager exchange at the 320k-doc probe.  combine_chunks
+        materializes just the slice so its pickle ships only the
+        group's rows, not the parent buffers."""
         empty = tbl.slice(0, 0)
         if shard_col not in tbl.column_names:
             # schema-less empty block: nothing to route
@@ -263,13 +275,17 @@ def streaming_exchange(
                 f"[0, {n_shards}) — got [{s.min()}, {s.max()}]; rows "
                 f"would be silently dropped"
             )
+        order = np.argsort(s, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        ss = s[order]
         acks = []
         for gi, g in enumerate(groups):
-            parts = {}
-            for i in g:
-                part = tbl.filter(pa.array(s == i))
-                parts[i] = part if arrow else part.to_pandas()
-            acks.append(collectors[gi].add.remote(parts))
+            lo = int(np.searchsorted(ss, g[0], side="left"))
+            hi = int(np.searchsorted(ss, g[-1], side="right"))
+            # empty group slices still ship: they carry the schema the
+            # typed-empty finalize contract needs
+            part = sorted_tbl.slice(lo, hi - lo).combine_chunks()
+            acks.append(collectors[gi].add_group.remote(part, ss[lo:hi]))
         ray.get(acks)  # backpressure: batch completes only once landed
         return empty
 
@@ -278,7 +294,7 @@ def streaming_exchange(
         route, batch_format="pyarrow", batch_size=batch_size
     ).materialize()
 
-    if not any(ray.get([c.n_batches.remote() for c in collectors])):
+    if not any(ray.get([c.n_rows.remote() for c in collectors])):
         # empty upstream: no typed slice ever shipped, so there is no
         # frame to seed fn with — same contract as hash_exchange
         return rd.from_pandas(pd.DataFrame())

@@ -568,3 +568,20 @@ def test_spearman_matches_scipy_style(ray_session):
     want = rx.corr(ry)  # Pearson over tie-averaged ranks == Spearman
     assert abs(got["spearman_rho"].iloc[0] - want) < 1e-6
     assert got["n"].iloc[0] == len(df)
+
+
+def test_tfidf_streaming_exchange_equivalent(ray_session):
+    """exchange='streaming' (the bounded-memory escape hatch) returns the
+    same rows as the default eager routed exchange."""
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.curation import tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    a = tfidf_top_terms(sf).to_pandas()
+    b = tfidf_top_terms(sf, exchange="streaming").to_pandas()
+
+    def norm(d):
+        return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(a), norm(b))
