@@ -52,6 +52,7 @@ from tensorflow_ocr_ray.functions.textstats import (
     _md5_prefix_batch,
     split_tokens,
     token_count,
+    token_count_batch,
 )
 
 
@@ -303,7 +304,7 @@ def pack_sequences(
                     "shard": (df["doc_id"].values // shard_size).astype(
                         "int64"
                     ),
-                    "tokens": df["text"].map(token_count).astype("int64"),
+                    "tokens": pd.Series(token_count_batch(df["text"]), index=df.index),
                 }
             ),
             batch_format="pandas",
@@ -472,7 +473,7 @@ def source_gate(
     stats = _docs(sf_dir, ["doc_id", "text", "source"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].map(token_count).astype("int64")
+        toks = pd.Series(token_count_batch(df["text"]), index=df.index)
         g = pd.DataFrame({"source": df["source"], "t": toks}).groupby(
             "source", as_index=False
         ).agg(s=("t", "sum"), n=("t", "size"))
@@ -500,7 +501,7 @@ def source_gate(
             {
                 "doc_id": df["doc_id"].values,
                 "source": df["source"].values,
-                "tokens": df["text"].map(token_count).astype("int64"),
+                "tokens": pd.Series(token_count_batch(df["text"]), index=df.index),
                 "source_mean_tokens": mean_col.values,
             }
         )
@@ -826,7 +827,7 @@ def gopher_gate_batch(df: pd.DataFrame) -> pd.DataFrame:
     compared against literal thresholds, so the SQL oracle agrees
     bit-for-bit."""
     rep = repetition_stats_batch(df)
-    toks = df["text"].map(token_count).astype("int64").values
+    toks = token_count_batch(df["text"])
     uni = rep["top_unigram_frac"].values
     tri = rep["dup_trigram_frac"].values
     reason = np.where(
@@ -1337,11 +1338,9 @@ def spearman_rank_corr(sf_dir: str) -> pd.DataFrame:
     """
     from ray.data.aggregate import Sum as _Sum
     from .relational import _pq  # noqa: F401  (same read helper family)
-    from ..functions.textstats import token_count
 
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = np.asarray([token_count(x) for x in df["text"]],
-                          dtype=np.int64)
+        toks = token_count_batch(df["text"])
         a = pd.DataFrame({"metric": np.int64(0),
                           "v": df["n_chars"].to_numpy().astype(np.int64)})
         b = pd.DataFrame({"metric": np.int64(1), "v": toks})
@@ -1372,8 +1371,7 @@ def spearman_rank_corr(sf_dir: str) -> pd.DataFrame:
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
         mx, my = ray.get(maps_ref)
-        toks = np.asarray([token_count(t) for t in df["text"]],
-                          dtype=np.int64)
+        toks = token_count_batch(df["text"])
         x = np.asarray([mx[int(v)] for v in df["n_chars"]],
                        dtype=np.int64)
         y = np.asarray([my[int(v)] for v in toks], dtype=np.int64)

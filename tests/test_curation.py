@@ -585,3 +585,26 @@ def test_tfidf_streaming_exchange_equivalent(ray_session):
         return d.sort_values(list(d.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(norm(a), norm(b))
+
+
+def test_token_count_batch_parity():
+    """Vectorized Arrow token counting == the scalar token_count on the
+    corpus plus whitespace edge cases (empty, all-space, tabs/newlines)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.functions.textstats import (
+        token_count,
+        token_count_batch,
+    )
+
+    texts = (
+        pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        ).column("text").to_pylist()
+    )
+    texts += ["", "  ", "a", " a  b\tc\nd ", "one two", "\t\n"]
+    np.testing.assert_array_equal(
+        token_count_batch(texts),
+        np.array([token_count(t) for t in texts], dtype=np.int64),
+    )
