@@ -106,3 +106,64 @@ def test_log2vis_uba_weak_and_neutral_rules():
     ]
     for line, rtl, want in cases:
         assert log2vis(line, rtl) == want, (line, rtl)
+
+
+class TestExplicitBidiControls:
+    """UBA X rules (LRE/RLE/LRO/RLO/PDF + LRI/RLI/FSI/PDI) — the
+    explicit-embedding path the reference gets from fribidi
+    (main/gtkDisplay.c:311-332); cases derived from UAX#9 examples."""
+
+    def _v(self, s, rtl=False):
+        from tensorflow_ocr_ray.core.assemble import log2vis
+
+        return log2vis(s, rtl)
+
+    def test_rlo_forces_reversal(self):
+        assert self._v("abc ‮def‬ ghi") == "abc fed ghi"
+
+    def test_rlo_whole_line(self):
+        assert self._v("‮abc‬") == "cba"
+
+    def test_rle_pure_ltr_content_inert(self):
+        assert self._v("abc ‫xyz‬ def") == "abc xyz def"
+
+    def test_rli_isolate_orders_content_rtl(self):
+        assert self._v("abc ⁧1 2⁩ def") == "abc 2 1 def"
+
+    def test_fsi_sniffs_hebrew(self):
+        assert self._v("x ⁨א ב⁩ y") == \
+            "x ב א y"
+
+    def test_fsi_sniffs_latin(self):
+        assert self._v("x ⁨a b⁩ y") == "x a b y"
+
+    def test_nested_embeddings(self):
+        assert self._v(
+            "‫א ‪ab‬ ב‬", rtl=True
+        ) == "ב ab א"
+
+    def test_controls_removed_when_inert(self):
+        assert self._v("a‪‬b") == "ab"
+
+    def test_unmatched_pdi_removed_unmatched_rlo_to_eol(self):
+        assert self._v("a⁩b ‮cd") == "ab dc"
+
+    def test_mirroring_cancels_on_balanced_pairs(self):
+        # reversal + L4 glyph mirroring cancel for balanced brackets
+        assert self._v("‮(a)‬") == "(a)"
+
+    def test_mirroring_unbalanced(self):
+        assert self._v("‮(a‬") == "a)"
+
+    def test_isolate_is_neutral_to_surroundings(self):
+        # RTL text around an isolate stays one RTL run (isolate = neutral)
+        got = self._v("א ⁦ab⁩ ב", rtl=True)
+        assert got == "ב ab א"
+
+    def test_overflow_depth_guarded(self):
+        deep = "‫" * 200 + "a" + "‬" * 200
+        assert self._v(deep) == "a"
+
+    def test_implicit_path_untouched(self):
+        # no controls -> the pre-existing implicit path handles it
+        assert self._v("abc אב def") == "abc בא def"
