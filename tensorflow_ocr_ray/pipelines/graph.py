@@ -978,8 +978,16 @@ def graph_modularity(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
         docs.map_batches(edge_partials, batch_format="pandas",
                          batch_size=65536),
         "shard", n_shards, combine).to_pandas()
+    if "label" not in per.columns or not len(per):
+        # empty/degenerate corpus: no edge partials at all
+        per = pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                            "e": pd.Series([], dtype="int64")})
     per = per.groupby("label", as_index=False)["e"].sum()
     m = int(per["e"].sum())
+    if m == 0:      # zero edges -> Q undefined; typed summary row
+        return pd.DataFrame(
+            {"label": [-1], "n_edges": [0], "degree_sum": [0],
+             "q_contrib_num": [0]}).astype("int64")
     e = per["e"].to_numpy(np.int64)
     d = 2 * e                      # all edges intra => d_c = 2*e_c
     qnum = 4 * m * e - d * d

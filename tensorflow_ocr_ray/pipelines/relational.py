@@ -4391,9 +4391,14 @@ def revenue_gini(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
     (count, sum, sum of local_pos * cents, sum of cents for the
     offset correction) — sum(rank*x) = sum(pos*x) + offset *
     sum(x)_shard reassembles exactly from bounded per-shard rows.
-    Driver math in Python big ints (n*S overflows int64 past ~1e9
-    customers; SQL mirrors via HUGEINT).  Oracle: row_number window +
-    the same integer formula, hash-matched."""
+    Driver reassembly + gini formula run in Python big ints (n*S and
+    offset*sum overflow int64 past ~1e9 customers; SQL mirrors via
+    HUGEINT).  The per-shard sum(pos*x) partial IS numpy int64: its
+    headroom is local_n^2/2 * max_cents < 2^63, i.e. ~3e6 customers
+    per shard at $10k revenues — raise n_shards to stay under it
+    (shard size shrinks 1/n_shards; the driver side is exact at any
+    n_shards).  Oracle: row_number window + the same integer formula,
+    hash-matched."""
     from tensorflow_ocr_ray.stages.exchange import hash_exchange
     from tensorflow_ocr_ray.stages.selection import exact_group_quantiles
 
@@ -4461,8 +4466,12 @@ def revenue_gini(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
     offs = parts["n"].cumsum().shift(fill_value=0).astype("int64")
     n = int(parts["n"].sum())
     s_total = int(parts["s"].sum())
-    sum_rank_x = int(
-        (parts["pos_x"] + offs * parts["s"]).sum())   # Python ints
+    # Python big-ints end to end: offs*s per shard overflows int64
+    # past ~1e9 customers x cents, so the reassembly must not route
+    # through a numpy product (bounded: one term per shard).
+    sum_rank_x = sum(
+        int(px) + int(o) * int(s)
+        for px, o, s in zip(parts["pos_x"], offs, parts["s"]))
     gini_ppm = ((2 * sum_rank_x - (n + 1) * s_total) * 1_000_000
                 // (n * s_total))
     return pd.DataFrame(

@@ -1939,7 +1939,14 @@ def late_event_audit(sf_dir: str, n_ranges: int = 8) -> pd.DataFrame:
     = 0, the oracle's coalesce).  Oracle: max() OVER (ORDER BY lane,
     event_id ROWS .. 1 PRECEDING), hash-matched."""
     ev = _events(sf_dir, ["event_id", "ts", "event_type"])
-    max_id = int(ev.max("event_id"))
+    max_id_raw = ev.max("event_id")   # None on an empty events table
+    if max_id_raw is None:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype="object"),
+             "n_events": pd.Series([], dtype="int64"),
+             "n_late": pd.Series([], dtype="int64"),
+             "max_behind_us": pd.Series([], dtype="int64")})
+    max_id = int(max_id_raw)
     n_shards = LATE_LANES * n_ranges
     sentinel = np.int64(-(2**62))
 

@@ -132,3 +132,56 @@ def test_hll_empty_table(ray_session, tmp_path):
     assert len(regs) == HLL_M and (regs["register"] == 0).all()
     assert out.loc[out["bucket"] == -2, "register"].tolist() == [0]
     assert out.loc[out["bucket"] == -3, "register"].tolist() == [0]
+
+
+def test_graph_modularity_empty_table(ray_session, tmp_path):
+    """Empty documents: zero edges -> Q undefined; the typed summary
+    row (label=-1, all zeros) comes back instead of ZeroDivisionError."""
+    sf = _write(tmp_path, "documents", pa.table(
+        {"doc_id": pa.array([], pa.int64())}))
+    from tensorflow_ocr_ray.pipelines.graph import graph_modularity
+
+    out = graph_modularity(sf, n_shards=4)
+    assert out["label"].tolist() == [-1]
+    assert out["n_edges"].tolist() == [0]
+    assert out["degree_sum"].tolist() == [0]
+    assert out["q_contrib_num"].tolist() == [0]
+
+
+def test_late_event_audit_empty_table(ray_session, tmp_path):
+    """Empty events: Dataset.max returns None; the audit returns the
+    typed empty frame instead of TypeError."""
+    sf = _write(tmp_path, "events", pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "ts": pa.array([], pa.timestamp("us")),
+         "event_type": pa.array([], pa.string())}))
+    from tensorflow_ocr_ray.pipelines.windows import late_event_audit
+
+    out = late_event_audit(sf)
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "n_events", "n_late",
+                                 "max_behind_us"]
+    assert str(out["n_events"].dtype) == "int64"
+
+
+def test_revenue_gini_bigint_reassembly(ray_session, tmp_path):
+    """Crafted revenues verify the rank reassembly against a direct
+    big-int computation (the driver-side sum must run in Python ints
+    — numpy int64 would wrap past ~1e9 customers x cents)."""
+    rng = np.random.RandomState(7)
+    cust = np.arange(1, 201, dtype=np.int64)
+    price = rng.randint(1, 10_000_00, size=200) / 100.0
+    sf = _write(tmp_path, "orders", pa.table(
+        {"o_custkey": pa.array(cust),
+         "o_totalprice": pa.array(np.round(price, 2))}))
+    from tensorflow_ocr_ray.pipelines.relational import revenue_gini
+
+    out = revenue_gini(sf, n_shards=4)
+    cents = np.round(np.round(price, 2) * 100.0).astype(np.int64)
+    x = np.sort(cents)
+    n, s = len(x), int(x.sum())
+    sum_rank_x = sum((i + 1) * int(v) for i, v in enumerate(x))
+    want = (2 * sum_rank_x - (n + 1) * s) * 1_000_000 // (n * s)
+    assert out["n_customers"].tolist() == [n]
+    assert out["total_cents"].tolist() == [s]
+    assert out["gini_ppm"].tolist() == [want]
