@@ -305,3 +305,88 @@ def write_documents_parquet(path: str, num_docs: int, seed: int = 42,
         files.append(f)
         done += n
     return files
+
+
+def vector_pdf_for_spec(spec: PageSpec, dpi: int = 400) -> bytes:
+    """A VECTOR-content (text-operator) PDF that rasterizes
+    pixel-identically to ``render_page(spec)`` at ``dpi``.
+
+    The page carries no raster page image — glyphs are a **Type3
+    bitmap font** whose CharProcs draw the fixture glyphs as inline
+    ImageMasks, the way bitmap-font and OCR-output PDFs actually embed
+    text — so ``sources/pdf.py`` takes the in-process vector-rasterizer
+    path (reference S11's Ghostscript seam, ``main/Makefile:80-93``).
+    FontMatrix is the conventional 1/1000 with the font size chosen so
+    one glyph-space pixel maps to exactly one device pixel at ``dpi``,
+    making the parity check exact, not approximate."""
+    lay = _layout(spec)
+    pt = 72.0 / dpi                       # device px -> points
+    size = 1000.0 * 72.0 / dpi            # 1 glyph px == 1 device px
+    labels = sorted({g.label for gl in lay.glyph_lines for g in gl})
+    code_of = {lab: 33 + i for i, lab in enumerate(labels)}
+    name_of = {lab: f"g{ord(lab):04x}" for lab in labels}
+
+    objs: dict[int, bytes] = {}
+    num = 7
+    proc_ref: dict[str, int] = {}
+    widths = []
+    for lab in labels:
+        bmp = glyph_bitmap(lab, spec.scale)
+        h, w = bmp.shape
+        widths.append(w)
+        payload = np.packbits(bmp, axis=1).tobytes()
+        body = (b"%d 0 d0 %d 0 0 %d 0 0 cm BI /IM true /W %d /H %d "
+                b"/D [1 0] ID " % (w, w, h, w, h)) + payload + b" EI"
+        objs[num] = (b"<< /Length %d >>\nstream\n" % len(body)
+                     + body + b"\nendstream")
+        proc_ref[lab] = num
+        num += 1
+
+    charprocs = b" ".join(
+        b"/%s %d 0 R" % (name_of[lab].encode(), proc_ref[lab])
+        for lab in labels)
+    diffs = b" ".join(
+        b"%d /%s" % (code_of[lab], name_of[lab].encode())
+        for lab in labels)
+    wlist = b" ".join(b"%d" % w for w in widths)
+    objs[5] = (b"<< /Type /Font /Subtype /Type3 "
+               b"/FontMatrix [0.001 0 0 0.001 0 0] "
+               b"/FontBBox [0 0 0 0] "
+               b"/CharProcs << " + charprocs + b" >> "
+               b"/Encoding << /Type /Encoding /Differences [ "
+               + diffs + b" ] >> "
+               b"/FirstChar 33 /LastChar %d /Widths [ %s ] >>"
+               % (32 + len(labels), wlist))
+
+    parts = [b"BT /F1 %.6f Tf" % size]
+    for glyphs in lay.glyph_lines:
+        for g in glyphs:
+            x_pts = g.left * pt
+            y_pts = (lay.height - g.bottom) * pt
+            parts.append(b"1 0 0 1 %.6f %.6f Tm <%02x> Tj"
+                         % (x_pts, y_pts, code_of[g.label]))
+    parts.append(b"ET")
+    content = b"\n".join(parts)
+    objs[4] = (b"<< /Length %d >>\nstream\n" % len(content)
+               + content + b"\nendstream")
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R "
+               b"/MediaBox [0 0 %.6f %.6f] "
+               b"/Resources << /Font << /F1 5 0 R >> >> "
+               b"/Contents 4 0 R >>" % (lay.width * pt, lay.height * pt))
+    objs[2] = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for onum in sorted(objs):
+        offsets[onum] = len(out)
+        out += b"%d 0 obj\n" % onum + objs[onum] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objs) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % maxn
+    for onum in range(1, maxn):
+        out += (b"%010d 00000 n \n" % offsets[onum] if onum in offsets
+                else b"0000000000 65535 f \n")
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (maxn, xref_at))
+    return bytes(out)

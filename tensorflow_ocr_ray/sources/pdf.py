@@ -34,10 +34,17 @@ def pdf_to_tiff_pages(pdf_path: str, dpi: int = 400) -> list[bytes]:
 
     Scanned PDFs — the reference's actual inputs — are decoded entirely
     in-process by ``core/pdfimage`` (CCITT G4 / DCT / Flate page-image
-    XObjects through the repo's own spec codecs); only vector-content
-    PDFs (no raster page image) fall through to the Ghostscript seam.
+    XObjects through the repo's own spec codecs).  Vector-content PDFs
+    (no raster page image) rasterize in-process too when they stay in
+    ``core/pdfvector``'s subset — text via Type3 bitmap fonts, rect
+    fills, image XObjects/inline images; only outline-font or
+    curve-path content still falls through to the Ghostscript seam.
     """
     from tensorflow_ocr_ray.core.pdfimage import pdf_page_images
+    from tensorflow_ocr_ray.core.pdfvector import (
+        UnsupportedVectorPdf,
+        rasterize_vector_pages,
+    )
     from tensorflow_ocr_ray.core.raster import encode_tiff
 
     with open(pdf_path, "rb") as f:
@@ -45,9 +52,20 @@ def pdf_to_tiff_pages(pdf_path: str, dpi: int = 400) -> list[bytes]:
     images = pdf_page_images(payload)  # [] for vector-only PDFs
     if images:
         return [encode_tiff(img, bilevel=False) for img in images]
+    # vector content: the in-process subset rasterizer (text via Type3
+    # bitmap fonts, rect fills, image XObjects — core/pdfvector) covers
+    # the common text-PDF case; outline fonts / curve paths fall
+    # through to the Ghostscript seam with the reason.
+    try:
+        pages_gray = rasterize_vector_pages(payload, dpi=dpi)
+    except UnsupportedVectorPdf as exc:
+        reason = str(exc)
+        pages_gray = None
+    if pages_gray is not None:
+        return [encode_tiff(img, bilevel=False) for img in pages_gray]
     if not ghostscript_available():
         raise NotImplementedError(
-            "this PDF has no raster page images (vector content); "
+            f"vector PDF outside the in-process subset ({reason}); "
             "rasterizing needs Ghostscript on PATH: "
             f"`gs -sDEVICE=tiffgray -r{dpi}x{dpi} -o page%03d.tif "
             f"{pdf_path}` (main/Makefile:80-93). This environment has no "

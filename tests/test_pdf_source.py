@@ -9,9 +9,10 @@ import pytest
 
 
 def test_gs_seam_raises_with_command(tmp_path):
-    """Scanned PDFs now decode in-process (core/pdfimage, see
-    test_pdfimage.py); the Ghostscript seam remains only for
-    vector-content PDFs — it must still surface the exact command."""
+    """Scanned PDFs decode in-process (core/pdfimage) and subset
+    vector PDFs rasterize in-process (core/pdfvector); the Ghostscript
+    seam remains only for OUTLINE-FONT / curve-path content — it must
+    still surface the exact command plus the subset reason."""
     from tensorflow_ocr_ray.sources.pdf import (
         ghostscript_available,
         pdf_to_tiff_pages,
@@ -19,15 +20,28 @@ def test_gs_seam_raises_with_command(tmp_path):
 
     if ghostscript_available():  # pragma: no cover - not in this container
         pytest.skip("gs present; seam exercised for real elsewhere")
+    content = b"BT /F1 12 Tf 72 700 Td (Hello) Tj ET"
     path = tmp_path / "vector.pdf"
-    path.write_bytes(
+    head = (
         b"%PDF-1.4\n"
         b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
         b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
-        b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
-        b"trailer\n<< /Size 4 /Root 1 0 R >>\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+        b"/MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> "
+        b"/Contents 4 0 R >>\nendobj\n"
     )
+    stream = (b"4 0 obj\n<< /Length " + str(len(content)).encode()
+              + b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    tail = (
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 "
+        b"/BaseFont /Helvetica >>\nendobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+    )
+    path.write_bytes(head + stream + tail)
     with pytest.raises(NotImplementedError, match="tiffgray"):
+        pdf_to_tiff_pages(str(path))
+    with pytest.raises(NotImplementedError, match="Type1"):
         pdf_to_tiff_pages(str(path))
 
 
