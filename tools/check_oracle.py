@@ -71,8 +71,14 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -98,6 +104,7 @@ def main() -> int:
     qs = entry.queries()
     sqls = entry.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -107,6 +114,8 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             failures += 1
+            results[name] = {"status": "FAIL",
+                             "err": f"{type(e).__name__}: {e}"}
             continue
         elapsed = time.time() - t0
         if name in sqls:
@@ -116,9 +125,30 @@ def main() -> int:
             if not ok:
                 failures += 1
             print(f"{status} {name}: rows={len(mine)} {msg} ({elapsed:.1f}s)")
+            results[name] = {"status": status.strip(), "rows": len(mine),
+                             "msg": msg, "sec": round(elapsed, 1)}
         else:
             print(f"rows {name}: rows={len(mine)} (no oracle) ({elapsed:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(mine),
+                             "sec": round(elapsed, 1)}
     ray.shutdown()
+    if json_out:
+        import json
+
+        n_ok = sum(1 for r in results.values() if r["status"] == "ok")
+        n_rows = sum(1 for r in results.values() if r["status"] == "rows_only")
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(results),
+            "oracle_ok": n_ok,
+            "rows_only": n_rows,
+            "fail": failures,
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {n_ok} ok + {n_rows} rows-only, "
+              f"{failures} FAIL of {len(results)}")
     return 1 if failures else 0
 
 
