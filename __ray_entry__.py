@@ -70,6 +70,27 @@ def _ocr_fused(sf_dir: str):
     return out.map_batches(explode_documents, batch_format="pyarrow")
 
 
+def _extract_interleaved(sf_dir: str):
+    """The full extraction tier in one pass (north_rule shape): html
+    spans boilerplate-stripped, media spans OCR'd, text spans pass;
+    span sequence preserved.  Exploded back to span rows for a stable
+    flat schema."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import generate_web_documents
+    from tensorflow_ocr_ray.pipelines.extract import extract_documents
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import explode_documents
+
+    n = {"sf0.001": 24, "sf0.01": 64, "sf0.1": 160}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 64
+    )
+    ds = rd.from_arrow(generate_web_documents(n, seed=42))
+    out = extract_documents(
+        ds, concurrency=(1, 8), batch_size=16, num_blocks=8
+    )
+    return out.map_batches(explode_documents, batch_format="pyarrow")
+
+
 def _ocr_flood(sf_dir: str):
     """The -x flood-fill segmentation config through the full pipeline."""
     from tensorflow_ocr_ray.config import FIXTURE_CONFIG
@@ -1661,6 +1682,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize_count": tokenizer.bpe_tokenize_count,
         # OCR pipeline (rows-only; correctness gated by pytest span-equality)
         "ocr_extract_exploded": _ocr_exploded,
+        # combined extraction tier: html spans boilerplate-stripped AND
+        # media spans OCR'd in one streamed pass (rows-only; pytest
+        # checks exact span-sequence equality vs the analytic golden)
+        "extract_interleaved": _extract_interleaved,
         "ocr_extract_fused": _ocr_fused,
         "ocr_extract_flood": _ocr_flood,
         "ocr_extract_postprocessed": _ocr_postprocessed,

@@ -283,6 +283,39 @@ def expected_documents(docs: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
 
 
+def generate_web_documents(num_docs: int, seed: int = 42) -> pa.Table:
+    """The EXTRACTION-tier input: the same interleaved corpus, but every
+    ``text`` span is a full HTML page (the span's clean text wrapped in
+    deterministic boilerplate chrome — nav/header/aside/footer +
+    script/style/comment noise) with ``kind`` = ``html``.  Media spans
+    are untouched.  ``pipelines/extract.extract_documents`` must recover
+    :func:`expected_web_documents` exactly."""
+    from tensorflow_ocr_ray.functions.html_extract import wrap_in_boilerplate
+
+    rows = _doc_rows(num_docs, seed)
+    for row in rows:
+        for span in row["spans"]:
+            if span["kind"] == "text":
+                span["kind"] = "html"
+                span["text"] = wrap_in_boilerplate(row["doc_id"],
+                                                   span["text"])
+    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+
+
+def expected_web_documents(num_docs: int, seed: int = 42) -> pa.Table:
+    """Golden for the combined extraction pipeline: html spans carry the
+    ORIGINAL clean text (boilerplate stripped back off), media spans the
+    analytic OCR truth, order/kind/media_ref untouched."""
+    rows = _doc_rows(num_docs, seed)
+    for row in rows:
+        for span in row["spans"]:
+            if span["kind"] == "text":
+                span["kind"] = "html"
+            elif span["kind"] == "media":
+                span["text"] = truth_for_ref(span["media_ref"])
+    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+
+
 def write_documents_parquet(path: str, num_docs: int, seed: int = 42,
                             num_files: int = 1) -> list[str]:
     """Write the corpus as partitioned parquet (one file per partition)."""

@@ -25,8 +25,11 @@ import re
 import pandas as pd
 
 _COMMENT = re.compile(r"<!--.*?-->", re.S)
+# head joins the dropped subtrees: title/meta/style/script residue is
+# chrome, never main content (readability drops the whole head too);
+# script/style stay listed for pages that put them in the body
 _DROP_SUBTREE = re.compile(
-    r"<(script|style|template|noscript)\b.*?</\1\s*>", re.S | re.I
+    r"<(head|script|style|template|noscript)\b.*?</\1\s*>", re.S | re.I
 )
 _BLOCK_SPLIT = re.compile(
     r"</?(?:p|div|article|section|li|td|h[1-6]|blockquote|nav|header|"
@@ -92,7 +95,7 @@ _PAGE_TEMPLATE = """<!DOCTYPE html><html><head>
 </head><body>
 <nav><a href="/">Home</a> <a href="/browse">Browse</a>
 <a href="/about">About</a> <a href="/contact">Contact us</a></nav>
-<header><h1>Example Library</h1></header>
+<header><h1><a href="/">Example Library</a></h1></header>
 <!-- boilerplate chrome above -->
 <article><p>{body}</p></article>
 <aside><a href="/related/1">Related one</a>

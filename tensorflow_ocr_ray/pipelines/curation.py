@@ -1301,13 +1301,13 @@ def priority_sample(sf_dir: str, n: int = PRIORITY_SAMPLE_N) -> pd.DataFrame:
         .sort_values("h")
         .head(n)
     )
-    keep = set(sk["doc_id"].tolist())
+    # sorted array + np.isin: vectorized membership, no per-row lambda
+    keep = np.sort(sk["doc_id"].to_numpy(np.int64))
     keep_ref = ray.put(keep)
 
     def fetch(df: pd.DataFrame) -> pd.DataFrame:
         ks = ray.get(keep_ref)
-        m = df["doc_id"].map(lambda d: int(d) in ks)
-        return df[m.to_numpy()]
+        return df[np.isin(df["doc_id"].to_numpy(np.int64), ks)]
 
     docs = (
         _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])

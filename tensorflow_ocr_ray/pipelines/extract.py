@@ -1,0 +1,81 @@
+"""Main-content extraction over interleaved documents — the full
+extraction tier in ONE streamed pass.
+
+The north-star shape (BASELINE.json north_rule): documents are span
+sequences mixing modalities — ``html`` spans carry raw markup (chrome:
+nav/header/aside/footer, script/style noise), ``media`` spans reference
+scanned-page payloads, plain ``text`` spans are already clean.  One
+pipeline extracts everything:
+
+- ``html``  → DOM-block boilerplate strip (``functions/html_extract``,
+  readability-style link-density heuristics) — a cheap vectorized-enough
+  task stage right after the explode;
+- ``media`` → the OCR scorer stage (segmentation → kNN/CNN classify →
+  line assembly), the heavy stateful stage (reference recognition path,
+  ``main/ocr.c``);
+- ``text``  → passes through untouched.
+
+Span-sequence equality ``(kind, text, media_ref, order)`` is preserved
+exactly — the strip stage rewrites only ``text`` of ``html`` rows, the
+ordinal/bucket machinery is shared with :func:`ocr_documents` (it is the
+same physical plan with one extra task stage, so everything measured
+about the flagship — skew repartition, task-pool deployment, bucketed
+reassembly — applies unchanged).
+
+Scale note: the strip stage is pure per-string regex work with no state,
+so it rides plain tasks and pipelines with both the explode above and
+the actor/task scorer pool below; html-heavy corpora just shift wall
+time between the two map stages, never into the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from tensorflow_ocr_ray.functions.html_extract import extract_main_content
+from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
+
+HTML_KIND = "html"
+
+
+def strip_html_spans(batch: pa.Table) -> pa.Table:
+    """Span-stream stage: rows with kind==``html`` get their ``text``
+    replaced by the boilerplate-stripped main content; every other row
+    passes through byte-identical.
+
+    The mask is Arrow-vectorized; only the html rows' strings cross into
+    Python (the regex extractor is inherently per-string, like the OCR
+    decode it sits next to)."""
+    mask = pc.equal(batch.column("kind"), HTML_KIND)
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    if not mask_np.any():
+        return batch
+    texts = batch.column("text").to_pylist()
+    for i in np.nonzero(mask_np)[0]:
+        t = texts[i]
+        # min_len=1: span-level pages may carry arbitrarily short main
+        # content; chrome is dropped structurally (head subtree, link
+        # density), not by the length gate
+        texts[i] = extract_main_content(t, min_len=1) if t else t
+    idx = batch.schema.get_field_index("text")
+    return batch.set_column(idx, "text", pa.array(texts, type=pa.string()))
+
+
+def extract_documents(
+    ds: "ray.data.Dataset", **ocr_kwargs
+) -> "ray.data.Dataset":
+    """The combined extraction pipeline: :func:`ocr_documents`'s exploded
+    plan with the HTML strip stage hooked in ahead of the scorer pool.
+    Accepts every ``ocr_documents`` knob except ``mode``/
+    ``pre_score_transform`` (both owned here)."""
+    ocr_kwargs.pop("mode", None)
+    return ocr_documents(
+        ds,
+        mode="exploded",
+        pre_score_transform=strip_html_spans,
+        **ocr_kwargs,
+    )

@@ -161,11 +161,18 @@ def ocr_documents(
     on_media_error: str = "raise",
     reassemble_via: str = "groupby",
     pool: str = "tasks",
+    pre_score_transform=None,
 ) -> "ray.data.Dataset":
     """Build the lazy OCR Dataset; see module docstring for the two plans.
 
     ``ray_remote_args`` reaches the OCR actor pool (e.g. ``num_gpus`` for
-    GPU scorer deployments, ``num_cpus`` to change per-actor sizing)."""
+    GPU scorer deployments, ``num_cpus`` to change per-actor sizing).
+
+    ``pre_score_transform`` (exploded mode only): an Arrow
+    ``Table → Table`` batch fn applied to the span stream right after the
+    explode — the seam ``pipelines/extract.py`` hangs the HTML
+    boilerplate-strip stage on, so one pipeline extracts every modality
+    in a single streamed pass."""
     if reassemble_buckets is None:
         # group-count scales with the cluster so per-bucket work stays
         # bounded as nodes are added (fixed 64 was an r1 nit)
@@ -188,6 +195,8 @@ def ocr_documents(
         on_media_error=on_media_error,
     )
     remote = ray_remote_args or {}
+    if pre_score_transform is not None and mode != "exploded":
+        raise ValueError("pre_score_transform requires mode='exploded'")
     if mode == "fused":
         return ds.map_batches(
             OcrDocumentStage,
@@ -200,6 +209,12 @@ def ocr_documents(
     if mode != "exploded":
         raise ValueError(f"unknown mode {mode!r}")
     spans = ds.map_batches(explode_documents, batch_format="pyarrow")
+    if pre_score_transform is not None:
+        # cheap CPU-bound span transform (e.g. HTML strip) rides plain
+        # tasks ahead of the heavy scorer stage — it pipelines with the
+        # explode and never blocks the actor pool
+        spans = spans.map_batches(pre_score_transform,
+                                  batch_format="pyarrow")
 
     # The ONE wide shuffle downstream co-locates each document's spans on
     # a deterministic hash bucket of doc_id (small-int key, ≤

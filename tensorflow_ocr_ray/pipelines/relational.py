@@ -1641,13 +1641,15 @@ def q23_returned_item_revenue(sf_dir: str, topn: int = 20,
         .sort_values(["rev", "cust"], ascending=[False, True])
         .head(topn)
     )
-    winners = set(heads["cust"].tolist())
+    # sorted array, not a set: np.isin is the vectorized membership
+    # test (a python set forces a per-row lambda)
+    winners = np.sort(heads["cust"].to_numpy(np.int64))
     win_ref = ray.put(winners)
 
     def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
         ks = ray.get(win_ref)
-        m = df["c_custkey"].map(lambda c: int(c) in ks)
-        d = df[m.to_numpy()]
+        m = np.isin(df["c_custkey"].to_numpy(np.int64), ks)
+        d = df[m]
         return d[["c_custkey", "c_name", "c_nationkey"]]
 
     cust = _pq(sf_dir, "customer",

@@ -1,0 +1,111 @@
+"""Combined extraction tier (pipelines/extract): html spans
+boilerplate-stripped + media spans OCR'd in one streamed pass, exact
+span-sequence equality vs the analytic golden (BASELINE.json
+north_rule's per-row invariant)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from tensorflow_ocr_ray.fixtures import (
+    expected_web_documents,
+    generate_web_documents,
+)
+from tensorflow_ocr_ray.pipelines.extract import strip_html_spans
+
+
+def _spans_as_tuples(tbl: pa.Table) -> dict[str, list[tuple]]:
+    out = {}
+    for row in tbl.to_pylist():
+        out[row["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in row["spans"]
+        ]
+    return out
+
+
+def test_web_corpus_shape():
+    docs = generate_web_documents(16, seed=7)
+    kinds = {
+        s["kind"] for row in docs.to_pylist() for s in row["spans"]
+    }
+    assert "html" in kinds and "media" in kinds
+    for row in docs.to_pylist():
+        for s in row["spans"]:
+            if s["kind"] == "html":
+                assert s["text"].startswith("<!DOCTYPE html>")
+                assert "<nav>" in s["text"]
+
+
+def test_strip_stage_recovers_clean_text_and_passes_others():
+    docs = generate_web_documents(16, seed=7)
+    golden = expected_web_documents(16, seed=7)
+    # hand-explode one batch of spans
+    rows = []
+    for row, grow in zip(docs.to_pylist(), golden.to_pylist()):
+        for s, g in zip(row["spans"], grow["spans"]):
+            rows.append(
+                {"doc_id": row["doc_id"], "kind": s["kind"],
+                 "text": s["text"], "media_ref": s["media_ref"],
+                 "offset": s["offset"], "want": g["text"]}
+            )
+    batch = pa.Table.from_pylist(rows)
+    out = strip_html_spans(batch)
+    for kind, got, want, ref in zip(
+        out.column("kind").to_pylist(), out.column("text").to_pylist(),
+        out.column("want").to_pylist(), out.column("media_ref").to_pylist()
+    ):
+        if kind == "html":
+            assert got == want
+        elif kind == "media":
+            assert got == ""  # untouched here; the scorer stage fills it
+        else:
+            assert got == want
+
+
+def test_strip_stage_identity_without_html_rows():
+    batch = pa.table(
+        {"doc_id": ["a", "b"], "kind": ["text", "media"],
+         "text": ["plain", ""], "media_ref": ["", "page-42-000000-0"],
+         "offset": pa.array([0, 1], type=pa.int32())}
+    )
+    assert strip_html_spans(batch) is batch
+
+
+def test_e2e_extract_documents_span_equality(ray_session):
+    """The headline invariant: the combined pipeline's output is
+    span-sequence-equal (kind, text, media_ref, order) to the golden —
+    html spans carry the pre-wrap clean text, media spans the analytic
+    OCR truth."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.pipelines.extract import extract_documents
+
+    n = 12
+    ds = rd.from_arrow(generate_web_documents(n, seed=42))
+    out = extract_documents(ds, concurrency=(1, 2), batch_size=16,
+                            num_blocks=4)
+    got = _spans_as_tuples(
+        pa.Table.from_pandas(out.to_pandas())
+    )
+    want = _spans_as_tuples(expected_web_documents(n, seed=42))
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id] == want[doc_id], doc_id
+
+
+def test_registry_entry_runs(ray_session):
+    import __ray_entry__ as E
+
+    res = E.queries()["extract_interleaved"]("/root/testdata/sf0.001")
+    df = res.to_pandas()
+    assert len(df) > 0
+    assert set(df.columns) == {"doc_id", "kind", "text", "media_ref",
+                               "offset"}
+    # every html span's text is clean (no markup survived the strip)
+    html = df[df["kind"] == "html"]
+    assert len(html) > 0
+    assert not html["text"].str.contains("<").any()
+    # every media span got OCR text
+    media = df[df["kind"] == "media"]
+    assert (media["text"].str.len() > 0).all()
