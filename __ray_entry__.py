@@ -1415,6 +1415,12 @@ def _html_main_content(sf_dir: str):
     )
 
 
+def _pdf_layout_text_q(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.extract import pdf_layout_text
+
+    return pdf_layout_text(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tensorflow_ocr_ray.functions.textstats import (
         doc_stats_batch,
@@ -1672,6 +1678,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wrapped around each document's text; the extractor must recover
         # the text EXACTLY (hard oracle: extracted == documents.text)
         "html_main_content": _html_main_content,
+        # PDF layout parse: text recovered from vector-PDF content
+        # streams alone (no raster, no OCR) — Tm composition, Type3
+        # encoding/width tables, baseline clustering and the geometric
+        # space rule are all on the hash
+        "pdf_layout_text": _pdf_layout_text_q,
         "approx_distinct_users": _approx_distinct_users,
         "hll_distinct": sketches.hll_distinct,
         "bloom_fpr_audit": sketches.bloom_fpr_audit,
@@ -6150,6 +6161,19 @@ def _oracle_sql_base() -> dict[str, str]:
         "html_main_content": """
             SELECT doc_id, text AS extracted, CAST(1 AS BIGINT) AS n_blocks
             FROM documents
+        """,
+        "pdf_layout_text": """
+            WITH c AS (
+              SELECT doc_id,
+                     trim(substr(trim(regexp_replace(regexp_replace(
+                         text, '[^0-9A-Za-z ]', ' ', 'g'),
+                         ' +', ' ', 'g')), 1, 40)) AS cl
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN cl = '' THEN ''
+                        ELSE cl || chr(10) || reverse(cl) END AS extracted
+            FROM c
         """,
         "doc_normalize": """
             SELECT doc_id, nfc_normalize(text) AS text_nfc,

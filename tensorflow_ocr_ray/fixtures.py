@@ -423,3 +423,41 @@ def vector_pdf_for_spec(spec: PageSpec, dpi: int = 400) -> bytes:
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (maxn, xref_at))
     return bytes(out)
+
+
+# ---------------- text-derived vector PDFs (layout-parse oracle) ---------
+
+_PDF_TEXT_KEEP = __import__("re").compile(r"[^0-9A-Za-z ]")
+_PDF_TEXT_SQUASH = __import__("re").compile(r" +")
+
+
+def pdf_text_lines(text: str, max_chars: int = 40) -> list[str]:
+    """The SQL-expressible transform a text-derived vector PDF carries:
+    non-alphanumerics become spaces, runs collapse, trim, first
+    ``max_chars`` chars, trim again; page lines are [clean,
+    reverse(clean)] (the reversed second line exercises multi-line
+    baseline clustering and left-to-right re-sort).  DuckDB mirror::
+
+        trim(substr(trim(regexp_replace(regexp_replace(
+            text, '[^0-9A-Za-z ]', ' ', 'g'), ' +', ' ', 'g')),
+            1, max_chars))
+    """
+    clean = _PDF_TEXT_SQUASH.sub(
+        " ", _PDF_TEXT_KEEP.sub(" ", text)).strip()[:max_chars].strip()
+    if not clean:
+        return []
+    return [clean, clean[::-1]]
+
+
+def vector_pdf_for_text(text: str, max_chars: int = 40) -> bytes | None:
+    """A Type3 vector PDF whose page shows ``pdf_text_lines(text)`` —
+    None when the cleaned text is empty (nothing to draw)."""
+    lines = pdf_text_lines(text, max_chars)
+    if not lines:
+        return None
+    spec = PageSpec(
+        lines=lines,
+        indents=[0] * len(lines),
+        para_breaks=[False] * len(lines),
+    )
+    return vector_pdf_for_spec(spec)

@@ -79,3 +79,58 @@ def extract_documents(
         pre_score_transform=strip_html_spans,
         **ocr_kwargs,
     )
+
+
+def pdf_layout_text(sf_dir: str) -> "ray.data.Dataset":
+    """PDF LAYOUT PARSE as a first-class query: each document's text
+    becomes a deterministic Type3 vector PDF (fixture synthesis, the
+    ``media_pdf_*`` convention — payload generation stands in for the
+    object-store read a deployment does), and :func:`core.pdftext.
+    extract_text_layout` recovers the text WITHOUT rasterizing or
+    OCR'ing — content-stream text state machine → glyph boxes →
+    baseline clustering → geometric word spacing.
+
+    Hard oracle: the extracted text must equal the SQL-expressible
+    transform the fixture rendered (clean || chr(10) || reverse(clean))
+    — a wrong Tm composition, width table, encoding Difference, line
+    cluster or space threshold all break the hash.
+
+    Scale: both stages are stateless per-row task maps (no shuffle, no
+    driver materialization); the parse touches only content streams +
+    font dicts — never image payloads — so it is the cheap extraction
+    path next to rasterize+OCR (:mod:`core.pdfvector`)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        from tensorflow_ocr_ray.fixtures import vector_pdf_for_text
+
+        pdfs = [
+            vector_pdf_for_text(t)
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pdf": pa.array(pdfs, type=pa.binary()),
+            }
+        )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        from tensorflow_ocr_ray.core.pdftext import extract_text_layout
+
+        texts = [
+            extract_text_layout(p) if p is not None else ""
+            for p in batch.column("pdf").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "extracted": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pyarrow", batch_size=512
+    ).map_batches(parse, batch_format="pyarrow", batch_size=512)

@@ -310,6 +310,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("weekly_churn", ["events"]),
         ("seasonal_profile", ["events"]),
         ("basket_size_hist", ["lineitem"]),
+        ("pdf_layout_text", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
