@@ -1421,6 +1421,12 @@ def _pdf_layout_text_q(sf_dir: str):
     return pdf_layout_text(sf_dir)
 
 
+def _html_table_extract_q(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.extract import html_table_extract
+
+    return html_table_extract(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tensorflow_ocr_ray.functions.textstats import (
         doc_stats_batch,
@@ -1683,6 +1689,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # encoding/width tables, baseline clustering and the geometric
         # space rule are all on the hash
         "pdf_layout_text": _pdf_layout_text_q,
+        # DOM-heuristic structured extraction: main-table selection
+        # (most data cells beats the decoy nav table), th-header drop,
+        # entity unescape — typed records out, re-derived in SQL
+        "html_table_extract": _html_table_extract_q,
         "approx_distinct_users": _approx_distinct_users,
         "hll_distinct": sketches.hll_distinct,
         "bloom_fpr_audit": sketches.bloom_fpr_audit,
@@ -6174,6 +6184,17 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN cl = '' THEN ''
                         ELSE cl || chr(10) || reverse(cl) END AS extracted
             FROM c
+        """,
+        "html_table_extract": """
+            WITH u AS (
+              SELECT doc_id, lang, source,
+                     unnest(range(0, doc_id % 3 + 1)) AS r
+              FROM documents
+            )
+            SELECT doc_id, r AS row_idx, doc_id * 10 + r AS cell_id,
+                   lang AS cell_lang,
+                   source || '-' || CAST(r AS VARCHAR) AS cell_src
+            FROM u
         """,
         "doc_normalize": """
             SELECT doc_id, nfc_normalize(text) AS text_nfc,

@@ -123,3 +123,70 @@ def wrap_batch(df: pd.DataFrame) -> pd.DataFrame:
             ],
         }
     )
+
+
+# ---------------- table extraction (DOM heuristics, structured out) ------
+
+_TABLE_RE = re.compile(r"<table\b[^>]*>(.*?)</table\s*>", re.S | re.I)
+_TR_RE = re.compile(r"<tr\b[^>]*>(.*?)</tr\s*>", re.S | re.I)
+_CELL_RE = re.compile(r"<(t[dh])\b[^>]*>(.*?)</t[dh]\s*>", re.S | re.I)
+
+
+def extract_tables(html: str) -> list[list[list[str]]]:
+    """All tables in a page as data-row cell matrices.
+
+    DOM-lite, same regex discipline as the block extractor: a row is a
+    ``<tr>``, a cell is ``<td>``/``<th>``; rows made ONLY of ``<th>``
+    cells are structural headers and are dropped (the classic scraping
+    heuristic — header rows describe columns, they are not records);
+    cell text is tag-stripped, entity-unescaped and
+    whitespace-collapsed."""
+    tables = []
+    for tbody in _TABLE_RE.findall(html):
+        rows = []
+        for tr in _TR_RE.findall(tbody):
+            cells = _CELL_RE.findall(tr)
+            if not cells or all(tag.lower() == "th" for tag, _ in cells):
+                continue
+            rows.append([
+                _html.unescape(_WS.sub(" ", _TAG.sub(" ", body)).strip())
+                for _, body in cells
+            ])
+        tables.append(rows)
+    return tables
+
+
+def extract_main_table(html: str) -> list[list[str]]:
+    """The page's MAIN table: most data cells wins (navs/footers wrap
+    tiny layout tables; the record-bearing table is the big one — the
+    second DOM-heuristic next to link density). Ties keep the first."""
+    tables = extract_tables(html)
+    if not tables:
+        return []
+    return max(tables, key=lambda rows: sum(len(r) for r in rows))
+
+
+_TABLE_PAGE = """<!DOCTYPE html><html><head><title>t {doc_id}</title>
+<script>render({doc_id});</script></head><body>
+<nav><table class="nav"><tr><td><a href="/">Home</a></td>
+<td><a href="/about">About</a></td></tr></table></nav>
+<article><table class="data">
+<tr><th> id </th><th> lang </th><th> src </th></tr>
+{rows}
+</table></article>
+<footer>&copy; 2024</footer>
+</body></html>"""
+
+
+def table_page_for(doc_id: int, lang: str, source: str) -> str:
+    """Deterministic record-bearing page: a decoy 1x2 nav table, a
+    th header row, and 1 + doc_id%3 data rows whose cells derive
+    arithmetically from the document row (the oracle re-derives them
+    in SQL).  The src cell spells its hyphen as ``&#45;`` and pads
+    whitespace — unescape + collapse are on the hash."""
+    rows = "\n".join(
+        '<tr><td class="c"> {} </td><td>\n  {}\n</td><td>{}&#45;{}</td></tr>'
+        .format(doc_id * 10 + r, lang, source, r)
+        for r in range(1 + doc_id % 3)
+    )
+    return _TABLE_PAGE.format(doc_id=doc_id, rows=rows)

@@ -134,3 +134,53 @@ def pdf_layout_text(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(
         synth, batch_format="pyarrow", batch_size=512
     ).map_batches(parse, batch_format="pyarrow", batch_size=512)
+
+
+def html_table_extract(sf_dir: str) -> "ray.data.Dataset":
+    """STRUCTURED extraction from markup: each document renders a
+    deterministic page carrying a decoy nav table, a ``<th>`` header
+    row and 1 + doc_id%3 data rows (``functions/html_extract.
+    table_page_for``); the extractor must pick the MAIN table (most
+    data cells), drop the header row, unescape entities and collapse
+    whitespace — emitting typed records, not text.  Hash-checked
+    against a DuckDB oracle that re-derives every cell arithmetically.
+
+    Scale: two stateless task maps over a 2-column projection — no
+    shuffle, no driver materialization, same plan shape as
+    :func:`pdf_layout_text`."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def synth_and_parse(batch: pa.Table) -> pa.Table:
+        from tensorflow_ocr_ray.functions.html_extract import (
+            extract_main_table,
+            table_page_for,
+        )
+
+        doc_ids, row_idx, cell_id, cell_lang, cell_src = [], [], [], [], []
+        for did, lang, src in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("lang").to_pylist(),
+            batch.column("source").to_pylist(),
+        ):
+            page = table_page_for(int(did), lang, src)
+            for r, cells in enumerate(extract_main_table(page)):
+                doc_ids.append(did)
+                row_idx.append(r)
+                cell_id.append(int(cells[0]))
+                cell_lang.append(cells[1])
+                cell_src.append(cells[2])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "row_idx": pa.array(row_idx, type=pa.int64()),
+                "cell_id": pa.array(cell_id, type=pa.int64()),
+                "cell_lang": pa.array(cell_lang, type=pa.string()),
+                "cell_src": pa.array(cell_src, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(
+        synth_and_parse, batch_format="pyarrow", batch_size=2048
+    )

@@ -119,3 +119,52 @@ def test_realistic_page_shapes():
     out2 = extract_main_content(table_page)
     assert article in out2
     assert "Menu one" not in out2
+
+
+# ---------------- table extraction -----------------------------------------
+
+
+def test_extract_tables_header_and_decoy():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_main_table,
+        extract_tables,
+        table_page_for,
+    )
+
+    page = table_page_for(5, "fr", "book")
+    tables = extract_tables(page)
+    assert len(tables) == 2                      # decoy nav + data table
+    assert tables[0] == [["Home", "About"]]      # th-less decoy kept as data
+    main = extract_main_table(page)
+    assert main == [["50", "fr", "book-0"], ["51", "fr", "book-1"],
+                    ["52", "fr", "book-2"]]
+
+
+def test_extract_main_table_prefers_most_cells():
+    from tensorflow_ocr_ray.functions.html_extract import extract_main_table
+
+    html = (
+        "<table><tr><td>a</td><td>b</td></tr></table>"
+        "<table><tr><td>1</td></tr><tr><td>2</td></tr>"
+        "<tr><td>3</td></tr></table>"
+    )
+    assert extract_main_table(html) == [["1"], ["2"], ["3"]]
+
+
+def test_extract_tables_th_only_rows_dropped_entities_unescaped():
+    from tensorflow_ocr_ray.functions.html_extract import extract_tables
+
+    html = ("<table><tr><th>h1</th><th>h2</th></tr>"
+            "<tr><td> a&amp;b </td><th>mixed</th></tr></table>")
+    # th-ONLY row dropped; mixed td/th row is data; entities unescaped
+    assert extract_tables(html) == [[["a&b", "mixed"]]]
+
+
+def test_extract_tables_none():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_main_table,
+        extract_tables,
+    )
+
+    assert extract_tables("<p>no tables here</p>") == []
+    assert extract_main_table("<p>none</p>") == []

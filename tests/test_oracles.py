@@ -311,6 +311,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("seasonal_profile", ["events"]),
         ("basket_size_hist", ["lineitem"]),
         ("pdf_layout_text", ["documents"]),
+        ("html_table_extract", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
