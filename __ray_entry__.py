@@ -1427,6 +1427,12 @@ def _html_table_extract_q(sf_dir: str):
     return html_table_extract(sf_dir)
 
 
+def _html_link_graph_q(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.extract import html_link_graph
+
+    return html_link_graph(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tensorflow_ocr_ray.functions.textstats import (
         doc_stats_batch,
@@ -1693,6 +1699,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (most data cells beats the decoy nav table), th-header drop,
         # entity unescape — typed records out, re-derived in SQL
         "html_table_extract": _html_table_extract_q,
+        # outlink extraction -> host-level link graph: absolute-vs-
+        # relative href distinction, host folding, bounded-grid counts
+        "html_link_graph": _html_link_graph_q,
         "approx_distinct_users": _approx_distinct_users,
         "hll_distinct": sketches.hll_distinct,
         "bloom_fpr_audit": sketches.bloom_fpr_audit,
@@ -6184,6 +6193,16 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN cl = '' THEN ''
                         ELSE cl || chr(10) || reverse(cl) END AS extracted
             FROM c
+        """,
+        "html_link_graph": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS k
+              FROM documents
+            )
+            SELECT 'host' || CAST((doc_id * 7 + k) % 50 AS VARCHAR)
+                   || '.example' AS host,
+                   count(*) AS inlinks
+            FROM u GROUP BY host
         """,
         "html_table_extract": """
             WITH u AS (

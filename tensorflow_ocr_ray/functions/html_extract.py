@@ -190,3 +190,46 @@ def table_page_for(doc_id: int, lang: str, source: str) -> str:
         for r in range(1 + doc_id % 3)
     )
     return _TABLE_PAGE.format(doc_id=doc_id, rows=rows)
+
+
+# ---------------- outlink extraction (link graph feed) -------------------
+
+_HREF_RE = re.compile(r"""<a\b[^>]*?\bhref\s*=\s*["']?([^"'\s>]+)""", re.I)
+_ABS_URL = re.compile(r"^(https?)://([^/:?#]+)", re.I)
+
+
+def extract_outlinks(html: str) -> list[str]:
+    """Lower-cased hosts of the page's ABSOLUTE http(s) outlinks, in
+    document order.  Relative hrefs (site-internal nav), fragments and
+    non-web schemes (mailto:, javascript:) are not outlinks — the
+    external/internal distinction every link-graph builder makes."""
+    hosts = []
+    for href in _HREF_RE.findall(html):
+        m = _ABS_URL.match(href)
+        if m:
+            hosts.append(m.group(2).lower())
+    return hosts
+
+
+_LINK_PAGE = """<!DOCTYPE html><html><head><title>l {doc_id}</title></head>
+<body><nav><a href="/">Home</a> <a href="/about">About</a>
+<a href="#top">Top</a> <a href="mailto:x@example.org">Mail</a>
+<a href="javascript:void(0)">JS</a></nav>
+<article><p>doc {doc_id}</p>
+{links}
+</article></body></html>"""
+
+
+def link_page_for(doc_id: int) -> str:
+    """Deterministic page with 1 + doc_id%4 absolute outlinks to hosts
+    (doc_id*7 + k) % 50 (scheme alternates http/https; the HOST, not
+    the scheme, is the graph node) plus relative/fragment/mailto/js
+    decoys the extractor must ignore."""
+    links = "\n".join(
+        '<a href="{}://HOST{}.example/p/{}?ref=a#frag">out {}</a>'.format(
+            "https" if (doc_id + k) % 2 == 0 else "http",
+            (doc_id * 7 + k) % 50, doc_id, k,
+        )
+        for k in range(1 + doc_id % 4)
+    )
+    return _LINK_PAGE.format(doc_id=doc_id, links=links)

@@ -184,3 +184,49 @@ def html_table_extract(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(
         synth_and_parse, batch_format="pyarrow", batch_size=2048
     )
+
+
+def html_link_graph(sf_dir: str) -> "pd.DataFrame":
+    """LINK-GRAPH feed from markup: per document a deterministic page
+    carries 1 + doc_id%4 absolute outlinks (plus relative / fragment /
+    mailto / javascript decoys the extractor must ignore and an
+    upper-cased HOST the extractor must fold); the host-level in-link
+    counts come back as a bounded grid.
+
+    Scale: href extraction + per-batch (host, n) pre-aggregation
+    happen inside one task map; only |hosts|-bounded partials reach
+    the driver (the benford/bounded-grid convention).  At web scale
+    the host space is NOT bounded — then the partials route one
+    host-hash exchange instead of a driver merge; the partial stage is
+    unchanged, which is the point of pre-aggregating map-side."""
+    import pandas as pd
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from tensorflow_ocr_ray.functions.html_extract import (
+            extract_outlinks,
+            link_page_for,
+        )
+
+        c: Counter = Counter()
+        for did in batch.column("doc_id").to_pylist():
+            c.update(extract_outlinks(link_page_for(int(did))))
+        return pa.table(
+            {
+                "host": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    grid = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+        .groupby("host", as_index=False)["n"].sum()
+        .rename(columns={"n": "inlinks"})
+    )
+    return grid.astype({"inlinks": "int64"})

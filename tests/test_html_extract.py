@@ -168,3 +168,29 @@ def test_extract_tables_none():
 
     assert extract_tables("<p>no tables here</p>") == []
     assert extract_main_table("<p>none</p>") == []
+
+
+# ---------------- outlink extraction ---------------------------------------
+
+
+def test_extract_outlinks_filters_and_folds():
+    from tensorflow_ocr_ray.functions.html_extract import extract_outlinks
+
+    html = ('<a href="/rel">r</a> <a href="#f">f</a> '
+            '<a href="mailto:a@b.c">m</a> <a href="javascript:x()">j</a> '
+            "<a href='HTTPS://WWW.Example.COM/path?q=1'>abs</a> "
+            '<a class="x" href=http://plain.org>bare</a>')
+    assert extract_outlinks(html) == ["www.example.com", "plain.org"]
+
+
+def test_link_page_decoys_ignored():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_outlinks,
+        link_page_for,
+    )
+
+    # doc 6: k in 0..2 -> hosts (42+k)%50, scheme alternates, HOST folds
+    assert extract_outlinks(link_page_for(6)) == [
+        "host42.example", "host43.example", "host44.example"]
+    # doc 0: exactly one outlink, every decoy dropped
+    assert extract_outlinks(link_page_for(0)) == ["host0.example"]

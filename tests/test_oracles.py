@@ -312,6 +312,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("basket_size_hist", ["lineitem"]),
         ("pdf_layout_text", ["documents"]),
         ("html_table_extract", ["documents"]),
+        ("html_link_graph", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
