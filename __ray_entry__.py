@@ -1702,6 +1702,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # outlink extraction -> host-level link graph: absolute-vs-
         # relative href distinction, host folding, bounded-grid counts
         "html_link_graph": _html_link_graph_q,
+        # LM-based quality scoring: corpus bigram model, integer ppm
+        # conditional probabilities (transcendental-free KenLM signal)
+        "ngram_lm_score": curation.ngram_lm_score,
         "approx_distinct_users": _approx_distinct_users,
         "hll_distinct": sketches.hll_distinct,
         "bloom_fpr_audit": sketches.bloom_fpr_audit,
@@ -6193,6 +6196,42 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN cl = '' THEN ''
                         ELSE cl || chr(10) || reverse(cl) END AS extracted
             FROM c
+        """,
+        "ngram_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id, ts,
+                     unnest(range(1, len(ts))) AS i
+              FROM toks
+            ),
+            bg AS (
+              SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM big
+            ),
+            c AS (
+              SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+            ),
+            c1 AS (
+              SELECT w1, sum(c2) AS c1 FROM c GROUP BY w1
+            ),
+            p AS (
+              SELECT bg.doc_id,
+                     CAST(c.c2 * 1000000 AS BIGINT) // CAST(c1.c1 AS BIGINT)
+                       AS ppm
+              FROM bg JOIN c USING (w1, w2) JOIN c1 USING (w1)
+            ),
+            s AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(ppm) AS BIGINT) // count(*) AS score_ppm
+              FROM p GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   coalesce(s.score_ppm, 0) AS score_ppm
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "html_link_graph": """
             WITH u AS (

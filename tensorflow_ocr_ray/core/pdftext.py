@@ -342,7 +342,15 @@ def extract_text_layout(payload: bytes, space_fraction: float = 0.6) -> str:
 
 def _assemble(glyphs: list[tuple[float, float, float, float, str]],
               space_fraction: float) -> str:
-    """Baseline clustering + the reference's geometric space rule."""
+    """Baseline clustering + the reference's geometric space rule,
+    with multi-column reading order: a vertical gutter in the x
+    projection that is wider than 2.5x the average glyph width AND
+    leaves at least two baselines on each side splits the page into
+    columns read left column first (the layout-parse analogue of the
+    raster path's column borders, ``core/segment.py`` find_borders /
+    reference M2 — a border must persist across rows, which is what
+    the two-baseline support requirement encodes; a wide word gap on
+    one line never qualifies)."""
     if not glyphs:
         return ""
     heights = sorted(h for _, _, _, h, _ in glyphs)
@@ -357,6 +365,12 @@ def _assemble(glyphs: list[tuple[float, float, float, float, str]],
             lines.append([g])
         else:
             lines[-1].append(g)
+    gutter = _find_gutter(glyphs, lines, avg_w)
+    if gutter is not None:
+        left = [g for g in glyphs if g[1] < gutter]
+        right = [g for g in glyphs if g[1] >= gutter]
+        return (_assemble(left, space_fraction) + "\n"
+                + _assemble(right, space_fraction))
     out: list[str] = []
     for line in lines:
         line.sort(key=lambda g: g[1])
@@ -369,3 +383,29 @@ def _assemble(glyphs: list[tuple[float, float, float, float, str]],
                     parts.append(" " * max(1, int(gap // avg_w) - 1))
         out.append("".join(parts))
     return "\n".join(out)
+
+
+def _find_gutter(glyphs: list[tuple], lines: list[list[tuple]],
+                 avg_w: float) -> float | None:
+    """Leftmost x of a column gutter, or None.  A gutter is a gap in
+    the union of glyph x extents wider than 2.5x the average glyph
+    width whose both sides keep >= 2 baselines (column borders persist
+    across rows; word gaps do not)."""
+    if len(lines) < 2 or avg_w <= 0:
+        return None
+    spans = sorted((g[1], g[2]) for g in glyphs)
+    merged = [list(spans[0])]
+    for l, r in spans[1:]:
+        if l <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], r)
+        else:
+            merged.append([l, r])
+    for (l0, r0), (l1, _) in zip(merged, merged[1:]):
+        if l1 - r0 > 2.5 * avg_w:
+            left_lines = sum(
+                1 for ln in lines if any(g[1] < l1 for g in ln))
+            right_lines = sum(
+                1 for ln in lines if any(g[1] >= l1 for g in ln))
+            if left_lines >= 2 and right_lines >= 2:
+                return l1
+    return None

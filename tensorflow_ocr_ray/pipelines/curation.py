@@ -2211,3 +2211,99 @@ def pii_pseudonymize(sf_dir: str, n_shards: int = 32) -> pd.DataFrame:
     parts = hash_exchange(ev.union(orders), "shard", n_shards,
                           audit).to_pandas()
     return parts.sum().to_frame().T.astype("int64")
+
+
+def ngram_lm_score(sf_dir: str, n_shards: int = 16) -> "rd.Dataset":
+    """LM-based quality scoring (the CCNet / KenLM-perplexity signal,
+    integer-exact): score each document by how predictable its text is
+    under the corpus's OWN bigram model — the model-based quality gate
+    next to the heuristic ones (``quality_batch``, Gopher gates).
+
+    Transcendental-free formulation so the DuckDB oracle matches
+    bit-for-bit: per bigram the conditional probability in ppm is
+    ``floor(1e6 * c2(w1,w2) / c1(w1))`` (``c1`` = occurrences of
+    ``w1`` as bigram-first), and a doc's score is the floor-average of
+    its bigrams' ppm values.  No log / float anywhere — ranks docs the
+    same way mean log-prob would for the screening use case.
+
+    Physical plan (the two-pass LM shape):
+    1. COUNT: per-batch bigram Counters pre-reduce, ONE w1-hash
+       exchange makes (w1, w2, c2) exact and — because sharding by w1
+       co-locates all of w1's continuations — c1 falls out of the same
+       shard; vocab is Heaps-law bounded, so the count table is
+       catalog-sized and broadcasts via ``ray.put`` for the score pass
+       (at 100 TB the broadcast is replaced by a second w1-hash
+       exchange join; the count pass is unchanged).
+    2. SCORE: map-only over documents — tokens, bigrams, ppm lookups,
+       integer floor-average.  Lazy Dataset out."""
+    import pyarrow as pa
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            ts = split_tokens(text.lower())
+            c.update(zip(ts, ts[1:]))
+        if not c:
+            return pd.DataFrame(
+                {"w1": pd.array([], dtype="string"),
+                 "w2": pd.array([], dtype="string"),
+                 "n": pd.array([], dtype="int64"),
+                 "shard": pd.array([], dtype="int64")}
+            )
+        w1 = [k[0] for k in c]
+        out = pd.DataFrame(
+            {"w1": w1, "w2": [k[1] for k in c],
+             "n": np.fromiter(c.values(), dtype=np.int64, count=len(c))}
+        )
+        out["shard"] = (
+            _md5_prefix_batch(w1, 8).astype(np.uint64) % n_shards
+        ).astype(np.int64)
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        g["c1"] = g.groupby("w1")["n"].transform("sum")
+        return g.rename(columns={"n": "c2"}).astype(
+            {"c2": "int64", "c1": "int64"})
+
+    counts = hash_exchange(
+        docs.map_batches(
+            bigram_partial, batch_format="pandas", batch_size=4096
+        ),
+        "shard", n_shards, combine,
+    ).to_pandas()
+    if len(counts) == 0 or "w1" not in counts.columns:
+        ppm: dict = {}
+    else:
+        ppm = {
+            (w1, w2): c2 * 1_000_000 // c1
+            for w1, w2, c2, c1 in zip(
+                counts["w1"], counts["w2"],
+                counts["c2"].astype(int), counts["c1"].astype(int))
+        }
+    ppm_ref = ray.put(ppm)
+
+    def score(batch: "pa.Table") -> "pa.Table":
+        lut = ray.get(ppm_ref)
+        n_big, scores = [], []
+        for text in batch.column("text").to_pylist():
+            ts = split_tokens(text.lower())
+            bs = list(zip(ts, ts[1:]))
+            if not bs:
+                n_big.append(0)
+                scores.append(0)
+                continue
+            total = sum(lut[b] for b in bs)
+            n_big.append(len(bs))
+            scores.append(total // len(bs))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(n_big, type=pa.int64()),
+                "score_ppm": pa.array(scores, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=4096)

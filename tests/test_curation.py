@@ -608,3 +608,38 @@ def test_token_count_batch_parity():
         token_count_batch(texts),
         np.array([token_count(t) for t in texts], dtype=np.int64),
     )
+
+
+def test_ngram_lm_score_hand_corpus(ray_session, tmp_path):
+    """Hand-checkable bigram LM: corpus 'a b', 'a b', 'a c' ->
+    c1(a)=3, ppm(a,b)=666666, ppm(a,c)=333333; doc scores follow
+    exactly (integer floors both sides)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.curation import ngram_lm_score
+
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": ["a b", "a b", "a c"]}),
+        tmp_path / "documents.parquet",
+    )
+    got = (ngram_lm_score(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_bigrams"].tolist() == [1, 1, 1]
+    assert got["score_ppm"].tolist() == [666666, 666666, 333333]
+
+
+def test_ngram_lm_score_empty_and_single_token(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.curation import ngram_lm_score
+
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["", "solo"]}),
+        tmp_path / "documents.parquet",
+    )
+    got = (ngram_lm_score(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_bigrams"].tolist() == [0, 0]
+    assert got["score_ppm"].tolist() == [0, 0]

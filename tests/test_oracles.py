@@ -313,6 +313,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("pdf_layout_text", ["documents"]),
         ("html_table_extract", ["documents"]),
         ("html_link_graph", ["documents"]),
+        ("ngram_lm_score", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

@@ -134,3 +134,33 @@ def test_out_of_order_show_ops_sort_by_layout():
     assert got.split("\n")[0] == "A"
     assert got.split("\n")[1].startswith("a")
     assert got.split("\n")[1].endswith("B")
+
+
+def test_two_column_reading_order():
+    """A projection gutter supported by two baselines on each side
+    splits columns: left column read fully before the right (the
+    raster find_borders analogue)."""
+    content = (b"BT /F1 12 Tf "
+               b"1 0 0 1 72 700 Tm (L1a) Tj "
+               b"1 0 0 1 72 680 Tm (L2a) Tj "
+               b"1 0 0 1 300 700 Tm (R1b) Tj "
+               b"1 0 0 1 300 680 Tm (R2b) Tj "
+               b"ET")
+    got = extract_text_layout(_simple_font_pdf(content))
+    assert got == "L1a\nL2a\nR1b\nR2b"
+
+
+def test_wide_word_gap_is_not_a_column():
+    """The same horizontal gap WITHOUT two-baseline support on both
+    sides stays a word gap (one line) / stays merged (second line has
+    no right-side text)."""
+    content = (b"BT /F1 12 Tf "
+               b"1 0 0 1 72 700 Tm (left) Tj "
+               b"1 0 0 1 300 700 Tm (right) Tj "
+               b"1 0 0 1 72 680 Tm (only) Tj "
+               b"ET")
+    got = extract_text_layout(_simple_font_pdf(content))
+    lines = got.split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("left") and lines[0].endswith("right")
+    assert lines[1] == "only"
