@@ -1433,6 +1433,15 @@ def _html_link_graph_q(sf_dir: str):
     return html_link_graph(sf_dir)
 
 
+def _webtier(name: str):
+    def run(sf_dir: str):
+        from tensorflow_ocr_ray.pipelines import webtier
+
+        return getattr(webtier, name)(sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tensorflow_ocr_ray.functions.textstats import (
         doc_stats_batch,
@@ -1702,6 +1711,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # outlink extraction -> host-level link graph: absolute-vs-
         # relative href distinction, host folding, bounded-grid counts
         "html_link_graph": _html_link_graph_q,
+        # web-ingestion tier: the on-ramp between crawl blobs and the
+        # extraction flagship — framing parse, URL normalize, redirect
+        # pointer-doubling, head metadata, anchor index, robots gate,
+        # declared-vs-sniffed type audit
+        "url_canonicalize": _webtier("url_canonicalize"),
+        "redirect_resolution": _webtier("redirect_resolution"),
+        "html_meta_extract": _webtier("html_meta_extract"),
+        "anchor_text_index": _webtier("anchor_text_index"),
+        "robots_gate": _webtier("robots_gate"),
+        "warc_record_parse": _webtier("warc_record_parse"),
+        "content_type_audit": _webtier("content_type_audit"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6242,6 +6262,121 @@ def _oracle_sql_base() -> dict[str, str]:
                    || '.example' AS host,
                    count(*) AS inlinks
             FROM u GROUP BY host
+        """,
+        # the engine PARSES messy URL strings; the oracle re-derives the
+        # canonical form arithmetically from the synthesis identity
+        # (functions/urlnorm.raw_urls_for docstring)
+        "url_canonicalize": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS k
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                (CASE WHEN (doc_id+k)%2=0 THEN 'http' ELSE 'https' END)
+                || '://host' || CAST((3*doc_id+k)%40 AS VARCHAR)
+                || '.example.com'
+                || (CASE WHEN (doc_id+k)%5=0 THEN ':8080' ELSE '' END)
+                || '/a/q' || CAST((doc_id+k)%7 AS VARCHAR) || '/doc?a='
+                || CAST(doc_id%5 AS VARCHAR) || '&b='
+                || CAST(k AS VARCHAR) AS canon
+              FROM u
+            )
+            SELECT canon AS canonical_url, count(*) AS n_raw,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM c GROUP BY canon
+        """,
+        # sequential recursive walk; the engine takes the same capped
+        # stops via pointer doubling (4 exchange rounds, not 8)
+        "redirect_resolution": """
+            WITH RECURSIVE nn AS (
+              SELECT max(doc_id)+1 AS n FROM documents
+            ),
+            walk AS (
+              SELECT doc_id AS src, doc_id AS cur, 0 AS hops,
+                     CASE WHEN doc_id % 16 = 0 THEN 'resolved'
+                          ELSE '' END AS status
+              FROM documents
+              UNION ALL
+              SELECT w.src, (w.cur*13+7) % nn.n, w.hops + 1,
+                     CASE WHEN d.doc_id IS NULL THEN 'dangling'
+                          WHEN ((w.cur*13+7) % nn.n) % 16 = 0
+                            THEN 'resolved'
+                          WHEN w.hops + 1 >= 8 THEN 'unresolved'
+                          ELSE '' END
+              FROM walk w CROSS JOIN nn
+              LEFT JOIN documents d ON d.doc_id = (w.cur*13+7) % nn.n
+              WHERE w.status = ''
+            )
+            SELECT src AS doc_id, cur AS final_id, hops, status
+            FROM walk WHERE status <> ''
+        """,
+        "html_meta_extract": """
+            SELECT doc_id,
+              'T ' || CAST(doc_id AS VARCHAR) || ' ' || lang AS title,
+              'd&' || CAST(doc_id AS VARCHAR) || ' ' || source
+                AS description,
+              'https://host' || CAST(doc_id%40 AS VARCHAR)
+                || '.example.com/c/' || CAST(doc_id AS VARCHAR)
+                AS canonical,
+              CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS noindex
+            FROM documents
+        """,
+        "anchor_text_index": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, doc_id%4+1)) AS k
+              FROM documents
+            )
+            SELECT 'host' || CAST((doc_id*7+k)%50 AS VARCHAR)
+                   || '.example' AS host,
+                   'out ' || CAST(k AS VARCHAR) AS anchor,
+                   count(*) AS n
+            FROM u GROUP BY host, anchor
+        """,
+        # longest-match robots semantics: allow-override beats the
+        # disallow prefix on even hosts
+        "robots_gate": """
+            SELECT doc_id, doc_id%50 AS host_idx,
+              '/q' || CAST(doc_id%7 AS VARCHAR) || '/' ||
+              (CASE WHEN doc_id%3=0 THEN 'pub/' ELSE '' END) || 'x' ||
+              CAST(doc_id AS VARCHAR) AS path,
+              CASE WHEN (doc_id%7) <> ((doc_id%50)%7) THEN 1
+                   WHEN (doc_id%50)%2=0 AND doc_id%3=0 THEN 1
+                   ELSE 0 END AS allowed
+            FROM documents
+        """,
+        "warc_record_parse": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, doc_id%3+1)) AS r
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, r, 10 + (3*doc_id + r) % 23 AS n FROM u
+            ),
+            s AS (
+              SELECT doc_id, r, n, unnest(range(0, n)) AS j FROM p
+            )
+            SELECT s.doc_id, s.r AS rec_idx,
+              CASE WHEN (s.doc_id + s.r)%2=0 THEN 'response'
+                   ELSE 'request' END AS rec_type,
+              s.n AS content_length,
+              CAST(sum((s.doc_id + s.r + s.j) % 251) AS BIGINT)
+                AS payload_sum
+            FROM s GROUP BY s.doc_id, s.r, s.n
+        """,
+        "content_type_audit": """
+            WITH m AS (
+              SELECT doc_id,
+                ['text/html','application/pdf','image/png','image/tiff']
+                  [doc_id%4 + 1] AS declared,
+                ['text/html','application/pdf','image/png','image/tiff']
+                  [(doc_id + doc_id//4)%4 + 1] AS sniffed
+              FROM documents
+            )
+            SELECT declared, sniffed, count(*) AS n,
+              CASE WHEN declared <> sniffed THEN 1 ELSE 0 END
+                AS is_mismatch
+            FROM m GROUP BY declared, sniffed
         """,
         "html_table_extract": """
             WITH u AS (

@@ -233,3 +233,93 @@ def link_page_for(doc_id: int) -> str:
         for k in range(1 + doc_id % 4)
     )
     return _LINK_PAGE.format(doc_id=doc_id, links=links)
+
+
+# ---------------- head metadata (title / description / canonical) ----------
+
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.S | re.I)
+_META_RE = re.compile(r"<meta\b[^>]*?>", re.S | re.I)
+_LINK_RE = re.compile(r"<link\b[^>]*?>", re.S | re.I)
+_ATTR_RE = re.compile(
+    r"""([A-Za-z][A-Za-z0-9:_-]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))"""
+)
+
+
+def _attrs(tag: str) -> dict[str, str]:
+    return {
+        m.group(1).lower(): next(g for g in m.groups()[1:] if g is not None)
+        for m in _ATTR_RE.finditer(tag)
+    }
+
+
+def extract_meta(html: str) -> dict:
+    """Head metadata the indexing tier keys on: ``title`` (first
+    <title>, entity-unescaped, whitespace-collapsed), ``description``
+    (the <meta name="description"> content — NOT og:description or any
+    property= social-card decoy), ``canonical`` (the
+    <link rel="canonical"> href — NOT stylesheet/icon links) and
+    ``noindex`` (1 iff a <meta name="robots"> content lists noindex).
+    Missing fields come back as empty string / 0 — absence is data, not
+    an error, at corpus scale."""
+    out = {"title": "", "description": "", "canonical": "", "noindex": 0}
+    m = _TITLE_RE.search(html)
+    if m:
+        out["title"] = _html.unescape(_WS.sub(" ", m.group(1)).strip())
+    for tag in _META_RE.findall(html):
+        a = _attrs(tag)
+        name = a.get("name", "").lower()
+        if name == "description" and not out["description"]:
+            out["description"] = _html.unescape(
+                _WS.sub(" ", a.get("content", "")).strip())
+        elif name == "robots":
+            tokens = [t.strip().lower()
+                      for t in a.get("content", "").split(",")]
+            if "noindex" in tokens:
+                out["noindex"] = 1
+    for tag in _LINK_RE.findall(html):
+        a = _attrs(tag)
+        if a.get("rel", "").lower() == "canonical" and not out["canonical"]:
+            out["canonical"] = a.get("href", "").strip()
+    return out
+
+
+_META_PAGE = """<!DOCTYPE html><html><head>
+<title>T {doc_id} {lang}</title>
+<meta property="og:title" content="OG {doc_id}">
+<meta property="og:description" content="og decoy {doc_id}">
+<meta name="description" content="d&amp;{doc_id} {source}">
+{robots}<link rel="stylesheet" href="/x.css">
+<link rel="canonical" href="https://host{host}.example.com/c/{doc_id}">
+</head><body><p>body {doc_id}</p></body></html>"""
+
+
+def meta_page_for(doc_id: int, lang: str, source: str) -> str:
+    """Deterministic page head for ``doc_id``: real title / description
+    / canonical plus og:* and stylesheet decoys; a robots noindex
+    appears iff ``doc_id % 7 == 0``.  The description carries an
+    ``&amp;`` entity the extractor must unescape."""
+    robots = ('<meta name="robots" content="noindex, nofollow">\n'
+              if doc_id % 7 == 0 else "")
+    return _META_PAGE.format(doc_id=doc_id, lang=lang, source=source,
+                             robots=robots, host=doc_id % 40)
+
+
+def extract_outlinks_anchored(html: str) -> list[tuple[str, str]]:
+    """(host, anchor_text) per absolute http(s) outlink, in document
+    order — the anchor-text side of :func:`extract_outlinks` (anchor
+    text is the classic relevance signal a link index aggregates per
+    TARGET).  Anchor text is tag-stripped, entity-unescaped,
+    whitespace-collapsed."""
+    out = []
+    for m in _A_TEXT.finditer(html):
+        tag = m.group(0)
+        href_m = _HREF_RE.match(tag) or _HREF_RE.search(tag)
+        if not href_m:
+            continue
+        url_m = _ABS_URL.match(href_m.group(1))
+        if not url_m:
+            continue
+        text = _html.unescape(
+            _WS.sub(" ", _TAG.sub(" ", m.group(1))).strip())
+        out.append((url_m.group(2).lower(), text))
+    return out

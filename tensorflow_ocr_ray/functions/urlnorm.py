@@ -1,0 +1,106 @@
+"""URL canonicalization — the normalize step of every crawl frontier
+and link-graph builder (reference analogue: the host folding its
+``-h`` HTML tier performs before link accounting; here the FULL
+canonical form, not just the host).
+
+Rules applied, in order (the RFC 3986 §6 normalizations every crawler
+agrees on, plus the one policy rule — tracking-param removal — that a
+dedup tier needs):
+
+1. scheme and host lowercase;
+2. default port dropped (``:80`` for http, ``:443`` for https);
+   non-default ports kept;
+3. path dot-segments resolved (``/a/./b/../c`` → ``/a/c``, RFC 3986
+   §5.2.4);
+4. query parameters: ``utm_*`` tracking params dropped, the rest
+   sorted by name (stable for equal names);
+5. fragment dropped.
+
+Pure string functions — no network, no stdlib ``urllib`` dependency on
+parse quirks; the grammar subset handled is exactly the http(s) URL
+shape a crawler's extractor emits.
+"""
+
+from __future__ import annotations
+
+import re
+
+_URL_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+    r"(?P<host>[^/:?#]+)"
+    r"(?::(?P<port>\d+))?"
+    r"(?P<path>/[^?#]*)?"
+    r"(?:\?(?P<query>[^#]*))?"
+    r"(?:#.*)?$"
+)
+
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+
+
+def _resolve_dots(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    return "/".join(out) or "/"
+
+
+def canonicalize_url(raw: str) -> str | None:
+    """Canonical form of an http(s) URL, or None if ``raw`` is not an
+    absolute http(s) URL (relative links, mailto:, javascript: — the
+    same non-web shapes :func:`html_extract.extract_outlinks` skips)."""
+    m = _URL_RE.match(raw.strip())
+    if not m:
+        return None
+    scheme = m.group("scheme").lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = m.group("host").lower()
+    port = m.group("port")
+    port_part = ""
+    if port and port != _DEFAULT_PORT[scheme]:
+        port_part = f":{port}"
+    path = _resolve_dots(m.group("path") or "/")
+    query = m.group("query") or ""
+    params = [
+        p for p in query.split("&")
+        if p and not p.split("=", 1)[0].lower().startswith("utm_")
+    ]
+    params.sort(key=lambda p: p.split("=", 1)[0])
+    q_part = "?" + "&".join(params) if params else ""
+    return f"{scheme}://{host}{port_part}{path}{q_part}"
+
+
+def raw_urls_for(doc_id: int) -> list[str]:
+    """Deterministic messy-URL synthesis for ``doc_id`` (the fixture
+    convention: generation stands in for the crawl-log read a
+    deployment does).  ``1 + doc_id % 3`` URLs, each exercising every
+    canonicalization rule: upper-cased scheme and host, a default OR
+    non-default port, dot-segments, a ``utm_`` tracking param, unsorted
+    params, and a fragment.
+
+    Canonical form (the arithmetic identity the SQL oracle re-derives):
+    ``{http|https}://host{(3*doc_id+k)%40}.example.com[:8080]``
+    ``/a/q{(doc_id+k)%7}/doc?a={doc_id%5}&b={k}`` — scheme http iff
+    ``(doc_id+k)%2==0``, ``:8080`` kept iff ``(doc_id+k)%5==0``."""
+    urls = []
+    for k in range(1 + doc_id % 3):
+        s = doc_id + k
+        scheme = "HTTP" if s % 2 == 0 else "HTTPS"
+        host = f"Host{(3 * doc_id + k) % 40}.Example.COM"
+        if s % 5 == 0:
+            port = ":8080"
+        elif s % 3 == 0:
+            port = ":80" if s % 2 == 0 else ":443"
+        else:
+            port = ""
+        m = s % 7
+        path = f"/a/./q{m}/../q{m}/doc"
+        query = f"utm_source=feed&b={k}&a={doc_id % 5}"
+        urls.append(f"{scheme}://{host}{port}{path}?{query}#s{k}")
+    return urls

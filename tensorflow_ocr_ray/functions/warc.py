@@ -1,0 +1,78 @@
+"""WARC-style record stream parsing — the ingestion step of a web
+corpus: one blob holds MANY length-prefixed records (version line +
+header lines + ``Content-Length`` + blank line + payload + separator),
+and the reader must walk headers to find each payload boundary —
+offsets are not stored anywhere.
+
+The subset implemented is the framing layer (what a 100-TB reader
+actually needs to split records): version line, ``WARC-Type`` and
+``Content-Length`` headers (other headers skipped, order-insensitive),
+CRLF discipline, double-CRLF record separator.  Stateless per blob, so
+the parse is a plain task map over the payload column — the scale
+contract is one record stream per row, never one giant file.
+"""
+
+from __future__ import annotations
+
+_SEP = b"\r\n\r\n"
+
+
+def warc_stream_for(doc_id: int) -> bytes:
+    """Deterministic multi-record stream for ``doc_id`` (fixture
+    synthesis): ``1 + doc_id % 3`` records; record ``r`` has type
+    ``response`` iff ``(doc_id+r) % 2 == 0`` else ``request``, payload
+    length ``10 + (3*doc_id + r) % 23`` and payload bytes
+    ``(doc_id + r + j) % 251`` — every quantity arithmetic so a SQL
+    oracle re-derives the parse without parsing."""
+    out = bytearray()
+    for r in range(1 + doc_id % 3):
+        rec_type = "response" if (doc_id + r) % 2 == 0 else "request"
+        n = 10 + (3 * doc_id + r) % 23
+        payload = bytes((doc_id + r + j) % 251 for j in range(n))
+        out += (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {rec_type}\r\n"
+            f"WARC-Record-ID: <urn:test:{doc_id}-{r}>\r\n"
+            f"Content-Length: {n}\r\n"
+            f"\r\n"
+        ).encode()
+        out += payload
+        out += _SEP
+    return bytes(out)
+
+
+def parse_warc_stream(blob: bytes) -> list[tuple[str, int, int]]:
+    """Walk the record stream; per record return ``(rec_type,
+    content_length, payload_byte_sum)``.  Raises ValueError on a
+    malformed stream (bad version line, missing Content-Length,
+    truncated payload) — a corrupt blob must fail loudly, not emit
+    partial records."""
+    out: list[tuple[str, int, int]] = []
+    pos = 0
+    n_total = len(blob)
+    while pos < n_total:
+        head_end = blob.find(_SEP, pos)
+        if head_end < 0:
+            raise ValueError("unterminated record header")
+        head = blob[pos:head_end].decode("ascii")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad version line {lines[0]!r}")
+        rec_type, length = None, None
+        for ln in lines[1:]:
+            name, _, value = ln.partition(":")
+            name = name.strip().lower()
+            if name == "warc-type":
+                rec_type = value.strip()
+            elif name == "content-length":
+                length = int(value.strip())
+        if rec_type is None or length is None:
+            raise ValueError("missing WARC-Type / Content-Length")
+        body_start = head_end + len(_SEP)
+        body_end = body_start + length
+        if blob[body_end:body_end + len(_SEP)] != _SEP:
+            raise ValueError("truncated or unterminated payload")
+        payload = blob[body_start:body_end]
+        out.append((rec_type, length, int(sum(payload))))
+        pos = body_end + len(_SEP)
+    return out

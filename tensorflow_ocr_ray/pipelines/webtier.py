@@ -1,0 +1,500 @@
+"""Web-ingestion tier operators — the steps BETWEEN the crawl and the
+extraction flagship: record-stream parsing, URL canonicalization,
+redirect resolution, head-metadata and anchor-text extraction, robots
+gating, content-type auditing.
+
+Reference analogue: the reference's pipeline starts at "a directory of
+TIFFs" (``main/ocr.c`` argv loop); a 100-TB corpus starts at crawl
+blobs, and these operators are the missing on-ramp, built with the
+same fixture discipline as the ``media_*`` family — payload synthesis
+is deterministic arithmetic on ``doc_id``, so every parse is
+hash-checked against a DuckDB oracle that re-derives the answer
+WITHOUT parsing.
+
+Scale shapes used here (all established in-repo):
+- stateless parses = plain task ``map_batches`` (no shuffle);
+- unbounded-key aggregation (canonical URLs) = map-side partials +
+  ONE key-hash exchange (``stages/exchange``);
+- bounded grids (content-type pairs, host anchors) = map-side Counter
+  partials, driver merge (the benford convention);
+- iterative pointer chasing (redirects) = POINTER DOUBLING: O(log H)
+  rounds of a union-tag hash-exchange join, never a driver-side walk.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from tensorflow_ocr_ray.stages.exchange import (
+    adaptive_shards,
+    hash_exchange,
+    meta_rows,
+)
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- URLs ----
+
+
+def url_canonicalize(sf_dir: str, n_shards: int | None = None) -> "rd.Dataset":
+    """Canonical-URL dedup counts — the crawl-frontier normalize step:
+    each document contributes ``1 + doc_id % 3`` deterministically
+    messy URLs (``functions/urlnorm.raw_urls_for``: upper-case scheme /
+    host, default and non-default ports, dot-segments, ``utm_``
+    tracking params, unsorted query, fragment); the operator PARSES and
+    canonicalizes each string (``canonicalize_url`` — the engine never
+    sees the arithmetic identity) and returns per canonical URL the raw
+    occurrence count and the distinct-document count.
+
+    Plan: per-batch (canon, doc_id)->n pre-reduce (raw multiplicity
+    collapses map-side), ONE canon-hash exchange makes both counts
+    exact — n_raw sums, n_docs counts distinct doc_ids co-located by
+    the shard key.  Canonical-URL keyspace is unbounded at web scale,
+    so a driver merge is wrong here; the exchange is the plan."""
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.functions.urlnorm import (
+        canonicalize_url,
+        raw_urls_for,
+    )
+
+    if n_shards is None:
+        n_shards = adaptive_shards(meta_rows(sf_dir, "documents") * 2)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for did in batch.column("doc_id").to_pylist():
+            for raw in raw_urls_for(int(did)):
+                canon = canonicalize_url(raw)
+                if canon is not None:
+                    c[(canon, int(did))] += 1
+        if not c:
+            return pd.DataFrame(
+                {"canonical_url": pd.Series([], dtype="string"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "shard": pd.Series([], dtype="int64")})
+        urls = [k[0] for k in c]
+        out = pd.DataFrame(
+            {"canonical_url": urls,
+             "doc_id": np.fromiter((k[1] for k in c), np.int64, len(c)),
+             "n": np.fromiter(c.values(), np.int64, len(c))})
+        out["shard"] = (
+            _md5_prefix_batch(urls, 8).astype(np.uint64) % n_shards
+        ).astype(np.int64)
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"canonical_url": pd.Series([], dtype="string"),
+                 "n_raw": pd.Series([], dtype="int64"),
+                 "n_docs": pd.Series([], dtype="int64")})
+        g = df.groupby("canonical_url").agg(
+            n_raw=("n", "sum"), n_docs=("doc_id", "nunique"))
+        return g.reset_index().astype({"n_raw": "int64", "n_docs": "int64"})
+
+    rows = _docs(sf_dir, ["doc_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096)
+    return hash_exchange(rows, "shard", n_shards, combine)
+
+
+# ----------------------------------------------------------- redirects ----
+
+REDIRECT_HOP_CAP = 8
+
+
+def redirect_resolution(
+    sf_dir: str, n_shards: int | None = None
+) -> "rd.Dataset":
+    """Redirect-chain resolution by POINTER DOUBLING — the crawl-graph
+    op a driver-side walk cannot do at scale: node ``u`` (a doc_id)
+    redirects to ``(13*u + 7) % N`` (N = max id + 1) unless
+    ``u % 16 == 0`` (a terminal page); chains are followed to at most
+    ``REDIRECT_HOP_CAP`` hops.  Per node the result is its ``status``
+    — ``resolved`` (terminal reached), ``dangling`` (stepped onto an id
+    not in the corpus; synthetic ids make holes wherever doc_ids are
+    not the full range) or ``unresolved`` (cap exhausted) — plus
+    ``final_id`` (the terminal / missing / last-seen id) and the exact
+    ``hops`` taken.
+
+    Instead of H sequential rounds, the state table f_t (every node ->
+    its position after min(2^t, stop) hops) composes with ITSELF:
+    f_{t+1}[u] = f_t[f_t[u].cur], hops adding — so the 8-hop cap costs
+    1 + log2(8) = 4 exchange-join rounds, each a union-tag hash
+    exchange (lookup side keyed by src, walker side keyed by cur; a
+    shard joins them locally).  The driver never holds node-sized
+    state; every round is one exchange over skinny int rows.
+
+    Oracle: a DuckDB recursive CTE walks the same capped chain
+    sequentially — hash equality proves the doubled composition takes
+    exactly the same stops."""
+    ids = _docs(sf_dir, ["doc_id"])
+    max_id = ids.max("doc_id")
+    if max_id is None:
+        # typed-empty convention: a bare Arrow table (an empty table
+        # loses its schema through Ray's to_pandas round-trip)
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "final_id": pa.array([], type=pa.int64()),
+             "hops": pa.array([], type=pa.int64()),
+             "status": pa.array([], type=pa.string())})
+    n_nodes = int(max_id) + 1
+    if n_shards is None:
+        n_shards = adaptive_shards(meta_rows(sf_dir, "documents") * 2)
+
+    # roles in the union-tag exchange: 0 = lookup rows, 1 = walkers
+    def _one_step(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "int64", "cur": "int64", "hops": "int64",
+                "done": "int64", "status": "string"}
+        nodes = df.loc[df["role"] == 0, "key"].to_numpy(np.int64)
+        w = df[df["role"] == 1]
+        if not len(w):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        cur = w["key"].to_numpy(np.int64)  # walkers were keyed by target
+        exists = np.isin(cur, nodes)
+        terminal = cur % 16 == 0
+        done = (~exists) | terminal
+        status = np.where(
+            ~exists, "dangling", np.where(terminal, "resolved", ""))
+        return pd.DataFrame(
+            {"src": w["src"].to_numpy(np.int64), "cur": cur,
+             "hops": np.ones(len(w), np.int64),
+             "done": done.astype(np.int64),
+             "status": pd.array(status, dtype="string")})
+
+    def _compose(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "int64", "cur": "int64", "hops": "int64",
+                "done": "int64", "status": "string"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        lk = df.loc[df["role"] == 0,
+                    ["f_src", "f_cur", "f_hops", "f_done", "f_status"]]
+        w = df.loc[df["role"] == 1, ["key", "src", "hops"]]
+        if not len(w):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        m = w.merge(lk, left_on="key", right_on="f_src", how="left")
+        return pd.DataFrame(
+            {"src": m["src"].to_numpy(np.int64),
+             "cur": m["f_cur"].to_numpy(np.int64),
+             "hops": (m["hops"].to_numpy(np.int64)
+                      + m["f_hops"].to_numpy(np.int64)),
+             "done": m["f_done"].to_numpy(np.int64),
+             "status": m["f_status"].astype("string")})
+
+    def _skey(col: np.ndarray) -> np.ndarray:
+        return col % n_shards
+
+    # round 0: every non-terminal walker advances one hop; terminals
+    # are already-done state rows
+    def seed(batch: pa.Table) -> pd.DataFrame:
+        u = batch.column("doc_id").to_numpy()
+        term = u % 16 == 0
+        nodes = pd.DataFrame(
+            {"role": 0, "key": u, "src": -1, "hops": 0,
+             "shard": _skey(u)})
+        walk_src = u[~term]
+        tgt = (13 * walk_src + 7) % n_nodes
+        walkers = pd.DataFrame(
+            {"role": 1, "key": tgt, "src": walk_src, "hops": 0,
+             "shard": _skey(tgt)})
+        return pd.concat([nodes, walkers], ignore_index=True).astype(
+            {"role": "int64", "key": "int64", "src": "int64",
+             "hops": "int64", "shard": "int64"})
+
+    stepped = hash_exchange(
+        ids.map_batches(seed, batch_format="pyarrow", batch_size=8192),
+        "shard", n_shards, _one_step)
+
+    def term_rows(batch: pa.Table) -> pd.DataFrame:
+        u = batch.column("doc_id").to_numpy()
+        u = u[u % 16 == 0]
+        return pd.DataFrame(
+            {"src": u, "cur": u, "hops": np.zeros(len(u), np.int64),
+             "done": np.ones(len(u), np.int64),
+             "status": pd.array(["resolved"] * len(u), dtype="string")}
+        ).astype({"src": "int64", "cur": "int64"})
+
+    f = stepped.union(
+        ids.map_batches(term_rows, batch_format="pyarrow",
+                        batch_size=8192))
+
+    n_rounds = int(np.log2(REDIRECT_HOP_CAP))  # doubling: 1 -> 2 -> 4 -> 8
+    for _ in range(n_rounds):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64")
+                     for c in ("role", "key", "src", "cur", "hops",
+                               "f_src", "f_cur", "f_hops", "f_done",
+                               "shard")}
+                ).assign(f_status=pd.Series([], dtype="string"))
+            lookup = pd.DataFrame(
+                {"role": 0, "key": df["src"], "src": -1, "cur": -1,
+                 "hops": 0, "f_src": df["src"], "f_cur": df["cur"],
+                 "f_hops": df["hops"], "f_done": df["done"],
+                 "f_status": df["status"].astype("string")})
+            act = df[df["done"] == 0]
+            walkers = pd.DataFrame(
+                {"role": 1, "key": act["cur"], "src": act["src"],
+                 "cur": act["cur"], "hops": act["hops"],
+                 "f_src": -1, "f_cur": -1, "f_hops": 0, "f_done": 0,
+                 "f_status": pd.array([""] * len(act), dtype="string")})
+            out = pd.concat([lookup, walkers], ignore_index=True)
+            out["shard"] = out["key"].to_numpy(np.int64) % n_shards
+            for c in ("role", "key", "src", "cur", "hops", "f_src",
+                      "f_cur", "f_hops", "f_done", "shard"):
+                out[c] = out[c].astype("int64")
+            return out
+
+        composed = hash_exchange(
+            f.map_batches(tag, batch_format="pandas", batch_size=8192),
+            "shard", n_shards, _compose)
+        done_rows = f.map_batches(
+            lambda df: df[df["done"] == 1],
+            batch_format="pandas", batch_size=8192)
+        f = done_rows.union(composed)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "final_id": pd.Series([], dtype="int64"),
+                 "hops": pd.Series([], dtype="int64"),
+                 "status": pd.Series([], dtype="string")})
+        status = df["status"].astype("string").fillna("")
+        out = pd.DataFrame(
+            {"doc_id": df["src"].to_numpy(np.int64),
+             "final_id": df["cur"].to_numpy(np.int64),
+             "hops": df["hops"].to_numpy(np.int64),
+             "status": np.where(df["done"].to_numpy(np.int64) == 1,
+                                status, "unresolved")})
+        return out.astype({"status": "string"})
+
+    return f.map_batches(finish, batch_format="pandas", batch_size=8192)
+
+
+# ------------------------------------------------------- head metadata ----
+
+
+def html_meta_extract(sf_dir: str) -> "rd.Dataset":
+    """Head-metadata extraction: per document a deterministic page head
+    (``functions/html_extract.meta_page_for`` — og:*/stylesheet decoys,
+    an ``&amp;`` entity, a robots noindex every 7th doc) is parsed for
+    the four fields an indexing tier keys on: title, meta description,
+    canonical link, noindex flag.  Stateless task map, no shuffle."""
+    docs = _docs(sf_dir, ["doc_id", "lang", "source"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        from tensorflow_ocr_ray.functions.html_extract import (
+            extract_meta,
+            meta_page_for,
+        )
+
+        ids = batch.column("doc_id").to_pylist()
+        metas = [
+            extract_meta(meta_page_for(int(d), la, s))
+            for d, la, s in zip(ids, batch.column("lang").to_pylist(),
+                                batch.column("source").to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "title": pa.array([m["title"] for m in metas]),
+             "description": pa.array([m["description"] for m in metas]),
+             "canonical": pa.array([m["canonical"] for m in metas]),
+             "noindex": pa.array([m["noindex"] for m in metas],
+                                 type=pa.int64())})
+
+    return docs.map_batches(parse, batch_format="pyarrow", batch_size=2048)
+
+
+def anchor_text_index(sf_dir: str) -> pd.DataFrame:
+    """Anchor-text index: per (target host, anchor text) the link count
+    across the corpus — the relevance signal a link index aggregates
+    per TARGET page (anchor text describes the target, not the source).
+    Pages are the ``html_link_graph`` fixtures; the anchored extractor
+    must pair each absolute href with its tag-stripped, unescaped
+    anchor text and skip the relative/mailto/js decoys.
+
+    Map-side Counter partials over a bounded (host x anchor) grid,
+    driver merge — the benford convention; at web scale the same
+    partials route a host-hash exchange instead."""
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from tensorflow_ocr_ray.functions.html_extract import (
+            extract_outlinks_anchored,
+            link_page_for,
+        )
+
+        c: Counter = Counter()
+        for did in batch.column("doc_id").to_pylist():
+            c.update(extract_outlinks_anchored(link_page_for(int(did))))
+        return pa.table(
+            {"host": pa.array([k[0] for k in c], type=pa.string()),
+             "anchor": pa.array([k[1] for k in c], type=pa.string()),
+             "n": pa.array(list(c.values()), type=pa.int64())})
+
+    grid = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+        .groupby(["host", "anchor"], as_index=False)["n"].sum()
+    )
+    return grid.astype({"n": "int64"})
+
+
+# ----------------------------------------------------------- robots -------
+
+
+def robots_gate(sf_dir: str) -> "rd.Dataset":
+    """robots.txt gating: each document is a fetch of path
+    ``/q{doc_id%7}/[pub/]x{doc_id}`` on host ``doc_id%50``; host ``h``
+    disallows prefix ``/q{h%7}/`` but (even hosts only) allow-overrides
+    the longer prefix ``/q{h%7}/pub/`` — LONGEST MATCH WINS, the actual
+    robots rule.  The gate string-matches real prefixes per row; the
+    oracle re-derives the verdicts arithmetically.
+
+    The rule table is host-bounded (a catalog), so it broadcasts via
+    ``ray.put`` and each batch groups by host and prefix-matches
+    vectorized per rule — at web scale the rules table rides a
+    host-hash join instead; the per-row match is unchanged."""
+    rules = {
+        h: (f"/q{h % 7}/", f"/q{h % 7}/pub/" if h % 2 == 0 else None)
+        for h in range(50)
+    }
+    rules_ref = ray.put(rules)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        r = ray.get(rules_ref)
+        d = batch.column("doc_id").to_numpy()
+        host = d % 50
+        paths = pd.Series(
+            [f"/q{did % 7}/{'pub/' if did % 3 == 0 else ''}x{did}"
+             for did in d])
+        allowed = np.ones(len(d), dtype=np.int64)
+        for h in np.unique(host):
+            mask = host == h
+            dis, allow = r[int(h)]
+            hit = paths[mask].str.startswith(dis).to_numpy()
+            ok = ~hit
+            if allow is not None:
+                ok |= paths[mask].str.startswith(allow).to_numpy()
+            allowed[mask] = ok.astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(d, type=pa.int64()),
+             "host_idx": pa.array(host, type=pa.int64()),
+             "path": pa.array(paths.tolist(), type=pa.string()),
+             "allowed": pa.array(allowed, type=pa.int64())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        gate, batch_format="pyarrow", batch_size=8192)
+
+
+# ------------------------------------------------------------- WARC -------
+
+
+def warc_record_parse(sf_dir: str) -> "rd.Dataset":
+    """WARC-style record-stream ingestion: each document's blob holds
+    ``1 + doc_id % 3`` length-prefixed records
+    (``functions/warc.warc_stream_for``); the reader walks version
+    line / headers / Content-Length / CRLF framing to find every
+    payload boundary and emits (type, length, payload byte sum) per
+    record.  Stateless task map — one record stream per row is the
+    scale contract (a 100-TB corpus is many blobs, not one file)."""
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        from tensorflow_ocr_ray.functions.warc import (
+            parse_warc_stream,
+            warc_stream_for,
+        )
+
+        ids, idxs, types, lens, sums = [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            for i, (t, ln, s) in enumerate(
+                    parse_warc_stream(warc_stream_for(int(did)))):
+                ids.append(did)
+                idxs.append(i)
+                types.append(t)
+                lens.append(ln)
+                sums.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "rec_idx": pa.array(idxs, type=pa.int64()),
+             "rec_type": pa.array(types, type=pa.string()),
+             "content_length": pa.array(lens, type=pa.int64()),
+             "payload_sum": pa.array(sums, type=pa.int64())})
+
+    return docs.map_batches(parse, batch_format="pyarrow", batch_size=2048)
+
+
+# ----------------------------------------------------- content types ------
+
+_CT_NAMES = ["text/html", "application/pdf", "image/png", "image/tiff"]
+_CT_MAGICS = [
+    b"<!DOCTYPE html><html>",
+    b"%PDF-1.4\n",
+    b"\x89PNG\r\n\x1a\n",
+    b"II*\x00\x08\x00\x00\x00",
+]
+
+
+def sniff_content_type(head: bytes) -> str:
+    """Magic-byte sniff over the blob head — the detector side of the
+    declared-vs-actual audit (PNG/TIFF magics match
+    ``core/png.py`` / ``core/raster.py``'s container checks)."""
+    if head.startswith(b"%PDF-"):
+        return "application/pdf"
+    if head.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "image/png"
+    if head.startswith(b"II*\x00") or head.startswith(b"MM\x00*"):
+        return "image/tiff"
+    low = head[:64].lstrip().lower()
+    if low.startswith(b"<!doctype html") or low.startswith(b"<html"):
+        return "text/html"
+    return "unknown"
+
+
+def content_type_audit(sf_dir: str) -> pd.DataFrame:
+    """Declared-vs-sniffed content-type audit — the ingest screen that
+    catches mislabeled crawl records before a parser chokes on them:
+    each document DECLARES type ``doc_id % 4`` but its payload head
+    carries the magic of type ``(doc_id + doc_id // 4) % 4`` (the
+    fixture plants real disagreements); the audit sniffs the head and
+    reports the (declared, sniffed) grid with mismatch flags.
+
+    Bounded 4x4 grid: map-side Counter partials, driver merge."""
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            declared = _CT_NAMES[d % 4]
+            sniffed = sniff_content_type(_CT_MAGICS[(d + d // 4) % 4])
+            c[(declared, sniffed)] += 1
+        return pa.table(
+            {"declared": pa.array([k[0] for k in c], type=pa.string()),
+             "sniffed": pa.array([k[1] for k in c], type=pa.string()),
+             "n": pa.array(list(c.values()), type=pa.int64())})
+
+    grid = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+        .groupby(["declared", "sniffed"], as_index=False)["n"].sum()
+    )
+    grid["is_mismatch"] = (
+        grid["declared"] != grid["sniffed"]).astype("int64")
+    return grid.astype({"n": "int64"})

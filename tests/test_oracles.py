@@ -314,6 +314,13 @@ def test_ann_topk_multi_oracle(ray_session):
         ("html_table_extract", ["documents"]),
         ("html_link_graph", ["documents"]),
         ("ngram_lm_score", ["documents"]),
+        ("url_canonicalize", ["documents"]),
+        ("redirect_resolution", ["documents"]),
+        ("html_meta_extract", ["documents"]),
+        ("anchor_text_index", ["documents"]),
+        ("robots_gate", ["documents"]),
+        ("warc_record_parse", ["documents"]),
+        ("content_type_audit", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):

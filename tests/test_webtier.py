@@ -1,0 +1,207 @@
+"""Web-ingestion tier: URL canonicalization, WARC framing, head
+metadata, robots gating, redirect pointer-doubling."""
+
+import numpy as np
+import pytest
+
+from tensorflow_ocr_ray.functions.urlnorm import (
+    canonicalize_url,
+    raw_urls_for,
+)
+from tensorflow_ocr_ray.functions.warc import (
+    parse_warc_stream,
+    warc_stream_for,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- urlnorm ----
+
+
+def test_canonicalize_case_and_default_ports():
+    assert (canonicalize_url("HTTP://WWW.Example.COM:80/A/b")
+            == "http://www.example.com/A/b")
+    assert (canonicalize_url("https://Host.example:443/x")
+            == "https://host.example/x")
+    # non-default port kept; http's default is NOT https's
+    assert (canonicalize_url("http://h.example:8080/x")
+            == "http://h.example:8080/x")
+    assert (canonicalize_url("http://h.example:443/x")
+            == "http://h.example:443/x")
+
+
+def test_canonicalize_dot_segments_params_fragment():
+    assert (canonicalize_url("http://h.ex/a/./b/../c/doc")
+            == "http://h.ex/a/c/doc")
+    assert (canonicalize_url(
+        "http://h.ex/p?utm_source=x&z=1&a=2&utm_campaign=y#frag")
+        == "http://h.ex/p?a=2&z=1")
+    # all params tracking -> no query part at all
+    assert (canonicalize_url("http://h.ex/p?utm_a=1&UTM_b=2")
+            == "http://h.ex/p")
+    # bare host -> root path
+    assert canonicalize_url("http://h.ex") == "http://h.ex/"
+
+
+def test_canonicalize_rejects_non_web():
+    for raw in ("mailto:x@example.org", "javascript:void(0)",
+                "/relative/path", "#frag", "ftp://h.ex/x", ""):
+        assert canonicalize_url(raw) is None
+
+
+def test_raw_urls_canonical_identity():
+    """The synthesis docstring's arithmetic identity holds through the
+    real parser for every doc shape."""
+    for d in range(40):
+        for k, raw in enumerate(raw_urls_for(d)):
+            s = d + k
+            scheme = "http" if s % 2 == 0 else "https"
+            port = ":8080" if s % 5 == 0 else ""
+            want = (f"{scheme}://host{(3 * d + k) % 40}.example.com"
+                    f"{port}/a/q{s % 7}/doc?a={d % 5}&b={k}")
+            assert canonicalize_url(raw) == want, (d, k, raw)
+
+
+# ---------------------------------------------------------------- warc ----
+
+
+def test_warc_roundtrip_counts_and_sums():
+    for d in (0, 1, 5, 17, 100):
+        recs = parse_warc_stream(warc_stream_for(d))
+        assert len(recs) == 1 + d % 3
+        for r, (typ, n, ssum) in enumerate(recs):
+            assert typ == ("response" if (d + r) % 2 == 0 else "request")
+            assert n == 10 + (3 * d + r) % 23
+            assert ssum == sum((d + r + j) % 251 for j in range(n))
+
+
+def test_warc_malformed_streams_raise():
+    good = warc_stream_for(3)
+    with pytest.raises(ValueError):
+        parse_warc_stream(good[:-2])        # separator truncated
+    with pytest.raises(ValueError):
+        parse_warc_stream(b"HTTP/1.1 200\r\n\r\nbody\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_warc_stream(
+            b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")  # no length
+    assert parse_warc_stream(b"") == []
+
+
+# ----------------------------------------------------------- head meta ----
+
+
+def test_extract_meta_ignores_decoys():
+    from tensorflow_ocr_ray.functions.html_extract import extract_meta
+
+    html = """<head><title> A &amp; B </title>
+    <meta property="og:title" content="OG decoy">
+    <meta property="og:description" content="og d decoy">
+    <meta name="description" content="real &amp; desc">
+    <meta name="robots" content="INDEX, NOFOLLOW">
+    <link rel="stylesheet" href="/x.css">
+    <link rel="canonical" href="https://h.ex/c">
+    </head>"""
+    m = extract_meta(html)
+    assert m == {"title": "A & B", "description": "real & desc",
+                 "canonical": "https://h.ex/c", "noindex": 0}
+    assert extract_meta("<body>no head</body>") == {
+        "title": "", "description": "", "canonical": "", "noindex": 0}
+    assert extract_meta(
+        '<meta name="robots" content="noindex">')["noindex"] == 1
+
+
+# ----------------------------------------------- redirect resolution ------
+
+
+def _walk_reference(ids: list[int], cap: int = 8):
+    """Sequential single-process reference walk (what the SQL oracle
+    does), for invariance tests against the doubled plan."""
+    idset = set(ids)
+    n = max(ids) + 1
+    out = {}
+    for u in ids:
+        cur, hops = u, 0
+        if u % 16 == 0:
+            out[u] = (u, 0, "resolved")
+            continue
+        status = ""
+        while hops < cap:
+            cur = (13 * cur + 7) % n
+            hops += 1
+            if cur not in idset:
+                status = "dangling"
+                break
+            if cur % 16 == 0:
+                status = "resolved"
+                break
+        out[u] = (cur, hops, status or "unresolved")
+    return out
+
+
+def test_redirect_doubling_equals_sequential_walk(ray_session, tmp_path):
+    """Pointer doubling over a SPARSE id set (holes -> dangling) with
+    shard-count invariance: the composed 4-round plan takes exactly the
+    sequential walk's stops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.webtier import redirect_resolution
+
+    ids = [i for i in range(97) if i % 11 != 3]  # punch holes
+    pq.write_table(pa.table({"doc_id": ids}), tmp_path / "documents.parquet")
+    want = _walk_reference(ids)
+    for shards in (2, 16):
+        got = (redirect_resolution(str(tmp_path), n_shards=shards)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert len(got) == len(ids)
+        for _, row in got.iterrows():
+            w = want[int(row["doc_id"])]
+            assert (int(row["final_id"]), int(row["hops"]),
+                    str(row["status"])) == w, (shards, row.to_dict())
+    # all three statuses must actually occur on this fixture
+    sts = set(got["status"].astype(str))
+    assert sts == {"resolved", "dangling", "unresolved"}
+
+
+def test_redirect_empty_corpus(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.webtier import redirect_resolution
+
+    pq.write_table(pa.table({"doc_id": pa.array([], type=pa.int64())}),
+                   tmp_path / "documents.parquet")
+    got = redirect_resolution(str(tmp_path)).to_pandas()
+    assert len(got) == 0
+    assert sorted(got.columns) == ["doc_id", "final_id", "hops", "status"]
+
+
+# ------------------------------------------------------ url pipeline ------
+
+
+def test_url_canonicalize_shard_invariance(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import url_canonicalize
+
+    a = (url_canonicalize(SF, n_shards=3).to_pandas()
+         .sort_values("canonical_url").reset_index(drop=True))
+    b = (url_canonicalize(SF, n_shards=32).to_pandas()
+         .sort_values("canonical_url").reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        assert (a[c].astype(str) == b[c].astype(str)).all(), c
+
+
+# ----------------------------------------------------- content sniff ------
+
+
+def test_sniff_content_type():
+    from tensorflow_ocr_ray.pipelines.webtier import sniff_content_type
+
+    assert sniff_content_type(b"%PDF-1.7\n...") == "application/pdf"
+    assert sniff_content_type(b"\x89PNG\r\n\x1a\nrest") == "image/png"
+    assert sniff_content_type(b"II*\x00\x08\x00\x00\x00") == "image/tiff"
+    assert sniff_content_type(b"MM\x00*\x00\x00") == "image/tiff"
+    assert sniff_content_type(b"  <!DOCTYPE HTML><html>") == "text/html"
+    assert sniff_content_type(b"<html><body>") == "text/html"
+    assert sniff_content_type(b"\x00\x01\x02") == "unknown"
