@@ -1722,6 +1722,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_gate": _webtier("robots_gate"),
         "warc_record_parse": _webtier("warc_record_parse"),
         "content_type_audit": _webtier("content_type_audit"),
+        # cross-document boilerplate: a line is boilerplate iff it
+        # appears in >= 60% of its host's docs — discovered from
+        # frequency via two skinny exchanges (CCNet-style line dedup)
+        "host_boilerplate_strip": _webtier("host_boilerplate_strip"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6377,6 +6381,50 @@ def _oracle_sql_base() -> dict[str, str]:
               CASE WHEN declared <> sniffed THEN 1 ELSE 0 END
                 AS is_mismatch
             FROM m GROUP BY declared, sniffed
+        """,
+        # the oracle re-derives the page lines from the synthesis
+        # identity and applies the SAME frequency rule — it does not
+        # know which lines the fixture planted as chrome
+        "host_boilerplate_strip": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 50 AS h, text FROM documents
+            ),
+            navl AS (
+              SELECT doc_id, h, j AS idx,
+                     'nav ' || CAST(h AS VARCHAR) || ' item '
+                       || CAST(j AS VARCHAR) AS line
+              FROM (SELECT doc_id, h,
+                           unnest(range(0, h % 3 + 2)) AS j FROM d)
+            ),
+            body AS (
+              SELECT doc_id, h, 1000 AS idx, text AS line FROM d
+            ),
+            foot AS (
+              SELECT doc_id, h, 1001 AS idx,
+                     'footer ' || CAST(h AS VARCHAR) AS line FROM d
+            ),
+            al AS (
+              SELECT * FROM navl UNION ALL SELECT * FROM body
+              UNION ALL SELECT * FROM foot
+            ),
+            hd AS (SELECT h, count(*) AS nd FROM d GROUP BY h),
+            lc AS (
+              SELECT h, line, count(DISTINCT doc_id) AS c
+              FROM al GROUP BY h, line
+            ),
+            m AS (
+              SELECT al.doc_id, al.h, al.idx, al.line,
+                     CASE WHEN lc.c >= 2 AND 10 * lc.c >= 6 * hd.nd
+                          THEN 1 ELSE 0 END AS boiler
+              FROM al JOIN lc USING (h, line) JOIN hd USING (h)
+            )
+            SELECT doc_id, h AS host_idx,
+                   count(*) AS n_lines,
+                   CAST(sum(boiler) AS BIGINT) AS n_boiler,
+                   coalesce(string_agg(
+                     CASE WHEN boiler = 0 THEN line END,
+                     chr(10) ORDER BY idx), '') AS kept_text
+            FROM m GROUP BY doc_id, h
         """,
         "html_table_extract": """
             WITH u AS (

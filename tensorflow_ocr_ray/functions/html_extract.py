@@ -323,3 +323,22 @@ def extract_outlinks_anchored(html: str) -> list[tuple[str, str]]:
             _WS.sub(" ", _TAG.sub(" ", m.group(1))).strip())
         out.append((url_m.group(2).lower(), text))
     return out
+
+
+# ---------------- per-host boilerplate lines (CCNet-style fixture) ---------
+
+N_BOILER_HOSTS = 50
+
+
+def boiler_page_lines(doc_id: int, text: str) -> list[str]:
+    """Extracted-text page for the per-host boilerplate-line fixture:
+    every document on host ``doc_id % 50`` shares the same nav lines
+    (``h % 3 + 2`` of them) and footer line; the document's own text is
+    the single content line between them.  The strip operator must
+    discover the shared lines FROM FREQUENCY (they appear in >= 60% of
+    the host's docs), not from this synthesis."""
+    h = doc_id % N_BOILER_HOSTS
+    lines = ["nav %d item %d" % (h, j) for j in range(h % 3 + 2)]
+    lines.append(text)
+    lines.append("footer %d" % h)
+    return lines

@@ -498,3 +498,136 @@ def content_type_audit(sf_dir: str) -> pd.DataFrame:
     grid["is_mismatch"] = (
         grid["declared"] != grid["sniffed"]).astype("int64")
     return grid.astype({"n": "int64"})
+
+
+# --------------------------------------------- per-host boilerplate -------
+
+
+def host_boilerplate_strip(
+    sf_dir: str, n_shards: int | None = None
+) -> "rd.Dataset":
+    """Cross-document boilerplate-LINE removal (the CCNet / RefinedWeb
+    step the single-page DOM strip cannot do): a line is boilerplate
+    iff it appears in >= 60% of its HOST's documents (and at least 2),
+    discovered from frequency alone — nav/footer chrome shared across a
+    site dies, each document's unique content survives.  Emits per doc
+    ``(doc_id, host_idx, n_lines, n_boiler, kept_text)`` with kept
+    lines rejoined in page order.
+
+    Plan (two skinny exchanges, no driver-side lines):
+    1. explode docs -> (doc, host, idx, line) rows, shard by
+       md5(host, line);
+    2. exchange A co-locates every copy of a (host, line) key: the
+       shard counts distinct docs per key EXACTLY and marks each row
+       against the broadcast per-host doc totals;
+    3. exchange B re-keys marked rows by doc_id: each shard reassembles
+       its documents' kept lines in idx order.
+
+    Host doc totals are a bounded grid here (50 hosts -> driver merge +
+    ``ray.put`` broadcast); at web scale hosts are unbounded — the
+    totals then route a host-hash exchange and join exchange A by host
+    instead of riding a broadcast, leaving the row plan unchanged.
+
+    Reference analogue: the reference strips per-page chrome only
+    (fixed regions in ``main/ocr.c``'s page loop); corpus-frequency
+    boilerplate discovery is the web-scale generalization."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        N_BOILER_HOSTS,
+        boiler_page_lines,
+    )
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+
+    n_docs = meta_rows(sf_dir, "documents")
+    if n_shards is None:
+        n_shards = adaptive_shards(n_docs * 5)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    # per-host doc totals: one cheap counting pass (bounded grid)
+    def host_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter(
+            int(d) % N_BOILER_HOSTS
+            for d in batch.column("doc_id").to_pylist())
+        return pa.table(
+            {"h": pa.array(list(c.keys()), type=pa.int64()),
+             "n": pa.array(list(c.values()), type=pa.int64())})
+
+    totals = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(host_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .to_pandas().groupby("h")["n"].sum().to_dict()
+    )
+    nd_ref = ray.put(totals)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        doc, host, idx, line = [], [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            d = int(did)
+            for i, ln in enumerate(boiler_page_lines(d, t or "")):
+                doc.append(d)
+                host.append(d % N_BOILER_HOSTS)
+                idx.append(i)
+                line.append(ln)
+        df = pd.DataFrame(
+            {"doc_id": np.asarray(doc, np.int64),
+             "h": np.asarray(host, np.int64),
+             "idx": np.asarray(idx, np.int64),
+             "line": pd.Series(line, dtype="string")})
+        keys = ["%d\x1f%s" % (h, ln) for h, ln in zip(host, line)]
+        df["shard"] = (
+            _md5_prefix_batch(keys, 8).astype(np.uint64) % n_shards
+        ).astype(np.int64)
+        return df
+
+    _MARKED_EMPTY = {
+        "doc_id": "int64", "h": "int64", "idx": "int64",
+        "line": "string", "boiler": "int64", "shard": "int64"}
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t)
+                 for c, t in _MARKED_EMPTY.items()})
+        nd = ray.get(nd_ref)
+        c = df.groupby(["h", "line"])["doc_id"].transform("nunique")
+        ndv = df["h"].map(nd).astype("int64")
+        boiler = ((c >= 2) & (10 * c >= 6 * ndv)).astype("int64")
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64),
+             "h": df["h"].to_numpy(np.int64),
+             "idx": df["idx"].to_numpy(np.int64),
+             "line": df["line"].astype("string"),
+             "boiler": boiler.to_numpy(np.int64)})
+        out["shard"] = (
+            out["doc_id"].to_numpy(np.uint64) % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "host_idx": pd.Series([], dtype="int64"),
+                 "n_lines": pd.Series([], dtype="int64"),
+                 "n_boiler": pd.Series([], dtype="int64"),
+                 "kept_text": pd.Series([], dtype="string")})
+        df = df.sort_values(["doc_id", "idx"], kind="mergesort")
+        agg = df.groupby("doc_id").agg(
+            host_idx=("h", "first"),
+            n_lines=("idx", "count"),
+            n_boiler=("boiler", "sum"))
+        kept = df[df["boiler"] == 0]
+        kt = kept.groupby("doc_id")["line"].agg(
+            lambda s: "\n".join(s.tolist()))
+        agg["kept_text"] = kt.reindex(agg.index).fillna("").astype("string")
+        return agg.reset_index().astype(
+            {"n_lines": "int64", "n_boiler": "int64"})
+
+    rows = docs.map_batches(explode, batch_format="pyarrow",
+                            batch_size=4096)
+    marked = hash_exchange(rows, "shard", n_shards, mark)
+    return hash_exchange(marked, "shard", n_shards, assemble)

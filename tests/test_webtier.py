@@ -205,3 +205,49 @@ def test_sniff_content_type():
     assert sniff_content_type(b"  <!DOCTYPE HTML><html>") == "text/html"
     assert sniff_content_type(b"<html><body>") == "text/html"
     assert sniff_content_type(b"\x00\x01\x02") == "unknown"
+
+
+# ------------------------------------------------- boilerplate lines ------
+
+
+def test_boiler_page_lines_shape():
+    from tensorflow_ocr_ray.functions.html_extract import boiler_page_lines
+
+    lines = boiler_page_lines(103, "unique content here")
+    h = 103 % 50  # -> 3, 3 % 3 + 2 = 2 nav lines
+    assert lines == ["nav 3 item 0", "nav 3 item 1",
+                     "unique content here", "footer 3"]
+    assert all(str(h) in ln for ln in lines if ln != "unique content here")
+
+
+def test_host_boilerplate_strip_semantics(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import host_boilerplate_strip
+
+    df = host_boilerplate_strip(SF).to_pandas()
+    assert len(df) == 500
+    # chrome (nav + footer) always dies: every host has ~10 docs, so the
+    # shared lines are >= 60% frequent; unique content survives
+    assert (df["n_boiler"] >= 3).all()
+    # kept_text never contains chrome
+    assert not df["kept_text"].str.contains("nav ").any()
+    assert not df["kept_text"].str.contains("footer").any()
+    # a doc whose text is globally unique keeps exactly its text
+    import duckdb
+    uniq = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "QUALIFY count(*) OVER (PARTITION BY doc_id % 50, text) = 1 "
+        "LIMIT 5").df()
+    sub = df.set_index("doc_id").loc[uniq["doc_id"]]
+    assert (sub["kept_text"].to_numpy() == uniq["text"].to_numpy()).all()
+
+
+def test_host_boilerplate_strip_shard_invariance(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import host_boilerplate_strip
+
+    a = (host_boilerplate_strip(SF, n_shards=2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (host_boilerplate_strip(SF, n_shards=16).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert len(a) == len(b) == 500
+    for c in a.columns:
+        assert (a[c].astype(str) == b[c].astype(str)).all(), c
