@@ -1726,6 +1726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # appears in >= 60% of its host's docs — discovered from
         # frequency via two skinny exchanges (CCNet-style line dedup)
         "host_boilerplate_strip": _webtier("host_boilerplate_strip"),
+        # schema.org JSON-LD block extraction: valid blocks parsed to
+        # typed rows, malformed blocks skipped, plain-JS decoys ignored
+        "jsonld_extract": _webtier("jsonld_extract"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6425,6 +6428,19 @@ def _oracle_sql_base() -> dict[str, str]:
                      CASE WHEN boiler = 0 THEN line END,
                      chr(10) ORDER BY idx), '') AS kept_text
             FROM m GROUP BY doc_id, h
+        """,
+        # block_idx counts VALID blocks only: the malformed block on
+        # doc_id%7==0 is skipped by the parser and never numbers
+        "jsonld_extract": """
+            SELECT doc_id, 0 AS block_idx, 'Product' AS item_type,
+                   doc_id AS sku,
+                   (doc_id * 37) % 10000 + 99 AS price_cents,
+                   'P ' || CAST(doc_id AS VARCHAR) || ' ' || lang AS name
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'Article', -1, -1,
+                   'A ' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 5 = 0
         """,
         "html_table_extract": """
             WITH u AS (

@@ -342,3 +342,63 @@ def boiler_page_lines(doc_id: int, text: str) -> list[str]:
     lines.append(text)
     lines.append("footer %d" % h)
     return lines
+
+
+# ---------------- JSON-LD structured data (schema.org) ---------------------
+
+_SCRIPT_LD = re.compile(
+    r"""<script\b[^>]*type\s*=\s*["']application/ld\+json["'][^>]*>"""
+    r"(.*?)</script\s*>",
+    re.S | re.I,
+)
+
+_LD_PAGE = """<!DOCTYPE html><html><head><title>j {doc_id}</title>
+<script>var x = {{"@type": "Decoy", "sku": -99}};</script>
+{malformed}
+<script type="application/ld+json">
+{{"@context": "https://schema.org", "@type": "Product",
+ "sku": {doc_id}, "priceCents": {price},
+ "name": "P {doc_id} {lang}"}}
+</script>
+{article}
+</head><body><p>body {doc_id}</p></body></html>"""
+
+
+def jsonld_page_for(doc_id: int, lang: str) -> str:
+    """Deterministic JSON-LD fixture page: one valid Product block per
+    document (sku/price arithmetic on ``doc_id``), a plain-JS decoy the
+    extractor must not match, a MALFORMED ld+json block on ``doc_id % 7
+    == 0`` it must skip without error, and a second valid Article block
+    on ``doc_id % 5 == 0``."""
+    malformed = (
+        '<script type="application/ld+json">{"@type": "Broken", '
+        '"oops": </script>'
+        if doc_id % 7 == 0 else ""
+    )
+    article = (
+        '<script type="application/ld+json">'
+        '{"@type": "Article", "name": "A %d"}</script>' % doc_id
+        if doc_id % 5 == 0 else ""
+    )
+    return _LD_PAGE.format(
+        doc_id=doc_id, lang=lang,
+        price=(doc_id * 37) % 10000 + 99,
+        malformed=malformed, article=article,
+    )
+
+
+def extract_jsonld(html: str) -> list[dict]:
+    """Parse every ``<script type="application/ld+json">`` block; blocks
+    that fail to parse as JSON objects are skipped (crawl reality:
+    malformed structured data is common and must not kill the record)."""
+    import json as _json
+
+    out = []
+    for m in _SCRIPT_LD.finditer(html):
+        try:
+            obj = _json.loads(m.group(1))
+        except ValueError:
+            continue
+        if isinstance(obj, dict):
+            out.append(obj)
+    return out

@@ -251,3 +251,38 @@ def test_host_boilerplate_strip_shard_invariance(ray_session):
     assert len(a) == len(b) == 500
     for c in a.columns:
         assert (a[c].astype(str) == b[c].astype(str)).all(), c
+
+
+# ---------------------------------------------------------- JSON-LD -------
+
+
+def test_extract_jsonld_skips_decoys_and_malformed():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_jsonld, jsonld_page_for)
+
+    # doc 35: malformed block (35%7==0) AND article (35%5==0)
+    objs = extract_jsonld(jsonld_page_for(35, "de"))
+    assert [o["@type"] for o in objs] == ["Product", "Article"]
+    assert objs[0]["sku"] == 35
+    assert objs[0]["priceCents"] == (35 * 37) % 10000 + 99
+    # plain-JS decoy never parsed
+    assert all(o.get("@type") != "Decoy" for o in objs)
+    # non-object JSON is skipped
+    assert extract_jsonld(
+        '<script type="application/ld+json">[1,2]</script>') == []
+    assert extract_jsonld(
+        '<script type="application/ld+json">{broken</script>') == []
+
+
+def test_jsonld_extract_pipeline(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import jsonld_extract
+
+    df = jsonld_extract(SF).to_pandas()
+    # 500 products + every-5th article
+    assert len(df) == 500 + 100
+    prods = df[df["item_type"] == "Product"]
+    assert (prods["block_idx"] == 0).all()
+    assert (prods["sku"] == prods["doc_id"]).all()
+    arts = df[df["item_type"] == "Article"]
+    assert (arts["block_idx"] == 1).all()
+    assert (arts["sku"] == -1).all() and (arts["price_cents"] == -1).all()
