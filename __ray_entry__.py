@@ -1729,6 +1729,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # schema.org JSON-LD block extraction: valid blocks parsed to
         # typed rows, malformed blocks skipped, plain-JS decoys ignored
         "jsonld_extract": _webtier("jsonld_extract"),
+        # h1-h6 outline with section paths; comment/script decoys must
+        # not match (the chunking stage's retrieval-context keys)
+        "heading_outline": _webtier("heading_outline"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6441,6 +6444,50 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, 1, 'Article', -1, -1,
                    'A ' || CAST(doc_id AS VARCHAR)
             FROM documents WHERE doc_id % 5 = 0
+        """,
+        # heading seq arithmetic: nt = doc_id%2+1 h3s under each of the
+        # doc_id%3+1 h2s, so h2_i sits at 1 + i*(1+nt)
+        "heading_outline": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 3 + 1 AS ns, doc_id % 2 + 1 AS nt
+              FROM documents
+            ),
+            h1 AS (
+              SELECT doc_id, 0 AS seq, 1 AS level,
+                     'H1 ' || CAST(doc_id AS VARCHAR) AS text,
+                     'H1 ' || CAST(doc_id AS VARCHAR) AS section_path
+              FROM d
+            ),
+            sec AS (
+              SELECT doc_id, nt, unnest(range(0, ns)) AS i FROM d
+            ),
+            h2 AS (
+              SELECT doc_id, 1 + i * (1 + nt) AS seq, 2 AS level,
+                     'S ' || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(i AS VARCHAR) AS text,
+                     'H1 ' || CAST(doc_id AS VARCHAR) || ' > S '
+                       || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(i AS VARCHAR) AS section_path
+              FROM sec
+            ),
+            sub AS (
+              SELECT doc_id, nt, i, unnest(range(0, nt)) AS j FROM sec
+            ),
+            h3 AS (
+              SELECT doc_id, 2 + i * (1 + nt) + j AS seq, 3 AS level,
+                     'T ' || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(i AS VARCHAR) || ' '
+                       || CAST(j AS VARCHAR) AS text,
+                     'H1 ' || CAST(doc_id AS VARCHAR) || ' > S '
+                       || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(i AS VARCHAR) || ' > T '
+                       || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(i AS VARCHAR) || ' '
+                       || CAST(j AS VARCHAR) AS section_path
+              FROM sub
+            )
+            SELECT * FROM h1 UNION ALL SELECT * FROM h2
+            UNION ALL SELECT * FROM h3
         """,
         "html_table_extract": """
             WITH u AS (

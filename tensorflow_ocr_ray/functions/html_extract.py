@@ -402,3 +402,48 @@ def extract_jsonld(html: str) -> list[dict]:
         if isinstance(obj, dict):
             out.append(obj)
     return out
+
+
+# ---------------- heading outline (document structure) ---------------------
+
+_H_RE = re.compile(r"<h([1-6])\b[^>]*>(.*?)</h\1\s*>", re.S | re.I)
+_SCRIPT_ANY = re.compile(r"<script\b[^>]*>.*?</script\s*>", re.S | re.I)
+
+
+def outline_page_for(doc_id: int) -> str:
+    """Deterministic heading-structure fixture: one h1, ``doc_id%3+1``
+    h2 sections each holding ``doc_id%2+1`` h3 subsections, plus decoys
+    a naive regex pass would wrongly pick up — an h2 inside an HTML
+    comment and heading markup inside a script string."""
+    ns, nt = doc_id % 3 + 1, doc_id % 2 + 1
+    parts = [
+        "<!DOCTYPE html><html><head><title>o %d</title>" % doc_id,
+        '<script>var s = "<h2>fake heading</h2>";</script>',
+        "</head><body>",
+        "<!-- <h2>commented out</h2> -->",
+        "<h1>H1 %d</h1>" % doc_id,
+    ]
+    for i in range(ns):
+        parts.append("<h2>S %d %d</h2><p>sec body</p>" % (doc_id, i))
+        for j in range(nt):
+            parts.append("<h3>T %d %d %d</h3><p>sub</p>" % (doc_id, i, j))
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def extract_heading_outline(html: str) -> list[tuple[int, int, str, str]]:
+    """(seq, level, text, section_path) per heading in document order;
+    ``section_path`` joins the text of every open ancestor heading with
+    `` > `` (a stack keyed by level).  Comments and scripts are dropped
+    before matching."""
+    clean = _SCRIPT_ANY.sub(" ", _COMMENT.sub(" ", html))
+    out = []
+    stack: list[tuple[int, str]] = []
+    for seq, m in enumerate(_H_RE.finditer(clean)):
+        level = int(m.group(1))
+        text = _html.unescape(_WS.sub(" ", _TAG.sub(" ", m.group(2))).strip())
+        while stack and stack[-1][0] >= level:
+            stack.pop()
+        stack.append((level, text))
+        out.append((seq, level, text, " > ".join(t for _, t in stack)))
+    return out

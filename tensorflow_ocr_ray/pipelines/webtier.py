@@ -681,3 +681,46 @@ def jsonld_extract(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(parse, batch_format="pyarrow",
                             batch_size=2048)
+
+
+# -------------------------------------------------- heading outline -------
+
+
+def heading_outline(sf_dir: str) -> "rd.Dataset":
+    """Document-structure extraction: the h1-h6 outline with full
+    section paths — what a chunking or snippeting stage keys on (each
+    chunk inherits its enclosing section path as retrieval context).
+    The fixture page plants decoys (a commented-out h2, heading markup
+    inside a script string) that a naive regex pass would pick up; the
+    extractor strips comments/scripts first, then walks a level stack.
+
+    Scale: one stateless task map, no shuffle — per-record parse cost
+    only, same shape as :func:`jsonld_extract`."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_heading_outline,
+        outline_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, seq, lvl, txt, path = [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for s, l, t, p in extract_heading_outline(
+                outline_page_for(d)
+            ):
+                doc.append(d)
+                seq.append(s)
+                lvl.append(l)
+                txt.append(t)
+                path.append(p)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "seq": pa.array(seq, type=pa.int64()),
+             "level": pa.array(lvl, type=pa.int64()),
+             "text": pa.array(txt, type=pa.string()),
+             "section_path": pa.array(path, type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=2048)

@@ -286,3 +286,41 @@ def test_jsonld_extract_pipeline(ray_session):
     arts = df[df["item_type"] == "Article"]
     assert (arts["block_idx"] == 1).all()
     assert (arts["sku"] == -1).all() and (arts["price_cents"] == -1).all()
+
+
+# --------------------------------------------------- heading outline ------
+
+
+def test_extract_heading_outline_stack_and_decoys():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_heading_outline, outline_page_for)
+
+    rows = extract_heading_outline(outline_page_for(5))
+    assert rows[0] == (0, 1, "H1 5", "H1 5")
+    assert rows[1] == (1, 2, "S 5 0", "H1 5 > S 5 0")
+    assert rows[2][3] == "H1 5 > S 5 0 > T 5 0 0"
+    # decoys (comment h2, script h2) never appear
+    assert all("fake" not in r[2] and "commented" not in r[2]
+               for r in rows)
+    # sibling h2 pops the previous h2 AND its h3s off the stack
+    h2_rows = [r for r in rows if r[1] == 2]
+    assert all(r[3].count(">") == 1 for r in h2_rows)
+    # level jump back up: an h2 after h3s has a 2-element path
+    assert extract_heading_outline(
+        "<h1>a</h1><h3>deep</h3><h2>side</h2>")[2][3] == "a > side"
+
+
+def test_heading_outline_pipeline(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import heading_outline
+
+    df = heading_outline(SF).to_pandas()
+    # per doc: 1 + ns + ns*nt headings
+    import duckdb
+    n_expect = duckdb.sql(
+        f"SELECT CAST(sum(1 + (doc_id%3+1)*(1 + doc_id%2+1)) AS BIGINT) "
+        f"FROM read_parquet('{SF}/documents.parquet')").fetchone()[0]
+    assert len(df) == n_expect
+    assert set(df["level"].unique()) == {1, 2, 3}
+    # every h3 path has exactly 3 components
+    assert (df.loc[df["level"] == 3, "section_path"]
+            .str.count(" > ") == 2).all()
