@@ -1732,6 +1732,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # h1-h6 outline with section paths; comment/script decoys must
         # not match (the chunking stage's retrieval-context keys)
         "heading_outline": _webtier("heading_outline"),
+        # charset sniff (BOM / meta declaration / default) + decode to
+        # UTF-8 — the byte-level on-ramp every text op depends on
+        "charset_transcode": _webtier("charset_transcode"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6488,6 +6491,19 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT * FROM h1 UNION ALL SELECT * FROM h2
             UNION ALL SELECT * FROM h3
+        """,
+        # the non-UTF-8 variants prepend chr(233); a wrong decode
+        # cannot round-trip the hash
+        "charset_transcode": """
+            SELECT doc_id,
+              ['utf-8','utf-8-sig','utf-16-le','iso-8859-1']
+                [doc_id % 4 + 1] AS charset,
+              CASE WHEN doc_id % 4 >= 2
+                   THEN chr(233) || ' ' || text ELSE text END AS text,
+              length(CASE WHEN doc_id % 4 >= 2
+                   THEN chr(233) || ' ' || text ELSE text END)
+                AS n_chars
+            FROM documents
         """,
         "html_table_extract": """
             WITH u AS (

@@ -724,3 +724,79 @@ def heading_outline(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(parse, batch_format="pyarrow",
                             batch_size=2048)
+
+
+# ------------------------------------------------ charset transcode -------
+
+import re as _re
+
+_CHARSET_META = _re.compile(rb"""<meta\s+charset=["']?([A-Za-z0-9_-]+)""",
+                            _re.I)
+_META_PREFIX = _re.compile(r"^<meta\s[^>]*>")
+
+
+def charset_payload_for(doc_id: int, text: str) -> bytes:
+    """Crawl-byte fixture: the document's text encoded in the charset
+    ``doc_id % 4`` selects — plain UTF-8 (no marker), UTF-8 with BOM,
+    UTF-16-LE with BOM, Latin-1 declared only by an HTML meta tag.  The
+    two non-UTF-8 variants prepend a non-ASCII char so a wrong decode
+    cannot silently round-trip."""
+    c = doc_id % 4
+    if c == 0:
+        return text.encode("utf-8")
+    if c == 1:
+        return b"\xef\xbb\xbf" + text.encode("utf-8")
+    if c == 2:
+        return b"\xff\xfe" + ("é " + text).encode("utf-16-le")
+    return ('<meta charset="iso-8859-1">' + "é " + text).encode(
+        "latin-1")
+
+
+def sniff_and_decode(payload: bytes) -> tuple[str, str]:
+    """(detected_charset, decoded_text): BOM first, then an HTML meta
+    charset declaration in the head bytes, else UTF-8.  A leading meta
+    tag is not content — it is stripped after decode."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig", payload[3:].decode("utf-8")
+    if payload.startswith(b"\xff\xfe"):
+        return "utf-16-le", payload[2:].decode("utf-16-le")
+    m = _CHARSET_META.search(payload[:1024])
+    if m:
+        enc = m.group(1).decode("ascii").lower()
+        return enc, _META_PREFIX.sub("", payload.decode(enc))
+    return "utf-8", payload.decode("utf-8")
+
+
+def charset_transcode(sf_dir: str) -> "rd.Dataset":
+    """Charset normalization — the decode step between raw crawl bytes
+    and every text operator downstream: sniff (BOM, then meta
+    declaration, else UTF-8), decode, emit UTF-8 text + the detected
+    label.  A wrong sniff breaks the hash because the fixture plants a
+    non-ASCII char in the non-UTF-8 variants.
+
+    Scale: stateless task map over a 2-column projection; the payload
+    here is synthesized from ``text`` (the ``media_*`` convention) where
+    a deployment reads blob bytes."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, cs, txt = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            d = int(did)
+            charset, decoded = sniff_and_decode(
+                charset_payload_for(d, t or ""))
+            doc.append(d)
+            cs.append(charset)
+            txt.append(decoded)
+        n = [len(t) for t in txt]
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "charset": pa.array(cs, type=pa.string()),
+             "text": pa.array(txt, type=pa.string()),
+             "n_chars": pa.array(n, type=pa.int64())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=2048)

@@ -324,3 +324,32 @@ def test_heading_outline_pipeline(ray_session):
     # every h3 path has exactly 3 components
     assert (df.loc[df["level"] == 3, "section_path"]
             .str.count(" > ") == 2).all()
+
+
+# -------------------------------------------------- charset sniffing ------
+
+
+def test_sniff_and_decode_variants():
+    from tensorflow_ocr_ray.pipelines.webtier import (
+        charset_payload_for, sniff_and_decode)
+
+    assert sniff_and_decode(b"plain ascii") == ("utf-8", "plain ascii")
+    assert sniff_and_decode(b"\xef\xbb\xbfbom") == ("utf-8-sig", "bom")
+    cs, t = sniff_and_decode(charset_payload_for(2, "x"))
+    assert (cs, t) == ("utf-16-le", "\xe9 x")
+    cs, t = sniff_and_decode(charset_payload_for(3, "y"))
+    assert (cs, t) == ("iso-8859-1", "\xe9 y")
+    # meta tag is stripped from content, not decoded into it
+    assert "<meta" not in t
+
+
+def test_charset_transcode_pipeline(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import charset_transcode
+
+    df = charset_transcode(SF).to_pandas()
+    assert len(df) == 500
+    assert set(df["charset"].unique()) == {
+        "utf-8", "utf-8-sig", "utf-16-le", "iso-8859-1"}
+    non_utf = df[df["doc_id"] % 4 >= 2]
+    assert non_utf["text"].str.startswith("\xe9 ").all()
+    assert (df["n_chars"] == df["text"].str.len()).all()
