@@ -1549,6 +1549,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_rank_corr": curation.spearman_rank_corr,
         "stratified_sample_exact": curation.stratified_sample_exact,
         "eval_set_builder": curation.eval_set_builder,
+        # sliding-window chunker (window 32 / stride 24): the
+        # retrieval-chunk + training-window preprocessing step
+        "text_chunk_windows": curation.text_chunk_windows,
         "doc_top_tokens": curation.doc_top_tokens,
         "user_mode_event": windows.user_mode_event,
         "q23_returned_item_revenue": relational.q23_returned_item_revenue,
@@ -4472,6 +4475,32 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM g GROUP BY gram HAVING count(*) >= 5
         """,
         # WITH ORDINALITY token explode on the shared whitespace split
+        # chunk k covers tokens [24k, 24k+32); the last chunk is the
+        # first whose window reaches the end (n_chunks = 1 +
+        # ceil(max(nt-32,0)/24)); empty docs emit nothing
+        "text_chunk_windows": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, ts, len(ts) AS nt FROM t WHERE len(ts) >= 1
+            ),
+            ch AS (
+              SELECT doc_id, ts, nt,
+                     unnest(range(0,
+                       1 + greatest(0, (nt - 32 + 23) // 24))) AS k
+              FROM n
+            )
+            SELECT doc_id, k AS chunk_idx, k * 24 AS start_tok,
+                   least(nt - k * 24, 32) AS n_tokens,
+                   array_to_string(
+                     list_slice(ts, k * 24 + 1, k * 24 + 32), ' ')
+                     AS chunk_text
+            FROM ch
+        """,
         "token_explode": r"""
             WITH t AS (
               SELECT doc_id,

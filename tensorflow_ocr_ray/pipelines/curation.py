@@ -2307,3 +2307,59 @@ def ngram_lm_score(sf_dir: str, n_shards: int = 16) -> "rd.Dataset":
         )
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+# ------------------------------------------- sliding-window chunking ------
+
+CHUNK_WINDOW = 32   # tokens per chunk
+CHUNK_STRIDE = 24   # tokens between chunk starts (8-token overlap)
+
+
+def text_chunk_windows(sf_dir: str) -> "rd.Dataset":
+    """Sliding-window chunking — the retrieval/training preprocessing
+    that turns each document into overlapping fixed-width token windows
+    (window 32, stride 24: 8 tokens of overlap so no boundary loses
+    context).  Chunk k covers tokens ``[24k, 24k+32)``; the last chunk
+    is the first one whose window reaches the end; empty documents emit
+    nothing.  Emits ``(doc_id, chunk_idx, start_tok, n_tokens,
+    chunk_text)``.
+
+    Scale: one stateless task map — chunking is per-document work with
+    zero cross-document state, the cheapest possible shape; downstream
+    embedding/packing stages consume the lazy Dataset."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        toks_col = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        doc, cidx, start, ntok, ctext = [], [], [], [], []
+        for did, toks in zip(
+            batch.column("doc_id").to_pylist(), toks_col.to_pylist()
+        ):
+            toks = [t for t in toks if t]
+            if not toks:
+                continue
+            d, k = int(did), 0
+            while True:
+                s = k * CHUNK_STRIDE
+                w = toks[s:s + CHUNK_WINDOW]
+                doc.append(d)
+                cidx.append(k)
+                start.append(s)
+                ntok.append(len(w))
+                ctext.append(" ".join(w))
+                if s + CHUNK_WINDOW >= len(toks):
+                    break
+                k += 1
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "chunk_idx": pa.array(cidx, type=pa.int64()),
+             "start_tok": pa.array(start, type=pa.int64()),
+             "n_tokens": pa.array(ntok, type=pa.int64()),
+             "chunk_text": pa.array(ctext, type=pa.string())})
+
+    return docs.map_batches(chunk, batch_format="pyarrow",
+                            batch_size=4096)

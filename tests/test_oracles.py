@@ -321,6 +321,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("robots_gate", ["documents"]),
         ("warc_record_parse", ["documents"]),
         ("content_type_audit", ["documents"]),
+        ("text_chunk_windows", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
