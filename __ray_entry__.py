@@ -1738,6 +1738,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # charset sniff (BOM / meta declaration / default) + decode to
         # UTF-8 — the byte-level on-ramp every text op depends on
         "charset_transcode": _webtier("charset_transcode"),
+        # nested ul/ol items with depth + orderedness; chrome/comment/
+        # script decoys dropped as boilerplate subtrees
+        "html_list_extract": _webtier("html_list_extract"),
+        # figure↔caption join keys for multimodal training pairs; loose
+        # images and commented-out figures skipped
+        "figure_caption_extract": _webtier("figure_caption_extract"),
+        # sitemap <url> entries to typed rows; optional lastmod/priority
+        # surface as ''/-1, commented decoys skipped
+        "sitemap_parse": _webtier("sitemap_parse"),
+        # RSS items: CDATA vs escaped titles decode identically,
+        # truncated trailing items skipped (crawl reality)
+        "rss_feed_parse": _webtier("rss_feed_parse"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6533,6 +6545,92 @@ def _oracle_sql_base() -> dict[str, str]:
                    THEN chr(233) || ' ' || text ELSE text END)
                 AS n_chars
             FROM documents
+        """,
+        # list seq arithmetic: the nested <ol> (n2 items) sits under top
+        # item 0, so top item i>0 lands at seq n2+i, sub item j at 1+j
+        "html_list_extract": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 3 + 1 AS n1, doc_id % 2 + 1 AS n2
+              FROM documents
+            ),
+            top AS (
+              SELECT doc_id, n2, unnest(range(0, n1)) AS i FROM d
+            ),
+            t1 AS (
+              SELECT doc_id,
+                     CASE WHEN i = 0 THEN 0 ELSE n2 + i END AS seq,
+                     1 AS depth, 0 AS is_ordered,
+                     'L ' || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(i AS VARCHAR) AS item_text
+              FROM top
+            ),
+            sub AS (
+              SELECT doc_id, unnest(range(0, n2)) AS j FROM d
+            ),
+            t2 AS (
+              SELECT doc_id, 1 + j AS seq, 2 AS depth, 1 AS is_ordered,
+                     'O ' || CAST(doc_id AS VARCHAR) || ' 0 '
+                       || CAST(j AS VARCHAR) AS item_text
+              FROM sub
+            )
+            SELECT * FROM t1 UNION ALL SELECT * FROM t2
+        """,
+        # alt is absent exactly when (doc_id+i)%4==0; loose images and
+        # commented-out figures never reach the output
+        "figure_caption_extract": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, doc_id % 3)) AS i
+              FROM documents
+            )
+            SELECT doc_id, i AS fig_idx,
+                   'media/' || CAST(doc_id AS VARCHAR) || '/'
+                     || CAST(i AS VARCHAR) || '.png' AS media_ref,
+                   CASE WHEN (doc_id + i) % 4 = 0 THEN ''
+                        ELSE 'alt ' || CAST(doc_id AS VARCHAR) || ' '
+                          || CAST(i AS VARCHAR) END AS alt,
+                   'Cap ' || CAST(doc_id AS VARCHAR) || ' '
+                     || CAST(i AS VARCHAR) || ' & note' AS caption
+            FROM u
+        """,
+        # optional fields: lastmod absent on (doc_id+i)%5==0, priority
+        # on (doc_id+i)%3==0; priority 0.p crosses as the integer p*10
+        "sitemap_parse": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+              FROM documents
+            )
+            SELECT doc_id, i AS url_idx,
+                   'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                     || '/' || CAST(i AS VARCHAR) AS loc,
+                   CASE WHEN (doc_id + i) % 5 = 0 THEN '' ELSE
+                     '2024-'
+                     || lpad(CAST((doc_id + i) % 12 + 1 AS VARCHAR),
+                             2, '0')
+                     || '-'
+                     || lpad(CAST((doc_id * 3 + i) % 28 + 1 AS VARCHAR),
+                             2, '0') END AS lastmod,
+                   CASE WHEN (doc_id + i) % 3 = 0 THEN -1
+                        ELSE ((doc_id + i) % 10) * 10 END AS priority_pct
+            FROM u
+        """,
+        # CDATA and entity-escaped titles decode to the same string;
+        # the truncated 7th-doc tail item never matches a complete block
+        "rss_feed_parse": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS i
+              FROM documents
+            )
+            SELECT doc_id, i AS item_idx,
+                   'T ' || CAST(doc_id AS VARCHAR) || ' '
+                     || CAST(i AS VARCHAR) || ' & more' AS title,
+                   'https://feed.example.com/a/'
+                     || CAST(doc_id AS VARCHAR) || '/'
+                     || CAST(i AS VARCHAR) AS link,
+                   'g-' || CAST(doc_id AS VARCHAR) || '-'
+                     || CAST(i AS VARCHAR) AS guid,
+                   (doc_id + i) % 28 + 1 AS pub_day
+            FROM u
         """,
         "html_table_extract": """
             WITH u AS (

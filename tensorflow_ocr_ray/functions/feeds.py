@@ -1,0 +1,144 @@
+"""Sitemap / RSS feed parsing — the crawl-discovery formats next to
+WARC in the web-ingestion tier (``pipelines/webtier``).
+
+Same fixture discipline as ``functions/html_extract``: payload
+synthesis is deterministic arithmetic on ``doc_id`` so every parse is
+hash-checked against a DuckDB oracle that re-derives the answer
+without parsing.  Both parsers are pure compiled-regex work — one
+stateless task map per operator, no shuffle.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+_XML_COMMENT = re.compile(r"<!--.*?-->", re.S)
+
+# ------------------------------------------------------------- sitemap ----
+
+_URL_BLOCK = re.compile(r"<url>(.*?)</url>", re.S | re.I)
+_LOC = re.compile(r"<loc>(.*?)</loc>", re.S | re.I)
+_LASTMOD = re.compile(r"<lastmod>(.*?)</lastmod>", re.S | re.I)
+_PRIORITY = re.compile(r"<priority>0\.(\d)</priority>", re.I)
+
+
+def sitemap_for(doc_id: int) -> str:
+    """Deterministic sitemap fixture: ``doc_id%4+1`` ``<url>`` entries;
+    ``<lastmod>`` is ABSENT when ``(doc_id+i)%5==0`` and ``<priority>``
+    when ``(doc_id+i)%3==0`` (both optional per the protocol), plus a
+    commented-out decoy entry the parser must skip."""
+    n = doc_id % 4 + 1
+    host = "site%d.example.com" % (doc_id % 7)
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+        "<!-- <url><loc>https://decoy.example.com/x</loc></url> -->",
+    ]
+    for i in range(n):
+        lastmod = (
+            ""
+            if (doc_id + i) % 5 == 0
+            else "<lastmod>2024-%02d-%02d</lastmod>"
+            % ((doc_id + i) % 12 + 1, (doc_id * 3 + i) % 28 + 1)
+        )
+        prio = (
+            ""
+            if (doc_id + i) % 3 == 0
+            else "<priority>0.%d</priority>" % ((doc_id + i) % 10)
+        )
+        parts.append(
+            "<url><loc>https://%s/p/%d/%d</loc>%s%s</url>"
+            % (host, doc_id, i, lastmod, prio)
+        )
+    parts.append("</urlset>")
+    return "\n".join(parts)
+
+
+def parse_sitemap(xml: str) -> list[tuple[str, str, int]]:
+    """(loc, lastmod, priority_pct) per ``<url>`` entry in order.
+    Missing lastmod surfaces as ``''``, missing priority as ``-1``;
+    priority ``0.p`` becomes the integer ``p*10`` (no floats cross the
+    oracle hash)."""
+    clean = _XML_COMMENT.sub(" ", xml)
+    out = []
+    for m in _URL_BLOCK.finditer(clean):
+        body = m.group(1)
+        loc = _LOC.search(body)
+        if not loc:
+            continue
+        lm = _LASTMOD.search(body)
+        pr = _PRIORITY.search(body)
+        out.append(
+            (
+                loc.group(1).strip(),
+                lm.group(1).strip() if lm else "",
+                int(pr.group(1)) * 10 if pr else -1,
+            )
+        )
+    return out
+
+
+# ----------------------------------------------------------------- RSS ----
+
+_ITEM_BLOCK = re.compile(r"<item>(.*?)</item>", re.S | re.I)
+_TITLE_CDATA = re.compile(r"<title><!\[CDATA\[(.*?)\]\]></title>", re.S)
+_TITLE_PLAIN = re.compile(r"<title>(.*?)</title>", re.S | re.I)
+_LINK = re.compile(r"<link>(.*?)</link>", re.S | re.I)
+_GUID = re.compile(r"<guid>(.*?)</guid>", re.S | re.I)
+_PUBDATE_DAY = re.compile(r"<pubDate>\w{3}, (\d{2}) ", re.I)
+
+
+def rss_for(doc_id: int) -> str:
+    """Deterministic RSS 2.0 fixture: ``doc_id%3+1`` items; the title is
+    CDATA-wrapped on even ``doc_id+i`` and entity-escaped otherwise
+    (both must decode to the same string), and every 7th document's
+    feed ends with a TRUNCATED item (no ``</item>``) the parser must
+    skip without error — crawl reality."""
+    n = doc_id % 3 + 1
+    parts = [
+        '<?xml version="1.0"?><rss version="2.0"><channel>',
+        "<title>Feed %d</title>" % doc_id,
+    ]
+    for i in range(n):
+        if (doc_id + i) % 2 == 0:
+            title = "<title><![CDATA[T %d %d & more]]></title>" % (doc_id, i)
+        else:
+            title = "<title>T %d %d &amp; more</title>" % (doc_id, i)
+        parts.append(
+            "<item>%s<link>https://feed.example.com/a/%d/%d</link>"
+            "<guid>g-%d-%d</guid>"
+            "<pubDate>Tue, %02d Jan 2024 00:00:00 GMT</pubDate></item>"
+            % (title, doc_id, i, doc_id, i, (doc_id + i) % 28 + 1)
+        )
+    if doc_id % 7 == 0:
+        parts.append("<item><title>broken tail")
+    parts.append("</channel></rss>")
+    return "".join(parts)
+
+
+def parse_rss(xml: str) -> list[tuple[str, str, str, int]]:
+    """(title, link, guid, pub_day) per complete ``<item>`` in order;
+    CDATA and entity-escaped titles decode identically, truncated items
+    never match the block regex and are skipped."""
+    out = []
+    for m in _ITEM_BLOCK.finditer(xml):
+        body = m.group(1)
+        cd = _TITLE_CDATA.search(body)
+        if cd:
+            title = cd.group(1)
+        else:
+            tp = _TITLE_PLAIN.search(body)
+            title = _html.unescape(tp.group(1)) if tp else ""
+        link = _LINK.search(body)
+        guid = _GUID.search(body)
+        day = _PUBDATE_DAY.search(body)
+        out.append(
+            (
+                title,
+                link.group(1).strip() if link else "",
+                guid.group(1).strip() if guid else "",
+                int(day.group(1)) if day else -1,
+            )
+        )
+    return out

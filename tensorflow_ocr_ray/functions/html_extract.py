@@ -447,3 +447,130 @@ def extract_heading_outline(html: str) -> list[tuple[int, int, str, str]]:
         stack.append((level, text))
         out.append((seq, level, text, " > ".join(t for _, t in stack)))
     return out
+
+
+# ---------------- nested list extraction -----------------------------------
+
+_LIST_TOKEN = re.compile(r"<(/?)(ul|ol|li)\b[^>]*>", re.I)
+_DROP_CHROME = re.compile(
+    r"<(nav|header|footer|aside)\b.*?</\1\s*>", re.S | re.I
+)
+
+
+def list_page_for(doc_id: int) -> str:
+    """Deterministic nested-list fixture: the main ``<article>`` carries
+    a ``<ul>`` of ``doc_id%3+1`` items; the FIRST item nests an ``<ol>``
+    of ``doc_id%2+1`` sub-items.  Decoys a naive pass would pick up: a
+    chrome ``<nav><ul>`` (menu markup — must be dropped as boilerplate
+    subtree), a commented-out ``<li>`` and ``<li>`` markup inside a
+    script string."""
+    n1, n2 = doc_id % 3 + 1, doc_id % 2 + 1
+    items = []
+    for i in range(n1):
+        sub = ""
+        if i == 0:
+            sub = "<ol>" + "".join(
+                "<li>O %d 0 %d</li>" % (doc_id, j) for j in range(n2)
+            ) + "</ol>"
+        items.append("<li>L %d %d %s</li>" % (doc_id, i, sub))
+    return (
+        "<!DOCTYPE html><html><head><title>l %d</title>" % doc_id
+        + "<script>var m = \"<li>fake item</li>\";</script></head><body>"
+        + "<nav><ul><li><a href='/'>Home</a></li>"
+        + "<li><a href='/about'>About</a></li></ul></nav>"
+        + "<!-- <li>ghost item</li> -->"
+        + "<article><ul>" + "".join(items) + "</ul></article>"
+        + "</body></html>"
+    )
+
+
+def extract_lists(html: str) -> list[tuple[int, int, int, str]]:
+    """(seq, depth, is_ordered, item_text) per list item in document
+    order.  Comments, scripts and chrome subtrees (nav/header/footer/
+    aside) are dropped first — menu markup is boilerplate, not content.
+    Depth counts enclosing ul/ol levels; an item's text is what sits
+    between its ``<li>`` and the next list-structure tag (inline tags
+    stripped, entities unescaped, whitespace collapsed)."""
+    clean = _SCRIPT_ANY.sub(" ", _COMMENT.sub(" ", html))
+    clean = _DROP_CHROME.sub(" ", clean)
+    out: list[tuple[int, int, int, str]] = []
+    stack: list[bool] = []  # True = ordered (<ol>)
+    seq = 0
+    toks = list(_LIST_TOKEN.finditer(clean))
+    for t, m in enumerate(toks):
+        closing, tag = bool(m.group(1)), m.group(2).lower()
+        if tag in ("ul", "ol"):
+            if closing:
+                if stack:
+                    stack.pop()
+            else:
+                stack.append(tag == "ol")
+        elif tag == "li" and not closing and stack:
+            end = toks[t + 1].start() if t + 1 < len(toks) else len(clean)
+            text = _html.unescape(
+                _WS.sub(" ", _TAG.sub(" ", clean[m.end():end])).strip()
+            )
+            out.append((seq, len(stack), int(stack[-1]), text))
+            seq += 1
+    return out
+
+
+# ---------------- figure / caption extraction -------------------------------
+
+_FIGURE = re.compile(r"<figure\b[^>]*>(.*?)</figure\s*>", re.S | re.I)
+_IMG_SRC = re.compile(r"<img\b[^>]*?\bsrc=[\"']([^\"']*)[\"']", re.I)
+_IMG_ALT = re.compile(r"<img\b[^>]*?\balt=[\"']([^\"']*)[\"']", re.I)
+_FIGCAPTION = re.compile(
+    r"<figcaption\b[^>]*>(.*?)</figcaption\s*>", re.S | re.I
+)
+
+
+def figure_page_for(doc_id: int) -> str:
+    """Deterministic figure fixture: ``doc_id%3`` (0..2 — the zero case
+    is exercised) ``<figure>`` blocks each holding an ``<img>`` +
+    ``<figcaption>``; the alt attribute is absent when
+    ``(doc_id+i)%4==0``.  Decoys: a loose ``<img>`` outside any figure
+    (no caption to join — skipped) and a commented-out figure."""
+    n = doc_id % 3
+    figs = []
+    for i in range(n):
+        alt = (
+            ' alt="alt %d %d"' % (doc_id, i)
+            if (doc_id + i) % 4 != 0 else ""
+        )
+        figs.append(
+            '<figure><img src="media/%d/%d.png"%s>' % (doc_id, i, alt)
+            + "<figcaption>Cap %d %d &amp; note</figcaption></figure>"
+            % (doc_id, i)
+        )
+    return (
+        "<html><body><p>intro</p>"
+        + '<img src="media/%d/loose.png" alt="loose">' % doc_id
+        + "".join(figs)
+        + "<!-- <figure><img src='x.png'>"
+        + "<figcaption>ghost</figcaption></figure> -->"
+        + "</body></html>"
+    )
+
+
+def extract_figures(html: str) -> list[tuple[str, str, str]]:
+    """(media_ref, alt, caption) per ``<figure>`` that contains an
+    ``<img>``, in document order — the caption↔media join an interleaved
+    multimodal corpus keys on (each media span's nearest caption is its
+    training-pair text).  Comments are dropped first; loose images
+    outside figures have no caption and are not emitted."""
+    clean = _COMMENT.sub(" ", html)
+    out = []
+    for m in _FIGURE.finditer(clean):
+        body = m.group(1)
+        src = _IMG_SRC.search(body)
+        if not src:
+            continue
+        alt = _IMG_ALT.search(body)
+        cap = _FIGCAPTION.search(body)
+        cap_text = (
+            _html.unescape(_WS.sub(" ", _TAG.sub(" ", cap.group(1))).strip())
+            if cap else ""
+        )
+        out.append((src.group(1), alt.group(1) if alt else "", cap_text))
+    return out

@@ -800,3 +800,163 @@ def charset_transcode(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(parse, batch_format="pyarrow",
                             batch_size=2048)
+
+
+# --------------------------------------------------- nested lists ---------
+
+
+def html_list_extract(sf_dir: str) -> "rd.Dataset":
+    """Nested-list extraction — the structured-content sibling of
+    :func:`~tensorflow_ocr_ray.pipelines.extract.html_table_extract`:
+    each document's page carries a main ``<ul>`` with a nested ``<ol>``
+    (``functions/html_extract.list_page_for``) plus chrome/comment/
+    script decoys; the extractor drops boilerplate subtrees first, then
+    walks a depth stack emitting (seq, depth, is_ordered, item_text)
+    typed rows.
+
+    Scale: one stateless task map over a 1-column projection — no
+    shuffle, the jsonld/heading plan shape."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_lists,
+        list_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, seq, dep, ordd, txt = [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for s, depth, is_ord, t in extract_lists(list_page_for(d)):
+                doc.append(d)
+                seq.append(s)
+                dep.append(depth)
+                ordd.append(is_ord)
+                txt.append(t)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "seq": pa.array(seq, type=pa.int64()),
+             "depth": pa.array(dep, type=pa.int64()),
+             "is_ordered": pa.array(ordd, type=pa.int64()),
+             "item_text": pa.array(txt, type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=2048)
+
+
+# ------------------------------------------------- figure captions --------
+
+
+def figure_caption_extract(sf_dir: str) -> "rd.Dataset":
+    """Figure↔caption join from markup — the caption-pairing step a
+    multimodal corpus needs before captioning/contrastive training:
+    every ``<figure>`` holding an ``<img>`` emits (media_ref, alt,
+    caption); loose images and commented-out figures are skipped
+    (``functions/html_extract.figure_page_for`` plants both).  In the
+    interleaved north-star table this text becomes the training pair of
+    the media span whose ``media_ref`` it carries — the join key is
+    extracted here.
+
+    Scale: one stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_figures,
+        figure_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, fidx, ref, alt, cap = [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for i, (r, a, c) in enumerate(
+                extract_figures(figure_page_for(d))
+            ):
+                doc.append(d)
+                fidx.append(i)
+                ref.append(r)
+                alt.append(a)
+                cap.append(c)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "fig_idx": pa.array(fidx, type=pa.int64()),
+             "media_ref": pa.array(ref, type=pa.string()),
+             "alt": pa.array(alt, type=pa.string()),
+             "caption": pa.array(cap, type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=2048)
+
+
+# -------------------------------------------------------- sitemaps --------
+
+
+def sitemap_parse(sf_dir: str) -> "rd.Dataset":
+    """Sitemap ingestion — the crawl-frontier discovery feed: each
+    document's sitemap XML (``functions/feeds.sitemap_for`` — optional
+    lastmod/priority fields, a commented-out decoy entry) parses to
+    typed (loc, lastmod, priority_pct) rows; priority crosses as an
+    exact integer, absent fields as ''/-1.
+
+    Scale: one stateless task map, no shuffle — the WARC-parse shape."""
+    from tensorflow_ocr_ray.functions.feeds import parse_sitemap, sitemap_for
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, uidx, loc, lm, pr = [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for i, (u, m, p) in enumerate(parse_sitemap(sitemap_for(d))):
+                doc.append(d)
+                uidx.append(i)
+                loc.append(u)
+                lm.append(m)
+                pr.append(p)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "url_idx": pa.array(uidx, type=pa.int64()),
+             "loc": pa.array(loc, type=pa.string()),
+             "lastmod": pa.array(lm, type=pa.string()),
+             "priority_pct": pa.array(pr, type=pa.int64())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=2048)
+
+
+# ------------------------------------------------------------- RSS --------
+
+
+def rss_feed_parse(sf_dir: str) -> "rd.Dataset":
+    """RSS 2.0 item extraction — the feed-discovery on-ramp: each
+    document's feed (``functions/feeds.rss_for`` — CDATA vs
+    entity-escaped titles that must decode identically, a truncated
+    trailing item on every 7th doc that must be skipped) parses to
+    typed (title, link, guid, pub_day) rows.
+
+    Scale: one stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.feeds import parse_rss, rss_for
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, iidx, tit, lnk, gid, day = [], [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for i, (t, l, g, p) in enumerate(parse_rss(rss_for(d))):
+                doc.append(d)
+                iidx.append(i)
+                tit.append(t)
+                lnk.append(l)
+                gid.append(g)
+                day.append(p)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "item_idx": pa.array(iidx, type=pa.int64()),
+             "title": pa.array(tit, type=pa.string()),
+             "link": pa.array(lnk, type=pa.string()),
+             "guid": pa.array(gid, type=pa.string()),
+             "pub_day": pa.array(day, type=pa.int64())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=2048)

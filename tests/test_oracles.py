@@ -322,6 +322,10 @@ def test_ann_topk_multi_oracle(ray_session):
         ("warc_record_parse", ["documents"]),
         ("content_type_audit", ["documents"]),
         ("text_chunk_windows", ["documents"]),
+        ("html_list_extract", ["documents"]),
+        ("figure_caption_extract", ["documents"]),
+        ("sitemap_parse", ["documents"]),
+        ("rss_feed_parse", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
