@@ -1750,6 +1750,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RSS items: CDATA vs escaped titles decode identically,
         # truncated trailing items skipped (crawl reality)
         "rss_feed_parse": _webtier("rss_feed_parse"),
+        # rel=next chain reassembly: parse pointers, validate targets,
+        # pointer-double to the tail, one tail-keyed exchange for
+        # head/len/pos — the ordered page-stitch invariant
+        "pagination_chain": _webtier("pagination_chain"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6591,6 +6595,24 @@ def _oracle_sql_base() -> dict[str, str]:
                    'Cap ' || CAST(doc_id AS VARCHAR) || ' '
                      || CAST(i AS VARCHAR) || ' & note' AS caption
             FROM u
+        """,
+        # chain structure: block head h = doc - doc%4 starts a chain of
+        # (h//4)%3+2 pages; members past the length are standalone
+        "pagination_chain": """
+            WITH d AS (
+              SELECT doc_id,
+                     doc_id - doc_id % 4 AS h,
+                     ((doc_id - doc_id % 4) // 4) % 3 + 2 AS len
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 < len THEN h
+                        ELSE doc_id END AS chain_head,
+                   CASE WHEN doc_id % 4 < len THEN len
+                        ELSE 1 END AS chain_len,
+                   CASE WHEN doc_id % 4 < len THEN doc_id % 4
+                        ELSE 0 END AS pos
+            FROM d
         """,
         # optional fields: lastmod absent on (doc_id+i)%5==0, priority
         # on (doc_id+i)%3==0; priority 0.p crosses as the integer p*10

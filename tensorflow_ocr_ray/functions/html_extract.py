@@ -574,3 +574,51 @@ def extract_figures(html: str) -> list[tuple[str, str, str]]:
         )
         out.append((src.group(1), alt.group(1) if alt else "", cap_text))
     return out
+
+
+# ---------------- pagination pointers ---------------------------------------
+
+_REL_NEXT = re.compile(
+    r"<link\b[^>]*\brel=[\"']next[\"'][^>]*\bhref=[\"'][^\"']*/d/(\d+)[\"']",
+    re.I,
+)
+
+
+def pagination_page_for(doc_id: int) -> str:
+    """Deterministic paginated-article fixture: doc ids group into
+    blocks of 4; block head ``h`` starts a chain of ``(h//4)%3+2``
+    pages (2..4), members beyond the length are standalone pages.
+    In-chain non-final pages carry ``<link rel="next">`` pointing at
+    the next doc id; decoys every parser must ignore: rel="prev",
+    rel="canonical" (same href shape) and a commented-out rel="next"."""
+    h = doc_id - doc_id % 4
+    length = (h // 4) % 3 + 2
+    pos = doc_id % 4
+    links = [
+        '<link rel="canonical" href="https://p.example.com/art/%d/d/%d">'
+        % (h, doc_id),
+        '<!-- <link rel="next" href="https://p.example.com/art/0/d/0"> -->',
+    ]
+    if 0 < pos < length:
+        links.append(
+            '<link rel="prev" href="https://p.example.com/art/%d/d/%d">'
+            % (h, doc_id - 1)
+        )
+    if pos < length - 1:
+        links.append(
+            '<link rel="next" href="https://p.example.com/art/%d/d/%d">'
+            % (h, doc_id + 1)
+        )
+    return (
+        "<!DOCTYPE html><html><head><title>pg %d</title>" % doc_id
+        + "".join(links)
+        + "</head><body><p>page body %d</p></body></html>" % doc_id
+    )
+
+
+def extract_next_doc(html: str) -> int:
+    """The doc id a page's ``rel="next"`` link points at, or -1 when the
+    page is chain-final / standalone.  Comments are dropped first so the
+    commented-out decoy never matches."""
+    m = _REL_NEXT.search(_COMMENT.sub(" ", html))
+    return int(m.group(1)) if m else -1

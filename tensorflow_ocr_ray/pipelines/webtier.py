@@ -960,3 +960,179 @@ def rss_feed_parse(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(parse, batch_format="pyarrow",
                             batch_size=2048)
+
+
+# ---------------------------------------------------- pagination ----------
+
+PAGINATION_HOP_CAP = 8
+
+
+def pagination_chain(
+    sf_dir: str, n_shards: int | None = None
+) -> "rd.Dataset":
+    """Paginated-article reassembly — multi-page articles linked by
+    ``rel="next"`` become one logical document: per page the operator
+    emits its chain head, the chain length and its 0-based position
+    (the order key a downstream concat stitches pages with — the same
+    ordered-reassembly invariant as the flagship's span stitch).
+
+    Plan (no arithmetic shortcuts — the engine only sees parsed
+    pointers): (1) parse each page's next pointer
+    (``functions/html_extract.extract_next_doc``; prev/canonical/
+    commented decoys must not match); (2) one validation exchange drops
+    dangling pointers (a next to a page not in the corpus terminates
+    the chain — crawl reality); (3) POINTER DOUBLING to each page's
+    chain TAIL carrying exact hop distance — ``log2(cap)`` union-tag
+    exchange rounds, the :func:`redirect_resolution` machinery; (4) ONE
+    tail-keyed exchange groups each chain to compute length / head /
+    position locally.  The driver never holds node-sized state."""
+    ids = _docs(sf_dir, ["doc_id"])
+    if n_shards is None:
+        n_shards = adaptive_shards(meta_rows(sf_dir, "documents") * 2)
+
+    # ---- stage 1+2: parse next pointers, validate targets exist ----
+    def seed(batch: pa.Table) -> pd.DataFrame:
+        from tensorflow_ocr_ray.functions.html_extract import (
+            extract_next_doc,
+            pagination_page_for,
+        )
+
+        u = batch.column("doc_id").to_numpy()
+        nxt = np.fromiter(
+            (extract_next_doc(pagination_page_for(int(d))) for d in u),
+            np.int64, len(u))
+        has = nxt >= 0
+        nodes = pd.DataFrame(
+            {"role": 0, "key": u, "src": -1, "shard": u % n_shards})
+        walkers = pd.DataFrame(
+            {"role": 1, "key": nxt[has], "src": u[has],
+             "shard": nxt[has] % n_shards})
+        finals = pd.DataFrame(
+            {"role": 2, "key": u[~has], "src": u[~has],
+             "shard": u[~has] % n_shards})
+        return pd.concat([nodes, walkers, finals], ignore_index=True
+                         ).astype({"role": "int64", "key": "int64",
+                                   "src": "int64", "shard": "int64"})
+
+    def validate(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "int64", "cur": "int64", "hops": "int64",
+                "done": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        nodes = df.loc[df["role"] == 0, "key"].to_numpy(np.int64)
+        w = df[df["role"] == 1]
+        fin = df[df["role"] == 2]
+        exists = np.isin(w["key"].to_numpy(np.int64), nodes)
+        out = pd.DataFrame(
+            {"src": np.concatenate([w["src"].to_numpy(np.int64),
+                                    fin["src"].to_numpy(np.int64)]),
+             "cur": np.concatenate([
+                 np.where(exists, w["key"].to_numpy(np.int64),
+                          w["src"].to_numpy(np.int64)),
+                 fin["key"].to_numpy(np.int64)]),
+             "hops": np.concatenate([
+                 exists.astype(np.int64),
+                 np.zeros(len(fin), np.int64)]),
+             "done": np.concatenate([
+                 (~exists).astype(np.int64),
+                 np.ones(len(fin), np.int64)])})
+        return out.astype(cols)
+
+    f = hash_exchange(
+        ids.map_batches(seed, batch_format="pyarrow", batch_size=8192),
+        "shard", n_shards, validate)
+
+    # ---- stage 3: doubling rounds (f composes with itself) ----
+    def _compose(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "int64", "cur": "int64", "hops": "int64",
+                "done": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        lk = df.loc[df["role"] == 0,
+                    ["f_src", "f_cur", "f_hops", "f_done"]]
+        w = df.loc[df["role"] == 1, ["key", "src", "hops"]]
+        if not len(w):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        m = w.merge(lk, left_on="key", right_on="f_src", how="left")
+        miss = m["f_src"].isna()
+        return pd.DataFrame(
+            {"src": m["src"].to_numpy(np.int64),
+             "cur": np.where(miss, m["key"].to_numpy(np.int64),
+                             m["f_cur"].fillna(-1).to_numpy(np.int64)),
+             "hops": (m["hops"].to_numpy(np.int64)
+                      + m["f_hops"].fillna(0).to_numpy(np.int64)),
+             "done": np.where(miss, 1,
+                              m["f_done"].fillna(1).to_numpy(np.int64))}
+        ).astype(cols)
+
+    n_rounds = int(np.log2(PAGINATION_HOP_CAP))
+    for _ in range(n_rounds):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            cols = ("role", "key", "src", "hops",
+                    "f_src", "f_cur", "f_hops", "f_done", "shard")
+            if not len(df):
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in cols})
+            lookup = pd.DataFrame(
+                {"role": 0, "key": df["src"], "src": -1, "hops": 0,
+                 "f_src": df["src"], "f_cur": df["cur"],
+                 "f_hops": df["hops"], "f_done": df["done"]})
+            act = df[df["done"] == 0]
+            walkers = pd.DataFrame(
+                {"role": 1, "key": act["cur"], "src": act["src"],
+                 "hops": act["hops"], "f_src": -1, "f_cur": -1,
+                 "f_hops": 0, "f_done": 0})
+            out = pd.concat([lookup, walkers], ignore_index=True)
+            out["shard"] = out["key"].to_numpy(np.int64) % n_shards
+            return out.astype({c: "int64" for c in cols})
+
+        composed = hash_exchange(
+            f.map_batches(tag, batch_format="pandas", batch_size=8192),
+            "shard", n_shards, _compose)
+        done_rows = f.map_batches(
+            lambda df: df[df["done"] == 1],
+            batch_format="pandas", batch_size=8192)
+        f = done_rows.union(composed)
+
+    # ---- stage 4: one tail-keyed exchange computes len/head/pos ----
+    def to_tail_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("src", "tail", "dist", "shard")})
+        if (df["done"].to_numpy(np.int64) == 0).any():
+            raise ValueError(
+                "pagination chain longer than PAGINATION_HOP_CAP=%d"
+                % PAGINATION_HOP_CAP)
+        return pd.DataFrame(
+            {"src": df["src"].to_numpy(np.int64),
+             "tail": df["cur"].to_numpy(np.int64),
+             "dist": df["hops"].to_numpy(np.int64),
+             "shard": df["cur"].to_numpy(np.int64) % n_shards})
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "chain_head": "int64",
+                "chain_len": "int64", "pos": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        g = df.groupby("tail")["dist"]
+        clen = g.transform("max").to_numpy(np.int64) + 1
+        dist = df["dist"].to_numpy(np.int64)
+        # the head is the member whose distance to the tail is maximal;
+        # map it back onto every member of the same chain
+        heads = (df.loc[df["dist"].to_numpy(np.int64) == clen - 1]
+                 .set_index("tail")["src"])
+        return pd.DataFrame(
+            {"doc_id": df["src"].to_numpy(np.int64),
+             "chain_head": df["tail"].map(heads).to_numpy(np.int64),
+             "chain_len": clen,
+             "pos": clen - 1 - dist}).astype(cols)
+
+    return hash_exchange(
+        f.map_batches(to_tail_rows, batch_format="pandas",
+                      batch_size=8192),
+        "shard", n_shards, assemble)

@@ -326,6 +326,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("figure_caption_extract", ["documents"]),
         ("sitemap_parse", ["documents"]),
         ("rss_feed_parse", ["documents"]),
+        ("pagination_chain", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
