@@ -1754,6 +1754,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pointer-double to the tail, one tail-keyed exchange for
         # head/len/pos — the ordered page-stitch invariant
         "pagination_chain": _webtier("pagination_chain"),
+        # HTML -> Markdown rendering: headings/lists/bold/em/links
+        # survive as structure; whole-string hash oracle
+        "html_markdown_render": _webtier("html_markdown_render"),
+        # abbreviation-aware sentence segmentation: No./3.5/e.g. decoys
+        # must not split, terminator + space + uppercase must
+        "sentence_split": _webtier("sentence_split"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6594,6 +6600,65 @@ def _oracle_sql_base() -> dict[str, str]:
                           || CAST(i AS VARCHAR) END AS alt,
                    'Cap ' || CAST(doc_id AS VARCHAR) || ' '
                      || CAST(i AS VARCHAR) || ' & note' AS caption
+            FROM u
+        """,
+        # the oracle rebuilds the exact Markdown string: blocks joined
+        # by blank lines, list items by newlines
+        "html_markdown_render": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 2 + 1 AS np, doc_id % 3 + 1 AS ni
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, ni, unnest(range(0, np)) AS i FROM d
+            ),
+            parts AS (
+              SELECT doc_id, i,
+                     '## Part ' || CAST(i AS VARCHAR) || chr(10) || chr(10)
+                     || array_to_string(
+                          list_transform(range(0, ni), j ->
+                            '- point ' || CAST(doc_id AS VARCHAR) || ' '
+                            || CAST(i AS VARCHAR) || ' '
+                            || CAST(j AS VARCHAR)),
+                          chr(10)) AS part_md
+              FROM p
+            ),
+            agg AS (
+              SELECT doc_id,
+                     array_to_string(list(part_md ORDER BY i),
+                                     chr(10) || chr(10)) AS parts_md
+              FROM parts GROUP BY doc_id
+            ),
+            md AS (
+              SELECT d.doc_id,
+                     '# Doc ' || CAST(d.doc_id AS VARCHAR)
+                     || chr(10) || chr(10)
+                     || 'Intro **bold ' || CAST(d.doc_id AS VARCHAR)
+                     || '** and *em ' || CAST(d.doc_id AS VARCHAR)
+                     || '* text.' || chr(10) || chr(10)
+                     || agg.parts_md || chr(10) || chr(10)
+                     || 'See [ref ' || CAST(d.doc_id AS VARCHAR)
+                     || '](https://x.example.com/'
+                     || CAST(d.doc_id AS VARCHAR) || ').' AS markdown
+              FROM d JOIN agg USING (doc_id)
+            )
+            SELECT doc_id, markdown,
+                   length(markdown) - length(replace(markdown, chr(10),
+                                                     '')) + 1 AS n_lines
+            FROM md
+        """,
+        # terminator cycles . ! ? by sentence index; every sentence is
+        # the same 9-token decoy-planted template
+        "sentence_split": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS s
+              FROM documents
+            )
+            SELECT doc_id, s AS sent_idx, 9 AS n_tokens,
+                   'No. ' || CAST(doc_id AS VARCHAR) || ' item '
+                   || CAST(s AS VARCHAR)
+                   || ' cost 3.5 units e.g. spares'
+                   || ['.', '!', '?'][s % 3 + 1] AS sentence
             FROM u
         """,
         # chain structure: block head h = doc - doc%4 starts a chain of

@@ -622,3 +622,82 @@ def extract_next_doc(html: str) -> int:
     commented-out decoy never matches."""
     m = _REL_NEXT.search(_COMMENT.sub(" ", html))
     return int(m.group(1)) if m else -1
+
+
+# ---------------- HTML -> Markdown conversion -------------------------------
+
+_MD_BLOCK = re.compile(
+    r"<h([1-6])\b[^>]*>(.*?)</h\1\s*>|<p\b[^>]*>(.*?)</p\s*>"
+    r"|<ul\b[^>]*>(.*?)</ul\s*>",
+    re.S | re.I,
+)
+_MD_LI = re.compile(r"<li\b[^>]*>(.*?)</li\s*>", re.S | re.I)
+_MD_BOLD = re.compile(r"<(b|strong)\b[^>]*>(.*?)</\1\s*>", re.S | re.I)
+_MD_EM = re.compile(r"<(em|i)\b[^>]*>(.*?)</\1\s*>", re.S | re.I)
+_MD_A = re.compile(
+    r"<a\b[^>]*?\bhref=[\"']([^\"']*)[\"'][^>]*>(.*?)</a\s*>", re.S | re.I
+)
+
+
+def _md_inline(s: str) -> str:
+    """Inline markup → Markdown spans, then strip leftovers."""
+    s = _MD_A.sub(lambda m: "[%s](%s)" % (m.group(2), m.group(1)), s)
+    s = _MD_BOLD.sub(lambda m: "**%s**" % m.group(2), s)
+    s = _MD_EM.sub(lambda m: "*%s*" % m.group(2), s)
+    return _html.unescape(_WS.sub(" ", _TAG.sub(" ", s)).strip()
+                          .replace(" .", "."))
+
+
+def md_page_for(doc_id: int) -> str:
+    """Deterministic rich-markup fixture: h1 title, a paragraph with
+    bold/em inline spans, ``doc_id%2+1`` h2 parts each holding a
+    ``doc_id%3+1``-item list, a closing link paragraph — plus script and
+    comment decoys that must not surface in the Markdown."""
+    np_, ni = doc_id % 2 + 1, doc_id % 3 + 1
+    parts = [
+        "<!DOCTYPE html><html><head><title>m %d</title>" % doc_id,
+        '<script>var h = "<h1>fake</h1>";</script></head><body>',
+        "<!-- <p>ghost paragraph</p> -->",
+        "<h1>Doc %d</h1>" % doc_id,
+        "<p>Intro <b>bold %d</b> and <em>em %d</em> text.</p>"
+        % (doc_id, doc_id),
+    ]
+    for i in range(np_):
+        parts.append("<h2>Part %d</h2>" % i)
+        parts.append(
+            "<ul>"
+            + "".join(
+                "<li>point %d %d %d</li>" % (doc_id, i, j)
+                for j in range(ni)
+            )
+            + "</ul>"
+        )
+    parts.append(
+        '<p>See <a href="https://x.example.com/%d">ref %d</a>.</p>'
+        % (doc_id, doc_id)
+    )
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def html_to_markdown(html: str) -> str:
+    """Markdown rendering of a page's content blocks: h1-h6 → ``#``
+    runs, paragraphs → inline-converted lines (**bold**, *em*,
+    [text](href)), ``<ul>`` → ``- `` lines; comments and script
+    subtrees dropped first; blocks joined by blank lines."""
+    clean = _SCRIPT_ANY.sub(" ", _COMMENT.sub(" ", html))
+    blocks: list[str] = []
+    for m in _MD_BLOCK.finditer(clean):
+        if m.group(1):  # heading
+            blocks.append(
+                "#" * int(m.group(1)) + " " + _md_inline(m.group(2)))
+        elif m.group(3) is not None:  # paragraph
+            blocks.append(_md_inline(m.group(3)))
+        else:  # list
+            items = [
+                "- " + _md_inline(li.group(1))
+                for li in _MD_LI.finditer(m.group(4))
+            ]
+            if items:
+                blocks.append("\n".join(items))
+    return "\n\n".join(b for b in blocks if b)

@@ -357,3 +357,36 @@ def langid_confusion(sf_dir: str) -> pd.DataFrame:
         parts.astype({"n": "int64"})
         .sort_values(["lang", "pred_lang"]).reset_index(drop=True)
     )
+
+
+# ---------------- sentence segmentation -------------------------------------
+
+# a terminator splits only when followed by whitespace + an uppercase
+# letter (or end of text): "e.g. spares", "No. 4" and "3.5" never split
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+(?=[A-Z])")
+_SENT_TERMS = ".!?"
+
+
+def sentences_for(doc_id: int) -> str:
+    """Deterministic punctuated fixture: ``doc_id%4+1`` sentences, each
+    planted with three abbreviation decoys a naive period-split would
+    break on — a leading ``No.`` (period before a digit), a decimal
+    ``3.5`` and an inline ``e.g.`` (period before lowercase).  The
+    terminator cycles . ! ? by sentence index."""
+    n = doc_id % 4 + 1
+    return " ".join(
+        "No. %d item %d cost 3.5 units e.g. spares%s"
+        % (doc_id, s, _SENT_TERMS[s % 3])
+        for s in range(n)
+    )
+
+
+def split_sentences(text: str) -> list[str]:
+    """Abbreviation-aware sentence segmentation: split at a terminator
+    run only when the next non-space character is uppercase — the
+    heuristic that keeps ``No. 4``, decimals and ``e.g.`` intact while
+    still cutting real boundaries.  Terminators stay attached."""
+    text = text.strip()
+    if not text:
+        return []
+    return [s for s in _SENT_SPLIT.split(text) if s]

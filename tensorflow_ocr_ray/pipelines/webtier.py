@@ -1136,3 +1136,74 @@ def pagination_chain(
         f.map_batches(to_tail_rows, batch_format="pandas",
                       batch_size=8192),
         "shard", n_shards, assemble)
+
+
+# ------------------------------------------------ markdown rendering ------
+
+
+def html_markdown_render(sf_dir: str) -> "rd.Dataset":
+    """HTML→Markdown conversion — the readable-text rendering an
+    LLM-ingest pipeline often prefers over plain stripping (structure
+    survives as ``#`` headings, ``- `` lists, ``**bold**`` and
+    ``[text](href)`` links).  The fixture page
+    (``functions/html_extract.md_page_for``) plants script/comment
+    decoys; the whole rendered document is hash-checked against a
+    DuckDB oracle that rebuilds the exact Markdown string.
+
+    Scale: one stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        html_to_markdown,
+        md_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        md = [html_to_markdown(md_page_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "markdown": pa.array(md, type=pa.string()),
+             "n_lines": pa.array(
+                 [m.count("\n") + 1 for m in md], type=pa.int64())})
+
+    return docs.map_batches(render, batch_format="pyarrow",
+                            batch_size=2048)
+
+
+# -------------------------------------------- sentence segmentation -------
+
+
+def sentence_split(sf_dir: str) -> "rd.Dataset":
+    """Abbreviation-aware sentence segmentation — the curation step
+    between extraction and chunking: the fixture text
+    (``functions/textstats.sentences_for``) plants ``No. 4``, ``3.5``
+    and ``e.g.`` decoys a naive period-split breaks on; the splitter
+    cuts only at terminator + whitespace + uppercase.  Emits one typed
+    row per sentence with its index and token count.
+
+    Scale: one stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.textstats import (
+        sentences_for,
+        split_sentences,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        doc, sidx, ntok, sent = [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for i, s in enumerate(split_sentences(sentences_for(d))):
+                doc.append(d)
+                sidx.append(i)
+                ntok.append(len(s.split()))
+                sent.append(s)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "sent_idx": pa.array(sidx, type=pa.int64()),
+             "n_tokens": pa.array(ntok, type=pa.int64()),
+             "sentence": pa.array(sent, type=pa.string())})
+
+    return docs.map_batches(split, batch_format="pyarrow",
+                            batch_size=2048)

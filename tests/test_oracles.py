@@ -327,6 +327,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("sitemap_parse", ["documents"]),
         ("rss_feed_parse", ["documents"]),
         ("pagination_chain", ["documents"]),
+        ("html_markdown_render", ["documents"]),
+        ("sentence_split", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
