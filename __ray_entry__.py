@@ -91,6 +91,22 @@ def _extract_interleaved(sf_dir: str):
     return out.map_batches(explode_documents, batch_format="pyarrow")
 
 
+def _media_caption_pairs(sf_dir: str):
+    """Caption-context pairs over the interleaved web corpus: each
+    media span paired with the extracted text of the nearest preceding
+    text/html span — zero-shuffle over the nested span rows."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import generate_web_documents
+    from tensorflow_ocr_ray.pipelines.extract import media_caption_pairs
+
+    n = {"sf0.001": 24, "sf0.01": 64, "sf0.1": 160}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 64
+    )
+    ds = rd.from_arrow(generate_web_documents(n, seed=42))
+    return media_caption_pairs(ds)
+
+
 def _ocr_flood(sf_dir: str):
     """The -x flood-fill segmentation config through the full pipeline."""
     from tensorflow_ocr_ray.config import FIXTURE_CONFIG
@@ -1777,6 +1793,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # media spans OCR'd in one streamed pass (rows-only; pytest
         # checks exact span-sequence equality vs the analytic golden)
         "extract_interleaved": _extract_interleaved,
+        # caption-context pairs over the nested interleaved corpus:
+        # order is a free local property, zero shuffle (rows-only —
+        # the input is the north-star nested table, not a SQL view)
+        "media_caption_pairs": _media_caption_pairs,
         "ocr_extract_fused": _ocr_fused,
         "ocr_extract_flood": _ocr_flood,
         "ocr_extract_postprocessed": _ocr_postprocessed,

@@ -230,3 +230,47 @@ def html_link_graph(sf_dir: str) -> "pd.DataFrame":
         .rename(columns={"n": "inlinks"})
     )
     return grid.astype({"inlinks": "int64"})
+
+
+def media_caption_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Caption-context mining over the INTERLEAVED corpus — the
+    multimodal training-pair builder: each media span pairs with the
+    extracted text of the nearest PRECEDING text/html span in its
+    document (its caption context; '' when the media span leads).  The
+    output (doc_id, media_ref, offset, context_text) feeds
+    captioning / contrastive training directly.
+
+    Scale: the input table is one row per document with the span list
+    NESTED, so the order-sensitive walk is per-row local work — NO
+    shuffle, no groupby, no explode; the plan is one stateless task map
+    regardless of corpus size.  (Had the spans arrived exploded, this
+    would need the flagship's doc-bucket exchange first — nesting is
+    what makes order a free local property, the same reason the
+    flagship reassembles into nested rows.)"""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_main_content,
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        doc, ref, off, ctx = [], [], [], []
+        for row in batch.to_pylist():
+            last_text = ""
+            for span in sorted(row["spans"], key=lambda s: s["offset"]):
+                if span["kind"] == "media":
+                    doc.append(row["doc_id"])
+                    ref.append(span["media_ref"])
+                    off.append(int(span["offset"]))
+                    ctx.append(last_text)
+                else:
+                    t = span["text"] or ""
+                    if span["kind"] == HTML_KIND:
+                        t = extract_main_content(t, min_len=1)
+                    if t:
+                        last_text = t
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.string()),
+             "media_ref": pa.array(ref, type=pa.string()),
+             "offset": pa.array(off, type=pa.int32()),
+             "context_text": pa.array(ctx, type=pa.string())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=64)

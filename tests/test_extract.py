@@ -109,3 +109,44 @@ def test_registry_entry_runs(ray_session):
     # every media span got OCR text
     media = df[df["kind"] == "media"]
     assert (media["text"].str.len() > 0).all()
+
+
+def test_media_caption_pairs_truth(ray_session):
+    """Every media span pairs with the nearest PRECEDING span's clean
+    text — truth derived from the corpus construction (_doc_rows),
+    independent of the pipeline."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import _doc_rows, generate_web_documents
+    from tensorflow_ocr_ray.pipelines.extract import media_caption_pairs
+
+    n = 24
+    got = media_caption_pairs(
+        rd.from_arrow(generate_web_documents(n, seed=42))
+    ).to_pandas()
+
+    want = {}
+    for row in _doc_rows(n, seed=42):
+        last = ""
+        for span in sorted(row["spans"], key=lambda s: s["offset"]):
+            if span["kind"] == "media":
+                want[(row["doc_id"], span["media_ref"])] = last
+            elif span["text"]:
+                last = span["text"]
+
+    assert len(got) == len(want) > 0
+    for _, r in got.iterrows():
+        assert want[(r["doc_id"], r["media_ref"])] == r["context_text"], (
+            r["doc_id"], r["media_ref"])
+
+
+def test_media_caption_pairs_registry(ray_session):
+    import __ray_entry__ as E
+
+    df = E.queries()["media_caption_pairs"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert set(df.columns) == {"doc_id", "media_ref", "offset",
+                               "context_text"}
+    # leading media spans have empty context; at least one non-empty
+    assert (df["context_text"].str.len() > 0).any()
