@@ -1776,6 +1776,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # abbreviation-aware sentence segmentation: No./3.5/e.g. decoys
         # must not split, terminator + space + uppercase must
         "sentence_split": _webtier("sentence_split"),
+        # URL path-template mining: digit segments -> {n}, (host,
+        # template) counts via one template-hash exchange
+        "url_template_mine": _webtier("url_template_mine"),
+        # DOM-shape audit: tolerant tag-stack walk (misnested tags,
+        # void elements, script/comment decoys)
+        "dom_structure_stats": _webtier("dom_structure_stats"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6621,6 +6627,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    'Cap ' || CAST(doc_id AS VARCHAR) || ' '
                      || CAST(i AS VARCHAR) || ' & note' AS caption
             FROM u
+        """,
+        # three path shapes per doc collapse to three templates; /about
+        # only on doc_id%3==0
+        "url_template_mine": """
+            WITH t AS (
+              SELECT 'site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com' AS host,
+                     unnest(CASE WHEN doc_id % 3 = 0
+                            THEN ['/p/{n}/detail', '/u/{n}/posts/{n}',
+                                  '/about']
+                            ELSE ['/p/{n}/detail', '/u/{n}/posts/{n}']
+                            END) AS template
+              FROM documents
+            )
+            SELECT host, template, count(*) AS n_urls
+            FROM t GROUP BY host, template
+        """,
+        # depth: html>body>div^k>p gives k+3, the misnested b>i gives 4;
+        # tags: html,head,title,body,k divs,p,br,img,b,i = k+9; 2 voids
+        "dom_structure_stats": """
+            SELECT doc_id,
+                   greatest(doc_id % 5 + 3, 4) AS max_depth,
+                   doc_id % 5 + 9 AS n_tags,
+                   2 AS n_void
+            FROM documents
         """,
         # the oracle rebuilds the exact Markdown string: blocks joined
         # by blank lines, list items by newlines

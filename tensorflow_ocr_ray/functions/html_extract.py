@@ -701,3 +701,59 @@ def html_to_markdown(html: str) -> str:
             if items:
                 blocks.append("\n".join(items))
     return "\n\n".join(b for b in blocks if b)
+
+
+# ---------------- DOM structure audit ---------------------------------------
+
+_ANY_TAG = re.compile(r"<(/?)([A-Za-z][A-Za-z0-9]*)[^>]*?(/?)>")
+_VOID_TAGS = frozenset(
+    ("br", "img", "meta", "link", "input", "hr", "area", "base", "col",
+     "embed", "source", "track", "wbr")
+)
+
+
+def dom_page_for(doc_id: int) -> str:
+    """Deterministic DOM-shape fixture: ``doc_id%5`` nested divs around
+    a paragraph holding two void elements, then a MISNESTED ``<b><i>``
+    pair closed in the wrong order (crawl reality the walker must
+    tolerate), plus comment/script decoys."""
+    k = doc_id % 5
+    return (
+        "<!DOCTYPE html><html><head><title>d %d</title>" % doc_id
+        + "<script>var t = \"<div><div>\";</script></head><body>"
+        + "<!-- <div> -->"
+        + "<div>" * k
+        + '<p>x %d<br><img src="y.png"></p>' % doc_id
+        + "</div>" * k
+        + "<b><i>t</b></i>"
+        + "</body></html>"
+    )
+
+
+def dom_stats(html: str) -> tuple[int, int, int]:
+    """(max_depth, n_tags, n_void) from a tolerant tag-stack walk:
+    void elements never push, a closing tag pops to its nearest open
+    match (unwinding misnested inner tags) and is ignored when
+    unmatched; comments, scripts and the doctype are dropped first.
+    head/title are part of the tree and counted."""
+    clean = _SCRIPT_ANY.sub(" ", _COMMENT.sub(" ", html))
+    stack: list[str] = []
+    max_depth = n_tags = n_void = 0
+    for m in _ANY_TAG.finditer(clean):
+        closing, tag, selfclose = m.group(1), m.group(2).lower(), m.group(3)
+        if tag in _VOID_TAGS or selfclose:
+            if not closing:
+                n_tags += 1
+                n_void += 1
+            continue
+        if closing:
+            if tag in stack:
+                while stack and stack[-1] != tag:
+                    stack.pop()
+                if stack:
+                    stack.pop()
+        else:
+            n_tags += 1
+            stack.append(tag)
+            max_depth = max(max_depth, len(stack))
+    return max_depth, n_tags, n_void

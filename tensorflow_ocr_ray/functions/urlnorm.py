@@ -104,3 +104,40 @@ def raw_urls_for(doc_id: int) -> list[str]:
         query = f"utm_source=feed&b={k}&a={doc_id % 5}"
         urls.append(f"{scheme}://{host}{port}{path}?{query}#s{k}")
     return urls
+
+
+# ---------------- path-template mining --------------------------------------
+
+_DIGITS = re.compile(r"^\d+$")
+
+
+def template_urls_for(doc_id: int) -> list[str]:
+    """Deterministic URL-pattern fixture: every doc contributes a detail
+    page and a nested user/post page (numeric ids in the path), docs
+    divisible by 3 also a static ``/about`` — three path shapes whose
+    numeric segments must generalize to the same templates."""
+    host = "site%d.example.com" % (doc_id % 5)
+    urls = [
+        "https://%s/p/%d/detail" % (host, doc_id),
+        "https://%s/u/%d/posts/%d" % (host, doc_id % 50, doc_id),
+    ]
+    if doc_id % 3 == 0:
+        urls.append("https://%s/about" % host)
+    return urls
+
+
+def path_template(url: str) -> tuple[str, str] | None:
+    """(host, template) with every all-digit path segment generalized
+    to ``{n}`` — the URL-pattern key a crawl scheduler and a
+    template-page detector cluster on."""
+    canon = canonicalize_url(url)
+    if canon is None:
+        return None
+    rest = canon.split("://", 1)[1]
+    host, _, path = rest.partition("/")
+    host = host.split(":", 1)[0]
+    segs = [
+        "{n}" if _DIGITS.match(s) else s
+        for s in ("/" + path).split("/")
+    ]
+    return host, "/".join(segs) or "/"

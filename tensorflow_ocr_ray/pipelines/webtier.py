@@ -1207,3 +1207,93 @@ def sentence_split(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(split, batch_format="pyarrow",
                             batch_size=2048)
+
+
+# ---------------------------------------------- URL path templates --------
+
+
+def url_template_mine(sf_dir: str, n_shards: int | None = None) -> "rd.Dataset":
+    """URL-pattern mining — the crawl-scheduler/template-page signal:
+    every URL's all-digit path segments generalize to ``{n}``
+    (``functions/urlnorm.path_template``) and the corpus counts (host,
+    template) pairs.  Three fixture path shapes per doc
+    (``template_urls_for``) must collapse to three templates.
+
+    Plan: per-batch (host, template)->n pre-reduce map-side, ONE
+    template-hash exchange for exact counts — template keyspace is
+    unbounded at web scale (the url_canonicalize plan)."""
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.functions.urlnorm import (
+        path_template,
+        template_urls_for,
+    )
+
+    if n_shards is None:
+        n_shards = adaptive_shards(meta_rows(sf_dir, "documents") * 2)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for did in batch.column("doc_id").to_pylist():
+            for raw in template_urls_for(int(did)):
+                ht = path_template(raw)
+                if ht is not None:
+                    c[ht] += 1
+        if not c:
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype="string"),
+                 "template": pd.Series([], dtype="string"),
+                 "n": pd.Series([], dtype="int64"),
+                 "shard": pd.Series([], dtype="int64")})
+        keys = ["%s|%s" % ht for ht in c]
+        out = pd.DataFrame(
+            {"host": [h for h, _ in c],
+             "template": [t for _, t in c],
+             "n": np.fromiter(c.values(), np.int64, len(c))})
+        out["shard"] = (
+            _md5_prefix_batch(keys, 8).astype(np.uint64) % n_shards
+        ).astype(np.int64)
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype="string"),
+                 "template": pd.Series([], dtype="string"),
+                 "n_urls": pd.Series([], dtype="int64")})
+        g = df.groupby(["host", "template"], as_index=False)["n"].sum()
+        return g.rename(columns={"n": "n_urls"}).astype({"n_urls": "int64"})
+
+    rows = _docs(sf_dir, ["doc_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096)
+    return hash_exchange(rows, "shard", n_shards, combine)
+
+
+# ------------------------------------------------ DOM structure audit -----
+
+
+def dom_structure_stats(sf_dir: str) -> "rd.Dataset":
+    """DOM-shape audit — the structural quality signal (template pages
+    run deep and tag-heavy, text pages shallow): a tolerant tag-stack
+    walk (``functions/html_extract.dom_stats``) emits max depth, tag
+    and void-element counts per page; the fixture plants misnested
+    tags, self-closing voids and script/comment decoys.
+
+    Scale: one stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        dom_page_for,
+        dom_stats,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        stats = [dom_stats(dom_page_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "max_depth": pa.array([s[0] for s in stats], type=pa.int64()),
+             "n_tags": pa.array([s[1] for s in stats], type=pa.int64()),
+             "n_void": pa.array([s[2] for s in stats], type=pa.int64())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            batch_size=2048)

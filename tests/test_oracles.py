@@ -329,6 +329,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("pagination_chain", ["documents"]),
         ("html_markdown_render", ["documents"]),
         ("sentence_split", ["documents"]),
+        ("url_template_mine", ["documents"]),
+        ("dom_structure_stats", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
