@@ -1782,6 +1782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DOM-shape audit: tolerant tag-stack walk (misnested tags,
         # void elements, script/comment decoys)
         "dom_structure_stats": _webtier("dom_structure_stats"),
+        # paragraph-level language segmentation with adjacent-run
+        # merging; oracle composes the generated langid SQL
+        "language_segments": _webtier("language_segments"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -3765,6 +3768,22 @@ def _oracle_sql_base() -> dict[str, str]:
         "source_topk_docs": _source_topk_sql(),
         "dedup_keep_list": _keep_list_sql(),
         "doc_langid": _langid_sql(),
+        # segment 0 = the document paragraph (the generated langid SQL
+        # gives its prediction), segment 1 = the planted constant; when
+        # both agree the paragraphs merge into one 2-para segment
+        "language_segments": f"""
+            WITH l AS ({_langid_sql()}),
+            d AS (
+              SELECT doc_id, pred_lang AS p0,
+                     ['de', 'fr', 'yi'][doc_id % 3 + 1] AS p1
+              FROM l
+            )
+            SELECT doc_id, 0 AS seg_idx, p0 AS pred_lang,
+                   CASE WHEN p0 = p1 THEN 2 ELSE 1 END AS n_paras
+            FROM d
+            UNION ALL
+            SELECT doc_id, 1, p1, 1 FROM d WHERE p0 <> p1
+        """,
         "langid_confusion": f"""
             SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
             FROM ({_langid_sql()}) GROUP BY 1, 2

@@ -390,3 +390,37 @@ def split_sentences(text: str) -> list[str]:
     if not text:
         return []
     return [s for s in _SENT_SPLIT.split(text) if s]
+
+
+# ---------------- language segmentation -------------------------------------
+
+# planted second paragraphs with unambiguous lang_id outcomes
+_PLANTED_PARAS = (
+    ("de", "der und die ist das schnell"),
+    ("fr", "le la et les est des"),
+    ("yi", "א ײ װ ש"),
+)
+
+
+def mixed_lang_text_for(doc_id: int, text: str) -> str:
+    """Mixed-language fixture: the document's own text plus a planted
+    paragraph in the language ``doc_id%3`` selects, separated by a
+    blank line (the paragraph boundary the segmenter splits on)."""
+    return (text or "") + "\n\n" + _PLANTED_PARAS[doc_id % 3][1]
+
+
+def language_segments_of(text: str) -> list[tuple[str, int]]:
+    """(pred_lang, n_paras) runs: paragraphs (blank-line split) are
+    language-identified independently, then ADJACENT same-language
+    paragraphs merge into one segment — the run structure a
+    per-language curation pass routes on."""
+    out: list[tuple[str, int]] = []
+    for para in text.split("\n\n"):
+        if not para.strip():
+            continue
+        lg = lang_id(para)
+        if out and out[-1][0] == lg:
+            out[-1] = (lg, out[-1][1] + 1)
+        else:
+            out.append((lg, 1))
+    return out

@@ -1297,3 +1297,50 @@ def dom_structure_stats(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(audit, batch_format="pyarrow",
                             batch_size=2048)
+
+
+# --------------------------------------------- language segmentation ------
+
+
+def language_segments(sf_dir: str) -> "rd.Dataset":
+    """Paragraph-level language segmentation — the router a
+    per-language curation pass needs on mixed-language pages: each
+    fixture text carries the document's own words plus a planted
+    paragraph in a second language (``functions/textstats.
+    mixed_lang_text_for``); paragraphs are language-identified with
+    the shared ``lang_id`` heuristic and adjacent same-language runs
+    merge.  The oracle reuses the generated langid SQL for the
+    document paragraph and the planted constant for the second — the
+    merge case (both predict the same language) is exercised wherever
+    the heuristic agrees.
+
+    Scale: one stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.textstats import (
+        language_segments_of,
+        mixed_lang_text_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def segment(batch: pa.Table) -> pa.Table:
+        doc, sidx, lang, npar = [], [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            d = int(did)
+            for i, (lg, n) in enumerate(
+                language_segments_of(mixed_lang_text_for(d, t or ""))
+            ):
+                doc.append(d)
+                sidx.append(i)
+                lang.append(lg)
+                npar.append(n)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "seg_idx": pa.array(sidx, type=pa.int64()),
+             "pred_lang": pa.array(lang, type=pa.string()),
+             "n_paras": pa.array(npar, type=pa.int64())})
+
+    return docs.map_batches(segment, batch_format="pyarrow",
+                            batch_size=2048)

@@ -331,6 +331,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("sentence_split", ["documents"]),
         ("url_template_mine", ["documents"]),
         ("dom_structure_stats", ["documents"]),
+        ("language_segments", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
