@@ -1785,6 +1785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # paragraph-level language segmentation with adjacent-run
         # merging; oracle composes the generated langid SQL
         "language_segments": _webtier("language_segments"),
+        # frontier merge: sitemap ∪ outlinks, canonical-collapse of a
+        # planted messy re-discovery, robots gate, one url exchange
+        "crawl_frontier_dedup": _webtier("crawl_frontier_dedup"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6646,6 +6649,47 @@ def _oracle_sql_base() -> dict[str, str]:
                    'Cap ' || CAST(doc_id AS VARCHAR) || ' '
                      || CAST(i AS VARCHAR) || ' & note' AS caption
             FROM u
+        """,
+        # the messy even-doc re-discovery canonicalizes onto the
+        # sitemap's /p/{d}/0 entry (from_link flips to 1, n_hits +1);
+        # /u/ rows survive only on even-digit hosts (the robots rule);
+        # /about collapses across every third doc
+        "crawl_frontier_dedup": """
+            WITH sm AS (
+              SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(i AS VARCHAR) AS url,
+                     1 AS is_s, 0 AS is_l
+              FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+                    FROM documents)
+            ),
+            lk AS (
+              SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                       || '/detail' AS url, 0 AS is_s, 1 AS is_l
+              FROM documents
+              UNION ALL
+              SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/u/' || CAST(doc_id % 50 AS VARCHAR)
+                       || '/posts/' || CAST(doc_id AS VARCHAR),
+                     0, 1
+              FROM documents WHERE (doc_id % 5) % 2 = 0
+              UNION ALL
+              SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/about', 0, 1
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                       || '/0', 0, 1
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            allu AS (
+              SELECT * FROM sm UNION ALL SELECT * FROM lk
+            )
+            SELECT url, max(is_s) AS from_sitemap, max(is_l) AS from_link,
+                   count(*) AS n_hits
+            FROM allu GROUP BY url
         """,
         # three path shapes per doc collapse to three templates; /about
         # only on doc_id%3==0

@@ -141,3 +141,35 @@ def path_template(url: str) -> tuple[str, str] | None:
         for s in ("/" + path).split("/")
     ]
     return host, "/".join(segs) or "/"
+
+
+# ---------------- crawl-frontier synthesis ----------------------------------
+
+
+def frontier_urls_for(doc_id: int) -> list[tuple[str, str]]:
+    """(raw_url, source) candidates a crawl frontier merges for one
+    document: its sitemap entries plus its extracted outlinks.  Planted
+    structure: on even docs the link side re-discovers the sitemap's
+    first URL in MESSY form (upper-case scheme/host, default port,
+    dot-segment, fragment — only canonicalization collapses the pair);
+    ``/about`` is shared by every third doc (cross-document dedup);
+    ``/u/...`` paths will be robots-dropped on odd-digit hosts."""
+    out: list[tuple[str, str]] = []
+    for i in range(doc_id % 4 + 1):
+        out.append((
+            "https://site%d.example.com/p/%d/%d" % (doc_id % 7, doc_id, i),
+            "sitemap",
+        ))
+    h5 = doc_id % 5
+    out.append((
+        "https://site%d.example.com/p/%d/detail" % (h5, doc_id), "link"))
+    out.append((
+        "https://site%d.example.com/u/%d/posts/%d"
+        % (h5, doc_id % 50, doc_id), "link"))
+    if doc_id % 3 == 0:
+        out.append(("https://site%d.example.com/about" % h5, "link"))
+    if doc_id % 2 == 0:
+        out.append((
+            "HTTPS://SITE%d.EXAMPLE.COM:443/p/%d/./0#ref"
+            % (doc_id % 7, doc_id), "link"))
+    return out

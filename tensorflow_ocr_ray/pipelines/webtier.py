@@ -1344,3 +1344,94 @@ def language_segments(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(segment, batch_format="pyarrow",
                             batch_size=2048)
+
+
+# ------------------------------------------------- crawl frontier ---------
+
+
+def crawl_frontier_dedup(
+    sf_dir: str, n_shards: int | None = None
+) -> "rd.Dataset":
+    """Crawl-frontier merge — sitemap discoveries and extracted
+    outlinks union into ONE deduplicated, robots-gated frontier with
+    per-URL source attribution and hit counts.  The fixture
+    (``functions/urlnorm.frontier_urls_for``) plants every hazard the
+    op exists for: a messy re-discovery only canonicalization collapses
+    (upper-case scheme/host, default port, dot-segment, fragment), a
+    ``/about`` URL shared across every third document (cross-document
+    dedup), and ``/u/`` paths a robots rule drops on odd-digit hosts.
+
+    Plan: per-batch canonicalize + (url -> source-mask, count)
+    pre-reduce map-side, ONE url-hash exchange ORs masks / sums hits
+    exactly and applies the BROADCAST robots rule table (host-bounded
+    catalog — ``ray.put`` once, read per shard; at web scale an
+    unbounded rule table rides a host-hash join instead)."""
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.functions.urlnorm import (
+        canonicalize_url,
+        frontier_urls_for,
+    )
+
+    if n_shards is None:
+        n_shards = adaptive_shards(meta_rows(sf_dir, "documents") * 2)
+
+    # robots catalog: odd-digit hosts disallow the /u/ prefix
+    rules = {
+        "site%d.example.com" % k: "/u/" for k in range(7) if k % 2 == 1
+    }
+    rules_ref = ray.put(rules)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        agg: dict[str, list[int]] = {}
+        for did in batch.column("doc_id").to_pylist():
+            for raw, source in frontier_urls_for(int(did)):
+                canon = canonicalize_url(raw)
+                if canon is None:
+                    continue
+                st = agg.setdefault(canon, [0, 0, 0])
+                if source == "sitemap":
+                    st[0] = 1
+                else:
+                    st[1] = 1
+                st[2] += 1
+        if not agg:
+            return pd.DataFrame(
+                {"url": pd.Series([], dtype="string"),
+                 "is_s": pd.Series([], dtype="int64"),
+                 "is_l": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "shard": pd.Series([], dtype="int64")})
+        urls = list(agg)
+        out = pd.DataFrame(
+            {"url": urls,
+             "is_s": [agg[u][0] for u in urls],
+             "is_l": [agg[u][1] for u in urls],
+             "n": [agg[u][2] for u in urls]})
+        out["shard"] = (
+            _md5_prefix_batch(urls, 8).astype(np.uint64) % n_shards
+        ).astype(np.int64)
+        return out.astype({"is_s": "int64", "is_l": "int64",
+                           "n": "int64", "shard": "int64"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"url": "string", "from_sitemap": "int64",
+                "from_link": "int64", "n_hits": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        g = (df.groupby("url", as_index=False)
+             .agg(from_sitemap=("is_s", "max"), from_link=("is_l", "max"),
+                  n_hits=("n", "sum")))
+        r = ray.get(rules_ref)
+        host_path = g["url"].str.extract(r"^https?://([^/]+)(/.*)$")
+        dis = host_path[0].map(r)
+        keep = dis.isna() | ~pd.Series(
+            [p.startswith(d) if isinstance(d, str) else False
+             for p, d in zip(host_path[1], dis)])
+        return g[keep].reset_index(drop=True).astype(
+            {"from_sitemap": "int64", "from_link": "int64",
+             "n_hits": "int64"})
+
+    rows = _docs(sf_dir, ["doc_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096)
+    return hash_exchange(rows, "shard", n_shards, combine)

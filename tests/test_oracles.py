@@ -332,6 +332,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("url_template_mine", ["documents"]),
         ("dom_structure_stats", ["documents"]),
         ("language_segments", ["documents"]),
+        ("crawl_frontier_dedup", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
