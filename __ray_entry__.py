@@ -1788,6 +1788,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frontier merge: sitemap ∪ outlinks, canonical-collapse of a
         # planted messy re-discovery, robots gate, one url exchange
         "crawl_frontier_dedup": _webtier("crawl_frontier_dedup"),
+        # corpus governance: rel=license beats anchor evidence,
+        # commented decoys never match
+        "license_detect": _webtier("license_detect"),
+        # encoding-damage quarantine: double-encode signatures counted,
+        # legit non-ASCII never flagged
+        "mojibake_audit": _webtier("mojibake_audit"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6649,6 +6655,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    'Cap ' || CAST(doc_id AS VARCHAR) || ' '
                      || CAST(i AS VARCHAR) || ' & note' AS caption
             FROM u
+        """,
+        # rel-link on doc%5 in 1..3, anchor-only on 4, none on 0; the
+        # cc type cycles by doc%3
+        "license_detect": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN ''
+                        ELSE 'cc-' || ['by', 'by-sa', 'by-nc']
+                               [doc_id % 3 + 1] END AS license,
+                   CASE WHEN doc_id % 5 = 0 THEN 'none'
+                        WHEN doc_id % 5 = 4 THEN 'anchor'
+                        ELSE 'rel-link' END AS evidence
+            FROM documents
+        """,
+        # doc%4: 0 clean, 1 legit non-ASCII (not flagged), 2 plants
+        # doc%3+1 signatures, 3 plants one
+        "mojibake_audit": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 2 THEN doc_id % 3 + 1
+                        WHEN doc_id % 4 = 3 THEN 1
+                        ELSE 0 END AS n_mojibake,
+                   CASE WHEN doc_id % 4 IN (2, 3) THEN 'mojibake'
+                        ELSE 'clean' END AS verdict
+            FROM documents
         """,
         # the messy even-doc re-discovery canonicalizes onto the
         # sitemap's /p/{d}/0 entry (from_link flips to 1, n_hits +1);

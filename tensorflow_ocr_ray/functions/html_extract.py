@@ -757,3 +757,55 @@ def dom_stats(html: str) -> tuple[int, int, int]:
             stack.append(tag)
             max_depth = max(max_depth, len(stack))
     return max_depth, n_tags, n_void
+
+
+# ---------------- license detection -----------------------------------------
+
+_REL_LICENSE = re.compile(
+    r"<link\b[^>]*\brel=[\"']license[\"'][^>]*\bhref=[\"']"
+    r"https?://creativecommons\.org/licenses/([a-z-]+)/", re.I)
+_A_LICENSE = re.compile(
+    r"<a\b[^>]*\bhref=[\"']https?://creativecommons\.org/licenses/"
+    r"([a-z-]+)/", re.I)
+
+_CC_TYPES = ("by", "by-sa", "by-nc")
+
+
+def license_page_for(doc_id: int) -> str:
+    """Deterministic license-marker fixture: docs with ``doc_id%5`` in
+    1..3 declare a CC license via ``<link rel="license">`` (the strong
+    machine-readable form), ``doc_id%5==4`` only mentions it in an
+    anchor (weaker evidence), ``doc_id%5==0`` carries none.  A
+    commented-out decoy link must never match."""
+    cc = _CC_TYPES[doc_id % 3]
+    r = doc_id % 5
+    head = ""
+    body = "<p>content %d</p>" % doc_id
+    if 1 <= r <= 3:
+        head = ('<link rel="license" '
+                'href="https://creativecommons.org/licenses/%s/4.0/">' % cc)
+    elif r == 4:
+        body += ('<p>shared under <a '
+                 'href="https://creativecommons.org/licenses/%s/4.0/">'
+                 "CC %s</a></p>" % (cc, cc))
+    return (
+        "<!DOCTYPE html><html><head><title>lic %d</title>" % doc_id
+        + head
+        + '<!-- <link rel="license" href='
+        + '"https://creativecommons.org/licenses/by/4.0/"> -->'
+        + "</head><body>" + body + "</body></html>"
+    )
+
+
+def detect_license(html: str) -> tuple[str, str]:
+    """(license, evidence): a ``rel="license"`` link wins (evidence
+    ``rel-link``), else a creativecommons anchor counts as ``anchor``
+    evidence, else ``('', 'none')``.  Comments dropped first."""
+    clean = _COMMENT.sub(" ", html)
+    m = _REL_LICENSE.search(clean)
+    if m:
+        return "cc-" + m.group(1).lower(), "rel-link"
+    m = _A_LICENSE.search(clean)
+    if m:
+        return "cc-" + m.group(1).lower(), "anchor"
+    return "", "none"

@@ -424,3 +424,33 @@ def language_segments_of(text: str) -> list[tuple[str, int]]:
         else:
             out.append((lg, 1))
     return out
+
+
+# ---------------- mojibake audit ---------------------------------------------
+
+# the classic double-encode signatures: UTF-8 bytes of é / ’ / — read
+# back as Latin-1/cp1252
+_MOJIBAKE_SIGS = ("Ã©", "â€™", "â€“")
+
+
+def mojibake_text_for(doc_id: int, text: str) -> str:
+    """Deterministic encoding-damage fixture: ``doc_id%4`` selects clean
+    ASCII, a LEGIT non-ASCII char (must not be flagged), ``doc_id%3+1``
+    double-encoded ``é`` signatures, or one double-encoded curly
+    quote."""
+    c = doc_id % 4
+    if c == 0:
+        return text or ""
+    if c == 1:
+        return "é " + (text or "")
+    if c == 2:
+        return "Ã© " * (doc_id % 3 + 1) + (text or "")
+    return "â€™ " + (text or "")
+
+
+def mojibake_count(text: str) -> int:
+    """Occurrences of classic UTF-8-as-Latin-1 double-encode signatures
+    — the encoding-damage signal a curation pass quarantines on.  A
+    legit single non-ASCII char never matches (signatures are 2-3 char
+    sequences that essentially cannot occur in intact text)."""
+    return sum(text.count(s) for s in _MOJIBAKE_SIGS)

@@ -1435,3 +1435,72 @@ def crawl_frontier_dedup(
     rows = _docs(sf_dir, ["doc_id"]).map_batches(
         partial, batch_format="pyarrow", batch_size=4096)
     return hash_exchange(rows, "shard", n_shards, combine)
+
+
+# -------------------------------------------------- license markers -------
+
+
+def license_detect(sf_dir: str) -> "rd.Dataset":
+    """License detection — the corpus-governance gate a training-data
+    pipeline filters on: a machine-readable ``rel="license"`` link wins
+    over an in-text anchor mention (evidence tiers ``rel-link`` >
+    ``anchor`` > ``none``); a commented-out decoy link must never
+    match (``functions/html_extract.license_page_for``).
+
+    Scale: one stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        detect_license,
+        license_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def detect(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        res = [detect_license(license_page_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "license": pa.array([r[0] for r in res], type=pa.string()),
+             "evidence": pa.array([r[1] for r in res],
+                                  type=pa.string())})
+
+    return docs.map_batches(detect, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# --------------------------------------------------- mojibake audit -------
+
+
+def mojibake_audit(sf_dir: str) -> "rd.Dataset":
+    """Encoding-damage audit — the double-encode (UTF-8 read as
+    Latin-1) quarantine signal: classic signatures (Ã©, â€™, â€“) are
+    counted per document; a LEGIT non-ASCII character must not be
+    flagged (``functions/textstats.mojibake_text_for`` plants both
+    cases).
+
+    Scale: one stateless task map over a 2-column projection."""
+    from tensorflow_ocr_ray.functions.textstats import (
+        mojibake_count,
+        mojibake_text_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        doc, n, verdict = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            d = int(did)
+            c = mojibake_count(mojibake_text_for(d, t or ""))
+            doc.append(d)
+            n.append(c)
+            verdict.append("mojibake" if c else "clean")
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "n_mojibake": pa.array(n, type=pa.int64()),
+             "verdict": pa.array(verdict, type=pa.string())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            batch_size=4096)

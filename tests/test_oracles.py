@@ -333,6 +333,8 @@ def test_ann_topk_multi_oracle(ray_session):
         ("dom_structure_stats", ["documents"]),
         ("language_segments", ["documents"]),
         ("crawl_frontier_dedup", ["documents"]),
+        ("license_detect", ["documents"]),
+        ("mojibake_audit", ["documents"]),
     ],
 )
 def test_new_operator_oracles(ray_session, name, tables):
