@@ -387,3 +387,21 @@ def test_merge_upsert_shard_invariance(ray_session):
     ).fetchone()[0]
     assert (a["key"] >= 2_000_000_000_000).sum() > 0
     assert (a["key"] < 2_000_000_000_000).sum() < n_base
+
+
+def test_pagination_chain_shard_invariance(ray_session):
+    """Chain assembly must not depend on the exchange fan-out:
+    n_shards=3 equals n_shards=32 row-for-row."""
+    from tensorflow_ocr_ray.pipelines.webtier import pagination_chain
+
+    a = (pagination_chain(SF, n_shards=3).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (pagination_chain(SF, n_shards=32).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    for c in ("doc_id", "chain_head", "chain_len", "pos"):
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    # every chain is contiguous and correctly ordered: pos 0..len-1
+    g = a.groupby("chain_head")
+    assert (g["pos"].max() + 1 == g["chain_len"].max()).all()
+    assert (g["pos"].min() == 0).all()
