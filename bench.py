@@ -54,7 +54,18 @@ def _init_ray(num_cpus: int):
     )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # The reassembly groupby's Sort AllToAll reserves ~half the cluster
+    # under Ray Data's default resource-reservation allocator, capping the
+    # OCR scorer actor pool at ~3 of 8 CPUs even though the sort's own
+    # work is a tail-end blip (measured: scorer stage 153s CPU-time but
+    # only ~2.8x effective parallelism at 8 CPUs).  Disabling reservation
+    # lets the streaming executor share cores greedily across ops:
+    # measured 1.6x faster OCR wall at 8 CPUs.  Env-overridable so the
+    # default-allocator behavior stays reproducible.
+    ctx.op_resource_reservation_ratio = float(
+        os.environ.get("GRAFT_RESERVATION_RATIO", "0"))
     return ray
 
 
@@ -126,7 +137,13 @@ def bench_ocr(
             # the actor:CPU ratio is IDENTICAL at both levels.
             concurrency=concurrency or max(1, num_cpus - 1),
             batch_size=16,
-            num_blocks=4 * num_cpus,
+            num_blocks=int(os.environ.get("GRAFT_OCR_BLOCKS", 0))
+            or 4 * num_cpus,
+            # "streaming" routes reassembly through the pipelining
+            # streaming_exchange instead of the groupby Sort barrier
+            # (see ocr_pipeline.ocr_documents reassemble_via docs)
+            reassemble_via=os.environ.get("GRAFT_OCR_REASSEMBLE",
+                                          "groupby"),
         )
         n_out = out.count()
         elapsed = time.time() - t0
@@ -205,7 +222,17 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
         attempts[cpus] = []
         for _ in range(3):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                       GRAFT_SF_DIR=sf_dir)
+                       GRAFT_SF_DIR=sf_dir,
+                       # identical RELATIVE config at both levels:
+                       # 8 blocks per CPU (straggler smoothing: scorer
+                       # task waves stay short relative to wall) and the
+                       # pipelining streaming reassembly (the groupby
+                       # Sort is a barrier — reassembly used to start
+                       # only after the LAST span was scored, a pure
+                       # drain tail that scales with level; measured
+                       # 49.2 -> 42.1 s at 8 CPUs, 24k docs)
+                       GRAFT_OCR_BLOCKS=str(8 * cpus),
+                       GRAFT_OCR_REASSEMBLE="streaming")
             # actor:CPU ratio held constant across levels (cpus//2
             # actors + cpus//2 for the explode/shuffle stages) so the
             # two levels are true N- vs 4N-shaped configs

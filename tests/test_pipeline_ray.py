@@ -67,6 +67,24 @@ def test_span_sequence_equality_exchange_reassembly(ray_session, golden):
     assert got == want
 
 
+def test_span_sequence_equality_streaming_reassembly(ray_session, golden):
+    """The scaling-protocol reassembly path (streaming_exchange — routed
+    while the scorer runs, no Sort barrier) must produce the identical
+    span sequences; within-bucket arrival order is nondeterministic, so
+    this also pins reassemble_group's internal (doc_id, offset) sort."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.pipelines.ocr_pipeline import ocr_documents
+
+    docs, want = golden
+    ds = rd.from_arrow(docs)
+    out = ocr_documents(ds, mode="exploded", concurrency=(1, 2),
+                        batch_size=8, num_blocks=4,
+                        reassemble_via="streaming", reassemble_buckets=7)
+    got = _span_seq(pa.Table.from_pandas(out.to_pandas()))
+    assert got == want
+
+
 def test_exploded_roundtrip_schema(ray_session, golden):
     import ray.data as rd
 
