@@ -1794,6 +1794,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # encoding-damage quarantine: double-encode signatures counted,
         # legit non-ASCII never flagged
         "mojibake_audit": _webtier("mojibake_audit"),
+        # fenced <pre><code> blocks verbatim (newlines kept, entities
+        # unescaped); inline-code/bare-pre/script/comment decoys skipped
+        "code_block_extract": _webtier("code_block_extract"),
+        # hreflang alternate clusters: one cluster-hash exchange,
+        # reciprocity audit catches the planted broken back-link
+        "hreflang_clusters": _webtier("hreflang_clusters"),
+        # schema.org microdata with real itemscope scoping: the nested
+        # Brand name never leaks into its parent Product
+        "microdata_extract": _webtier("microdata_extract"),
+        # AMP <-> canonical reciprocity: two sides meet in one key
+        # exchange; broken back-links strand the canonical side AND
+        # mint a phantom amp-only key
+        "amp_canonical_pairs": _webtier("amp_canonical_pairs"),
+        # per-host follow/nofollow/sponsored/ugc grid (rel is a token
+        # list; rel'd relative nav links are not outlinks)
+        "link_rel_audit": _webtier("link_rel_audit"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6678,6 +6694,101 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN doc_id % 4 IN (2, 3) THEN 'mojibake'
                         ELSE 'clean' END AS verdict
             FROM documents
+        """,
+        # block i of doc: language cycles (doc+i)%4, 2+(doc+2i)%4 lines,
+        # line j = 'v{d}_{i}_{j} = {3d+5i+j}  # {j}<9' newline-joined
+        "code_block_extract": """
+            WITH b AS (SELECT doc_id,
+                         unnest(range(0, doc_id % 3 + 1)) AS i
+                       FROM documents),
+            l AS (SELECT doc_id, i, 2 + (doc_id + 2*i) % 4 AS n FROM b),
+            j AS (SELECT doc_id, i, n, unnest(range(0, n)) AS j FROM l)
+            SELECT doc_id, i AS block_idx,
+              (['python','js','sql','c'])
+                [CAST((doc_id + i) % 4 AS INTEGER) + 1] AS language,
+              n AS n_lines,
+              string_agg('v' || CAST(doc_id AS VARCHAR) || '_'
+                || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+                || ' = ' || CAST(doc_id*3 + i*5 + j AS VARCHAR)
+                || '  # ' || CAST(j AS VARCHAR) || '<9',
+                chr(10) ORDER BY j) AS code
+            FROM j GROUP BY doc_id, i, n
+        """,
+        # cluster g = doc//3; g%5=0 breaks member2->member0 iff both
+        # present; reciprocal iff the member digraph is complete
+        "hreflang_clusters": """
+            WITH m AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS mem
+                       FROM documents),
+            c AS (SELECT g, count(*) AS n_members,
+                    max(CASE WHEN mem = 0 THEN 1 ELSE 0 END) AS has0,
+                    max(CASE WHEN mem = 2 THEN 1 ELSE 0 END) AS has2
+                  FROM m GROUP BY g)
+            SELECT g AS cluster_id, n_members,
+              n_members*(n_members-1)
+                - (CASE WHEN g % 5 = 0 AND has0 = 1 AND has2 = 1
+                   THEN 1 ELSE 0 END) AS n_edges,
+              CASE WHEN g % 5 = 0 AND has0 = 1 AND has2 = 1
+                   THEN 0 ELSE 1 END AS reciprocal
+            FROM c
+        """,
+        # even doc = Product (price (7d)%9000+100, sku 3d), odd =
+        # Article (wordCount 50+d%400); -1 sentinels cross-type
+        "microdata_extract": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'Product'
+                   ELSE 'Article' END AS item_type,
+              CASE WHEN doc_id % 2 = 0 THEN 'P ' ELSE 'A ' END
+                || CAST(doc_id AS VARCHAR) AS name,
+              CASE WHEN doc_id % 2 = 0
+                   THEN 'SKU-' || CAST(doc_id * 3 AS VARCHAR)
+                   ELSE '' END AS sku,
+              CAST(CASE WHEN doc_id % 2 = 0
+                   THEN (doc_id * 7) % 9000 + 100 ELSE -1 END
+                   AS BIGINT) AS price_cents,
+              CAST(CASE WHEN doc_id % 2 = 1
+                   THEN 50 + doc_id % 400 ELSE -1 END
+                   AS BIGINT) AS word_count
+            FROM documents
+        """,
+        # pair p = doc//2: even docs canon side, odd docs amp side;
+        # p%7=0 re-keys the amp side to p+1e6 (phantom key, stranded
+        # canonical)
+        "amp_canonical_pairs": """
+            WITH c AS (SELECT doc_id // 2 AS pair_key, 1 AS c, 0 AS a
+                       FROM documents WHERE doc_id % 2 = 0),
+            a AS (SELECT CASE WHEN (doc_id // 2) % 7 = 0
+                         THEN doc_id // 2 + 1000000
+                         ELSE doc_id // 2 END AS pair_key,
+                         0 AS c, 1 AS a
+                  FROM documents WHERE doc_id % 2 = 1),
+            u AS (SELECT * FROM c UNION ALL SELECT * FROM a)
+            SELECT pair_key,
+              CAST(max(c) AS BIGINT) AS has_canonical,
+              CAST(max(a) AS BIGINT) AS has_amp,
+              CAST(CASE WHEN max(c) = 1 AND max(a) = 1
+                   THEN 1 ELSE 0 END AS BIGINT) AS consistent
+            FROM u GROUP BY pair_key
+        """,
+        # link k of doc: host (7d+k)%50, rel variant (3d+k)%5 of
+        # ('', nofollow, sponsored, ugc, 'nofollow ugc')
+        "link_rel_audit": """
+            WITH u AS (SELECT doc_id,
+                         unnest(range(0, doc_id % 4 + 1)) AS k
+                       FROM documents),
+            e AS (SELECT 'host' || CAST((doc_id*7 + k) % 50 AS VARCHAR)
+                    || '.example' AS host,
+                    CAST((doc_id*3 + k) % 5 AS INTEGER) AS v
+                  FROM u)
+            SELECT host, count(*) AS n_links,
+              CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_follow,
+              CAST(sum(CASE WHEN v IN (1, 4) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nofollow,
+              CAST(sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_sponsored,
+              CAST(sum(CASE WHEN v IN (3, 4) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ugc
+            FROM e GROUP BY host
         """,
         # the messy even-doc re-discovery canonicalizes onto the
         # sitemap's /p/{d}/0 entry (from_link flips to 1, n_hits +1);

@@ -809,3 +809,309 @@ def detect_license(html: str) -> tuple[str, str]:
     if m:
         return "cc-" + m.group(1).lower(), "anchor"
     return "", "none"
+
+
+# ---------------- code-block extraction (LLM training-data op) -----------
+
+_PRE_CODE = re.compile(
+    r"<pre\b[^>]*>\s*<code\b([^>]*)>(.*?)</code\s*>\s*</pre\s*>",
+    re.S | re.I,
+)
+_LANG_CLASS = re.compile(r"""class\s*=\s*["']?[^"'>]*language-(\w+)""", re.I)
+
+_CODE_LANGS = ("python", "js", "sql", "c")
+
+
+def extract_code_blocks(html: str) -> list[tuple[str, str]]:
+    """(language, code) per fenced ``<pre><code>`` block, in document
+    order.  Code text keeps its NEWLINES verbatim (code is
+    whitespace-significant — the one extractor here that must NOT
+    collapse whitespace) and is entity-unescaped; the language comes
+    from a ``language-*`` class token, ``txt`` when absent.  Inline
+    ``<code>`` (no ``<pre>`` parent) is prose typography, not a code
+    block; ``<pre>`` inside dropped script/comment subtrees never
+    surfaces."""
+    s = _COMMENT.sub(" ", html)
+    s = _DROP_SUBTREE.sub(" ", s)
+    out = []
+    for attrs, body in _PRE_CODE.findall(s):
+        m = _LANG_CLASS.search(attrs)
+        lang = m.group(1).lower() if m else "txt"
+        out.append((lang, _html.unescape(body.strip("\n"))))
+    return out
+
+
+_CODE_PAGE = """<!DOCTYPE html><html><head><title>code {doc_id}</title>
+<script>var fake = "<pre><code>decoy()</code></pre>";</script>
+</head><body>
+<p>Call <code>init({doc_id})</code> before use.</p>
+{blocks}
+<pre>plain preformatted, no code child — not a block</pre>
+<!-- <pre><code class="language-go">commented()</code></pre> -->
+</body></html>"""
+
+
+def code_page_for(doc_id: int) -> str:
+    """Deterministic page with ``1 + doc_id % 3`` fenced code blocks.
+    Block ``i`` is ``language-{_CODE_LANGS[(doc_id+i) % 4]}`` with
+    ``2 + (doc_id + 2*i) % 4`` lines; line ``j`` reads
+    ``v{d}_{i}_{j} = {d*3+i*5+j}  # {j}&lt;9`` (the entity pins
+    unescape; the newline layout pins verbatim whitespace).  Decoys:
+    inline ``<code>``, a bare ``<pre>``, a script-string block and a
+    commented-out block — none extract."""
+    blocks = []
+    for i in range(1 + doc_id % 3):
+        n = 2 + (doc_id + 2 * i) % 4
+        lines = "\n".join(
+            "v%d_%d_%d = %d  # %d&lt;9"
+            % (doc_id, i, j, doc_id * 3 + i * 5 + j, j)
+            for j in range(n)
+        )
+        blocks.append(
+            '<pre><code class="language-%s">\n%s\n</code></pre>'
+            % (_CODE_LANGS[(doc_id + i) % 4], lines)
+        )
+    return _CODE_PAGE.format(doc_id=doc_id, blocks="\n".join(blocks))
+
+
+# ---------------- hreflang alternate clusters -----------------------------
+
+_LINK_TAG = re.compile(r"<link\b[^>]*?>", re.S | re.I)
+
+
+def extract_hreflang(html: str) -> list[tuple[str, str]]:
+    """(hreflang, href) per ``<link rel="alternate" hreflang=...>`` in
+    document order; other link rels (canonical, stylesheet) and
+    alternates WITHOUT hreflang (RSS alternates) don't belong to the
+    language cluster."""
+    out = []
+    for tag in _LINK_TAG.findall(html):
+        a = _attrs(tag)
+        if a.get("rel", "").lower() != "alternate":
+            continue
+        hl = a.get("hreflang", "")
+        if not hl:
+            continue
+        out.append((hl.lower(), a.get("href", "").strip()))
+    return out
+
+
+_HREFLANG_LANGS = ("en", "de", "fr")
+
+
+def hreflang_page_for(doc_id: int) -> str:
+    """Member ``doc_id % 3`` of language cluster ``doc_id // 3``: links
+    every member (self included, per the hreflang spec) as
+    ``https://{lang}.example.com/g/{g}``.  PLANTED BREAKAGE: in
+    clusters with ``g % 5 == 0`` member 2 omits its link to member 0 —
+    the reciprocity violation the cluster audit exists to catch.
+    Decoys: an RSS alternate (no hreflang) and a canonical link."""
+    g, mem = doc_id // 3, doc_id % 3
+    links = []
+    for m, lang in enumerate(_HREFLANG_LANGS):
+        if g % 5 == 0 and mem == 2 and m == 0:
+            continue
+        links.append(
+            '<link rel="alternate" hreflang="%s" '
+            'href="https://%s.example.com/g/%d">' % (lang, lang, g)
+        )
+    return (
+        "<!DOCTYPE html><html><head><title>hl %d</title>\n" % doc_id
+        + '<link rel="alternate" type="application/rss+xml" href="/feed">\n'
+        + '<link rel="canonical" href="https://%s.example.com/g/%d">\n'
+        % (_HREFLANG_LANGS[mem], g)
+        + "\n".join(links)
+        + "</head><body><p>g %d m %d</p></body></html>" % (g, mem)
+    )
+
+
+# ---------------- microdata (itemscope/itemprop) ---------------------------
+
+_ITEMSCOPE = re.compile(
+    r"<(\w+)\b[^>]*\bitemscope\b[^>]*\bitemtype\s*=\s*"
+    r"""["']https?://schema\.org/(\w+)["'][^>]*>""",
+    re.I,
+)
+_ITEMPROP_TAG = re.compile(
+    r"""<(\w+)\b[^>]*\bitemprop\s*=\s*["']?(\w+)["']?[^>]*>""", re.I
+)
+
+
+def extract_microdata(html: str) -> list[dict]:
+    """Top-level microdata items as ``{"type": ..., props...}`` dicts.
+
+    Scoping is the whole game: an itemprop inside a NESTED itemscope
+    belongs to the nested item, not the outer one (the classic
+    microdata pitfall — a Product's nested Brand name is not the
+    product name).  Nested items are recorded on the parent under
+    their itemprop name as ``"<TypeName>"`` markers; ``<meta
+    itemprop=... content=...>`` carries its value in the content
+    attribute, other tags in their text."""
+    items: list[dict] = []
+    stack: list[dict] = []
+    pos = 0
+    token = re.compile(
+        r"<(\w+)\b[^>]*>|</(\w+)\s*>", re.S
+    )
+    open_tags: list[tuple[str, dict | None]] = []  # (tagname, item-or-None)
+    for m in token.finditer(html):
+        if m.group(1):  # open tag
+            tag_src = m.group(0)
+            tagname = m.group(1).lower()
+            if tag_src.endswith("/>") or tagname in ("meta", "link",
+                                                     "img", "br"):
+                self_closing = True
+            else:
+                self_closing = False
+            a = _attrs(tag_src)
+            is_scope = "itemscope" in tag_src.lower() and "itemtype" in a
+            prop = a.get("itemprop")
+            new_item = None
+            if is_scope:
+                typ = a["itemtype"].rsplit("/", 1)[-1]
+                new_item = {"type": typ}
+                if prop and stack:
+                    stack[-1][prop] = "<%s>" % typ
+                if not stack:
+                    items.append(new_item)
+            elif prop and stack:
+                if tagname == "meta":
+                    stack[-1][prop] = _html.unescape(a.get("content", ""))
+                else:
+                    end = html.find("</%s" % tagname, m.end())
+                    body = html[m.end():end] if end >= 0 else ""
+                    stack[-1][prop] = _html.unescape(
+                        _WS.sub(" ", _TAG.sub(" ", body)).strip())
+            if not self_closing:
+                open_tags.append((tagname, new_item))
+                if new_item is not None:
+                    stack.append(new_item)
+        else:  # close tag
+            tagname = m.group(2).lower()
+            while open_tags:
+                t, it = open_tags.pop()
+                if it is not None and stack and stack[-1] is it:
+                    stack.pop()
+                if t == tagname:
+                    break
+    return items
+
+
+def microdata_page_for(doc_id: int) -> str:
+    """Even docs carry a schema.org Product (name / price meta / sku
+    meta / a NESTED Brand whose name must not leak into the product);
+    odd docs an Article (headline / wordCount).  Arithmetic values the
+    oracle re-derives: price ``(doc_id*7) % 9000 + 100`` cents, sku
+    ``SKU-{doc_id*3}``, wordCount ``50 + doc_id % 400``."""
+    if doc_id % 2 == 0:
+        return (
+            '<!DOCTYPE html><html><body>\n'
+            '<div itemscope itemtype="https://schema.org/Product">\n'
+            '<span itemprop="name">P %d</span>\n'
+            '<meta itemprop="price" content="%d">\n'
+            '<meta itemprop="sku" content="SKU-%d">\n'
+            '<div itemprop="brand" itemscope '
+            'itemtype="https://schema.org/Brand">\n'
+            '<span itemprop="name">B %d</span>\n'
+            "</div>\n</div>\n</body></html>"
+            % (doc_id, (doc_id * 7) % 9000 + 100, doc_id * 3, doc_id % 10)
+        )
+    return (
+        '<!DOCTYPE html><html><body>\n'
+        '<article itemscope itemtype="https://schema.org/Article">\n'
+        '<h1 itemprop="headline">A %d</h1>\n'
+        '<meta itemprop="wordCount" content="%d">\n'
+        "</article>\n</body></html>" % (doc_id, 50 + doc_id % 400)
+    )
+
+
+# ---------------- AMP <-> canonical reciprocity ----------------------------
+
+def amp_page_for(doc_id: int) -> str:
+    """Even docs are canonical pages advertising their AMP twin
+    (``rel="amphtml"`` to pair ``doc_id // 2``); odd docs are the AMP
+    pages pointing back (``rel="canonical"``).  PLANTED BREAKAGE:
+    when ``(doc_id//2) % 7 == 0`` the AMP page's canonical points at
+    pair ``p + 1000000`` — the dangling back-link the reciprocity
+    audit catches."""
+    p = doc_id // 2
+    if doc_id % 2 == 0:
+        return (
+            '<!DOCTYPE html><html><head><title>c %d</title>\n'
+            '<link rel="amphtml" href="https://a.example.com/amp/%d">\n'
+            '<link rel="stylesheet" href="/x.css">\n'
+            "</head><body>canonical %d</body></html>" % (p, p, p)
+        )
+    tgt = p + 1000000 if p % 7 == 0 else p
+    return (
+        '<!DOCTYPE html><html amp><head><title>a %d</title>\n'
+        '<link rel="canonical" href="https://c.example.com/page/%d">\n'
+        "</head><body>amp %d</body></html>" % (p, tgt, p)
+    )
+
+
+_AMP_PAIR = re.compile(r"/amp/(\d+)")
+_PAGE_PAIR = re.compile(r"/page/(\d+)")
+
+
+def extract_amp_edge(html: str) -> tuple[str, int] | None:
+    """('canon', pair) for a canonical page's amphtml link, ('amp',
+    pair) for an AMP page's canonical back-link, None when neither."""
+    for tag in _LINK_TAG.findall(html):
+        a = _attrs(tag)
+        rel = a.get("rel", "").lower()
+        if rel == "amphtml":
+            m = _AMP_PAIR.search(a.get("href", ""))
+            if m:
+                return ("canon", int(m.group(1)))
+        elif rel == "canonical":
+            m = _PAGE_PAIR.search(a.get("href", ""))
+            if m:
+                return ("amp", int(m.group(1)))
+    return None
+
+
+# ---------------- link rel audit (nofollow / sponsored / ugc) --------------
+
+_REL_VARIANTS = ("", "nofollow", "sponsored", "ugc", "nofollow ugc")
+
+
+def rel_link_page_for(doc_id: int) -> str:
+    """Page with ``1 + doc_id % 4`` absolute outlinks; link ``k``
+    carries rel variant ``(doc_id*3 + k) % 5`` of
+    ``('', nofollow, sponsored, ugc, 'nofollow ugc')`` toward host
+    ``(doc_id*7 + k) % 50`` — same host arithmetic as the link graph
+    so the two audits join.  A relative nav link carries rel=nofollow
+    as a decoy (not an outlink, never counted)."""
+    links = ['<a href="/nav" rel="nofollow">Nav</a>']
+    for k in range(1 + doc_id % 4):
+        rel = _REL_VARIANTS[(doc_id * 3 + k) % 5]
+        rel_attr = ' rel="%s"' % rel if rel else ""
+        links.append(
+            '<a href="https://host%d.example/p/%d"%s>out %d</a>'
+            % ((doc_id * 7 + k) % 50, doc_id, rel_attr, k)
+        )
+    return (
+        "<!DOCTYPE html><html><body><p>doc %d</p>\n" % doc_id
+        + "\n".join(links) + "</body></html>"
+    )
+
+
+_A_FULL = re.compile(r"<a\b[^>]*>", re.I)
+
+
+def extract_rel_links(html: str) -> list[tuple[str, int, int, int]]:
+    """(host, nofollow, sponsored, ugc) flags per ABSOLUTE outlink —
+    rel is a space-separated token list, so ``nofollow ugc`` flags
+    both.  Relative links (site nav) are skipped whatever their
+    rel."""
+    out = []
+    for tag in _A_FULL.findall(html):
+        a = _attrs(tag)
+        m = _ABS_URL.match(a.get("href", ""))
+        if not m:
+            continue
+        toks = set(a.get("rel", "").lower().split())
+        out.append((m.group(2).lower(), int("nofollow" in toks),
+                    int("sponsored" in toks), int("ugc" in toks)))
+    return out

@@ -1504,3 +1504,277 @@ def mojibake_audit(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(audit, batch_format="pyarrow",
                             batch_size=4096)
+
+
+# ------------------------------------------------ code-block extraction ----
+
+
+def code_block_extract(sf_dir: str) -> "rd.Dataset":
+    """Fenced code-block extraction — the LLM-training-data op that
+    pulls ``<pre><code class="language-*">`` blocks out verbatim
+    (newlines preserved, entities unescaped) while skipping inline
+    ``<code>`` typography, bare ``<pre>``, script-string and
+    commented-out decoys (``functions/html_extract.code_page_for``).
+
+    Scale: stateless task flat-map, no shuffle; code text never leaves
+    the block it was parsed in."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        code_page_for,
+        extract_code_blocks,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, idx, lang, nl, code = [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for i, (la, c) in enumerate(extract_code_blocks(
+                    code_page_for(d))):
+                doc.append(d)
+                idx.append(i)
+                lang.append(la)
+                nl.append(c.count("\n") + 1 if c else 0)
+                code.append(c)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "block_idx": pa.array(idx, type=pa.int64()),
+             "language": pa.array(lang, type=pa.string()),
+             "n_lines": pa.array(nl, type=pa.int64()),
+             "code": pa.array(code, type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ hreflang clusters --------
+
+
+def hreflang_clusters(sf_dir: str, n_shards: int | None = None) -> pd.DataFrame:
+    """Hreflang alternate-cluster audit — groups pages into language
+    clusters from their ``rel="alternate" hreflang`` link sets and
+    checks RECIPROCITY (every member must link every other member both
+    ways; ``functions/html_extract.hreflang_page_for`` plants a broken
+    back-link in every fifth cluster).  RSS-alternate and canonical
+    links are decoys the parser must skip.
+
+    Plan: per-doc non-self edges ``(cluster, src, dst)`` keyed by the
+    cluster id mined from the alternate URLS (the engine never sees the
+    membership arithmetic), ONE cluster-hash exchange, then a fully
+    vectorized per-shard audit: membership semi-join to drop edges to
+    absent members, and reciprocity as ``n_edges == n·(n−1)``.
+    Clusters are hreflang sets — bounded at tens of members — so no
+    skew salting is needed."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        _HREFLANG_LANGS,
+        extract_hreflang,
+        hreflang_page_for,
+    )
+
+    if n_shards is None:
+        n_shards = adaptive_shards(meta_rows(sf_dir, "documents"))
+    lang_idx = {la: i for i, la in enumerate(_HREFLANG_LANGS)}
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        g_l, src_l, dst_l = [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            alts = extract_hreflang(hreflang_page_for(d))
+            # src member index = which language THIS page is.  A crawler
+            # knows the fetched page's own URL; here that fetch context
+            # is the doc's member slot (the broken page can't recover it
+            # from its alternate set — that's the point of the audit).
+            mem = d % len(_HREFLANG_LANGS)
+            for la, href in alts:
+                m = lang_idx.get(la)
+                if m is None or m == mem:
+                    continue
+                g = int(href.rsplit("/", 1)[-1])
+                g_l.append(g)
+                src_l.append(mem)
+                dst_l.append(m)
+        out = pd.DataFrame(
+            {"g": pd.Series(g_l, dtype="int64"),
+             "src": pd.Series(src_l, dtype="int64"),
+             "dst": pd.Series(dst_l, dtype="int64")})
+        out["shard"] = (out["g"] % n_shards).astype("int64")
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cluster_id": "int64", "n_members": "int64",
+                "n_edges": "int64", "reciprocal": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        edges = df[["g", "src", "dst"]].drop_duplicates()
+        members = edges[["g", "src"]].drop_duplicates()
+        n_mem = members.groupby("g")["src"].nunique()
+        present = edges.merge(
+            members.rename(columns={"src": "dst"}), on=["g", "dst"])
+        n_edges = present.groupby("g").size()
+        out = pd.DataFrame({"n_members": n_mem}).join(
+            n_edges.rename("n_edges")).fillna(0).reset_index()
+        out["n_edges"] = out["n_edges"].astype("int64")
+        out["reciprocal"] = (
+            out["n_edges"] == out["n_members"] * (out["n_members"] - 1)
+        ).astype("int64")
+        return out.rename(columns={"g": "cluster_id"}).astype(
+            {"cluster_id": "int64", "n_members": "int64"})[list(cols)]
+
+    rows = _docs(sf_dir, ["doc_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096)
+    out = hash_exchange(rows, "shard", n_shards, combine).to_pandas()
+    return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+# ------------------------------------------------ microdata ----------------
+
+
+def microdata_extract(sf_dir: str) -> "rd.Dataset":
+    """Schema.org MICRODATA extraction (the attribute-based sibling of
+    ``jsonld_extract``): itemscope/itemtype/itemprop walked with real
+    scoping — a nested item's props belong to the nested item, so the
+    planted Brand name never leaks into its parent Product
+    (``functions/html_extract.microdata_page_for``).
+
+    Scale: stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_microdata,
+        microdata_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, typ, name, sku, price, wc = [], [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for item in extract_microdata(microdata_page_for(d)):
+                doc.append(d)
+                typ.append(item["type"])
+                name.append(item.get("name") or item.get("headline", ""))
+                sku.append(item.get("sku", ""))
+                price.append(int(item["price"]) if "price" in item else -1)
+                wc.append(int(item["wordCount"])
+                          if "wordCount" in item else -1)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "item_type": pa.array(typ, type=pa.string()),
+             "name": pa.array(name, type=pa.string()),
+             "sku": pa.array(sku, type=pa.string()),
+             "price_cents": pa.array(price, type=pa.int64()),
+             "word_count": pa.array(wc, type=pa.int64())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ AMP reciprocity ----------
+
+
+def amp_canonical_pairs(sf_dir: str, n_shards: int | None = None) -> pd.DataFrame:
+    """AMP ⇄ canonical reciprocity audit: canonical pages advertise an
+    AMP twin (``rel="amphtml"``), AMP pages must point back
+    (``rel="canonical"``); every seventh pair's back-link is planted
+    broken (``functions/html_extract.amp_page_for``), which strands the
+    canonical side unpaired AND creates a phantom key with only an AMP
+    side — both surfaced.
+
+    Plan: each page parses to one ``(pair_key, side)`` edge; ONE
+    key-hash exchange co-locates the two sides; per-key max/max/and is
+    the audit.  The reciprocal-link-audit shape — same as a
+    bidirectional sitemap or alternate check at corpus scale."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        amp_page_for,
+        extract_amp_edge,
+    )
+
+    if n_shards is None:
+        n_shards = adaptive_shards(meta_rows(sf_dir, "documents"))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        key, canon, amp = [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            edge = extract_amp_edge(amp_page_for(int(did)))
+            if edge is None:
+                continue
+            role, k = edge
+            key.append(k)
+            canon.append(int(role == "canon"))
+            amp.append(int(role == "amp"))
+        out = pd.DataFrame(
+            {"pair_key": pd.Series(key, dtype="int64"),
+             "c": pd.Series(canon, dtype="int64"),
+             "a": pd.Series(amp, dtype="int64")})
+        out["shard"] = (out["pair_key"] % n_shards).astype("int64")
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pair_key": "int64", "has_canonical": "int64",
+                "has_amp": "int64", "consistent": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        g = df.groupby("pair_key", as_index=False).agg(
+            has_canonical=("c", "max"), has_amp=("a", "max"))
+        g["consistent"] = (g["has_canonical"] & g["has_amp"]).astype("int64")
+        return g.astype(cols)[list(cols)]
+
+    rows = _docs(sf_dir, ["doc_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096)
+    out = hash_exchange(rows, "shard", n_shards, combine).to_pandas()
+    return out.sort_values("pair_key").reset_index(drop=True)
+
+
+# ------------------------------------------------ link-rel audit -----------
+
+
+def link_rel_audit(sf_dir: str) -> pd.DataFrame:
+    """Per-host link-governance grid: counts of follow / nofollow /
+    sponsored / ugc outlinks (rel is a TOKEN LIST — ``nofollow ugc``
+    counts in both; a rel'd relative nav link is never an outlink).
+    The SEO-governance signal a link-graph weighting pass consumes.
+
+    Scale: map-side Counter partials over the bounded (host × 3-bit
+    flag) grid, driver merge — the benford convention; host keyspace
+    at web scale routes the same partials through a host-hash exchange
+    instead."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_rel_links,
+        rel_link_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for did in batch.column("doc_id").to_pylist():
+            for host, nf, sp, ugc in extract_rel_links(
+                    rel_link_page_for(int(did))):
+                c[(host, nf, sp, ugc)] += 1
+        ks = list(c)
+        return pa.table(
+            {"host": pa.array([k[0] for k in ks], type=pa.string()),
+             "nf": pa.array([k[1] for k in ks], type=pa.int64()),
+             "sp": pa.array([k[2] for k in ks], type=pa.int64()),
+             "ugc": pa.array([k[3] for k in ks], type=pa.int64()),
+             "n": pa.array([c[k] for k in ks], type=pa.int64())})
+
+    grid = docs.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if not len(grid):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64" if c != "host" else "string")
+             for c in ("host", "n_links", "n_follow", "n_nofollow",
+                       "n_sponsored", "n_ugc")})
+    g = grid.groupby("host").apply(
+        lambda d: pd.Series(
+            {"n_links": d["n"].sum(),
+             "n_follow": d.loc[(d.nf == 0) & (d.sp == 0) & (d.ugc == 0),
+                               "n"].sum(),
+             "n_nofollow": d.loc[d.nf == 1, "n"].sum(),
+             "n_sponsored": d.loc[d.sp == 1, "n"].sum(),
+             "n_ugc": d.loc[d.ugc == 1, "n"].sum()}),
+        include_groups=False)
+    return (g.astype("int64").reset_index()
+            .sort_values("host").reset_index(drop=True))

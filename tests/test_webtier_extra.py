@@ -1,0 +1,169 @@
+"""Extraction-tier round-5 additions: fenced code blocks, hreflang
+clusters, microdata scoping, AMP reciprocity, link-rel governance."""
+
+import pandas as pd
+
+from tensorflow_ocr_ray.functions.html_extract import (
+    amp_page_for,
+    code_page_for,
+    extract_amp_edge,
+    extract_code_blocks,
+    extract_hreflang,
+    extract_microdata,
+    extract_rel_links,
+    hreflang_page_for,
+    microdata_page_for,
+    rel_link_page_for,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------- code blocks ----
+
+
+def test_code_blocks_verbatim_and_decoys():
+    for d in (0, 5, 11):
+        blocks = extract_code_blocks(code_page_for(d))
+        assert len(blocks) == 1 + d % 3
+        for i, (lang, code) in enumerate(blocks):
+            assert lang == ("python", "js", "sql", "c")[(d + i) % 4]
+            lines = code.split("\n")
+            assert len(lines) == 2 + (d + 2 * i) % 4
+            for j, line in enumerate(lines):
+                # verbatim newlines + entity unescape (&lt; -> <)
+                assert line == "v%d_%d_%d = %d  # %d<9" % (
+                    d, i, j, d * 3 + i * 5 + j, j)
+
+
+def test_code_blocks_handcrafted_decoys():
+    html = (
+        "<body><p>inline <code>f(1)</code> text</p>"
+        "<pre>no code child</pre>"
+        "<script>s = '<pre><code>x</code></pre>';</script>"
+        "<!-- <pre><code>y</code></pre> -->"
+        "<pre><code>bare = 1\nbare = 2</code></pre></body>"
+    )
+    blocks = extract_code_blocks(html)
+    assert blocks == [("txt", "bare = 1\nbare = 2")]
+
+
+# ----------------------------------------------------------- hreflang ----
+
+
+def test_hreflang_breakage_and_decoys():
+    # member 2 of a g%5==0 cluster omits the en link; RSS/canonical
+    # link decoys never parse as alternates
+    assert len(extract_hreflang(hreflang_page_for(0))) == 3
+    broken = extract_hreflang(hreflang_page_for(2))
+    assert [la for la, _ in broken] == ["de", "fr"]
+    full = extract_hreflang(hreflang_page_for(5))  # g=1, not broken
+    assert [la for la, _ in full] == ["en", "de", "fr"]
+
+
+def test_hreflang_clusters_pipeline(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import hreflang_clusters
+
+    out = hreflang_clusters(SF)
+    # 500 docs -> clusters 0..165 full, 166 has members {0, 1}
+    assert len(out) == 167
+    by = out.set_index("cluster_id")
+    assert by.loc[166, "n_members"] == 2
+    assert by.loc[166, "n_edges"] == 2
+    assert by.loc[166, "reciprocal"] == 1
+    # planted breakage in every g%5==0 full cluster
+    broken = by[by.reciprocal == 0]
+    assert set(broken.index) == {g for g in range(166) if g % 5 == 0}
+    assert (broken.n_edges == 5).all()
+    full = by[(by.reciprocal == 1) & (by.n_members == 3)]
+    assert (full.n_edges == 6).all()
+
+
+# ---------------------------------------------------------- microdata ----
+
+
+def test_microdata_nested_scoping():
+    items = extract_microdata(microdata_page_for(4))
+    assert len(items) == 1
+    prod = items[0]
+    assert prod["type"] == "Product"
+    assert prod["name"] == "P 4"          # Brand name did NOT leak
+    assert prod["brand"] == "<Brand>"     # nested item marker
+    assert prod["price"] == "128"
+    art = extract_microdata(microdata_page_for(5))[0]
+    assert art == {"type": "Article", "headline": "A 5",
+                   "wordCount": "55"}
+
+
+def test_microdata_handcrafted_two_levels():
+    html = (
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="name">Outer</span>'
+        '<div itemprop="offers" itemscope '
+        'itemtype="https://schema.org/Offer">'
+        '<meta itemprop="price" content="9 &amp; 9">'
+        "</div>"
+        '<meta itemprop="sku" content="S1">'
+        "</div>"
+    )
+    items = extract_microdata(html)
+    assert len(items) == 1
+    it = items[0]
+    # price belongs to the NESTED Offer, not the Product; sku (after
+    # the nested item closed) is back on the Product
+    assert it["name"] == "Outer" and it["offers"] == "<Offer>"
+    assert "price" not in it and it["sku"] == "S1"
+
+
+# ------------------------------------------------------------ AMP --------
+
+
+def test_amp_edges_and_planted_breakage():
+    assert extract_amp_edge(amp_page_for(0)) == ("canon", 0)
+    assert extract_amp_edge(amp_page_for(2)) == ("canon", 1)
+    assert extract_amp_edge(amp_page_for(3)) == ("amp", 1)
+    # p=0 and p=7 are %7==0 -> re-keyed back-links
+    assert extract_amp_edge(amp_page_for(1)) == ("amp", 1000000)
+    assert extract_amp_edge(amp_page_for(15)) == ("amp", 1000007)
+
+
+def test_amp_pairs_pipeline(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import amp_canonical_pairs
+
+    out = amp_canonical_pairs(SF)
+    # 250 real pairs + 36 phantom amp-only keys (p%7==0, p in 0..249)
+    assert len(out) == 286
+    by = out.set_index("pair_key")
+    phantoms = by[by.index >= 1000000]
+    assert len(phantoms) == 36
+    assert (phantoms.has_canonical == 0).all()
+    assert (phantoms.consistent == 0).all()
+    stranded = by[(by.index < 1000000) & (by.has_amp == 0)]
+    assert set(stranded.index) == {p for p in range(250) if p % 7 == 0}
+    assert int(by.consistent.sum()) == 250 - 36
+
+
+# ------------------------------------------------------- link rel ---------
+
+
+def test_rel_links_token_list_and_relative_decoy():
+    links = extract_rel_links(rel_link_page_for(3))
+    # the rel="nofollow" RELATIVE nav link is not an outlink
+    assert len(links) == 4
+    # k=0: variant (9+0)%5=4 -> 'nofollow ugc' flags BOTH
+    assert links[0] == ("host21.example", 1, 0, 1)
+    assert links[1] == ("host22.example", 0, 0, 0)
+
+
+def test_link_rel_audit_pipeline(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import link_rel_audit
+
+    out = link_rel_audit(SF).set_index("host")
+    assert len(out) == 50
+    # every link lands in exactly one of follow/nofollow/sponsored/ugc
+    # except the 'nofollow ugc' variant which double-counts nf+ugc:
+    # n_follow + n_sponsored + n_nofollow + n_ugc - dup = n_links,
+    # so the identity holds as >=
+    assert (out.n_follow + out.n_nofollow + out.n_sponsored
+            + out.n_ugc >= out.n_links).all()
+    assert (out.n_links > 0).all()
