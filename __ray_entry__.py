@@ -1810,6 +1810,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host follow/nofollow/sponsored/ugc grid (rel is a token
         # list; rel'd relative nav links are not outlinks)
         "link_rel_audit": _webtier("link_rel_audit"),
+        # breadcrumb trail (site-hierarchy path); the class-less
+        # pagination nav with identical li markup is the decoy
+        "breadcrumb_extract": _webtier("breadcrumb_extract"),
+        # og:title vs <title> drift + og:image presence; twitter:title
+        # decoy never consulted
+        "og_card_audit": _webtier("og_card_audit"),
+        # two independent main-content heuristics cross-checked per
+        # page; the planted short paragraph splits them every 4th doc
+        "extractor_agreement": _webtier("extractor_agreement"),
+        # registrable-domain rollup with longest-suffix PSL matching
+        # (a.d3.co.uk -> d3.co.uk, never co.uk via the bare uk entry)
+        "domain_pld_rollup": _webtier("domain_pld_rollup"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6768,6 +6780,57 @@ def _oracle_sql_base() -> dict[str, str]:
               CAST(CASE WHEN max(c) = 1 AND max(a) = 1
                    THEN 1 ELSE 0 END AS BIGINT) AS consistent
             FROM u GROUP BY pair_key
+        """,
+        # trail: Home, 1+d%3 categories C{(5d+i)%20}, leaf = the doc
+        "breadcrumb_extract": """
+            WITH u AS (SELECT doc_id,
+                         unnest(range(0, doc_id % 3 + 1)) AS i
+                       FROM documents)
+            SELECT doc_id, CAST(3 + doc_id % 3 AS BIGINT) AS depth,
+              'Home > ' || string_agg(
+                'C' || CAST((doc_id*5 + i) % 20 AS VARCHAR),
+                ' > ' ORDER BY i)
+              || ' > Leaf ' || CAST(doc_id AS VARCHAR) AS path
+            FROM u GROUP BY doc_id
+        """,
+        # og:title stale every 6th doc; og:image absent on d%3=0
+        "og_card_audit": """
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS title_match,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS has_image
+            FROM documents
+        """,
+        # the planted short paragraph (every 4th doc) splits the
+        # length-gated and density-only extractors; corpus text itself
+        # round-trips as exactly one block (the html_main_content
+        # invariant)
+        "extractor_agreement": """
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS agree,
+              CAST(1 AS BIGINT) AS n_blocks_a,
+              CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_blocks_b
+            FROM documents
+        """,
+        # host i of doc: h{(3d+i)%30}.d{(d+i)%8}.{suffix (2d+i)%4 of
+        # (com, co.uk, org, net)}; PLD = domain label + suffix
+        "domain_pld_rollup": """
+            WITH u AS (SELECT doc_id,
+                         unnest(range(0, doc_id % 3 + 1)) AS i
+                       FROM documents),
+            e AS (SELECT 'h' || CAST((3*doc_id + i) % 30 AS VARCHAR)
+                    AS sub,
+                    'd' || CAST((doc_id + i) % 8 AS VARCHAR) || '.' ||
+                    (['com','co.uk','org','net'])
+                      [CAST((2*doc_id + i) % 4 AS INTEGER) + 1] AS pld
+                  FROM u)
+            SELECT pld,
+              CAST(count(DISTINCT sub) AS BIGINT) AS n_hosts,
+              count(*) AS n_urls
+            FROM e GROUP BY pld
         """,
         # link k of doc: host (7d+k)%50, rel variant (3d+k)%5 of
         # ('', nofollow, sponsored, ugc, 'nofollow ugc')

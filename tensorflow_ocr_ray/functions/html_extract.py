@@ -1115,3 +1115,119 @@ def extract_rel_links(html: str) -> list[tuple[str, int, int, int]]:
         out.append((m.group(2).lower(), int("nofollow" in toks),
                     int("sponsored" in toks), int("ugc" in toks)))
     return out
+
+
+# ---------------- breadcrumbs ----------------------------------------------
+
+_CRUMB_NAV = re.compile(
+    r"""<nav\b[^>]*class\s*=\s*["'][^"']*(?:breadcrumb|crumbs)[^"']*["']"""
+    r"[^>]*>(.*?)</nav\s*>",
+    re.S | re.I,
+)
+_LI_RE = re.compile(r"<li\b[^>]*>(.*?)</li\s*>", re.S | re.I)
+
+
+def extract_breadcrumb(html: str) -> tuple[int, str]:
+    """(depth, ' > '-joined path) of the page's breadcrumb trail — the
+    nav whose class says breadcrumb; a pagination nav (same markup, no
+    breadcrumb class) is chrome, not a trail.  (0, '') when absent."""
+    m = _CRUMB_NAV.search(html)
+    if not m:
+        return 0, ""
+    items = [
+        _html.unescape(_WS.sub(" ", _TAG.sub(" ", li)).strip())
+        for li in _LI_RE.findall(m.group(1))
+    ]
+    items = [i for i in items if i]
+    return len(items), " > ".join(items)
+
+
+def breadcrumb_page_for(doc_id: int) -> str:
+    """Deterministic trail: Home, ``1 + doc_id % 3`` categories
+    ``C{(doc_id*5+i) % 20}``, leaf ``Leaf {doc_id}`` — plus a
+    class-less pagination nav decoy with the same li markup."""
+    cats = "\n".join(
+        '<li><a href="/c/%d">C%d</a></li>'
+        % (i, (doc_id * 5 + i) % 20)
+        for i in range(1 + doc_id % 3)
+    )
+    return (
+        "<!DOCTYPE html><html><body>\n"
+        '<nav><ol><li><a href="/p/1">1</a></li>'
+        '<li><a href="/p/2">2</a></li></ol></nav>\n'
+        '<nav class="site-breadcrumbs"><ol>\n'
+        '<li><a href="/">Home</a></li>\n'
+        + cats
+        + "\n<li>Leaf %d</li>\n</ol></nav>\n" % doc_id
+        + "<article><p>body %d</p></article></body></html>" % doc_id
+    )
+
+
+# ---------------- OpenGraph card audit --------------------------------------
+
+def og_page_for(doc_id: int) -> str:
+    """Page head whose og:title goes STALE every sixth doc (the CMS
+    cache-drift failure an og-consistency audit catches) and whose
+    og:image exists unless ``doc_id % 3 == 0``; a twitter:title decoy
+    is never consulted."""
+    og_title = "T %d" % doc_id
+    if doc_id % 6 == 0:
+        og_title += " (old)"
+    img = (
+        '<meta property="og:image" '
+        'content="https://img.example/i/%d.jpg">\n' % doc_id
+        if doc_id % 3 != 0 else ""
+    )
+    return (
+        "<!DOCTYPE html><html><head>\n"
+        "<title>T %d</title>\n" % doc_id
+        + '<meta property="og:title" content="%s">\n' % og_title
+        + '<meta name="twitter:title" content="TW %d">\n' % doc_id
+        + img
+        + "</head><body>b</body></html>"
+    )
+
+
+def audit_og_card(html: str) -> tuple[int, int]:
+    """(title_match, has_image): does og:title equal the <title>
+    (both unescaped + collapsed), and is an og:image present."""
+    title, og_title, has_img = "", None, 0
+    m = _TITLE_RE.search(html)
+    if m:
+        title = _html.unescape(_WS.sub(" ", m.group(1)).strip())
+    for tag in _META_RE.findall(html):
+        a = _attrs(tag)
+        prop = a.get("property", "").lower()
+        if prop == "og:title":
+            og_title = _html.unescape(
+                _WS.sub(" ", a.get("content", "")).strip())
+        elif prop == "og:image" and a.get("content", "").strip():
+            has_img = 1
+    return int(og_title == title), has_img
+
+
+# ---------------- extractor agreement (DOM-heuristic cross-check) ----------
+
+def extract_main_content_density(
+    html: str, min_len: int = 5, max_link_density: float = 0.33
+) -> str:
+    """The SECOND main-content extractor: pure link-density gate with a
+    tiny length floor — keeps short low-density paragraphs the
+    length-gated extractor drops.  Two independent heuristics
+    disagreeing is the extraction-quality signal
+    (``extractor_agreement``)."""
+    return extract_main_content(
+        html, min_len=min_len, max_link_density=max_link_density)
+
+
+def agreement_page_for(doc_id: int, text: str) -> str:
+    """The boilerplate-wrapped page plus, on every fourth doc, a
+    planted SHORT paragraph (``tiny {doc_id % 100}`` — under the
+    length-gated extractor's 25-char floor but plainly content) that
+    makes the two extractors disagree."""
+    page = wrap_in_boilerplate(doc_id, text)
+    if doc_id % 4 == 0:
+        page = page.replace(
+            "</article>", "</p><p>tiny %d</p><p></article>"
+            % (doc_id % 100), 1)
+    return page

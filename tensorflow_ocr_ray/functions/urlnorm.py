@@ -173,3 +173,40 @@ def frontier_urls_for(doc_id: int) -> list[tuple[str, str]]:
             "HTTPS://SITE%d.EXAMPLE.COM:443/p/%d/./0#ref"
             % (doc_id % 7, doc_id), "link"))
     return out
+
+
+# ---------------- registrable-domain (public-suffix) rollup ----------------
+
+# PSL-lite: the longest listed suffix wins, which is the whole public-
+# suffix algorithm — 'a.d3.co.uk' must fold to 'd3.co.uk' (via the
+# two-label suffix), never 'co.uk' (via the bare 'uk' entry).
+PUBLIC_SUFFIXES = frozenset({"com", "net", "org", "uk", "co.uk"})
+
+
+def registrable_domain(host: str) -> str | None:
+    """The PLD (paid-level / registrable domain) of ``host``: one label
+    more than the longest matching public suffix.  None when the host
+    IS a bare suffix or matches nothing — both unattributable."""
+    labels = host.lower().split(".")
+    best = 0
+    for k in range(1, len(labels) + 1):
+        if ".".join(labels[-k:]) in PUBLIC_SUFFIXES:
+            best = k
+    if best == 0 or best >= len(labels):
+        return None
+    return ".".join(labels[-(best + 1):])
+
+
+_PLD_SUFFIXES = ("com", "co.uk", "org", "net")
+
+
+def pld_hosts_for(doc_id: int) -> list[str]:
+    """``1 + doc_id % 3`` deterministic full hosts
+    ``h{(3d+i)%30}.d{(d+i)%8}.{suffix}`` with the suffix cycling
+    ``(2d+i) % 4`` over ``(com, co.uk, org, net)`` — the co.uk rows
+    are the longest-match trap."""
+    return [
+        "h%d.d%d.%s" % ((3 * doc_id + i) % 30, (doc_id + i) % 8,
+                        _PLD_SUFFIXES[(2 * doc_id + i) % 4])
+        for i in range(1 + doc_id % 3)
+    ]

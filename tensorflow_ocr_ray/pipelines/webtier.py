@@ -1778,3 +1778,154 @@ def link_rel_audit(sf_dir: str) -> pd.DataFrame:
         include_groups=False)
     return (g.astype("int64").reset_index()
             .sort_values("host").reset_index(drop=True))
+
+
+# ------------------------------------------------ breadcrumbs --------------
+
+
+def breadcrumb_extract(sf_dir: str) -> "rd.Dataset":
+    """Breadcrumb-trail extraction — the site-hierarchy signal
+    (section path per page) a curation pass stratifies on: the nav
+    whose class says breadcrumb parses to an ordered ``' > '`` path;
+    a class-less pagination nav with identical li markup is the decoy
+    (``functions/html_extract.breadcrumb_page_for``).
+
+    Scale: stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        breadcrumb_page_for,
+        extract_breadcrumb,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        res = [extract_breadcrumb(breadcrumb_page_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "depth": pa.array([r[0] for r in res], type=pa.int64()),
+             "path": pa.array([r[1] for r in res], type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ OpenGraph audit ----------
+
+
+def og_card_audit(sf_dir: str) -> "rd.Dataset":
+    """OpenGraph-card consistency audit: og:title vs <title> (the CMS
+    cache-drift check — every sixth doc's og:title is planted stale)
+    and og:image presence; the twitter:title decoy is never consulted
+    (``functions/html_extract.og_page_for``).
+
+    Scale: stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        audit_og_card,
+        og_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        res = [audit_og_card(og_page_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "title_match": pa.array([r[0] for r in res],
+                                     type=pa.int64()),
+             "has_image": pa.array([r[1] for r in res],
+                                   type=pa.int64())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ extractor agreement ------
+
+
+def extractor_agreement(sf_dir: str) -> "rd.Dataset":
+    """Extraction-quality cross-check: the length-gated readability
+    extractor vs the density-only extractor on the SAME page; every
+    fourth doc carries a planted short content paragraph only the
+    density extractor keeps (``agreement_page_for``).  Disagreement
+    rate is the quality telemetry a 100-TB extraction run monitors
+    per partition — two independent heuristics diverging flags drift
+    without any labeled truth.
+
+    Scale: stateless task map running both extractors per row."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        agreement_page_for,
+        extract_main_content,
+        extract_main_content_density,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        doc, agree, nb_a, nb_b = [], [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            d = int(did)
+            page = agreement_page_for(d, t or "")
+            a = extract_main_content(page)
+            b = extract_main_content_density(page)
+            doc.append(d)
+            agree.append(int(a == b))
+            nb_a.append(a.count("\n") + 1 if a else 0)
+            nb_b.append(b.count("\n") + 1 if b else 0)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "agree": pa.array(agree, type=pa.int64()),
+             "n_blocks_a": pa.array(nb_a, type=pa.int64()),
+             "n_blocks_b": pa.array(nb_b, type=pa.int64())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            batch_size=2048)
+
+
+# ------------------------------------------------ PLD rollup ---------------
+
+
+def domain_pld_rollup(sf_dir: str) -> pd.DataFrame:
+    """Registrable-domain (public-suffix) rollup: full crawl hosts fold
+    to their PLD by LONGEST-suffix match (``a.d3.co.uk`` → ``d3.co.uk``
+    via the two-label suffix, never ``co.uk`` via the bare ``uk``
+    entry) and aggregate distinct-host and URL counts — the
+    per-publisher attribution every corpus-governance report keys on.
+
+    Scale: map-side (pld, host) Counter partials over the bounded
+    fixture grid, driver merge; a real crawl's PLD keyspace routes the
+    same partials through a pld-hash exchange (the benford
+    convention)."""
+    from tensorflow_ocr_ray.functions.urlnorm import (
+        pld_hosts_for,
+        registrable_domain,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for did in batch.column("doc_id").to_pylist():
+            for host in pld_hosts_for(int(did)):
+                pld = registrable_domain(host)
+                if pld is not None:
+                    c[(pld, host)] += 1
+        ks = list(c)
+        return pa.table(
+            {"pld": pa.array([k[0] for k in ks], type=pa.string()),
+             "host": pa.array([k[1] for k in ks], type=pa.string()),
+             "n": pa.array([c[k] for k in ks], type=pa.int64())})
+
+    grid = docs.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if not len(grid):
+        return pd.DataFrame(
+            {"pld": pd.Series([], dtype="string"),
+             "n_hosts": pd.Series([], dtype="int64"),
+             "n_urls": pd.Series([], dtype="int64")})
+    g = grid.groupby("pld").agg(
+        n_hosts=("host", "nunique"), n_urls=("n", "sum")).reset_index()
+    return (g.astype({"n_hosts": "int64", "n_urls": "int64"})
+            .sort_values("pld").reset_index(drop=True))

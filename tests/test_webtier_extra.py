@@ -167,3 +167,85 @@ def test_link_rel_audit_pipeline(ray_session):
     assert (out.n_follow + out.n_nofollow + out.n_sponsored
             + out.n_ugc >= out.n_links).all()
     assert (out.n_links > 0).all()
+
+
+# ------------------------------------------------------- breadcrumbs ------
+
+
+def test_breadcrumb_decoy_and_path():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        breadcrumb_page_for,
+        extract_breadcrumb,
+    )
+
+    depth, path = extract_breadcrumb(breadcrumb_page_for(7))
+    assert depth == 4 and path == "Home > C15 > C16 > Leaf 7"
+    # a page with ONLY the pagination nav has no trail
+    decoy_only = ('<nav><ol><li><a href="/p/1">1</a></li>'
+                  "</ol></nav>")
+    assert extract_breadcrumb(decoy_only) == (0, "")
+
+
+# -------------------------------------------------------- OG audit --------
+
+
+def test_og_card_audit_cases():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        audit_og_card,
+        og_page_for,
+    )
+
+    assert audit_og_card(og_page_for(6)) == (0, 0)   # stale + no image
+    assert audit_og_card(og_page_for(4)) == (1, 1)
+    assert audit_og_card(og_page_for(3)) == (1, 0)
+    # twitter:title never consulted: no og:title at all -> mismatch
+    assert audit_og_card(
+        '<title>X</title><meta name="twitter:title" content="X">'
+    ) == (0, 0)
+
+
+# --------------------------------------------- extractor agreement --------
+
+
+def test_extractor_agreement_planted_divergence():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        agreement_page_for,
+        extract_main_content,
+        extract_main_content_density,
+    )
+
+    t = "Some long enough document text for the extractor here."
+    page = agreement_page_for(8, t)
+    a, b = extract_main_content(page), extract_main_content_density(page)
+    assert a == t and b == t + "\ntiny 8"
+    page = agreement_page_for(9, t)
+    assert (extract_main_content(page)
+            == extract_main_content_density(page) == t)
+
+
+# ------------------------------------------------------------ PLD ---------
+
+
+def test_registrable_domain_longest_match():
+    from tensorflow_ocr_ray.functions.urlnorm import registrable_domain
+
+    assert registrable_domain("a.d3.co.uk") == "d3.co.uk"
+    assert registrable_domain("deep.x.d3.co.uk") == "d3.co.uk"
+    assert registrable_domain("h1.d2.com") == "d2.com"
+    # bare suffixes and unlisted TLDs are unattributable
+    assert registrable_domain("co.uk") is None
+    assert registrable_domain("uk") is None
+    assert registrable_domain("host.example") is None
+
+
+def test_domain_pld_rollup_pipeline(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import domain_pld_rollup
+
+    out = domain_pld_rollup(SF).set_index("pld")
+    # every pld is domain-label.suffix, never a bare suffix
+    assert all("." in p and not p.startswith("co.") for p in out.index)
+    # co.uk PLDs exist (the longest-match trap was exercised)
+    assert any(p.endswith(".co.uk") for p in out.index)
+    assert (out.n_urls >= out.n_hosts).all()
+    # total urls = sum over docs of 1 + d%3
+    assert int(out.n_urls.sum()) == sum(1 + d % 3 for d in range(500))
