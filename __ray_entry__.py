@@ -1822,6 +1822,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registrable-domain rollup with longest-suffix PSL matching
         # (a.d3.co.uk -> d3.co.uk, never co.uk via the bare uk entry)
         "domain_pld_rollup": _webtier("domain_pld_rollup"),
+        # incremental-recrawl delta: unchanged/changed/new/gone per
+        # url, both snapshots meeting in one url-hash exchange
+        "recrawl_diff": _webtier("recrawl_diff"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6814,6 +6817,36 @@ def _oracle_sql_base() -> dict[str, str]:
               CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
                 AS BIGINT) AS n_blocks_b
             FROM documents
+        """,
+        # t0: /p/{d} hash (13d)%1000; t1: gone on d%11=0, +1 on d%5=0,
+        # extra /p/{d}/new (hash d%1000) on d%9=0; -1 = absent side
+        "recrawl_diff": """
+            WITH p AS (
+              SELECT 'https://s' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                (13*doc_id) % 1000 AS h
+              FROM documents
+            ),
+            c AS (
+              SELECT 'https://s' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                CASE WHEN doc_id % 5 = 0 THEN (13*doc_id) % 1000 + 1
+                     ELSE (13*doc_id) % 1000 END AS h
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT 'https://s' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                || '/new' AS url, doc_id % 1000 AS h
+              FROM documents WHERE doc_id % 9 = 0
+            )
+            SELECT COALESCE(p.url, c.url) AS url,
+              CAST(COALESCE(p.h, -1) AS BIGINT) AS h_prev,
+              CAST(COALESCE(c.h, -1) AS BIGINT) AS h_curr,
+              CASE WHEN p.url IS NULL THEN 'new'
+                   WHEN c.url IS NULL THEN 'gone'
+                   WHEN p.h = c.h THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM p FULL OUTER JOIN c ON p.url = c.url
         """,
         # host i of doc: h{(3d+i)%30}.d{(d+i)%8}.{suffix (2d+i)%4 of
         # (com, co.uk, org, net)}; PLD = domain label + suffix

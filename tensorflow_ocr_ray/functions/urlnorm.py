@@ -210,3 +210,31 @@ def pld_hosts_for(doc_id: int) -> list[str]:
                         _PLD_SUFFIXES[(2 * doc_id + i) % 4])
         for i in range(1 + doc_id % 3)
     ]
+
+
+# ---------------- recrawl snapshots (crawl-delta fixture) -------------------
+
+def crawl_snapshot_for(doc_id: int, t: int) -> list[tuple[str, int]]:
+    """(url, content_hash) rows for document ``doc_id`` in crawl
+    snapshot ``t`` (0 = previous crawl, 1 = current):
+
+    - base URL ``https://s{d%7}.example.com/p/{d}`` with hash
+      ``(13·d) % 1000`` at t0;
+    - every 11th doc's URL is GONE at t1;
+    - every 5th (still-present) doc's content CHANGED at t1
+      (hash + 1);
+    - every 9th doc contributes a NEW ``/p/{d}/new`` URL (hash
+      ``d % 1000``) that exists only at t1.
+    """
+    d = doc_id
+    base = "https://s%d.example.com/p/%d" % (d % 7, d)
+    h0 = (13 * d) % 1000
+    rows: list[tuple[str, int]] = []
+    if t == 0:
+        rows.append((base, h0))
+    else:
+        if d % 11 != 0:
+            rows.append((base, h0 + 1 if d % 5 == 0 else h0))
+        if d % 9 == 0:
+            rows.append((base + "/new", d % 1000))
+    return rows

@@ -1929,3 +1929,65 @@ def domain_pld_rollup(sf_dir: str) -> pd.DataFrame:
         n_hosts=("host", "nunique"), n_urls=("n", "sum")).reset_index()
     return (g.astype({"n_hosts": "int64", "n_urls": "int64"})
             .sort_values("pld").reset_index(drop=True))
+
+
+# ------------------------------------------------ recrawl delta ------------
+
+
+def recrawl_diff(sf_dir: str, n_shards: int | None = None) -> pd.DataFrame:
+    """Crawl-delta classification between two snapshots — the
+    incremental-recrawl primitive: per URL ``unchanged`` / ``changed``
+    (same URL, different content hash) / ``new`` (current only) /
+    ``gone`` (previous only), from the planted change pattern in
+    ``functions/urlnorm.crawl_snapshot_for``.
+
+    Plan: both snapshots emit skinny ``(url, hash, side)`` rows; ONE
+    url-hash exchange co-locates a URL's two observations; the
+    per-shard pivot is vectorized.  At real scale the two sides are
+    two partitioned crawl manifests read with column pruning — the
+    exchange is the only data movement either way."""
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.functions.urlnorm import crawl_snapshot_for
+
+    if n_shards is None:
+        n_shards = adaptive_shards(meta_rows(sf_dir, "documents"))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        url_l, h_l, side_l = [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for t in (0, 1):
+                for url, h in crawl_snapshot_for(d, t):
+                    url_l.append(url)
+                    h_l.append(h)
+                    side_l.append(t)
+        out = pd.DataFrame(
+            {"url": pd.Series(url_l, dtype="string"),
+             "h": pd.Series(h_l, dtype="int64"),
+             "side": pd.Series(side_l, dtype="int64")})
+        out["shard"] = (
+            _md5_prefix_batch(url_l, 8).astype(np.uint64) % n_shards
+        ).astype(np.int64) if url_l else pd.Series([], dtype="int64")
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"url": "string", "h_prev": "int64", "h_curr": "int64",
+                "status": "string"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        prev = df[df.side == 0].set_index("url")["h"]
+        curr = df[df.side == 1].set_index("url")["h"]
+        merged = pd.DataFrame({"h_prev": prev, "h_curr": curr})
+        merged = merged.fillna(-1).astype("int64").reset_index()
+        has_p = merged.h_prev >= 0
+        has_c = merged.h_curr >= 0
+        merged["status"] = np.select(
+            [~has_p, ~has_c, merged.h_prev == merged.h_curr],
+            ["new", "gone", "unchanged"], default="changed")
+        return merged.astype(cols)[list(cols)]
+
+    rows = _docs(sf_dir, ["doc_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096)
+    out = hash_exchange(rows, "shard", n_shards, combine).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)

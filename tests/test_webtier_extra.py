@@ -249,3 +249,37 @@ def test_domain_pld_rollup_pipeline(ray_session):
     assert (out.n_urls >= out.n_hosts).all()
     # total urls = sum over docs of 1 + d%3
     assert int(out.n_urls.sum()) == sum(1 + d % 3 for d in range(500))
+
+
+# ------------------------------------------------------ recrawl diff ------
+
+
+def test_crawl_snapshot_arithmetic():
+    from tensorflow_ocr_ray.functions.urlnorm import crawl_snapshot_for
+
+    assert crawl_snapshot_for(11, 1) == []                      # gone
+    assert crawl_snapshot_for(5, 1)[0][1] == 66                 # changed
+    assert crawl_snapshot_for(9, 1)[1][0].endswith("/new")      # new
+    # doc 0: base gone from t1? no — 0%11==0 means GONE, and 0%9==0
+    # mints the /new URL, so t1 has only the new one
+    t1 = crawl_snapshot_for(0, 1)
+    assert len(t1) == 1 and t1[0][0].endswith("/new")
+
+
+def test_recrawl_diff_pipeline(ray_session):
+    from tensorflow_ocr_ray.pipelines.webtier import recrawl_diff
+
+    out = recrawl_diff(SF)
+    by = out.set_index("url")
+    n = 500
+    gone = {d for d in range(n) if d % 11 == 0}
+    changed = {d for d in range(n) if d % 5 == 0 and d % 11 != 0}
+    new = {d for d in range(n) if d % 9 == 0}
+    assert (out.status == "gone").sum() == len(gone)
+    assert (out.status == "changed").sum() == len(changed)
+    assert (out.status == "new").sum() == len(new)
+    assert (out.status == "unchanged").sum() == n - len(gone) - len(changed)
+    row = by.loc["https://s5.example.com/p/5"]
+    assert (row.status, row.h_prev, row.h_curr) == ("changed", 65, 66)
+    row = by.loc["https://s0.example.com/p/0/new"]
+    assert (row.status, row.h_prev, row.h_curr) == ("new", -1, 0)
