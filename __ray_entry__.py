@@ -1825,6 +1825,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental-recrawl delta: unchanged/changed/new/gone per
         # url, both snapshots meeting in one url-hash exchange
         "recrawl_diff": _webtier("recrawl_diff"),
+        # trailer /Info dict: escaped-paren titles, hex-string authors,
+        # D:YYYY dates; content-stream /Title decoy never wins
+        "pdf_info_extract": _webtier("pdf_info_extract"),
+        # client-side redirects: http-equiv=refresh WITH a url target;
+        # bare-delay reloads and name="refresh" decoys are not edges
+        "meta_refresh_extract": _webtier("meta_refresh_extract"),
+        # Sitemap: lines from per-host robots.txt (key case-insensitive,
+        # commented decoys never match); bounded host-set distinct
+        "robots_sitemap_discovery": _webtier("robots_sitemap_discovery"),
+        # raw response heads: status / mime token / Location; X-Decoy
+        # headers never match
+        "http_response_parse": _webtier("http_response_parse"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6816,6 +6828,53 @@ def _oracle_sql_base() -> dict[str, str]:
               CAST(1 AS BIGINT) AS n_blocks_a,
               CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
                 AS BIGINT) AS n_blocks_b
+            FROM documents
+        """,
+        # Info dict: title 'Doc d (v d%5)', author A{d%20}, year
+        # 2000 + d%30
+        "pdf_info_extract": """
+            SELECT doc_id,
+              'Doc ' || CAST(doc_id AS VARCHAR) || ' (v'
+                || CAST(doc_id % 5 AS VARCHAR) || ')' AS title,
+              'A' || CAST(doc_id % 20 AS VARCHAR) AS author,
+              CAST(2000 + doc_id % 30 AS BIGINT) AS created_year
+            FROM documents
+        """,
+        # refresh edge only on d%3=0 and d%9<>0: delay d%10, target
+        # /t/{(11d)%100}
+        "meta_refresh_extract": """
+            SELECT doc_id, CAST(doc_id % 10 AS BIGINT) AS delay_s,
+              'https://r.example.com/t/'
+                || CAST((doc_id * 11) % 100 AS VARCHAR) AS target
+            FROM documents
+            WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0
+        """,
+        # host h declares 1 + h%3 sitemap urls /sitemap{j}.xml
+        "robots_sitemap_discovery": """
+            WITH h AS (SELECT DISTINCT doc_id % 50 AS host_idx
+                       FROM documents),
+            u AS (SELECT host_idx,
+                    unnest(range(0, host_idx % 3 + 1)) AS j
+                  FROM h)
+            SELECT host_idx, j AS sm_idx,
+              'https://site' || CAST(host_idx AS VARCHAR)
+                || '.example.com/sitemap' || CAST(j AS VARCHAR)
+                || '.xml' AS sitemap_url
+            FROM u
+        """,
+        # status: 404 on d%13=0, else 301 on d%7=0, else 200; pdf mime
+        # every 4th doc; Location only on the 301 rows
+        "http_response_parse": """
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 13 = 0 THEN 404
+                   WHEN doc_id % 7 = 0 THEN 301
+                   ELSE 200 END AS BIGINT) AS status,
+              CASE WHEN doc_id % 4 = 0 THEN 'application/pdf'
+                   ELSE 'text/html' END AS content_type,
+              CASE WHEN doc_id % 13 <> 0 AND doc_id % 7 = 0
+                   THEN 'https://s0.example.com/moved/'
+                     || CAST(doc_id AS VARCHAR)
+                   ELSE '' END AS location
             FROM documents
         """,
         # t0: /p/{d} hash (13d)%1000; t1: gone on d%11=0, +1 on d%5=0,

@@ -142,3 +142,40 @@ def parse_rss(xml: str) -> list[tuple[str, str, str, int]]:
             )
         )
     return out
+
+
+# ---------------- robots.txt sitemap discovery ------------------------------
+
+import re as _re
+
+_SITEMAP_LINE = _re.compile(r"^\s*sitemap\s*:\s*(\S+)\s*$",
+                            _re.I | _re.M)
+
+
+def robots_txt_for(host_idx: int) -> str:
+    """Deterministic robots.txt for host ``h``: a User-agent block
+    with Disallow decoys, ``1 + h % 3`` Sitemap lines (the KEY's case
+    cycles — the directive is case-insensitive) and a commented-out
+    sitemap that must never parse."""
+    h = host_idx
+    keys = ("Sitemap", "sitemap", "SITEMAP")
+    lines = [
+        "User-agent: *",
+        "Disallow: /q%d/" % (h % 7),
+        "# Sitemap: https://site%d.example.com/old.xml" % h,
+    ]
+    for j in range(1 + h % 3):
+        lines.append("%s: https://site%d.example.com/sitemap%d.xml"
+                     % (keys[(h + j) % 3], h, j))
+    return "\n".join(lines) + "\n"
+
+
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """Sitemap URLs declared in a robots.txt — key case-insensitive,
+    comment lines never match, document order kept."""
+    return [
+        m.group(1)
+        for m in _SITEMAP_LINE.finditer(text)
+        if not text[:m.start()].rstrip("\n").endswith("#")
+        and not m.group(0).lstrip().startswith("#")
+    ]

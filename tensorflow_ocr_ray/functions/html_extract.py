@@ -1231,3 +1231,48 @@ def agreement_page_for(doc_id: int, text: str) -> str:
             "</article>", "</p><p>tiny %d</p><p></article>"
             % (doc_id % 100), 1)
     return page
+
+
+# ---------------- meta refresh (client-side redirect) -----------------------
+
+_REFRESH_CONTENT = re.compile(
+    r"^\s*(\d+)\s*(?:;\s*url\s*=\s*['\"]?([^'\"\s>]+))?", re.I
+)
+
+
+def extract_meta_refresh(html: str) -> tuple[int, str] | None:
+    """(delay_seconds, target_url) of a ``<meta http-equiv="refresh">``
+    — the client-side redirect a crawler must follow like a 301.
+    None when absent or when the content names no url (a bare-delay
+    refresh reloads the SAME page — not an edge).  http-equiv is
+    case-insensitive; a ``name="refresh"`` decoy is NOT the directive."""
+    for tag in _META_RE.findall(html):
+        a = _attrs(tag)
+        if a.get("http-equiv", "").lower() != "refresh":
+            continue
+        m = _REFRESH_CONTENT.match(a.get("content", ""))
+        if m and m.group(2):
+            return int(m.group(1)), m.group(2)
+    return None
+
+
+def refresh_page_for(doc_id: int) -> str:
+    """Every third doc carries a meta refresh to
+    ``https://r.example.com/t/{(doc_id*11) % 100}`` after
+    ``doc_id % 10`` seconds (HTTP-EQUIV spelled in mixed case); every
+    ninth a bare-delay refresh (no url — not an edge); the rest only
+    the ``name="refresh"`` decoy."""
+    d = doc_id
+    if d % 3 == 0 and d % 9 != 0:
+        extra = ('<meta HTTP-EQUIV="Refresh" content="%d; url='
+                 'https://r.example.com/t/%d">' % (d % 10, (d * 11) % 100))
+    elif d % 9 == 0:
+        extra = '<meta http-equiv="refresh" content="%d">' % (d % 10)
+    else:
+        extra = ""
+    return (
+        "<!DOCTYPE html><html><head><title>r %d</title>\n" % d
+        + '<meta name="refresh" content="5; url=https://decoy.example/">\n'
+        + extra
+        + "</head><body>b</body></html>"
+    )

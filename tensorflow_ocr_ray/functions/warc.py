@@ -76,3 +76,47 @@ def parse_warc_stream(blob: bytes) -> list[tuple[str, int, int]]:
         out.append((rec_type, length, int(sum(payload))))
         pos = body_end + len(_SEP)
     return out
+
+
+# ---------------- HTTP response-head parsing --------------------------------
+
+def http_response_for(doc_id: int) -> bytes:
+    """Deterministic raw HTTP response head for one fetch: status 404
+    every 13th doc, 301 (with a Location header) every 7th surviving
+    doc, else 200; Content-Type text/html except every 4th doc
+    (application/pdf); header-name case varies and an X- decoy header
+    is always present."""
+    d = doc_id
+    if d % 13 == 0:
+        status = b"HTTP/1.1 404 Not Found"
+    elif d % 7 == 0:
+        status = b"HTTP/1.1 301 Moved Permanently"
+    else:
+        status = b"HTTP/1.1 200 OK"
+    ctype = b"application/pdf" if d % 4 == 0 else b"text/html; charset=utf-8"
+    lines = [status,
+             b"Server: fixture",
+             b"content-TYPE: " + ctype,
+             b"X-Decoy-Location: https://never.example/"]
+    if d % 13 != 0 and d % 7 == 0:
+        lines.append(b"LOCATION: https://s%d.example.com/moved/%d"
+                     % (d % 7, d))
+    return b"\r\n".join(lines) + b"\r\n\r\n<body>"
+
+
+def parse_http_response(raw: bytes) -> tuple[int, str, str]:
+    """(status, content_type_token, location) from a raw response —
+    header names case-insensitive, the mime token cut before any
+    ``;`` params, ``X-*`` decoys never matched, body bytes ignored."""
+    head = raw.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+    lines = head.split("\r\n")
+    status = int(lines[0].split(" ", 2)[1])
+    ctype, loc = "", ""
+    for line in lines[1:]:
+        name, _, val = line.partition(":")
+        key = name.strip().lower()
+        if key == "content-type":
+            ctype = val.split(";", 1)[0].strip().lower()
+        elif key == "location":
+            loc = val.strip()
+    return status, ctype, loc

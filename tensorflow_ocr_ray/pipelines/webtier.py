@@ -1991,3 +1991,158 @@ def recrawl_diff(sf_dir: str, n_shards: int | None = None) -> pd.DataFrame:
         partial, batch_format="pyarrow", batch_size=4096)
     out = hash_exchange(rows, "shard", n_shards, combine).to_pandas()
     return out.sort_values("url").reset_index(drop=True)
+
+
+# ------------------------------------------------ PDF Info metadata --------
+
+
+def pdf_info_extract(sf_dir: str) -> "rd.Dataset":
+    """PDF document-information extraction (trailer ``/Info`` dict):
+    title with ESCAPED parens, author that is hex-encoded every third
+    doc, creation year from the ``D:YYYY...`` date — and a ``/Title``
+    planted inside the content stream that must never win
+    (``functions/pdfmeta``).  The metadata sidecar of
+    ``pdf_layout_text``'s content-stream parse.
+
+    Scale: stateless task map; only the trailer + one object are
+    touched per payload."""
+    from tensorflow_ocr_ray.functions.pdfmeta import (
+        extract_pdf_info,
+        pdf_with_info_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        infos = [extract_pdf_info(pdf_with_info_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "title": pa.array([i["title"] for i in infos],
+                               type=pa.string()),
+             "author": pa.array([i["author"] for i in infos],
+                                type=pa.string()),
+             "created_year": pa.array([i["created_year"] for i in infos],
+                                      type=pa.int64())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ meta refresh -------------
+
+
+def meta_refresh_extract(sf_dir: str) -> "rd.Dataset":
+    """Client-side redirect extraction: ``<meta http-equiv="refresh">``
+    with a url target parses to a redirect edge (the input the
+    ``redirect_resolution`` pointer-doubling consumes); bare-delay
+    refreshes (same-page reload) and the ``name="refresh"`` decoy are
+    not edges (``functions/html_extract.refresh_page_for``).
+
+    Scale: stateless task map emitting only edge rows."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_meta_refresh,
+        refresh_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, delay, target = [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            edge = extract_meta_refresh(refresh_page_for(d))
+            if edge is None:
+                continue
+            doc.append(d)
+            delay.append(edge[0])
+            target.append(edge[1])
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "delay_s": pa.array(delay, type=pa.int64()),
+             "target": pa.array(target, type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ robots sitemaps ----------
+
+
+def robots_sitemap_discovery(sf_dir: str) -> pd.DataFrame:
+    """Sitemap discovery from robots.txt: the crawl's host set (mined
+    from the corpus) fetches each host's robots file and parses its
+    ``Sitemap:`` lines — key case-insensitive, commented-out decoys
+    never match (``functions/feeds.robots_txt_for``).
+
+    Scale: the host set is a bounded map-side distinct (the grid
+    convention); parsing fans back out as a task map over hosts — at
+    web scale both stages key by host hash and nothing ever
+    materializes beyond the host list."""
+    from tensorflow_ocr_ray.functions.feeds import (
+        parse_robots_sitemaps,
+        robots_txt_for,
+    )
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        hosts = sorted({int(d) % 50
+                        for d in batch.column("doc_id").to_pylist()})
+        return pa.table({"host_idx": pa.array(hosts, type=pa.int64())})
+
+    hosts = sorted(
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(host_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .to_pandas()["host_idx"].unique().tolist())
+
+    host_ds = rd.from_items([{"host_idx": h} for h in hosts])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        hi, si, url = [], [], []
+        for h in batch.column("host_idx").to_pylist():
+            for j, u in enumerate(parse_robots_sitemaps(
+                    robots_txt_for(int(h)))):
+                hi.append(int(h))
+                si.append(j)
+                url.append(u)
+        return pa.table(
+            {"host_idx": pa.array(hi, type=pa.int64()),
+             "sm_idx": pa.array(si, type=pa.int64()),
+             "sitemap_url": pa.array(url, type=pa.string())})
+
+    out = host_ds.map_batches(parse, batch_format="pyarrow",
+                              batch_size=64).to_pandas()
+    return out.sort_values(["host_idx", "sm_idx"]).reset_index(drop=True)
+
+
+# ------------------------------------------------ HTTP response parse ------
+
+
+def http_response_parse(sf_dir: str) -> "rd.Dataset":
+    """Raw HTTP response-head parsing per fetch: status code, mime
+    token (cut before ``;`` params, header-name case-insensitive) and
+    redirect Location — the ``X-Decoy-Location`` header never matches
+    (``functions/warc.http_response_for``).  The fetch-log layer under
+    ``content_type_audit``'s magic-byte sniff.
+
+    Scale: stateless task map."""
+    from tensorflow_ocr_ray.functions.warc import (
+        http_response_for,
+        parse_http_response,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        res = [parse_http_response(http_response_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "status": pa.array([r[0] for r in res], type=pa.int64()),
+             "content_type": pa.array([r[1] for r in res],
+                                      type=pa.string()),
+             "location": pa.array([r[2] for r in res],
+                                  type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)

@@ -283,3 +283,82 @@ def test_recrawl_diff_pipeline(ray_session):
     assert (row.status, row.h_prev, row.h_curr) == ("changed", 65, 66)
     row = by.loc["https://s0.example.com/p/0/new"]
     assert (row.status, row.h_prev, row.h_curr) == ("new", -1, 0)
+
+
+# ---------------------------------------------------------- PDF Info ------
+
+
+def test_pdf_info_escapes_hex_and_decoy():
+    from tensorflow_ocr_ray.functions.pdfmeta import (
+        extract_pdf_info,
+        pdf_with_info_for,
+    )
+
+    # escaped parens in the title literal, hex author on d%3==0
+    info = extract_pdf_info(pdf_with_info_for(3))
+    assert info == {"title": "Doc 3 (v3)", "author": "A3",
+                    "created_year": 2003}
+    info = extract_pdf_info(pdf_with_info_for(7))
+    assert info["title"] == "Doc 7 (v2)" and info["author"] == "A7"
+    # no trailer / no Info -> typed empties
+    assert extract_pdf_info(b"%PDF-1.4 nothing") == {
+        "title": "", "author": "", "created_year": -1}
+    # the content-stream /Title (decoy) never wins: strip the Info ref
+    pdf = pdf_with_info_for(4).replace(b"/Info 5 0 R ", b"")
+    assert extract_pdf_info(pdf)["title"] == ""
+
+
+# ------------------------------------------------------- meta refresh -----
+
+
+def test_meta_refresh_cases():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_meta_refresh,
+        refresh_page_for,
+    )
+
+    assert extract_meta_refresh(refresh_page_for(3)) == (
+        3, "https://r.example.com/t/33")
+    assert extract_meta_refresh(refresh_page_for(9)) is None   # bare delay
+    assert extract_meta_refresh(refresh_page_for(1)) is None   # decoy only
+    # quoted url form and uppercase directive
+    assert extract_meta_refresh(
+        '<meta http-equiv="REFRESH" content="0;URL=\'https://x.ex/p\'">'
+    ) == (0, "https://x.ex/p")
+
+
+# ---------------------------------------------------- robots sitemaps -----
+
+
+def test_robots_sitemap_lines():
+    from tensorflow_ocr_ray.functions.feeds import (
+        parse_robots_sitemaps,
+        robots_txt_for,
+    )
+
+    urls = parse_robots_sitemaps(robots_txt_for(5))
+    assert urls == ["https://site5.example.com/sitemap%d.xml" % j
+                    for j in range(3)]
+    # the commented-out line never parses
+    assert not any("old.xml" in u for u in urls)
+    assert parse_robots_sitemaps("User-agent: *\nDisallow: /\n") == []
+
+
+# ------------------------------------------------------ HTTP response -----
+
+
+def test_http_response_parse_cases():
+    from tensorflow_ocr_ray.functions.warc import (
+        http_response_for,
+        parse_http_response,
+    )
+
+    assert parse_http_response(http_response_for(2)) == (
+        200, "text/html", "")
+    assert parse_http_response(http_response_for(7)) == (
+        301, "text/html", "https://s0.example.com/moved/7")
+    # 404 wins on d % 91 == 0 (both rules hit)
+    assert parse_http_response(http_response_for(91))[0] == 404
+    # mime token cut before params, X-Decoy-Location never matches
+    s, ct, loc = parse_http_response(http_response_for(4))
+    assert ct == "application/pdf" and loc == ""
