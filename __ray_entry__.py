@@ -1837,6 +1837,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raw response heads: status / mime token / Location; X-Decoy
         # headers never match
         "http_response_parse": _webtier("http_response_parse"),
+        # RAG chunk shape: each heading's body text with its full
+        # section breadcrumb; comment/script heading decoys never split
+        "section_chunks": _webtier("section_chunks"),
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6829,6 +6832,50 @@ def _oracle_sql_base() -> dict[str, str]:
               CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
                 AS BIGINT) AS n_blocks_b
             FROM documents
+        """,
+        # the heading_outline grid + per-level body: h1 '', h2
+        # 'sec body', h3 'sub'
+        "section_chunks": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 3 + 1 AS ns, doc_id % 2 + 1 AS nt
+              FROM documents
+            ),
+            h1 AS (
+              SELECT doc_id, 0 AS seq, 1 AS level,
+                     'H1 ' || CAST(doc_id AS VARCHAR) AS section_path,
+                     '' AS body
+              FROM d
+            ),
+            sec AS (
+              SELECT doc_id, nt, unnest(range(0, ns)) AS i FROM d
+            ),
+            h2 AS (
+              SELECT doc_id, 1 + i * (1 + nt) AS seq, 2 AS level,
+                     'H1 ' || CAST(doc_id AS VARCHAR) || ' > S '
+                       || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(i AS VARCHAR) AS section_path,
+                     'sec body' AS body
+              FROM sec
+            ),
+            sub AS (
+              SELECT doc_id, nt, i, unnest(range(0, nt)) AS j FROM sec
+            ),
+            h3 AS (
+              SELECT doc_id, 2 + i * (1 + nt) + j AS seq, 3 AS level,
+                     'H1 ' || CAST(doc_id AS VARCHAR) || ' > S '
+                       || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(i AS VARCHAR) || ' > T '
+                       || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(i AS VARCHAR) || ' '
+                       || CAST(j AS VARCHAR) AS section_path,
+                     'sub' AS body
+              FROM sub
+            )
+            SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+                   CAST(level AS BIGINT) AS level, section_path, body
+            FROM (SELECT * FROM h1 UNION ALL
+                  SELECT * FROM h2 UNION ALL
+                  SELECT * FROM h3)
         """,
         # Info dict: title 'Doc d (v d%5)', author A{d%20}, year
         # 2000 + d%30

@@ -1276,3 +1276,30 @@ def refresh_page_for(doc_id: int) -> str:
         + extra
         + "</head><body>b</body></html>"
     )
+
+
+# ---------------- section-aware chunks (outline + body join) ---------------
+
+def extract_section_chunks(html: str) -> list[tuple[int, int, str, str]]:
+    """(seq, level, section_path, body) per heading — the
+    heading-outline walk PLUS the text between each heading and the
+    next (the RAG chunk shape: retrieval text with its section
+    breadcrumb attached).  Comments/scripts drop first; body text is
+    tag-stripped, entity-unescaped, whitespace-collapsed."""
+    clean = _SCRIPT_ANY.sub(" ", _COMMENT.sub(" ", html))
+    heads = list(_H_RE.finditer(clean))
+    out = []
+    stack: list[tuple[int, str]] = []
+    for seq, m in enumerate(heads):
+        level = int(m.group(1))
+        text = _html.unescape(
+            _WS.sub(" ", _TAG.sub(" ", m.group(2))).strip())
+        while stack and stack[-1][0] >= level:
+            stack.pop()
+        stack.append((level, text))
+        end = (heads[seq + 1].start() if seq + 1 < len(heads)
+               else len(clean))
+        body = _html.unescape(
+            _WS.sub(" ", _TAG.sub(" ", clean[m.end():end])).strip())
+        out.append((seq, level, " > ".join(t for _, t in stack), body))
+    return out

@@ -2146,3 +2146,43 @@ def http_response_parse(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(parse, batch_format="pyarrow",
                             batch_size=4096)
+
+
+# ------------------------------------------------ section chunks -----------
+
+
+def section_chunks(sf_dir: str) -> "rd.Dataset":
+    """Section-aware chunking — the RAG shape: each heading's body text
+    paired with its full section breadcrumb (``H1 > S > T``), so a
+    retrieval chunk carries its place in the document outline.  Same
+    decoys as ``heading_outline`` (commented-out and script-string
+    headings never split a chunk).
+
+    Scale: stateless task map; chunk text never crosses a block."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_section_chunks,
+        outline_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, seq, lvl, path, body = [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for s, le, p, b in extract_section_chunks(
+                    outline_page_for(d)):
+                doc.append(d)
+                seq.append(s)
+                lvl.append(le)
+                path.append(p)
+                body.append(b)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "seq": pa.array(seq, type=pa.int64()),
+             "level": pa.array(lvl, type=pa.int64()),
+             "section_path": pa.array(path, type=pa.string()),
+             "body": pa.array(body, type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)

@@ -362,3 +362,24 @@ def test_http_response_parse_cases():
     # mime token cut before params, X-Decoy-Location never matches
     s, ct, loc = parse_http_response(http_response_for(4))
     assert ct == "application/pdf" and loc == ""
+
+
+# ----------------------------------------------------- section chunks -----
+
+
+def test_section_chunks_breadcrumbs_and_bodies():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_section_chunks,
+        outline_page_for,
+    )
+
+    rows = extract_section_chunks(outline_page_for(5))
+    # 1 h1 + 3 h2 + 3*2 h3 = 10 chunks
+    assert len(rows) == 10
+    assert rows[0] == (0, 1, "H1 5", "")
+    assert rows[1] == (1, 2, "H1 5 > S 5 0", "sec body")
+    assert rows[2] == (2, 3, "H1 5 > S 5 0 > T 5 0 0", "sub")
+    # the breadcrumb resets at the next h2
+    assert rows[4] == (4, 2, "H1 5 > S 5 1", "sec body")
+    # comment/script heading decoys never produce a chunk
+    assert not any("fake" in p or "commented" in p for _, _, p, _ in rows)
