@@ -317,14 +317,29 @@ def expected_web_documents(num_docs: int, seed: int = 42) -> pa.Table:
 
 
 def write_documents_parquet(path: str, num_docs: int, seed: int = 42,
-                            num_files: int = 1) -> list[str]:
-    """Write the corpus as partitioned parquet (one file per partition)."""
+                            num_files: int = 1,
+                            web: bool = False) -> list[str]:
+    """Write the corpus as partitioned parquet (one file per partition).
+    ``web=True`` writes the EXTRACTION-tier shape instead: text spans
+    become boilerplate-wrapped html spans (:func:`generate_web_documents`
+    semantics)."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
     rows = _doc_rows(num_docs, seed)
+    if web:
+        from tensorflow_ocr_ray.functions.html_extract import (
+            wrap_in_boilerplate,
+        )
+
+        for row in rows:
+            for span in row["spans"]:
+                if span["kind"] == "text":
+                    span["kind"] = "html"
+                    span["text"] = wrap_in_boilerplate(row["doc_id"],
+                                                       span["text"])
     files = []
     per = (num_docs + num_files - 1) // num_files
     done = 0

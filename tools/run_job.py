@@ -33,6 +33,11 @@ def main() -> int:
                     help="generate a fixture corpus of N docs into --input first")
     ap.add_argument("--num-files", type=int, default=8)
     ap.add_argument("--mode", default="exploded", choices=["exploded", "fused"])
+    ap.add_argument("--pipeline", default="ocr", choices=["ocr", "extract"],
+                    help="'extract': the combined web-extraction flagship "
+                         "(html spans boilerplate-stripped ahead of the "
+                         "scorer pool); with --generate the corpus is "
+                         "written in the web shape (html spans)")
     ap.add_argument("--concurrency", type=int, default=0,
                     help="OCR actor pool size (default: CPUs-1)")
     ap.add_argument("--batch-size", type=int, default=16)
@@ -66,7 +71,7 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+        ray.init(address=os.environ.get("RAY_ADDRESS") or "local",
                  include_dashboard=False)
     from ray.data import DataContext
 
@@ -76,7 +81,8 @@ def main() -> int:
         from tensorflow_ocr_ray.fixtures import write_documents_parquet
 
         write_documents_parquet(args.input, args.generate,
-                                num_files=args.num_files)
+                                num_files=args.num_files,
+                                web=args.pipeline == "extract")
 
     files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
     if not files:
@@ -140,11 +146,18 @@ def main() -> int:
         media_spec=media_spec,
         on_media_error=args.on_media_error,
     )
+    pipeline_fn = None
+    if args.pipeline == "extract":
+        from tensorflow_ocr_ray.pipelines.extract import extract_documents
+
+        pipeline_fn = extract_documents
+        pipeline_kwargs.pop("mode", None)  # extract owns the plan mode
 
     def _run(fs):
         return run_checkpointed(
             fs, args.output, pipeline_kwargs=pipeline_kwargs,
             verify_against_truth=args.verify_truth,
+            pipeline_fn=pipeline_fn,
         )
 
     reports = _run(files)
