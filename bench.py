@@ -159,6 +159,56 @@ def bench_ocr(
     }
 
 
+def bench_extract(
+    num_docs: int, num_cpus: int, seed: int = 42,
+    concurrency: int | None = None,
+) -> dict:
+    """The north-rule flagship: interleaved WEB docs (text spans are
+    boilerplate-wrapped html) → strip + OCR in one exploded stream →
+    reassembled docs.  Same plan as ``bench_ocr`` plus the html strip
+    stage, so the two timings isolate the extraction increment."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import (
+        generate_documents,
+        generate_web_documents,
+    )
+    from tensorflow_ocr_ray.pipelines.extract import extract_documents
+
+    docs = generate_web_documents(num_docs, seed=seed)
+    n_html = sum(
+        1 for r in docs.to_pylist() for s in r["spans"] if s["kind"] == "html"
+    )
+    # media refs are identical to the plain corpus -> reuse its store
+    media_root = _materialize_media(
+        generate_documents(num_docs, seed=seed), num_docs, seed)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        ds = rd.from_arrow(docs)
+        out = extract_documents(
+            ds,
+            media_spec={"kind": "dir", "path": media_root},
+            concurrency=concurrency or max(1, num_cpus - 1),
+            batch_size=16,
+            num_blocks=int(os.environ.get("GRAFT_OCR_BLOCKS", 0))
+            or 4 * num_cpus,
+            reassemble_via=os.environ.get("GRAFT_OCR_REASSEMBLE",
+                                          "groupby"),
+        )
+        n_out = out.count()
+        elapsed = time.time() - t0
+        assert n_out == num_docs, (n_out, num_docs)
+        if best is None or elapsed < best:
+            best = elapsed
+    return {
+        "docs": num_docs,
+        "html_spans": n_html,
+        "sec": round(best, 3),
+        "docs_per_sec": round(num_docs / best, 2),
+    }
+
+
 def bench_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entry
 
@@ -174,15 +224,22 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
 
 def run_once(sf_dir: str, num_cpus: int, ocr_only: bool, ocr_docs: int | None,
-             ocr_concurrency: int | None = None) -> dict:
+             ocr_concurrency: int | None = None,
+             pipeline: str = "ocr") -> dict:
     ray = _init_ray(num_cpus)
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     n_docs = ocr_docs or OCR_DOCS.get(sf_name, 1000)
-    ocr = bench_ocr(n_docs, num_cpus, concurrency=ocr_concurrency)
-    queries: dict[str, float] = {"ocr_documents": ocr["sec"]}
+    flagship_fn = bench_extract if pipeline == "extract" else bench_ocr
+    ocr = flagship_fn(n_docs, num_cpus, concurrency=ocr_concurrency)
+    queries: dict[str, float] = {f"{pipeline}_documents": ocr["sec"]}
     if not ocr_only:
         queries.update(bench_queries(sf_dir))
     total = round(sum(queries.values()), 3)
+    # the north-rule extraction flagship rides as its own section (same
+    # plan + the html strip stage) so `value` stays comparable across
+    # rounds while the extraction throughput is still on record
+    extract = None if (ocr_only or pipeline != "ocr") else bench_extract(
+        n_docs, num_cpus, concurrency=ocr_concurrency)
     result = {
         "metric": "documents/sec (media-span OCR) + headline query wall time",
         "value": total,
@@ -192,6 +249,8 @@ def run_once(sf_dir: str, num_cpus: int, ocr_only: bool, ocr_docs: int | None,
         "num_cpus": num_cpus,
         "ocr": ocr,
     }
+    if extract is not None:
+        result["extract"] = extract
     ray.shutdown()
     return result
 
@@ -437,6 +496,9 @@ def main() -> int:
     ap.add_argument("--ocr-only", action="store_true")
     ap.add_argument("--ocr-docs", type=int, default=None)
     ap.add_argument("--ocr-concurrency", type=int, default=None)
+    ap.add_argument("--pipeline", default="ocr", choices=["ocr", "extract"],
+                    help="flagship to time: media-span OCR (default) or "
+                         "the combined web-extraction (html strip + OCR)")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     args = ap.parse_args()
 
@@ -451,7 +513,7 @@ def main() -> int:
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", 32))
         result = run_once(args.sf_dir, num_cpus, args.ocr_only, args.ocr_docs,
-                          args.ocr_concurrency)
+                          args.ocr_concurrency, pipeline=args.pipeline)
     print(json.dumps(result))
     return 0
 
