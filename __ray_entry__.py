@@ -1673,6 +1673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
+        # margin-based bitext mining (Artetxe & Schwenk ratio margin):
+        # hubness-normalized best pair per source vector; backward
+        # means via per-block top-k partials, never a full sim matrix
+        "bitext_margin_mine": similarity.bitext_margin_mine,
         # the read-pruned indexed paths (build-once bucket/cell
         # partitions; only the probe ring is READ) — at 100 TB the index
         # IS the operator; the scan-and-filter variants remain as
@@ -7244,6 +7248,39 @@ def _oracle_sql_base() -> dict[str, str]:
                    query_label AS true_label,
                    CAST(nbr_label = query_label AS BIGINT) AS correct
             FROM pred WHERE rn = 1
+        """,
+        # even vec_ids = source side, odd = target; ratio margin
+        # cos/((fwd_k + bwd_k)/2) with k=4, accept > 1.02
+        "bitext_margin_mine": """
+            WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id % 2 = 0),
+            b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            c AS (SELECT a.vec_id AS xa, b.vec_id AS yb,
+                    list_cosine_similarity(a.e, b.e) AS s
+                  FROM a, b),
+            fr AS (SELECT xa, s, row_number() OVER
+                     (PARTITION BY xa ORDER BY s DESC, yb) AS rn
+                   FROM c),
+            fwd AS (SELECT xa, avg(s) AS m FROM fr WHERE rn <= 4
+                    GROUP BY xa),
+            br AS (SELECT yb, s, row_number() OVER
+                     (PARTITION BY yb ORDER BY s DESC, xa) AS rn
+                   FROM c),
+            bwd AS (SELECT yb, avg(s) AS m FROM br WHERE rn <= 4
+                    GROUP BY yb),
+            sc AS (SELECT c.xa, c.yb,
+                     c.s / ((fwd.m + bwd.m) / 2) AS margin
+                   FROM c JOIN fwd USING (xa)
+                   JOIN bwd ON c.yb = bwd.yb),
+            best AS (SELECT xa, yb, margin, row_number() OVER
+                       (PARTITION BY xa ORDER BY margin DESC, yb) AS rn
+                     FROM sc)
+            SELECT xa AS src_id, yb AS dst_id,
+              round(margin, 4) AS margin,
+              CAST(CASE WHEN margin > 1.02 THEN 1 ELSE 0 END AS BIGINT)
+                AS accepted
+            FROM best WHERE rn = 1
         """,
         "ann_topk_brute": """
             SELECT vec_id,

@@ -1645,3 +1645,108 @@ def ann_index_append(
     return ann_topk_lsh_indexed(
         full_dir, q, k, query_vec_id, n_planes, p_star, seed
     )
+
+
+# ---------------------------------------------------- bitext mining --------
+
+
+def bitext_margin_mine(
+    sf_dir: str, k: int = 4, threshold: float = 1.02
+) -> pd.DataFrame:
+    """Margin-based bitext mining (the parallel-corpus miner of
+    Artetxe & Schwenk, "Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings", ACL 2019): the corpus splits
+    into two "languages" (even / odd ``vec_id``); each source vector
+    pairs with the target maximizing the RATIO margin
+    ``cos(x,y) / ((fwd_k(x) + bwd_k(y)) / 2)`` — cosine alone
+    over-accepts hubs; dividing by the mean of each side's top-k
+    neighborhood normalizes hubness away.
+
+    Plan (the blocked-matmul discipline of this module):
+
+    1. the target side broadcasts once (``ray.put`` of the normalized
+       matrix — at real scale shard it and add a partial-merge level);
+    2. pass 1 streams source batches: one ``(batch × dim) @ (dim × T)``
+       matmul, emitting PER-TARGET local top-k partials (≤ k·|T| rows
+       per batch) that the driver merges into backward means — the
+       per-block top-k convention, never a full sim matrix;
+    3. pass 2 re-streams source batches with the backward means
+       broadcast: forward means and the argmax-margin pair are local
+       to the batch.
+
+    Ties break toward the smaller target id (pinned by the oracle's
+    ``ORDER BY margin DESC, yb``)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    tgt_mask = (ids % 2) == 1
+    tm = np.stack(
+        [np.asarray(v, dtype=np.float64)
+         for v in t.column("embedding").to_pylist()])[tgt_mask]
+    tn = np.linalg.norm(tm, axis=1)
+    tn[tn == 0] = 1.0
+    tgt_ids = ids[tgt_mask].astype(np.int64)
+    t_ref = ray.put((tgt_ids, tm / tn[:, None]))
+
+    def _src_norm(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        vid = df["vec_id"].to_numpy()
+        keep = (vid % 2) == 0
+        if not keep.any():
+            return vid[:0].astype(np.int64), np.empty((0, 1))
+        m = np.stack(df["embedding"].to_numpy()[keep]).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return vid[keep].astype(np.int64), m / n[:, None]
+
+    def bwd_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tids, tmat = _bcast_get(t_ref)
+        svid, sm = _src_norm(df)
+        if not len(svid):
+            return pd.DataFrame({"tid": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="float64")})
+        sims = sm @ tmat.T                       # (batch, T)
+        kk = min(k, sims.shape[0])
+        part = np.partition(sims, -kk, axis=0)[-kk:, :]  # (kk, T)
+        return pd.DataFrame(
+            {"tid": np.repeat(tids, kk).astype("int64"),
+             "s": part.T.reshape(-1)})
+
+    parts = _emb(sf_dir).map_batches(
+        bwd_partial, batch_format="pandas", batch_size=4096).to_pandas()
+    bwd = (parts.sort_values("s", ascending=False)
+           .groupby("tid").head(k)
+           .groupby("tid")["s"].mean())
+    bwd_vec = bwd.reindex(tgt_ids).to_numpy()    # aligned to tmat rows
+    b_ref = ray.put(bwd_vec)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tids, tmat = _bcast_get(t_ref)
+        bw = _bcast_get(b_ref)
+        svid, sm = _src_norm(df)
+        cols = ["src_id", "dst_id", "margin", "accepted"]
+        if not len(svid):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="float64" if c == "margin"
+                              else "int64") for c in cols})
+        sims = sm @ tmat.T
+        kk = min(k, sims.shape[1])
+        fwd = np.mean(
+            np.partition(sims, -kk, axis=1)[:, -kk:], axis=1)
+        margin = sims / ((fwd[:, None] + bw[None, :]) / 2.0)
+        # np.argmax keeps the FIRST max; tids ascend within tmat, so
+        # exact ties break toward the smaller target id (oracle order)
+        best = np.argmax(margin, axis=1)
+        mbest = margin[np.arange(len(svid)), best]
+        return pd.DataFrame(
+            {"src_id": svid,
+             "dst_id": tids[best].astype("int64"),
+             "margin": np.round(mbest, 4),
+             "accepted": (mbest > threshold).astype("int64")})
+
+    out = _emb(sf_dir).map_batches(
+        score, batch_format="pandas", batch_size=4096).to_pandas()
+    return (out.sort_values("src_id").reset_index(drop=True)
+            .astype({"src_id": "int64", "dst_id": "int64",
+                     "accepted": "int64"}))

@@ -383,3 +383,36 @@ def test_section_chunks_breadcrumbs_and_bodies():
     assert rows[4] == (4, 2, "H1 5 > S 5 1", "sec body")
     # comment/script heading decoys never produce a chunk
     assert not any("fake" in p or "commented" in p for _, _, p, _ in rows)
+
+
+# ------------------------------------------------------ bitext mining -----
+
+
+def test_bitext_margin_mine_vs_dense_rederivation(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.similarity import bitext_margin_mine
+
+    out = bitext_margin_mine(SF).set_index("src_id")
+
+    # independent dense re-derivation (full sim matrix, no blocking)
+    t = pq.read_table(SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    src, tgt = ids[ids % 2 == 0], ids[ids % 2 == 1]
+    S = m[ids % 2 == 0] @ m[ids % 2 == 1].T
+    k = 4
+    fwd = np.mean(np.sort(S, axis=1)[:, -k:], axis=1)
+    bwd = np.mean(np.sort(S, axis=0)[-k:, :], axis=0)
+    margin = S / ((fwd[:, None] + bwd[None, :]) / 2.0)
+    best = np.argmax(margin, axis=1)
+    assert len(out) == len(src)
+    for i, x in enumerate(src):
+        row = out.loc[int(x)]
+        assert int(row.dst_id) == int(tgt[best[i]])
+        assert abs(row.margin - margin[i, best[i]]) < 5e-4
+        assert int(row.accepted) == int(margin[i, best[i]] > 1.02)
