@@ -1677,6 +1677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hubness-normalized best pair per source vector; backward
         # means via per-block top-k partials, never a full sim matrix
         "bitext_margin_mine": similarity.bitext_margin_mine,
+        # per-label centroid-distance audit (mislabel/contamination
+        # screen): two linear passes, bounded label grid, no N x N
+        "embedding_outlier_audit": similarity.embedding_outlier_audit,
         # the read-pruned indexed paths (build-once bucket/cell
         # partitions; only the probe ring is READ) — at 100 TB the index
         # IS the operator; the scan-and-filter variants remain as
@@ -7248,6 +7251,37 @@ def _oracle_sql_base() -> dict[str, str]:
                    query_label AS true_label,
                    CAST(nbr_label = query_label AS BIGINT) AS correct
             FROM pred WHERE rn = 1
+        """,
+        # squared distance to the label centroid, per-label rollup +
+        # the most-outlying member (ties toward the smaller vec_id)
+        "embedding_outlier_audit": """
+            WITH e AS (SELECT vec_id, label,
+                         CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            d AS (SELECT vec_id, label, emb,
+                    unnest(range(0, len(emb))) AS i
+                  FROM e),
+            x AS (SELECT vec_id, label, i,
+                    emb[CAST(i AS INTEGER) + 1] AS v
+                  FROM d),
+            c AS (SELECT label, i, avg(v) AS cv FROM x
+                  GROUP BY label, i),
+            dist AS (SELECT x.vec_id, x.label,
+                       sum((x.v - c.cv) * (x.v - c.cv)) AS d2
+                     FROM x JOIN c ON x.label = c.label AND x.i = c.i
+                     GROUP BY x.vec_id, x.label),
+            sel AS (SELECT label, vec_id, d2, row_number() OVER
+                      (PARTITION BY label ORDER BY d2 DESC, vec_id)
+                      AS rn
+                    FROM dist)
+            SELECT dist.label, count(*) AS n,
+              round(avg(dist.d2), 4) AS mean_dist2,
+              round(max(dist.d2), 4) AS max_dist2,
+              CAST(min(CASE WHEN sel.rn = 1 THEN sel.vec_id END)
+                AS BIGINT) AS outlier_vec_id
+            FROM dist JOIN sel ON dist.label = sel.label
+              AND dist.vec_id = sel.vec_id
+            GROUP BY dist.label
         """,
         # even vec_ids = source side, odd = target; ratio margin
         # cos/((fwd_k + bwd_k)/2) with k=4, accept > 1.02

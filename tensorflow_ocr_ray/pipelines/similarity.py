@@ -1750,3 +1750,70 @@ def bitext_margin_mine(
     return (out.sort_values("src_id").reset_index(drop=True)
             .astype({"src_id": "int64", "dst_id": "int64",
                      "accepted": "int64"}))
+
+
+# ---------------------------------------------- embedding outlier audit ----
+
+
+def embedding_outlier_audit(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding-space quality audit: squared distance of
+    every vector to ITS label centroid, rolled up per label (count,
+    mean, max) with the most-outlying member — the contamination /
+    mislabel screen an embedding-curation pass runs before training.
+
+    Plan: pass 1 streams (label, count, sum-vector) partials — the
+    label grid is bounded, so the driver merge is the benford
+    convention; centroids broadcast once; pass 2 streams squared
+    distances as per-label partials (n, sum, local max + argmax).  No
+    N×N anything, two linear passes."""
+    labels_sums: dict[int, tuple[int, np.ndarray]] = {}
+
+    def centroid_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, g in df.groupby("label"):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            rows.append({"label": int(lab), "n": len(g),
+                         "vsum": m.sum(axis=0).tolist()})
+        return pd.DataFrame(rows, columns=["label", "n", "vsum"])
+
+    parts = _emb(sf_dir).map_batches(
+        centroid_partial, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    for _, r in parts.iterrows():
+        n, s = labels_sums.get(r["label"], (0, 0.0))
+        labels_sums[r["label"]] = (n + int(r["n"]),
+                                   s + np.asarray(r["vsum"]))
+    centroids = {lab: s / n for lab, (n, s) in labels_sums.items()}
+    c_ref = ray.put(centroids)
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _bcast_get(c_ref)
+        rows = []
+        for lab, g in df.groupby("label"):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((m - cents[int(lab)][None, :]) ** 2).sum(axis=1)
+            top = int(np.lexsort((g["vec_id"].to_numpy(), -d2))[0])
+            rows.append({"label": int(lab), "n": len(g),
+                         "sum_d2": float(d2.sum()),
+                         "max_d2": float(d2[top]),
+                         "argmax_vec": int(g["vec_id"].iloc[top])})
+        return pd.DataFrame(rows, columns=["label", "n", "sum_d2",
+                                           "max_d2", "argmax_vec"])
+
+    d = _emb(sf_dir).map_batches(
+        dist_partial, batch_format="pandas", batch_size=4096).to_pandas()
+    out_rows = []
+    for lab, g in d.groupby("label"):
+        # merge local maxima with the smallest-vec_id tie-break
+        gi = g.sort_values(["max_d2", "argmax_vec"],
+                           ascending=[False, True]).iloc[0]
+        out_rows.append({
+            "label": int(lab),
+            "n": int(g["n"].sum()),
+            "mean_dist2": round(float(g["sum_d2"].sum() / g["n"].sum()), 4),
+            "max_dist2": round(float(gi["max_d2"]), 4),
+            "outlier_vec_id": int(gi["argmax_vec"])})
+    return (pd.DataFrame(out_rows)
+            .astype({"label": "int64", "n": "int64",
+                     "outlier_vec_id": "int64"})
+            .sort_values("label").reset_index(drop=True))

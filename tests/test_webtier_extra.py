@@ -416,3 +416,28 @@ def test_bitext_margin_mine_vs_dense_rederivation(ray_session):
         assert int(row.dst_id) == int(tgt[best[i]])
         assert abs(row.margin - margin[i, best[i]]) < 5e-4
         assert int(row.accepted) == int(margin[i, best[i]] > 1.02)
+
+
+def test_embedding_outlier_audit_vs_dense(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tensorflow_ocr_ray.pipelines.similarity import (
+        embedding_outlier_audit,
+    )
+
+    out = embedding_outlier_audit(SF).set_index("label")
+    t = pq.read_table(SF + "/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    labs = t.column("label").to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    for lab in np.unique(labs):
+        sel = labs == lab
+        d2 = ((m[sel] - m[sel].mean(axis=0)[None, :]) ** 2).sum(axis=1)
+        row = out.loc[int(lab)]
+        assert int(row.n) == int(sel.sum())
+        assert abs(row.mean_dist2 - d2.mean()) < 5e-4
+        assert abs(row.max_dist2 - d2.max()) < 5e-4
+        top = int(np.lexsort((ids[sel], -d2))[0])
+        assert int(row.outlier_vec_id) == int(ids[sel][top])
