@@ -1431,6 +1431,12 @@ def _html_main_content(sf_dir: str):
     )
 
 
+def _web_curation_pipeline(sf_dir: str):
+    from tensorflow_ocr_ray.pipelines.extract import web_curation_pipeline
+
+    return web_curation_pipeline(sf_dir)
+
+
 def _pdf_layout_text_q(sf_dir: str):
     from tensorflow_ocr_ray.pipelines.extract import pdf_layout_text
 
@@ -1725,6 +1731,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wrapped around each document's text; the extractor must recover
         # the text EXACTLY (hard oracle: extracted == documents.text)
         "html_main_content": _html_main_content,
+        # extract -> curate composition: crawl blob -> strip -> Gopher
+        # gate -> exact dedup in one plan; the oracle re-derives all of
+        # it from RAW documents.text, so extraction loss anywhere in
+        # the chain surfaces as a downstream hash mismatch
+        "web_curation_pipeline": _web_curation_pipeline,
         # PDF layout parse: text recovered from vector-PDF content
         # streams alone (no raster, no OCR) — Tm composition, Type3
         # encoding/width tables, baseline clustering and the geometric
@@ -3802,6 +3813,24 @@ def _oracle_sql_base() -> dict[str, str]:
         "vocab_topk": _vocab_topk_sql(),
         "length_percentile_gate": _length_gate_sql(),
         "gopher_gate": _gopher_gate_sql(),
+        # extract -> curate composition: the gate CTE runs over RAW
+        # documents.text (the wrap/extract pair is exact-inverse on
+        # these corpora), keeper = window-min doc_id per identical text
+        "web_curation_pipeline": f"""
+            WITH gate AS ({_gopher_gate_sql()}),
+            keep AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY text) AS keeper_doc_id
+              FROM documents
+            )
+            SELECT g.doc_id, g.tokens, g.top_unigram_frac,
+                   g.dup_trigram_frac, g.passed, g.fail_reason,
+                   k.keeper_doc_id,
+                   CAST(CASE WHEN g.passed = 1
+                             AND g.doc_id = k.keeper_doc_id
+                        THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM gate g JOIN keep k USING (doc_id)
+        """,
         # doc rarity: mean corpus document-frequency over the doc's
         # DISTINCT tokens (vocab_topk's tokenization); the one double is
         # a single int/int IEEE division on both sides

@@ -255,7 +255,8 @@ def run_once(sf_dir: str, num_cpus: int, ocr_only: bool, ocr_docs: int | None,
     return result
 
 
-def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
+def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
+                pipeline: str = "ocr") -> dict:
     """Same job, two parallelism levels (N and 4N), fresh processes
     (BASELINE.md scaling-evidence protocol); efficiency =
     thr_high / (scale · thr_low).
@@ -297,6 +298,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
             # two levels are true N- vs 4N-shaped configs
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--ocr-only",
+                 "--pipeline", pipeline,
                  "--ocr-docs", str(SCALING_DOCS),
                  "--ocr-concurrency", str(max(1, cpus // 2))],
                 env=env, capture_output=True, text=True, timeout=1800,
@@ -312,7 +314,8 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
     thr_high = results[high]["ocr"]["docs_per_sec"]
     eff = thr_high / (scale * thr_low)
     out = {
-        "metric": "scaling efficiency (docs/sec)",
+        "metric": f"scaling efficiency (docs/sec, {pipeline} flagship)",
+        "pipeline": pipeline,
         "value": round(eff, 4),
         "unit": "efficiency",
         "sf": results[low]["sf"],
@@ -336,6 +339,38 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
 def _write_scaling_md(r: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     path = os.path.join("BENCH", "BASELINE.md")
+    if r.get("pipeline", "ocr") != "ocr":
+        # non-OCR flagship: its own replaceable section appended after
+        # whatever is already in the file (the OCR section is the
+        # headline; this one is the north-rule extraction datapoint)
+        header = f"\n## Extraction flagship scaling ({r['pipeline']})\n"
+        prev = open(path).read() if os.path.exists(path) else ""
+        i = prev.find(header)
+        if i != -1:
+            j = prev.find("\n## ", i + 1)
+            prev = prev[:i] + (prev[j:] if j != -1 else "")
+        lo, hi = r["low_cpus"], r["high_cpus"]
+        with open(path, "w") as f:
+            f.write(prev)
+            f.write(
+                header +
+                "\nSame protocol as the OCR table above (fresh processes,\n"
+                "best-of-3 per level, constant actor:CPU ratio), but the\n"
+                "combined web-extraction flagship: html spans strip\n"
+                "boilerplate, media spans OCR, text spans pass through —\n"
+                "one exploded stream, span-sequence order preserved.\n\n"
+                f"| docs | CPUs | wall sec | docs/sec |\n|---|---|---|---|\n"
+                f"| {r['docs']} | {lo} | "
+                f"{r['queries']['ocr@%dcpus' % lo]} | "
+                f"{r['docs_per_sec_low']} |\n"
+                f"| {r['docs']} | {hi} | "
+                f"{r['queries']['ocr@%dcpus' % hi]} | "
+                f"{r['docs_per_sec_high']} |\n\n"
+                f"**Scaling efficiency** = thr_{hi} / "
+                f"({hi // lo} x thr_{lo}) = **{r['value']}** "
+                "(target >= 0.8)\n"
+            )
+        return
     # preserve the --scaling-query second-datapoint section across
     # rewrites of the flagship section
     extra = ""
@@ -503,7 +538,7 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.scaling:
-        result = run_scaling(args.sf_dir)
+        result = run_scaling(args.sf_dir, pipeline=args.pipeline)
     elif args.scaling_query:
         result = run_scaling_query(args.sf_dir)
     elif args.query_bench:

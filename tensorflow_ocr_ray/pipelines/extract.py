@@ -274,3 +274,92 @@ def media_caption_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
              "context_text": pa.array(ctx, type=pa.string())})
 
     return ds.map_batches(pairs, batch_format="pyarrow", batch_size=64)
+
+
+# ------------------------------------------- extract -> curate ------------
+
+
+def web_curation_pipeline(
+    sf_dir: str, n_shards: int | None = None
+) -> "ray.data.Dataset":
+    """END-TO-END composition: crawl blob → boilerplate strip → quality
+    gate → exact dedup, in one streamed plan with a single skinny-key
+    exchange.  This is the proof that the extraction tier FEEDS the
+    curation tier losslessly: the DuckDB oracle re-derives every output
+    column from the RAW ``documents.text`` (gate SQL + a window-min per
+    text group), so any byte the extractor drops or mangles surfaces as
+    a token-count / hash mismatch — extraction correctness is checked
+    THROUGH the downstream consumer, not just on its own output.
+
+    Stages (reference analogue: ``main/ocr.c``'s page → text → the
+    training-corpus prep the reference leaves to the operator):
+
+    1. wrap — deterministic chrome synthesis (the crawl-blob stand-in;
+       at 100 TB this stage IS the crawl read);
+    2. strip — ``extract_main_content`` DOM-block heuristics;
+    3. gate — the Gopher-style verdict chain over the EXTRACTED text
+       (token window → unigram repetition → trigram repetition);
+    4. dedup — keep the smallest doc_id per identical extracted text,
+       routed by the ``dedup_exact`` bounded-key md5 shard so identical
+       texts co-locate by construction and the exchange key is 8 bytes.
+
+    Output: one row per INPUT doc — gate columns + ``keeper_doc_id`` +
+    the final ``kept`` verdict (passed gate AND canonical copy).
+
+    Scale: stages 1-3 are stateless task maps (zero shuffle); stage 4
+    is ONE hash exchange whose payload is the extracted text (needed to
+    group exactly within a shard).  Nothing materializes on the driver;
+    the result is corpus-cardinality and must stream to a sink."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_main_content,
+        wrap_batch,
+    )
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.pipelines.curation import gopher_gate_batch
+    from tensorflow_ocr_ray.stages.exchange import (
+        adaptive_shards,
+        hash_exchange,
+        meta_rows,
+    )
+
+    if n_shards is None:
+        # extracted text rides the exchange as payload (same sizing
+        # rationale as dedup_exact: ~64 MB shards at ~1 KB/doc)
+        n_shards = adaptive_shards(
+            meta_rows(sf_dir, "documents"), target_rows=65536
+        )
+
+    def strip_and_gate(df: "pd.DataFrame") -> "pd.DataFrame":
+        extracted = [extract_main_content(h) for h in df["html"]]
+        gate = gopher_gate_batch(
+            pd.DataFrame({"doc_id": df["doc_id"], "text": extracted})
+        )
+        gate["text"] = extracted
+        keys = [f"{len(t)}:{t[:256]}" for t in extracted]
+        h = _md5_prefix_batch(keys, 8).astype(np.uint64)
+        gate["shard"] = (h % np.uint64(n_shards)).astype("int64")
+        return gate
+
+    def dedup_verdict(df: "pd.DataFrame") -> "pd.DataFrame":
+        # all copies of a text share this shard (same md5 key), so the
+        # per-text min is exact; group on the text itself, never the
+        # hash (prefix collisions only co-locate, they never merge)
+        keeper = df.groupby("text")["doc_id"].transform("min")
+        out = df.drop(columns=["text", "shard"]).copy()
+        out["keeper_doc_id"] = keeper.astype("int64")
+        out["kept"] = (
+            (out["passed"] == 1) & (out["doc_id"] == out["keeper_doc_id"])
+        ).astype("int64")
+        return out
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    wrapped = docs.map_batches(wrap_batch, batch_format="pandas",
+                               batch_size=4096)
+    gated = wrapped.map_batches(strip_and_gate, batch_format="pandas",
+                                batch_size=4096)
+    return hash_exchange(gated, "shard", n_shards, dedup_verdict)

@@ -150,3 +150,34 @@ def test_media_caption_pairs_registry(ray_session):
                                "context_text"}
     # leading media spans have empty context; at least one non-empty
     assert (df["context_text"].str.len() > 0).any()
+
+
+def test_web_curation_pipeline_truth(ray_session):
+    """extract → gate → dedup composition: every output column is
+    re-derivable from RAW documents.text (the wrap/strip pair must be
+    exact-inverse), keeper is the min doc_id per identical text, and
+    kept == passed ∧ canonical."""
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["web_curation_pipeline"](sf).to_pandas()
+    raw = pd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+    assert len(got) == len(raw)
+    merged = got.merge(raw, on="doc_id")
+    keeper = merged.groupby("text")["doc_id"].transform("min")
+    assert (merged["keeper_doc_id"] == keeper).all()
+    want_kept = ((merged["passed"] == 1)
+                 & (merged["doc_id"] == merged["keeper_doc_id"]))
+    assert (merged["kept"] == want_kept.astype("int64")).all()
+    # the gate suppression channel actually fires on this corpus; the
+    # dedup channel only if the corpus has exact duplicates (sf0.001
+    # is all-unique — the channel is still exercised by the keeper
+    # equality above and the sf0.01 oracle run)
+    assert merged["kept"].sum() < len(merged)
+    assert (merged["passed"] == 0).any()
+    if raw["text"].duplicated().any():
+        assert (merged["doc_id"] != merged["keeper_doc_id"]).any()
