@@ -1858,6 +1858,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RAG chunk shape: each heading's body text with its full
         # section breadcrumb; comment/script heading decoys never split
         "section_chunks": _webtier("section_chunks"),
+        # recognized-provider video embeds in document order; the ad
+        # iframe and a commented-out embed are the planted decoys
+        "video_embed_extract": _webtier("video_embed_extract"),
+        # rel=canonical vs og:url drift (missing every 7th, stale every
+        # 5th); rel=alternate decoy never consulted
+        "canonical_conflict_audit": _webtier("canonical_conflict_audit"),
+        # form inventory + login signature (password input); the
+        # commented-out password form is the decoy
+        "html_form_extract": _webtier("html_form_extract"),
+        # client-side-rendering detector: visible text vs script bytes,
+        # every 6th doc a planted JS shell
+        "js_dependence_audit": _webtier("js_dependence_audit"),
+        # Flesch-style readability over deterministic prose (sentences,
+        # words, vowel-run syllables + the one IEEE double)
+        "text_readability": curation.text_readability,
+        # pinned-integer-weight quality classifier (the fastText-style
+        # gate reduced to its deterministic linear core)
+        "quality_lr_score": curation.quality_lr_score,
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -6912,6 +6930,114 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (SELECT * FROM h1 UNION ALL
                   SELECT * FROM h2 UNION ALL
                   SELECT * FROM h3)
+        """,
+        # d%3 embeds; provider cycles by (d+i)%3, id = d*7+i; ad
+        # iframe + commented-out embed are decoys (never rows)
+        "video_embed_extract": """
+            WITH e AS (SELECT doc_id, unnest(range(0, doc_id % 3)) AS i
+                       FROM documents)
+            SELECT doc_id, CAST(i AS BIGINT) AS seq,
+              CASE (doc_id + i) % 3 WHEN 0 THEN 'videotube'
+                   WHEN 1 THEN 'vidmeo' ELSE 'selfhost' END AS provider,
+              CAST(doc_id * 7 + i AS BIGINT) AS video_id
+            FROM e
+        """,
+        # canonical missing every 7th, og:url stale every 5th;
+        # agreement needs both present and byte-equal
+        "canonical_conflict_audit": """
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS has_canonical,
+              CAST(1 AS BIGINT) AS has_og_url,
+              CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+                   THEN 1 ELSE 0 END AS BIGINT) AS urls_agree
+            FROM documents
+        """,
+        # search form always; login (2 inputs, password) every 4th;
+        # subscribe (2 inputs, one hidden) every 6th
+        "html_form_extract": """
+            SELECT doc_id,
+              CAST(1 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_forms,
+              CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_post,
+              CAST(1 + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END
+                     + CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 0 END
+                AS BIGINT) AS n_inputs,
+              CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS has_login,
+              CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_hidden
+            FROM documents
+        """,
+        # JS shell every 6th (empty body, 100+(d%10)*17 script bytes);
+        # others carry the doc text + a 30-byte analytics stub
+        "js_dependence_audit": """
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 6 = 0 THEN 0
+                   ELSE length(text) END AS BIGINT) AS body_text_len,
+              CAST(CASE WHEN doc_id % 6 = 0
+                   THEN 100 + (doc_id % 10) * 17
+                   ELSE 30 END AS BIGINT) AS script_bytes,
+              CAST(CASE WHEN doc_id % 6 = 0 OR length(text) < 20
+                   THEN 1 ELSE 0 END AS BIGINT) AS js_dependent
+            FROM documents
+        """,
+        # d%4+2 sentences, 3+(d+s)%5 words each, syllable LUT over the
+        # pinned 8-word list; flesch is the identical IEEE op chain
+        "text_readability": """
+            WITH s AS (SELECT doc_id,
+                         unnest(range(0, doc_id % 4 + 2)) AS s
+                       FROM documents),
+            w AS (SELECT doc_id, s,
+                    unnest(range(0, 3 + (doc_id + s) % 5)) AS w
+                  FROM s),
+            k AS (SELECT doc_id,
+                    CASE (doc_id * 7 + s * 3 + w) % 8
+                      WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 3
+                      WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 5 THEN 2
+                      WHEN 6 THEN 4 ELSE 4 END AS syl
+                  FROM w)
+            SELECT doc_id,
+              CAST(doc_id % 4 + 2 AS BIGINT) AS sentences,
+              CAST(count(*) AS BIGINT) AS words,
+              CAST(sum(syl) AS BIGINT) AS syllables,
+              CAST(206.835 AS DOUBLE)
+                - CAST(1.015 AS DOUBLE)
+                  * (CAST(count(*) AS DOUBLE) / (doc_id % 4 + 2))
+                - CAST(84.6 AS DOUBLE)
+                  * (CAST(sum(syl) AS DOUBLE) / count(*)) AS flesch
+            FROM k GROUP BY doc_id
+        """,
+        # all-integer features over single-space text; // is floor on
+        # both sides (all operands positive); threshold pinned at 5000
+        "quality_lr_score": """
+            WITH g AS (
+              SELECT doc_id,
+                len(string_split(text, ' ')) AS tok,
+                (length(text) - (len(string_split(text, ' ')) - 1))
+                  * 1000 // len(string_split(text, ' '))
+                  AS mean_wlen_milli,
+                len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','of','to','in','and')))
+                  * 1000 // len(string_split(text, ' ')) AS stop_milli,
+                len(list_distinct(string_split(text, ' ')))
+                  * 1000 // len(string_split(text, ' '))
+                  AS distinct_milli
+              FROM documents
+            )
+            SELECT doc_id, CAST(tok AS BIGINT) AS tok,
+              CAST(mean_wlen_milli AS BIGINT) AS mean_wlen_milli,
+              CAST(stop_milli AS BIGINT) AS stop_milli,
+              CAST(distinct_milli AS BIGINT) AS distinct_milli,
+              CAST(2 * tok + mean_wlen_milli + distinct_milli
+                   - 2 * stop_milli AS BIGINT) AS score,
+              CAST(CASE WHEN 2 * tok + mean_wlen_milli + distinct_milli
+                             - 2 * stop_milli >= 5000
+                   THEN 1 ELSE 0 END AS BIGINT) AS passed
+            FROM g
         """,
         # Info dict: title 'Doc d (v d%5)', author A{d%20}, year
         # 2000 + d%30

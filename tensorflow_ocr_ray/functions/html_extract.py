@@ -1303,3 +1303,201 @@ def extract_section_chunks(html: str) -> list[tuple[int, int, str, str]]:
             _WS.sub(" ", _TAG.sub(" ", clean[m.end():end])).strip())
         out.append((seq, level, " > ".join(t for _, t in stack), body))
     return out
+
+
+# ---------------- video embeds ---------------------------------------------
+
+_IFRAME_RE = re.compile(
+    r"""<iframe\b[^>]*?\bsrc\s*=\s*["']?([^"'\s>]+)""", re.I)
+_VIDEO_SRC_RE = re.compile(
+    r"""<video\b.*?<source\b[^>]*?\bsrc\s*=\s*["']?([^"'\s>]+)""",
+    re.S | re.I)
+_VT_ID = re.compile(r"^https://videotube\.example/embed/v(\d+)$")
+_VM_ID = re.compile(r"^https://player\.vidmeo\.example/video/(\d+)$")
+_SELF_ID = re.compile(r"^/media/clip(\d+)\.mp4$")
+
+
+def embed_page_for(doc_id: int) -> str:
+    """Page with ``doc_id % 3`` video embeds (provider cycles
+    videotube-iframe / vidmeo-iframe / self-hosted ``<video>`` by
+    ``(doc_id+i) % 3``, id = ``doc_id*7+i``), plus two decoys every
+    extractor must skip: an ad iframe (unknown host) and a
+    commented-out videotube iframe."""
+    parts = ["<!DOCTYPE html><html><head><title>v %d</title></head>"
+             "<body>" % doc_id,
+             '<iframe src="https://ads.example/slot/%d"></iframe>'
+             % (doc_id % 5),
+             "<!-- <iframe "
+             'src="https://videotube.example/embed/v999"></iframe> -->']
+    for i in range(doc_id % 3):
+        vid = doc_id * 7 + i
+        kind = (doc_id + i) % 3
+        if kind == 0:
+            parts.append(
+                '<iframe src="https://videotube.example/embed/v%d" '
+                'width="560" height="315"></iframe>' % vid)
+        elif kind == 1:
+            parts.append(
+                '<iframe src="https://player.vidmeo.example/video/%d">'
+                "</iframe>" % vid)
+        else:
+            parts.append(
+                '<video controls><source src="/media/clip%d.mp4" '
+                'type="video/mp4"></video>' % vid)
+        parts.append("<p>between %d</p>" % i)
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def extract_video_embeds(html: str) -> list[tuple[int, str, int]]:
+    """(seq, provider, video_id) per recognized embed in document
+    order; unknown iframe hosts (ads) and commented-out embeds are
+    skipped.  Providers: videotube / vidmeo (iframe URL patterns) and
+    selfhost (``<video><source>`` mp4 path)."""
+    clean = _COMMENT.sub(" ", html)
+    found: list[tuple[int, str, int]] = []  # (pos, provider, id)
+    for m in _IFRAME_RE.finditer(clean):
+        src = m.group(1)
+        vt = _VT_ID.match(src)
+        if vt:
+            found.append((m.start(), "videotube", int(vt.group(1))))
+            continue
+        vm = _VM_ID.match(src)
+        if vm:
+            found.append((m.start(), "vidmeo", int(vm.group(1))))
+    for m in _VIDEO_SRC_RE.finditer(clean):
+        sh = _SELF_ID.match(m.group(1))
+        if sh:
+            found.append((m.start(), "selfhost", int(sh.group(1))))
+    found.sort()
+    return [(seq, prov, vid)
+            for seq, (_, prov, vid) in enumerate(found)]
+
+
+# ---------------- canonical vs og:url consistency ---------------------------
+
+
+def canonical_page_for(doc_id: int) -> str:
+    """Head with ``rel=canonical`` (absent every 7th doc) and an
+    ``og:url`` that drifts to a stale tracking variant every 5th doc;
+    the ``rel=alternate`` link is a decoy never consulted."""
+    canon = ("" if doc_id % 7 == 0 else
+             '<link rel="canonical" '
+             'href="https://site.example/p/%d">\n' % doc_id)
+    og = "https://site.example/p/%d" % doc_id
+    if doc_id % 5 == 0:
+        og += "?utm=old"
+    return (
+        "<!DOCTYPE html><html><head>\n"
+        + canon
+        + '<link rel="alternate" href="https://m.site.example/p/%d">\n'
+        % doc_id
+        + '<meta property="og:url" content="%s">\n' % og
+        + "</head><body>c</body></html>"
+    )
+
+
+def audit_canonical(html: str) -> tuple[int, int, int]:
+    """(has_canonical, has_og_url, urls_agree): agreement requires
+    BOTH present and byte-equal after strip."""
+    canon = og = None
+    for tag in _LINK_RE.findall(html):
+        a = _attrs(tag)
+        if a.get("rel", "").lower() == "canonical":
+            canon = a.get("href", "").strip()
+    for tag in _META_RE.findall(html):
+        a = _attrs(tag)
+        if a.get("property", "").lower() == "og:url":
+            og = a.get("content", "").strip()
+    return (int(canon is not None), int(og is not None),
+            int(canon is not None and og is not None and canon == og))
+
+
+# ---------------- form extraction -------------------------------------------
+
+_FORM_RE = re.compile(r"<form\b([^>]*)>(.*?)</form\s*>", re.S | re.I)
+_INPUT_RE = re.compile(r"<input\b[^>]*?>", re.I)
+
+
+def form_page_for(doc_id: int) -> str:
+    """Every page has a GET search form; every 4th also a POST login
+    form (the password input is the login signature); every 6th a POST
+    subscribe form with a hidden token input.  A commented-out form is
+    the decoy."""
+    parts = ["<!DOCTYPE html><html><head><title>f %d</title></head>"
+             "<body>" % doc_id,
+             '<form method="get" action="/search">'
+             '<input type="text" name="q"></form>',
+             '<!-- <form method="post" action="/x">'
+             '<input type="password" name="no"></form> -->']
+    if doc_id % 4 == 0:
+        parts.append(
+            '<form method="post" action="/login/%d">'
+            '<input type="text" name="user">'
+            '<input type="password" name="pw"></form>' % doc_id)
+    if doc_id % 6 == 0:
+        parts.append(
+            '<form method="post" action="/subscribe">'
+            '<input type="email" name="e">'
+            '<input type="hidden" name="tok"></form>')
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def extract_forms(html: str) -> tuple[int, int, int, int, int]:
+    """(n_forms, n_post, n_inputs, has_login, n_hidden) — login means
+    any form carries a password-type input; commented-out forms are
+    dropped before the scan."""
+    clean = _COMMENT.sub(" ", html)
+    n_forms = n_post = n_inputs = has_login = n_hidden = 0
+    for m in _FORM_RE.finditer(clean):
+        n_forms += 1
+        attrs = _attrs("<form%s>" % m.group(1))
+        if attrs.get("method", "get").lower() == "post":
+            n_post += 1
+        for tag in _INPUT_RE.findall(m.group(2)):
+            a = _attrs(tag)
+            n_inputs += 1
+            t = a.get("type", "text").lower()
+            if t == "password":
+                has_login = 1
+            elif t == "hidden":
+                n_hidden += 1
+    return n_forms, n_post, n_inputs, has_login, n_hidden
+
+
+# ---------------- JS-dependence audit ----------------------------------------
+
+
+def jsheavy_page_for(doc_id: int, text: str) -> str:
+    """Every 6th doc renders as a JS shell — empty ``<div id=app>``
+    plus a script of ``100 + (doc_id%10)*17`` payload bytes (the
+    client-side-rendered page an HTML-only extractor sees as blank);
+    the rest carry the document text in ``<p>`` with a fixed 30-byte
+    analytics stub."""
+    if doc_id % 6 == 0:
+        body = ('<div id="app"></div><script>%s</script>'
+                % ("x" * (100 + (doc_id % 10) * 17)))
+    else:
+        body = ("<p>%s</p><script>%s</script>"
+                % (text, "y" * 30))
+    return ("<!DOCTYPE html><html><head><title>s %d</title></head>"
+            "<body>%s</body></html>" % (doc_id, body))
+
+
+def audit_js_dependence(html: str) -> tuple[int, int, int]:
+    """(body_text_len, script_bytes, js_dependent): visible text after
+    script/tag strip + whitespace collapse vs total script payload
+    bytes; a page is JS-dependent when it has scripts but almost no
+    visible text (< 20 chars)."""
+    script_bytes = 0
+    for m in _SCRIPT_ANY.finditer(html):
+        inner = re.sub(r"^<script\b[^>]*>", "", m.group(0), flags=re.I)
+        inner = re.sub(r"</script\s*>$", "", inner, flags=re.I)
+        script_bytes += len(inner)
+    clean = _SCRIPT_ANY.sub(" ", _COMMENT.sub(" ", html))
+    m = re.search(r"<body\b[^>]*>(.*?)</body\s*>", clean, re.S | re.I)
+    body = m.group(1) if m else ""
+    text = _WS.sub(" ", _TAG.sub(" ", body)).strip()
+    return (len(text), script_bytes,
+            int(script_bytes > 0 and len(text) < 20))

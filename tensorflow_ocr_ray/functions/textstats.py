@@ -454,3 +454,71 @@ def mojibake_count(text: str) -> int:
     legit single non-ASCII char never matches (signatures are 2-3 char
     sequences that essentially cannot occur in intact text)."""
     return sum(text.count(s) for s in _MOJIBAKE_SIGS)
+
+
+# ---------------- readability ------------------------------------------------
+
+# pinned word list with its vowel-group (syllable-proxy) counts — the
+# counts ARE the rule "maximal [aeiou]+ runs in lowercased text", so
+# the parser and the arithmetic oracle agree by construction
+_READ_WORDS = ("data", "pipeline", "measure", "a", "throughput",
+               "line", "optimize", "readability")
+_READ_SYL = (2, 4, 3, 1, 2, 2, 4, 4)
+_VOWEL_RUN = re.compile(r"[aeiou]+")
+_SENT_RUN = re.compile(r"[.!?]+")
+
+
+def readable_text_for(doc_id: int) -> str:
+    """Deterministic prose: ``doc_id%4+2`` sentences; sentence ``s``
+    has ``3+(doc_id+s)%5`` words drawn from the pinned 8-word list at
+    index ``(doc_id*7+s*3+w)%8``; first word capitalized, period
+    terminator.  Every count a readability score needs (sentences,
+    words, vowel-group syllables) is doc_id arithmetic."""
+    sents = []
+    for s in range(doc_id % 4 + 2):
+        ws = [_READ_WORDS[(doc_id * 7 + s * 3 + w) % 8]
+              for w in range(3 + (doc_id + s) % 5)]
+        ws[0] = ws[0].capitalize()
+        sents.append(" ".join(ws) + ".")
+    return " ".join(sents)
+
+
+def readability_counts(text: str) -> tuple[int, int, int, float]:
+    """(sentences, words, syllables, flesch) — terminator RUNS count
+    as one boundary, words are whitespace tokens, syllables are
+    maximal vowel runs of the lowercased text, and the Flesch
+    reading-ease double is the single place IEEE arithmetic enters
+    (identical op order on the SQL side)."""
+    sentences = len(_SENT_RUN.findall(text)) or 1
+    words = len(text.split()) or 1
+    syllables = len(_VOWEL_RUN.findall(text.lower()))
+    flesch = (206.835 - 1.015 * (words / sentences)
+              - 84.6 * (syllables / words))
+    return sentences, words, syllables, flesch
+
+
+# ---------------- pinned-weight quality scorer -------------------------------
+
+_QL_STOPS = ("the", "a", "of", "to", "in", "and")
+# integer milli-unit weights + threshold, pinned so verdict changes
+# are schema changes, not drift
+_QL_W_TOK = 2
+_QL_W_STOP = 2
+_QL_THRESHOLD = 5000
+
+
+def quality_lr_features(text: str) -> tuple[int, int, int, int, int, int]:
+    """(tok, mean_wlen_milli, stop_milli, distinct_milli, score, passed)
+    — all-integer features over single-space text: mean word length
+    exploits ``chars = sum(len) + (tok-1)``; score is the pinned
+    linear form ``2*tok + mean_wlen + distinct - 2*stop``."""
+    toks = text.split()
+    tok = len(toks) or 1
+    chars = len(text)
+    mean_wlen = (chars - (tok - 1)) * 1000 // tok
+    stop = sum(1 for t in toks if t in _QL_STOPS) * 1000 // tok
+    distinct = len(set(toks)) * 1000 // tok
+    score = (_QL_W_TOK * tok + mean_wlen + distinct
+             - _QL_W_STOP * stop)
+    return tok, mean_wlen, stop, distinct, score, int(
+        score >= _QL_THRESHOLD)

@@ -2363,3 +2363,70 @@ def text_chunk_windows(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(chunk, batch_format="pyarrow",
                             batch_size=4096)
+
+
+# ---------------- readability scoring ----------------------------------------
+
+
+def text_readability(sf_dir: str) -> "rd.Dataset":
+    """Flesch-style readability over deterministic prose
+    (``functions/textstats.readable_text_for`` — the corpus text has
+    no punctuation, so the prose fixture supplies real sentence
+    structure): sentence runs, whitespace words, vowel-run syllables,
+    and the reading-ease double — the one place IEEE arithmetic
+    enters, computed in the identical op order on the SQL side.
+
+    Scale: stateless task map, zero shuffle; the score is a pure
+    per-row function."""
+    from tensorflow_ocr_ray.functions.textstats import (
+        readability_counts,
+        readable_text_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        res = [readability_counts(readable_text_for(int(d)))
+               for d in ids]
+        return pd.DataFrame(
+            {"doc_id": ids.values,
+             "sentences": np.array([r[0] for r in res], dtype=np.int64),
+             "words": np.array([r[1] for r in res], dtype=np.int64),
+             "syllables": np.array([r[2] for r in res],
+                                   dtype=np.int64),
+             "flesch": np.array([r[3] for r in res],
+                                dtype=np.float64)})
+
+    return docs.map_batches(score, batch_format="pandas",
+                            batch_size=4096)
+
+
+# ---------------- pinned-weight quality scorer --------------------------------
+
+
+def quality_lr_score(sf_dir: str) -> "rd.Dataset":
+    """Linear quality classifier with PINNED integer milli-unit
+    weights over per-doc text features (token count, mean word
+    length, stopword fraction, distinct-token ratio) — the trainable
+    fastText-style quality gate reduced to its deterministic integer
+    core so the DuckDB oracle re-derives the identical verdict
+    (``functions/textstats.quality_lr_features``).
+
+    Scale: stateless task map, zero shuffle; the distinct-ratio is
+    per-row vocabulary (bounded by doc length), never a corpus join."""
+    from tensorflow_ocr_ray.functions.textstats import quality_lr_features
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        res = [quality_lr_features(t) for t in batch["text"]]
+        names = ["tok", "mean_wlen_milli", "stop_milli",
+                 "distinct_milli", "score", "passed"]
+        out = {"doc_id": batch["doc_id"].astype("int64").values}
+        for i, nm in enumerate(names):
+            out[nm] = np.array([r[i] for r in res], dtype=np.int64)
+        return pd.DataFrame(out)
+
+    return docs.map_batches(score, batch_format="pandas",
+                            batch_size=4096)

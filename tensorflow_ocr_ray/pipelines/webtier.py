@@ -2186,3 +2186,145 @@ def section_chunks(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(parse, batch_format="pyarrow",
                             batch_size=4096)
+
+
+# ------------------------------------------------ video embeds -------------
+
+
+def video_embed_extract(sf_dir: str) -> "rd.Dataset":
+    """Video-embed harvest: recognized-provider iframes (videotube /
+    vidmeo URL patterns) and self-hosted ``<video><source>`` mp4s, in
+    document order; the ad iframe (unknown host) and a commented-out
+    embed are the decoys every row must skip
+    (``functions/html_extract.embed_page_for``).
+
+    Scale: stateless task map, no shuffle — provider classification is
+    a per-string match against a broadcast pattern table."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        embed_page_for,
+        extract_video_embeds,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, seq, prov, vid = [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for s, p, v in extract_video_embeds(embed_page_for(d)):
+                doc.append(d)
+                seq.append(s)
+                prov.append(p)
+                vid.append(v)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "seq": pa.array(seq, type=pa.int64()),
+             "provider": pa.array(prov, type=pa.string()),
+             "video_id": pa.array(vid, type=pa.int64())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ canonical consistency ----
+
+
+def canonical_conflict_audit(sf_dir: str) -> "rd.Dataset":
+    """rel=canonical vs og:url consistency: every 7th doc is missing
+    its canonical, every 5th doc's og:url drifted to a stale tracking
+    variant; agreement requires both present and byte-equal.  The
+    rel=alternate link is the decoy
+    (``functions/html_extract.canonical_page_for``).
+
+    Scale: stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        audit_canonical,
+        canonical_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        res = [audit_canonical(canonical_page_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "has_canonical": pa.array([r[0] for r in res],
+                                       type=pa.int64()),
+             "has_og_url": pa.array([r[1] for r in res],
+                                    type=pa.int64()),
+             "urls_agree": pa.array([r[2] for r in res],
+                                    type=pa.int64())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ forms --------------------
+
+
+def html_form_extract(sf_dir: str) -> "rd.Dataset":
+    """Form inventory per page: count, POST count, input count, hidden
+    inputs, and the login signature (any password-type input) — the
+    gate a crawl pipeline uses to route login/paywall shells away from
+    text extraction.  A commented-out password form is the decoy
+    (``functions/html_extract.form_page_for``).
+
+    Scale: stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_forms,
+        form_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        res = [extract_forms(form_page_for(d)) for d in ids]
+        cols = list(zip(*res)) if res else [[]] * 5
+        names = ["n_forms", "n_post", "n_inputs", "has_login",
+                 "n_hidden"]
+        data = {"doc_id": pa.array(ids, type=pa.int64())}
+        for nm, c in zip(names, cols):
+            data[nm] = pa.array(list(c), type=pa.int64())
+        return pa.table(data)
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ JS dependence ------------
+
+
+def js_dependence_audit(sf_dir: str) -> "rd.Dataset":
+    """Client-side-rendering detector: visible body text length vs
+    script payload bytes; every 6th doc is a planted JS shell (empty
+    app div + ``100+(doc_id%10)*17`` script bytes) that an HTML-only
+    extractor would silently emit as blank — the audit that tells a
+    crawl operator how much of the corpus needs a rendering fetch
+    tier (``functions/html_extract.jsheavy_page_for``).
+
+    Scale: stateless task map over (doc_id, text); no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        audit_js_dependence,
+        jsheavy_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        txt = batch.column("text").to_pylist()
+        res = [audit_js_dependence(jsheavy_page_for(d, t))
+               for d, t in zip(ids, txt)]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "body_text_len": pa.array([r[0] for r in res],
+                                       type=pa.int64()),
+             "script_bytes": pa.array([r[1] for r in res],
+                                      type=pa.int64()),
+             "js_dependent": pa.array([r[2] for r in res],
+                                      type=pa.int64())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            batch_size=4096)

@@ -441,3 +441,97 @@ def test_embedding_outlier_audit_vs_dense(ray_session):
         assert abs(row.max_dist2 - d2.max()) < 5e-4
         top = int(np.lexsort((ids[sel], -d2))[0])
         assert int(row.outlier_vec_id) == int(ids[sel][top])
+
+
+# ---------------- video embeds / canonical / forms / JS audit --------------
+
+
+def test_video_embed_decoys_and_order():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        embed_page_for,
+        extract_video_embeds,
+    )
+
+    # d=0: only the ad iframe + commented-out embed -> nothing
+    assert extract_video_embeds(embed_page_for(0)) == []
+    # d=2: selfhost (kind (2+0)%3=2) then videotube ((2+1)%3=0),
+    # ids 14,15, in document order
+    assert extract_video_embeds(embed_page_for(2)) == [
+        (0, "selfhost", 14), (1, "videotube", 15)]
+    # the decoy hosts never leak
+    for d in range(30):
+        for _, prov, vid in extract_video_embeds(embed_page_for(d)):
+            assert prov in ("videotube", "vidmeo", "selfhost")
+            assert vid != 999
+
+
+def test_canonical_audit_rules():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        audit_canonical,
+        canonical_page_for,
+    )
+
+    assert audit_canonical(canonical_page_for(7)) == (0, 1, 0)   # missing
+    assert audit_canonical(canonical_page_for(10)) == (1, 1, 0)  # stale og
+    assert audit_canonical(canonical_page_for(11)) == (1, 1, 1)  # clean
+    # alternate-link decoy never counts as canonical
+    html = canonical_page_for(7)
+    assert 'rel="alternate"' in html
+
+
+def test_form_extract_commented_decoy():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        extract_forms,
+        form_page_for,
+    )
+
+    # d=1: only the search form; the commented-out password form must
+    # not set has_login
+    assert extract_forms(form_page_for(1)) == (1, 0, 1, 0, 0)
+    # d=12: search + login + subscribe
+    assert extract_forms(form_page_for(12)) == (3, 2, 5, 1, 1)
+
+
+def test_js_dependence_shell_vs_content():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        audit_js_dependence,
+        jsheavy_page_for,
+    )
+
+    text = "a" * 50
+    assert audit_js_dependence(jsheavy_page_for(6, text)) == (
+        0, 100 + 6 % 10 * 17, 1)
+    assert audit_js_dependence(jsheavy_page_for(1, text)) == (50, 30, 0)
+
+
+def test_readability_counts_match_fixture_arithmetic():
+    from tensorflow_ocr_ray.functions.textstats import (
+        _READ_SYL,
+        readability_counts,
+        readable_text_for,
+    )
+
+    for d in range(40):
+        ns = d % 4 + 2
+        words = sum(3 + (d + s) % 5 for s in range(ns))
+        syl = sum(_READ_SYL[(d * 7 + s * 3 + w) % 8]
+                  for s in range(ns)
+                  for w in range(3 + (d + s) % 5))
+        s_got, w_got, y_got, fl = readability_counts(
+            readable_text_for(d))
+        assert (s_got, w_got, y_got) == (ns, words, syl)
+        assert fl == (206.835 - 1.015 * (words / ns)
+                      - 84.6 * (syl / words))
+
+
+def test_quality_lr_features_hand_example():
+    from tensorflow_ocr_ray.functions.textstats import quality_lr_features
+
+    t = "the fast the fast key"
+    tok, mw, st, di, score, passed = quality_lr_features(t)
+    assert tok == 5
+    assert mw == (len(t) - 4) * 1000 // 5        # mean word len milli
+    assert st == 2 * 1000 // 5                   # two 'the'
+    assert di == 3 * 1000 // 5                   # the/fast/key
+    assert score == 2 * 5 + mw + di - 2 * st
+    assert passed == int(score >= 5000)
