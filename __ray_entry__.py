@@ -1876,6 +1876,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned-integer-weight quality classifier (the fastText-style
         # gate reduced to its deterministic linear core)
         "quality_lr_score": curation.quality_lr_score,
+        # WebVTT cues -> typed rows: ms-exact timestamps, voice-tag
+        # speakers; NOTE/STYLE blocks are the decoys
+        "vtt_cue_parse": _webtier("vtt_cue_parse"),
+        # recrawl-policy buckets from cache headers (no-store / fresh /
+        # etag-only / unvalidated); X-Cache-Decoy never matches
+        "http_cache_audit": _webtier("http_cache_audit"),
+        # soft dedup: every copy weighted 1000//cluster_size instead of
+        # dropped; same bounded-key md5 shard routing as dedup_exact
+        "dup_weight_assign": dedup.dup_weight_assign,
+        # DSIR-style hashed-unigram importance screening: target(en) vs
+        # raw ppm mass, ratio_milli resampling rule; 64x2 integer grid
+        # is the only collect
+        "dsir_importance_weights": curation.dsir_importance_weights,
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -7038,6 +7051,90 @@ def _oracle_sql_base() -> dict[str, str]:
                              - 2 * stop_milli >= 5000
                    THEN 1 ELSE 0 END AS BIGINT) AS passed
             FROM g
+        """,
+        # d%4+1 cues at d*1000+i*2500 ms; S0 voice tag on even cues;
+        # NOTE/STYLE decoy blocks never become cues
+        "vtt_cue_parse": """
+            WITH c AS (SELECT doc_id,
+                         unnest(range(0, doc_id % 4 + 1)) AS i
+                       FROM documents)
+            SELECT doc_id, CAST(i AS BIGINT) AS seq,
+              CAST(doc_id * 1000 + i * 2500 AS BIGINT) AS start_ms,
+              CAST(doc_id * 1000 + i * 2500 + 2000 AS BIGINT) AS end_ms,
+              CASE WHEN i % 2 = 0 THEN 'S0' ELSE '' END AS speaker,
+              'cue ' || CAST(doc_id AS VARCHAR) || ' '
+                || CAST(i AS VARCHAR) AS cue_text
+            FROM c
+        """,
+        # no-store every 11th; max-age (d%7)*600 otherwise; etag unless
+        # d%5=0; policy = the four scheduler buckets
+        "http_cache_audit": """
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+                   ELSE (doc_id % 7) * 600 END AS BIGINT) AS max_age,
+              CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS no_store,
+              CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS has_etag,
+              CASE WHEN doc_id % 11 = 0 THEN 'no-store'
+                   WHEN doc_id % 7 <> 0 THEN 'fresh'
+                   WHEN doc_id % 5 <> 0 THEN 'etag-only'
+                   ELSE 'unvalidated' END AS policy
+            FROM documents
+        """,
+        # soft dedup: weight = 1000 // copies of the identical text
+        "dup_weight_assign": """
+            SELECT doc_id,
+              CAST(count(*) OVER (PARTITION BY text) AS BIGINT)
+                AS cluster_n,
+              CAST(1000 // count(*) OVER (PARTITION BY text)
+                AS BIGINT) AS weight_milli,
+              CAST(CASE WHEN doc_id =
+                     min(doc_id) OVER (PARTITION BY text)
+                   THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+            FROM documents
+        """,
+        # hashed-unigram (md5-high-32 % 64) target-vs-raw ppm mass with
+        # +1 smoothing; ratio_milli >= 1000 selects
+        "dsir_importance_weights": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(text, ' ')) AS t
+              FROM documents
+            ),
+            tb AS (
+              SELECT doc_id, lang,
+                CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UINT32)
+                     % 64 AS BIGINT) AS b
+              FROM tok
+            ),
+            cnt AS (
+              SELECT b, count(*) FILTER (WHERE lang = 'en') AS tc,
+                     count(*) AS rc
+              FROM tb GROUP BY b
+            ),
+            lut AS (
+              SELECT g.b,
+                (COALESCE(c.tc, 0) + 1) * 1000000
+                  // ((SELECT sum(tc) FROM cnt) + 64) AS ppm_t,
+                (COALESCE(c.rc, 0) + 1) * 1000000
+                  // ((SELECT sum(rc) FROM cnt) + 64) AS ppm_r
+              FROM (SELECT unnest(range(0, 64)) AS b) g
+              LEFT JOIN cnt c ON c.b = g.b
+            ),
+            doc AS (
+              SELECT tb.doc_id, count(*) AS n_tokens,
+                     sum(l.ppm_t) AS st, sum(l.ppm_r) AS sr
+              FROM tb JOIN lut l USING (b)
+              GROUP BY tb.doc_id
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(st AS BIGINT) AS sum_t_ppm,
+              CAST(sr AS BIGINT) AS sum_r_ppm,
+              CAST(st * 1000 // sr AS BIGINT) AS ratio_milli,
+              CAST(CASE WHEN st * 1000 // sr >= 1000 THEN 1 ELSE 0 END
+                AS BIGINT) AS selected
+            FROM doc
         """,
         # Info dict: title 'Doc d (v d%5)', author A{d%20}, year
         # 2000 + d%30

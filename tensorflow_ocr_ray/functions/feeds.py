@@ -179,3 +179,57 @@ def parse_robots_sitemaps(text: str) -> list[str]:
         if not text[:m.start()].rstrip("\n").endswith("#")
         and not m.group(0).lstrip().startswith("#")
     ]
+
+
+# ---------------- WebVTT subtitle cues ---------------------------------------
+
+_VTT_TS = re.compile(
+    r"^(\d{2}):(\d{2}):(\d{2})\.(\d{3})\s*-->\s*"
+    r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})")
+_VTT_VOICE = re.compile(r"^<v ([^>]+)>")
+
+
+def vtt_for(doc_id: int) -> str:
+    """Deterministic WebVTT track: ``doc_id%4+1`` cues; cue ``i``
+    spans ``doc_id*1000 + i*2500 .. +2000`` ms, text ``cue {d} {i}``
+    with a ``<v S{i%2}>`` voice tag on even cues; a NOTE block and a
+    STYLE block are decoys a naive blank-line split would emit."""
+    def ts(ms: int) -> str:
+        return "%02d:%02d:%02d.%03d" % (
+            ms // 3600000, ms // 60000 % 60, ms // 1000 % 60, ms % 1000)
+
+    parts = ["WEBVTT", "",
+             "NOTE this block is metadata, not a cue", "",
+             "STYLE", "::cue { color: red }", ""]
+    for i in range(doc_id % 4 + 1):
+        start = doc_id * 1000 + i * 2500
+        voice = "<v S%d>" % (i % 2) if i % 2 == 0 else ""
+        parts += ["%s --> %s" % (ts(start), ts(start + 2000)),
+                  "%scue %d %d" % (voice, doc_id, i), ""]
+    return "\n".join(parts)
+
+
+def parse_vtt(text: str) -> list[tuple[int, int, int, str, str]]:
+    """(seq, start_ms, end_ms, speaker, cue_text) per cue — blocks
+    split on blank lines; only blocks whose first line is a timestamp
+    count (NOTE/STYLE/WEBVTT headers skipped); the voice tag strips
+    into the speaker column."""
+    out = []
+    for block in text.split("\n\n"):
+        lines = [ln for ln in block.split("\n") if ln != ""]
+        if not lines:
+            continue
+        m = _VTT_TS.match(lines[0])
+        if not m:
+            continue
+        g = [int(x) for x in m.groups()]
+        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        cue = " ".join(lines[1:])
+        speaker = ""
+        vm = _VTT_VOICE.match(cue)
+        if vm:
+            speaker = vm.group(1)
+            cue = cue[vm.end():]
+        out.append((len(out), start, end, speaker, cue))
+    return out

@@ -14,6 +14,8 @@ contract is one record stream per row, never one giant file.
 
 from __future__ import annotations
 
+import re
+
 _SEP = b"\r\n\r\n"
 
 
@@ -120,3 +122,49 @@ def parse_http_response(raw: bytes) -> tuple[int, str, str]:
         elif key == "location":
             loc = val.strip()
     return status, ctype, loc
+
+
+def cache_head_for(doc_id: int) -> bytes:
+    """Cache-policy response head: ``no-store`` every 11th doc, else
+    ``max-age=(doc_id%7)*600`` (zero every 7th — immediately stale);
+    ETag present unless ``doc_id%5==0``; header-name case varies and
+    the ``X-Cache-Decoy`` header never matches."""
+    d = doc_id
+    if d % 11 == 0:
+        cc = b"Cache-Control: no-store"
+    else:
+        cc = b"cache-control: public, max-age=%d" % ((d % 7) * 600)
+    lines = [b"HTTP/1.1 200 OK", cc,
+             b"X-Cache-Decoy: max-age=99999"]
+    if d % 5 != 0:
+        lines.append(b'etag: "v%d"' % (d * 3))
+    return b"\r\n".join(lines) + b"\r\n\r\n"
+
+
+def parse_cache_head(raw: bytes) -> tuple[int, int, int, str]:
+    """(max_age, no_store, has_etag, policy) — policy buckets a
+    recrawl scheduler routes on: ``no-store`` / ``fresh`` (positive
+    max-age) / ``etag-only`` (revalidate) / ``unvalidated``."""
+    head = raw.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+    max_age, no_store, has_etag = 0, 0, 0
+    for line in head.split("\r\n")[1:]:
+        name, _, val = line.partition(":")
+        key = name.strip().lower()
+        if key == "cache-control":
+            v = val.lower()
+            if "no-store" in v:
+                no_store = 1
+            m = re.search(r"max-age=(\d+)", v)
+            if m:
+                max_age = int(m.group(1))
+        elif key == "etag":
+            has_etag = 1
+    if no_store:
+        policy = "no-store"
+    elif max_age > 0:
+        policy = "fresh"
+    elif has_etag:
+        policy = "etag-only"
+    else:
+        policy = "unvalidated"
+    return max_age, no_store, has_etag, policy

@@ -2430,3 +2430,87 @@ def quality_lr_score(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(score, batch_format="pandas",
                             batch_size=4096)
+
+
+# ---------------- DSIR-style importance screening ----------------------------
+
+DSIR_BUCKETS = 64        # hashed-unigram feature space
+DSIR_TARGET_LANG = "en"  # the "target domain" distribution
+
+
+def dsir_importance_weights(sf_dir: str) -> "rd.Dataset":
+    """Hashed-ngram importance screening (the DSIR recipe, Xie et al.
+    2023, reduced to its deterministic integer core): tokens hash into
+    ``DSIR_BUCKETS`` buckets; the TARGET distribution is the
+    ``lang='en'`` slice, RAW is the whole corpus; both get +1-per-
+    bucket smoothing and integer ppm mass.  A document's signal is the
+    sum of its tokens' target-ppm vs raw-ppm, and
+    ``ratio_milli = sum_t*1000 // sum_r`` with ``selected =
+    ratio_milli >= 1000`` — the resampling rule that upweights
+    target-looking documents.  (True DSIR uses the log-ratio; the
+    linear-ppm ratio keeps every value SQL-re-derivable while ranking
+    identically for the screening decision at this smoothing level.)
+
+    Physical plan: pass 1 is a map-side 64x2 integer grid per batch
+    (driver sees only the bounded grid — at 100 TB this is a tiny
+    tree-reduce); the LUT broadcasts once via ``ray.put``; pass 2 is
+    map-only.  Zero data-cardinality shuffles."""
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def bucket_grid(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        ex = toks.explode()
+        b = (_md5_prefix_batch(list(ex), 4).astype(np.uint64)
+             % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+        is_t = (df["lang"] == DSIR_TARGET_LANG).reindex(
+            ex.index).to_numpy()
+        t_c = np.bincount(b[is_t], minlength=DSIR_BUCKETS)
+        r_c = np.bincount(b, minlength=DSIR_BUCKETS)
+        return pd.DataFrame(
+            {"b": np.arange(DSIR_BUCKETS, dtype=np.int64),
+             "t_c": t_c.astype(np.int64),
+             "r_c": r_c.astype(np.int64)})
+
+    grid = (
+        docs.map_batches(bucket_grid, batch_format="pandas",
+                         batch_size=4096)
+        .to_pandas().groupby("b", as_index=False)[["t_c", "r_c"]].sum()
+    )
+    T = int(grid["t_c"].sum())
+    R = int(grid["r_c"].sum())
+    ppm_t = ((grid["t_c"].to_numpy() + 1) * 1_000_000
+             // (T + DSIR_BUCKETS)).astype(np.int64)
+    ppm_r = ((grid["r_c"].to_numpy() + 1) * 1_000_000
+             // (R + DSIR_BUCKETS)).astype(np.int64)
+    lut_ref = ray.put((ppm_t, ppm_r))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        pt, pr = ray.get(lut_ref)
+        toks = batch["text"].str.split(" ")
+        ex = toks.explode()
+        b = (_md5_prefix_batch(list(ex), 4).astype(np.uint64)
+             % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+        per = pd.DataFrame(
+            {"doc_id": ex.index, "t": pt[b], "r": pr[b]})
+        agg = per.groupby("doc_id").agg(
+            n_tokens=("t", "size"), sum_t=("t", "sum"),
+            sum_r=("r", "sum"))
+        agg = agg.reindex(range(len(batch)), fill_value=0)
+        ratio = np.where(
+            agg["sum_r"].to_numpy() > 0,
+            agg["sum_t"].to_numpy() * 1000
+            // np.maximum(agg["sum_r"].to_numpy(), 1), 0)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype("int64").values,
+             "n_tokens": agg["n_tokens"].astype("int64").values,
+             "sum_t_ppm": agg["sum_t"].astype("int64").values,
+             "sum_r_ppm": agg["sum_r"].astype("int64").values,
+             "ratio_milli": ratio.astype(np.int64),
+             "selected": (ratio >= 1000).astype(np.int64)})
+
+    return docs.map_batches(score, batch_format="pandas",
+                            batch_size=4096)

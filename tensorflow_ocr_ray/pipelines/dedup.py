@@ -1528,3 +1528,51 @@ def doc_containment_pairs_prefix(sf_dir: str,
     counts = docs.map_batches(count_rows, batch_format="pandas",
                               batch_size=2048)
     return _contain_finish(pair_partials, counts, n_shards)
+
+
+def dup_weight_assign(sf_dir: str, n_shards: int | None = None) -> "rd.Dataset":
+    """Soft dedup: instead of DROPPING duplicate documents, every copy
+    gets a training weight ``1000 // cluster_size`` milli-units (the
+    down-weighting alternative to hard dedup — total mass per distinct
+    text stays ~constant, so common boilerplate stops dominating the
+    loss without discarding coverage).  One row per INPUT doc:
+    (doc_id, cluster_n, weight_milli, is_canonical).
+
+    Physical plan = ``dedup_exact``'s bounded-key md5 shard routing —
+    identical texts co-locate by construction, the in-shard group key
+    is the text itself (prefix collisions only co-locate), one
+    exchange, nothing on the driver."""
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.stages.exchange import (
+        adaptive_shards,
+        hash_exchange,
+        meta_rows,
+    )
+
+    if n_shards is None:
+        n_shards = adaptive_shards(
+            meta_rows(sf_dir, "documents"), target_rows=65536
+        )
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [f"{len(t)}:{t[:256]}" for t in df["text"]]
+        h = _md5_prefix_batch(keys, 8).astype(np.uint64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "text": df["text"],
+             "shard": (h % np.uint64(n_shards)).astype("int64")})
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("text")["doc_id"].transform("size")
+        keeper = df.groupby("text")["doc_id"].transform("min")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "cluster_n": n.astype("int64"),
+             "weight_milli": (1000 // n).astype("int64"),
+             "is_canonical": (df["doc_id"] == keeper).astype("int64")})
+
+    return hash_exchange(
+        ds.map_batches(add_shard, batch_format="pandas", batch_size=4096),
+        "shard", n_shards, per_shard,
+    )

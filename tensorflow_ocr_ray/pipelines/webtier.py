@@ -2328,3 +2328,76 @@ def js_dependence_audit(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(audit, batch_format="pyarrow",
                             batch_size=4096)
+
+
+# ------------------------------------------------ WebVTT cues --------------
+
+
+def vtt_cue_parse(sf_dir: str) -> "rd.Dataset":
+    """Subtitle-track extraction: WebVTT cues to typed rows — ms-exact
+    timestamp math, voice-tag speaker attribution; the NOTE and STYLE
+    blocks are the decoys a naive blank-line split would emit as cues
+    (``functions/feeds.vtt_for``).  The text side of video ingestion:
+    at 100 TB the vtt payload rides a binary column next to the media
+    span it subtitles.
+
+    Scale: stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.feeds import parse_vtt, vtt_for
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, seq, st, en, spk, cue = [], [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for s, a, b, v, c in parse_vtt(vtt_for(d)):
+                doc.append(d)
+                seq.append(s)
+                st.append(a)
+                en.append(b)
+                spk.append(v)
+                cue.append(c)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "seq": pa.array(seq, type=pa.int64()),
+             "start_ms": pa.array(st, type=pa.int64()),
+             "end_ms": pa.array(en, type=pa.int64()),
+             "speaker": pa.array(spk, type=pa.string()),
+             "cue_text": pa.array(cue, type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ cache-policy audit -------
+
+
+def http_cache_audit(sf_dir: str) -> "rd.Dataset":
+    """Recrawl-policy audit from response cache headers: max-age /
+    no-store / ETag parsed into the four scheduler buckets (no-store,
+    fresh, etag-only, unvalidated); the ``X-Cache-Decoy`` header never
+    matches (``functions/warc.cache_head_for``).
+
+    Scale: stateless task map over fetch-log rows, no shuffle."""
+    from tensorflow_ocr_ray.functions.warc import (
+        cache_head_for,
+        parse_cache_head,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        res = [parse_cache_head(cache_head_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "max_age": pa.array([r[0] for r in res], type=pa.int64()),
+             "no_store": pa.array([r[1] for r in res],
+                                  type=pa.int64()),
+             "has_etag": pa.array([r[2] for r in res],
+                                  type=pa.int64()),
+             "policy": pa.array([r[3] for r in res],
+                                type=pa.string())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            batch_size=4096)

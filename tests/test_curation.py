@@ -643,3 +643,52 @@ def test_ngram_lm_score_empty_and_single_token(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert got["n_bigrams"].tolist() == [0, 0]
     assert got["score_ppm"].tolist() == [0, 0]
+
+
+def test_dsir_importance_truth(ray_session):
+    """Independent pandas re-derivation of the DSIR screening: hashed
+    buckets, smoothed ppm mass, ratio rule — no SQL involved."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        dsir_importance_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = dsir_importance_weights(sf).to_pandas().set_index("doc_id")
+    raw = pd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "lang", "text"])
+
+    def bucket(tok: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:4], "big") % DSIR_BUCKETS
+
+    tc = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    rc = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    per_doc = {}
+    for _, row in raw.iterrows():
+        bs = [bucket(t) for t in row["text"].split(" ")]
+        per_doc[row["doc_id"]] = bs
+        for b in bs:
+            rc[b] += 1
+            if row["lang"] == DSIR_TARGET_LANG:
+                tc[b] += 1
+    ppm_t = (tc + 1) * 1_000_000 // (tc.sum() + DSIR_BUCKETS)
+    ppm_r = (rc + 1) * 1_000_000 // (rc.sum() + DSIR_BUCKETS)
+
+    sel_count = 0
+    for doc_id, bs in per_doc.items():
+        st = int(ppm_t[bs].sum())
+        sr = int(ppm_r[bs].sum())
+        g = got.loc[doc_id]
+        assert (int(g.n_tokens), int(g.sum_t_ppm), int(g.sum_r_ppm)) \
+            == (len(bs), st, sr)
+        assert int(g.ratio_milli) == st * 1000 // sr
+        sel_count += int(g.selected)
+    # the rule actually separates: some selected, some not
+    assert 0 < sel_count < len(per_doc)

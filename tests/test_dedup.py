@@ -307,3 +307,21 @@ def test_containment_prefix_plan_crafted_corpus(ray_session, tmp_path):
     pd.testing.assert_frame_equal(norm(exact), norm(pruned))
     found_inner = set(pruned["doc_inner"].tolist())
     assert set(planted) <= found_inner, (planted, sorted(found_inner))
+
+
+def test_dup_weight_assign_invariants(ray_session):
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.dedup import dup_weight_assign
+
+    sf = "/root/testdata/sf0.01"
+    got = dup_weight_assign(sf).to_pandas()
+    raw = pd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+    assert len(got) == len(raw)
+    m = got.merge(raw, on="doc_id")
+    n = m.groupby("text")["doc_id"].transform("size")
+    assert (m["cluster_n"] == n).all()
+    assert (m["weight_milli"] == 1000 // n).all()
+    # exactly one canonical per distinct text
+    assert m.groupby("text")["is_canonical"].sum().eq(1).all()

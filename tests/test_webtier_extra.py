@@ -535,3 +535,32 @@ def test_quality_lr_features_hand_example():
     assert di == 3 * 1000 // 5                   # the/fast/key
     assert score == 2 * 5 + mw + di - 2 * st
     assert passed == int(score >= 5000)
+
+
+def test_vtt_decoys_and_ms_math():
+    from tensorflow_ocr_ray.functions.feeds import parse_vtt, vtt_for
+
+    cues = parse_vtt(vtt_for(3))
+    assert [c[0] for c in cues] == [0, 1, 2, 3]
+    assert cues[0][1:] == (3000, 5000, "S0", "cue 3 0")
+    assert cues[1][3] == ""          # odd cue: no voice tag
+    # NOTE/STYLE blocks never parse as cues
+    assert all("NOTE" not in c[4] and "::cue" not in c[4]
+               for c in cues)
+    # an hour-scale timestamp roundtrips exactly
+    big = parse_vtt(vtt_for(4000))
+    assert big[0][1] == 4000 * 1000
+
+
+def test_cache_policy_buckets():
+    from tensorflow_ocr_ray.functions.warc import (
+        cache_head_for,
+        parse_cache_head,
+    )
+
+    assert parse_cache_head(cache_head_for(11))[3] == "no-store"
+    assert parse_cache_head(cache_head_for(1)) == (600, 0, 1, "fresh")
+    assert parse_cache_head(cache_head_for(14))[3] == "etag-only"
+    assert parse_cache_head(cache_head_for(35))[3] == "unvalidated"
+    # the X-Cache-Decoy header's max-age never leaks
+    assert parse_cache_head(cache_head_for(1))[0] != 99999
