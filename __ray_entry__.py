@@ -1889,6 +1889,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raw ppm mass, ratio_milli resampling rule; 64x2 integer grid
         # is the only collect
         "dsir_importance_weights": curation.dsir_importance_weights,
+        # multipart-MIME framing + base64/quoted-printable decode;
+        # preamble/epilogue are the framing decoys
+        "email_mime_parse": _webtier("email_mime_parse"),
+        # fragment links vs element ids (broken-TOC audit); the
+        # external-URL fragment is the decoy
+        "toc_anchor_audit": _webtier("toc_anchor_audit"),
+        # alt-text coverage: missing vs empty vs real captions; the
+        # commented-out img is the decoy
+        "image_alt_audit": _webtier("image_alt_audit"),
+        # US/EU locale price normalization to integer cents; bare
+        # decimal + grouped year decoys never match
+        "price_extract_normalize": curation.price_extract_normalize,
+        # T5-style span-corruption layout (len 3, stride 8, per-doc
+        # offset) with the masked text attached
+        "span_corruption_masks": curation.span_corruption_masks,
+        # CCNet head/middle/tail: global LM-score terciles without a
+        # global sort (value-range shards + rank offsets)
+        "lm_score_terciles": curation.lm_score_terciles,
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -3346,6 +3364,44 @@ def oracle_sql() -> dict[str, str]:
     # verification) — one SQL derivation checks both
     sql["doc_containment_prefix"] = sql["doc_containment_pairs"]
     return sql
+
+
+_NGRAM_LM_SQL = """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id, ts,
+                     unnest(range(1, len(ts))) AS i
+              FROM toks
+            ),
+            bg AS (
+              SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM big
+            ),
+            c AS (
+              SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+            ),
+            c1 AS (
+              SELECT w1, sum(c2) AS c1 FROM c GROUP BY w1
+            ),
+            p AS (
+              SELECT bg.doc_id,
+                     CAST(c.c2 * 1000000 AS BIGINT) // CAST(c1.c1 AS BIGINT)
+                       AS ppm
+              FROM bg JOIN c USING (w1, w2) JOIN c1 USING (w1)
+            ),
+            s AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(ppm) AS BIGINT) // count(*) AS score_ppm
+              FROM p GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   coalesce(s.score_ppm, 0) AS score_ppm
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -6448,42 +6504,7 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE cl || chr(10) || reverse(cl) END AS extracted
             FROM c
         """,
-        "ngram_lm_score": """
-            WITH toks AS (
-              SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS ts
-              FROM documents
-            ),
-            big AS (
-              SELECT doc_id, ts,
-                     unnest(range(1, len(ts))) AS i
-              FROM toks
-            ),
-            bg AS (
-              SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM big
-            ),
-            c AS (
-              SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
-            ),
-            c1 AS (
-              SELECT w1, sum(c2) AS c1 FROM c GROUP BY w1
-            ),
-            p AS (
-              SELECT bg.doc_id,
-                     CAST(c.c2 * 1000000 AS BIGINT) // CAST(c1.c1 AS BIGINT)
-                       AS ppm
-              FROM bg JOIN c USING (w1, w2) JOIN c1 USING (w1)
-            ),
-            s AS (
-              SELECT doc_id, count(*) AS n_bigrams,
-                     CAST(sum(ppm) AS BIGINT) // count(*) AS score_ppm
-              FROM p GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   coalesce(s.n_bigrams, 0) AS n_bigrams,
-                   coalesce(s.score_ppm, 0) AS score_ppm
-            FROM documents d LEFT JOIN s USING (doc_id)
-        """,
+        "ngram_lm_score": _NGRAM_LM_SQL,
         "html_link_graph": """
             WITH u AS (
               SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS k
@@ -7135,6 +7156,92 @@ def _oracle_sql_base() -> dict[str, str]:
               CAST(CASE WHEN st * 1000 // sr >= 1000 THEN 1 ELSE 0 END
                 AS BIGINT) AS selected
             FROM doc
+        """,
+        # d%3+1 parts: ctype by (d+i)%2, encoding by i%2, payload text
+        # 'mime d part i =ok'; preamble/epilogue never rows
+        "email_mime_parse": """
+            WITH p AS (SELECT doc_id,
+                         unnest(range(0, doc_id % 3 + 1)) AS i
+                       FROM documents)
+            SELECT doc_id, CAST(i AS BIGINT) AS part_idx,
+              CASE WHEN (doc_id + i) % 2 = 0 THEN 'text/plain'
+                   ELSE 'text/html' END AS content_type,
+              CASE WHEN i % 2 = 0 THEN 'base64'
+                   ELSE 'quoted-printable' END AS encoding,
+              'mime ' || CAST(doc_id AS VARCHAR) || ' part '
+                || CAST(i AS VARCHAR) || ' =ok' AS text
+            FROM p
+        """,
+        # d%4+2 section links + one broken '#missing' every 3rd doc;
+        # external fragment decoy never counts
+        "toc_anchor_audit": """
+            SELECT doc_id,
+              CAST(doc_id % 4 + 2
+                   + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_anchors,
+              CAST(doc_id % 4 + 2 AS BIGINT) AS n_targets,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_broken
+            FROM documents
+        """,
+        # d%5+1 images; image i missing alt when (d+i)%3=0, empty alt
+        # when (d+i)%3=1; coverage = real/all in milli (floor)
+        "image_alt_audit": """
+            WITH im AS (SELECT doc_id,
+                          unnest(range(0, doc_id % 5 + 1)) AS i
+                        FROM documents),
+            g AS (
+              SELECT doc_id, count(*) AS n,
+                sum(CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END)
+                  AS miss,
+                sum(CASE WHEN (doc_id + i) % 3 = 1 THEN 1 ELSE 0 END)
+                  AS emp
+              FROM im GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_images,
+              CAST(miss AS BIGINT) AS n_missing,
+              CAST(emp AS BIGINT) AS n_empty,
+              CAST((n - miss - emp) * 1000 // n AS BIGINT)
+                AS coverage_milli
+            FROM g
+        """,
+        # price k = (d*1000+k*777)%1000000+1 cents; USD when (d+k)%2=0
+        # else EUR; the 3.5 and 1,999 decoys never match
+        "price_extract_normalize": """
+            WITH p AS (SELECT doc_id,
+                         unnest(range(0, doc_id % 3 + 1)) AS k
+                       FROM documents)
+            SELECT doc_id, CAST(k AS BIGINT) AS seq,
+              CASE WHEN (doc_id + k) % 2 = 0 THEN 'USD'
+                   ELSE 'EUR' END AS currency,
+              CAST((doc_id * 1000 + k * 777) % 1000000 + 1 AS BIGINT)
+                AS value_cents
+            FROM p
+        """,
+        # spans of 3 tokens every 8, offset d%4; masked text via
+        # 1-based inclusive list_slice
+        "span_corruption_masks": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, toks,
+                    unnest(range(0,
+                      (len(toks) - doc_id % 4 - 3) // 8 + 1)) AS j
+                  FROM t WHERE len(toks) >= doc_id % 4 + 3)
+            SELECT doc_id, CAST(j AS BIGINT) AS span_idx,
+              CAST(j * 8 + doc_id % 4 AS BIGINT) AS start_tok,
+              CAST(j * 8 + doc_id % 4 + 3 AS BIGINT) AS end_tok,
+              array_to_string(list_slice(toks,
+                j * 8 + doc_id % 4 + 1, j * 8 + doc_id % 4 + 3),
+                ' ') AS masked_text
+            FROM s
+        """,
+        # NTILE(3) over (score, doc_id) on the ngram_lm_score result —
+        # the engine reproduces it via rank*3//N, no global sort
+        "lm_score_terciles": f"""
+            SELECT doc_id, score_ppm,
+              CAST(NTILE(3) OVER (ORDER BY score_ppm, doc_id) - 1
+                AS BIGINT) AS tercile
+            FROM ({_NGRAM_LM_SQL})
         """,
         # Info dict: title 'Doc d (v d%5)', author A{d%20}, year
         # 2000 + d%30

@@ -1501,3 +1501,82 @@ def audit_js_dependence(html: str) -> tuple[int, int, int]:
     text = _WS.sub(" ", _TAG.sub(" ", body)).strip()
     return (len(text), script_bytes,
             int(script_bytes > 0 and len(text) < 20))
+
+
+# ---------------- in-page anchor (TOC) audit ---------------------------------
+
+_ANCHOR_HREF = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*["']?(#[^"'\s>]+)""", re.I)
+_ID_ATTR = re.compile(
+    r"""<[a-z][a-z0-9]*\b[^>]*?\bid\s*=\s*["']?([^"'\s>]+)""", re.I)
+
+
+def toc_page_for(doc_id: int) -> str:
+    """Table-of-contents page: ``doc_id%4+2`` sections with
+    ``<h2 id=s{i}>`` targets and a nav of ``#s{i}`` links; every 3rd
+    doc plants one broken ``#missing`` link; the external-URL fragment
+    link is the decoy an in-page audit must not count."""
+    n = doc_id % 4 + 2
+    toc = ["<nav><ul>"]
+    toc += ['<li><a href="#s%d">Sec %d</a></li>' % (i, i)
+            for i in range(n)]
+    if doc_id % 3 == 0:
+        toc.append('<li><a href="#missing">Gone</a></li>')
+    toc.append('<li><a href="https://x.example/page#s0">Ext</a></li>')
+    toc.append("</ul></nav>")
+    body = ['<h2 id="s%d">Sec %d</h2><p>body %d</p>' % (i, i, i)
+            for i in range(n)]
+    return ("<!DOCTYPE html><html><head><title>t %d</title></head>"
+            "<body>%s%s</body></html>"
+            % (doc_id, "".join(toc), "".join(body)))
+
+
+def audit_anchors(html: str) -> tuple[int, int, int]:
+    """(n_anchors, n_targets, n_broken): in-page fragment links vs
+    element ids; external-URL fragments never count."""
+    anchors = [m.group(1)[1:] for m in _ANCHOR_HREF.finditer(html)]
+    ids = set(_ID_ATTR.findall(html))
+    broken = sum(1 for a in anchors if a not in ids)
+    return len(anchors), len(ids), broken
+
+
+# ---------------- image alt audit --------------------------------------------
+
+_IMG_RE = re.compile(r"<img\b[^>]*?>", re.I)
+
+
+def img_page_for(doc_id: int) -> str:
+    """``doc_id%5+1`` images: image ``i`` is missing its alt when
+    ``(d+i)%3==0``, carries an EMPTY alt when ``(d+i)%3==1``
+    (decorative marker — present but empty), else a real caption; a
+    commented-out img is the decoy."""
+    imgs = []
+    for i in range(doc_id % 5 + 1):
+        k = (doc_id + i) % 3
+        if k == 0:
+            imgs.append('<img src="/i/%d_%d.jpg">' % (doc_id, i))
+        elif k == 1:
+            imgs.append('<img src="/i/%d_%d.jpg" alt="">'
+                        % (doc_id, i))
+        else:
+            imgs.append('<img src="/i/%d_%d.jpg" alt="img %d %d">'
+                        % (doc_id, i, doc_id, i))
+    return ("<!DOCTYPE html><html><body>"
+            '<!-- <img src="/decoy.jpg"> -->%s</body></html>'
+            % "".join(imgs))
+
+
+def audit_img_alt(html: str) -> tuple[int, int, int, int]:
+    """(n_images, n_missing, n_empty, coverage_milli) — coverage is
+    the fraction with a REAL caption, in milli-units (floor)."""
+    clean = _COMMENT.sub(" ", html)
+    n = missing = empty = 0
+    for tag in _IMG_RE.findall(clean):
+        n += 1
+        a = _attrs(tag)
+        if "alt" not in a:
+            missing += 1
+        elif a["alt"] == "":
+            empty += 1
+    cov = (n - missing - empty) * 1000 // n if n else 0
+    return n, missing, empty, cov

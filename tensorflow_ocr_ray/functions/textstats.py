@@ -522,3 +522,55 @@ def quality_lr_features(text: str) -> tuple[int, int, int, int, int, int]:
              - _QL_W_STOP * stop)
     return tok, mean_wlen, stop, distinct, score, int(
         score >= _QL_THRESHOLD)
+
+
+# ---------------- locale-aware price normalization ---------------------------
+
+_PRICE_RE = re.compile(
+    r"([$€])\s?((?:\d{1,3}(?:[.,]\d{3})*|\d+)[.,]\d{2})")
+
+
+def _group(n: int, sep: str) -> str:
+    s = str(n)
+    out = []
+    while len(s) > 3:
+        out.append(s[-3:])
+        s = s[:-3]
+    out.append(s)
+    return sep.join(reversed(out))
+
+
+def price_text_for(doc_id: int) -> str:
+    """Sentence with ``doc_id%3+1`` planted prices: price ``k`` is
+    ``(d*1000 + k*777) % 1000000 + 1`` cents, rendered US-style
+    ``$1,234.56`` when ``(d+k)%2==0`` else EU-style ``€1.234,56`` —
+    the two locale groupings a normalizer must not confuse.  A bare
+    ``3.5`` decimal and a year ``1,999`` (no cents) are decoys."""
+    parts = ["Catalog %d lists 3.5 units since 1,999" % doc_id]
+    for k in range(doc_id % 3 + 1):
+        v = (doc_id * 1000 + k * 777) % 1000000 + 1
+        dollars, cents = v // 100, v % 100
+        if (doc_id + k) % 2 == 0:
+            parts.append("item %d at $%s.%02d"
+                         % (k, _group(dollars, ","), cents))
+        else:
+            parts.append("item %d at €%s,%02d"
+                         % (k, _group(dollars, "."), cents))
+    return "; ".join(parts) + "."
+
+
+def extract_prices(text: str) -> list[tuple[int, str, int]]:
+    """(seq, currency, value_cents) per recognized price — the LAST
+    separator is the decimal mark (always two digits in scope), every
+    other separator is grouping; bare decimals and grouped years
+    without a currency sign never match."""
+    out = []
+    for m in _PRICE_RE.finditer(text):
+        cur = "USD" if m.group(1) == "$" else "EUR"
+        num = m.group(2)
+        whole, cents = num[:-3], num[-3:]
+        assert cents[0] in ".,"
+        value = int(whole.replace(",", "").replace(".", "")) * 100 \
+            + int(cents[1:])
+        out.append((len(out), cur, value))
+    return out

@@ -168,3 +168,77 @@ def parse_cache_head(raw: bytes) -> tuple[int, int, int, str]:
     else:
         policy = "unvalidated"
     return max_age, no_store, has_etag, policy
+
+
+# ---------------- MIME multipart ---------------------------------------------
+
+
+def mime_for(doc_id: int) -> bytes:
+    """Deterministic multipart/mixed message: ``doc_id%3+1`` parts,
+    content-type alternating text/plain / text/html by ``(d+i)%2``,
+    transfer-encoding base64 on even parts and quoted-printable on odd
+    parts (payload carries a literal ``=`` to force a ``=3D`` escape);
+    the preamble and epilogue are the framing decoys."""
+    import base64 as _b64
+
+    d = doc_id
+    bnd = b"b%d" % d
+    out = [b"MIME-Version: 1.0",
+           b"Content-Type: multipart/mixed; boundary=%s" % bnd,
+           b"",
+           b"This preamble is not a part."]
+    for i in range(d % 3 + 1):
+        payload = ("mime %d part %d =ok" % (d, i)).encode()
+        ctype = b"text/plain" if (d + i) % 2 == 0 else b"text/html"
+        if i % 2 == 0:
+            enc, body = b"base64", _b64.b64encode(payload)
+        else:
+            enc, body = b"quoted-printable", payload.replace(
+                b"=", b"=3D")
+        out += [b"--" + bnd,
+                b"Content-Type: " + ctype,
+                b"Content-Transfer-Encoding: " + enc,
+                b"",
+                body]
+    out += [b"--" + bnd + b"--", b"Epilogue decoy."]
+    return b"\r\n".join(out)
+
+
+_QP_HEX = re.compile(rb"=([0-9A-F]{2})")
+
+
+def parse_mime(raw: bytes) -> list[tuple[int, str, str, str]]:
+    """(part_idx, content_type, encoding, decoded_text) per part —
+    boundary from the top-level Content-Type, preamble/epilogue
+    dropped, base64 and quoted-printable payloads decoded."""
+    import base64 as _b64
+
+    head, _, rest = raw.partition(b"\r\n\r\n")
+    m = re.search(rb"boundary=([^\s;]+)", head)
+    if not m:
+        return []
+    bnd = b"--" + m.group(1)
+    chunks = rest.split(bnd)
+    out = []
+    # chunks[0] = preamble; last chunk after the closing "--" marker
+    for chunk in chunks[1:]:
+        if chunk.startswith(b"--"):
+            break
+        ph, _, body = chunk.strip(b"\r\n").partition(b"\r\n\r\n")
+        ctype, enc = "", "7bit"
+        for line in ph.split(b"\r\n"):
+            name, _, val = line.partition(b":")
+            key = name.strip().lower()
+            if key == b"content-type":
+                ctype = val.strip().decode().lower()
+            elif key == b"content-transfer-encoding":
+                enc = val.strip().decode().lower()
+        if enc == "base64":
+            text = _b64.b64decode(body).decode()
+        elif enc == "quoted-printable":
+            text = _QP_HEX.sub(
+                lambda g: bytes([int(g.group(1), 16)]), body).decode()
+        else:
+            text = body.decode()
+        out.append((len(out), ctype, enc, text))
+    return out

@@ -2514,3 +2514,146 @@ def dsir_importance_weights(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(score, batch_format="pandas",
                             batch_size=4096)
+
+
+# ---------------- locale-aware price normalization ---------------------------
+
+
+def price_extract_normalize(sf_dir: str) -> "rd.Dataset":
+    """Structured price extraction from prose: US (``$1,234.56``) and
+    EU (``€1.234,56``) groupings normalized to integer cents; the bare
+    decimal and the grouped year (no currency, no cents) are the
+    decoys (``functions/textstats.price_text_for``).
+
+    Scale: stateless task map, compiled regex, no shuffle."""
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.functions.textstats import (
+        extract_prices,
+        price_text_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, seq, cur, val = [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for s, c, v in extract_prices(price_text_for(d)):
+                doc.append(d)
+                seq.append(s)
+                cur.append(c)
+                val.append(v)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "seq": pa.array(seq, type=pa.int64()),
+             "currency": pa.array(cur, type=pa.string()),
+             "value_cents": pa.array(val, type=pa.int64())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ---------------- T5-style span-corruption masks ------------------------------
+
+MASK_STRIDE = 8   # tokens between span starts
+MASK_LEN = 3      # tokens per masked span
+
+
+def span_corruption_masks(sf_dir: str) -> "rd.Dataset":
+    """Denoising-objective prep: deterministic mask spans (length 3,
+    stride 8, per-doc offset ``doc_id%4``) over whitespace tokens,
+    each with its masked text — the span-corruption layout a T5-style
+    trainer consumes; the offset de-correlates spans from sentence
+    starts across the corpus.
+
+    Scale: stateless task map; spans never cross a document, so no
+    shuffle."""
+    import pyarrow as pa
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def masks(batch: pa.Table) -> pa.Table:
+        doc, idx, st, en, tx = [], [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            d = int(did)
+            toks = text.split(" ")
+            off = d % 4
+            j = 0
+            while j * MASK_STRIDE + off + MASK_LEN <= len(toks):
+                s = j * MASK_STRIDE + off
+                doc.append(d)
+                idx.append(j)
+                st.append(s)
+                en.append(s + MASK_LEN)
+                tx.append(" ".join(toks[s:s + MASK_LEN]))
+                j += 1
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "span_idx": pa.array(idx, type=pa.int64()),
+             "start_tok": pa.array(st, type=pa.int64()),
+             "end_tok": pa.array(en, type=pa.int64()),
+             "masked_text": pa.array(tx, type=pa.string())})
+
+    return docs.map_batches(masks, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ---------------- LM-score terciles (CCNet head/middle/tail) ------------------
+
+
+def lm_score_terciles(sf_dir: str, n_shards: int = 16) -> "rd.Dataset":
+    """CCNet's head/middle/tail split: every document assigned its
+    global tercile by LM score (``ngram_lm_score``) WITHOUT a global
+    sort — scores are bounded ppm ints, so range-sharding by value
+    co-locates ties, per-shard counts give exclusive rank offsets (a
+    bounded grid on the driver), and ``tercile = rank*3 // N`` inside
+    each shard reproduces NTILE(3) exactly (larger buckets first,
+    (score, doc_id) tie order).
+
+    Scale: the skinny (doc_id, score) projection materializes once
+    (16 B/row); ONE value-range exchange; the driver sees only the
+    shard-count grid."""
+    import pyarrow as pa
+
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        score = batch.column("score_ppm").to_numpy()
+        return pd.DataFrame(
+            {"doc_id": batch.column("doc_id").to_numpy()
+                .astype(np.int64),
+             "score_ppm": score.astype(np.int64),
+             "shard": (score.astype(np.int64) * n_shards
+                       // 1_000_001).astype(np.int64)})
+
+    skinny = (
+        ngram_lm_score(sf_dir)
+        .map_batches(project, batch_format="pyarrow", batch_size=8192)
+        .materialize()
+    )
+
+    counts = (
+        skinny.map_batches(
+            lambda df: df.groupby("shard", as_index=False)
+            .agg(n=("doc_id", "size")),
+            batch_format="pandas")
+        .to_pandas().groupby("shard")["n"].sum()
+    )
+    total = int(counts.sum())
+    offsets = counts.sort_index().cumsum().shift(fill_value=0)
+    off_ref = ray.put((offsets.to_dict(), total))
+
+    def rank_shard(df: pd.DataFrame) -> pd.DataFrame:
+        offs, n_total = ray.get(off_ref)
+        df = df.sort_values(["score_ppm", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        start = int(offs[int(df["shard"].iloc[0])]) if len(df) else 0
+        rank = start + np.arange(len(df), dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "score_ppm": df["score_ppm"].astype("int64"),
+             "tercile": (rank * 3 // n_total).astype("int64")})
+
+    return hash_exchange(skinny, "shard", n_shards, rank_shard)

@@ -2401,3 +2401,107 @@ def http_cache_audit(sf_dir: str) -> "rd.Dataset":
 
     return docs.map_batches(audit, batch_format="pyarrow",
                             batch_size=4096)
+
+
+# ------------------------------------------------ MIME multipart -----------
+
+
+def email_mime_parse(sf_dir: str) -> "rd.Dataset":
+    """Multipart-MIME framing + payload decode: boundary walk with
+    preamble/epilogue dropped, base64 and quoted-printable parts
+    decoded to text (the ``=3D`` escape is planted in every payload)
+    — the mail/archive ingestion sibling of ``warc_record_parse``
+    (``functions/warc.mime_for``).
+
+    Scale: stateless task map over one message per row, no shuffle."""
+    from tensorflow_ocr_ray.functions.warc import mime_for, parse_mime
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc, idx, ct, en, tx = [], [], [], [], []
+        for did in batch.column("doc_id").to_pylist():
+            d = int(did)
+            for i, c, e, t in parse_mime(mime_for(d)):
+                doc.append(d)
+                idx.append(i)
+                ct.append(c)
+                en.append(e)
+                tx.append(t)
+        return pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()),
+             "part_idx": pa.array(idx, type=pa.int64()),
+             "content_type": pa.array(ct, type=pa.string()),
+             "encoding": pa.array(en, type=pa.string()),
+             "text": pa.array(tx, type=pa.string())})
+
+    return docs.map_batches(parse, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ TOC anchor audit ---------
+
+
+def toc_anchor_audit(sf_dir: str) -> "rd.Dataset":
+    """In-page anchor integrity: fragment links vs element ids, the
+    broken-TOC audit (planted ``#missing`` every 3rd doc; the
+    external-URL fragment is the decoy)
+    (``functions/html_extract.toc_page_for``).
+
+    Scale: stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        audit_anchors,
+        toc_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        res = [audit_anchors(toc_page_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "n_anchors": pa.array([r[0] for r in res],
+                                   type=pa.int64()),
+             "n_targets": pa.array([r[1] for r in res],
+                                   type=pa.int64()),
+             "n_broken": pa.array([r[2] for r in res],
+                                  type=pa.int64())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            batch_size=4096)
+
+
+# ------------------------------------------------ image alt audit ----------
+
+
+def image_alt_audit(sf_dir: str) -> "rd.Dataset":
+    """Alt-text coverage per page — the caption-mining yield signal:
+    missing vs empty (decorative) vs real alt attributes, coverage in
+    milli-units; the commented-out img is the decoy
+    (``functions/html_extract.img_page_for``).
+
+    Scale: stateless task map, no shuffle."""
+    from tensorflow_ocr_ray.functions.html_extract import (
+        audit_img_alt,
+        img_page_for,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        res = [audit_img_alt(img_page_for(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "n_images": pa.array([r[0] for r in res],
+                                  type=pa.int64()),
+             "n_missing": pa.array([r[1] for r in res],
+                                   type=pa.int64()),
+             "n_empty": pa.array([r[2] for r in res],
+                                 type=pa.int64()),
+             "coverage_milli": pa.array([r[3] for r in res],
+                                        type=pa.int64())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            batch_size=4096)

@@ -692,3 +692,44 @@ def test_dsir_importance_truth(ray_session):
         sel_count += int(g.selected)
     # the rule actually separates: some selected, some not
     assert 0 < sel_count < len(per_doc)
+
+
+def test_lm_score_terciles_reproduce_ntile(ray_session):
+    """rank*3//N inside value-range shards == NTILE(3) over the global
+    (score, doc_id) order — verified against a local sort."""
+    import numpy as np
+
+    from tensorflow_ocr_ray.pipelines.curation import lm_score_terciles
+
+    got = lm_score_terciles("/root/testdata/sf0.001").to_pandas()
+    n = len(got)
+    assert n == 500
+    order = got.sort_values(["score_ppm", "doc_id"]).reset_index(
+        drop=True)
+    want = (np.arange(n, dtype=np.int64) * 3) // n
+    assert (order["tercile"].to_numpy() == want).all()
+    sizes = got["tercile"].value_counts()
+    assert sizes.max() - sizes.min() <= 1
+
+
+def test_span_corruption_masks_hand_check(ray_session):
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.curation import (
+        MASK_LEN,
+        MASK_STRIDE,
+        span_corruption_masks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = span_corruption_masks(sf).to_pandas()
+    raw = pd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"]).set_index("doc_id")
+    assert len(got) > 0
+    for _, r in got.head(200).iterrows():
+        toks = raw.loc[r["doc_id"], "text"].split(" ")
+        assert r["end_tok"] - r["start_tok"] == MASK_LEN
+        assert r["start_tok"] % MASK_STRIDE == \
+            (r["doc_id"] % 4 + r["span_idx"] * MASK_STRIDE) % MASK_STRIDE
+        assert r["masked_text"] == " ".join(
+            toks[r["start_tok"]:r["end_tok"]])

@@ -564,3 +564,52 @@ def test_cache_policy_buckets():
     assert parse_cache_head(cache_head_for(35))[3] == "unvalidated"
     # the X-Cache-Decoy header's max-age never leaks
     assert parse_cache_head(cache_head_for(1))[0] != 99999
+
+
+def test_mime_decodes_and_framing_decoys():
+    from tensorflow_ocr_ray.functions.warc import mime_for, parse_mime
+
+    parts = parse_mime(mime_for(2))
+    assert len(parts) == 3
+    # every payload decoded back to the exact planted text, = escape
+    # round-tripped through both encodings
+    for i, ct, enc, text in parts:
+        assert text == "mime 2 part %d =ok" % i
+        assert enc == ("base64" if i % 2 == 0 else "quoted-printable")
+    # preamble/epilogue never leak into parts
+    assert all("preamble" not in t and "Epilogue" not in t
+               for _, _, _, t in parts)
+
+
+def test_price_decoys_never_match():
+    from tensorflow_ocr_ray.functions.textstats import (
+        extract_prices,
+        price_text_for,
+    )
+
+    for d in range(20):
+        vals = extract_prices(price_text_for(d))
+        assert len(vals) == d % 3 + 1
+        for k, cur, v in vals:
+            assert v == (d * 1000 + k * 777) % 1000000 + 1
+            assert cur == ("USD" if (d + k) % 2 == 0 else "EUR")
+    # the 3.5 and 1,999 decoys alone yield nothing
+    assert extract_prices("pay 3.5 units since 1,999 thanks") == []
+
+
+def test_anchor_and_alt_edge_docs():
+    from tensorflow_ocr_ray.functions.html_extract import (
+        audit_anchors,
+        audit_img_alt,
+        img_page_for,
+        toc_page_for,
+    )
+
+    # d=1: no broken link, all anchors resolve
+    assert audit_anchors(toc_page_for(1)) == (3, 3, 0)
+    # d=0: the #missing link is broken; ext decoy not counted
+    n_a, n_t, n_b = audit_anchors(toc_page_for(0))
+    assert (n_a, n_b) == (3, 1)
+    # commented-out img never counted
+    n, miss, emp, cov = audit_img_alt(img_page_for(4))
+    assert n == 4 % 5 + 1
