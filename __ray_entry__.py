@@ -1907,6 +1907,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet head/middle/tail: global LM-score terciles without a
         # global sort (value-range shards + rank offsets)
         "lm_score_terciles": curation.lm_score_terciles,
+        # CCNet paragraph dedup: corpus-wide keep-first over 8-token
+        # chunks with the surviving text reassembled per doc
+        "paragraph_dedup": curation.paragraph_dedup,
         # LM-based quality scoring: corpus bigram model, integer ppm
         # conditional probabilities (transcendental-free KenLM signal)
         "ngram_lm_score": curation.ngram_lm_score,
@@ -7217,6 +7220,51 @@ def _oracle_sql_base() -> dict[str, str]:
               CAST((doc_id * 1000 + k * 777) % 1000000 + 1 AS BIGINT)
                 AS value_cents
             FROM p
+        """,
+        # corpus-wide keep-first over 8-token chunks; rn=1 over
+        # (ckey ORDER BY doc_id, j) is the keeper, survivors re-join
+        "paragraph_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(ts) AS w,
+                     generate_subscripts(ts, 1) - 1 AS i
+              FROM toks
+              WHERE len(ts) > 0 AND ts[1] <> ''
+            ),
+            ch AS (
+              SELECT doc_id, i // 8 AS j,
+                     string_agg(w, ' ' ORDER BY i) AS chunk
+              FROM tok GROUP BY doc_id, i // 8
+            ),
+            keyed AS (
+              SELECT doc_id, j, chunk,
+                     ('0x' || substr(md5(chunk), 1, 16))::UBIGINT AS ckey
+              FROM ch
+            ),
+            marked AS (
+              SELECT doc_id, j, chunk,
+                     row_number() OVER (
+                       PARTITION BY ckey ORDER BY doc_id, j) AS rn
+              FROM keyed
+            ),
+            agg AS (
+              SELECT doc_id,
+                     count(*) AS n_chunks,
+                     sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed,
+                     coalesce(string_agg(
+                       CASE WHEN rn = 1 THEN chunk END,
+                       ' ' ORDER BY j), '') AS kept_text
+              FROM marked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+                   coalesce(a.kept_text, '') AS kept_text
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # spans of 3 tokens every 8, offset d%4; masked text via
         # 1-based inclusive list_slice

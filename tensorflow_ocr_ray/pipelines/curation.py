@@ -2657,3 +2657,129 @@ def lm_score_terciles(sf_dir: str, n_shards: int = 16) -> "rd.Dataset":
              "tercile": (rank * 3 // n_total).astype("int64")})
 
     return hash_exchange(skinny, "shard", n_shards, rank_shard)
+
+
+# ---------------- paragraph-level corpus dedup (CCNet-style) ----------------
+
+PARA_TOKENS = 8   # tokens per paragraph chunk
+
+
+def paragraph_dedup(sf_dir: str, p: int = PARA_TOKENS,
+                    n_shards: int = _N_SHARDS) -> "rd.Dataset":
+    """CCNet-style paragraph deduplication with cleaned-text output: the
+    corpus is split into fixed ``p``-token paragraph chunks, every chunk
+    whose md5-64 has been seen before (corpus-wide, first occurrence by
+    (doc_id, chunk_idx) wins) is REMOVED, and each document's surviving
+    text is reassembled in order.  This is the remove-the-duplicate
+    counterpart of dup_span_coverage's measure-the-duplicate signal —
+    the pass CCNet runs over Common Crawl before LM filtering.
+
+    Physical plan (two routed hash exchanges, both on bounded shard
+    keys):
+    1. map: each doc emits one row per chunk (ckey-shard, ckey, doc_id,
+       chunk_idx, chunk text) — chunk text ships ONCE (it is needed to
+       reassemble the survivors);
+    2. ckey-shard: all occurrences of a chunk land in one shard, so
+       keep-first is a sort + ``~duplicated`` — no global sort; removed
+       rows drop their text payload (empty string) before hop 2, so the
+       second exchange ships only surviving text + skinny tombstones;
+    3. doc-shard: per-doc counts + ordered join of kept chunks.  A
+       skinny per-doc sentinel (chunk_idx=-1) unioned into hop 2 keeps
+       empty/short docs present in the output.
+
+    At 100 TB: no driver-side state, both exchanges are 64-way routed,
+    and text volume crosses the network ~1x (dup text crosses once,
+    unique text twice).  Oracle: row_number() OVER (PARTITION BY md5
+    chunk key ORDER BY doc_id, chunk_idx) = 1, string_agg reassembly,
+    hash-matched."""
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_l, j_l, txt_l = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = [t for t in _WS.split(text.strip().lower()) if t]
+            if not toks:
+                continue
+            chunks = [" ".join(toks[i:i + p])
+                      for i in range(0, len(toks), p)]
+            doc_l.append(np.full(len(chunks), doc_id, dtype=np.int64))
+            j_l.append(np.arange(len(chunks), dtype=np.int64))
+            txt_l.extend(chunks)
+        if not txt_l:
+            return pd.DataFrame(
+                {"cshard": pd.Series([], dtype="int64"),
+                 "ckey": pd.Series([], dtype="uint64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "j": pd.Series([], dtype="int64"),
+                 "chunk": pd.Series([], dtype="object")})
+        ck = _md5_prefix_batch(txt_l, 8).astype(np.uint64)
+        return pd.DataFrame(
+            {"cshard": (ck % np.uint64(n_shards)).astype("int64"),
+             "ckey": ck,
+             "doc_id": np.concatenate(doc_l),
+             "j": np.concatenate(j_l),
+             "chunk": txt_l})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "j", "keep", "chunk", "dshard"]
+        if not len(g):
+            out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                for c in cols})
+            return out.astype({"chunk": "object"})
+        s = g.sort_values(["ckey", "doc_id", "j"],
+                          kind="mergesort").reset_index(drop=True)
+        keep = ~s["ckey"].duplicated().to_numpy()
+        return pd.DataFrame(
+            {"doc_id": s["doc_id"].to_numpy(np.int64),
+             "j": s["j"].to_numpy(np.int64),
+             "keep": keep.astype(np.int64),
+             # removed rows ship no text — hop 2 carries only survivors
+             "chunk": np.where(keep, s["chunk"].to_numpy(object), ""),
+             "dshard": s["doc_id"].to_numpy(np.int64) % n_shards})
+
+    def sentinels(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"doc_id": doc,
+             "j": np.full(len(doc), -1, dtype=np.int64),
+             "keep": np.zeros(len(doc), dtype=np.int64),
+             "chunk": np.full(len(doc), "", dtype=object),
+             "dshard": doc % n_shards})
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "n_chunks", "n_removed", "kept_text"]
+        if not len(g):
+            out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                for c in cols})
+            return out.astype({"kept_text": "object"})
+        real = g[g["j"].to_numpy() >= 0]
+        base = pd.DataFrame(
+            {"doc_id": pd.unique(g["doc_id"].to_numpy())}
+        ).set_index("doc_id")
+        base["n_chunks"] = 0
+        base["n_removed"] = 0
+        base["kept_text"] = ""
+        if len(real):
+            nc = real.groupby("doc_id").size()
+            nr = real.groupby("doc_id")["keep"].agg(
+                lambda s: int((1 - s).sum()))
+            kept = real[real["keep"].to_numpy() == 1].sort_values(
+                ["doc_id", "j"], kind="mergesort")
+            kt = kept.groupby("doc_id")["chunk"].agg(" ".join)
+            base.loc[nc.index, "n_chunks"] = nc
+            base.loc[nr.index, "n_removed"] = nr
+            base.loc[kt.index, "kept_text"] = kt
+        return pd.DataFrame(
+            {"doc_id": base.index.to_numpy(np.int64),
+             "n_chunks": base["n_chunks"].to_numpy(np.int64),
+             "n_removed": base["n_removed"].to_numpy(np.int64),
+             "kept_text": base["kept_text"].to_numpy(object)})
+
+    decided = hash_exchange(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode, batch_format="pandas", batch_size=1024),
+        "cshard", n_shards, keep_first)
+    sent = _docs(sf_dir, ["doc_id"]).map_batches(
+        sentinels, batch_format="pandas", batch_size=65536)
+    return hash_exchange(decided.union(sent), "dshard", n_shards,
+                         assemble)

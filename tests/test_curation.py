@@ -733,3 +733,55 @@ def test_span_corruption_masks_hand_check(ray_session):
             (r["doc_id"] % 4 + r["span_idx"] * MASK_STRIDE) % MASK_STRIDE
         assert r["masked_text"] == " ".join(
             toks[r["start_tok"]:r["end_tok"]])
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(ray_session, tmp_path):
+    """Planted duplicate paragraphs: the first (doc_id, chunk_idx)
+    occurrence survives, later copies are removed (including a repeat
+    WITHIN one doc), and kept_text is the in-order join of survivors."""
+    from tensorflow_ocr_ray.pipelines.curation import (
+        PARA_TOKENS,
+        paragraph_dedup,
+    )
+
+    assert PARA_TOKENS == 8
+    dup = "d1 d2 d3 d4 d5 d6 d7 d8"          # one exact 8-token chunk
+    uniq0 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    uniq1 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"{dup} {uniq0} {dup}",       # doc0: dup, uniq0, dup-again
+                f"{uniq1} {dup}",             # doc1: uniq1, dup (removed)
+                "short tail",                 # doc2: one partial chunk
+                "",                           # doc3: empty -> 0 chunks
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 0, 0, 0],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        paragraph_dedup(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 4
+    # doc0 keeps its FIRST dup copy; the in-doc repeat is removed
+    assert out.loc[0, "n_chunks"] == 3
+    assert out.loc[0, "n_removed"] == 1
+    assert out.loc[0, "kept_text"] == f"{dup} {uniq0}"
+    # doc1's dup copy loses to doc0's
+    assert out.loc[1, "n_chunks"] == 2
+    assert out.loc[1, "n_removed"] == 1
+    assert out.loc[1, "kept_text"] == uniq1
+    # partial tail chunk is its own paragraph, unique -> kept
+    assert out.loc[2, "n_chunks"] == 1
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[2, "kept_text"] == "short tail"
+    # empty doc present with zero chunks
+    assert out.loc[3, "n_chunks"] == 0
+    assert out.loc[3, "kept_text"] == ""
