@@ -1666,6 +1666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph computation (pipelines/graph.py): sharded
         # rank state in the object store, one exchange per iteration
         "link_pagerank": graph.link_pagerank,
+        # random-walk-with-restart relevance to the doc_id%97 seed set
+        "personalized_pagerank": graph.personalized_pagerank,
         "graph_components": graph.graph_components,
         "graph_modularity": graph.graph_modularity,
         "graph_degree_stats": graph.graph_degree_stats,
@@ -3415,6 +3417,7 @@ def _oracle_sql_base() -> dict[str, str]:
         shortest_path_oracle_sql,
         bfs_oracle_sql,
         pagerank_oracle_sql,
+        personalized_pagerank_oracle_sql,
     )
     from tensorflow_ocr_ray.pipelines.sketches import heavy_hitter_sql
 
@@ -3573,6 +3576,7 @@ def _oracle_sql_base() -> dict[str, str]:
             }.items()
         ),
         "link_pagerank": pagerank_oracle_sql(),
+        "personalized_pagerank": personalized_pagerank_oracle_sql(),
         "graph_modularity": """
             WITH e AS (
               SELECT doc_id AS v, doc_id - doc_id % 7 AS c

@@ -114,6 +114,110 @@ def link_pagerank(
     )
 
 
+PPR_SEED_MOD = 97
+
+
+def personalized_pagerank(
+    sf_dir: str, iters: int = 5, n_shards: int = 32,
+    seed_mod: int = PPR_SEED_MOD,
+) -> "rd.Dataset":
+    """Personalized PageRank — restart mass concentrated on the seed
+    set ``doc_id % seed_mod == 0`` instead of spread uniformly (the
+    random-walk-with-restart relevance score behind "similar pages to
+    THIS page" / seed-expansion crawl prioritization).
+
+    Identical distributed shape to :func:`link_pagerank` (skinny
+    contribution flat-map + one routed exchange per iteration, zero
+    driver state); the only changes are the initial vector (SCALE on
+    seeds, 0 elsewhere) and the per-vertex restart term
+    ``BASE * [v is seed]`` replacing the uniform BASE.  Non-seed
+    vertices unreachable from the seed set converge to exactly 0 —
+    integer math keeps that exact (no epsilon floor), which the oracle
+    reproduces.  Same int64 headroom analysis as link_pagerank."""
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        return _int64_frame(v, np.where(v % seed_mod == 0, SCALE, 0))
+
+    ranks = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(init, batch_format="pandas")
+
+    def contribs(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        r = df["r"].to_numpy(np.int64)
+        outdeg = 1 + v % MAX_OUTDEG
+        c = r // outdeg
+        dst_parts = [v]  # self row keeps every vertex present
+        c_parts = [np.zeros(len(v), np.int64)]
+        for j in range(1, MAX_OUTDEG + 1):
+            m = outdeg >= j
+            dst_parts.append((v[m] * MULT + j) % n)
+            c_parts.append(c[m])
+        dst = np.concatenate(dst_parts)
+        val = np.concatenate(c_parts)
+        return pd.DataFrame(
+            {"v": dst, "c": val,
+             "shard": (dst % n_shards).astype(np.int64)}
+        )
+
+    def damp_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _int64_frame([], [])
+        s = df.groupby("v", sort=False)["c"].sum()
+        v = s.index.to_numpy(np.int64)
+        restart = np.where(v % seed_mod == 0, BASE, 0)
+        return _int64_frame(
+            v,
+            restart + (DAMP_NUM * s.to_numpy(np.int64)) // DAMP_DEN,
+        )
+
+    for _ in range(iters):
+        flat = ranks.map_batches(contribs, batch_format="pandas")
+        ranks = hash_exchange(flat, "shard", n_shards, damp_sum)
+
+    return ranks.map_batches(
+        lambda df: df.rename(columns={"v": "doc_id", "r": "rank_units"}),
+        batch_format="pandas",
+    )
+
+
+def personalized_pagerank_oracle_sql(
+    iters: int = 5, seed_mod: int = PPR_SEED_MOD
+) -> str:
+    """Unrolled exact-integer PPR oracle: link_pagerank's CTE chain
+    with the seeded initial vector and the CASE restart term."""
+    parts = [
+        "meta AS (SELECT count(*) AS n FROM documents)",
+        f"pr0 AS (SELECT doc_id AS v, CAST(CASE WHEN doc_id % {seed_mod}"
+        f" = 0 THEN {SCALE} ELSE 0 END AS BIGINT) AS r FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        arms = [
+            f"SELECT (u.v * {MULT} + {j}) % m.n AS dst, "
+            f"u.r // (1 + u.v % {MAX_OUTDEG}) AS c "
+            f"FROM pr{i - 1} u, meta m WHERE 1 + u.v % {MAX_OUTDEG} >= {j}"
+            for j in range(1, MAX_OUTDEG + 1)
+        ]
+        arms.append(
+            f"SELECT u.v AS dst, CAST(0 AS BIGINT) AS c FROM pr{i - 1} u"
+        )
+        union = " UNION ALL ".join(arms)
+        parts.append(
+            f"pr{i} AS (SELECT dst AS v, CAST("
+            f"CASE WHEN dst % {seed_mod} = 0 THEN {BASE} ELSE 0 END + "
+            f"({DAMP_NUM} * CAST(sum(c) AS BIGINT)) // {DAMP_DEN} "
+            f"AS BIGINT) AS r FROM ({union}) GROUP BY dst)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT v AS doc_id, r AS rank_units FROM pr{iters}"
+    )
+
+
 def graph_components(sf_dir: str, n_shards: int = 32) -> "rd.Dataset":
     """Distributed connected components (stages/cc.py — iterated
     min-label propagation, two hash_exchanges per round) as a

@@ -139,3 +139,23 @@ def test_skyline_matches_brute_force(ray_session):
             keep.append(i)
     exp = set(o["o_orderkey"].to_numpy(np.int64)[keep])
     assert set(got["o_orderkey"]) == exp and len(exp) > 0
+
+
+def test_personalized_pagerank_seed_concentration(ray_session):
+    """Restart mass sits on the doc_id%97 seeds: every seed outranks
+    the global median, and vertices unreachable from the seed set in
+    5 hops are exactly 0 (integer math, no epsilon floor)."""
+    from tensorflow_ocr_ray.pipelines.graph import (
+        PPR_SEED_MOD,
+        personalized_pagerank,
+    )
+
+    got = personalized_pagerank("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 500
+    seeds = got[got["doc_id"] % PPR_SEED_MOD == 0]
+    assert len(seeds) == 6  # 0, 97, ..., 485
+    med = got["rank_units"].median()
+    assert (seeds["rank_units"] > med).all()
+    # mass is conserved modulo floor losses: total <= seeds * SCALE-ish
+    assert got["rank_units"].sum() > 0
+    assert (got["rank_units"] >= 0).all()
