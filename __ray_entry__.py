@@ -1197,6 +1197,72 @@ def _media_header_probe(sf_dir: str):
     ).map_batches(probe, batch_format="pyarrow")
 
 
+def _media_phash_dedup(sf_dir: str, n_shards: int = 32):
+    """Perceptual near-duplicate IMAGE dedup — the multimodal twin of
+    dedup_exact: every document carries one 16x16 gray TIFF whose
+    pattern class is ``doc_id % 8`` but whose BRIGHTNESS varies with
+    ``doc_id % 5`` (so byte-exact hashing finds nothing); the pipeline
+    decodes each payload (core/raster.py), computes the
+    brightness-invariant 56-bit difference hash
+    (``stages/multimodal.dhash56``: 2x2 avg-pool -> adjacent-column
+    comparisons), and clusters by hash with ONE routed exchange — all
+    occurrences of a hash land in one shard, so keeper (min doc_id) and
+    cluster size are per-shard vectorized, no driver state.  The
+    arithmetic oracle (window min/count over doc_id % 8) is exactly the
+    planted truth, so a hash match proves decode + pooling + comparison
+    respect brightness invariance AND separate the 8 pattern classes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.core.raster import decode_tiff, encode_tiff
+    from tensorflow_ocr_ray.stages.multimodal import dhash56
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    ii, jj = np.mgrid[0:16, 0:16]
+
+    def synth_hash(df: "pd.DataFrame") -> "pd.DataFrame":
+        doc = df["doc_id"].to_numpy(np.int64)
+        hs = np.empty(len(doc), dtype=np.uint64)
+        for idx, d in enumerate(doc):
+            k = int(d) % 8
+            b = (int(d) % 5) * 3
+            img = ((((ii * 3 + jj * (k + 2)) % 17) * 12) + b).astype(
+                np.uint8)
+            payload = encode_tiff(img, bilevel=False)
+            # decode round-trip: the hash is computed from DECODED
+            # GRAY pixels (decode_tiff, NOT the binarizing OCR path —
+            # binarization is brightness-SENSITIVE and would defeat
+            # the perceptual invariance), so the codec is in the loop
+            gray, _bits = decode_tiff(payload)
+            hs[idx] = dhash56(gray)
+        return pd.DataFrame(
+            {"h": hs, "doc_id": doc,
+             "hshard": (hs % np.uint64(n_shards)).astype(np.int64)})
+
+    def cluster(g: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["doc_id", "keeper_doc_id", "cluster_size", "is_dup"]
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        keeper = g.groupby("h")["doc_id"].transform("min")
+        size = g.groupby("h")["doc_id"].transform("size")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64),
+             "keeper_doc_id": keeper.to_numpy(np.int64),
+             "cluster_size": size.to_numpy(np.int64),
+             "is_dup": (g["doc_id"].to_numpy(np.int64)
+                        != keeper.to_numpy(np.int64)).astype(np.int64)})
+
+    hashed = docs.map_batches(synth_hash, batch_format="pandas",
+                              batch_size=1024)
+    return hash_exchange(hashed, "hshard", n_shards, cluster)
+
+
 def _media_tiff_ink(sf_dir: str):
     """Multi-page TIFF ingest as a first-class hash-checked query: one
     deterministic little-endian TIFF per document with 1 + doc_id%3
@@ -1953,6 +2019,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_lineage_manifest": _ocr_lineage_manifest,
         "media_tiff_ink": _media_tiff_ink,
         "media_header_probe": _media_header_probe,
+        # perceptual (brightness-invariant dHash) image dedup over
+        # decoded TIFF payloads; oracle = the planted doc_id%8 clusters
+        "media_phash_dedup": _media_phash_dedup,
         # TF 3-step flow: learned scorers + agreement eval (SURVEY §3.2)
         "tf_dense_predictions": _tf_dense_predictions,
         "tf_agreement": _tf_agreement,
@@ -3740,6 +3809,19 @@ def _oracle_sql_base() -> dict[str, str]:
                        unnest(range(0, 1 + doc_id % 3)) AS i
                 FROM documents
             )
+        """,
+        # the planted truth: pattern class doc_id%8 IS the perceptual
+        # cluster (brightness doc_id%5 cancels in the dHash)
+        "media_phash_dedup": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY doc_id % 8)
+                     AS keeper_doc_id,
+                   count(*) OVER (PARTITION BY doc_id % 8)
+                     AS cluster_size,
+                   CAST(CASE WHEN doc_id = min(doc_id)
+                          OVER (PARTITION BY doc_id % 8)
+                        THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+            FROM documents
         """,
         "media_audio_g711": _g711_sql(),
         "media_audio_mixed": """

@@ -359,3 +359,20 @@ def probe_media_header(payload: bytes) -> tuple[str, int, int, int]:
                 u32, payload[off + 2 + n * 12:off + 6 + n * 12])
         return "tiff", int(w), int(h), frames
     raise ValueError(f"unknown container magic {payload[:4]!r}")
+
+
+def dhash56(img: "np.ndarray") -> int:
+    """Perceptual difference-hash of a gray image: 2x2 average-pool to
+    an 8x8 grid (the input must be 16x16), then one bit per
+    horizontally-adjacent pair ``pooled[i, j+1] > pooled[i, j]`` —
+    7 bits x 8 rows = a 56-bit hash.  Brightness-INVARIANT by
+    construction (a constant offset cancels in every comparison), which
+    is the property perceptual dedup buys over exact byte hashing:
+    re-encoded / re-exposed copies of the same image collide."""
+    import numpy as np
+
+    if img.shape != (16, 16):
+        raise ValueError(f"dhash56 expects 16x16 gray, got {img.shape}")
+    p = img.astype(np.int64).reshape(8, 2, 8, 2).sum(axis=(1, 3))
+    bits = (p[:, 1:] > p[:, :-1]).astype(np.uint64).ravel()
+    return int((bits << np.arange(56, dtype=np.uint64)).sum())

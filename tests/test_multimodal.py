@@ -141,3 +141,30 @@ def test_audio_real_wav_pcm_decode(ray_session):
         ).mean()
     )
     assert abs(out.column("rms")[0].as_py() - want_rms) < 1e-6
+
+
+def test_dhash56_brightness_invariant_and_discriminating():
+    """The perceptual hash collides across brightness shifts of the
+    same pattern and separates the 8 planted pattern classes — through
+    the TIFF encode/decode round trip."""
+    import numpy as np
+
+    from tensorflow_ocr_ray.core.raster import decode_tiff, encode_tiff
+    from tensorflow_ocr_ray.stages.multimodal import dhash56
+
+    ii, jj = np.mgrid[0:16, 0:16]
+    hashes = set()
+    for k in range(8):
+        base = (((ii * 3 + jj * (k + 2)) % 17) * 12).astype(np.int64)
+        per_brightness = set()
+        for b in range(0, 15, 3):
+            img = (base + b).astype(np.uint8)
+            gray, _bits = decode_tiff(encode_tiff(img, bilevel=False))
+            per_brightness.add(dhash56(gray))
+        assert len(per_brightness) == 1  # brightness cancels
+        hashes.update(per_brightness)
+    assert len(hashes) == 8              # patterns separate
+
+    import pytest
+    with pytest.raises(ValueError):
+        dhash56(np.zeros((8, 8), dtype=np.uint8))
