@@ -1983,6 +1983,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_lm_score": curation.ngram_lm_score,
         "approx_distinct_users": _approx_distinct_users,
         "hll_distinct": sketches.hll_distinct,
+        # audience-overlap set ops: register-max union + incl-excl
+        # intersection over per-type user@day sketches
+        "hll_set_ops": sketches.hll_set_ops,
         "bloom_fpr_audit": sketches.bloom_fpr_audit,
         # BPE merge learning (rows-only: k data-dependent
         # re-segmentation rounds aren't SQL; pytest parity vs the
@@ -2323,6 +2326,112 @@ def _hll_sql() -> str:
         UNION ALL
         SELECT -3, CAST(count(DISTINCT o_custkey) AS BIGINT)
         FROM orders
+    """
+
+
+def _hll_set_ops_sql(type_a: str = "click",
+                     type_b: str = "purchase") -> str:
+    """DuckDB re-derivation of sketches.hll_set_ops: per-side register
+    CTEs over the user@day key, union registers = per-bucket max across
+    sides, the shared fixed-point/LUT estimator applied to all three,
+    intersection by inclusion-exclusion, exact columns via COUNT
+    DISTINCT / INTERSECT."""
+    from tensorflow_ocr_ray.pipelines.sketches import (
+        HLL_ALPHA_E6, HLL_K, HLL_M, HLL_WBITS, hll_lc_lut,
+    )
+
+    lut_rows = ", ".join(
+        f"({v + 1}, {lc})" for v, lc in enumerate(hll_lc_lut()))
+
+    def side_regs(name: str, filt: str) -> str:
+        return f"""
+        h_{name} AS (
+          SELECT DISTINCT ('0x' || substr(md5(
+                   CAST(user_id AS VARCHAR) || '@'
+                   || strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT AS h
+          FROM events WHERE {filt}
+        ),
+        r_{name} AS (
+          SELECT h % {HLL_M} AS bucket,
+                 max(CASE WHEN (h // {HLL_M}) % {1 << HLL_WBITS} = 0
+                      THEN {HLL_WBITS + 1}
+                      ELSE CAST(floor(log2(
+                             ((h // {HLL_M}) % {1 << HLL_WBITS})
+                             & (-((h // {HLL_M}) % {1 << HLL_WBITS}))))
+                           AS BIGINT) + 1 END) AS register
+          FROM h_{name} GROUP BY 1
+        ),
+        f_{name} AS (
+          SELECT gs.bucket,
+                 CAST(coalesce(r.register, 0) AS BIGINT) AS register
+          FROM (SELECT unnest(generate_series(0, {HLL_M - 1}))
+                    AS bucket) gs
+          LEFT JOIN r_{name} r USING (bucket)
+        ),
+        e_{name} AS (
+          SELECT CASE WHEN 2 * raw <= {5 * HLL_M} AND v_empty > 0
+                      THEN (SELECT lc FROM lut WHERE v = v_empty)
+                      ELSE raw END AS est
+          FROM (
+            SELECT CAST(CAST({HLL_ALPHA_E6} AS HUGEINT)
+                        * {HLL_M * HLL_M} * {1 << HLL_K}
+                        // (1000000 * sum(CAST(1 AS BIGINT)
+                             << ({HLL_K} - register)))
+                        AS BIGINT) AS raw,
+                   CAST(count(*) FILTER (WHERE register = 0)
+                        AS BIGINT) AS v_empty
+            FROM f_{name}
+          )
+        )"""
+
+    union_regs = f"""
+        f_u AS (
+          SELECT a.bucket,
+                 greatest(a.register, b.register) AS register
+          FROM f_a a JOIN f_b b USING (bucket)
+        ),
+        e_u AS (
+          SELECT CASE WHEN 2 * raw <= {5 * HLL_M} AND v_empty > 0
+                      THEN (SELECT lc FROM lut WHERE v = v_empty)
+                      ELSE raw END AS est
+          FROM (
+            SELECT CAST(CAST({HLL_ALPHA_E6} AS HUGEINT)
+                        * {HLL_M * HLL_M} * {1 << HLL_K}
+                        // (1000000 * sum(CAST(1 AS BIGINT)
+                             << ({HLL_K} - register)))
+                        AS BIGINT) AS raw,
+                   CAST(count(*) FILTER (WHERE register = 0)
+                        AS BIGINT) AS v_empty
+            FROM f_u
+          )
+        )"""
+    return f"""
+        WITH lut(v, lc) AS (VALUES {lut_rows}),
+        {side_regs("a", f"event_type = '{type_a}'")},
+        {side_regs("b", f"event_type = '{type_b}'")},
+        {union_regs},
+        ka AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '@'
+                 || strftime(ts, '%Y-%m-%d') AS k
+               FROM events WHERE event_type = '{type_a}'),
+        kb AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '@'
+                 || strftime(ts, '%Y-%m-%d') AS k
+               FROM events WHERE event_type = '{type_b}')
+        SELECT 'est_a' AS stat, est AS value FROM e_a
+        UNION ALL SELECT 'est_b', est FROM e_b
+        UNION ALL SELECT 'est_union', est FROM e_u
+        UNION ALL SELECT 'est_inter',
+          (SELECT est FROM e_a) + (SELECT est FROM e_b)
+          - (SELECT est FROM e_u)
+        UNION ALL SELECT 'exact_a',
+          CAST((SELECT count(*) FROM ka) AS BIGINT)
+        UNION ALL SELECT 'exact_b',
+          CAST((SELECT count(*) FROM kb) AS BIGINT)
+        UNION ALL SELECT 'exact_union', CAST(
+          (SELECT count(*) FROM (SELECT k FROM ka UNION
+                                 SELECT k FROM kb)) AS BIGINT)
+        UNION ALL SELECT 'exact_inter', CAST(
+          (SELECT count(*) FROM (SELECT k FROM ka INTERSECT
+                                 SELECT k FROM kb)) AS BIGINT)
     """
 
 
@@ -5304,6 +5413,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 ORDER BY ts DESC, event_id DESC) = 1
         """,
         "hll_distinct": _hll_sql(),
+        "hll_set_ops": _hll_set_ops_sql(),
         "bloom_fpr_audit": _bloom_sql(),
         "merge_upsert": """
             WITH v1 AS (

@@ -549,3 +549,130 @@ def bloom_fpr_audit(sf_dir: str) -> pd.DataFrame:
          "n_bits_set": [n_bits_set], "n_false_pos": [int(fp_ids)],
          "fpr_ppm": [int(fp_ids) * 1_000_000 // max(n_probe, 1)]}
     ).astype("int64")
+
+
+def hll_set_ops(sf_dir: str, type_a: str = "click",
+                type_b: str = "purchase",
+                n_shards: int = 32) -> pd.DataFrame:
+    """HLL SET OPERATIONS — the property that makes register sketches
+    the scale tool for audience overlap: per-side sketches over the
+    "user-day" key (``user_id@YYYY-MM-DD``) for two event types, union
+    estimated from the register-wise MAX of the two sketches (exact
+    mergeability — the union sketch IS the sketch of the union), and
+    intersection by inclusion-exclusion ``|A| + |B| - |A u B|``.  At
+    100 TB each side moves <= 2*256 bounded register partials per
+    batch; the exact counterparts (for the audit columns) ride one
+    key-hash exchange where disjoint key ranges make per-shard set ops
+    exact.  All estimator math is the hll_distinct fixed-point /
+    LUT path, so the DuckDB oracle hash-matches bit-for-bit.
+
+    Rows: (stat, value) for est_/exact_ x a/b/union/inter."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def keys_frame(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin([type_a, type_b])
+        df = df[m]
+        if not len(df):
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype="object"),
+                 "side": pd.Series([], dtype="int64")})
+        key = (df["user_id"].astype("int64").astype(str) + "@"
+               + df["ts"].dt.strftime("%Y-%m-%d"))
+        return pd.DataFrame(
+            {"key": key.to_numpy(object),
+             "side": (df["event_type"] == type_b)
+             .to_numpy().astype(np.int64)})
+
+    def reg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["side", "bucket", "register"]
+        outs = []
+        for side in (0, 1):
+            u = pd.unique(df.loc[df["side"] == side, "key"].to_numpy())
+            if not len(u):
+                continue
+            h = _hll_h60(u)
+            bucket = h % HLL_M
+            w = (h // HLL_M) % (1 << HLL_WBITS)
+            low = w & -w
+            rho = np.where(
+                w == 0, HLL_WBITS + 1,
+                np.log2(np.maximum(low, 1)).astype(np.int64) + 1)
+            g = (pd.DataFrame({"bucket": bucket, "register": rho})
+                 .groupby("bucket", as_index=False)["register"].max())
+            g["side"] = side
+            outs.append(g[cols])
+        if not outs:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        return pd.concat(outs, ignore_index=True).astype("int64")
+
+    keyed = ds.map_batches(keys_frame, batch_format="pandas",
+                           batch_size=65536)
+    parts = keyed.map_batches(reg_partial, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    if "bucket" not in parts.columns:
+        parts = pd.DataFrame({c: pd.Series([], dtype="int64")
+                              for c in ("side", "bucket", "register")})
+
+    def estimate(regs_sparse: pd.Series) -> int:
+        m_j = np.zeros(HLL_M, dtype=np.int64)
+        m_j[regs_sparse.index.to_numpy(np.int64)] = \
+            regs_sparse.to_numpy(np.int64)
+        s = sum(1 << (HLL_K - int(r)) for r in m_j)  # Python big ints
+        est = (HLL_ALPHA_E6 * HLL_M * HLL_M * (1 << HLL_K)) \
+            // (1_000_000 * s)
+        v_empty = int((m_j == 0).sum())
+        if 2 * est <= 5 * HLL_M and v_empty > 0:
+            return hll_lc_lut()[v_empty - 1]
+        return int(est)
+
+    per_side = parts.groupby(["side", "bucket"])["register"].max()
+    reg_a = per_side.loc[0] if 0 in per_side.index.get_level_values(
+        0) else pd.Series(dtype="int64")
+    reg_b = per_side.loc[1] if 1 in per_side.index.get_level_values(
+        0) else pd.Series(dtype="int64")
+    reg_u = parts.groupby("bucket")["register"].max()
+    est_a, est_b, est_u = estimate(reg_a), estimate(reg_b), \
+        estimate(reg_u)
+
+    # exact audit columns: one key-hash exchange, per-shard set ops
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["key", "side"]).copy()
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(k).encode("utf-8")).digest()[:8], "big")
+             for k in d["key"]),
+            dtype=np.uint64, count=len(d))
+        d["shard"] = (h % np.uint64(n_shards)).astype(np.int64)
+        return d[["key", "side", "shard"]]
+
+    def set_ops(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["n_a", "n_b", "n_union", "n_inter"]
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        a = set(g.loc[g["side"] == 0, "key"])
+        b = set(g.loc[g["side"] == 1, "key"])
+        return pd.DataFrame(
+            {"n_a": [len(a)], "n_b": [len(b)],
+             "n_union": [len(a | b)],
+             "n_inter": [len(a & b)]}).astype("int64")
+
+    ex = hash_exchange(
+        keyed.map_batches(key_partial, batch_format="pandas",
+                          batch_size=65536),
+        "shard", n_shards, set_ops).to_pandas()
+    ex_sum = ex.sum() if len(ex) else pd.Series(
+        {c: 0 for c in ("n_a", "n_b", "n_union", "n_inter")})
+
+    return pd.DataFrame(
+        {"stat": ["est_a", "est_b", "est_union", "est_inter",
+                  "exact_a", "exact_b", "exact_union", "exact_inter"],
+         "value": np.asarray(
+             [est_a, est_b, est_u, est_a + est_b - est_u,
+              int(ex_sum["n_a"]), int(ex_sum["n_b"]),
+              int(ex_sum["n_union"]), int(ex_sum["n_inter"])],
+             dtype=np.int64)})

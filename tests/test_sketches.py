@@ -163,3 +163,24 @@ def test_hll_register_merge_order_invariance():
     merged = np.maximum.reduce(
         [registers(part) for part in np.array_split(shuffled, 7)])
     assert (whole == merged).all()
+
+
+def test_hll_set_ops_estimates_track_exact(ray_session):
+    """Union via register max + inclusion-exclusion intersection land
+    within HLL error bounds of the exact set ops, and the exact side
+    satisfies the lattice identities."""
+    from tensorflow_ocr_ray.pipelines.sketches import hll_set_ops
+
+    got = hll_set_ops("/root/testdata/sf0.01").set_index("stat")["value"]
+    # exact identities
+    assert got["exact_union"] + got["exact_inter"] == \
+        got["exact_a"] + got["exact_b"]
+    assert got["exact_union"] >= max(got["exact_a"], got["exact_b"])
+    assert got["exact_inter"] <= min(got["exact_a"], got["exact_b"])
+    # estimates within ~3 std errors (1.04/sqrt(256) ~ 6.5% per side;
+    # intersection differences compound, allow 2x union error)
+    for est, exact in (("est_a", "exact_a"), ("est_b", "exact_b"),
+                       ("est_union", "exact_union")):
+        assert abs(got[est] - got[exact]) <= 0.2 * got[exact] + 8
+    assert abs(got["est_inter"] - got["exact_inter"]) <= \
+        0.4 * got["exact_union"] + 16
