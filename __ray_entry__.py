@@ -1747,6 +1747,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
+        # two-stage retrieval: cheap over-retrieve k1, expensive
+        # candidate-only re-score (even-dim cosine), final top-k
+        "rerank_two_stage": similarity.rerank_two_stage,
         # margin-based bitext mining (Artetxe & Schwenk ratio margin):
         # hubness-normalized best pair per source vector; backward
         # means via per-block top-k partials, never a full sim matrix
@@ -7928,6 +7931,40 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM embeddings
             WHERE vec_id <> 0
             ORDER BY sim DESC, vec_id
+            LIMIT 10
+        """,
+        # stage 1: brute top-40 candidate set; stage 2: even-dimension
+        # cosine rerank of those candidates only; both orderings on
+        # (round(sim,4) DESC, vec_id)
+        "rerank_two_stage": """
+            WITH cands AS (
+              SELECT vec_id,
+                     round(list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[])
+                          FROM embeddings WHERE vec_id = 0)), 4) AS sim1
+              FROM embeddings
+              WHERE vec_id <> 0
+              ORDER BY sim1 DESC, vec_id
+              LIMIT 40
+            ),
+            even AS (
+              SELECT vec_id, list(v ORDER BY i) AS ev
+              FROM (
+                SELECT vec_id,
+                       CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+              )
+              WHERE i % 2 = 1
+              GROUP BY vec_id
+            ),
+            qe AS (SELECT ev FROM even WHERE vec_id = 0)
+            SELECT c.vec_id, c.sim1,
+                   round(list_cosine_similarity(
+                       e.ev, (SELECT ev FROM qe)), 4) AS sim2
+            FROM cands c JOIN even e USING (vec_id)
+            ORDER BY sim2 DESC, c.vec_id
             LIMIT 10
         """,
         "label_centroids": """

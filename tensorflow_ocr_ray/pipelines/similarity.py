@@ -1817,3 +1817,74 @@ def embedding_outlier_audit(sf_dir: str) -> pd.DataFrame:
             .astype({"label": "int64", "n": "int64",
                      "outlier_vec_id": "int64"})
             .sort_values("label").reset_index(drop=True))
+
+
+def rerank_two_stage(sf_dir: str, k: int = 10, k1: int = 40,
+                     query_vec_id: int = 0) -> pd.DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: a CHEAP
+    first stage over-retrieves ``k1`` candidates (full-vector cosine,
+    per-block top-k1 partials, exactly ann_topk_brute's plan), then an
+    EXPENSIVE second stage re-scores ONLY those candidates (here: cosine
+    over the even dimensions — a stand-in for a cross-encoder / larger
+    model whose cost forbids running it on the corpus) and returns the
+    final top-``k`` by the second score.
+
+    Scale shape: stage 1 moves <= k1 x num_blocks skinny rows to the
+    driver; stage 2 broadcasts the k1-candidate id set (tiny) and is a
+    filtered map over the SAME corpus read — per-block candidate hits
+    are <= k1 total, so the second pass's output is bounded by k1 rows
+    regardless of corpus size.  No shuffle in either stage.  Both
+    orderings use (round(sim, 4) DESC, vec_id) so the DuckDB oracle's
+    candidate SET and final ranking match bit-for-bit."""
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def score1(df: pd.DataFrame) -> pd.DataFrame:
+        qv = _bcast_get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"].values, "sim1": np.round(sims, 4)})
+        out = out[out["vec_id"] != query_vec_id]
+        return out.sort_values(["sim1", "vec_id"],
+                               ascending=[False, True]).head(k1)
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(score1, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+        .sort_values(["sim1", "vec_id"], ascending=[False, True])
+        .head(k1)
+    )
+    cand_ref = ray.put((np.sort(cands["vec_id"].to_numpy(np.int64)),
+                        qn[0::2] / np.linalg.norm(qn[0::2])))
+
+    def score2(df: pd.DataFrame) -> pd.DataFrame:
+        cand_ids, q_even = _bcast_get(cand_ref)
+        m_mask = np.isin(df["vec_id"].to_numpy(np.int64), cand_ids)
+        df = df[m_mask]
+        if not len(df):
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "sim2": pd.Series([], dtype="float64")})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m[:, 0::2]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ q_even) / norms
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].values, "sim2": np.round(sims, 4)})
+
+    scored2 = (
+        _emb(sf_dir)
+        .map_batches(score2, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    out = cands.merge(scored2, on="vec_id")
+    out = out.sort_values(["sim2", "vec_id"],
+                          ascending=[False, True]).head(k)
+    return (out[["vec_id", "sim1", "sim2"]]
+            .reset_index(drop=True).astype({"vec_id": "int64"}))

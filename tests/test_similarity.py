@@ -363,3 +363,23 @@ def test_ann_index_append_equals_scratch(ray_session):
     base = glob.glob(f"{d}/code=*/*.parquet")
     assert len(appended) > 0
     assert len(base) > len(appended)  # hardlinked base files present
+
+
+def test_rerank_two_stage_subset_and_reorder(ray_session):
+    """The final top-k is a subset of the stage-1 candidate pool, is
+    ordered by the SECOND score, and the rerank actually changes the
+    ranking vs stage 1 (otherwise the op tests nothing)."""
+    from tensorflow_ocr_ray.pipelines.similarity import (
+        ann_topk_brute,
+        rerank_two_stage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = rerank_two_stage(sf, k=10, k1=40)
+    assert len(got) == 10
+    pool = ann_topk_brute(sf, k=40)
+    assert set(got["vec_id"]) <= set(pool["vec_id"])
+    s2 = got["sim2"].to_numpy()
+    assert (s2[:-1] >= s2[1:]).all()
+    stage1_order = list(pool.head(10)["vec_id"])
+    assert list(got["vec_id"]) != stage1_order  # rerank moved something
