@@ -1309,6 +1309,281 @@ def _media_tiff_ink(sf_dir: str):
     ).map_batches(count_ink, batch_format="pyarrow")
 
 
+def _media_tiff_metadata(sf_dir: str):
+    """Catalog-build metadata extraction, hash-checked: one
+    deterministic single-page TIFF per document carrying planted
+    metadata tags — ImageDescription (ASCII, external value area),
+    Orientation (inline SHORT), XResolution (RATIONAL, external
+    8-byte area), DateTime (20-byte ASCII) — read back by
+    ``stages.multimodal.read_tiff_tags`` from HEADER BYTES ONLY (no
+    strip decode).  This is the first pass a 100-TB imagery catalog
+    runs: route/filter on metadata before spending decode CPU.  All
+    planted values are doc_id arithmetic, so the DuckDB oracle
+    re-derives every column without parsing a byte."""
+    import struct
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        payloads = []
+        for did in df["doc_id"]:
+            d = int(did)
+            desc = f"doc-{d}".encode() + b"\x00"
+            dt = f"2026:01:{1 + d % 28:02d} 00:00:00".encode() + b"\x00"
+            w = h = 8
+            pix = b"\xff" * (w * h)  # 8-bit gray, 1 strip, no comp
+            n_tags = 13
+            ifd_off = 8
+            ext_off = ifd_off + 2 + n_tags * 12 + 4
+            desc_off = ext_off
+            xres_off = desc_off + len(desc)
+            dt_off = xres_off + 8
+            pix_off = dt_off + len(dt)
+            tags = [  # ascending tag order per spec
+                (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+                (259, 3, 1, 1), (262, 3, 1, 1),
+                (270, 2, len(desc), desc_off),
+                (273, 4, 1, pix_off),
+                (274, 3, 1, 1 + d % 8),
+                (277, 3, 1, 1), (278, 3, 1, h),
+                (279, 4, 1, len(pix)),
+                (282, 5, 1, xres_off),
+                (306, 2, len(dt), dt_off),
+            ]
+            out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+            out += struct.pack("<H", n_tags)
+            for tag, typ, count, value in tags:
+                out += struct.pack("<HHII", tag, typ, count, value)
+            out += struct.pack("<I", 0)
+            out += desc
+            out += struct.pack("<II", 72 + d % 4, 1)
+            out += dt
+            out += pix
+            payloads.append(bytes(out))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in df["doc_id"]], type=pa.int64()),
+                "image": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    def extract(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.stages.multimodal import read_tiff_tags
+
+        desc, orient, xres, dt = [], [], [], []
+        for p in batch.column("image").to_pylist():
+            t = read_tiff_tags(p)
+            desc.append(t[270])
+            orient.append(int(t[274]))
+            num, den = t[282]
+            xres.append(num // den)
+            dt.append(t[306])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "description": pa.array(desc, type=pa.string()),
+                "orientation": pa.array(orient, type=pa.int64()),
+                "xres": pa.array(xres, type=pa.int64()),
+                "datetime": pa.array(dt, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(extract, batch_format="pyarrow")
+
+
+def _video_scene_cuts(sf_dir: str):
+    """Scene-change detection, hash-checked: one deterministic
+    palettized-DIB AVI per document with PLANTED scene structure —
+    4 + doc_id%5 frames; scene k paints rows [2k, 2k+2) black; the
+    scene index steps at frame s1 = 1 + doc_id%3 (always) and at
+    s2 = s1 + 2 (only when doc_id is even and s2 < n_frames); every
+    frame additionally carries a one-pixel jitter marker at
+    (h-1, frame_idx % 8) so intra-scene consecutive diffs are small
+    but NONZERO (2 px) while cross-scene diffs are 4 rows + jitter
+    = 34 px.  ``scene_cut_frames`` (one vectorized xor/popcount per
+    video, threshold 16) recovers exactly the planted cuts; the
+    DuckDB oracle re-derives (doc_id, cut_frame, diff=34) from pure
+    arithmetic.  Detection is row-local — zero shuffle at any scale."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def _chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def _list(kind: bytes, body: bytes) -> bytes:
+        return _chunk(b"LIST", kind + body)
+
+    pal = bytes((0, 0, 0, 0)) + bytes((255, 255, 255, 0))
+
+    def synth(df):
+        payloads, ids = [], []
+        for did in df["doc_id"]:
+            d = int(did)
+            h, w = 8 + d % 4, 8
+            nf = 4 + d % 5
+            s1 = 1 + d % 3
+            s2 = s1 + 2 if (d % 2 == 0 and s1 + 2 < nf) else None
+            bih = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 2, 0)
+            strl = _list(
+                b"strl",
+                _chunk(b"strh", bytes(56)) + _chunk(b"strf", bih + pal))
+            hdrl = _list(b"hdrl", _chunk(b"avih", bytes(56)) + strl)
+            frames = []
+            for i in range(nf):
+                k = (1 if i >= s1 else 0) + (
+                    1 if s2 is not None and i >= s2 else 0)
+                idx = np.ones((h, w), dtype=np.uint8)
+                idx[2 * k:2 * k + 2, :] = 0
+                idx[h - 1, i % 8] = 0  # jitter marker
+                frames.append(idx[::-1].tobytes())
+            movi = _list(
+                b"movi", b"".join(_chunk(b"00db", f) for f in frames))
+            body = b"AVI " + hdrl + movi
+            payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            ids.append(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "video": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    def detect(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.video_codecs import decode_avi
+        from tensorflow_ocr_ray.stages.multimodal import scene_cut_frames
+
+        ids, cut_frame, diff = [], [], []
+        for did, p in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("video").to_pylist(),
+        ):
+            gray = decode_avi(p)
+            stack = np.stack([(f < 128).astype(np.uint8) for f in gray])
+            for fi, dv in scene_cut_frames(stack, threshold=16):
+                ids.append(did)
+                cut_frame.append(fi)
+                diff.append(dv)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cut_frame": pa.array(cut_frame, type=pa.int64()),
+                "diff": pa.array(diff, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(detect, batch_format="pyarrow")
+
+
+def _audio_energy_segments(sf_dir: str):
+    """Energy-based audio segmentation (the VAD shape), hash-checked:
+    one PCM16 WAV per document built from SIX 256-sample blocks whose
+    active/silent pattern is the 6-bit value 1 + doc_id%62 (bit j =
+    block j active; active blocks carry a full-scale alternating
+    square wave, silent blocks are zero).  The stage decodes through
+    core/audio_codecs.decode_wav, computes per-block peak energy in
+    one vectorized reshape, thresholds, and run-length-merges into
+    segments — exactly what speech-data curation runs before sending
+    audio to an expensive ASR stage.  Segments are maximal runs of
+    set bits, so the DuckDB oracle re-derives (seg_idx, start_block,
+    end_block, n_blocks) from doc_id arithmetic via window functions."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    BLK, NBLK = 256, 6
+
+    def synth(df):
+        payloads, ids = [], []
+        sq = np.empty(BLK, dtype=np.int16)
+        sq[0::2], sq[1::2] = 16000, -16000
+        for did in df["doc_id"]:
+            d = int(did)
+            bits = 1 + d % 62
+            blocks = [
+                sq if (bits >> j) & 1 else np.zeros(BLK, dtype=np.int16)
+                for j in range(NBLK)
+            ]
+            data = np.concatenate(blocks).astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            payloads.append(
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+            ids.append(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "audio": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    def segment(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.audio_codecs import decode_wav
+
+        ids, seg_idx, start_b, end_b, n_b = [], [], [], [], []
+        for did, p in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("audio").to_pylist(),
+        ):
+            samples = decode_wav(p)
+            peaks = np.abs(
+                samples[:BLK * NBLK].reshape(NBLK, BLK)).max(axis=1)
+            act = peaks > 0.01
+            si = 0
+            j = 0
+            while j < NBLK:
+                if act[j]:
+                    k = j
+                    while k + 1 < NBLK and act[k + 1]:
+                        k += 1
+                    ids.append(did)
+                    seg_idx.append(si)
+                    start_b.append(j)
+                    end_b.append(k)
+                    n_b.append(k - j + 1)
+                    si += 1
+                    j = k + 1
+                else:
+                    j += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "seg_idx": pa.array(seg_idx, type=pa.int64()),
+                "start_block": pa.array(start_b, type=pa.int64()),
+                "end_block": pa.array(end_b, type=pa.int64()),
+                "n_blocks": pa.array(n_b, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(segment, batch_format="pyarrow")
+
+
 def _media_audio_mixed(sf_dir: str):
     """Mixed-container AUDIO routing, hash-checked: EVEN doc_ids carry
     a PCM16 WAV, ODD doc_ids a FLAC (constant subframe) — both encode
@@ -2025,6 +2300,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_lineage_manifest": _ocr_lineage_manifest,
         "media_tiff_ink": _media_tiff_ink,
         "media_header_probe": _media_header_probe,
+        # catalog metadata extraction from TIFF headers (no decode)
+        "tiff_metadata_extract": _media_tiff_metadata,
+        # frame-diff scene-change detection over planted AVI scenes
+        "video_scene_cuts": _video_scene_cuts,
+        # VAD-shaped energy segmentation over planted WAV blocks
+        "audio_energy_segments": _audio_energy_segments,
         # perceptual (brightness-invariant dHash) image dedup over
         # decoded TIFF payloads; oracle = the planted doc_id%8 clusters
         "media_phash_dedup": _media_phash_dedup,
@@ -3921,6 +4202,57 @@ def _oracle_sql_base() -> dict[str, str]:
                        unnest(range(0, 1 + doc_id % 3)) AS i
                 FROM documents
             )
+        """,
+        # planted metadata is doc_id arithmetic: description string,
+        # orientation 1+d%8, xres 72+d%4, datetime day 1+d%28
+        "tiff_metadata_extract": """
+            SELECT doc_id,
+                   'doc-' || CAST(doc_id AS VARCHAR) AS description,
+                   CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+                   CAST(72 + doc_id % 4 AS BIGINT) AS xres,
+                   '2026:01:' || printf('%02d', CAST(1 + doc_id % 28 AS INT))
+                     || ' 00:00:00' AS datetime
+            FROM documents
+        """,
+        # planted cuts: scene steps at s1 = 1+d%3 always, and at s1+2
+        # when d is even and it lands inside the 4+d%5 frames; every
+        # cut flips 4 rows (32 px) + the 2-px jitter marker move
+        "video_scene_cuts": """
+            WITH d AS (
+              SELECT doc_id, 4 + doc_id % 5 AS nf, 1 + doc_id % 3 AS s1
+              FROM documents
+            )
+            SELECT doc_id, cut_frame, CAST(34 AS BIGINT) AS diff
+            FROM (
+              SELECT doc_id, CAST(s1 AS BIGINT) AS cut_frame FROM d
+              UNION ALL
+              SELECT doc_id, CAST(s1 + 2 AS BIGINT) FROM d
+              WHERE doc_id % 2 = 0 AND s1 + 2 < nf
+            )
+        """,
+        # segments = maximal runs of set bits in 1 + doc_id%62
+        "audio_energy_segments": """
+            WITH blocks AS (
+              SELECT doc_id, j, ((1 + doc_id % 62) >> j) & 1 AS act
+              FROM documents, generate_series(0, 5) AS t(j)
+            ), marked AS (
+              SELECT doc_id, j, act,
+                     CASE WHEN act = 1 AND coalesce(
+                            lag(act) OVER (PARTITION BY doc_id ORDER BY j),
+                            0) = 0
+                          THEN 1 ELSE 0 END AS is_start
+              FROM blocks
+            ), segs AS (
+              SELECT doc_id, j,
+                     sum(is_start) OVER (
+                         PARTITION BY doc_id ORDER BY j) AS seg
+              FROM marked WHERE act = 1
+            )
+            SELECT doc_id, CAST(seg - 1 AS BIGINT) AS seg_idx,
+                   CAST(min(j) AS BIGINT) AS start_block,
+                   CAST(max(j) AS BIGINT) AS end_block,
+                   CAST(count(*) AS BIGINT) AS n_blocks
+            FROM segs GROUP BY doc_id, seg
         """,
         # the planted truth: pattern class doc_id%8 IS the perceptual
         # cluster (brightness doc_id%5 cancels in the dHash)

@@ -376,3 +376,82 @@ def dhash56(img: "np.ndarray") -> int:
     p = img.astype(np.int64).reshape(8, 2, 8, 2).sum(axis=(1, 3))
     bits = (p[:, 1:] > p[:, :-1]).astype(np.uint64).ravel()
     return int((bits << np.arange(56, dtype=np.uint64)).sum())
+
+
+def read_tiff_tags(payload: bytes) -> dict:
+    """First-IFD metadata read: tag -> decoded value for the common
+    metadata types (SHORT/LONG inline, ASCII and RATIONAL through the
+    external value area when the encoded size exceeds the 4 inline
+    bytes).  This is the metadata-extraction pass a catalog build runs
+    over 100 TB of imagery — header bytes only, no strip decode, no
+    decompression (the probe_media_header contract extended from size
+    tags to arbitrary first-IFD entries).
+
+    Reference context: the reference reads its TIFFs through libtiff's
+    TIFFGetField (main/tiff2font.c) which performs this same IFD walk
+    internally; here the walk is explicit and the values land in Arrow
+    columns."""
+    import struct as _struct
+
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError(f"not a TIFF: {payload[:4]!r}")
+    le = payload[:2] == b"II"
+    u16, u32 = ("<H", "<I") if le else (">H", ">I")
+    (off,) = _struct.unpack(u32, payload[4:8])
+    (n,) = _struct.unpack(u16, payload[off:off + 2])
+    out: dict = {}
+    for t in range(n):
+        e = off + 2 + t * 12
+        (tag,) = _struct.unpack(u16, payload[e:e + 2])
+        (typ,) = _struct.unpack(u16, payload[e + 2:e + 4])
+        (count,) = _struct.unpack(u32, payload[e + 4:e + 8])
+        raw = payload[e + 8:e + 12]
+        if typ == 2:  # ASCII, count includes NUL
+            if count <= 4:
+                s = raw[:count]
+            else:
+                (voff,) = _struct.unpack(u32, raw)
+                s = payload[voff:voff + count]
+            out[tag] = s.rstrip(b"\x00").decode("ascii")
+        elif typ == 3:  # SHORT
+            if count == 1:
+                out[tag] = _struct.unpack(u16, raw[:2])[0]
+            else:
+                (voff,) = _struct.unpack(u32, raw) if count > 2 else (e + 8,)
+                out[tag] = [
+                    _struct.unpack(u16, payload[voff + 2 * i:
+                                                voff + 2 * i + 2])[0]
+                    for i in range(count)]
+        elif typ == 4:  # LONG
+            if count == 1:
+                out[tag] = _struct.unpack(u32, raw)[0]
+            else:
+                (voff,) = _struct.unpack(u32, raw)
+                out[tag] = [
+                    _struct.unpack(u32, payload[voff + 4 * i:
+                                                voff + 4 * i + 4])[0]
+                    for i in range(count)]
+        elif typ == 5:  # RATIONAL — always external (8 bytes)
+            (voff,) = _struct.unpack(u32, raw)
+            (num,) = _struct.unpack(u32, payload[voff:voff + 4])
+            (den,) = _struct.unpack(u32, payload[voff + 4:voff + 8])
+            out[tag] = (num, den)
+        # other types: skipped (metadata pass, not a full decoder)
+    return out
+
+
+def scene_cut_frames(frames: "np.ndarray", threshold: int) -> list[tuple]:
+    """Consecutive-frame change detection over a (n, h, w) bitonal
+    stack: diff(i) = count(frame_i != frame_{i-1}); frames whose diff
+    exceeds ``threshold`` are scene cuts.  Returns [(frame_idx, diff)].
+
+    Vectorized: ONE xor/popcount over the whole stack (no per-frame
+    Python loop) — at scale each video row costs two numpy ops after
+    decode, and detection is local to the row (zero shuffle)."""
+    import numpy as np
+
+    if frames.shape[0] < 2:
+        return []
+    diffs = (frames[1:] != frames[:-1]).sum(axis=(1, 2))
+    idx = np.nonzero(diffs > threshold)[0]
+    return [(int(i) + 1, int(diffs[i])) for i in idx]

@@ -168,3 +168,56 @@ def test_dhash56_brightness_invariant_and_discriminating():
     import pytest
     with pytest.raises(ValueError):
         dhash56(np.zeros((8, 8), dtype=np.uint8))
+
+
+def test_read_tiff_tags_types_roundtrip():
+    """ASCII (external), inline SHORT, RATIONAL (external value area)
+    all decode from a crafted little-endian single-IFD TIFF."""
+    import struct
+
+    from tensorflow_ocr_ray.stages.multimodal import read_tiff_tags
+
+    desc = b"hello-world\x00"
+    n_tags = 3
+    ifd_off = 8
+    ext = ifd_off + 2 + n_tags * 12 + 4
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n_tags)
+    out += struct.pack("<HHII", 270, 2, len(desc), ext)
+    out += struct.pack("<HHII", 274, 3, 1, 6)
+    out += struct.pack("<HHII", 282, 5, 1, ext + len(desc))
+    out += struct.pack("<I", 0)
+    out += desc
+    out += struct.pack("<II", 300, 4)
+    tags = read_tiff_tags(bytes(out))
+    assert tags[270] == "hello-world"
+    assert tags[274] == 6
+    assert tags[282] == (300, 4)
+
+
+def test_scene_cut_frames_threshold_and_jitter():
+    """Small intra-scene jitter stays below threshold; a multi-row
+    scene flip is detected with its exact pixel diff."""
+    import numpy as np
+
+    from tensorflow_ocr_ray.stages.multimodal import scene_cut_frames
+
+    f = np.zeros((5, 8, 8), dtype=np.uint8)
+    for i in range(5):
+        f[i, 7, i] = 1          # jitter: diff 2 between neighbors
+    f[3:, 0:2, :] = 1           # scene flip at frame 3: +16 px
+    cuts = scene_cut_frames(f, threshold=10)
+    assert cuts == [(3, 18)]    # 16 scene px + 2 jitter px
+    assert scene_cut_frames(f[:1], threshold=0) == []
+
+
+def test_audio_energy_segments_planted_runs(ray_session):
+    """doc_id=13 -> bits 14 = 0b001110 -> one segment blocks 1..3."""
+    import __ray_entry__ as e
+
+    got = (e.queries()["audio_energy_segments"]("/root/testdata/sf0.001")
+           .to_pandas())
+    d13 = got[got["doc_id"] == 13].reset_index(drop=True)
+    assert len(d13) == 1
+    assert (int(d13["start_block"][0]), int(d13["end_block"][0]),
+            int(d13["n_blocks"][0])) == (1, 3, 3)

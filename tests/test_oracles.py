@@ -280,6 +280,9 @@ def test_ann_topk_multi_oracle(ray_session):
         ("daily_ewma", ["events"]),
         ("ann_topk_ivfpq", ["embeddings"]),
         ("media_mixed_frames", ["documents"]),
+        ("tiff_metadata_extract", ["documents"]),
+        ("video_scene_cuts", ["documents"]),
+        ("audio_energy_segments", ["documents"]),
         ("merge_upsert", ["orders"]),
         ("mv_delta_refresh", ["orders"]),
         ("key_skew_audit", ["orders"]),
