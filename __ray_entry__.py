@@ -2062,6 +2062,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gate": curation.source_gate,
         "dup_span_coverage": curation.dup_span_coverage,
         "vocab_topk": curation.vocab_topk,
+        # Heaps'-law growth curve: one token-shard exchange for firsts,
+        # shuffle-free cumulative token totals
+        "heaps_vocab_growth": curation.heaps_vocab_growth,
+        # hapax/dis-legomena tail-mass profile per source + __all__
+        "hapax_stats": curation.hapax_stats,
+        # per-doc unigram entropy, exact fixed-point via the shared LUT
+        "token_entropy": curation.token_entropy,
         "source_token_gini": curation.source_token_gini,
         "bigram_pmi_topk": curation.bigram_pmi_topk,
         "bigram_lm_familiarity": curation.bigram_lm_familiarity,
@@ -3494,6 +3501,36 @@ def _dup_span_sql() -> str:
     """
 
 
+def _token_entropy_sql() -> str:
+    """DuckDB re-derivation of curation.token_entropy: the SAME
+    round(log2 * 1e6) fixed-point LUT (curation._log2_lut_ppm) is
+    injected as a VALUES list, so E_ppm = (N*lut[N] - sum c*lut[c])//N
+    is exact int64 arithmetic in both engines — the benford-LUT
+    precedent over the token-count domain."""
+    from tensorflow_ocr_ray.pipelines.curation import _log2_lut_ppm
+
+    lut = _log2_lut_ppm()
+    vals = ", ".join(f"({x}, {int(lut[x])})" for x in range(1, len(lut)))
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+          FROM documents
+        ),
+        tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        c AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY doc_id, t),
+        n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id),
+        lut(x, v) AS (VALUES {vals}),
+        s AS (
+          SELECT c.doc_id, sum(c.c * lv.v) AS sc
+          FROM c JOIN lut lv ON lv.x = c.c GROUP BY c.doc_id
+        )
+        SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+               CAST((n.n * ln.v - s.sc) // n.n AS BIGINT) AS entropy_ppm
+        FROM n JOIN lut ln ON ln.x = n.n JOIN s USING (doc_id)
+    """
+
+
 def _vocab_topk_sql() -> str:
     """DuckDB re-derivation of curation.vocab_topk: identical whitespace
     tokenization (lower -> trim -> \\s+ split, empties dropped), exact
@@ -4431,6 +4468,61 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM agg
         """,
         "vocab_topk": _vocab_topk_sql(),
+        "token_entropy": _token_entropy_sql(),
+        # cumulative vocab/token curve at doc-count deciles
+        "heaps_vocab_growth": r"""
+            WITH n AS (SELECT count(*) AS nd FROM documents),
+            grid AS (
+              SELECT k, (k * nd) // 10 AS c
+              FROM generate_series(1, 10) AS g(k), n
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS t
+              FROM documents
+            ),
+            tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+            firsts AS (SELECT t, min(doc_id) AS fd FROM tk GROUP BY t)
+            SELECT CAST(g.k AS BIGINT) AS checkpoint,
+                   CAST(g.c AS BIGINT) AS docs,
+                   CAST((SELECT count(*) FROM tk WHERE tk.doc_id < g.c)
+                        AS BIGINT) AS total_tokens,
+                   CAST((SELECT count(*) FROM firsts f WHERE f.fd < g.c)
+                        AS BIGINT) AS vocab_size
+            FROM grid g
+        """,
+        # per-source + global vocab tail mass (hapax = cnt 1, dis = 2)
+        "hapax_stats": r"""
+            WITH tok AS (
+              SELECT source,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS t
+              FROM documents
+            ),
+            tk AS (SELECT source, t FROM tok WHERE t <> ''),
+            c AS (SELECT source, t, count(*) AS c FROM tk
+                  GROUP BY source, t),
+            per AS (
+              SELECT source, count(*) AS vocab,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+                     sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS dis
+              FROM c GROUP BY source
+            ),
+            g AS (SELECT t, sum(c) AS c FROM c GROUP BY t),
+            ga AS (
+              SELECT '__all__' AS source, count(*) AS vocab,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+                     sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS dis
+              FROM g
+            ),
+            u AS (SELECT * FROM per UNION ALL SELECT * FROM ga)
+            SELECT source, CAST(vocab AS BIGINT) AS vocab,
+                   CAST(hapax AS BIGINT) AS hapax,
+                   CAST(dis AS BIGINT) AS dis,
+                   CAST(hapax * 1000000 // vocab AS BIGINT) AS hapax_ppm
+            FROM u
+        """,
         "length_percentile_gate": _length_gate_sql(),
         "gopher_gate": _gopher_gate_sql(),
         # extract -> curate composition: the gate CTE runs over RAW

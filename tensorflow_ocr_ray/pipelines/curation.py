@@ -2783,3 +2783,198 @@ def paragraph_dedup(sf_dir: str, p: int = PARA_TOKENS,
         sentinels, batch_format="pandas", batch_size=65536)
     return hash_exchange(decided.union(sent), "dshard", n_shards,
                          assemble)
+
+
+# ---------------- vocabulary statistics (Heaps / hapax / entropy) ----------
+
+ENTROPY_LUT_MAX = 512
+
+
+def _log2_lut_ppm() -> "np.ndarray":
+    """lut[x] = round(log2(x) * 1e6) for x in 0..ENTROPY_LUT_MAX
+    (lut[0] = 0, unused).  Injected VERBATIM into the DuckDB oracle as
+    a VALUES list, so both engines share one fixed-point log table and
+    every entropy is an exact int64 — the order_value_benford
+    precedent extended from 9 digits to the token-count domain."""
+    import numpy as np
+
+    x = np.arange(ENTROPY_LUT_MAX + 1, dtype=np.float64)
+    x[0] = 1.0
+    return np.round(np.log2(x) * 1_000_000).astype(np.int64)
+
+
+def heaps_vocab_growth(sf_dir: str, n_checkpoints: int = 10) -> pd.DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct-token
+    count (and cumulative token total) after each 1/n-th of the corpus
+    in doc_id order — the diminishing-returns audit a pretraining-data
+    team reads before buying more of the same source.
+
+    Physical plan: a token's contribution to the curve is its FIRST
+    doc_id, so per-batch (token -> min doc_id) partials route through
+    ONE crc32-token-shard exchange (vocab_topk's key), each shard
+    min-reduces and emits its tokens bucketed by checkpoint — a
+    ``n_checkpoints``-bounded histogram per shard.  Cumulative token
+    totals need no shuffle at all: per-batch checkpoint-bucketed count
+    partials tree-combine.  The driver sees shards x checkpoints rows,
+    never a token row."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cps = np.array(
+        [(k * n_docs) // n_checkpoints for k in range(1, n_checkpoints + 1)],
+        dtype=np.int64)
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        first: dict = {}
+        for did, text in zip(df["doc_id"], df["text"]):
+            d = int(did)
+            for t in split_tokens(text.lower()):
+                if t and (t not in first or first[t] > d):
+                    first[t] = d
+        toks = list(first.keys())
+        return pd.DataFrame(
+            {
+                "token": toks,
+                "fd": np.fromiter((first[t] for t in toks),
+                                  dtype=np.int64, count=len(toks)),
+                "tshard": np.fromiter(
+                    (zlib.crc32(t.encode()) % _N_SHARDS for t in toks),
+                    dtype=np.int64, count=len(toks)),
+            }
+        )
+
+    def shard_hist(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("token")["fd"].min().to_numpy(np.int64)
+        # vocab bucket k counts tokens first seen in (cps[k-1], cps[k]]
+        # i.e. fd < cps[k] cumulative — emit per-bucket increments
+        b = np.searchsorted(cps, fd, side="right")
+        cnt = np.bincount(b, minlength=n_checkpoints)[:n_checkpoints]
+        return pd.DataFrame(
+            {"k": np.arange(1, n_checkpoints + 1, dtype=np.int64),
+             "new_vocab": cnt.astype(np.int64)})
+
+    vocab_inc = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(first_partial, batch_format="pandas", batch_size=1024)
+        .groupby("tshard")
+        .map_groups(shard_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("k", as_index=False)["new_vocab"].sum()
+        .sort_values("k")
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(np.int64)
+        ntok = np.fromiter(
+            (sum(1 for t in split_tokens(tx.lower()) if t)
+             for tx in df["text"]),
+            dtype=np.int64, count=len(df))
+        b = np.searchsorted(cps, did, side="right")
+        inc = np.zeros(n_checkpoints, dtype=np.int64)
+        np.add.at(inc, b, ntok)
+        return pd.DataFrame(
+            {"k": np.arange(1, n_checkpoints + 1, dtype=np.int64),
+             "new_tokens": inc})
+
+    tok_inc = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count_partial, batch_format="pandas", batch_size=1024)
+        .to_pandas()
+        .groupby("k", as_index=False)["new_tokens"].sum()
+        .sort_values("k")
+    )
+    out = vocab_inc.merge(tok_inc, on="k")
+    out["docs"] = cps
+    out["total_tokens"] = out["new_tokens"].cumsum()
+    out["vocab_size"] = out["new_vocab"].cumsum()
+    return (out[["k", "docs", "total_tokens", "vocab_size"]]
+            .rename(columns={"k": "checkpoint"})
+            .astype("int64"))
+
+
+def hapax_stats(sf_dir: str) -> pd.DataFrame:
+    """Hapax/dis-legomena profile per source (plus ``__all__``): vocab
+    size, tokens occurring exactly once / exactly twice, and the hapax
+    share in ppm — the tail-mass diagnostic for tokenizer training
+    (a high hapax share means vocab growth is far from saturated).
+
+    One crc32-token-shard exchange (each token's global and per-source
+    counts complete inside its shard); shards emit a |sources|-bounded
+    summary; the driver adds a bounded grid."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for src, text in zip(df["source"], df["text"]):
+            for t in split_tokens(text.lower()):
+                if t:
+                    c[(src, t)] += 1
+        keys = list(c.keys())
+        return pd.DataFrame(
+            {
+                "source": [k[0] for k in keys],
+                "token": [k[1] for k in keys],
+                "cnt": np.fromiter((c[k] for k in keys),
+                                   dtype=np.int64, count=len(keys)),
+                "tshard": np.fromiter(
+                    (zlib.crc32(k[1].encode()) % _N_SHARDS for k in keys),
+                    dtype=np.int64, count=len(keys)),
+            }
+        )
+
+    def shard_summary(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["source", "token"], as_index=False)["cnt"].sum()
+        rows = []
+        for src, sub in per.groupby("source"):
+            cnt = sub["cnt"].to_numpy(np.int64)
+            rows.append((str(src), len(cnt), int((cnt == 1).sum()),
+                         int((cnt == 2).sum())))
+        gl = per.groupby("token", as_index=False)["cnt"].sum()
+        cnt = gl["cnt"].to_numpy(np.int64)
+        rows.append(("__all__", len(cnt), int((cnt == 1).sum()),
+                     int((cnt == 2).sum())))
+        return pd.DataFrame(
+            rows, columns=["source", "vocab", "hapax", "dis"])
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(counts, batch_format="pandas", batch_size=1024)
+        .groupby("tshard")
+        .map_groups(shard_summary, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)[["vocab", "hapax", "dis"]].sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    agg["hapax_ppm"] = (agg["hapax"] * 1_000_000) // agg["vocab"]
+    return agg.astype({"vocab": "int64", "hapax": "int64",
+                       "dis": "int64", "hapax_ppm": "int64"})
+
+
+def token_entropy(sf_dir: str) -> "rd.Dataset":
+    """Per-document unigram entropy in exact fixed-point micro-bits:
+    E_ppm = (N*lut[N] - sum_i c_i*lut[c_i]) // N with lut = the shared
+    round(log2 * 1e6) table — the information-density quality signal
+    (spam and keyword-stuffed pages score low, natural prose high).
+    Map-only, zero shuffle; the oracle joins the SAME injected LUT, so
+    every value is an exact int64 match."""
+    lut = _log2_lut_ppm()
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        n_out = np.empty(len(df), dtype=np.int64)
+        e_out = np.empty(len(df), dtype=np.int64)
+        for i, text in enumerate(df["text"]):
+            c = Counter(t for t in split_tokens(text.lower()) if t)
+            cnt = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+            n = int(cnt.sum())
+            if n > ENTROPY_LUT_MAX:
+                raise ValueError(
+                    f"token count {n} exceeds ENTROPY_LUT_MAX "
+                    f"{ENTROPY_LUT_MAX}; widen the shared LUT")
+            n_out[i] = n
+            e_out[i] = (n * int(lut[n]) - int((cnt * lut[cnt]).sum())) // n
+        return pd.DataFrame(
+            {"doc_id": ids, "n_tokens": n_out, "entropy_ppm": e_out})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ent, batch_format="pandas", batch_size=1024)

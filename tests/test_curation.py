@@ -785,3 +785,40 @@ def test_paragraph_dedup_keep_first_and_reassembly(ray_session, tmp_path):
     # empty doc present with zero chunks
     assert out.loc[3, "n_chunks"] == 0
     assert out.loc[3, "kept_text"] == ""
+
+
+def test_heaps_growth_monotone_and_total(ray_session):
+    """Vocab and token curves are nondecreasing; the last checkpoint
+    equals the whole-corpus totals."""
+    from tensorflow_ocr_ray.pipelines.curation import (
+        heaps_vocab_growth,
+        vocab_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = heaps_vocab_growth(sf)
+    assert (got["vocab_size"].diff().dropna() >= 0).all()
+    assert (got["total_tokens"].diff().dropna() >= 0).all()
+    assert int(got["docs"].iloc[-1]) == 500
+    # full-corpus vocab equals the distinct-token universe the
+    # vocab_topk shard counts see
+    import zlib
+
+    from tensorflow_ocr_ray.pipelines.curation import hapax_stats
+
+    hs = hapax_stats(sf)
+    assert int(got["vocab_size"].iloc[-1]) == int(
+        hs.loc[hs["source"] == "__all__", "vocab"].iloc[0])
+
+
+def test_token_entropy_bounds(ray_session):
+    """0 <= E_ppm <= lut[N] (max-entropy bound) for every doc."""
+    from tensorflow_ocr_ray.pipelines.curation import (
+        _log2_lut_ppm,
+        token_entropy,
+    )
+
+    got = token_entropy("/root/testdata/sf0.001").to_pandas()
+    lut = _log2_lut_ppm()
+    assert (got["entropy_ppm"] >= 0).all()
+    assert (got["entropy_ppm"] <= lut[got["n_tokens"].to_numpy()]).all()

@@ -281,6 +281,9 @@ def test_ann_topk_multi_oracle(ray_session):
         ("ann_topk_ivfpq", ["embeddings"]),
         ("media_mixed_frames", ["documents"]),
         ("tiff_metadata_extract", ["documents"]),
+        ("heaps_vocab_growth", ["documents"]),
+        ("hapax_stats", ["documents"]),
+        ("token_entropy", ["documents"]),
         ("video_scene_cuts", ["documents"]),
         ("audio_energy_segments", ["documents"]),
         ("merge_upsert", ["orders"]),
