@@ -2075,6 +2075,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novel_trigrams": curation.doc_novel_trigrams,
         "length_percentile_gate": curation.length_percentile_gate,
         "gopher_gate": curation.gopher_gate,
+        # sequential funnel: lang -> length -> repetition -> exact dup,
+        # each rule charged only for docs surviving the earlier ones
+        "filter_funnel": curation.filter_funnel,
         "doc_rarity": curation.doc_rarity,
         "mixture_rebalance": curation.mixture_rebalance,
         "source_topk_docs": curation.source_topk_docs,
@@ -4525,6 +4528,48 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "length_percentile_gate": _length_gate_sql(),
         "gopher_gate": _gopher_gate_sql(),
+        # sequential drop attribution over the gate signals; dedup
+        # keeper = min doc_id per identical text among rule-1..3
+        # survivors only (the order is the point of the funnel)
+        "filter_funnel": f"""
+            WITH gate AS ({_gopher_gate_sql()}),
+            v AS (
+              SELECT d.doc_id, d.text,
+                     CASE WHEN d.lang <> 'en' THEN 1
+                          WHEN g.fail_reason IN ('too_short', 'too_long')
+                              THEN 2
+                          WHEN g.fail_reason IN ('repetitive_unigram',
+                                                 'repetitive_trigram')
+                              THEN 3
+                          ELSE 0 END AS dropped_at
+              FROM documents d JOIN gate g USING (doc_id)
+            ),
+            surv AS (SELECT doc_id, text FROM v WHERE dropped_at = 0),
+            keep AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+                          THEN 0 ELSE 4 END AS dropped_at
+              FROM surv
+            ),
+            final AS (
+              SELECT doc_id, dropped_at FROM v WHERE dropped_at > 0
+              UNION ALL SELECT doc_id, dropped_at FROM keep
+            ),
+            stages(stage, rule) AS (VALUES
+              (1, 'lang'), (2, 'length'), (3, 'repetitive'),
+              (4, 'exact_dup'))
+            SELECT CAST(s.stage AS BIGINT) AS stage, s.rule,
+                   CAST((SELECT count(*) FROM final f
+                         WHERE f.dropped_at = 0
+                            OR f.dropped_at >= s.stage) AS BIGINT) AS n_in,
+                   CAST((SELECT count(*) FROM final f
+                         WHERE f.dropped_at = s.stage) AS BIGINT)
+                       AS n_dropped,
+                   CAST((SELECT count(*) FROM final f
+                         WHERE f.dropped_at = 0
+                            OR f.dropped_at > s.stage) AS BIGINT) AS n_out
+            FROM stages s
+        """,
         # extract -> curate composition: the gate CTE runs over RAW
         # documents.text (the wrap/extract pair is exact-inverse on
         # these corpora), keeper = window-min doc_id per identical text

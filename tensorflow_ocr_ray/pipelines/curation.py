@@ -2978,3 +2978,90 @@ def token_entropy(sf_dir: str) -> "rd.Dataset":
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ent, batch_format="pandas", batch_size=1024)
+
+
+# ---------------- sequential filter funnel with per-rule attribution ------
+
+FUNNEL_RULES = ((1, "lang"), (2, "length"), (3, "repetitive"),
+                (4, "exact_dup"))
+
+
+def filter_funnel(sf_dir: str, keep_lang: str = "en") -> pd.DataFrame:
+    """Per-rule drop attribution for the sequential curation chain
+    lang -> length window -> repetition -> exact dedup — the funnel
+    table every corpus-curation report leads with (how many documents
+    each rule removed, IN ORDER, so rules are charged only for docs
+    that survived the earlier ones).
+
+    Physical plan: one map-only pass computes each doc's first failing
+    rule (gopher_gate_batch signals + the lang column) and emits a
+    4-bounded per-batch histogram; survivors' md5 text hashes route
+    through ONE hash-shard exchange where each shard counts
+    rows - distinct(hash) (keep-first dedup losses) — bounded partials
+    only; the driver assembles a 4-row grid.  Nothing driver-side
+    scales with the corpus."""
+    import hashlib
+
+    def verdict_hist(df: pd.DataFrame) -> pd.DataFrame:
+        gate = gopher_gate_batch(df)
+        reason = gate["fail_reason"].to_numpy()
+        lang_bad = df["lang"].to_numpy() != keep_lang
+        dropped = np.where(
+            lang_bad, 1,
+            np.where((reason == "too_short") | (reason == "too_long"), 2,
+                     np.where((reason == "repetitive_unigram")
+                              | (reason == "repetitive_trigram"), 3, 0)))
+        cnt = np.bincount(dropped, minlength=4)[:4]
+        return pd.DataFrame(
+            {"stage": np.arange(4, dtype=np.int64),
+             "n": cnt.astype(np.int64)})
+
+    hist = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(verdict_hist, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+        .groupby("stage", as_index=False)["n"].sum()
+        .set_index("stage")["n"]
+    )
+
+    def survivor_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        gate = gopher_gate_batch(df)
+        reason = gate["fail_reason"].to_numpy()
+        ok = ((df["lang"].to_numpy() == keep_lang) & (reason == "kept"))
+        sub = df[ok]
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in sub["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].to_numpy(np.int64),
+                "h": hs,
+                "hshard": np.fromiter(
+                    (int(x[:8], 16) % _N_SHARDS for x in hs),
+                    dtype=np.int64, count=len(hs)),
+            }
+        )
+
+    def shard_dup_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"dups": [np.int64(len(g) - g["h"].nunique())]})
+
+    dup_drops = int(
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(survivor_hashes, batch_format="pandas",
+                     batch_size=4096)
+        .groupby("hshard")
+        .map_groups(shard_dup_count, batch_format="pandas")
+        .to_pandas()["dups"].sum()
+    )
+
+    n_total = int(hist.sum())
+    drops = [int(hist.get(1, 0)), int(hist.get(2, 0)),
+             int(hist.get(3, 0)), dup_drops]
+    rows = []
+    n_in = n_total
+    for (stage, rule), d in zip(FUNNEL_RULES, drops):
+        rows.append((stage, rule, n_in, d, n_in - d))
+        n_in -= d
+    return pd.DataFrame(
+        rows, columns=["stage", "rule", "n_in", "n_dropped", "n_out"]
+    ).astype({"stage": "int64", "n_in": "int64",
+              "n_dropped": "int64", "n_out": "int64"})
