@@ -1999,6 +1999,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus search (pipelines/search.py): map-only inverted-index ops
         "phrase_search": search.phrase_search,
         "bm25_topk": search.bm25_topk,
+        # reciprocal-rank fusion of BM25 + Dirichlet query-likelihood
+        # top-100 lists (k=60), one stats pass + one dual-scorer pass
+        "rrf_fusion": search.rrf_fusion,
         # schema-audit profiling (pipelines/profiling.py): one streaming
         # pass, map-side partials only
         "profile_lineitem": profiling.profile_table,
@@ -4028,6 +4031,79 @@ def _oracle_sql_base() -> dict[str, str]:
                          AS rank,
                      doc_id, score
               FROM scored
+            ) WHERE rank <= 20
+        """,
+        # RRF fusion of the BM25 ranking above and a Dirichlet-smoothed
+        # query-likelihood ranking (product form, mu=2000) — every
+        # score is the identical chain of IEEE double ops as
+        # pipelines/search.py rrf_fusion; rrf = 1/(60+rank_a) +
+        # 1/(60+rank_b) over each ranker's top-100, missing side 0
+        "rrf_fusion": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ts
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, len(ts)::DOUBLE AS dl,
+                     len(list_filter(ts, x -> x = 'scan'))::DOUBLE AS tf0,
+                     len(list_filter(ts, x -> x = 'join'))::DOUBLE AS tf1,
+                     len(list_filter(ts, x -> x = 'filter'))::DOUBLE AS tf2
+              FROM tok
+            ),
+            s AS (
+              SELECT count(*)::DOUBLE AS n, sum(dl) AS tt,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2,
+                     sum(tf0) AS cf0, sum(tf1) AS cf1, sum(tf2) AS cf2
+              FROM d
+            ),
+            scored AS (
+              SELECT doc_id,
+                ((n - df0 + 0.5) / (df0 + 0.5))
+                  * ((tf0 * (1.2 + 1.0))
+                     / (tf0 + 1.2 * ((1.0 - 0.75)
+                                     + (0.75 * dl) / (tt / n))))
+              + ((n - df1 + 0.5) / (df1 + 0.5))
+                  * ((tf1 * (1.2 + 1.0))
+                     / (tf1 + 1.2 * ((1.0 - 0.75)
+                                     + (0.75 * dl) / (tt / n))))
+              + ((n - df2 + 0.5) / (df2 + 0.5))
+                  * ((tf2 * (1.2 + 1.0))
+                     / (tf2 + 1.2 * ((1.0 - 0.75)
+                                     + (0.75 * dl) / (tt / n))))
+                AS bm25,
+                1.0 * ((tf0 + 2000.0 * cf0 / tt) / (dl + 2000.0))
+                    * ((tf1 + 2000.0 * cf1 / tt) / (dl + 2000.0))
+                    * ((tf2 + 2000.0 * cf2 / tt) / (dl + 2000.0)) AS ql
+              FROM d, s
+            ),
+            ra AS (
+              SELECT doc_id, rank_a FROM (
+                SELECT doc_id, row_number() OVER
+                    (ORDER BY bm25 DESC, doc_id) AS rank_a
+                FROM scored
+              ) WHERE rank_a <= 100
+            ),
+            rb AS (
+              SELECT doc_id, rank_b FROM (
+                SELECT doc_id, row_number() OVER
+                    (ORDER BY ql DESC, doc_id) AS rank_b
+                FROM scored
+              ) WHERE rank_b <= 100
+            ),
+            fused AS (
+              SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                     COALESCE(1.0 / (60 + rank_a), 0.0)
+                   + COALESCE(1.0 / (60 + rank_b), 0.0) AS rrf
+              FROM ra FULL OUTER JOIN rb USING (doc_id)
+            )
+            SELECT rank, doc_id, rrf FROM (
+              SELECT row_number() OVER (ORDER BY rrf DESC, doc_id)
+                         AS rank,
+                     doc_id, rrf
+              FROM fused
             ) WHERE rank <= 20
         """,
         # schema-audit profile: one row per lineitem column; integer

@@ -150,3 +150,116 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
     final = tops.iloc[order[:k]].reset_index(drop=True)
     final.insert(0, "rank", np.arange(1, len(final) + 1, dtype=np.int64))
     return final
+
+
+# ---------------- reciprocal-rank fusion of two retrieval families ---------
+
+RRF_K = 60
+RRF_DEPTH = 100
+RRF_TOPK = 20
+QL_MU = 2000.0
+
+
+def rrf_fusion(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
+               depth: int = RRF_DEPTH, k: int = RRF_TOPK) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two INDEPENDENT retrieval scorers —
+    BM25 (the ln-free idf variant above) and a Dirichlet-smoothed
+    query-likelihood model (product form, mu = 2000: monotone-equal to
+    the usual log-sum, but a fixed chain of IEEE double ops both
+    engines write identically) — the standard way a retrieval stack
+    combines lexical rankers without score calibration:
+    ``rrf(d) = sum over rankers of 1/(60 + rank_r(d))`` over each
+    ranker's top-``depth`` list, missing side contributing 0.
+
+    Distributed shape: ONE stats pass (per-block partials of n_docs,
+    total_tokens, df_t, cf_t — bounded one row per block), stats
+    broadcast; ONE scoring pass emitting per-block top-``depth``
+    partials for BOTH scorers at once (<= 2*depth skinny rows per
+    block); driver merges O(blocks*depth) rows, fuses, returns top-k.
+    Corpus text never leaves the map stage."""
+    terms = tuple(terms)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dls = []
+        dfs = np.zeros(len(terms), dtype=np.int64)
+        cfs = np.zeros(len(terms), dtype=np.int64)
+        for text in df["text"]:
+            toks = text.strip().lower().split()
+            dls.append(len(toks))
+            for i, t in enumerate(terms):
+                c = toks.count(t)
+                cfs[i] += c
+                dfs[i] += c > 0
+        row = {"n_docs": np.int64(len(df)),
+               "total_tokens": np.int64(sum(dls))}
+        for i in range(len(terms)):
+            row[f"df_{i}"] = dfs[i]
+            row[f"cf_{i}"] = cfs[i]
+        return pd.DataFrame([row])
+
+    partials = _docs(sf_dir).map_batches(
+        stats_partial, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    n = np.float64(int(partials["n_docs"].sum()))
+    ct = np.float64(int(partials["total_tokens"].sum()))
+    dfs = [np.float64(int(partials[f"df_{i}"].sum()))
+           for i in range(len(terms))]
+    cfs = [np.float64(int(partials[f"cf_{i}"].sum()))
+           for i in range(len(terms))]
+    avgdl = ct / n
+    stats_ref = ray.put((terms, dfs, cfs, n, ct, avgdl))
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        terms_, dfs_, cfs_, n_, ct_, avgdl_ = ray.get(stats_ref)
+        tfs = np.zeros((len(df), len(terms_)), dtype=np.float64)
+        dl = np.zeros(len(df), dtype=np.float64)
+        for r, text in enumerate(df["text"]):
+            toks = text.strip().lower().split()
+            dl[r] = len(toks)
+            for i, t in enumerate(terms_):
+                tfs[r, i] = toks.count(t)
+        bm25 = np.zeros(len(df), dtype=np.float64)
+        ql = np.ones(len(df), dtype=np.float64)
+        for i in range(len(terms_)):
+            tf = tfs[:, i]
+            # identical expressions (and order) to the SQL oracle
+            bm25 = bm25 + ((n_ - dfs_[i] + 0.5) / (dfs_[i] + 0.5)) * (
+                (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * ((1.0 - BM25_B)
+                                   + (BM25_B * dl) / avgdl_))
+            )
+            ql = ql * ((tf + QL_MU * cfs_[i] / ct_) / (dl + QL_MU))
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "bm25": bm25, "ql": ql}
+        )
+        ob = np.lexsort((out["doc_id"].to_numpy(), -bm25))[:depth]
+        oq = np.lexsort((out["doc_id"].to_numpy(), -ql))[:depth]
+        keep = np.union1d(ob, oq)
+        return out.iloc[keep].reset_index(drop=True)
+
+    cand = _docs(sf_dir).map_batches(
+        score_block, batch_format="pandas", batch_size=4096
+    ).to_pandas()  # <= 2*depth rows per block — bounded
+    ob = np.lexsort((cand["doc_id"].to_numpy(),
+                     -cand["bm25"].to_numpy()))[:depth]
+    oq = np.lexsort((cand["doc_id"].to_numpy(),
+                     -cand["ql"].to_numpy()))[:depth]
+    rrf = {}
+    for rank, idx in enumerate(ob, start=1):
+        d = int(cand["doc_id"].iat[idx])
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (RRF_K + np.float64(rank))
+    for rank, idx in enumerate(oq, start=1):
+        d = int(cand["doc_id"].iat[idx])
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (RRF_K + np.float64(rank))
+    fused = pd.DataFrame(
+        {"doc_id": np.fromiter(rrf.keys(), dtype=np.int64,
+                               count=len(rrf)),
+         "rrf": np.fromiter(rrf.values(), dtype=np.float64,
+                            count=len(rrf))}
+    )
+    order = np.lexsort((fused["doc_id"].to_numpy(),
+                        -fused["rrf"].to_numpy()))
+    final = fused.iloc[order[:k]].reset_index(drop=True)
+    final.insert(0, "rank", np.arange(1, len(final) + 1, dtype=np.int64))
+    return final

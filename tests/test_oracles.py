@@ -240,6 +240,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("densify_hourly_user", ["events"]),
         ("phrase_search", ["documents"]),
         ("bm25_topk", ["documents"]),
+        ("rrf_fusion", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
         ("profile_events", ["events"]),
         ("media_gif_frames", ["documents"]),

@@ -383,3 +383,89 @@ def test_rerank_two_stage_subset_and_reorder(ray_session):
     assert (s2[:-1] >= s2[1:]).all()
     stage1_order = list(pool.head(10)["vec_id"])
     assert list(got["vec_id"]) != stage1_order  # rerank moved something
+
+
+def test_rrf_fusion_sequential_parity(ray_session):
+    """rrf_fusion == a sequential single-process RRF over the whole
+    corpus: BM25 and Dirichlet-QL top-100 lists, rrf = sum of
+    1/(60+rank) with the missing side contributing 0."""
+    import numpy as np
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.search import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        QL_MU,
+        RRF_DEPTH,
+        RRF_K,
+        RRF_TOPK,
+        rrf_fusion,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = rrf_fusion(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = [t.strip().lower().split() for t in docs["text"]]
+    n = np.float64(len(docs))
+    ct = np.float64(sum(len(t) for t in toks))
+    avgdl = ct / n
+    dfs = [np.float64(sum(1 for t in toks if term in t))
+           for term in BM25_TERMS]
+    cfs = [np.float64(sum(t.count(term) for t in toks))
+           for term in BM25_TERMS]
+    bm25, ql = [], []
+    for t in toks:
+        dl = np.float64(len(t))
+        s = np.float64(0.0)
+        p = np.float64(1.0)
+        for i, term in enumerate(BM25_TERMS):
+            tf = np.float64(t.count(term))
+            s = s + ((n - dfs[i] + 0.5) / (dfs[i] + 0.5)) * (
+                (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dl) / avgdl)))
+            p = p * ((tf + QL_MU * cfs[i] / ct) / (dl + QL_MU))
+        bm25.append(s)
+        ql.append(p)
+    ids = docs["doc_id"].astype("int64").to_numpy()
+    rrf = {}
+    for scores in (np.asarray(bm25), np.asarray(ql)):
+        order = np.lexsort((ids, -scores))[:RRF_DEPTH]
+        for rank, idx in enumerate(order, start=1):
+            d = int(ids[idx])
+            rrf[d] = rrf.get(d, 0.0) + 1.0 / (RRF_K + np.float64(rank))
+    ref = pd.DataFrame({"doc_id": list(rrf), "rrf": list(rrf.values())})
+    order = np.lexsort((ref["doc_id"].to_numpy(),
+                        -ref["rrf"].to_numpy()))[:RRF_TOPK]
+    ref = ref.iloc[order].reset_index(drop=True)
+    assert list(got["doc_id"]) == list(ref["doc_id"])
+    assert (got["rrf"].to_numpy() == ref["rrf"].to_numpy()).all()
+    assert list(got["rank"]) == list(range(1, RRF_TOPK + 1))
+
+
+def test_rrf_fusion_one_sided_membership(ray_session, tmp_path):
+    """A doc ranked by only ONE scorer still fuses (one-sided 1/(60+r))
+    and a doc in both lists beats an equal-rank one-sided doc."""
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.search import rrf_fusion
+
+    # doc 1: high tf of all three terms (tops both rankers).
+    # doc 2: long filler doc with one 'scan' — BM25 ranks it low but
+    # nonzero; QL's product form gives it a tiny nonzero score too, so
+    # force one-sidedness via depth: depth=2 keeps only two per list.
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["scan join filter scan join filter",
+                 "scan " + "pad " * 60,
+                 "join " + "pad " * 10,
+                 "pad pad pad"],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = rrf_fusion(str(tmp_path), depth=2, k=4)
+    assert list(out["doc_id"])[0] == 1          # in both lists at rank 1
+    assert out["rrf"].iloc[0] == 2.0 / 61.0
+    # every fused score is a sum of at most two reciprocal terms
+    assert (out["rrf"] <= 2.0 / 61.0 + 1e-15).all()
+    assert (out["rrf"] > 0).all()
