@@ -1988,6 +1988,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_cluster_size_hist": dedup.minhash_cluster_size_hist,
         "minhash_verified_pairs": dedup.minhash_verified_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        # banded Hamming-<=3 near-dup pairs over the fingerprints
+        # (4x16-bit pigeonhole bands -> bucket exchange -> XOR popcount
+        # verify -> pair-key dedup exchange)
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,
         # the frame-returning memo wrapper (one fingerprint+join run per
         # driver pass shared with winnow_dup_clusters, cf. the MinHash
         # family); the lazy-Dataset plan is dedup.winnow_dup_pairs
@@ -3821,6 +3825,58 @@ def _repetition_sql() -> str:
     """
 
 
+# The SimHash-64 derivation (md5-high-64 word-2-gram hashes, per-bit
+# majority vote), UNSIGNED form: one row per document with
+# u = the fingerprint as UBIGINT (0 for gram-less docs).  Identical
+# arithmetic to the signed simhash_fingerprints oracle; the pairs
+# oracle needs the unsigned value for band extraction and XOR popcount.
+_SIMHASH_U_CTE = r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) > 1
+                          THEN toks[CAST(i AS INT)] || ' '
+                               || toks[CAST(i AS INT) + 1]
+                          ELSE toks[1] END AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(
+                               1, greatest(len(toks) - 1, 1))) AS i
+                    FROM t WHERE len(toks) > 0)
+            ),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS h
+              FROM g
+            ),
+            bits AS (
+              SELECT doc_id, b.i AS bit,
+                     sum(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS acc
+              FROM h, (SELECT unnest(generate_series(0, 63)) AS i) b
+              GROUP BY doc_id, b.i
+            ),
+            sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN acc > 0
+                          THEN CAST(1::UBIGINT << CAST(bit AS INT)
+                                    AS HUGEINT)
+                          ELSE 0 END) AS u
+              FROM bits GROUP BY doc_id
+            ),
+            fp AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(s.u, 0) AS UBIGINT) AS u
+              FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
+            )
+"""
+
+
 # The winnowing-fingerprint derivation (md5-low-32 5-gram hashes,
 # 4-window minima, first-occurrence rank per doc), shared bit-for-bit by
 # the doc_fingerprints oracle and the winnow_dup_pairs self-join oracle.
@@ -4934,6 +4990,28 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN coalesce(s.u, 0) - 18446744073709551616
                         ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
             FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
+        """,
+        # banded SimHash pair retrieval re-derived in SQL: the shared
+        # unsigned-fingerprint CTE, a (band, value) equality self-join
+        # for candidates (the same 4x16 pigeonhole the engine routes
+        # on), then bit_count(xor()) <= 3 verification
+        "simhash_dup_pairs": _SIMHASH_U_CTE + r"""
+            , b AS (
+              SELECT doc_id, u, bi.i AS band,
+                     (u >> CAST(16 * bi.i AS INT)) & 65535 AS bv
+              FROM fp, (SELECT unnest(generate_series(0, 3)) AS i) bi
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                              a.u AS ua, c.u AS ub
+              FROM b a JOIN b c
+                ON a.band = c.band AND a.bv = c.bv
+               AND a.doc_id < c.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(ua, ub)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ua, ub)) <= 3
         """,
         # winnowing fingerprint re-derived in SQL: md5-low-32 5-gram
         # hashes, 4-window minima, first 8 distinct in document order

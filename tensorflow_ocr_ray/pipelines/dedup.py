@@ -510,6 +510,98 @@ def simhash_fingerprints(sf_dir: str) -> "rd.Dataset":
     return ds.map_batches(simhash_batch, batch_format="pandas", batch_size=4096)
 
 
+def simhash_dup_pairs(
+    sf_dir: str, max_hamming: int = 3, n_shards: int = 32
+) -> "rd.Dataset":
+    """SimHash near-duplicate PAIR detection — the retrieval step the
+    ``simhash_fingerprints`` map pass exists for: all document pairs
+    whose 64-bit fingerprints differ in at most ``max_hamming`` bits.
+
+    Candidate generation is BANDED, never all-pairs (Charikar/Manku
+    web-dedup): the fingerprint splits into 4 disjoint 16-bit bands,
+    and by pigeonhole any pair within Hamming distance 3 agrees
+    EXACTLY on at least one band — so candidates come from an equality
+    join on (band, band_value).  Physical plan: one map pass computes
+    fingerprints and explodes each doc into 4 skinny (band, value,
+    doc_id, fp) rows; exchange 1 routes by hash(band, value) so every
+    band-bucket co-locates and pairs generate in-shard (bucket sizes
+    are near-dup-bounded, not corpus-bounded — a corpus-common band
+    value would need ~identical texts, which exact dedup owns);
+    XOR-popcount verifies ``<= max_hamming`` vectorized; exchange 2
+    routes by pair key so the same pair found via multiple bands
+    dedups in-shard.  Output (doc_a, doc_b, hamming), lazy Dataset;
+    the driver never sees a row."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    fps = simhash_fingerprints(sf_dir)
+
+    def band_explode(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy(np.int64).view(np.uint64)
+        doc = df["doc_id"].to_numpy(np.int64)
+        n = len(df)
+        bands = np.repeat(np.arange(4, dtype=np.uint64), n)
+        ht = np.tile(h, 4)
+        bv = (ht >> (bands * np.uint64(16))) & np.uint64(0xFFFF)
+        return pd.DataFrame(
+            {
+                "bshard": (((bv << np.uint64(2)) | bands)
+                           % np.uint64(n_shards)).astype("int64"),
+                "band": bands.astype("int64"),
+                "bv": bv.astype("int64"),
+                "doc_id": np.tile(doc, 4),
+                "fp": ht.view(np.int64),
+            }
+        )
+
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        return np.unpackbits(
+            x.astype(np.uint64).view(np.uint8).reshape(-1, 8), axis=1
+        ).sum(axis=1).astype(np.int64)
+
+    empty = {
+        "pshard": "int64", "doc_a": "int64", "doc_b": "int64",
+        "hamming": "int64",
+    }
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        if len(g):
+            for (_, _), grp in g.groupby(["band", "bv"], sort=False):
+                m = len(grp)
+                if m < 2:
+                    continue
+                ids = grp["doc_id"].to_numpy(np.int64)
+                fp = grp["fp"].to_numpy(np.int64).view(np.uint64)
+                ai, bi = np.triu_indices(m, k=1)
+                ham = _popcount64(fp[ai] ^ fp[bi])
+                keep = ham <= max_hamming
+                if not keep.any():
+                    continue
+                a = np.minimum(ids[ai[keep]], ids[bi[keep]])
+                b = np.maximum(ids[ai[keep]], ids[bi[keep]])
+                outs.append(pd.DataFrame(
+                    {"pshard": ((a * 31 + b) % n_shards),
+                     "doc_a": a, "doc_b": b, "hamming": ham[keep]}))
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in empty.items()})
+        return pd.concat(outs, ignore_index=True)
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("doc_a", "doc_b", "hamming")})
+        g = g.drop_duplicates(["doc_a", "doc_b"])
+        return g[["doc_a", "doc_b", "hamming"]].astype("int64")
+
+    exploded = fps.map_batches(
+        band_explode, batch_format="pandas", batch_size=4096
+    )
+    cand = hash_exchange(exploded, "bshard", n_shards, bucket_pairs)
+    return hash_exchange(cand, "pshard", n_shards, pair_dedup)
+
+
 def dedup_keep_list(
     sf_dir: str,
     num_perm: int = 64,

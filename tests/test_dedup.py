@@ -325,3 +325,42 @@ def test_dup_weight_assign_invariants(ray_session):
     assert (m["weight_milli"] == 1000 // n).all()
     # exactly one canonical per distinct text
     assert m.groupby("text")["is_canonical"].sum().eq(1).all()
+
+
+def test_simhash_dup_pairs_banding_complete(ray_session):
+    """The 4x16-band candidate generation finds EVERY Hamming<=3 pair
+    (pigeonhole guarantee) — compared against all-pairs brute force
+    over the same fingerprints; shard count does not change the answer."""
+    import numpy as np
+    import pandas as pd
+
+    from tensorflow_ocr_ray.functions.textstats import simhash64
+    from tensorflow_ocr_ray.pipelines.dedup import simhash_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = (simhash_dup_pairs(sf).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    hs = np.array([simhash64(t) for t in docs["text"]],
+                  dtype=np.int64).view(np.uint64)
+    ids = docs["doc_id"].to_numpy(np.int64)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    x = hs[ai] ^ hs[bi]
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                        axis=1).sum(axis=1)
+    keep = ham <= 3
+    ref = pd.DataFrame({
+        "doc_a": np.minimum(ids[ai[keep]], ids[bi[keep]]),
+        "doc_b": np.maximum(ids[ai[keep]], ids[bi[keep]]),
+        "hamming": ham[keep].astype(np.int64),
+    }).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(got) == len(ref) > 0
+    assert (got[["doc_a", "doc_b", "hamming"]].to_numpy()
+            == ref.to_numpy()).all()
+
+    alt = (simhash_dup_pairs(sf, n_shards=3).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert (alt[["doc_a", "doc_b", "hamming"]].to_numpy()
+            == ref.to_numpy()).all()

@@ -241,6 +241,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("phrase_search", ["documents"]),
         ("bm25_topk", ["documents"]),
         ("rrf_fusion", ["documents"]),
+        ("simhash_dup_pairs", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
         ("profile_events", ["events"]),
         ("media_gif_frames", ["documents"]),
