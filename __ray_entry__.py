@@ -2006,6 +2006,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reciprocal-rank fusion of BM25 + Dirichlet query-likelihood
         # top-100 lists (k=60), one stats pass + one dual-scorer pass
         "rrf_fusion": search.rrf_fusion,
+        # positional proximity (terms within a +/-5-token window),
+        # map-only like phrase_search
+        "proximity_search": search.proximity_search,
         # schema-audit profiling (pipelines/profiling.py): one streaming
         # pass, map-side partials only
         "profile_lineitem": profiling.profile_table,
@@ -4094,6 +4097,37 @@ def _oracle_sql_base() -> dict[str, str]:
         # score is the identical chain of IEEE double ops as
         # pipelines/search.py rrf_fusion; rrf = 1/(60+rank_a) +
         # 1/(60+rank_b) over each ranker's top-100, missing side 0
+        # positional proximity: token positions re-derived by unnest
+        # with index, pair cross-join windowed on |pa - pb| <= 5
+        "proximity_search": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS p,
+                     ts[CAST(i AS INT)] AS w
+              FROM (SELECT doc_id, ts,
+                           unnest(generate_series(1, len(ts))) AS i
+                    FROM tok WHERE len(ts) > 0)
+            ),
+            pr AS (
+              SELECT * FROM (VALUES ('scan', 'join'),
+                                    ('scan', 'filter'),
+                                    ('join', 'filter')) AS v(ta, tb)
+            )
+            SELECT a.doc_id, pr.ta AS term_a, pr.tb AS term_b,
+                   count(*) AS matches,
+                   min(abs(a.p - b.p)) AS min_gap
+            FROM pr
+            JOIN pos a ON a.w = pr.ta
+            JOIN pos b ON b.doc_id = a.doc_id AND b.w = pr.tb
+            WHERE abs(a.p - b.p) <= 5
+            GROUP BY a.doc_id, pr.ta, pr.tb
+        """,
         "rrf_fusion": r"""
             WITH tok AS (
               SELECT doc_id,

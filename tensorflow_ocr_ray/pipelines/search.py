@@ -263,3 +263,58 @@ def rrf_fusion(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
     final = fused.iloc[order[:k]].reset_index(drop=True)
     final.insert(0, "rank", np.arange(1, len(final) + 1, dtype=np.int64))
     return final
+
+
+# ---------------- positional proximity search -------------------------------
+
+PROX_WINDOW = 5
+PROX_PAIRS = (("scan", "join"), ("scan", "filter"), ("join", "filter"))
+
+
+def proximity_search(sf_dir: str,
+                     pairs: tuple[tuple[str, str], ...] = PROX_PAIRS,
+                     window: int = PROX_WINDOW) -> "rd.Dataset":
+    """Positional proximity retrieval — the query class a POSITIONAL
+    inverted index exists for (phrase_search is adjacency; this is
+    "terms A and B within ``window`` tokens in either direction"):
+    per (doc, pair), the number of qualifying position combinations and
+    the tightest gap.
+
+    Map-only and zero-shuffle like phrase_search: token positions are a
+    purely local property of one document, so each batch task emits its
+    own qualifying (doc_id, term_a, term_b, matches, min_gap) rows and
+    the result streams — at 100 TB this is one pruned-column pass, no
+    exchange.  Per-doc work is the |occ_A| x |occ_B| broadcast-diff
+    (vectorized), bounded by tf, never corpus size."""
+
+    def find(df: pd.DataFrame) -> pd.DataFrame:
+        od, oa, ob, on, og = [], [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = np.asarray(text.strip().lower().split(), dtype=object)
+            if len(toks) < 2:
+                continue
+            for ta, tb in pairs:
+                pa_ = np.flatnonzero(toks == ta)
+                pb_ = np.flatnonzero(toks == tb)
+                if not len(pa_) or not len(pb_):
+                    continue
+                gaps = np.abs(pa_[:, None] - pb_[None, :])
+                hit = gaps <= window
+                n = int(hit.sum())
+                if n:
+                    od.append(int(doc_id))
+                    oa.append(ta)
+                    ob.append(tb)
+                    on.append(n)
+                    og.append(int(gaps[hit].min()))
+        return pd.DataFrame(
+            {"doc_id": pd.Series(od, dtype="int64"),
+             "term_a": pd.Series(oa, dtype=object),
+             "term_b": pd.Series(ob, dtype=object),
+             "matches": pd.Series(on, dtype="int64"),
+             "min_gap": pd.Series(og, dtype="int64")}
+        )
+
+    return _docs(sf_dir).map_batches(
+        find, batch_format="pandas", batch_size=4096
+    )

@@ -242,6 +242,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("bm25_topk", ["documents"]),
         ("rrf_fusion", ["documents"]),
         ("simhash_dup_pairs", ["documents"]),
+        ("proximity_search", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
         ("profile_events", ["events"]),
         ("media_gif_frames", ["documents"]),

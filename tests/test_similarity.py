@@ -469,3 +469,32 @@ def test_rrf_fusion_one_sided_membership(ray_session, tmp_path):
     # every fused score is a sum of at most two reciprocal terms
     assert (out["rrf"] <= 2.0 / 61.0 + 1e-15).all()
     assert (out["rrf"] > 0).all()
+
+
+def test_proximity_search_window_semantics(ray_session, tmp_path):
+    """Window is inclusive and bidirectional; matches count position
+    COMBINATIONS; min_gap is the tightest; out-of-window pairs drop."""
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.search import proximity_search
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        # doc 1: scan@0, join@2 and join@5 -> gaps 2 and 5, both <= 5
+        "text": ["scan x join x x join",
+                 # doc 2: join BEFORE scan (bidirectional), gap 1
+                 "join scan",
+                 # doc 3: scan@0, join@6 -> gap 6 > 5, no row
+                 "scan x x x x x join",
+                 # doc 4: scan scan join -> 2 combinations, min gap 1
+                 "scan scan join"],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = proximity_search(str(tmp_path)).to_pandas()
+    rows = {(r.doc_id, r.term_a, r.term_b): (r.matches, r.min_gap)
+            for r in out.itertuples()}
+    assert rows[(1, "scan", "join")] == (2, 2)
+    assert rows[(2, "scan", "join")] == (1, 1)
+    assert (3, "scan", "join") not in rows
+    assert rows[(4, "scan", "join")] == (2, 1)
+    assert not [k for k in rows if k[0] == 3]
