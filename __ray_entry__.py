@@ -2009,6 +2009,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # positional proximity (terms within a +/-5-token window),
         # map-only like phrase_search
         "proximity_search": search.proximity_search,
+        # NDCG@10 of the BM25 ranking vs tf-graded relevance (shared
+        # ppm discount LUT; exact integer DCG/IDCG on both sides)
+        "ndcg_eval": search.ndcg_eval,
         # schema-audit profiling (pipelines/profiling.py): one streaming
         # pass, map-side partials only
         "profile_lineitem": profiling.profile_table,
@@ -3828,6 +3831,86 @@ def _repetition_sql() -> str:
     """
 
 
+def _ndcg_sql() -> str:
+    """NDCG@10 oracle: the bm25_topk scored CTE + tf-graded relevance,
+    exact integer DCG/IDCG with the 1/log2(rank+1) ppm discount LUT
+    injected from search.NDCG_W_PPM — the engine and DuckDB share the
+    identical fixed-point table, so no transcendental is evaluated
+    independently on either side (the order_value_benford precedent)."""
+    from tensorflow_ocr_ray.pipelines.search import NDCG_K, NDCG_W_PPM
+
+    lut = ", ".join(
+        f"({r + 1}, {w})" for r, w in enumerate(NDCG_W_PPM)
+    )
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ts
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id, len(ts)::DOUBLE AS dl,
+                 len(list_filter(ts, x -> x = 'scan'))::DOUBLE AS tf0,
+                 len(list_filter(ts, x -> x = 'join'))::DOUBLE AS tf1,
+                 len(list_filter(ts, x -> x = 'filter'))::DOUBLE AS tf2
+          FROM tok
+        ),
+        s AS (
+          SELECT count(*)::DOUBLE AS n, sum(dl) AS tt,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+          FROM d
+        ),
+        scored AS (
+          SELECT doc_id,
+            ((n - df0 + 0.5) / (df0 + 0.5))
+              * ((tf0 * (1.2 + 1.0))
+                 / (tf0 + 1.2 * ((1.0 - 0.75)
+                                 + (0.75 * dl) / (tt / n))))
+          + ((n - df1 + 0.5) / (df1 + 0.5))
+              * ((tf1 * (1.2 + 1.0))
+                 / (tf1 + 1.2 * ((1.0 - 0.75)
+                                 + (0.75 * dl) / (tt / n))))
+          + ((n - df2 + 0.5) / (df2 + 0.5))
+              * ((tf2 * (1.2 + 1.0))
+                 / (tf2 + 1.2 * ((1.0 - 0.75)
+                                 + (0.75 * dl) / (tt / n))))
+            AS bm25,
+            least(CAST(tf0 + tf1 + tf2 AS BIGINT), 3) AS rel
+          FROM d, s
+        ),
+        w(rank, wppm) AS (VALUES {lut}),
+        ranked AS (
+          SELECT rel,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+          FROM scored
+        ),
+        ideal AS (
+          SELECT rel,
+                 row_number() OVER (ORDER BY rel DESC, doc_id) AS rank
+          FROM scored
+        ),
+        dcg AS (
+          SELECT CAST(coalesce(sum(
+                   ((1::BIGINT << CAST(r.rel AS INT)) - 1) * w.wppm
+                 ), 0) AS BIGINT) AS dcg_w
+          FROM ranked r JOIN w ON w.rank = r.rank
+        ),
+        idcg AS (
+          SELECT CAST(coalesce(sum(
+                   ((1::BIGINT << CAST(i.rel AS INT)) - 1) * w.wppm
+                 ), 0) AS BIGINT) AS idcg_w
+          FROM ideal i JOIN w ON w.rank = i.rank
+        )
+        SELECT {NDCG_K}::BIGINT AS k, dcg_w, idcg_w,
+               CAST(CASE WHEN idcg_w = 0 THEN 0
+                    ELSE (dcg_w * 1000000) // idcg_w END
+                    AS BIGINT) AS ndcg_ppm
+        FROM dcg, idcg
+    """
+
+
 # The SimHash-64 derivation (md5-high-64 word-2-gram hashes, per-bit
 # majority vote), UNSIGNED form: one row per document with
 # u = the fingerprint as UBIGINT (0 for gram-less docs).  Identical
@@ -4097,6 +4180,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # score is the identical chain of IEEE double ops as
         # pipelines/search.py rrf_fusion; rrf = 1/(60+rank_a) +
         # 1/(60+rank_b) over each ranker's top-100, missing side 0
+        # NDCG@10: bm25 scored CTE + graded relevance, integer
+        # DCG/IDCG via the injected ppm discount LUT
+        "ndcg_eval": _ndcg_sql(),
         # positional proximity: token positions re-derived by unnest
         # with index, pair cross-join windowed on |pa - pb| <= 5
         "proximity_search": r"""

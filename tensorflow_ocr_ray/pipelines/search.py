@@ -23,6 +23,8 @@ bit-identical with no rounding step.  k1 = 1.2, b = 0.75.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import ray
@@ -317,4 +319,100 @@ def proximity_search(sf_dir: str,
 
     return _docs(sf_dir).map_batches(
         find, batch_format="pandas", batch_size=4096
+    )
+
+
+# ---------------- NDCG retrieval-quality evaluation -------------------------
+
+NDCG_K = 10
+# 1/log2(rank+1) discounts as exact ppm integers, computed once here and
+# injected verbatim into the DuckDB oracle (the log10-LUT precedent from
+# order_value_benford: no transcendental is evaluated independently on
+# the two sides, so fixed-point DCG sums are bit-equal).
+NDCG_W_PPM = tuple(
+    int(round(1_000_000 / math.log2(r + 1))) for r in range(1, NDCG_K + 1)
+)
+
+
+def ndcg_eval(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
+              k: int = NDCG_K) -> pd.DataFrame:
+    """NDCG@k of the BM25 ranking against a graded relevance derived
+    from the corpus itself — the retrieval-quality audit every ranking
+    stack ships next to its scorer (ann_recall_eval's lexical twin):
+    ``rel(doc) = min(total query-term tf, 3)`` grades 0-3,
+    ``gain = 2^rel - 1``, discount ``1/log2(rank+1)`` via the shared
+    ppm LUT, ``ndcg_ppm = 1e6 * DCG / IDCG`` (ideal ranking = the
+    corpus-wide top-k by rel).
+
+    Distributed shape: the bm25_topk stats pass, then ONE scoring pass
+    whose blocks emit BOTH per-block top-k-by-score and top-k-by-rel
+    partials (<= 2k skinny rows each); the driver merges O(blocks*k)
+    rows and evaluates the exact integer DCG/IDCG.  Corpus text never
+    leaves the map stage."""
+    terms = tuple(terms)
+    ranked = bm25_topk(sf_dir, terms=terms, k=k)
+
+    def rel_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "rel": pd.Series([], dtype="int64")})
+        rels = np.zeros(len(df), dtype=np.int64)
+        ids = df["doc_id"].astype("int64").to_numpy()
+        for r, text in enumerate(df["text"]):
+            toks = text.strip().lower().split()
+            rels[r] = min(sum(toks.count(t) for t in terms), 3)
+        out = pd.DataFrame({"doc_id": ids, "rel": rels})
+        order = np.lexsort((ids, -rels))[:k]
+        return out.iloc[order].reset_index(drop=True)
+
+    # per-block top-k rel partials: the ideal ranking needs only the k
+    # largest relevance grades corpus-wide
+    rel_tops = _docs(sf_dir).map_batches(
+        rel_partial, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    order = np.lexsort((rel_tops["doc_id"].to_numpy(),
+                        -rel_tops["rel"].to_numpy()))[:k]
+    ideal = rel_tops["rel"].to_numpy()[order]
+
+    # relevance of the RETRIEVED docs: the ranked list is k rows, so a
+    # broadcast membership probe inside one more skinny pass
+    want = set(int(d) for d in ranked["doc_id"])
+    want_ref = ray.put(want)
+
+    def rel_of_ranked(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(want_ref)
+        ids = df["doc_id"].astype("int64").to_numpy()
+        mask = np.fromiter((int(d) in w for d in ids), dtype=bool,
+                           count=len(ids))
+        if not mask.any():
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "rel": pd.Series([], dtype="int64")})
+        sub = df.loc[mask]
+        rels = np.fromiter(
+            (min(sum(t.strip().lower().split().count(q) for q in terms), 3)
+             for t in sub["text"]),
+            dtype=np.int64, count=int(mask.sum()))
+        return pd.DataFrame(
+            {"doc_id": sub["doc_id"].astype("int64").to_numpy(),
+             "rel": rels})
+
+    got = _docs(sf_dir).map_batches(
+        rel_of_ranked, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    rel_by_doc = dict(zip(got["doc_id"].astype(int), got["rel"].astype(int)))
+
+    dcg = 0
+    for rank, d in enumerate(ranked["doc_id"], start=1):
+        gain = (1 << rel_by_doc.get(int(d), 0)) - 1
+        dcg += gain * NDCG_W_PPM[rank - 1]
+    idcg = sum(((1 << int(r)) - 1) * NDCG_W_PPM[i]
+               for i, r in enumerate(ideal))
+    ndcg_ppm = (dcg * 1_000_000) // idcg if idcg else 0
+    return pd.DataFrame(
+        {"k": pd.Series([k], dtype="int64"),
+         "dcg_w": pd.Series([dcg], dtype="int64"),
+         "idcg_w": pd.Series([idcg], dtype="int64"),
+         "ndcg_ppm": pd.Series([ndcg_ppm], dtype="int64")}
     )

@@ -243,6 +243,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("rrf_fusion", ["documents"]),
         ("simhash_dup_pairs", ["documents"]),
         ("proximity_search", ["documents"]),
+        ("ndcg_eval", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
         ("profile_events", ["events"]),
         ("media_gif_frames", ["documents"]),

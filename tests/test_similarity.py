@@ -498,3 +498,34 @@ def test_proximity_search_window_semantics(ray_session, tmp_path):
     assert (3, "scan", "join") not in rows
     assert rows[(4, "scan", "join")] == (2, 1)
     assert not [k for k in rows if k[0] == 3]
+
+
+def test_ndcg_eval_bounds_and_perfect_ranking(ray_session, tmp_path):
+    """ndcg_ppm is in [0, 1e6]; when BM25's ranking IS the ideal
+    ranking, ndcg_ppm == 1e6 exactly; LUT discounts are shared."""
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.search import (
+        NDCG_W_PPM,
+        ndcg_eval,
+    )
+
+    got = ndcg_eval("/root/testdata/sf0.001")
+    assert len(got) == 1
+    v = int(got["ndcg_ppm"].iloc[0])
+    assert 0 <= v <= 1_000_000
+    assert int(got["idcg_w"].iloc[0]) >= int(got["dcg_w"].iloc[0])
+    assert NDCG_W_PPM[0] == 1_000_000  # rank-1 discount is exactly 1
+
+    # a corpus where term frequency fully orders docs: bm25 rank ==
+    # rel rank, so NDCG is exactly 1e6
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["scan join filter",      # rel 3
+                 "scan join pad",         # rel 2
+                 "scan pad pad",          # rel 1
+                 "pad pad pad"],          # rel 0
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    perfect = ndcg_eval(str(tmp_path))
+    assert int(perfect["ndcg_ppm"].iloc[0]) == 1_000_000
