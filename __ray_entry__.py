@@ -2012,6 +2012,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NDCG@10 of the BM25 ranking vs tf-graded relevance (shared
         # ppm discount LUT; exact integer DCG/IDCG on both sides)
         "ndcg_eval": search.ndcg_eval,
+        # conjunctive lookup over the PERSISTED hive-sharded inverted
+        # index — only the query terms' shard partitions are read
+        "inverted_index_and": search.inverted_index_and,
         # schema-audit profiling (pipelines/profiling.py): one streaming
         # pass, map-side partials only
         "profile_lineitem": profiling.profile_table,
@@ -4183,6 +4186,27 @@ def _oracle_sql_base() -> dict[str, str]:
         # NDCG@10: bm25 scored CTE + graded relevance, integer
         # DCG/IDCG via the injected ppm discount LUT
         "ndcg_eval": _ndcg_sql(),
+        # conjunctive inverted-index lookup re-derived from raw text:
+        # docs containing every query term, summed tf
+        "inverted_index_and": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id,
+                     len(list_filter(ts, x -> x = 'scan')) AS t0,
+                     len(list_filter(ts, x -> x = 'join')) AS t1,
+                     len(list_filter(ts, x -> x = 'filter')) AS t2
+              FROM tok
+            )
+            SELECT doc_id,
+                   CAST(t0 + t1 + t2 AS BIGINT) AS tf_total
+            FROM tf WHERE t0 > 0 AND t1 > 0 AND t2 > 0
+        """,
         # positional proximity: token positions re-derived by unnest
         # with index, pair cross-join windowed on |pa - pb| <= 5
         "proximity_search": r"""

@@ -416,3 +416,154 @@ def ndcg_eval(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
          "idcg_w": pd.Series([idcg], dtype="int64"),
          "ndcg_ppm": pd.Series([ndcg_ppm], dtype="int64")}
     )
+
+
+# ---------------- persisted inverted index (hive posting shards) -----------
+
+_DOC_INDEX_CACHE_ROOT = "/tmp/tensorflow_ocr_ray_indexes"
+IDX_N_SHARDS = 16
+
+
+def _doc_fingerprint(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    return hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+
+
+def _ensure_doc_index(tag: str, sf_dir: str, build) -> str:
+    """Build-once cache keyed on the documents table's fingerprint —
+    the similarity-family ``_ensure_index`` convention (scratch build +
+    atomic rename; concurrent builders race benignly)."""
+    import os
+    import shutil
+
+    d = os.path.join(
+        _DOC_INDEX_CACHE_ROOT, f"{tag}-{_doc_fingerprint(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        tmp = f"{d}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(_DOC_INDEX_CACHE_ROOT, exist_ok=True)
+        build(tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def build_inverted_index(sf_dir: str, index_dir: str,
+                         n_shards: int = IDX_N_SHARDS) -> int:
+    """Write the corpus's posting lists partitioned by md5(token) shard
+    (one ``shard=N`` hive directory each) — the TEXT twin of
+    ``build_lsh_index``: a term lookup then reads ONLY its term's shard
+    partitions, so query cost is posting-volume-bounded, never a corpus
+    scan.  Rows are (token, doc_id, tf); the build is one tokenize pass
+    + a partitioned write (each output partition is independently
+    resumable).  Returns the number of shard directories written."""
+    import os
+
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        toks_out, docs_out, tfs_out = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            c = Counter(text.strip().lower().split())
+            if not c:
+                continue
+            toks_out.extend(c.keys())
+            docs_out.extend([int(doc_id)] * len(c))
+            tfs_out.extend(c.values())
+        if not toks_out:
+            return pd.DataFrame(
+                {"shard": pd.Series([], dtype="int64"),
+                 "token": pd.Series([], dtype=object),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "tf": pd.Series([], dtype="int64")})
+        h = _md5_prefix_batch(toks_out, 8).astype(np.uint64)
+        return pd.DataFrame(
+            {"shard": (h % np.uint64(n_shards)).astype("int64"),
+             "token": pd.Series(toks_out, dtype=object),
+             "doc_id": pd.Series(docs_out, dtype="int64"),
+             "tf": pd.Series(tfs_out, dtype="int64")})
+
+    ds = _docs(sf_dir).map_batches(
+        postings, batch_format="pandas", batch_size=4096
+    )
+    ds.write_parquet(index_dir, partition_cols=["shard"])
+    return sum(1 for d in os.listdir(index_dir) if d.startswith("shard="))
+
+
+def inverted_index_and(sf_dir: str,
+                       terms: tuple[str, ...] = BM25_TERMS,
+                       n_shards: int = IDX_N_SHARDS) -> "rd.Dataset":
+    """Conjunctive (AND) term lookup over the persisted inverted index:
+    documents containing EVERY query term, with the summed tf —
+    (doc_id, tf_total).
+
+    Scale shape: the query reads ONLY the |query terms| shard
+    partitions the terms hash to (source-level pruning like the ANN
+    probe-ring reads — at 16 shards and 3 terms, >= 13/16 of the index
+    is never opened), filters to the exact terms, then routes the
+    skinny postings through one doc-hash exchange where per-doc
+    distinct-term counts decide membership vectorized.  The driver
+    never sees a posting."""
+    import os
+
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    terms = tuple(dict.fromkeys(terms))  # dedup, keep order
+    index_dir = _ensure_doc_index(
+        f"inv{n_shards}", sf_dir,
+        lambda d: build_inverted_index(sf_dir, d, n_shards))
+    need = sorted(
+        {int(h % np.uint64(n_shards))
+         for h in _md5_prefix_batch(list(terms), 8).astype(np.uint64)})
+    paths = [
+        os.path.join(sd, f)
+        for s in need
+        if os.path.isdir(sd := os.path.join(index_dir, f"shard={s}"))
+        for f in sorted(os.listdir(sd))
+        if f.endswith(".parquet")
+    ]
+    n_route = 32
+    term_set = set(terms)
+    n_terms = len(term_set)
+
+    def filter_terms(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["token"].isin(term_set)]
+        return pd.DataFrame(
+            {"dshard": (sub["doc_id"].astype("int64") % n_route),
+             "doc_id": sub["doc_id"].astype("int64"),
+             "token": sub["token"],
+             "tf": sub["tf"].astype("int64")})
+
+    def conjunct(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "tf_total": pd.Series([], dtype="int64")})
+        agg = g.groupby("doc_id").agg(
+            n=("token", "nunique"), tf_total=("tf", "sum"))
+        hit = agg[agg["n"] == n_terms]
+        return pd.DataFrame(
+            {"doc_id": hit.index.to_numpy(np.int64),
+             "tf_total": hit["tf_total"].to_numpy(np.int64)})
+
+    if not paths:
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "tf_total": pd.Series([], dtype="int64")}))
+    postings = rd.read_parquet(paths).map_batches(
+        filter_terms, batch_format="pandas", batch_size=8192
+    )
+    return hash_exchange(postings, "dshard", n_route, conjunct)

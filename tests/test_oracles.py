@@ -244,6 +244,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("simhash_dup_pairs", ["documents"]),
         ("proximity_search", ["documents"]),
         ("ndcg_eval", ["documents"]),
+        ("inverted_index_and", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
         ("profile_events", ["events"]),
         ("media_gif_frames", ["documents"]),

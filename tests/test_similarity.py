@@ -529,3 +529,56 @@ def test_ndcg_eval_bounds_and_perfect_ranking(ray_session, tmp_path):
     df.to_parquet(tmp_path / "documents.parquet")
     perfect = ndcg_eval(str(tmp_path))
     assert int(perfect["ndcg_ppm"].iloc[0]) == 1_000_000
+
+
+def test_inverted_index_pruned_read(ray_session, tmp_path):
+    """The AND lookup reads ONLY the query terms' shard partitions:
+    corrupting every OTHER shard's files does not change the answer —
+    proof the pruning happens at the source, not post-read."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from tensorflow_ocr_ray.functions.textstats import _md5_prefix_batch
+    from tensorflow_ocr_ray.pipelines.search import (
+        BM25_TERMS,
+        IDX_N_SHARDS,
+        build_inverted_index,
+        inverted_index_and,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["scan join filter x",
+                 "scan join y",          # no filter -> excluded
+                 "filter join scan scan",
+                 "z z z"],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    idx = str(tmp_path / "idx")
+    n = build_inverted_index(str(tmp_path), idx, IDX_N_SHARDS)
+    assert n >= 1
+    with open(os.path.join(idx, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    # plant the prebuilt index where _ensure_doc_index will find it
+    from tensorflow_ocr_ray.pipelines import search as s
+    from tensorflow_ocr_ray.pipelines.search import _doc_fingerprint
+    cached = os.path.join(s._DOC_INDEX_CACHE_ROOT,
+                          f"inv{IDX_N_SHARDS}-{_doc_fingerprint(str(tmp_path))}")
+    shutil.rmtree(cached, ignore_errors=True)
+    os.makedirs(s._DOC_INDEX_CACHE_ROOT, exist_ok=True)
+    shutil.copytree(idx, cached)
+    # corrupt every shard the query does NOT need
+    need = {int(h % np.uint64(IDX_N_SHARDS))
+            for h in _md5_prefix_batch(list(BM25_TERMS), 8).astype(np.uint64)}
+    for d in os.listdir(cached):
+        if d.startswith("shard=") and int(d.split("=")[1]) not in need:
+            for f in os.listdir(os.path.join(cached, d)):
+                with open(os.path.join(cached, d, f), "wb") as fh:
+                    fh.write(b"NOT A PARQUET FILE")
+    out = inverted_index_and(str(tmp_path)).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["tf_total"].astype(int)))
+    assert got == {1: 3, 3: 4}
+    shutil.rmtree(cached, ignore_errors=True)
