@@ -2248,6 +2248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned-integer-weight quality classifier (the fastText-style
         # gate reduced to its deterministic linear core)
         "quality_lr_score": curation.quality_lr_score,
+        # reliability diagram: model-score bins vs the Gopher-gate gold
+        # verdict, bounded grid partials
+        "score_calibration_bins": curation.score_calibration_bins,
         # WebVTT cues -> typed rows: ms-exact timestamps, voice-tag
         # speakers; NOTE/STYLE blocks are the decoys
         "vtt_cue_parse": _webtier("vtt_cue_parse"),
@@ -8016,6 +8019,43 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # all-integer features over single-space text; // is floor on
         # both sides (all operands positive); threshold pinned at 5000
+        # calibration bins: the quality_lr score expression joined to
+        # the composed gopher_gate oracle, fixed-width clamped bins
+        "score_calibration_bins": f"""
+            WITH gop AS MATERIALIZED ({_gopher_gate_sql()}),
+            q AS (
+              SELECT doc_id,
+                2 * len(string_split(text, ' '))
+                + (length(text) - (len(string_split(text, ' ')) - 1))
+                    * 1000 // len(string_split(text, ' '))
+                + len(list_distinct(string_split(text, ' ')))
+                    * 1000 // len(string_split(text, ' '))
+                - 2 * (len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','to','in','and')))
+                    * 1000 // len(string_split(text, ' ')))
+                  AS score
+              FROM documents
+            ),
+            j AS (
+              SELECT q.doc_id,
+                     least(greatest((q.score - 3000) // 400, 0), 9)
+                         AS bin,
+                     CASE WHEN q.score >= 5000 THEN 1 ELSE 0 END
+                         AS pred,
+                     gop.passed AS gold
+              FROM q JOIN gop ON gop.doc_id = q.doc_id
+            )
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(3000 + bin * 400 AS BIGINT) AS score_lo,
+                   count(*) AS n,
+                   CAST(sum(gold) AS BIGINT) AS n_gold_pass,
+                   CAST(sum(pred) AS BIGINT) AS n_pred_pass,
+                   CAST(sum(gold) * 1000000 // count(*) AS BIGINT)
+                       AS gold_rate_ppm,
+                   CAST(sum(pred) * 1000000 // count(*) AS BIGINT)
+                       AS pred_rate_ppm
+            FROM j GROUP BY bin
+        """,
         "quality_lr_score": """
             WITH g AS (
               SELECT doc_id,

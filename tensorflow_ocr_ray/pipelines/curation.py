@@ -3065,3 +3065,64 @@ def filter_funnel(sf_dir: str, keep_lang: str = "en") -> pd.DataFrame:
         rows, columns=["stage", "rule", "n_in", "n_dropped", "n_out"]
     ).astype({"stage": "int64", "n_in": "int64",
               "n_dropped": "int64", "n_out": "int64"})
+
+
+# ---------------- quality-score calibration audit ---------------------------
+
+CAL_BASE = 3000
+CAL_WIDTH = 400
+CAL_NBINS = 10
+
+
+def score_calibration_bins(sf_dir: str) -> pd.DataFrame:
+    """Reliability diagram of the pinned linear quality model
+    (``quality_lr_score``) against an independent rule-based gold
+    label (the Gopher gate) — the calibration audit a learned quality
+    filter ships with: per score bin, how often does the gate agree?
+
+    Bins are fixed-width (``(score - 3000) // 400`` clamped to 10), so
+    the result grid is bounded at any corpus size.  Physical plan: ONE
+    pass computes both the model score and the gate verdict per batch
+    and pre-reduces to a per-block (bin -> n, n_gold, n_pred) grid;
+    the driver sums the bounded partials.  Output: (bin, score_lo, n,
+    n_gold_pass, n_pred_pass, gold_rate_ppm, pred_rate_ppm)."""
+    from tensorflow_ocr_ray.functions.textstats import quality_lr_features
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def grid_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("bin", "n", "n_gold", "n_pred")})
+        gop = gopher_gate_batch(df)
+        feats = [quality_lr_features(t) for t in df["text"]]
+        score = np.array([f[4] for f in feats], dtype=np.int64)
+        pred = np.array([f[5] for f in feats], dtype=np.int64)
+        gold = gop["passed"].to_numpy(np.int64)
+        b = np.clip((score - CAL_BASE) // CAL_WIDTH, 0, CAL_NBINS - 1)
+        out = (pd.DataFrame({"bin": b, "n": 1, "n_gold": gold,
+                             "n_pred": pred})
+               .groupby("bin", as_index=False).sum())
+        return out.astype("int64")
+
+    parts = docs.map_batches(
+        grid_partial, batch_format="pandas", batch_size=4096
+    ).to_pandas()  # <= CAL_NBINS rows per block — bounded
+    if not len(parts):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("bin", "score_lo", "n", "n_gold_pass",
+                       "n_pred_pass", "gold_rate_ppm", "pred_rate_ppm")})
+    g = parts.groupby("bin", as_index=False).sum()
+    return pd.DataFrame(
+        {"bin": g["bin"].astype("int64"),
+         "score_lo": (CAL_BASE + g["bin"] * CAL_WIDTH).astype("int64"),
+         "n": g["n"].astype("int64"),
+         "n_gold_pass": g["n_gold"].astype("int64"),
+         "n_pred_pass": g["n_pred"].astype("int64"),
+         "gold_rate_ppm": (g["n_gold"] * 1_000_000
+                           // g["n"]).astype("int64"),
+         "pred_rate_ppm": (g["n_pred"] * 1_000_000
+                           // g["n"]).astype("int64")}
+    )

@@ -822,3 +822,32 @@ def test_token_entropy_bounds(ray_session):
     lut = _log2_lut_ppm()
     assert (got["entropy_ppm"] >= 0).all()
     assert (got["entropy_ppm"] <= lut[got["n_tokens"].to_numpy()]).all()
+
+
+def test_score_calibration_bins_invariants(ray_session):
+    """Bin totals reconcile with the corpus; rates are exact integer
+    ppm of the in-bin counts; bins are clamped to [0, 9]."""
+    import pandas as pd
+
+    from tensorflow_ocr_ray.pipelines.curation import (
+        score_calibration_bins,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = score_calibration_bins(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    assert out["n"].sum() == len(docs)
+    assert out["bin"].between(0, 9).all()
+    assert (out["score_lo"] == 3000 + out["bin"] * 400).all()
+    assert (out["gold_rate_ppm"]
+            == out["n_gold_pass"] * 1_000_000 // out["n"]).all()
+    assert (out["pred_rate_ppm"]
+            == out["n_pred_pass"] * 1_000_000 // out["n"]).all()
+    assert (out["n_gold_pass"] <= out["n"]).all()
+    assert (out["n_pred_pass"] <= out["n"]).all()
+    # the model's threshold (5000) makes pred_rate a step function of
+    # the bin: bins entirely below 5000 predict 0, above predict 1e6
+    lo = out[out["score_lo"] + 400 <= 5000]
+    hi = out[out["score_lo"] >= 5000]
+    assert (lo["pred_rate_ppm"] == 0).all()
+    assert (hi["pred_rate_ppm"] == 1_000_000).all()

@@ -245,6 +245,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("proximity_search", ["documents"]),
         ("ndcg_eval", ["documents"]),
         ("inverted_index_and", ["documents"]),
+        ("score_calibration_bins", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
         ("profile_events", ["events"]),
         ("media_gif_frames", ["documents"]),
