@@ -730,6 +730,109 @@ def _png_payloads(df) -> "pa.Table":
     )
 
 
+def _bmp_payloads(df) -> "pa.Table":
+    """Deterministic standalone BMPs cycling doc_id%4 over the four DIB
+    paths core/video_codecs.decode_bmp implements: 8-bit palette
+    bottom-up, 24-bit BGR bottom-up, 32-bit BGRX TOP-DOWN (negative
+    height), and BI_RLE8 bottom-up.  Ink geometry stays the PNG/TIFF
+    convention (first 1 + doc_id%5 rows black on an (8 + doc_id%4) x 8
+    canvas) so the arithmetic oracle is format-independent."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _bmp(w, h, bpp, comp, palette, pixel) -> bytes:
+        off = 14 + 40 + len(palette)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(pixel),
+            2835, 2835, len(palette) // 4, 0)
+        head = b"BM" + struct.pack(
+            "<IHHI", off + len(pixel), 0, 0, off)
+        return head + info + palette + pixel
+
+    pal = bytes([0, 0, 0, 0, 255, 255, 255, 0])  # 0=black, 1=white
+    payloads, kinds = [], []
+    for did in df["doc_id"]:
+        d = int(did)
+        h, w = 8 + d % 4, 8
+        mask = np.zeros((h, w), dtype=np.uint8)
+        mask[: 1 + d % 5, :] = 1  # 1 = black/ink (row 0 = top)
+        k = d % 4
+        if k == 0:  # 8-bit palette, bottom-up
+            rows = (mask ^ 1)[::-1]  # palette index, bottom-up
+            payloads.append(_bmp(w, h, 8, 0, pal, rows.tobytes()))
+            kinds.append("pal8")
+        elif k == 1:  # 24-bit BGR, bottom-up
+            gray = np.where(mask == 1, 0, 255).astype(np.uint8)[::-1]
+            bgr = np.repeat(gray, 3).reshape(h, w * 3)
+            payloads.append(_bmp(w, h, 24, 0, b"", bgr.tobytes()))
+            kinds.append("bgr24")
+        elif k == 2:  # 32-bit BGRX, TOP-DOWN (negative height)
+            gray = np.where(mask == 1, 0, 255).astype(np.uint8)
+            bgrx = np.dstack(
+                [gray, gray, gray, np.zeros_like(gray)]
+            ).reshape(h, w * 4)
+            payloads.append(_bmp(w, -h, 32, 0, b"", bgrx.tobytes()))
+            kinds.append("bgrx32td")
+        else:  # BI_RLE8, bottom-up, uniform-row runs
+            out = bytearray()
+            for y in range(h):  # y=0 is the BOTTOM row in RLE space
+                val = 0 if mask[h - 1 - y, 0] else 1
+                out += bytes([w, val])
+                out += b"\x00\x00"  # end of line
+            out += b"\x00\x01"  # end of bitmap
+            payloads.append(_bmp(w, h, 8, 1, pal, bytes(out)))
+            kinds.append("rle8")
+    return pa.table(
+        {
+            "media_ref": pa.array([str(int(d)) for d in df["doc_id"]]),
+            "kind": pa.array(kinds, type=pa.string()),
+            "image": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def _media_bmp_ink(sf_dir: str):
+    """BMP ingest as a first-class hash-checked query: one
+    deterministic BMP per document cycling all four DIB paths
+    (_bmp_payloads), decoded by core/video_codecs.decode_bmp via the
+    decode_payload sniff, binarized with the reference threshold,
+    exact ink counted — pinning the file-header walk, palette luma,
+    bottom-up vs top-down row order and the RLE8 escapes against the
+    arithmetic oracle shared with the PNG/TIFF ink queries."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(df):
+        return _bmp_payloads(df)
+
+    def count_ink(batch: "pa.Table") -> "pa.Table":
+        from tensorflow_ocr_ray.core.raster import decode_payload
+
+        heights, ink = [], []
+        for p in batch.column("image").to_pylist():
+            img = decode_payload(p)
+            heights.append(img.shape[0])
+            ink.append(int(img.sum()))
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "kind": batch.column("kind"),
+                "height": pa.array(heights, type=pa.int32()),
+                "ink": pa.array(ink, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        synth, batch_format="pandas", batch_size=1024
+    ).map_batches(count_ink, batch_format="pyarrow")
+
+
 def _media_png_ink(sf_dir: str):
     """PNG ingest as a first-class hash-checked query: one
     deterministic PNG per document cycling all five color types AND
@@ -2321,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_gif_frames": _media_gif_frames,
         "media_avi_frames": _media_avi_frames,
         "media_mixed_frames": _media_mixed_frames,
+        "media_bmp_ink": _media_bmp_ink,
         "media_png_ink": _media_png_ink,
         "media_augment_ink": _media_augment_ink,
         "media_jpeg_ink": _media_jpeg_ink,
@@ -4474,6 +4578,15 @@ def _oracle_sql_base() -> dict[str, str]:
                      WHEN 2 THEN 8 * b
                      ELSE (8 - c) * b END AS BIGINT) AS ink
             FROM g
+        """,
+        "media_bmp_ink": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'pal8' WHEN 1 THEN 'bgr24'
+                     WHEN 2 THEN 'bgrx32td' ELSE 'rle8' END AS kind,
+                   CAST(8 + doc_id % 4 AS INTEGER) AS height,
+                   CAST((1 + doc_id % 5) * 8 AS BIGINT) AS ink
+            FROM documents
         """,
         "media_png_ink": """
             SELECT CAST(doc_id AS VARCHAR) AS media_ref,

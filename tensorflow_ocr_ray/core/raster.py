@@ -357,6 +357,10 @@ def decode_payload(payload: bytes, cutoff: float = 0.50) -> np.ndarray:
         from tensorflow_ocr_ray.core.gif import decode_gif_gray
 
         return _binarize_page(decode_gif_gray(payload), 8, cutoff)
+    if payload[:2] == b"BM" and len(payload) >= 54:  # BMP (video_codecs)
+        from tensorflow_ocr_ray.core.video_codecs import decode_bmp
+
+        return _binarize_page(decode_bmp(payload), 8, cutoff)
     magic, rest = payload[:4], payload[4:]
     h, w = struct.unpack("<II", rest[:8])
     body = rest[8:]

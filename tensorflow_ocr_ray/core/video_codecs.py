@@ -178,3 +178,47 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
     if w is None:
         raise ValueError("AVI missing strf stream format")
     return frames
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Standalone BMP file -> (h, w) uint8 grayscale.
+
+    The still-image twin of the AVI path, reusing the same DIB row
+    decoders: BITMAPFILEHEADER ("BM", pixel offset) + BITMAPINFOHEADER
+    (negative height = top-down), BI_RGB at 8 (palette) / 24 (BGR) /
+    32 (BGRX) bpp and BI_RLE8; palette entries are BGRX quads folded
+    through the ITU-R 601 integer luma."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack("<I", payload[10:14])
+    (bi_size, w, h, _planes, bpp, comp, _size_image) = struct.unpack(
+        "<IiiHHII", payload[14:38]
+    )
+    if w <= 0 or h == 0:
+        raise ValueError(f"BMP degenerate dimensions {w}x{h}")
+    topdown = h < 0
+    ah = abs(h)
+    palette_gray = None
+    if bpp == 8:
+        (clr_used,) = struct.unpack("<I", payload[46:50])
+        n_pal = clr_used or 256
+        pal_off = 14 + bi_size
+        quads = np.frombuffer(
+            payload[pal_off:pal_off + 4 * n_pal], dtype=np.uint8
+        ).reshape(-1, 4)
+        palette_gray = _gray_from_bgr(
+            quads[:, 0], quads[:, 1], quads[:, 2]
+        )
+    data = payload[off:]
+    if comp == BI_RGB:
+        img = _decode_dib_frame(data, w, ah, bpp, palette_gray)
+        if topdown:  # _decode_dib_frame assumed bottom-up and flipped
+            img = img[::-1]
+    elif comp == BI_RLE8:
+        if topdown:
+            raise ValueError("BI_RLE8 requires bottom-up BMP")
+        idx = decode_rle8(data, w, ah)
+        img = palette_gray[idx] if palette_gray is not None else idx
+    else:
+        raise NotImplementedError(f"BMP compression {comp}")
+    return np.ascontiguousarray(img)

@@ -246,6 +246,7 @@ def test_ann_topk_multi_oracle(ray_session):
         ("ndcg_eval", ["documents"]),
         ("inverted_index_and", ["documents"]),
         ("score_calibration_bins", ["documents"]),
+        ("media_bmp_ink", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
         ("profile_events", ["events"]),
         ("media_gif_frames", ["documents"]),

@@ -161,3 +161,36 @@ def test_video_stage_samples_avi_frames(ray_session):
     # frames 0,2,4 are black (ink=1 everywhere after binarize)
     for blob in out.column("frame").to_pylist():
         assert decode_payload(blob, 0.5).all()
+
+
+def test_decode_bmp_all_variants_agree():
+    """The four BMP variants (pal8 bottom-up, bgr24 bottom-up, bgrx32
+    TOP-DOWN, RLE8) of the same ink geometry decode to the same
+    grayscale image — row order, palette luma and RLE escapes pinned
+    against each other, byte-built from the spec."""
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as e
+    from tensorflow_ocr_ray.core.video_codecs import decode_bmp
+
+    t = e._bmp_payloads(pd.DataFrame({"doc_id": [0, 1, 2, 3]}))
+    for ref, p in zip(t.column("media_ref").to_pylist(),
+                      t.column("image").to_pylist()):
+        d = int(ref)
+        h, w = 8 + d % 4, 8
+        gray = decode_bmp(p)
+        assert gray.shape == (h, w)
+        expect = np.where(
+            np.arange(h)[:, None] < 1 + d % 5, 0, 255
+        ).astype(np.uint8).repeat(w, 1)
+        assert (gray == expect).all(), d
+
+
+def test_decode_bmp_rejects_garbage():
+    import pytest
+
+    from tensorflow_ocr_ray.core.video_codecs import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOTABMP" + b"\x00" * 60)
