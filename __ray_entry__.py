@@ -2054,6 +2054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_sorted_export": relational.orders_sorted_export,
         "mv_delta_refresh": relational.mv_delta_refresh,
         "key_skew_audit": relational.key_skew_audit,
+        "salted_join_hot_keys": relational.salted_join_hot_keys,
         "part_trending_decay": relational.part_trending_decay,
         "schema_evolution_read": relational.schema_evolution_read,
         "data_quality_expectations": relational.data_quality_expectations,
@@ -6576,6 +6577,16 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT)
                        AS skew_ratio_e4
             FROM c
+        """,
+        "salted_join_hot_keys": """
+            SELECT e.user_id,
+                   c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS events,
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
         """,
         "scd2_price_enrich": """
             WITH v AS (SELECT unnest([0, 1, 2]) AS version),

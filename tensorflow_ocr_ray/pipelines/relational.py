@@ -3810,6 +3810,169 @@ def key_skew_audit(sf_dir: str, n_shards: int = 64) -> pd.DataFrame:
     ).astype("int64")
 
 
+def salted_join_hot_keys(
+    sf_dir: str,
+    n_shards: int | None = None,
+    n_salts: int = 8,
+    hot_k: int = 8,
+) -> "rd.Dataset":
+    """Skew-salted fact-to-dim join: events ⋈ customer on
+    ``user_id = c_custkey`` with the HOT fact keys salted — the
+    explicit skew-handling plan the key_skew_audit exists to trigger.
+
+    A plain key-hash exchange sends ALL of a hot key's rows to one
+    shard: at 10^12 events a viral user (1% of traffic) makes one task
+    hold 10^10 rows while its peers idle.  The salted plan:
+
+    1. HOT-SET DETECTION (cheap, approximate, routing-only): per-batch
+       (user_id, n) top-``hot_k`` partials merge on the driver
+       (O(blocks × hot_k) rows) and the global top-``hot_k`` by summed
+       partial count become the hot set H.  Approximation is FINE
+       here — H only decides routing; the joined result is identical
+       for ANY H (the oracle equality proves it), a missed hot key
+       merely keeps its skew.
+    2. FACT side: rows of hot keys take ``salt = event_id % n_salts``
+       (deterministic, uniform) and route to shard
+       ``(key * n_salts + salt) % n_shards`` — a hot key's volume
+       spreads over ``n_salts`` tasks.  Cold keys route to
+       ``key % n_shards`` unsalted.  Per-batch (user_id, salt)
+       groupby pre-reduces before the exchange (partials stay exact:
+       counts/sums ADD).
+    3. DIM side: a hot key's customer row is REPLICATED to all
+       ``n_salts`` salted shards (|H| × n_salts extra rows — bounded
+       by construction); cold dim rows ship once.
+    4. Per-shard vectorized merge joins partials to dim rows.  Cold
+       keys are COMPLETE in their one shard and stream out lazily;
+       hot keys emit ≤ n_salts partial rows each, combined in a
+       driver finish over ≤ |H| × n_salts rows.
+
+    Returns the lazy joined aggregate (user_id, c_mktsegment, events,
+    value_cents) — one row per active user, corpus-cardinality, so it
+    must stream to a sink at scale.  Cents-exact like q06."""
+    from tensorflow_ocr_ray.stages.exchange import (
+        adaptive_shards,
+        hash_exchange,
+        meta_rows,
+    )
+
+    if n_shards is None:
+        n_shards = adaptive_shards(meta_rows(sf_dir, "events") // 4)
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    # -- pass 1: approximate hot set via per-block top-k count partials
+    def count_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("user_id", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g.sort_values(
+            ["n", "user_id"], ascending=[False, True]
+        ).head(hot_k).astype("int64")
+
+    tops = ev.map_batches(
+        count_topk, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    hot = (tops.groupby("user_id")["n"].sum()
+           .sort_values(ascending=False).head(hot_k).index.to_numpy()
+           .astype(np.int64))
+    hot_ref = ray.put(np.sort(hot))
+
+    def fact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        uid = df["user_id"].to_numpy(np.int64)
+        is_hot = np.isin(uid, h)
+        salt = np.where(
+            is_hot, df["event_id"].to_numpy(np.int64) % n_salts, 0
+        )
+        d = pd.DataFrame(
+            {"user_id": uid, "salt": salt,
+             "cents": np.round(
+                 df["value"].to_numpy() * 100.0).astype("int64")}
+        )
+        g = d.groupby(["user_id", "salt"], as_index=False).agg(
+            p_n=("cents", "size"), p_c=("cents", "sum"))
+        guid = g["user_id"].to_numpy(np.int64)
+        ghot = np.isin(guid, h)
+        g["shard"] = np.where(
+            ghot,
+            (guid * n_salts + g["salt"].to_numpy(np.int64)) % n_shards,
+            guid % n_shards)
+        g["mkt"] = ""
+        g["side"] = np.int64(0)
+        return g[["user_id", "salt", "p_n", "p_c", "shard", "mkt",
+                  "side"]]
+
+    def dim_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        key = df["c_custkey"].to_numpy(np.int64)
+        is_hot = np.isin(key, h)
+        # cold: one row at shard key%n; hot: replicate to all salts
+        reps = np.where(is_hot, n_salts, 1)
+        ridx = np.repeat(np.arange(len(key)), reps)
+        salt = np.concatenate(
+            [np.arange(r, dtype=np.int64) for r in reps]
+        ) if len(key) else np.array([], dtype=np.int64)
+        rkey = key[ridx]
+        rhot = is_hot[ridx]
+        shard = np.where(
+            rhot, (rkey * n_salts + salt) % n_shards, rkey % n_shards)
+        return pd.DataFrame(
+            {"user_id": rkey, "salt": salt,
+             "p_n": np.int64(0), "p_c": np.int64(0), "shard": shard,
+             "mkt": df["c_mktsegment"].to_numpy()[ridx],
+             "side": np.int64(1)})
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    both = ev.map_batches(
+        fact_partial, batch_format="pandas", batch_size=65536
+    ).union(cust.map_batches(
+        dim_rows, batch_format="pandas", batch_size=65536))
+
+    hot_sorted = np.sort(hot)
+
+    def merge_shard(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "mkt": "object", "events": "int64",
+                "value_cents": "int64", "is_hot": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        f = (df[df["side"] == 0]
+             .groupby("user_id", as_index=False)
+             .agg(events=("p_n", "sum"), value_cents=("p_c", "sum")))
+        d = (df[df["side"] == 1]
+             .drop_duplicates("user_id")[["user_id", "mkt"]])
+        j = f.merge(d, on="user_id", how="inner")
+        j["is_hot"] = np.isin(
+            j["user_id"].to_numpy(np.int64), hot_sorted).astype("int64")
+        return j[list(cols)].astype(
+            {k: v for k, v in cols.items() if v == "int64"})
+
+    out = hash_exchange(both, "shard", n_shards, merge_shard)
+
+    def cold_only(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["is_hot"] == 0]
+        return pd.DataFrame(
+            {"user_id": c["user_id"].astype("int64"),
+             "c_mktsegment": c["mkt"],
+             "events": c["events"].astype("int64"),
+             "value_cents": c["value_cents"].astype("int64")})
+
+    def hot_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["is_hot"] == 1]
+
+    cold = out.map_batches(cold_only, batch_format="pandas")
+    # bounded driver finish: ≤ hot_k × n_salts partial rows
+    hp = out.map_batches(hot_only, batch_format="pandas").to_pandas()
+    if len(hp):
+        hg = hp.groupby(["user_id", "mkt"], as_index=False).agg(
+            events=("events", "sum"), value_cents=("value_cents", "sum"))
+        hg = pd.DataFrame(
+            {"user_id": hg["user_id"].astype("int64"),
+             "c_mktsegment": hg["mkt"],
+             "events": hg["events"].astype("int64"),
+             "value_cents": hg["value_cents"].astype("int64")})
+        return cold.union(rd.from_pandas(hg))
+    return cold
+
+
 SCD2_BASE_DAY = 9500
 SCD2_STEP = 5
 SCD2_SPAN = 600

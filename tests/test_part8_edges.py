@@ -185,3 +185,34 @@ def test_revenue_gini_bigint_reassembly(ray_session, tmp_path):
     assert out["n_customers"].tolist() == [n]
     assert out["total_cents"].tolist() == [s]
     assert out["gini_ppm"].tolist() == [want]
+
+
+def test_salted_join_one_viral_user(ray_session, tmp_path):
+    """A crafted corpus with ONE viral user (80% of events) plus a
+    handful of cold users: the salted plan must (a) detect the hot key,
+    (b) split its rows across salts and recombine EXACTLY (counts and
+    cents add across partials), and (c) leave a user with no customer
+    row out of the inner join."""
+    n_hot = 400
+    ev = pa.table({
+        "event_id": pa.array(range(n_hot + 5), pa.int64()),
+        "user_id": pa.array([7] * n_hot + [1, 2, 3, 2, 99], pa.int64()),
+        "value": pa.array([0.25] * n_hot + [1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 7], pa.int64()),
+        "c_mktsegment": pa.array(["A", "B", "C", "VIRAL"]),
+    })  # user 99 has NO dim row -> dropped by the inner join
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    from tensorflow_ocr_ray.pipelines.relational import (
+        salted_join_hot_keys,
+    )
+
+    out = (salted_join_hot_keys(str(tmp_path), n_shards=4, n_salts=4,
+                                hot_k=2)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2, 3, 7]
+    assert out["events"].tolist() == [1, 2, 1, n_hot]
+    assert out["value_cents"].tolist() == [100, 600, 300, n_hot * 25]
+    assert out["c_mktsegment"].tolist() == ["A", "B", "C", "VIRAL"]
