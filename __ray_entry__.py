@@ -2006,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_explode": curation.token_explode,
         "ann_range_search": similarity.ann_range_search,
         "kmeans_quantized": similarity.kmeans_quantized,
+        "semdedup_prune": similarity.semdedup_prune,
         "pq_codebooks": similarity.pq_codebooks,
         "ann_topk_pq": similarity.ann_topk_pq,
         "ann_topk_ivfpq": similarity.ann_topk_ivfpq,
@@ -3044,6 +3045,35 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
                CAST(d AS BIGINT) AS dist
         FROM a{iters + 1}"""
     return ",".join(parts) + final
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2,
+                  dist_le: int = 140_000) -> str:
+    """semdedup_prune oracle: the _kmeans_sql Lloyd unroll, then the
+    within-cluster lower-id near-neighbor EXISTS — a pair CTE over the
+    final assignment joined to the codes table, distance summed per
+    pair, pruned ids LEFT JOINed back (similarity.py:semdedup_prune)."""
+    base = _kmeans_sql(k, iters)
+    a = f"a{iters + 1}"
+    head, _, _ = base.rpartition("SELECT vec_id, CAST(cluster AS BIGINT)")
+    return f"""{head.rstrip().rstrip(',')},
+        pd AS (
+          SELECT f.vec_id AS big_id,
+                 sum((uf.code - ug.code) * (uf.code - ug.code)) AS d
+          FROM {a} f
+          JOIN {a} g ON f.cluster = g.cluster AND g.vec_id < f.vec_id
+          JOIN u uf ON uf.vec_id = f.vec_id
+          JOIN u ug ON ug.vec_id = g.vec_id AND ug.dim = uf.dim
+          GROUP BY f.vec_id, g.vec_id
+        ),
+        pruned AS (
+          SELECT DISTINCT big_id FROM pd WHERE d <= {dist_le}
+        )
+        SELECT s.vec_id,
+               CAST(s.cluster AS BIGINT) AS cluster,
+               CAST(CASE WHEN p.big_id IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep
+        FROM {a} s LEFT JOIN pruned p ON p.big_id = s.vec_id"""
 
 
 def _pq_sql(m: int = 4, k: int = 8, iters: int = 2,
@@ -5066,6 +5096,7 @@ def _oracle_sql_base() -> dict[str, str]:
             ) GROUP BY 1
         """,
         "kmeans_quantized": _kmeans_sql(),
+        "semdedup_prune": _semdedup_sql(),
         "pq_codebooks": _pq_sql(),
         "ann_topk_pq": _pq_adc_sql(),
         "ann_topk_ivfpq": _ivfpq_sql(),

@@ -1307,6 +1307,78 @@ def cluster_token_profile(sf_dir: str, k: int = 8,
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def semdedup_prune(sf_dir: str, k: int = 8, iters: int = 2,
+                   dist_le: int = 140_000) -> "rd.Dataset":
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
+    2303.09540): k-means-cluster the embedding space, then drop any
+    vector with a near-identical LOWER-ID neighbor in its own cluster —
+    the curation step that removes semantic (not textual) duplicates
+    before training.
+
+    Exactness contract (same as kmeans_quantized, so the composed
+    unrolled SQL oracle hash-matches): clusters come from the integer
+    Lloyd's state; "near" is int64 squared euclidean over the
+    embedding_quantize codes ``<= dist_le``; the keep rule is LOCAL and
+    deterministic — vec x is pruned iff ∃ y in x's cluster with
+    ``y.vec_id < x.vec_id`` and ``d(x,y) <= dist_le`` (keep-first, the
+    paper's one-representative-per-near-group policy with id priority
+    instead of its centroid-distance heuristic, which float-ties).
+
+    Scale plan: the pairwise step runs INSIDE one cluster only — one
+    cluster-hash exchange routes (vec_id, packed int8 codes), each
+    shard does a blocked integer gram matrix.  SemDeDup's own recipe
+    makes this safe at 100 TB: k scales with the corpus (the paper uses
+    k=50k for LAION) so a cluster stays task-sized; skewed clusters
+    are the key_skew_audit trigger, split by recursing k-means inside
+    the fat cluster.  Returns the lazy (vec_id, cluster, keep) set —
+    corpus-cardinality, stream it to a sink."""
+    from tensorflow_ocr_ray.stages.exchange import hash_exchange
+
+    s, cents = _kmeans_state(sf_dir, k, iters)
+    s_ref = ray.put(s)
+    c_ref = ray.put(cents)
+    dim = cents.shape[1]
+
+    def assign(batch: dict) -> pd.DataFrame:
+        ids, codes = _kmeans_codes(batch, ray.get(s_ref))
+        a, _d = _kmeans_assign_codes(codes, ray.get(c_ref))
+        # int8 pack: quantize codes are in [-127, 127] by construction
+        packed = [c.astype(np.int8).tobytes() for c in codes]
+        return pd.DataFrame(
+            {"vec_id": ids, "shard": a.astype(np.int64),
+             "codes": packed})
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"vec_id": "int64", "cluster": "int64", "keep": "int64"}
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()})
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.frombuffer(
+            b"".join(df["codes"]), dtype=np.int8
+        ).reshape(len(ids), dim).astype(np.int64)
+        sq = (m * m).sum(axis=1)
+        # blocked gram: rows vs the full cluster, O(block x n) memory
+        keep = np.ones(len(ids), dtype=bool)
+        B = 2048
+        for lo in range(0, len(ids), B):
+            hi = min(lo + B, len(ids))
+            d = (sq[lo:hi, None] - 2 * m[lo:hi] @ m.T + sq[None, :])
+            near = d <= dist_le
+            # only LOWER-id (strictly earlier row) neighbors prune
+            col = np.arange(len(ids))[None, :]
+            row = np.arange(lo, hi)[:, None]
+            keep[lo:hi] = ~(near & (col < row)).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster": df["shard"].to_numpy(np.int64),
+             "keep": keep.astype(np.int64)})
+
+    routed = _emb(sf_dir).map_batches(
+        assign, batch_format="numpy", batch_size=4096)
+    return hash_exchange(routed, "shard", k, prune)
+
+
 _PQ_MEMO: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
 

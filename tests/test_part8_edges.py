@@ -216,3 +216,34 @@ def test_salted_join_one_viral_user(ray_session, tmp_path):
     assert out["events"].tolist() == [1, 2, 1, n_hot]
     assert out["value_cents"].tolist() == [100, 600, 300, n_hot * 25]
     assert out["c_mktsegment"].tolist() == ["A", "B", "C", "VIRAL"]
+
+
+def test_semdedup_planted_duplicates(ray_session, tmp_path):
+    """Embeddings with two planted EXACT duplicate groups in distinct
+    regions of the space: each group keeps only its smallest vec_id;
+    isolated vectors all keep.  k=2 so the two regions become the two
+    clusters (init = vec 0/1, one per region)."""
+    base_a = [10.0] * 8
+    base_b = [-10.0] * 8
+    rows = [
+        (0, base_a), (1, base_b),          # init centroids, regions A/B
+        (2, base_a), (3, base_a),          # exact dups of 0
+        (4, base_b),                       # exact dup of 1
+        (5, [10.0] * 4 + [-10.0] * 4),     # isolated (far from both dups)
+    ]
+    emb = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32()),
+    })
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    from tensorflow_ocr_ray.pipelines.similarity import (
+        _KMEANS_MEMO, semdedup_prune,
+    )
+
+    _KMEANS_MEMO.clear()  # tmp_path may collide with a prior test's key
+    out = (semdedup_prune(str(tmp_path), k=2, iters=1, dist_le=0)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    _KMEANS_MEMO.clear()
+    assert out["keep"].tolist() == [1, 1, 0, 0, 0, 1]
