@@ -2056,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mv_delta_refresh": relational.mv_delta_refresh,
         "key_skew_audit": relational.key_skew_audit,
         "salted_join_hot_keys": relational.salted_join_hot_keys,
+        "snapshot_time_travel": relational.snapshot_time_travel,
         "part_trending_decay": relational.part_trending_decay,
         "schema_evolution_read": relational.schema_evolution_read,
         "data_quality_expectations": relational.data_quality_expectations,
@@ -6608,6 +6609,16 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT)
                        AS skew_ratio_e4
             FROM c
+        """,
+        "snapshot_time_travel": """
+            SELECT CAST(o_orderkey AS BIGINT) AS key,
+                   CAST(round(o_totalprice * 100)
+                        + CASE WHEN o_orderkey % 37 = 0 THEN 5
+                               ELSE 0 END AS BIGINT) AS cents,
+                   CAST(CASE WHEN o_orderkey % 37 = 0 THEN 1
+                             ELSE 0 END AS BIGINT) AS version_written
+            FROM orders
+            WHERE o_orderkey % 89 <> 0
         """,
         "salted_join_hot_keys": """
             SELECT e.user_id,

@@ -3694,6 +3694,61 @@ def merge_upsert(sf_dir: str, n_shards: int = 64) -> "rd.Dataset":
     return hash_exchange(tagged, "shard", n_shards, apply_merge)
 
 
+def snapshot_time_travel(sf_dir: str, as_of: int = 2) -> "rd.Dataset":
+    """Time-travel read — reconstruct the table AS OF version ``as_of``
+    from a versioned changelog (the Iceberg/Delta ``VERSION AS OF``
+    shape), next to ``merge_upsert``'s apply-latest step.
+
+    The log reuses merge_upsert's derived changelog, split into
+    sequential versions: v0 = base snapshot, v1 UPDATEs every key %37
+    to cents+5, v2 DELETEs keys %89, v3 INSERTs key+2*10^12 at cents+1
+    for keys %43.  Unlike merge_upsert (which applies delete-then-
+    update, so a %37-and-%89 key never shows its update), time travel
+    at ``as_of=1`` must SHOW that update — version order is data.
+
+    Because every log op is KEY-LOCAL, replaying versions 0..as_of
+    collapses to ONE map-only pass over the base read — no exchange,
+    no materialized intermediate snapshots: each batch applies the
+    version rules ≤ as_of to its own keys and emits
+    (key, cents, version_written), where version_written is the LAST
+    version that touched the row (the manifest attribution a real
+    time-travel read carries).  A log with cross-key ops (renames,
+    re-keys) would need merge_upsert's key-hash exchange instead —
+    that's the seam, and it's documented, not hidden.  Output is
+    corpus-sized: the lazy Dataset streams to a sink."""
+    if as_of < 0 or as_of > 3:
+        raise ValueError(f"as_of must be 0..3, got {as_of}")
+    base = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def replay(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        ver = np.zeros(len(k), dtype=np.int64)
+        if as_of >= 1:
+            upd = k % 37 == 0
+            c = np.where(upd, c + 5, c)
+            ver = np.where(upd, 1, ver)
+        keep = np.ones(len(k), dtype=bool)
+        if as_of >= 2:
+            keep = k % 89 != 0
+        frames = [pd.DataFrame(
+            {"key": k[keep], "cents": c[keep],
+             "version_written": ver[keep]})]
+        if as_of >= 3:
+            ins = k % 43 == 0
+            base_c = np.round(
+                df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+            frames.append(pd.DataFrame(
+                {"key": k[ins] + 2_000_000_000_000,
+                 "cents": base_c[ins] + 1,
+                 "version_written": np.int64(3)}))
+        return pd.concat(frames, ignore_index=True).astype("int64")
+
+    return base.map_batches(replay, batch_format="pandas",
+                            batch_size=65536)
+
+
 def mv_delta_refresh(sf_dir: str) -> pd.DataFrame:
     """Incremental materialized-view maintenance — refresh a per-day
     revenue MV from a DELTA instead of a full recompute, and prove the

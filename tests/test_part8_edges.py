@@ -247,3 +247,29 @@ def test_semdedup_planted_duplicates(ray_session, tmp_path):
            .to_pandas().sort_values("vec_id").reset_index(drop=True))
     _KMEANS_MEMO.clear()
     assert out["keep"].tolist() == [1, 1, 0, 0, 0, 1]
+
+
+def test_snapshot_time_travel_version_semantics(ray_session, tmp_path):
+    """Version order is data: key 3293 (37*89) shows its v1 update at
+    as_of=1 but is GONE at as_of=2; inserts only appear at as_of=3;
+    as_of=0 is the untouched base."""
+    keys = [3293, 37, 89, 43, 2]
+    sf = _write(tmp_path, "orders", pa.table(
+        {"o_orderkey": pa.array(keys, pa.int64()),
+         "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0])}))
+    from tensorflow_ocr_ray.pipelines.relational import (
+        snapshot_time_travel,
+    )
+
+    def state(v):
+        df = (snapshot_time_travel(sf, as_of=v).to_pandas()
+              .sort_values("key").reset_index(drop=True))
+        return list(map(tuple, df.itertuples(index=False)))
+
+    assert state(0) == [(2, 5000, 0), (37, 2000, 0), (43, 4000, 0),
+                        (89, 3000, 0), (3293, 1000, 0)]
+    assert state(1) == [(2, 5000, 0), (37, 2005, 1), (43, 4000, 0),
+                        (89, 3000, 0), (3293, 1005, 1)]
+    assert state(2) == [(2, 5000, 0), (37, 2005, 1), (43, 4000, 0)]
+    assert state(3) == [(2, 5000, 0), (37, 2005, 1), (43, 4000, 0),
+                        (2_000_000_000_043, 4001, 3)]
