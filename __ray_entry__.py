@@ -2284,6 +2284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frontier merge: sitemap ∪ outlinks, canonical-collapse of a
         # planted messy re-discovery, robots gate, one url exchange
         "crawl_frontier_dedup": _webtier("crawl_frontier_dedup"),
+        "crawl_politeness_schedule": _webtier("crawl_politeness_schedule"),
         # corpus governance: rel=license beats anchor evidence,
         # commented decoys never match
         "license_detect": _webtier("license_detect"),
@@ -7675,6 +7676,36 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT canon AS canonical_url, count(*) AS n_raw,
                    count(DISTINCT doc_id) AS n_docs
             FROM c GROUP BY canon
+        """,
+        "crawl_politeness_schedule": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS k
+              FROM documents
+            ),
+            c AS (
+              SELECT
+                (CASE WHEN (doc_id+k)%2=0 THEN 'http' ELSE 'https' END)
+                || '://host' || CAST((3*doc_id+k)%40 AS VARCHAR)
+                || '.example.com'
+                || (CASE WHEN (doc_id+k)%5=0 THEN ':8080' ELSE '' END)
+                || '/a/q' || CAST((doc_id+k)%7 AS VARCHAR) || '/doc?a='
+                || CAST(doc_id%5 AS VARCHAR) || '&b='
+                || CAST(k AS VARCHAR) AS url,
+                'host' || CAST((3*doc_id+k)%40 AS VARCHAR)
+                || '.example.com' AS host
+              FROM u
+            ),
+            d AS (SELECT DISTINCT url, host FROM c),
+            r AS (
+              SELECT url, host,
+                     row_number() OVER (
+                       PARTITION BY host ORDER BY url) AS host_rank
+              FROM d
+            )
+            SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank,
+                   CAST(row_number() OVER (
+                     ORDER BY host_rank, host, url) AS BIGINT) AS slot
+            FROM r
         """,
         # sequential recursive walk; the engine takes the same capped
         # stops via pointer doubling (4 exchange rounds, not 8)

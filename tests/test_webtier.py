@@ -353,3 +353,30 @@ def test_charset_transcode_pipeline(ray_session):
     non_utf = df[df["doc_id"] % 4 >= 2]
     assert non_utf["text"].str.startswith("\xe9 ").all()
     assert (df["n_chars"] == df["text"].str.len()).all()
+
+
+def test_politeness_schedule_invariants(ray_session):
+    """slots are a 1..N permutation; within a round (host_rank) every
+    host appears at most once; each host's slots strictly increase
+    with its queue rank; rounds are contiguous slot ranges (round r
+    occupies slots right after round r-1 — the interleave order)."""
+    from tensorflow_ocr_ray.pipelines.webtier import (
+        crawl_politeness_schedule,
+    )
+
+    df = (crawl_politeness_schedule("/root/testdata/sf0.001")
+          .to_pandas().sort_values("slot").reset_index(drop=True))
+    n = len(df)
+    assert sorted(df["slot"].tolist()) == list(range(1, n + 1))
+    assert (df.groupby("host_rank")["host"].nunique()
+            == df.groupby("host_rank").size()).all()
+    for _, g in df.groupby("host"):
+        s = g.sort_values("host_rank")["slot"].to_numpy()
+        assert (np.diff(s) > 0).all()
+    # rounds partition the slot sequence contiguously in rank order
+    bounds = df.groupby("host_rank")["slot"].agg(["min", "max", "size"])
+    bounds = bounds.sort_index()
+    assert (bounds["max"] - bounds["min"] + 1 == bounds["size"]).all()
+    assert bounds["min"].iloc[0] == 1
+    assert (bounds["min"].to_numpy()[1:]
+            == bounds["max"].to_numpy()[:-1] + 1).all()
