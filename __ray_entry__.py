@@ -2406,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequential reference trainer is the gate)
         "bpe_learn_merges": tokenizer.bpe_learn_merges,
         "bpe_tokenize_count": tokenizer.bpe_tokenize_count,
+        "bpe_fertility_by_lang": tokenizer.bpe_fertility_by_lang,
         # OCR pipeline (rows-only; correctness gated by pytest span-equality)
         "ocr_extract_exploded": _ocr_exploded,
         # combined extraction tier: html spans boilerplate-stripped AND

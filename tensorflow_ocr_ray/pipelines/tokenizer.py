@@ -249,3 +249,59 @@ def bpe_tokenize_count(sf_dir: str, n_merges: int = 12,
         .astype({"n_docs": "int64", "bpe_tokens": "int64"})
         .sort_values("source").reset_index(drop=True)
     )
+
+
+class BpeFertilityStage(BpeTokenizeStage):
+    """Per-language fertility partials: same memoized per-actor apply
+    as :class:`BpeTokenizeStage`, additionally counting whitespace
+    words so the driver can form tokens-per-word without a second
+    corpus pass."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:  # type: ignore[override]
+        toks = np.fromiter(
+            (sum(self._n_tokens(w) for w in t.split())
+             for t in df["text"]),
+            dtype=np.int64, count=len(df))
+        words = np.fromiter(
+            (len(t.split()) for t in df["text"]),
+            dtype=np.int64, count=len(df))
+        return pd.DataFrame({"lang": df["lang"],
+                             "n_docs": np.int64(1),
+                             "words": words,
+                             "bpe_tokens": toks}).groupby(
+            "lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), words=("words", "sum"),
+            bpe_tokens=("bpe_tokens", "sum"))
+
+
+def bpe_fertility_by_lang(sf_dir: str, n_merges: int = 12,
+                          concurrency: int = 4) -> pd.DataFrame:
+    """Tokenizer fertility (BPE tokens per whitespace word) per
+    language — the rollout health metric that decides whether a
+    tokenizer under-serves a language (high fertility = more tokens
+    per word = shorter effective context for that language's text).
+
+    Same shape as bpe_tokenize_count: learn merges once (bounded
+    vocab-only iterations), ship them per actor, one corpus pass of
+    bounded per-(batch, lang) partials, driver combine over a
+    |langs|-bounded grid.  fertility_ppm is exact integer
+    tokens*10^6 // words.  Rows-only registry entry (BPE segmentation
+    isn't SQL); pytest pins parity with a sequential segmenter."""
+    merges_df = bpe_learn_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    parts = docs.map_batches(
+        BpeFertilityStage, batch_format="pandas", batch_size=2048,
+        concurrency=concurrency,
+        fn_constructor_args=(merges,),
+    ).to_pandas()
+    g = (parts.groupby("lang", as_index=False)
+         .agg(n_docs=("n_docs", "sum"), words=("words", "sum"),
+              bpe_tokens=("bpe_tokens", "sum")))
+    g["fertility_ppm"] = (
+        g["bpe_tokens"] * 1_000_000 // np.maximum(g["words"], 1))
+    return (g.astype({"n_docs": "int64", "words": "int64",
+                      "bpe_tokens": "int64", "fertility_ppm": "int64"})
+            .sort_values("lang").reset_index(drop=True))

@@ -103,3 +103,51 @@ def test_bpe_tokenize_count_parity(ray_session):
         columns=["source", "n_docs", "bpe_tokens"],
     ).astype({"n_docs": "int64", "bpe_tokens": "int64"})
     assert got.reset_index(drop=True).equals(exp)
+
+
+def test_bpe_fertility_parity(ray_session):
+    """Per-lang fertility == sequential segmentation under the same
+    merge table, fertility_ppm exact integer tokens*1e6//words."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from tensorflow_ocr_ray.pipelines.tokenizer import (
+        bpe_fertility_by_lang,
+    )
+
+    got = bpe_fertility_by_lang(SF, n_merges=8, concurrency=2)
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    wc = Counter()
+    for _, t in rows:
+        wc.update(t.split())
+    merges = bpe_reference(dict(wc), 8)
+    memo = {}
+
+    def ntok(w):
+        if w not in memo:
+            syms = list(w) + [EOW]
+            for left, right, _ in merges:
+                if len(syms) < 2:
+                    break
+                syms = _apply_merge(syms, left, right)
+            memo[w] = len(syms)
+        return memo[w]
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for lang, t in rows:
+        ws = t.split()
+        agg[lang][0] += 1
+        agg[lang][1] += len(ws)
+        agg[lang][2] += sum(ntok(w) for w in ws)
+    exp = pd.DataFrame(
+        [(s, a[0], a[1], a[2], a[2] * 1_000_000 // max(a[1], 1))
+         for s, a in sorted(agg.items())],
+        columns=["lang", "n_docs", "words", "bpe_tokens",
+                 "fertility_ppm"],
+    ).astype({"n_docs": "int64", "words": "int64",
+              "bpe_tokens": "int64", "fertility_ppm": "int64"})
+    assert got.reset_index(drop=True).equals(exp)
