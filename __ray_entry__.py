@@ -107,6 +107,21 @@ def _media_caption_pairs(sf_dir: str):
     return media_caption_pairs(ds)
 
 
+def _span_kind_transitions(sf_dir: str):
+    """Span-kind bigram grid over the interleaved web corpus —
+    zero-copy nested walk, bounded |kinds|^2 output, no shuffle."""
+    import ray.data as rd
+
+    from tensorflow_ocr_ray.fixtures import generate_web_documents
+    from tensorflow_ocr_ray.pipelines.extract import span_kind_transitions
+
+    n = {"sf0.001": 24, "sf0.01": 64, "sf0.1": 160}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 64
+    )
+    ds = rd.from_arrow(generate_web_documents(n, seed=42))
+    return span_kind_transitions(ds)
+
+
 def _ocr_flood(sf_dir: str):
     """The -x flood-fill segmentation config through the full pipeline."""
     from tensorflow_ocr_ray.config import FIXTURE_CONFIG
@@ -2417,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order is a free local property, zero shuffle (rows-only —
         # the input is the north-star nested table, not a SQL view)
         "media_caption_pairs": _media_caption_pairs,
+        "span_kind_transitions": _span_kind_transitions,
         "ocr_extract_fused": _ocr_fused,
         "ocr_extract_flood": _ocr_flood,
         "ocr_extract_postprocessed": _ocr_postprocessed,

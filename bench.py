@@ -215,11 +215,19 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in QUERY_NAMES:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        if hasattr(res, "to_pandas"):
-            res = res.to_pandas()
-        out[name] = round(time.time() - t0, 3)
+        # best-of-2, same rationale as bench_ocr: ambient host load
+        # only ever SLOWS a run (r4's driver bench read 1.4-2.7x high
+        # on unchanged code), so the min is the noise-rejected reading
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            elapsed = time.time() - t0
+            if best is None or elapsed < best:
+                best = elapsed
+        out[name] = round(best, 3)
     return out
 
 

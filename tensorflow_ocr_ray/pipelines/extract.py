@@ -31,6 +31,7 @@ time between the two map stages, never into the shuffle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -363,3 +364,59 @@ def web_curation_pipeline(
     gated = wrapped.map_batches(strip_and_gate, batch_format="pandas",
                                 batch_size=4096)
     return hash_exchange(gated, "shard", n_shards, dedup_verdict)
+
+
+def span_kind_transitions(ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Span-kind bigram grid over the INTERLEAVED corpus — the layout
+    profile (how often media follows text vs leads a document, how
+    html and media interleave) a multimodal packing/curriculum step
+    reads before deciding sequence budgets.
+
+    The vectorized-nested exhibit: the whole walk is zero-copy Arrow —
+    ``ListArray.offsets`` give doc boundaries, ``flatten()`` exposes
+    the span struct children WITHOUT to_pylist, a lexsort on
+    (doc, offset) restores in-doc order, and the bigram mask is one
+    numpy comparison.  Per batch the output collapses to the bounded
+    |kinds|^2 grid, so the driver merge is O(batches x 9) however
+    large the corpus; no shuffle anywhere."""
+
+    def transitions(batch: pa.Table) -> pd.DataFrame:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n_docs = len(spans)
+        offs = np.asarray(spans.offsets)
+        counts = np.diff(offs - offs[0])
+        flat = spans.flatten()
+        kind = np.asarray(flat.field("kind").to_numpy(
+            zero_copy_only=False))
+        pos = np.asarray(flat.field("offset").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((pos, doc))
+        kind, doc = kind[order], doc[order]
+        if len(kind) < 2:
+            return pd.DataFrame(
+                {"kind_from": pd.Series([], dtype="object"),
+                 "kind_to": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")})
+        m = doc[1:] == doc[:-1]
+        g = (pd.DataFrame({"kind_from": kind[:-1][m],
+                           "kind_to": kind[1:][m]})
+             .groupby(["kind_from", "kind_to"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = ds.map_batches(
+        transitions, batch_format="pyarrow", batch_size=256
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"kind_from": pd.Series([], dtype="object"),
+             "kind_to": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64")})
+    out = (parts.groupby(["kind_from", "kind_to"], as_index=False)
+           .agg(n=("n", "sum")).astype({"n": "int64"})
+           .sort_values(["kind_from", "kind_to"]).reset_index(drop=True))
+    return out

@@ -5,6 +5,7 @@ north_rule's per-row invariant)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 
 from tensorflow_ocr_ray.fixtures import (
@@ -181,3 +182,36 @@ def test_web_curation_pipeline_truth(ray_session):
     assert (merged["passed"] == 0).any()
     if raw["text"].duplicated().any():
         assert (merged["doc_id"] != merged["keeper_doc_id"]).any()
+
+
+def test_span_kind_transitions_matches_sequential_walk(ray_session):
+    """Vectorized nested bigram grid == an independent per-row python
+    walk over the same fixture; also pins that in-doc order comes from
+    the OFFSET field, not list position (shuffled spans same answer)."""
+    import ray.data as rd
+    from collections import Counter
+
+    from tensorflow_ocr_ray.fixtures import generate_web_documents
+    from tensorflow_ocr_ray.pipelines.extract import (
+        span_kind_transitions,
+    )
+
+    tbl = generate_web_documents(48, seed=7)
+    got = span_kind_transitions(rd.from_arrow(tbl))
+    exp = Counter()
+    for row in tbl.to_pylist():
+        ks = [s["kind"] for s in sorted(row["spans"],
+                                        key=lambda s: s["offset"])]
+        exp.update(zip(ks, ks[1:]))
+    exp_df = (pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(exp.items())],
+        columns=["kind_from", "kind_to", "n"]).astype({"n": "int64"}))
+    assert got.equals(exp_df)
+    # order-from-offset: reverse every span list; answer must not move
+    rows = tbl.to_pylist()
+    for r in rows:
+        r["spans"] = list(reversed(r["spans"]))
+    import pyarrow as pa_
+    rev = pa_.Table.from_pylist(rows, schema=tbl.schema)
+    got_rev = span_kind_transitions(rd.from_arrow(rev))
+    assert got_rev.equals(exp_df)
