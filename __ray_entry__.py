@@ -2220,6 +2220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_topk_docs": curation.source_topk_docs,
         "curation_pipeline": curation.curation_pipeline,
         "dedup_keep_list": dedup.dedup_keep_list,
+        "dedup_keep_longest": dedup.dedup_keep_longest,
         # html main-content extraction: deterministic boilerplate chrome
         # wrapped around each document's text; the extractor must recover
         # the text EXACTLY (hard oracle: extracted == documents.text)
@@ -5106,6 +5107,41 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "minhash_dedup": _minhash_dedup_sql(),
+        "dedup_keep_longest": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT doc_a, doc_b FROM ({_minhash_sql()}) t
+            ),
+            nodes AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs)
+            ),
+            edges AS MATERIALIZED (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            walk(doc_id, r) AS (
+              SELECT doc_id, doc_id FROM nodes
+              UNION
+              SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.doc_id
+            ),
+            labels AS (
+              SELECT doc_id, min(r) AS cluster_rep FROM walk
+              GROUP BY doc_id
+            ),
+            j AS (
+              SELECT l.cluster_rep, d.doc_id, d.n_chars,
+                     max(d.n_chars) OVER (
+                       PARTITION BY l.cluster_rep) AS mx
+              FROM labels l JOIN documents d USING (doc_id)
+            )
+            SELECT CAST(cluster_rep AS BIGINT) AS cluster_rep,
+                   CAST(min(CASE WHEN n_chars = mx THEN doc_id END)
+                        AS BIGINT) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM j GROUP BY cluster_rep
+        """,
         "minhash_cluster_size_hist": f"""
             SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
                    CAST(count(*) AS BIGINT) AS n_clusters

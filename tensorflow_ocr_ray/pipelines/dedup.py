@@ -1668,3 +1668,68 @@ def dup_weight_assign(sf_dir: str, n_shards: int | None = None) -> "rd.Dataset":
         ds.map_batches(add_shard, batch_format="pandas", batch_size=4096),
         "shard", n_shards, per_shard,
     )
+
+
+def dedup_keep_longest(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    verify_threshold: float = 0.6,
+) -> pd.DataFrame:
+    """Per near-dup cluster, keep the LONGEST member — the completeness
+    policy (a truncated mirror loses to the full page) real curation
+    pipelines use instead of keep-first: per cluster the winner is the
+    max-``n_chars`` member, tie to the smaller doc_id, alongside the
+    member count and winning length.
+
+    Physical plan: ``minhash_dedup``'s (doc_id, cluster_rep) frame is
+    clustered-docs-bounded and broadcast once; ONE column-pruned pass
+    over ``documents(doc_id, n_chars)`` folds each batch to per-cluster
+    (max_chars, argmin-doc-at-max) partials — the fold rule is
+    associative, so batch partials merge exactly on the driver over
+    |clusters| rows.  Text never moves; the scan reads two int columns.
+    Output is cluster-bounded, safe as a driver frame at any corpus
+    size (it scales with dup clusters, not docs)."""
+    clusters = minhash_dedup(sf_dir, num_perm, bands, verify_threshold)
+    cols = {"cluster_rep": "int64", "keep_doc_id": "int64",
+            "n_members": "int64", "max_chars": "int64"}
+    if not len(clusters):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in cols.items()})
+    rep_ref = ray.put(dict(zip(clusters["doc_id"].astype(int),
+                               clusters["cluster_rep"].astype(int))))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rep = ray.get(rep_ref)
+        ids = df["doc_id"].to_numpy(np.int64)
+        m = np.isin(ids, np.fromiter(rep.keys(), np.int64, len(rep)))
+        if not m.any():
+            return pd.DataFrame(
+                {"cluster_rep": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "n_chars": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")})
+        d = pd.DataFrame(
+            {"cluster_rep": [rep[int(i)] for i in ids[m]],
+             "doc_id": ids[m],
+             "n_chars": df["n_chars"].to_numpy(np.int64)[m]})
+        # associative fold: (max chars, min doc at that max, count)
+        d = d.sort_values(["cluster_rep", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+        g = d.groupby("cluster_rep", as_index=False).agg(
+            doc_id=("doc_id", "first"), n_chars=("n_chars", "first"),
+            n=("doc_id", "size"))
+        return g.astype("int64")
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    parts = parts.sort_values(["cluster_rep", "n_chars", "doc_id"],
+                              ascending=[True, False, True])
+    out = parts.groupby("cluster_rep", as_index=False).agg(
+        keep_doc_id=("doc_id", "first"), n_members=("n", "sum"),
+        max_chars=("n_chars", "first"))
+    return (out[list(cols)].astype("int64")
+            .sort_values("cluster_rep").reset_index(drop=True))

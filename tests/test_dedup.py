@@ -364,3 +364,36 @@ def test_simhash_dup_pairs_banding_complete(ray_session):
            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     assert (alt[["doc_a", "doc_b", "hamming"]].to_numpy()
             == ref.to_numpy()).all()
+
+
+def test_dedup_keep_longest_tie_and_partial_merge(ray_session):
+    """Winner = max n_chars, tie -> min doc_id, exact across batch
+    partials: verified against a sequential recompute at sf0.001."""
+    import duckdb
+
+    from tensorflow_ocr_ray.pipelines.dedup import (
+        dedup_keep_longest,
+        minhash_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup_keep_longest(sf)
+    clusters = minhash_dedup(sf)
+    chars = dict(duckdb.sql(
+        f"SELECT doc_id, n_chars FROM "
+        f"read_parquet('{sf}/documents.parquet')").fetchall())
+    exp = {}
+    for doc, rep in zip(clusters["doc_id"], clusters["cluster_rep"]):
+        n = chars[int(doc)]
+        cur = exp.get(int(rep))
+        cand = (int(n), int(doc))
+        if cur is None:
+            exp[int(rep)] = [cand, 1]
+        else:
+            best, cnt = cur
+            if (-cand[0], cand[1]) < (-best[0], best[1]):
+                cur[0] = cand
+            cur[1] = cnt + 1
+    exp_rows = sorted(
+        (rep, v[0][1], v[1], v[0][0]) for rep, v in exp.items())
+    assert list(map(tuple, got.itertuples(index=False))) == exp_rows
