@@ -273,3 +273,48 @@ def test_snapshot_time_travel_version_semantics(ray_session, tmp_path):
     assert state(2) == [(2, 5000, 0), (37, 2005, 1), (43, 4000, 0)]
     assert state(3) == [(2, 5000, 0), (37, 2005, 1), (43, 4000, 0),
                         (2_000_000_000_043, 4001, 3)]
+
+
+def test_salted_join_random_frames(ray_session, tmp_path):
+    """Salted plan == plain pandas join+aggregate on a batch of random
+    skewed frames (varied salts/shards/hot_k, including hot_k larger
+    than the key space and single-shard routing)."""
+    rng = np.random.RandomState(7)
+    from tensorflow_ocr_ray.pipelines.relational import (
+        salted_join_hot_keys,
+    )
+
+    for trial, (ns, nsalt, hk) in enumerate(
+            [(1, 2, 1), (3, 4, 16), (5, 2, 2)]):
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        n = int(rng.randint(20, 120))
+        uid = rng.choice([1, 2, 3, 7, 9], size=n,
+                         p=[0.6, 0.1, 0.1, 0.1, 0.1])
+        val = np.round(rng.uniform(0, 50, size=n), 2)
+        pq.write_table(pa.table(
+            {"event_id": pa.array(range(n), pa.int64()),
+             "user_id": pa.array(uid, pa.int64()),
+             "value": pa.array(val)}), str(d / "events.parquet"))
+        keys = [1, 2, 3, 9]  # 7 intentionally missing from the dim
+        pq.write_table(pa.table(
+            {"c_custkey": pa.array(keys, pa.int64()),
+             "c_mktsegment": pa.array([f"S{k}" for k in keys])}),
+            str(d / "customer.parquet"))
+        got = (salted_join_hot_keys(str(d), n_shards=ns, n_salts=nsalt,
+                                    hot_k=hk)
+               .to_pandas().sort_values("user_id")
+               .reset_index(drop=True))
+        ev = pd.DataFrame({"user_id": uid,
+                           "cents": np.round(val * 100).astype("int64")})
+        ev = ev[ev["user_id"].isin(keys)]
+        exp = (ev.groupby("user_id", as_index=False)
+               .agg(events=("cents", "size"),
+                    value_cents=("cents", "sum")))
+        exp["c_mktsegment"] = exp["user_id"].map(
+            {k: f"S{k}" for k in keys})
+        exp = exp[["user_id", "c_mktsegment", "events",
+                   "value_cents"]].astype(
+            {"user_id": "int64", "events": "int64",
+             "value_cents": "int64"})
+        assert got.equals(exp.reset_index(drop=True)), trial

@@ -380,3 +380,18 @@ def test_politeness_schedule_invariants(ray_session):
     assert bounds["min"].iloc[0] == 1
     assert (bounds["min"].to_numpy()[1:]
             == bounds["max"].to_numpy()[:-1] + 1).all()
+
+
+def test_politeness_schedule_shard_invariance(ray_session):
+    """The schedule is a pure function of the frontier: shard counts
+    must not change any (url, host_rank, slot)."""
+    from tensorflow_ocr_ray.pipelines.webtier import (
+        crawl_politeness_schedule,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (crawl_politeness_schedule(sf, n_shards=1)
+         .to_pandas().sort_values("slot").reset_index(drop=True))
+    b = (crawl_politeness_schedule(sf, n_shards=13)
+         .to_pandas().sort_values("slot").reset_index(drop=True))
+    assert a.equals(b)
