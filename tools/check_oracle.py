@@ -119,7 +119,19 @@ def main() -> int:
             continue
         elapsed = time.time() - t0
         if name in sqls:
-            oracle = con.execute(sqls[name]).fetchdf()
+            try:
+                oracle = con.execute(sqls[name]).fetchdf()
+            except Exception as e:
+                # an oracle-side resource failure (e.g. the sf0.1
+                # minhash recursive-CTE spilling /tmp full) must not
+                # kill the whole sweep — record it and move on
+                print(f"FAIL {name}: oracle raised "
+                      f"{type(e).__name__}: {str(e)[:200]}")
+                failures += 1
+                results[name] = {
+                    "status": "FAIL", "rows": len(mine),
+                    "err": f"oracle: {type(e).__name__}: {str(e)[:200]}"}
+                continue
             ok, msg = compare(mine, oracle)
             status = "ok " if ok else "FAIL"
             if not ok:
