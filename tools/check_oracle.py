@@ -96,6 +96,12 @@ def main() -> int:
     # spill to /tmp, never into the repo (a default connection puts
     # temp_directory at ./.tmp — one sf0.1 run spilled 50 GB there)
     con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
+    try:
+        # fail a runaway oracle fast instead of filling the disk (the
+        # sf0.1 minhash recursive CTE spilled /tmp to ENOSPC)
+        con.execute("SET max_temp_directory_size = '16GiB'")
+    except Exception:
+        pass
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
