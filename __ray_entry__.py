@@ -2159,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         # similarity search
         "ann_topk_brute": similarity.ann_topk_brute,
+        "ann_topk_filtered": similarity.ann_topk_filtered,
         # two-stage retrieval: cheap over-retrieve k1, expensive
         # candidate-only re-score (even-dim cosine), final top-k
         "rerank_two_stage": similarity.rerank_two_stage,
@@ -8978,6 +8979,17 @@ def _oracle_sql_base() -> dict[str, str]:
               CAST(CASE WHEN margin > 1.02 THEN 1 ELSE 0 END AS BIGINT)
                 AS accepted
             FROM best WHERE rn = 1
+        """,
+        "ann_topk_filtered": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 4) AS sim
+            FROM embeddings
+            WHERE vec_id <> 0 AND label = 3
+            ORDER BY sim DESC, vec_id
+            LIMIT 10
         """,
         "ann_topk_brute": """
             SELECT vec_id,

@@ -80,6 +80,57 @@ def ann_topk_brute(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataFr
     return tops.reset_index(drop=True).astype({"vec_id": "int64"})
 
 
+def ann_topk_filtered(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0, label: int = 3
+) -> pd.DataFrame:
+    """Filtered vector search — exact cosine top-k among vectors whose
+    ``label`` matches a metadata predicate (the vector-DB staple:
+    "nearest docs WHERE lang='de'").  PRE-filtering, the exact flavor:
+    the predicate applies before ranking, so the answer is the true
+    top-k of the filtered set — post-filtering an unfiltered top-k can
+    return fewer than k survivors.
+
+    Same streaming shape as ann_topk_brute with the mask fused into
+    the per-batch scorer: filter → score → local top-k, driver merges
+    ≤ k·num_batches rows.  At scale a highly-selective predicate makes
+    the label-partitioned index (the hive ``label=N`` layout the
+    LSH/IVF indexes already use for ``code``/``cell``) the read-pruned
+    path; the fused scan is the always-correct baseline."""
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["label"].to_numpy() == label) & (
+            df["vec_id"].to_numpy() != query_vec_id)
+        if not keep.any():
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")})
+        qv = _bcast_get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()[keep]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy()[keep],
+             "sim": np.round(sims, 4)})
+        return out.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(k)
+
+    tops = _emb(sf_dir).map_batches(
+        score, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    if "sim" not in tops.columns:  # every block empty -> schema lost
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "sim": pd.Series([], dtype="float64")})
+    tops = tops.sort_values(
+        ["sim", "vec_id"], ascending=[False, True]).head(k)
+    return tops.reset_index(drop=True).astype({"vec_id": "int64"})
+
+
 def ann_topk_multi(
     sf_dir: str, k: int = 5, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3)
 ) -> pd.DataFrame:

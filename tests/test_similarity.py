@@ -582,3 +582,14 @@ def test_inverted_index_pruned_read(ray_session, tmp_path):
     got = dict(zip(out["doc_id"].astype(int), out["tf_total"].astype(int)))
     assert got == {1: 3, 3: 4}
     shutil.rmtree(cached, ignore_errors=True)
+
+
+def test_ann_topk_filtered_empty_predicate(ray_session):
+    """A label matching nothing returns the typed EMPTY frame (the
+    pre-filter contract: never backfill with out-of-predicate rows)."""
+    from tensorflow_ocr_ray.pipelines.similarity import ann_topk_filtered
+
+    out = ann_topk_filtered("/root/testdata/sf0.001", label=999)
+    assert len(out) == 0
+    assert list(out.columns) == ["vec_id", "sim"]
+    assert str(out["vec_id"].dtype) == "int64"
